@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Canonical loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark 4 cannot
+  * read natively; sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`
+  * (see [[Sessions]]), which surfaces the column as a nanosecond LONG. We
+  * normalize it to a microsecond TimestampType by truncation — exactly what
+  * DuckDB (the driver's oracle engine) does when it reads the same file, so
+  * both engines observe identical timestamp values.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000L)"))
+    else df
+  }
+}
+
+/** Session factory with the configs every entry point (Verify, Bench, tests)
+  * must agree on for oracle parity and local-mode efficiency.
+  */
+object Sessions {
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+            appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      // match core count, not the 200 default — local mode has no cluster
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

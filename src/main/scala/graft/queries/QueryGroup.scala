@@ -1,0 +1,42 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One named group of SparkEntry queries plus their DuckDB oracle SQL.
+  *
+  * Oracle-parity rules (the driver hash-compares our parquet output with
+  * DuckDB's result for the same SQL, so values must match bit-for-bit):
+  *
+  *  - Sums/averages of doubles go through [[dsum]]: cast each addend to
+  *    DECIMAL(38,s) and sum exactly, so the result is independent of
+  *    aggregation order. Both Spark and DuckDB convert double→decimal via
+  *    the shortest-decimal representation, so the casts agree too.
+  *  - COUNT is always a BIGINT on both sides (DuckDB SUM(int) would be
+  *    HUGEINT — never sum raw ints in the oracle without a cast).
+  *  - events.ts ordering uses (ts, event_id) so ties can't reorder;
+  *    DuckDB orders by CAST(ts AS TIMESTAMP) to match our µs truncation.
+  *  - Every computed column is aliased identically on both sides.
+  */
+trait QueryGroup {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q]
+  def oracle: Map[String, String]
+
+  protected def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables(s, dir, name)
+
+  /** Exact-arithmetic (order-independent) sum of a double column. */
+  protected def dec(c: Column, scale: Int): Column =
+    c.cast(DecimalType(38, scale))
+  protected def dsum(c: Column, scale: Int = 4): Column =
+    sum(dec(c, scale)).cast("double")
+  /** Oracle-side fragment matching [[dsum]]. */
+  protected def DSUM(e: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(38,$scale))) AS DOUBLE)"
+
+  /** DuckDB ORDER BY fragment matching our normalized event time. */
+  protected val EVT_ORDER = "CAST(ts AS TIMESTAMP), event_id"
+}

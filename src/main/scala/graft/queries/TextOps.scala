@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (BASELINE.json north star): token statistics, quality scoring,
+  * language-ID heuristic, document fingerprinting. All are narrow
+  * per-document transforms — they scale linearly with no shuffle
+  * (fingerprint needs one map-side aggregation per doc).
+  *
+  * The richer Scala APIs live in `graft.functions.TextFunctions`; these
+  * queries pin the semantics against the DuckDB oracle.
+  */
+object TextOps extends QueryGroup {
+
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in")
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and"),
+    "es" -> Seq("el", "la", "que"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "les", "et"))
+
+  override def queries: Map[String, Q] = Map(
+    // token counting + quality ratios (length/stopword/type-token).
+    "text_stats" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("toks", filter(split($"text", " "), x => x =!= ""))
+        .select(
+          $"doc_id",
+          length($"text").cast("long").as("n_chars_actual"),
+          size($"toks").cast("long").as("n_tokens"),
+          size(array_distinct($"toks")).cast("long").as("n_distinct_tokens"),
+          (size(array_distinct($"toks")).cast("double") / size($"toks"))
+            .as("type_token_ratio"),
+          (size(filter($"toks", x => x.isin(stopEn: _*))).cast("double")
+            / size($"toks")).as("stopword_ratio"))
+    }),
+
+    // language-ID via stopword-hit scoring with deterministic tiebreak.
+    "text_langid" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents")
+        .withColumn("toks", filter(split($"text", " "), x => x =!= ""))
+      val scored = langStops.foldLeft(base) { case (df, (lang, stops)) =>
+        df.withColumn(s"score_$lang",
+          size(filter($"toks", x => x.isin(stops: _*))).cast("long"))
+      }
+      val best = langStops.map { case (lang, _) => col(s"score_$lang") }
+        .reduce((a, b) => greatest(a, b))
+      scored.select(
+        $"doc_id",
+        when($"score_en" === best, "en")
+          .when($"score_es" === best, "es")
+          .when($"score_de" === best, "de")
+          .otherwise("fr").as("lang_pred"),
+        $"score_en", $"score_es", $"score_de", $"score_fr")
+    }),
+
+    // document fingerprint: min-hash of 3-token shingles (content-defined;
+    // stable under document re-chunking). fp_int is usable as a shard key.
+    "text_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("toks", filter(split($"text", " "), x => x =!= ""))
+        .filter(size($"toks") >= 3)
+        .withColumn("i", explode(sequence(lit(1), size($"toks") - 2)))
+        .withColumn("shingle", concat_ws(" ",
+          element_at($"toks", $"i"),
+          element_at($"toks", $"i" + 1),
+          element_at($"toks", $"i" + 2)))
+        .groupBy($"doc_id")
+        .agg(min(md5($"shingle")).as("fingerprint"))
+        .select($"doc_id", $"fingerprint",
+          conv(substring($"fingerprint", 1, 8), 16, 10).cast("long").as("fp_int"))
+    })
+  )
+
+  private def sqlToks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  override def oracle: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  len(text) AS n_chars_actual,
+         |  len(toks) AS n_tokens,
+         |  len(list_distinct(toks)) AS n_distinct_tokens,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
+         |  CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+         |    / len(toks) AS stopword_ratio
+         |FROM (SELECT doc_id, text, $sqlToks AS toks FROM documents)""".stripMargin,
+
+    "text_langid" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN score_en = best THEN 'en'
+         |       WHEN score_es = best THEN 'es'
+         |       WHEN score_de = best THEN 'de'
+         |       ELSE 'fr' END AS lang_pred,
+         |  score_en, score_es, score_de, score_fr
+         |FROM (
+         |  SELECT doc_id, score_en, score_es, score_de, score_fr,
+         |    greatest(score_en, score_es, score_de, score_fr) AS best
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(list_filter(toks, x -> x IN ('the','a','and'))) AS BIGINT) AS score_en,
+         |      CAST(len(list_filter(toks, x -> x IN ('el','la','que'))) AS BIGINT) AS score_es,
+         |      CAST(len(list_filter(toks, x -> x IN ('der','die','und'))) AS BIGINT) AS score_de,
+         |      CAST(len(list_filter(toks, x -> x IN ('le','les','et'))) AS BIGINT) AS score_fr
+         |    FROM (SELECT doc_id, $sqlToks AS toks FROM documents)))""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id, fingerprint,
+         |  CAST(('0x' || substr(fingerprint, 1, 8)) AS BIGINT) AS fp_int
+         |FROM (
+         |  SELECT doc_id, MIN(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |    AS fingerprint
+         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents WHERE
+         |    len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3),
+         |    UNNEST(generate_series(1, len(toks) - 2)) t(i)
+         |  GROUP BY doc_id)""".stripMargin
+  )
+}
