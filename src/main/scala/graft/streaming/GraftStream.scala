@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** The streamz fluent surface as a thin Scala facade over Dataset/DataFrame.
+  *
+  * Mirrors the reference's design: "dataframes are only syntactic sugar on
+  * core streams" (docs/source/dataframes.rst:48-51) — here every method
+  * just declares more of the Catalyst plan. Works identically for batch
+  * and streaming datasets; streaming-only methods delegate to [[Stateful]]
+  * and [[Align]].
+  *
+  * streamz → graft mapping (reference cites in SURVEY §2.1):
+  * map/filter/remove/pluck/flatten/union/unique/frequencies/accumulate/
+  * sliding_window/partition/zip/combine_latest/zip_latest/sink.
+  */
+final class GraftStream[T](val ds: Dataset[T]) extends Serializable {
+  private def spark = ds.sparkSession
+
+  // --- element-wise (stateless, fully parallel) ---------------------------
+  def map[U: Encoder](f: T => U): GraftStream[U] = new GraftStream(ds.map(f))
+  def filter(p: T => Boolean): GraftStream[T] = new GraftStream(ds.filter(p))
+  def remove(p: T => Boolean): GraftStream[T] = filter((t: T) => !p(t))
+  def flatten[U: Encoder](implicit ev: T <:< IterableOnce[U]): GraftStream[U] =
+    new GraftStream(ds.flatMap(t => ev(t)))
+  def union(other: GraftStream[T]): GraftStream[T] = new GraftStream(ds.union(other.ds))
+
+  // --- relational escape hatch --------------------------------------------
+  def toDF: GraftFrame = new GraftFrame(ds.toDF())
+  def select(cols: Column*): GraftFrame = new GraftFrame(ds.toDF().select(cols: _*))
+
+  // --- terminal -----------------------------------------------------------
+  /** streamz sink_to_list (core.py:571): memory sink, query named `name`. */
+  def sinkToList(name: String, outputMode: String = "append"): StreamingQuery =
+    ds.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+
+  def sink(f: T => Unit): StreamingQuery =
+    ds.writeStream.foreachBatch((batch: Dataset[T], _: Long) =>
+      batch.collect().foreach(f)).start()
+
+  def writeStream: DataStreamWriter[T] = ds.writeStream
+}
+
+/** Untyped (SDF) facade: a DataFrame plus a designated index column — the
+  * stand-in for the pandas index (SURVEY §1.4). Aggregations return frames
+  * meant for `update`/`complete` output ("updating" stream type,
+  * collection.py:26-29); element-wise ops stay "streaming" (append).
+  */
+final class GraftFrame(val df: DataFrame, val indexCol: String = "ts") {
+  private def wrap(d: DataFrame) = new GraftFrame(d, indexCol)
+
+  // --- projection / element-wise (dataframe/core.py:239-296) --------------
+  def apply(col: String): Column = df(col)
+  def pluck(cols: String*): GraftFrame = wrap(df.select(cols.map(df(_)): _*))
+  def assign(name: String, c: Column): GraftFrame = wrap(df.withColumn(name, c))
+  def query(sqlExpr: String): GraftFrame = wrap(df.filter(sqlExpr))
+  def where(c: Column): GraftFrame = wrap(df.filter(c))
+  def astype(col: String, to: String): GraftFrame = wrap(df.withColumn(col, df(col).cast(to)))
+  def roundTo(col: String, scale: Int): GraftFrame = wrap(df.withColumn(col, round(df(col), scale)))
+  def setIndex(col: String): GraftFrame = new GraftFrame(df, col)
+
+  // --- global aggregations ("updating": run with outputMode update) -------
+  def sumOf(col: String): GraftFrame = wrap(df.agg(sum(col).as(s"sum_$col")))
+  def meanOf(col: String): GraftFrame = wrap(df.agg(avg(col).as(s"mean_$col")))
+  def countAll(): GraftFrame = wrap(df.agg(count(lit(1)).as("count")))
+
+  // --- grouped aggregations (dataframe/core.py:789-881) -------------------
+  def groupby(cols: String*): GroupedGraftFrame =
+    new GroupedGraftFrame(this, cols.map(df(_)))
+
+  /** streamz value_counts (dataframe/core.py:394). */
+  def valueCounts(col: String): GraftFrame =
+    wrap(df.groupBy(df(col)).agg(count(lit(1)).as("count")))
+
+  /** streamz nlargest (dataframe/core.py:222). */
+  def nlargest(n: Int, col: String): GraftFrame =
+    wrap(df.orderBy(df(col).desc).limit(n))
+
+  /** Tumbling event-time window keyed on the index column with watermark —
+    * the scale path for streamz timed_window/window(value=...).
+    */
+  def timedWindow(duration: String, watermark: String = "0 seconds"): GroupedGraftFrame =
+    new GroupedGraftFrame(
+      new GraftFrame(df.withWatermark(indexCol, watermark), indexCol),
+      Seq(window(df(indexCol), duration)))
+
+  def writeStream: DataStreamWriter[org.apache.spark.sql.Row] = df.writeStream
+}
+
+final class GroupedGraftFrame(parent: GraftFrame, keys: Seq[Column]) {
+  private def agg(exprs: Column*): GraftFrame =
+    new GraftFrame(parent.df.groupBy(keys: _*).agg(exprs.head, exprs.tail: _*), parent.indexCol)
+
+  def sumOf(col: String): GraftFrame = agg(sum(col).as(s"sum_$col"))
+  def meanOf(col: String): GraftFrame = agg(avg(col).as(s"mean_$col"))
+  def countAll(): GraftFrame = agg(count(lit(1)).as("count"))
+  def varOf(col: String): GraftFrame = agg(var_samp(col).as(s"var_$col"))
+  def stdOf(col: String): GraftFrame = agg(stddev_samp(col).as(s"std_$col"))
+  def aggAll(exprs: Column*): GraftFrame = agg(exprs: _*)
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Source surface (SURVEY §2.2). The reference's Kafka machinery —
+  * per-partition offset ranges, commit-after-write, partition discovery
+  * (sources.py:483-716) — is Structured Streaming's Kafka source verbatim,
+  * so these are thin declarative wrappers; the checkpoint dir carries the
+  * offset/commit logs that RefCounter implemented by hand.
+  */
+object Sources {
+
+  /** from_periodic/PeriodicDataFrame (sources.py:85, dataframe/core.py:949):
+    * rowsPerSecond ticks with a timestamp + value column.
+    */
+  def periodic(spark: SparkSession, rowsPerSecond: Long = 1): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+
+  /** filenames/from_textfile tail mode (sources.py:116-209): watch a
+    * directory, each new file's lines become events.
+    */
+  def textDir(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger).text(dir)
+
+  /** Typed file-stream over any format with an explicit schema. */
+  def fileStream(spark: SparkSession, dir: String, format: String,
+                 schema: StructType): DataFrame =
+    spark.readStream.schema(schema).format(format).load(dir)
+
+  /** from_tcp (sources.py:212): line-delimited socket. */
+  def socket(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+
+  /** from_kafka / from_kafka_batched (sources.py:391-716). `value` is the
+    * raw binary payload; cast/parse downstream. maxOffsetsPerTrigger is the
+    * analogue of the reference's max_batch_size.
+    */
+  def kafka(spark: SparkSession, bootstrap: String, topics: String,
+            maxOffsetsPerTrigger: Option[Long] = None,
+            startingOffsets: String = "latest"): DataFrame = {
+    val r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics)
+      .option("startingOffsets", startingOffsets)
+    maxOffsetsPerTrigger.fold(r)(n => r.option("maxOffsetsPerTrigger", n)).load()
+  }
+}
+
+/** Sink surface (SURVEY §2.3). */
+object Sinks {
+
+  /** sink_to_textfile (sinks.py:76): exactly-once text/parquet/... file sink. */
+  def files(df: DataFrame, format: String, path: String,
+            checkpoint: String): StreamingQuery =
+    df.writeStream.format(format)
+      .option("path", path).option("checkpointLocation", checkpoint).start()
+
+  /** to_kafka (sinks.py:115): needs `key`/`value` columns. */
+  def kafka(df: DataFrame, bootstrap: String, topic: String,
+            checkpoint: String): StreamingQuery =
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint).start()
+
+  /** Generic per-batch reentry point (collection.py map_partitions analogue:
+    * arbitrary relational work per micro-batch).
+    */
+  def foreachBatch[T](ds: Dataset[T])(f: (Dataset[T], Long) => Unit): StreamingQuery =
+    ds.writeStream.foreachBatch((d: Dataset[T], id: Long) => f(d, id)).start()
+}

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Keyed, ordered stateful operators — the pieces of the reference's surface
+  * that Structured Streaming does not provide natively (SURVEY §4.3):
+  * generic running folds, row-count trailing windows, EWM, element grouping.
+  *
+  * All operators take `(key, seq, value)` rows: `key` partitions state
+  * (use a constant key to reproduce the reference's single global stream —
+  * correct but single-partition; keyed streams scale out), and `seq` is the
+  * arrival order *within* a micro-batch (Spark hands the group iterator in
+  * no particular order). State lives in the state store: checkpointed,
+  * spillable (RocksDB provider), recovered on restart — which is exactly
+  * the reference's `start=`/RefCounter machinery for free.
+  *
+  * Reference semantics: accumulate core.py:928-1026, sliding_window
+  * core.py:1269-1316, partition core.py:1078-1165, EWM aggregations.py:151-170.
+  */
+object Stateful {
+
+  /** streamz `accumulate`/`scan` (core.py:928): per-key running fold.
+    * Emits one output per input element, in `seq` order within the key.
+    */
+  def scan[K: Encoder, V, S: Encoder, O](
+      ds: Dataset[(K, Long, V)], start: S)(step: (S, V) => (S, O))(
+      implicit kvo: Encoder[(K, Long, O)], kv: Encoder[(K, Long, V)]): Dataset[(K, Long, O)] =
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[(K, Long, V)], state: GroupState[S]) =>
+          var s = state.getOption.getOrElse(start)
+          val out = it.toVector.sortBy(_._2).map { case (_, seq, v) =>
+            val (s2, o) = step(s, v)
+            s = s2
+            (key, seq, o)
+          }
+          state.update(s)
+          out.iterator
+      }
+
+  /** streamz `sliding_window` (core.py:1269): per element, the trailing
+    * window of up to `n` elements (including itself), aggregated by `agg`.
+    * `returnPartial=false` mirrors the reference flag: suppress output
+    * until the window is full.
+    */
+  def slidingWindow[K: Encoder, V, O](
+      ds: Dataset[(K, Long, V)], n: Int, returnPartial: Boolean = true)(
+      agg: Seq[V] => O)(
+      implicit buf: Encoder[Seq[(Long, V)]], kvo: Encoder[(K, Long, O)],
+      kv: Encoder[(K, Long, V)]): Dataset[(K, Long, O)] =
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[(K, Long, V)], state: GroupState[Seq[(Long, V)]]) =>
+          var win = state.getOption.getOrElse(Seq.empty).toVector
+          val out = Vector.newBuilder[(K, Long, O)]
+          it.toVector.sortBy(_._2).foreach { case (_, seq, v) =>
+            win = (win :+ (seq, v)).takeRight(n)
+            if (returnPartial || win.size == n)
+              out += ((key, seq, agg(win.map(_._2))))
+          }
+          state.update(win)
+          out.result().iterator
+      }
+
+  /** streamz `partition` (core.py:1078): group every `n` consecutive
+    * elements into one output. Remainders stay buffered in state.
+    */
+  def partitionN[K: Encoder, V](
+      ds: Dataset[(K, Long, V)], n: Int)(
+      implicit buf: Encoder[Seq[(Long, V)]], out: Encoder[(K, Seq[V])],
+      kv: Encoder[(K, Long, V)]): Dataset[(K, Seq[V])] =
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[(K, Long, V)], state: GroupState[Seq[(Long, V)]]) =>
+          val buffered = state.getOption.getOrElse(Seq.empty).toVector ++
+            it.toVector.sortBy(_._2).map { case (_, seq, v) => (seq, v) }
+          val (full, rest) = buffered.splitAt(buffered.size / n * n)
+          state.update(rest)
+          full.grouped(n).map(g => (key, g.map(_._2))).toVector.iterator
+      }
+
+  /** streamz `ewm(alpha).mean()` (aggregations.py:151-170), pandas
+    * adjust=true semantics: y_t = num_t/den_t with num ← x + (1-α)·num,
+    * den ← 1 + (1-α)·den. Order-dependent, hence a keyed ordered scan.
+    */
+  def ewmMean[K: Encoder](ds: Dataset[(K, Long, Double)], alpha: Double)(
+      implicit kvo: Encoder[(K, Long, Double)],
+      st: Encoder[(Double, Double)]): Dataset[(K, Long, Double)] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    scan[K, Double, (Double, Double), Double](ds, (0.0, 0.0)) {
+      case ((num, den), x) =>
+        val n2 = x + (1 - alpha) * num
+        val d2 = 1 + (1 - alpha) * den
+        ((n2, d2), n2 / d2)
+    }
+  }
+
+  /** streamz `unique` (core.py:1776) with bounded history: drop elements
+    * whose key was seen in the last `maxsize` distinct values (LRU), or
+    * ever (maxsize = None ≡ Int.MaxValue). Spark's dropDuplicates covers
+    * the unbounded + watermark cases; this covers the LRU semantics.
+    */
+  def uniqueLru[K: Encoder, V](
+      ds: Dataset[(K, Long, V)], maxsize: Int = Int.MaxValue,
+      dedupBy: V => String = (v: V) => String.valueOf(v))(
+      implicit buf: Encoder[Seq[String]], kv: Encoder[(K, Long, V)]): Dataset[(K, Long, V)] =
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: K, it: Iterator[(K, Long, V)], state: GroupState[Seq[String]]) =>
+          var seen = state.getOption.getOrElse(Seq.empty).toVector
+          val out = Vector.newBuilder[(K, Long, V)]
+          it.toVector.sortBy(_._2).foreach { case row @ (_, _, v) =>
+            val h = dedupBy(v)
+            if (!seen.contains(h)) {
+              out += row
+              seen = (seen :+ h).takeRight(maxsize)
+            } else {
+              // LRU refresh: move to most-recent position
+              seen = seen.filterNot(_ == h) :+ h
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+}

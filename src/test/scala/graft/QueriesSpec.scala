@@ -1,0 +1,26 @@
+package graft
+
+/** Smoke coverage for the driver contract: entry() and every declared
+  * query run at sf0.001 (value correctness is pinned by the DuckDB oracle
+  * harness, tools/compare_oracle.py — this guards against plan-time
+  * regressions in CI-less development).
+  */
+class QueriesSpec extends SparkSuite {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has oracle SQL or a documented rows-only exemption") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("similarity_topk_fast"), s"missing oracle: $noOracle")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"query $name executes at sf0.001") {
+      val df = fn(spark, sf())
+      assert(df.columns.nonEmpty)
+      df.write.format("noop").mode("overwrite").save()
+    }
+  }
+}

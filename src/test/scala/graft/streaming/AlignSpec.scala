@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** zip / combine_latest / zip_latest semantics (reference
+  * tests/test_core.py:230-350 pattern), including state across batches.
+  * Sequence numbers define arrival order; side-by-side with the reference:
+  * emitting L1 L2 R1 L3 R2 across two batches.
+  */
+class AlignSpec extends SparkSuite {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("zip: pairs i-th with i-th, buffering the faster side") {
+    val l = MemoryStream[(Int, Long, String)]
+    val r = MemoryStream[(Int, Long, Int)]
+    val out = Align.zip(l.toDS(), r.toDS())
+    val q = out.toDF("key", "a", "b").writeStream
+      .format("memory").queryName("zip_t").outputMode("append").start()
+    l.addData((1, 1L, "x"), (1, 2L, "y"), (1, 5L, "z"))
+    r.addData((1, 3L, 10))
+    q.processAllAvailable()
+    assert(spark.table("zip_t").count() == 1) // only one right element yet
+    r.addData((1, 6L, 20), (1, 7L, 30))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("zip_t").as[(Int, String, Int)].collect().sortBy(_._3)
+    assert(got.toSeq == Seq((1, "x", 10), (1, "y", 20), (1, "z", 30)))
+  }
+
+  test("combineLatest: emits latest pair on every arrival once both sides seen") {
+    val l = MemoryStream[(Int, Long, String)]
+    val r = MemoryStream[(Int, Long, Int)]
+    val out = Align.combineLatest(l.toDS(), r.toDS())
+    val q = out.toDF("key", "seq", "a", "b").writeStream
+      .format("memory").queryName("cl_t").outputMode("append").start()
+    // arrival order: L(a) R(1) L(b) R(2)
+    l.addData((1, 1L, "a")); q.processAllAvailable()
+    r.addData((1, 2L, 1)); q.processAllAvailable()
+    l.addData((1, 3L, "b")); q.processAllAvailable()
+    r.addData((1, 4L, 2)); q.processAllAvailable(); q.stop()
+    val got = spark.table("cl_t").as[(Int, Long, String, Int)].collect().sortBy(_._2)
+      .map(t => (t._3, t._4))
+    assert(got.toSeq == Seq(("a", 1), ("b", 1), ("b", 2)))
+  }
+
+  test("zipLatest: lossless left, paired with most recent right") {
+    val l = MemoryStream[(Int, Long, String)]
+    val r = MemoryStream[(Int, Long, Int)]
+    val out = Align.zipLatest(l.toDS(), r.toDS())
+    val q = out.toDF("key", "seq", "a", "b").writeStream
+      .format("memory").queryName("zl_t").outputMode("append").start()
+    // L(a) before any right → dropped; then R(1) L(b) L(c) R(2) L(d)
+    l.addData((1, 1L, "a")); q.processAllAvailable()
+    r.addData((1, 2L, 1)); l.addData((1, 3L, "b"), (1, 4L, "c")); q.processAllAvailable()
+    r.addData((1, 5L, 2)); l.addData((1, 6L, "d")); q.processAllAvailable(); q.stop()
+    val got = spark.table("zl_t").as[(Int, Long, String, Int)].collect().sortBy(_._2)
+      .map(t => (t._3, t._4))
+    assert(got.toSeq == Seq(("b", 1), ("c", 1), ("d", 2)))
+  }
+
+  test("alignment state is sharded per key") {
+    val l = MemoryStream[(Int, Long, String)]
+    val r = MemoryStream[(Int, Long, Int)]
+    val out = Align.zipLatest(l.toDS(), r.toDS())
+    val q = out.toDF("key", "seq", "a", "b").writeStream
+      .format("memory").queryName("zl_k").outputMode("append").start()
+    r.addData((1, 1L, 100), (2, 2L, 200))
+    l.addData((1, 3L, "k1"), (2, 4L, "k2"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("zl_k").as[(Int, Long, String, Int)].collect()
+      .sortBy(_._1).map(t => (t._1, t._4))
+    assert(got.toSeq == Seq((1, 100), (2, 200)))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The fluent facade: element-wise ops on typed streams, SDF-style frame
+  * ops, and the updating (update-output-mode) grouped aggregation — the
+  * docs' canonical `sdf[sdf.name=='Alice'].amount.sum()` flow
+  * (docs/source/dataframes.rst:38-46).
+  */
+class GraftFrameSpec extends SparkSuite {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("GraftStream: map/filter/flatten/union on a typed stream") {
+    val in = MemoryStream[Int]
+    val s = new GraftStream(in.toDS())
+    val out = s.map(i => Seq(i, i * 10)).flatten[Int].filter(_ % 2 == 0).remove(_ > 100)
+    val q = out.sinkToList("gs_t")
+    in.addData(1, 2, 3, 11)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("gs_t").as[Int].collect().sorted
+    assert(got.toSeq == Seq(2, 10, 20, 30)) // 110 removed, odds filtered
+  }
+
+  test("docs flagship: filter name == Alice, running grouped sum, update mode") {
+    val in = MemoryStream[(String, Double)]
+    val sdf = new GraftFrame(in.toDF().toDF("name", "amount"))
+    val agg = sdf.where(col("name") === "Alice").groupby("name").sumOf("amount")
+    val q = agg.writeStream.format("memory").queryName("alice_t").outputMode("update").start()
+    in.addData(("Alice", 50.0), ("Bob", 100.0)); q.processAllAvailable()
+    in.addData(("Alice", 200.0)); q.processAllAvailable(); q.stop()
+    // update mode: one row per batch where the group changed; last is the total
+    val got = spark.table("alice_t").as[(String, Double)].collect().map(_._2).sorted
+    assert(got.toSeq == Seq(50.0, 250.0))
+  }
+
+  test("GraftFrame batch ops: assign/query/astype/valueCounts/nlargest") {
+    val df = Seq(("a", 1.0), ("b", 2.0), ("a", 3.0)).toDF("k", "v")
+    val f = new GraftFrame(df)
+    assert(f.assign("v2", col("v") * 2).df.select(sum("v2")).head().getDouble(0) == 12.0)
+    assert(f.query("v > 1.5").df.count() == 2)
+    assert(f.astype("v", "long").df.schema("v").dataType.typeName == "long")
+    val vc = f.valueCounts("k").df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(vc == Map("a" -> 2L, "b" -> 1L))
+    assert(f.nlargest(1, "v").df.head().getDouble(1) == 3.0)
+  }
+
+  test("timedWindow: tumbling event-time aggregation with watermark") {
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val sdf = new GraftFrame(in.toDF().toDF("ts", "v"), indexCol = "ts")
+    val agg = sdf.timedWindow("10 seconds", "0 seconds").sumOf("v")
+    val q = agg.writeStream.format("memory").queryName("tw_t").outputMode("update").start()
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    in.addData((t(1), 1.0), (t(5), 2.0), (t(15), 10.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("tw_t").select("sum_v").as[Double].collect().sorted
+    assert(got.toSeq == Seq(3.0, 10.0))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming stateful operators, driven the way the reference's tests
+  * drive emits (test_core.py / test_dataframes.py pattern): push chunks
+  * through MemoryStream across several micro-batches and compare with the
+  * all-at-once oracle computed in plain Scala.
+  */
+class StatefulSpec extends SparkSuite {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def drain[T](q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("scan: per-key running sum across micro-batches matches prefix sums") {
+    val in = MemoryStream[(Int, Long, Double)]
+    val out = Stateful.scan(in.toDS(), 0.0)((s, v) => (s + v, s + v))
+    val q = out.toDF("key", "seq", "running").writeStream
+      .format("memory").queryName("scan_t").outputMode("append").start()
+    in.addData((1, 1L, 1.0), (1, 2L, 2.0), (2, 3L, 10.0))
+    q.processAllAvailable()
+    in.addData((1, 4L, 3.0), (2, 5L, 20.0)) // state must survive the batch boundary
+    drain(q)
+    val got = spark.table("scan_t").as[(Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq((1, 1L, 1.0), (1, 2L, 3.0), (1, 4L, 6.0), (2, 3L, 10.0), (2, 5L, 30.0)))
+  }
+
+  test("slidingWindow: trailing-3 sums match brute force incl. batch splits") {
+    val xs = (1 to 10).map(i => (1, i.toLong, i.toDouble))
+    val in = MemoryStream[(Int, Long, Double)]
+    val out = Stateful.slidingWindow(in.toDS(), 3)(_.sum)
+    val q = out.toDF("key", "seq", "wsum").writeStream
+      .format("memory").queryName("slide_t").outputMode("append").start()
+    xs.grouped(4).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("slide_t").as[(Int, Long, Double)].collect()
+      .sortBy(_._2).map(_._3).toSeq
+    val want = (1 to 10).map(i => (math.max(1, i - 2) to i).sum.toDouble)
+    assert(got == want)
+  }
+
+  test("slidingWindow: returnPartial=false suppresses the warm-up rows") {
+    val in = MemoryStream[(Int, Long, Double)]
+    val out = Stateful.slidingWindow(in.toDS(), 3, returnPartial = false)(_.sum)
+    val q = out.toDF("key", "seq", "wsum").writeStream
+      .format("memory").queryName("slide_full_t").outputMode("append").start()
+    in.addData((1, 1L, 1.0), (1, 2L, 2.0), (1, 3L, 3.0), (1, 4L, 4.0))
+    drain(q)
+    val got = spark.table("slide_full_t").as[(Int, Long, Double)].collect().sortBy(_._2)
+    assert(got.map(_._2).toSeq == Seq(3L, 4L)) // first emit once window is full
+    assert(got.map(_._3).toSeq == Seq(6.0, 9.0))
+  }
+
+  test("partitionN: groups of 3 with remainder carried across batches") {
+    val in = MemoryStream[(Int, Long, Int)]
+    val out = Stateful.partitionN(in.toDS(), 3)
+    val q = out.toDF("key", "group").writeStream
+      .format("memory").queryName("part_t").outputMode("append").start()
+    in.addData((1, 1L, 10), (1, 2L, 20)) // incomplete: nothing emitted
+    q.processAllAvailable()
+    assert(spark.table("part_t").count() == 0)
+    in.addData((1, 3L, 30), (1, 4L, 40))
+    drain(q)
+    val got = spark.table("part_t").as[(Int, Seq[Int])].collect()
+    assert(got.toSeq == Seq((1, Seq(10, 20, 30))))
+  }
+
+  test("ewmMean: matches the pandas adjust=true recurrence") {
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val alpha = 0.5
+    val in = MemoryStream[(Int, Long, Double)]
+    val out = Stateful.ewmMean(in.toDS(), alpha)
+    val q = out.toDF("key", "seq", "ewm").writeStream
+      .format("memory").queryName("ewm_t").outputMode("append").start()
+    xs.zipWithIndex.grouped(2).foreach { chunk =>
+      in.addData(chunk.map { case (x, i) => (1, i.toLong, x) })
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("ewm_t").as[(Int, Long, Double)].collect().sortBy(_._2).map(_._3)
+    // oracle: y_t = Σ x_i (1-α)^(t-i) / Σ (1-α)^(t-i)
+    val want = xs.indices.map { t =>
+      val w = (0 to t).map(i => math.pow(1 - alpha, t - i))
+      (0 to t).map(i => xs(i) * w(i)).sum / w.sum
+    }
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12, s"$g vs $w") }
+  }
+
+  test("uniqueLru: bounded history readmits evicted values") {
+    val in = MemoryStream[(Int, Long, String)]
+    val out = Stateful.uniqueLru(in.toDS(), maxsize = 2)
+    val q = out.toDF("key", "seq", "v").writeStream
+      .format("memory").queryName("uniq_t").outputMode("append").start()
+    // a b a(dup, refreshes a) c(evicts b — least recent) b(readmitted)
+    in.addData((1, 1L, "a"), (1, 2L, "b"), (1, 3L, "a"), (1, 4L, "c"), (1, 5L, "b"))
+    drain(q)
+    val got = spark.table("uniq_t").as[(Int, Long, String)].collect().sortBy(_._2).map(_._3)
+    assert(got.toSeq == Seq("a", "b", "c", "b"))
+  }
+}
