@@ -13,7 +13,8 @@ import graft.queries._
   */
 object SparkEntry {
   private val groups: Seq[QueryGroup] =
-    Seq(CoreOps, WindowOps, JoinOps, TextOps, DedupOps, SimilarityOps, MultimodalOps)
+    Seq(CoreOps, WindowOps, ExtraOps, JoinOps, TextOps, DedupOps,
+      SimilarityOps, MultimodalOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

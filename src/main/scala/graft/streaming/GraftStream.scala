@@ -27,6 +27,16 @@ final class GraftStream[T](val ds: Dataset[T]) extends Serializable {
     new GraftStream(ds.flatMap(t => ev(t)))
   def union(other: GraftStream[T]): GraftStream[T] = new GraftStream(ds.union(other.ds))
 
+  /** streamz starmap (core.py:838): apply splatting the tuple element. */
+  def starmap[A, B, U: Encoder](f: (A, B) => U)(implicit ev: T <:< (A, B)): GraftStream[U] =
+    map(t => f(ev(t)._1, ev(t)._2))
+
+  /** streamz map_async (core.py:722): bounded-parallelism async map. Spark
+    * parallelizes natively; this runs f once per element per partition.
+    */
+  def mapAsync[U: Encoder](f: T => U): GraftStream[U] =
+    new GraftStream(ds.mapPartitions(_.map(f)))
+
   // --- relational escape hatch --------------------------------------------
   def toDF: GraftFrame = new GraftFrame(ds.toDF())
   def select(cols: Column*): GraftFrame = new GraftFrame(ds.toDF().select(cols: _*))
@@ -85,6 +95,21 @@ final class GraftFrame(val df: DataFrame, val indexCol: String = "ts") {
     new GroupedGraftFrame(
       new GraftFrame(df.withWatermark(indexCol, watermark), indexCol),
       Seq(window(df(indexCol), duration)))
+
+  /** streamz timed_window_unique (core.py:1365): tumbling event-time window
+    * deduplicated by `keyCols` within each window (keep = arrival-first;
+    * works on batch and — with the watermark bounding state — streaming).
+    */
+  def timedWindowUnique(duration: String, watermark: String, keyCols: String*): GraftFrame =
+    new GraftFrame(
+      df.withWatermark(indexCol, watermark)
+        .withColumn("__w", window(df(indexCol), duration))
+        .dropDuplicates("__w" +: keyCols)
+        .drop("__w"),
+      indexCol)
+
+  /** streamz unique (core.py:1776), unbounded/watermark-bounded dedupe. */
+  def unique(cols: String*): GraftFrame = new GraftFrame(df.dropDuplicates(cols), indexCol)
 
   def writeStream: DataStreamWriter[org.apache.spark.sql.Row] = df.writeStream
 }
