@@ -76,26 +76,38 @@ object Align {
 
   /** streamz `zip_latest`: lossless on the left stream — every left element
     * is paired with the most recent right value seen before it (as-of by
-    * arrival). Left elements arriving before any right value are dropped,
-    * matching the reference (no emission until all uptreams have a value).
+    * arrival). Left elements arriving before any right value are *buffered*,
+    * not dropped (core.py:1948 `lossless_buffer`): once the right side
+    * produces its first value, all buffered left elements are flushed paired
+    * with that value, then pairing proceeds as-of.
     */
   def zipLatest[K: Encoder, A, B](
       left: Dataset[(K, Long, A)], right: Dataset[(K, Long, B)])(
       implicit tagged: Encoder[(K, Long, Int, Option[A], Option[B])],
-      st: Encoder[Option[B]],
+      st: Encoder[(Seq[(Long, A)], Option[B])],
       out: Encoder[(K, Long, A, B)]): Dataset[(K, Long, A, B)] =
     tag(left, right).groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: K, it: Iterator[Tagged[K, A, B]], state: GroupState[Option[B]]) =>
-          var latest = state.getOption.getOrElse(None: Option[B])
+        (key: K, it: Iterator[Tagged[K, A, B]],
+         state: GroupState[(Seq[(Long, A)], Option[B])]) =>
+          var (pending, latest) =
+            state.getOption.getOrElse((Seq.empty[(Long, A)], None: Option[B]))
           val out = Vector.newBuilder[(K, Long, A, B)]
           it.toVector.sortBy(_._2).foreach {
             case (_, seq, 0, Some(a), _) =>
-              latest.foreach(b => out += ((key, seq, a, b)))
-            case (_, _, _, _, b @ Some(_)) => latest = b
+              latest match {
+                case Some(b) => out += ((key, seq, a, b))
+                case None    => pending = pending :+ ((seq, a))
+              }
+            case (_, _, _, _, b @ Some(bv)) =>
+              if (latest.isEmpty && pending.nonEmpty) {
+                pending.foreach { case (seq, a) => out += ((key, seq, a, bv)) }
+                pending = Seq.empty
+              }
+              latest = b
             case _ =>
           }
-          state.update(latest)
+          state.update((pending, latest))
           out.result().iterator
       }
 }

@@ -108,19 +108,24 @@ object Stateful {
     ds.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: K, it: Iterator[(K, Long, V)], state: GroupState[Seq[String]]) =>
-          var seen = state.getOption.getOrElse(Seq.empty).toVector
+          // LinkedHashSet = O(1) membership + insertion-order recency, so a
+          // batch costs O(batch) not O(history²). State serializes as the
+          // recency-ordered Seq. For unbounded dedup without LRU refresh
+          // semantics prefer dropDuplicates, which shards state per value.
+          val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+          state.getOption.foreach(_.foreach(seen += _))
           val out = Vector.newBuilder[(K, Long, V)]
           it.toVector.sortBy(_._2).foreach { case row @ (_, _, v) =>
             val h = dedupBy(v)
             if (!seen.contains(h)) {
               out += row
-              seen = (seen :+ h).takeRight(maxsize)
+              seen += h
+              if (seen.size > maxsize) seen -= seen.head // evict LRU
             } else {
-              // LRU refresh: move to most-recent position
-              seen = seen.filterNot(_ == h) :+ h
+              seen -= h; seen += h // LRU refresh: move to most-recent
             }
           }
-          state.update(seen)
+          state.update(seen.toSeq)
           out.result().iterator
       }
 }

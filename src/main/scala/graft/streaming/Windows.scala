@@ -77,7 +77,9 @@ object Windows {
             val gk = groupKey(v)
             val i = buf.indexWhere(_._1 == gk)
             if (i < 0) buf = buf :+ ((gk, seq, v))
-            else if (keep == "last") buf = buf.updated(i, (gk, buf(i)._2, v))
+            // keep="last": the key *moves* to the most-recent position —
+            // the reference (core.py:1245-1254) pops and re-inserts it
+            else if (keep == "last") buf = buf.filterNot(_._1 == gk) :+ ((gk, seq, v))
             if (buf.size == n) {
               emitted += ((key, buf.sortBy(_._2).map(_._3)))
               buf = Vector.empty

@@ -50,13 +50,15 @@ class AlignSpec extends SparkSuite {
     val out = Align.zipLatest(l.toDS(), r.toDS())
     val q = out.toDF("key", "seq", "a", "b").writeStream
       .format("memory").queryName("zl_t").outputMode("append").start()
-    // L(a) before any right → dropped; then R(1) L(b) L(c) R(2) L(d)
+    // L(a) before any right → buffered (core.py:1948 lossless_buffer),
+    // flushed with the first right value; then R(1) L(b) L(c) R(2) L(d)
     l.addData((1, 1L, "a")); q.processAllAvailable()
+    assert(spark.table("zl_t").count() == 0) // buffered, not emitted yet
     r.addData((1, 2L, 1)); l.addData((1, 3L, "b"), (1, 4L, "c")); q.processAllAvailable()
     r.addData((1, 5L, 2)); l.addData((1, 6L, "d")); q.processAllAvailable(); q.stop()
     val got = spark.table("zl_t").as[(Int, Long, String, Int)].collect().sortBy(_._2)
       .map(t => (t._3, t._4))
-    assert(got.toSeq == Seq(("b", 1), ("c", 1), ("d", 2)))
+    assert(got.toSeq == Seq(("a", 1), ("b", 1), ("c", 1), ("d", 2)))
   }
 
   test("alignment state is sharded per key") {

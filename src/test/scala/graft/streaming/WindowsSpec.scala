@@ -50,6 +50,20 @@ class WindowsSpec extends SparkSuite {
     assert(got.toSeq == Seq((1, Seq("a1", "b1", "c1"))))
   }
 
+  test("partitionUnique keep=last: duplicate key moves to most-recent position") {
+    val in = MemoryStream[(Int, Long, String)]
+    val out = Windows.partitionUnique(in.toDS(), 3, keep = "last",
+      groupKey = (v: String) => v.take(1))
+    val q = out.toDF("key", "group").writeStream
+      .format("memory").queryName("pu_last_t").outputMode("append").start()
+    // reference core.py:1245-1254 pops and re-inserts: a1 b1 a2 c1 →
+    // the 'a' key moves behind 'b' and takes the new value → [b1,a2,c1]
+    in.addData((1, 1L, "a1"), (1, 2L, "b1"), (1, 3L, "a2"), (1, 4L, "c1"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("pu_last_t").as[(Int, Seq[String])].collect()
+    assert(got.toSeq == Seq((1, Seq("b1", "a2", "c1"))))
+  }
+
   test("lastNGroupby: per-group sums over trailing rows, empty groups pruned") {
     val in = MemoryStream[(Int, Long, String, Double)]
     val out = Windows.lastNGroupby(in.toDS(), 3)
