@@ -1,0 +1,256 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime kernels for the custom Catalyst expressions below. They are
+  * `static`-reachable from generated Java, so the expressions keep
+  * whole-stage codegen: the generated code is a single call into these
+  * loops instead of falling back to interpreted eval.
+  */
+object ExprKernels {
+
+  /** Exact-decimal dot product of two float arrays, returned as double.
+    *
+    * Bit-parity contract (QueryGroup scaladoc): each per-dimension product
+    * is computed in double (as DuckDB does), converted to a scale-20
+    * decimal via the shortest-decimal representation + HALF_UP — exactly
+    * Spark's `CAST(double AS DECIMAL(38,20))` — and summed exactly in
+    * unbounded precision. The sum is order-independent, so any plan or
+    * partitioning produces the identical double.
+    */
+  def decimalDot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = JBigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      val p = a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      acc = acc.add(JBigDecimal.valueOf(p).setScale(20, RoundingMode.HALF_UP))
+      i += 1
+    }
+    acc.doubleValue()
+  }
+
+  /** SimHash of a token array over the first `bits` bits of each token's
+    * MD5 (big-endian). bits ≤ 64. Bit j (1-based) of the result is set when
+    * the balance Σ_tokens (bit_j(md5(token))·2 − 1) is ≥ 0 — byte-for-byte
+    * the md5-hex-digit construction in DedupOps' oracle SQL (for bits=16,
+    * bit j = parity of hex digit j).
+    */
+  def simHash(tokens: ArrayData, bits: Int): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val bal = new Array[Int](bits)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val tok = tokens.getUTF8String(i)
+      if (tok != null) {
+        val d = md.digest(tok.getBytes)
+        var j = 0
+        while (j < bits) {
+          val bit = (d(j >> 3) >>> (7 - (j & 7))) & 1
+          bal(j) += bit * 2 - 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var res = 0L
+    var j = 0
+    while (j < bits) {
+      if (bal(j) >= 0) res |= 1L << j
+      j += 1
+    }
+    res
+  }
+
+  /** Whitespace tokens of a text column (split on ' ', empties dropped) —
+    * matches `filter(split(text, " "), t => t =!= "")`. Splitting on the
+    * raw 0x20 byte is UTF-8-safe (continuation bytes are ≥ 0x80).
+    */
+  def tokens(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' '.toByte) {
+        if (i > start)
+          out += UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Distinct 3-token shingles of a text column, in first-occurrence order
+    * — matches `array_distinct(transform(...))` over [[tokens]] (empty
+    * array when < 3 tokens). One pass, no intermediate Catalyst arrays.
+    */
+  def shingles3(text: UTF8String): ArrayData = {
+    val toks = tokens(text)
+    val n = toks.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[AnyRef])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i + 2 < n) {
+      seen.add(UTF8String.concatWs(space,
+        toks.getUTF8String(i), toks.getUTF8String(i + 1), toks.getUTF8String(i + 2)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def toHex(bytes: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = HexDigits((bytes(i) >>> 4) & 0xf).toByte
+      out(2 * i + 1) = HexDigits(bytes(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** MinHash signature of a shingle set: element h (1-based, h ≤ k) is
+    * min over shingles of hex(md5(h + "|" + shingle)) — the classic
+    * min-of-keyed-hash construction, identical to the oracle's
+    * `MIN(md5(CAST(h AS VARCHAR) || '|' || shingle))` (unsigned byte
+    * order == lowercase-hex lexicographic order).
+    */
+  def minHashSigs(shingles: ArrayData, k: Int): ArrayData = {
+    val md = MessageDigest.getInstance("MD5")
+    val mins = new Array[Array[Byte]](k)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val sh = shingles.getUTF8String(i)
+      if (sh != null) {
+        val shBytes = sh.getBytes
+        var h = 1
+        while (h <= k) {
+          md.update(String.valueOf(h).getBytes)
+          md.update('|'.toByte)
+          md.update(shBytes)
+          val dig = md.digest()
+          if (mins(h - 1) == null || unsignedLess(dig, mins(h - 1))) mins(h - 1) = dig
+          h += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](k)
+    var h = 0
+    while (h < k) {
+      out(h) = if (mins(h) == null) null else toHex(mins(h))
+      h += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Exact-decimal dot product (see [[ExprKernels.decimalDot]]). */
+case class DecimalDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.decimalDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.decimalDot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DecimalDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** SimHash over a token array (see [[ExprKernels.simHash]]). */
+case class SimHash(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(tokens: Any): Any =
+    ExprKernels.simHash(tokens.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.simHash($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+/** MinHash signatures over a shingle array (see [[ExprKernels.minHashSigs]]). */
+case class MinHashSigs(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"k must be positive, got $k")
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override protected def nullSafeEval(shingles: Any): Any =
+    ExprKernels.minHashSigs(shingles.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.minHashSigs($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
+/** Whitespace tokenization (see [[ExprKernels.tokens]]). */
+case class Tokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(text: Any): Any =
+    ExprKernels.tokens(text.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.tokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): Tokens =
+    copy(child = newChild)
+}
+
+/** Distinct 3-token shingles (see [[ExprKernels.shingles3]]). */
+case class Shingles3(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(text: Any): Any =
+    ExprKernels.shingles3(text.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.shingles3($c)")
+  override protected def withNewChildInternal(newChild: Expression): Shingles3 =
+    copy(child = newChild)
+}
+
+/** Column-level entry points for the native expressions. */
+object native {
+  private def expr(c: Column): Expression = org.apache.spark.sql.graftbridge.expression(c)
+  private def col(e: Expression): Column = org.apache.spark.sql.graftbridge.column(e)
+
+  /** Exact-decimal dot product of two float-array columns, as double. */
+  def decimal_dot(a: Column, b: Column): Column =
+    col(DecimalDot(expr(a), expr(b)))
+
+  /** SimHash (default 64-bit) of a token-array column. */
+  def simhash(tokens: Column, bits: Int = 64): Column =
+    col(SimHash(expr(tokens), bits))
+
+  /** k MinHash signatures of a shingle-array column. */
+  def minhash_sigs(shingles: Column, k: Int): Column =
+    col(MinHashSigs(expr(shingles), k))
+
+  /** Whitespace tokens (empties dropped) of a text column. */
+  def tokens(text: Column): Column = col(Tokens(expr(text)))
+
+  /** Distinct 3-token shingles of a text column. */
+  def shingles3(text: Column): Column = col(Shingles3(expr(text)))
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF, native}
 
 /** Deduplication operators for training-data pipelines (north star):
   * exact hash-dedup, n-gram Jaccard, MinHash+LSH, SimHash.
@@ -10,9 +11,12 @@ import org.apache.spark.sql.functions._
   * classic min-of-keyed-hash construction standing in for random
   * permutations. Scale design:
   *  - exact dedup = one hash-aggregate on the text (or a digest of it);
-  *  - MinHash signatures are one map + one per-doc aggregate; LSH banding
-  *    turns the O(n²) pair search into an equi-join on (band, band_hash)
-  *    — the only shuffle is by band key, which is uniformly distributed;
+  *  - shingles, MinHash signatures, LSH band hashes, and SimHash are all
+  *    computed *in-row* (TextFunctions.shingles3 + the native
+  *    graft.functions expressions) — the per-document work is a single
+  *    narrow scan with zero shuffles; the only shuffle in the whole LSH
+  *    pipeline is the equi-join on (band, band_hash), whose key is
+  *    uniformly distributed by construction;
   *  - the raw n-gram Jaccard query is the *oracle* for the LSH variant
   *    (exact but quadratic in the worst case; usable because candidate
   *    pairs are pre-blocked on a shared shingle).
@@ -21,19 +25,14 @@ object DedupOps extends QueryGroup {
 
   private val NumHashes = 8
   private val BandSize = 2 // 4 bands of 2 → candidates at jaccard ≳ 0.5
+  private val NumBands = NumHashes / BandSize
 
-  /** (doc_id, shingle): distinct 3-token shingles per document. */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, sharr): distinct 3-token shingles per document, in-row. */
+  private def shingleArrays(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents")
-      .withColumn("toks", filter(split($"text", " "), x => x =!= ""))
-      .filter(size($"toks") >= 3)
-      .withColumn("i", explode(sequence(lit(1), size($"toks") - 2)))
-      .select($"doc_id", concat_ws(" ",
-        element_at($"toks", $"i"),
-        element_at($"toks", $"i" + 1),
-        element_at($"toks", $"i" + 2)).as("shingle"))
-      .distinct()
+    spread(t(s, dir, "documents"))
+      .select($"doc_id", TF.shingles3($"text").as("sharr"))
+      .filter(size($"sharr") >= 1)
   }
 
   private val SQL_SHINGLES =
@@ -52,68 +51,70 @@ object DedupOps extends QueryGroup {
         .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keeper"))
     }),
 
-    // exact n-gram Jaccard on candidate pairs sharing ≥1 shingle.
+    // exact n-gram Jaccard on candidate pairs sharing ≥1 shingle. The
+    // shingle explode + self-join is the blocking step; per-doc sizes ride
+    // along in-row and join back via broadcast.
     "dedup_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
-      val sh = shingles(s, dir).cache()
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val docs = shingleArrays(s, dir)
+      // the self-join reads the shingle set twice — cache the (small)
+      // exploded form rather than recomputing the per-doc shingling
+      val sh = docs.select($"doc_id", explode($"sharr").as("shingle")).cache()
+      val sizes = docs.select($"doc_id", size($"sharr").cast("long").as("n_sh"))
       val pairs = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
       pairs
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .join(broadcast(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("na"))), "doc_a")
+        .join(broadcast(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("nb"))), "doc_b")
         .withColumn("jaccard",
           $"inter".cast("double") / ($"na" + $"nb" - $"inter").cast("double"))
         .filter($"jaccard" >= 0.5)
         .select($"doc_a", $"doc_b", $"jaccard")
     }),
 
-    // MinHash signatures + LSH banding → candidate pairs + estimated jaccard.
+    // MinHash signatures + LSH banding → candidate pairs + estimated
+    // jaccard. Signatures (native.minhash_sigs) and band hashes are in-row;
+    // band blocking is the only wide step; the signature-agreement estimate
+    // is computed by zipping the two 8-element arrays, not a re-join per h.
     "dedup_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      val sh = shingles(s, dir)
-      // signature_i(doc) = min over shingles of md5(i || '|' || shingle)
-      val sigs = sh
-        .withColumn("h", explode(sequence(lit(1), lit(NumHashes))))
-        .groupBy($"doc_id", $"h")
-        .agg(min(md5(concat($"h".cast("string"), lit("|"), $"shingle"))).as("sig"))
-      // band id = (h-1) / BandSize; band hash = md5 of its ordered sigs
-      val bands = sigs
-        .withColumn("band", expr(s"CAST((h - 1) DIV $BandSize AS INT)"))
-        .groupBy($"doc_id", $"band")
-        .agg(md5(array_join(array_sort(collect_list(concat($"h".cast("string"), lit(":"), $"sig"))), ",")).as("band_hash"))
-      val cand = bands.as("x").join(bands.as("y"),
+      // sigs feeds the banding and both sides of the estimate join — cache
+      // the 8-string-per-doc signatures rather than re-hashing shingles
+      val sigs = shingleArrays(s, dir)
+        .select($"doc_id", native.minhash_sigs($"sharr", NumHashes).as("sigs"))
+        .cache()
+      // band b (0-based) = md5 of its ordered "h:sig" components
+      val banded = sigs.select($"doc_id", posexplode(
+        transform(sequence(lit(0), lit(NumBands - 1)), b =>
+          md5(array_join(array_sort(
+            transform(sequence(lit(1), lit(BandSize)), j =>
+              concat((b * BandSize + j).cast("string"), lit(":"),
+                element_at($"sigs", b * BandSize + j)))), ",")))))
+        .toDF("doc_id", "band", "band_hash")
+      val cand = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      // estimated jaccard = fraction of matching signature components
-      val est = cand
-        .join(sigs.select($"doc_id".as("doc_a"), $"h", $"sig".as("sig_a")), Seq("doc_a"))
-        .join(sigs.select($"doc_id".as("doc_b"), $"h".as("h"), $"sig".as("sig_b")), Seq("doc_b", "h"))
-        .groupBy($"doc_a", $"doc_b")
-        .agg((sum(when($"sig_a" === $"sig_b", 1L).otherwise(0L)).cast("double")
-          / lit(NumHashes.toDouble)).as("est_jaccard"))
-      est.select($"doc_a", $"doc_b", $"est_jaccard")
+      cand
+        .join(broadcast(sigs.select($"doc_id".as("doc_a"), $"sigs".as("sa"))), "doc_a")
+        .join(broadcast(sigs.select($"doc_id".as("doc_b"), $"sigs".as("sb"))), "doc_b")
+        .select($"doc_a", $"doc_b",
+          (size(filter(zip_with($"sa", $"sb", (x, y) => x === y), m => m))
+            .cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
     }),
 
-    // SimHash (16-bit here; 64-bit native version in graft.functions):
-    // bit_j = sign of Σ_tokens (parity of md5 hex digit j)·2 - 1.
+    // SimHash: 16-bit native expression (graft.functions.SimHash; bit j of
+    // the result votes on bit j of each token's md5, MSB-first). One narrow
+    // scan, no shuffle; the same expression serves 64-bit at scale.
     "dedup_simhash" -> ((s, dir) => {
       import s.implicits._
-      val tok = t(s, dir, "documents")
-        .select($"doc_id", explode(filter(split($"text", " "), x => x =!= "")).as("token"))
-        .withColumn("hh", md5($"token"))
-      val bits = tok
-        .withColumn("j", explode(sequence(lit(1), lit(16))))
-        .withColumn("bit", conv(expr("substring(hh, j, 1)"), 16, 10).cast("long") % 2)
-        .groupBy($"doc_id", $"j")
-        .agg(sum($"bit" * 2 - 1).as("bal"))
-      bits.groupBy($"doc_id")
-        .agg(sum(when($"bal" >= 0, pow(lit(2.0), $"j" - 1).cast("long")).otherwise(0L))
-          .as("simhash16"))
+      spread(t(s, dir, "documents"))
+        .select($"doc_id", TF.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 1)
+        .select($"doc_id", native.simhash($"toks", 16).as("simhash16"))
     })
   )
 
@@ -158,6 +159,8 @@ object DedupOps extends QueryGroup {
          |JOIN sigs sb ON sb.doc_id = doc_b AND sb.h = sa.h
          |GROUP BY doc_a, doc_b""".stripMargin,
 
+    // bit j (1-based, MSB-first) of each token's md5: hex digit (j+3)//4,
+    // bit 3-(j-1)%4 within the nibble.
     "dedup_simhash" ->
       """SELECT doc_id,
         |  CAST(SUM(CASE WHEN bal >= 0 THEN CAST(POWER(2, j - 1) AS BIGINT) ELSE 0 END) AS BIGINT)
@@ -166,10 +169,13 @@ object DedupOps extends QueryGroup {
         |  SELECT doc_id, j, SUM(bit * 2 - 1) AS bal
         |  FROM (
         |    SELECT doc_id, j,
-        |      ('0x' || substr(md5(token), j, 1))::BIGINT % 2 AS bit
+        |      (('0x' || substr(md5(token), (j + 3) // 4, 1))::BIGINT >> (3 - (j - 1) % 4)) & 1
+        |        AS bit
         |    FROM (
-        |      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
-        |      FROM documents),
+        |      SELECT doc_id, unnest(toks) AS token
+        |      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |            FROM documents)
+        |      WHERE len(toks) >= 1),
         |      UNNEST(generate_series(1, 16)) t(j))
         |  GROUP BY doc_id, j)
         |GROUP BY doc_id""".stripMargin

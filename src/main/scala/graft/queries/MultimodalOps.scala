@@ -4,10 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north star): media as opaque binary columns
-  * with typed metadata. The decode itself is stubbed (no image/audio libs in
-  * this container — see graft.multimodal.Multimodal for the deterministic
-  * fake decoder + real partitioning/batching); this query pins the
-  * binary-column schema path and the metadata derivation against the oracle.
+  * with typed metadata. The decode itself is stubbed — no image/audio libs
+  * in this container; [[graft.multimodal.Multimodal.Codec]] holds the
+  * deterministic fake decoder behind the real partition-at-a-time
+  * plumbing (schema, encoders, frame sampling — see MultimodalSpec).
+  * This query pins the binary-column schema path and the metadata
+  * derivation (same formulas as Multimodal.withMeta) against the oracle.
   */
 object MultimodalOps extends QueryGroup {
 

@@ -28,6 +28,17 @@ trait QueryGroup {
   protected def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables(s, dir, name)
 
+  /** Ensure a scan feeding compute-heavy per-row kernels (hashing, dot
+    * products) has at least `defaultParallelism` partitions. The test
+    * parquet files are single-row-group, so without this a narrow in-row
+    * pipeline runs on ONE core; on a real cluster the scan already has
+    * more splits than cores and this is a no-op.
+    */
+  protected def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact-arithmetic (order-independent) sum of a double column. */
   protected def dec(c: Column, scale: Int): Column =
     c.cast(DecimalType(38, scale))

@@ -2,15 +2,14 @@ package graft.queries
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
 
 /** Text-analysis operators for large-scale training-data pipelines
   * (BASELINE.json north star): token statistics, quality scoring,
   * language-ID heuristic, document fingerprinting. All are narrow
-  * per-document transforms — they scale linearly with no shuffle
-  * (fingerprint needs one map-side aggregation per doc).
-  *
-  * The richer Scala APIs live in `graft.functions.TextFunctions`; these
-  * queries pin the semantics against the DuckDB oracle.
+  * per-document transforms built from [[graft.functions.TextFunctions]] —
+  * they scale linearly with zero shuffles (the fingerprint min-hash is
+  * computed in-row over the shingle array, not by aggregation).
   */
 object TextOps extends QueryGroup {
 
@@ -26,26 +25,23 @@ object TextOps extends QueryGroup {
     "text_stats" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
-        .withColumn("toks", filter(split($"text", " "), x => x =!= ""))
+        .withColumn("toks", TF.tokens($"text"))
         .select(
           $"doc_id",
           length($"text").cast("long").as("n_chars_actual"),
           size($"toks").cast("long").as("n_tokens"),
           size(array_distinct($"toks")).cast("long").as("n_distinct_tokens"),
-          (size(array_distinct($"toks")).cast("double") / size($"toks"))
-            .as("type_token_ratio"),
-          (size(filter($"toks", x => x.isin(stopEn: _*))).cast("double")
-            / size($"toks")).as("stopword_ratio"))
+          TF.typeTokenRatio($"toks").as("type_token_ratio"),
+          TF.stopwordRatio($"toks", stopEn).as("stopword_ratio"))
     }),
 
     // language-ID via stopword-hit scoring with deterministic tiebreak.
     "text_langid" -> ((s, dir) => {
       import s.implicits._
       val base = t(s, dir, "documents")
-        .withColumn("toks", filter(split($"text", " "), x => x =!= ""))
+        .withColumn("toks", TF.tokens($"text"))
       val scored = langStops.foldLeft(base) { case (df, (lang, stops)) =>
-        df.withColumn(s"score_$lang",
-          size(filter($"toks", x => x.isin(stops: _*))).cast("long"))
+        df.withColumn(s"score_$lang", TF.langScore($"toks", stops))
       }
       val best = langStops.map { case (lang, _) => col(s"score_$lang") }
         .reduce((a, b) => greatest(a, b))
@@ -60,18 +56,13 @@ object TextOps extends QueryGroup {
 
     // document fingerprint: min-hash of 3-token shingles (content-defined;
     // stable under document re-chunking). fp_int is usable as a shard key.
+    // Computed entirely in-row: shingle array → min md5, no explode/groupBy.
     "text_fingerprint" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
-        .withColumn("toks", filter(split($"text", " "), x => x =!= ""))
-        .filter(size($"toks") >= 3)
-        .withColumn("i", explode(sequence(lit(1), size($"toks") - 2)))
-        .withColumn("shingle", concat_ws(" ",
-          element_at($"toks", $"i"),
-          element_at($"toks", $"i" + 1),
-          element_at($"toks", $"i" + 2)))
-        .groupBy($"doc_id")
-        .agg(min(md5($"shingle")).as("fingerprint"))
+      spread(t(s, dir, "documents"))
+        .withColumn("sharr", TF.shingles3($"text"))
+        .filter(size($"sharr") >= 1)
+        .withColumn("fingerprint", TF.fingerprint($"sharr"))
         .select($"doc_id", $"fingerprint",
           conv(substring($"fingerprint", 1, 8), 16, 10).cast("long").as("fp_int"))
     })

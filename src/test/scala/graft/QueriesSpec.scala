@@ -11,9 +11,9 @@ class QueriesSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has oracle SQL or a documented rows-only exemption") {
+  test("every query has oracle SQL") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("similarity_topk_fast"), s"missing oracle: $noOracle")
+    assert(noOracle.isEmpty, s"missing oracle: $noOracle")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
