@@ -13,7 +13,7 @@ import graft.queries._
   */
 object SparkEntry {
   private val groups: Seq[QueryGroup] =
-    Seq(CoreOps, WindowOps, ExtraOps, JoinOps, TextOps, DedupOps,
+    Seq(CoreOps, WindowOps, ExtraOps, MiscOps, JoinOps, TextOps, DedupOps,
       SimilarityOps, MultimodalOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
