@@ -9,8 +9,11 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   * Mirrors the reference's design: "dataframes are only syntactic sugar on
   * core streams" (docs/source/dataframes.rst:48-51) — here every method
   * just declares more of the Catalyst plan. Works identically for batch
-  * and streaming datasets; streaming-only methods delegate to [[Stateful]]
-  * and [[Align]].
+  * and streaming datasets. The keyed stateful/alignment operators
+  * (accumulate, sliding_window, partition, unique-LRU, zip,
+  * combine_latest, zip_latest) require the `(key, seq, value)` row shape,
+  * so they are standalone functions in [[Stateful]], [[Windows]] and
+  * [[Align]] rather than facade methods.
   *
   * streamz → graft mapping (reference cites in SURVEY §2.1):
   * map/filter/remove/pluck/flatten/union/unique/frequencies/accumulate/
