@@ -102,12 +102,13 @@ object CoreOps extends QueryGroup {
         sum(dec($"value", 2)).over(w).cast("double").as("running_value"))
     }),
 
-    // slice (core.py:1029) — positional start/end/step gate.
+    // slice (core.py:1029) — positional start/end/step gate. Global
+    // numbering via GlobalOrder (range partitions + offsets), not a
+    // single-partition window.
     "slice_rows" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.orderBy($"event_id")
-      t(s, dir, "events")
-        .withColumn("rn", row_number().over(w))
+      graft.functions.GlobalOrder
+        .withRowNumber(t(s, dir, "events"), "rn", $"event_id")
         .filter($"rn" > 100 && $"rn" <= 200 && ($"rn" - 101) % 2 === 0)
         .select($"event_id", $"event_type", $"value")
     }),
@@ -133,15 +134,16 @@ object CoreOps extends QueryGroup {
     }),
 
     // zip (core.py:1575) — align two streams by arrival order: join on a
-    // synthesized sequence number.
+    // synthesized sequence number (GlobalOrder keeps the numbering
+    // parallel; the zip itself is then an equi-join on rn).
     "zip_seq" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "events")
-      def seq(tpe: String, out: String) = e.filter($"event_type" === tpe)
-        .withColumn("rn", row_number().over(Window.orderBy($"ts", $"event_id")))
+      def seq(tpe: String, out: String) = graft.functions.GlobalOrder
+        .withRowNumber(e.filter($"event_type" === tpe), "rn", $"ts", $"event_id")
         .select($"rn", $"value".as(out))
       seq("purchase", "p_value").join(seq("click", "c_value"), "rn")
-        .select($"rn".cast("long").as("rn"), $"p_value", $"c_value")
+        .select($"rn", $"p_value", $"c_value")
     }),
 
     // zip_latest / combine_latest (core.py:1948, :1652) — as-of alignment:

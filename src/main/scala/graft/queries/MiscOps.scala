@@ -29,9 +29,8 @@ object MiscOps extends QueryGroup {
     // batches of 10 in arrival order; per-batch count + exact sum.
     "partition_batches" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.orderBy($"ts", $"event_id")
-      t(s, dir, "events")
-        .withColumn("rn", row_number().over(w))
+      graft.functions.GlobalOrder
+        .withRowNumber(t(s, dir, "events"), "rn", $"ts", $"event_id")
         .withColumn("gid", (($"rn" - 1) / 10).cast("long"))
         .groupBy($"gid")
         .agg(count(lit(1)).as("n"), dsum($"value", 2).as("batch_total"))

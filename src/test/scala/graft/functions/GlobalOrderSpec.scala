@@ -1,0 +1,34 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class GlobalOrderSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("withRowNumber (offsets path) matches the window ROW_NUMBER") {
+    val e = spark.read.parquet(s"${sf()}/events.parquet")
+      .select($"event_id", $"user_id").repartition(8)
+    val got = GlobalOrder.withRowNumber(e, "rn", $"event_id")
+      .select($"event_id", $"rn").as[(Long, Long)].collect().toMap
+    val want = e.withColumn("rn", row_number().over(Window.orderBy($"event_id")))
+      .select($"event_id", $"rn".cast("long")).as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("multi-split input takes the plan with no single-partition window") {
+    val e = spark.read.parquet(s"${sf()}/events.parquet").repartition(8)
+    val plan = GlobalOrder.withRowNumber(e, "rn", $"event_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window ["), s"unexpected WindowExec:\n$plan")
+    assert(plan.contains("rangepartitioning"), s"expected range partitioning:\n$plan")
+  }
+
+  test("withRowNumber is dense and 1-based across partitions") {
+    val df = (1 to 1000).map(i => (i * 7 % 1000, i)).toDF("k", "payload")
+    val rns = GlobalOrder.withRowNumber(df, "rn", col("k"), col("payload"))
+      .select($"rn").as[Long].collect().sorted
+    assert(rns.toSeq == (1L to 1000L))
+  }
+}
