@@ -51,12 +51,18 @@ object Align {
 
   /** streamz `combine_latest`: on every arrival from either side, emit the
     * pair of latest values (once both sides have produced one).
+    * `emitOn` restricts which sides trigger an emission (core.py:1661-1680
+    * `emit_on=`): updates from a non-emitting side only refresh state.
+    * Side 0 = left, 1 = right; default emits on both.
     */
   def combineLatest[K: Encoder, A, B](
-      left: Dataset[(K, Long, A)], right: Dataset[(K, Long, B)])(
+      left: Dataset[(K, Long, A)], right: Dataset[(K, Long, B)],
+      emitOn: Set[Int] = Set(0, 1))(
       implicit tagged: Encoder[(K, Long, Int, Option[A], Option[B])],
       st: Encoder[(Option[A], Option[B])],
-      out: Encoder[(K, Long, A, B)]): Dataset[(K, Long, A, B)] =
+      out: Encoder[(K, Long, A, B)]): Dataset[(K, Long, A, B)] = {
+    require(emitOn.nonEmpty && emitOn.subsetOf(Set(0, 1)),
+      s"emitOn must be a non-empty subset of {0, 1}: $emitOn")
     tag(left, right).groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[Tagged[K, A, B]],
@@ -66,13 +72,14 @@ object Align {
           it.toVector.sortBy(_._2).foreach { case (_, seq, side, a, b) =>
             if (side == 0) curA = a else curB = b
             (curA, curB) match {
-              case (Some(x), Some(y)) => out += ((key, seq, x, y))
+              case (Some(x), Some(y)) if emitOn(side) => out += ((key, seq, x, y))
               case _ =>
             }
           }
           state.update((curA, curB))
           out.result().iterator
       }
+  }
 
   /** streamz `zip_latest`: lossless on the left stream — every left element
     * is paired with the most recent right value seen before it (as-of by

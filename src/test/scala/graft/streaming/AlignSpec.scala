@@ -44,6 +44,23 @@ class AlignSpec extends SparkSuite {
     assert(got.toSeq == Seq(("a", 1), ("b", 1), ("b", 2)))
   }
 
+  test("combineLatest emit_on: only the designated side triggers emission") {
+    val l = MemoryStream[(Int, Long, String)]
+    val r = MemoryStream[(Int, Long, Int)]
+    // emit only on left (side 0) — right updates just refresh state
+    val out = Align.combineLatest(l.toDS(), r.toDS(), emitOn = Set(0))
+    val q = out.toDF("key", "seq", "a", "b").writeStream
+      .format("memory").queryName("cl_eo").outputMode("append").start()
+    l.addData((1, 1L, "a")); q.processAllAvailable()
+    r.addData((1, 2L, 1)); q.processAllAvailable()   // no emission
+    l.addData((1, 3L, "b")); q.processAllAvailable() // emits (b, 1)
+    r.addData((1, 4L, 2)); q.processAllAvailable()   // no emission
+    l.addData((1, 5L, "c")); q.processAllAvailable(); q.stop() // emits (c, 2)
+    val got = spark.table("cl_eo").as[(Int, Long, String, Int)].collect().sortBy(_._2)
+      .map(t => (t._3, t._4))
+    assert(got.toSeq == Seq(("b", 1), ("c", 2)))
+  }
+
   test("zipLatest: lossless left, paired with most recent right") {
     val l = MemoryStream[(Int, Long, String)]
     val r = MemoryStream[(Int, Long, Int)]

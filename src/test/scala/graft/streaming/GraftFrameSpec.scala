@@ -47,6 +47,18 @@ class GraftFrameSpec extends SparkSuite {
     assert(f.nlargest(1, "v").df.head().getDouble(1) == 3.0)
   }
 
+  test("unique: streaming dedupe drops duplicates across micro-batches") {
+    val in = MemoryStream[(String, Double)]
+    val sdf = new GraftFrame(in.toDF().toDF("k", "v"))
+    val q = sdf.unique("k").writeStream
+      .format("memory").queryName("uniq_t").outputMode("append").start()
+    in.addData(("a", 1.0), ("b", 2.0), ("a", 9.0)); q.processAllAvailable()
+    in.addData(("b", 9.0), ("c", 3.0)); q.processAllAvailable(); q.stop()
+    val got = spark.table("uniq_t").as[(String, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq("a", "b", "c"))
+    assert(got.toMap == Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0)) // first kept
+  }
+
   test("timedWindow: tumbling event-time aggregation with watermark") {
     val in = MemoryStream[(java.sql.Timestamp, Double)]
     val sdf = new GraftFrame(in.toDF().toDF("ts", "v"), indexCol = "ts")
