@@ -110,6 +110,50 @@ object ExprKernels {
     new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
   }
 
+  /** Deterministic random-hyperplane components for LSH bucketing:
+    * r(h, i) = ((first 6 hex digits of md5("h|i") as int) % 1000 − 500) /
+    * 1000.0 — reproducible in any engine with md5 (the oracle SQL builds
+    * the identical planes). Cached per (numPlanes, dim).
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def hyperplanes(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((numPlanes, dim), { case (np, d) =>
+      val md = MessageDigest.getInstance("MD5")
+      Array.tabulate(np) { h0 =>
+        Array.tabulate(d) { i0 =>
+          val dig = md.digest(s"${h0 + 1}|${i0 + 1}".getBytes("UTF-8"))
+          val hex6 = ((dig(0) & 0xffL) << 16) | ((dig(1) & 0xffL) << 8) | (dig(2) & 0xffL)
+          ((hex6 % 1000) - 500) / 1000.0
+        }
+      }
+    })
+
+  /** Sign-random-projection LSH bucket of a float vector: bit h−1 set when
+    * the exact-decimal dot of the vector with hyperplane h is ≥ 0. Uses
+    * the same double-product → scale-20 decimal → exact-sum arithmetic as
+    * [[decimalDot]], so bucket assignment is engine-independent.
+    */
+  def lshBucket(vec: ArrayData, numPlanes: Int): Long = {
+    val planes = hyperplanes(numPlanes, vec.numElements())
+    var bucket = 0L
+    var h = 0
+    while (h < numPlanes) {
+      val r = planes(h)
+      var acc = JBigDecimal.ZERO
+      var i = 0
+      while (i < r.length) {
+        val p = vec.getFloat(i).toDouble * r(i)
+        acc = acc.add(JBigDecimal.valueOf(p).setScale(20, RoundingMode.HALF_UP))
+        i += 1
+      }
+      if (acc.signum() >= 0) bucket |= 1L << h
+      h += 1
+    }
+    bucket
+  }
+
   private val HexDigits = "0123456789abcdef".toCharArray
 
   private def toHex(bytes: Array[Byte]): UTF8String = {
@@ -209,6 +253,19 @@ case class MinHashSigs(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Sign-random-projection LSH bucket (see [[ExprKernels.lshBucket]]). */
+case class LshBucket(child: Expression, numPlanes: Int)
+    extends UnaryExpression {
+  require(numPlanes >= 1 && numPlanes <= 63, s"numPlanes must be in [1, 63], got $numPlanes")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(vec: Any): Any =
+    ExprKernels.lshBucket(vec.asInstanceOf[ArrayData], numPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.lshBucket($c, $numPlanes)")
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
 /** Whitespace tokenization (see [[ExprKernels.tokens]]). */
 case class Tokens(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -247,6 +304,10 @@ object native {
   /** k MinHash signatures of a shingle-array column. */
   def minhash_sigs(shingles: Column, k: Int): Column =
     col(MinHashSigs(expr(shingles), k))
+
+  /** Sign-random-projection LSH bucket of a float-vector column. */
+  def lsh_bucket(vec: Column, numPlanes: Int): Column =
+    col(LshBucket(expr(vec), numPlanes))
 
   /** Whitespace tokens (empties dropped) of a text column. */
   def tokens(text: Column): Column = col(Tokens(expr(text)))

@@ -76,6 +76,31 @@ object SimilarityOps extends QueryGroup {
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter($"rk" <= 5)
         .select($"qid", $"vec_id".as("nn_id"), $"rk", $"cosine")
+    }),
+
+    // ANN scale path: sign-random-projection LSH (8 deterministic
+    // md5-derived hyperplanes, graft.functions.LshBucket) buckets the
+    // corpus in-row; exact cosine runs only on same-bucket candidates.
+    // vs. the brute-force baseline: the broadcast join on `bucket` cuts
+    // candidate pairs by ~2^planes, and the bucketing itself is one
+    // narrow scan — at 100 TB, bucket becomes the partition key and each
+    // query touches one partition instead of the whole corpus.
+    "similarity_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val emb = spread(t(s, dir, "embeddings"))
+        .select($"vec_id", $"embedding",
+          sqrt(dotDec($"embedding", $"embedding").cast("double")).as("nrm"),
+          native.lsh_bucket($"embedding", 8).as("bucket"))
+      val q = emb.filter($"vec_id" < 100)
+        .select($"vec_id".as("qid"), $"embedding".as("qemb"),
+          $"nrm".as("qn"), $"bucket")
+      val cand = emb.join(broadcast(q), Seq("bucket")).filter($"vec_id" =!= $"qid")
+        .withColumn("dot", dotDec($"embedding", $"qemb").cast("double"))
+        .withColumn("cosine", round($"dot" / ($"qn" * $"nrm"), 9))
+      val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
+      cand.withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"qid", $"vec_id".as("nn_id"), $"rk", $"cosine")
     })
   )
 
@@ -119,6 +144,49 @@ object SimilarityOps extends QueryGroup {
          |SELECT qid, cid AS nn_id, rk, cosine FROM (
          |  SELECT qid, cid, cosine,
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
-         |  FROM cosines) WHERE rk <= 5""".stripMargin
+         |  FROM cosines) WHERE rk <= 5""".stripMargin,
+
+    // hyperplane r(h,i) = ((int(md5("h|i")[1:6], 16) % 1000) - 500)/1000.0
+    // — identical to graft.functions.ExprKernels.hyperplanes; bucket bit h
+    // is the sign of the exact-decimal dot with plane h.
+    "similarity_ann_lsh" ->
+      s"""WITH c AS ($SQL_COMPS),
+         |r AS (
+         |  SELECT h, i,
+         |    ((('0x' || substr(md5(CAST(h AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 6))::BIGINT
+         |      % 1000) - 500) / 1000.0 AS rv
+         |  FROM UNNEST(generate_series(1, 8)) t1(h),
+         |    UNNEST(generate_series(1, (SELECT MAX(len(embedding)) FROM embeddings))) t2(i)),
+         |bits AS (
+         |  SELECT c.vec_id, r.h,
+         |    CASE WHEN SUM(CAST(c.x * r.rv AS DECIMAL(38,20))) >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM c JOIN r ON c.i = r.i
+         |  GROUP BY c.vec_id, r.h),
+         |buckets AS (
+         |  SELECT vec_id, CAST(SUM(bit * CAST(POWER(2, h - 1) AS BIGINT)) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY vec_id),
+         |norms AS (
+         |  SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+         |  FROM c GROUP BY vec_id),
+         |cand AS (
+         |  SELECT q.vec_id AS qid, d.vec_id AS cid
+         |  FROM buckets q JOIN buckets d ON q.bucket = d.bucket
+         |  WHERE q.vec_id < 100 AND q.vec_id <> d.vec_id),
+         |dots AS (
+         |  SELECT cand.qid, cand.cid,
+         |    CAST(SUM(CAST(cq.x * cd.x AS DECIMAL(38,20))) AS DOUBLE) AS dot
+         |  FROM cand
+         |  JOIN c cq ON cq.vec_id = cand.qid
+         |  JOIN c cd ON cd.vec_id = cand.cid AND cd.i = cq.i
+         |  GROUP BY cand.qid, cand.cid),
+         |cosines AS (
+         |  SELECT qid, cid, ROUND(dot / (qn.nrm * cn.nrm), 9) AS cosine
+         |  FROM dots
+         |  JOIN norms qn ON qn.vec_id = qid
+         |  JOIN norms cn ON cn.vec_id = cid)
+         |SELECT qid, cid AS nn_id, rk, cosine FROM (
+         |  SELECT qid, cid, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+         |  FROM cosines) WHERE rk <= 3""".stripMargin
   )
 }

@@ -103,6 +103,31 @@ class NativeHashSpec extends SparkSuite {
     assert(got.view.mapValues(_.toSeq).toMap == want.map { case (k, v) => k -> v.toSeq })
   }
 
+  test("lsh_bucket matches the declarative md5-hyperplane construction") {
+    val dec = DecimalType(38, 20)
+    val rnd = new java.util.Random(7)
+    val vecs = (1L to 20L).map(id => (id, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val got = vecs.select($"vec_id", native.lsh_bucket($"embedding", 8).as("bucket"))
+      .as[(Long, Long)].collect().toMap
+    // declarative mirror of the oracle SQL: md5-derived planes, exact sums
+    val comps = vecs.select($"vec_id", posexplode($"embedding").as(Seq("i0", "xf")))
+      .select($"vec_id", ($"i0" + 1).as("i"), $"xf".cast("double").as("x"))
+    val planes = spark.range(1, 9).toDF("h")
+      .crossJoin(spark.range(1, 17).toDF("i"))
+      .select($"h", $"i",
+        (((conv(substring(md5(concat($"h".cast("string"), lit("|"), $"i".cast("string"))), 1, 6), 16, 10)
+          .cast("long") % 1000) - 500) / 1000.0).as("rv"))
+    val want = comps.join(planes, "i")
+      .groupBy($"vec_id", $"h")
+      .agg(sum(($"x" * $"rv").cast(dec)).as("d"))
+      .groupBy($"vec_id")
+      .agg(sum(when($"d" >= 0, expr("shiftleft(1L, CAST(h - 1 AS INT))")).otherwise(0L))
+        .as("bucket"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("doc 4 (< 3 tokens) has no shingles") {
     val sharr = docs
       .select($"doc_id", TextFunctions.shingles3($"text").as("sharr"))
