@@ -96,6 +96,31 @@ object Stateful {
     }
   }
 
+  /** The reference's ewm parameterizations (dataframe/core.py:694-718):
+    * exactly one of com/span/halflife/alpha, converted to alpha with the
+    * same domain checks (com ≥ 0, span ≥ 1, halflife > 0, 0 < alpha ≤ 1).
+    */
+  def ewmAlpha(com: Option[Double] = None, span: Option[Double] = None,
+               halflife: Option[Double] = None,
+               alpha: Option[Double] = None): Double = {
+    require(Seq(com, span, halflife, alpha).count(_.isDefined) == 1,
+      "provide exactly one of com, span, halflife, alpha")
+    val c = (com, span, halflife, alpha) match {
+      case (Some(c0), _, _, _) =>
+        require(c0 >= 0, "com must satisfy: com >= 0"); c0
+      case (_, Some(s0), _, _) =>
+        require(s0 >= 1, "span must satisfy: span >= 1"); (s0 - 1) / 2
+      case (_, _, Some(h0), _) =>
+        require(h0 > 0, "halflife must satisfy: halflife > 0")
+        1 / (1 - math.exp(math.log(0.5) / h0)) - 1
+      case (_, _, _, Some(a0)) =>
+        require(a0 > 0 && a0 <= 1, "alpha must satisfy: 0 < alpha <= 1")
+        (1 - a0) / a0
+      case _ => throw new IllegalArgumentException("unreachable")
+    }
+    1 / (1 + c) // center-of-mass → alpha
+  }
+
   /** streamz `unique` (core.py:1776) with bounded history: drop elements
     * whose key was seen in the last `maxsize` distinct values (LRU), or
     * ever (maxsize = None ≡ Int.MaxValue). Spark's dropDuplicates covers

@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Plan-shape assertions: the physical plans the 100 TB deployment needs —
+  * dimension joins broadcast, filters pushed to the parquet scan, column
+  * pruning in ReadSchema, no shuffle in narrow per-row pipelines. These
+  * run on the real queries so a plan regression (a broadcast silently
+  * becoming a sort-merge join, a filter no longer pushed) fails CI, not
+  * the cluster.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("dimension joins are broadcast hash joins") {
+    Seq("join_inner_agg", "join_multiway", "dedup_ngram_jaccard").foreach { q =>
+      assert(plan(q).contains("BroadcastHashJoin"), s"$q lost its broadcast join")
+    }
+    assert(!plan("join_multiway").contains("SortMergeJoin"),
+      "join_multiway should never shuffle the fact side")
+  }
+
+  test("ANN candidate join broadcasts the query set") {
+    val p = plan("similarity_ann_lsh")
+    assert(p.contains("BroadcastHashJoin"), s"bucket join not broadcast:\n$p")
+  }
+
+  test("filters are pushed to the parquet scan") {
+    val p = plan("filter_where")
+    assert(p.contains("PushedFilters: [") && p.contains("event_type"),
+      s"filter not pushed down:\n$p")
+  }
+
+  test("projection prunes the scan schema") {
+    val p = plan("pluck_select")
+    // customer has 8 columns; the scan must read only the 3 selected
+    assert(p.contains("ReadSchema") && !p.contains("c_acctbal"),
+      s"column pruning failed:\n$p")
+  }
+
+  test("narrow per-row pipelines have no shuffle") {
+    Seq("map_project", "elementwise_ops", "astype_round").foreach { q =>
+      assert(!plan(q).contains("Exchange"), s"$q unexpectedly shuffles")
+    }
+  }
+
+  test("whole-stage codegen covers the scan->project pipelines") {
+    // codegen stages render as "*(n)" in the plan string
+    Seq("map_project", "multimodal_meta").foreach { q =>
+      assert(plan(q).contains("*("), s"$q fell out of codegen:\n${plan(q)}")
+    }
+  }
+}

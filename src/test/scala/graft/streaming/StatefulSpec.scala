@@ -9,6 +9,20 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * all-at-once oracle computed in plain Scala.
   */
 class StatefulSpec extends SparkSuite {
+
+  test("ewmAlpha: com/span/halflife/alpha conversions match the reference") {
+    // dataframe/core.py:694-718: com=(span-1)/2; com=1/decay-1; com=(1-a)/a
+    assert(Stateful.ewmAlpha(com = Some(1.0)) == 0.5)
+    assert(Stateful.ewmAlpha(span = Some(3.0)) == 0.5)      // com = 1
+    assert(Stateful.ewmAlpha(alpha = Some(0.25)) == 0.25)   // round-trips
+    val aH = Stateful.ewmAlpha(halflife = Some(1.0))        // decay = 0.5
+    assert(math.abs(aH - 0.5) < 1e-12)
+    intercept[IllegalArgumentException](Stateful.ewmAlpha())
+    intercept[IllegalArgumentException](
+      Stateful.ewmAlpha(com = Some(1.0), span = Some(3.0)))
+    intercept[IllegalArgumentException](Stateful.ewmAlpha(span = Some(0.5)))
+    intercept[IllegalArgumentException](Stateful.ewmAlpha(alpha = Some(1.5)))
+  }
   import spark.implicits._
   implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
