@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming-path benchmark (fills BASELINE.md's engine-side rows):
+  *  - update-mode grouped aggregation throughput over micro-batches
+  *    (MemoryStream fed in chunks, state in the state store);
+  *  - keyed stateful scan (accumulate) throughput;
+  *  - checkpoint recovery latency: restart a stateful query over
+  *    ~100k rows of state and time start → first batch committed.
+  * Prints one JSON line.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.local(appName = "graft-streambench")
+    // state-store commits scale with shuffle partitions; size them to the
+    // micro-batch volume (10k rows), not the batch default — at real scale
+    // batches are millions of rows and the wide setting wins again
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val events = Tables(spark, sfDir, "events")
+      .select($"user_id", $"value", $"event_id")
+      .as[(Long, Double, Long)].collect()
+    val chunks = events.grouped(10000).toSeq
+
+    // 1) update-mode grouped aggregation (streamz groupby().sum() analog)
+    val aggIn = MemoryStream[(Long, Double, Long)]
+    val aggQ = aggIn.toDF().toDF("user_id", "value", "event_id")
+      .groupBy($"user_id").agg(sum($"value").as("total"), count(lit(1)).as("n"))
+      .writeStream.format("noop").outputMode("update").start()
+    val t0 = System.nanoTime()
+    chunks.foreach { c => aggIn.addData(c); aggQ.processAllAvailable() }
+    val aggSec = (System.nanoTime() - t0) / 1e9
+    aggQ.stop()
+
+    // 2) keyed stateful scan (streamz accumulate analog)
+    val scanIn = MemoryStream[(Long, Long, Double)]
+    val scanQ = graft.streaming.Stateful
+      .scan(scanIn.toDS(), 0.0) { (s, v) => val s2 = s + v; (s2, s2) }
+      .writeStream.format("noop").outputMode("append").start()
+    val t1 = System.nanoTime()
+    chunks.foreach { c =>
+      scanIn.addData(c.map { case (u, v, e) => (u, e, v) })
+      scanQ.processAllAvailable()
+    }
+    val scanSec = (System.nanoTime() - t1) / 1e9
+    scanQ.stop()
+
+    // 3) checkpoint recovery: all rows through a stateful scan, restart,
+    //    one small new batch; time restart → first commit
+    val src = Files.createTempDirectory("graft_sb_src").toString
+    val ckpt = Files.createTempDirectory("graft_sb_ckpt").toString
+    events.map { case (u, v, e) => (u, e, v) }.toSeq
+      .toDF("k", "seq", "v").write.mode("append").parquet(src)
+    def startScan() = {
+      val ds = spark.readStream
+        .schema("k LONG, seq LONG, v DOUBLE").parquet(src)
+        .selectExpr("k as _1", "seq as _2", "v as _3").as[(Long, Long, Double)]
+      graft.streaming.Stateful.scan(ds, 0.0) { (s, v) => val s2 = s + v; (s2, s2) }
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    }
+    val q1 = startScan(); q1.processAllAvailable(); q1.stop()
+    Seq((1L, Long.MaxValue, 1.0)).toDF("k", "seq", "v")
+      .write.mode("append").parquet(src)
+    val t2 = System.nanoTime()
+    val q2 = startScan(); q2.processAllAvailable()
+    val recoverSec = (System.nanoTime() - t2) / 1e9
+    q2.stop()
+
+    val n = events.length
+    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"recovery_sec":$recoverSec%.2f,"rows":$n,"batches":${chunks.size},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
