@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Manual key-salting for skewed equi-joins.
+  *
+  * AQE's skew-join handling (on by default in graft sessions) splits
+  * oversized *shuffle partitions*; salting is the complementary technique
+  * when a single join key is itself pathological (one user with 10^9
+  * events joining a per-user dimension): the hot key's rows spread over
+  * `salt` subkeys, the small side is replicated `salt`×, and no single
+  * task ever owns the whole hot key.
+  */
+object SkewJoin {
+
+  /** Inner equi-join of a skewed `big` side against a small `dim` side on
+    * `key`. `big` rows get a deterministic salt from their whole row hash;
+    * `dim` rows are replicated across all salts. Result equals
+    * `big.join(dim, key)` row-for-row.
+    */
+  def saltedInner(big: DataFrame, dim: DataFrame, key: String, salt: Int = 8): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    val bigS = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col): _*), lit(salt)))
+    val dimS = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    bigS.join(dimS, Seq(key, "__salt")).drop("__salt")
+  }
+}
