@@ -44,6 +44,13 @@ final class GraftStream[T](val ds: Dataset[T]) extends Serializable {
   def toDF: GraftFrame = new GraftFrame(ds.toDF())
   def select(cols: Column*): GraftFrame = new GraftFrame(ds.toDF().select(cols: _*))
 
+  /** streamz frequencies (core.py:587): running count per distinct value
+    * ("updating" — run with outputMode update). */
+  def frequencies: GraftFrame = {
+    val df = ds.toDF()
+    new GraftFrame(df.groupBy(df.columns.map(df(_)): _*).agg(count(lit(1)).as("count")))
+  }
+
   // --- terminal -----------------------------------------------------------
   /** streamz sink_to_list (core.py:571): memory sink, query named `name`. */
   def sinkToList(name: String, outputMode: String = "append"): StreamingQuery =
@@ -113,6 +120,38 @@ final class GraftFrame(val df: DataFrame, val indexCol: String = "ts") {
 
   /** streamz unique (core.py:1776), unbounded/watermark-bounded dedupe. */
   def unique(cols: String*): GraftFrame = new GraftFrame(df.dropDuplicates(cols), indexCol)
+
+  // --- rolling / expanding / cumulative (dataframe/core.py:94-197) --------
+  // Batch forms over the index order, optionally per key (the streaming
+  // forms are the keyed stateful ops in Stateful/Windows). `keys` shards
+  // the window — always pass keys at scale; an empty `keys` reproduces the
+  // reference's single global stream (single-partition window).
+  import org.apache.spark.sql.expressions.{Window => W, WindowSpec}
+  private def win(keys: Seq[String]): WindowSpec = {
+    val base = if (keys.isEmpty) W.orderBy(df(indexCol))
+      else W.partitionBy(keys.map(df(_)): _*).orderBy(df(indexCol))
+    base
+  }
+
+  /** rolling(n).agg over the trailing n rows (pandas-style row window). */
+  def rollingAgg(n: Int, aggFn: Column => Column, c: String, keys: String*): GraftFrame =
+    wrap(df.withColumn(s"rolling_$c",
+      aggFn(df(c)).over(win(keys).rowsBetween(-(n - 1), W.currentRow))))
+
+  def rollingSum(c: String, n: Int, keys: String*): GraftFrame = rollingAgg(n, sum, c, keys: _*)
+  def rollingMean(c: String, n: Int, keys: String*): GraftFrame = rollingAgg(n, avg, c, keys: _*)
+  def rollingMin(c: String, n: Int, keys: String*): GraftFrame = rollingAgg(n, min, c, keys: _*)
+  def rollingMax(c: String, n: Int, keys: String*): GraftFrame = rollingAgg(n, max, c, keys: _*)
+
+  /** expanding().agg — all history up to each row. */
+  def expandingAgg(aggFn: Column => Column, c: String, keys: String*): GraftFrame =
+    wrap(df.withColumn(s"expanding_$c",
+      aggFn(df(c)).over(win(keys).rowsBetween(W.unboundedPreceding, W.currentRow))))
+
+  def cumsum(c: String, keys: String*): GraftFrame = expandingAgg(sum, c, keys: _*)
+  def cummin(c: String, keys: String*): GraftFrame = expandingAgg(min, c, keys: _*)
+  def cummax(c: String, keys: String*): GraftFrame = expandingAgg(max, c, keys: _*)
+  def expandingMean(c: String, keys: String*): GraftFrame = expandingAgg(avg, c, keys: _*)
 
   def writeStream: DataStreamWriter[org.apache.spark.sql.Row] = df.writeStream
 }

@@ -47,6 +47,33 @@ class GraftFrameSpec extends SparkSuite {
     assert(f.nlargest(1, "v").df.head().getDouble(1) == 3.0)
   }
 
+  test("rolling/expanding/cumulative facade matches pandas-style semantics") {
+    val df = Seq(("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0), ("b", 4, 10.0), ("b", 5, 20.0))
+      .toDF("k", "ts", "v")
+    val f = new GraftFrame(df, indexCol = "ts")
+    val roll = f.rollingSum("v", 2, "k").df
+      .select("ts", "rolling_v").as[(Int, Double)].collect().toMap
+    assert(roll == Map(1 -> 1.0, 2 -> 3.0, 3 -> 5.0, 4 -> 10.0, 5 -> 30.0))
+    val cum = f.cumsum("v", "k").df
+      .select("ts", "expanding_v").as[(Int, Double)].collect().toMap
+    assert(cum == Map(1 -> 1.0, 2 -> 3.0, 3 -> 6.0, 4 -> 10.0, 5 -> 30.0))
+    val em = f.expandingMean("v", "k").df
+      .select("ts", "expanding_v").as[(Int, Double)].collect().toMap
+    assert(em(3) == 2.0 && em(5) == 15.0)
+  }
+
+  test("frequencies: running count per distinct value in update mode") {
+    val in = MemoryStream[String]
+    val q = new GraftStream(in.toDS()).frequencies
+      .writeStream.format("memory").queryName("freq_t").outputMode("update").start()
+    in.addData("x", "y", "x"); q.processAllAvailable()
+    in.addData("x"); q.processAllAvailable(); q.stop()
+    // update mode emits revised counts; latest per value wins
+    val got = spark.table("freq_t").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).max }
+    assert(got == Map("x" -> 3L, "y" -> 1L))
+  }
+
   test("unique: streaming dedupe drops duplicates across micro-batches") {
     val in = MemoryStream[(String, Double)]
     val sdf = new GraftFrame(in.toDF().toDF("k", "v"))
