@@ -10,8 +10,11 @@ object Bench {
     val spark = Sessions.local(appName = "graft-bench")
     // warm the JVM + parquet footers once per input table (codegen,
     // classloading and footer reads are session-level costs, not
-    // per-query costs — the measured numbers are steady-state)
-    Seq("q1_agg", "filter_where", "multimodal_meta", "embed_norm").foreach { q =>
+    // per-query costs — the measured numbers are steady-state):
+    // lineitem, events, documents, embeddings, orders+customer,
+    // nation+region, part
+    Seq("q1_agg", "filter_where", "multimodal_meta", "embed_norm",
+      "join_inner_agg", "join_multiway", "join_semi").foreach { q =>
       try SparkEntry.queries(q)(spark, sfDir).write
         .format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -30,8 +33,14 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => " "; case c => c.toString
+      }.take(300) + "\""
+    val errs = results.collect { case (k, _, Some(msg)) =>
+      s"""{"query":${jstr(k)},"error":${jstr(msg)}}"""
+    }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

@@ -4,7 +4,7 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -39,10 +39,10 @@ object ExprKernels {
   }
 
   /** SimHash of a token array over the first `bits` bits of each token's
-    * MD5 (big-endian). bits ≤ 64. Bit j (1-based) of the result is set when
-    * the balance Σ_tokens (bit_j(md5(token))·2 − 1) is ≥ 0 — byte-for-byte
-    * the md5-hex-digit construction in DedupOps' oracle SQL (for bits=16,
-    * bit j = parity of hex digit j).
+    * MD5, MSB-first (bit j of the digest bitstream = hex digit ⌈j/4⌉
+    * shifted by 3−(j−1)%4). bits ≤ 64. Bit j (1-based) of the result is
+    * set when the balance Σ_tokens (bit_j(md5(token))·2 − 1) is ≥ 0 —
+    * byte-for-byte the construction in DedupOps' dedup_simhash oracle SQL.
     */
   def simHash(tokens: ArrayData, bits: Int): Long = {
     val md = MessageDigest.getInstance("MD5")
@@ -216,7 +216,10 @@ object ExprKernels {
 
 /** Exact-decimal dot product (see [[ExprKernels.decimalDot]]). */
 case class DecimalDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  // note: no explicit Seq[AbstractDataType] annotation — that type is
+  // private[sql]; the inferred type conforms
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ExprKernels.decimalDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -229,8 +232,9 @@ case class DecimalDot(left: Expression, right: Expression)
 
 /** SimHash over a token array (see [[ExprKernels.simHash]]). */
 case class SimHash(child: Expression, bits: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(tokens: Any): Any =
     ExprKernels.simHash(tokens.asInstanceOf[ArrayData], bits)
@@ -242,8 +246,9 @@ case class SimHash(child: Expression, bits: Int)
 
 /** MinHash signatures over a shingle array (see [[ExprKernels.minHashSigs]]). */
 case class MinHashSigs(child: Expression, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   require(k >= 1, s"k must be positive, got $k")
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override protected def nullSafeEval(shingles: Any): Any =
     ExprKernels.minHashSigs(shingles.asInstanceOf[ArrayData], k)
@@ -255,8 +260,9 @@ case class MinHashSigs(child: Expression, k: Int)
 
 /** Sign-random-projection LSH bucket (see [[ExprKernels.lshBucket]]). */
 case class LshBucket(child: Expression, numPlanes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   require(numPlanes >= 1 && numPlanes <= 63, s"numPlanes must be in [1, 63], got $numPlanes")
+  override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(vec: Any): Any =
     ExprKernels.lshBucket(vec.asInstanceOf[ArrayData], numPlanes)
@@ -267,7 +273,8 @@ case class LshBucket(child: Expression, numPlanes: Int)
 }
 
 /** Whitespace tokenization (see [[ExprKernels.tokens]]). */
-case class Tokens(child: Expression) extends UnaryExpression {
+case class Tokens(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(text: Any): Any =
     ExprKernels.tokens(text.asInstanceOf[UTF8String])
@@ -278,7 +285,8 @@ case class Tokens(child: Expression) extends UnaryExpression {
 }
 
 /** Distinct 3-token shingles (see [[ExprKernels.shingles3]]). */
-case class Shingles3(child: Expression) extends UnaryExpression {
+case class Shingles3(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(text: Any): Any =
     ExprKernels.shingles3(text.asInstanceOf[UTF8String])

@@ -15,14 +15,17 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join of a skewed `big` side against a small `dim` side on
-    * `key`. `big` rows get a deterministic salt from their whole row hash;
-    * `dim` rows are replicated across all salts. Result equals
-    * `big.join(dim, key)` row-for-row.
+    * `key`. `big` rows are salted by row *position* (not content — a hot
+    * key's rows are often byte-identical duplicates, and a content hash
+    * would send them all to one subkey); `dim` rows are replicated across
+    * all salts. Result equals `big.join(dim, key)` row-for-row.
     */
   def saltedInner(big: DataFrame, dim: DataFrame, key: String, salt: Int = 8): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
+    require(!big.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "inputs must not already have a __salt column")
     val bigS = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col): _*), lit(salt)))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
     val dimS = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     bigS.join(dimS, Seq(key, "__salt")).drop("__salt")

@@ -55,9 +55,9 @@ object Multimodal {
     }
   }
 
-  /** Attach decoded metadata columns to a (id, blob) DataFrame. Narrow —
+  /** Attach decoded metadata columns derived from `blobCol`. Narrow —
     * pure per-row expressions, schema known at plan time. */
-  def withMeta(df: DataFrame, idCol: String = "doc_id", blobCol: String = "blob"): DataFrame =
+  def withMeta(df: DataFrame, blobCol: String = "blob"): DataFrame =
     df.withColumn("n_bytes", length(col(blobCol)).cast("long"))
       .withColumn("fake_width", lit(16L) + length(col(blobCol)).cast("long") % 64L)
       .withColumn("fake_height", lit(16L) + length(col(blobCol)).cast("long") % 48L)

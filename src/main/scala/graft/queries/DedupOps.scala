@@ -65,9 +65,12 @@ object DedupOps extends QueryGroup {
         .filter(col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
+      // sizes is corpus-sized (one row per doc): plain equi-joins — AQE
+      // may still broadcast at small scale, but nothing forces a
+      // driver-collected broadcast of a billion-row table at 100 TB
       pairs
-        .join(broadcast(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("na"))), "doc_a")
-        .join(broadcast(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("nb"))), "doc_b")
+        .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
         .withColumn("jaccard",
           $"inter".cast("double") / ($"na" + $"nb" - $"inter").cast("double"))
         .filter($"jaccard" >= 0.5)
@@ -98,9 +101,11 @@ object DedupOps extends QueryGroup {
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
+      // sigs is corpus-sized — equi-join, don't force a broadcast (see
+      // the sizes join above); the bucket-blocked cand side is the small one
       cand
-        .join(broadcast(sigs.select($"doc_id".as("doc_a"), $"sigs".as("sa"))), "doc_a")
-        .join(broadcast(sigs.select($"doc_id".as("doc_b"), $"sigs".as("sb"))), "doc_b")
+        .join(sigs.select($"doc_id".as("doc_a"), $"sigs".as("sa")), "doc_a")
+        .join(sigs.select($"doc_id".as("doc_b"), $"sigs".as("sb")), "doc_b")
         .select($"doc_a", $"doc_b",
           (size(filter(zip_with($"sa", $"sb", (x, y) => x === y), m => m))
             .cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))

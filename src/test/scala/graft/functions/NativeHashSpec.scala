@@ -128,6 +128,18 @@ class NativeHashSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("subwordCount splits at letter/digit and punctuation boundaries") {
+    val got = Seq(
+      ("ab12cd ef-gh", 0), ("hello world", 0), ("x3", 0), ("", 0))
+      .toDF("text", "pad")
+      .select($"text", TextFunctions.subwordCount($"text").as("n"))
+      .as[(String, Int)].collect().toMap
+    assert(got("hello world") == 2) // plain whitespace tokens
+    assert(got("x3") == 2)          // letter|digit boundary
+    assert(got("ab12cd ef-gh") == 5) // ab|12|cd + ef|-gh
+    assert(got("") == 0)
+  }
+
   test("doc 4 (< 3 tokens) has no shingles") {
     val sharr = docs
       .select($"doc_id", TextFunctions.shingles3($"text").as("sharr"))

@@ -17,11 +17,15 @@ class SkewJoinSpec extends SparkSuite {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
-  test("the hot key's rows spread across multiple salt subkeys") {
-    val big = (1 to 10000).map(i => (1L, i.toDouble)).toDF("k", "v")
+  test("a hot key of byte-identical rows still spreads across salt subkeys") {
+    // 10k IDENTICAL rows — a content-derived salt would map all of them
+    // to one subkey; the position-derived salt must still spread them
+    val big = (1 to 10000).map(_ => (1L, 42.0)).toDF("k", "v")
     val salts = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col): _*), lit(8)))
+      pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
       .select(countDistinct($"__salt")).as[Long].head()
     assert(salts > 1, "salting must split the hot key")
+    val dim = Seq((1L, "hot")).toDF("k", "name")
+    assert(SkewJoin.saltedInner(big, dim, "k").count() == 10000L)
   }
 }
