@@ -182,7 +182,11 @@ object CoreOps extends QueryGroup {
     }),
 
     // global sum/count/mean/var/std (dataframe/core.py:59-92, aggregations.py)
-    // — var/std from exact decimal moments so both engines agree bitwise.
+    // — var/std from exact decimal moments. The sum-of-squares decimal
+    // exceeds ~22 significant digits at sf ≥ 0.1, where the two engines'
+    // decimal→double conversions can differ by 1 ulp — so the derived
+    // var/std are rounded to a precision both conversions agree on
+    // (verified against DuckDB at sf0.1, not just the sf0.01 gate).
     "global_aggs" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "lineitem")
@@ -193,9 +197,9 @@ object CoreOps extends QueryGroup {
         .select(
           $"sum_price", $"n",
           ($"sum_price" / $"n").as("mean_price"),
-          (($"sum_price2" - $"sum_price" * $"sum_price" / $"n") / ($"n" - 1))
+          round(($"sum_price2" - $"sum_price" * $"sum_price" / $"n") / ($"n" - 1), 2)
             .as("var_price"),
-          sqrt(($"sum_price2" - $"sum_price" * $"sum_price" / $"n") / ($"n" - 1))
+          round(sqrt(($"sum_price2" - $"sum_price" * $"sum_price" / $"n") / ($"n" - 1)), 6)
             .as("std_price"))
     }),
 
@@ -330,8 +334,8 @@ object CoreOps extends QueryGroup {
     "global_aggs" ->
       s"""SELECT sum_price, n,
          |  sum_price / n AS mean_price,
-         |  (sum_price2 - sum_price * sum_price / n) / (n - 1) AS var_price,
-         |  sqrt((sum_price2 - sum_price * sum_price / n) / (n - 1)) AS std_price
+         |  ROUND((sum_price2 - sum_price * sum_price / n) / (n - 1), 2) AS var_price,
+         |  ROUND(sqrt((sum_price2 - sum_price * sum_price / n) / (n - 1)), 6) AS std_price
          |FROM (
          |  SELECT ${DSUM("l_extendedprice", 4)} AS sum_price,
          |    ${DSUM("l_extendedprice * l_extendedprice", 8)} AS sum_price2,
