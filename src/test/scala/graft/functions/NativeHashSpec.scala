@@ -140,6 +140,24 @@ class NativeHashSpec extends SparkSuite {
     assert(got("") == 0)
   }
 
+  test("native expressions run inside Structured Streaming (streaming simhash dedup)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .select($"doc_id", native.simhash(native.tokens($"text"), 16).as("sh"))
+      .dropDuplicates("sh")
+      .writeStream.format("memory").queryName("stream_simhash")
+      .outputMode("append").start()
+    in.addData((1L, "the quick brown fox"), (2L, "the quick brown fox"))
+    q.processAllAvailable()
+    in.addData((3L, "the quick brown fox"), (4L, "something else entirely here"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("stream_simhash").as[(Long, Long)].collect().map(_._1).sorted
+    // identical texts share a simhash → deduped across batches
+    assert(got.toSeq == Seq(1L, 4L))
+  }
+
   test("doc 4 (< 3 tokens) has no shingles") {
     val sharr = docs
       .select($"doc_id", TextFunctions.shingles3($"text").as("sharr"))
