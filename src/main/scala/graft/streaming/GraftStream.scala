@@ -101,10 +101,13 @@ final class GraftFrame(val df: DataFrame, val indexCol: String = "ts") {
   /** Tumbling event-time window keyed on the index column with watermark —
     * the scale path for streamz timed_window/window(value=...).
     */
-  def timedWindow(duration: String, watermark: String = "0 seconds"): GroupedGraftFrame =
-    new GroupedGraftFrame(
-      new GraftFrame(df.withWatermark(indexCol, watermark), indexCol),
-      Seq(window(df(indexCol), duration)))
+  def timedWindow(duration: String, watermark: String = "0 seconds"): GroupedGraftFrame = {
+    // the window key must be built from the watermarked frame's column —
+    // a column from the pre-watermark frame loses the event-time tag and
+    // the aggregation is rejected in append mode
+    val wdf = df.withWatermark(indexCol, watermark)
+    new GroupedGraftFrame(new GraftFrame(wdf, indexCol), Seq(window(wdf(indexCol), duration)))
+  }
 
   /** streamz timed_window_unique (core.py:1365): tumbling event-time window
     * deduplicated by `keyCols` within each window (keep = arrival-first;

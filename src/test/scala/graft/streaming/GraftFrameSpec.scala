@@ -86,6 +86,24 @@ class GraftFrameSpec extends SparkSuite {
     assert(got.toMap == Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0)) // first kept
   }
 
+  test("timedWindow watermark: late data beyond the watermark is dropped " +
+    "(beyond the reference, which ignores out-of-order data entirely)") {
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val sdf = new GraftFrame(in.toDF().toDF("ts", "v"), indexCol = "ts")
+    val agg = sdf.timedWindow("10 seconds", "5 seconds").sumOf("v")
+    val q = agg.writeStream.format("memory").queryName("wm_t").outputMode("append").start()
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${s / 60}%02d:${s % 60}%02d")
+    in.addData((t(1), 1.0), (t(5), 2.0)); q.processAllAvailable()
+    // advance event time far past the first window; watermark = 100 - 5s
+    in.addData((t(100), 50.0)); q.processAllAvailable()
+    // this late row's window [0,10) is already finalized → dropped
+    in.addData((t(3), 99.0)); q.processAllAvailable(); q.stop()
+    val got = spark.table("wm_t").select("sum_v").as[Double].collect().sorted
+    // append emits only finalized windows: [0,10) = 3.0 (no 99 included);
+    // the [100,110) window is not finalized so not emitted
+    assert(got.toSeq == Seq(3.0))
+  }
+
   test("timedWindow: tumbling event-time aggregation with watermark") {
     val in = MemoryStream[(java.sql.Timestamp, Double)]
     val sdf = new GraftFrame(in.toDF().toDF("ts", "v"), indexCol = "ts")
