@@ -1,0 +1,107 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property tests for the parity-critical pure kernels (SURVEY §5:
+  * ScalaCheck for invariants the reference only spot-checks). Each kernel
+  * is checked against an independent model implementation over random
+  * input (including multi-byte unicode), plus the algebraic invariants
+  * the oracle-parity design depends on (order independence of the exact
+  * decimal sum, determinism of bucket assignment).
+  */
+object KernelProps extends Properties("ExprKernels") {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  private val word: Gen[String] =
+    Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.oneOf("é", "λ", "語", "a b".take(1)))
+  private val text: Gen[String] =
+    Gen.listOf(Gen.oneOf(word, Gen.const(""), Gen.const(" "))).map(_.mkString(" "))
+
+  private def utf8Arr(xs: Seq[String]) =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+
+  property("tokens == split-and-drop-empties model") = forAll(text) { t =>
+    val got = ExprKernels.tokens(UTF8String.fromString(t))
+      .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    got == t.split(" ", -1).filter(_.nonEmpty).toSeq
+  }
+
+  property("shingles3 == distinct sliding-3 model") = forAll(text) { t =>
+    val toks = t.split(" ", -1).filter(_.nonEmpty).toSeq
+    val model =
+      if (toks.size < 3) Seq.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    val got = ExprKernels.shingles3(UTF8String.fromString(t))
+      .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    got == model
+  }
+
+  property("simhash == md5-bit-voting model") =
+    forAll(Gen.listOf(word), Gen.choose(1, 64)) { (toks, bits) =>
+      val bal = new Array[Int](bits)
+      toks.foreach { tok =>
+        val hex = md5hex(tok)
+        for (j <- 1 to bits) {
+          val nib = Integer.parseInt(hex((j + 3) / 4 - 1).toString, 16)
+          val bit = (nib >> (3 - (j - 1) % 4)) & 1
+          bal(j - 1) += bit * 2 - 1
+        }
+      }
+      val model = (1 to bits).map(j => if (bal(j - 1) >= 0) 1L << (j - 1) else 0L).sum
+      ExprKernels.simHash(utf8Arr(toks), bits) == model
+    }
+
+  property("minHashSigs == min-of-keyed-md5 model") =
+    forAll(Gen.listOf(word.filter(_.nonEmpty)), Gen.choose(1, 8)) { (shingles, k) =>
+      val got = ExprKernels.minHashSigs(utf8Arr(shingles), k)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(Option(_).map(_.toString)).toSeq
+      val model = (1 to k).map { h =>
+        if (shingles.isEmpty) None
+        else Some(shingles.map(s => md5hex(s"$h|$s")).min)
+      }
+      got == model
+    }
+
+  private val vec: Gen[Array[Float]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(-100f, 100f)).map(_.toArray)
+
+  property("decimalDot == BigDecimal fold model") = forAll(vec) { v =>
+    val a = new GenericArrayData(v)
+    val b = new GenericArrayData(v.reverse)
+    val model = v.zip(v.reverse).foldLeft(JBigDecimal.ZERO) { case (acc, (x, y)) =>
+      acc.add(JBigDecimal.valueOf(x.toDouble * y.toDouble)
+        .setScale(20, RoundingMode.HALF_UP))
+    }.doubleValue()
+    ExprKernels.decimalDot(a, b) == model
+  }
+
+  property("decimalDot is order-independent (oracle-parity invariant)") =
+    forAll(vec) { v =>
+      val pairs = v.zipWithIndex
+      val perm = scala.util.Random.javaRandomToRandom(new java.util.Random(v.length))
+        .shuffle(pairs.toSeq)
+      val a1 = new GenericArrayData(pairs.map(_._1))
+      val b1 = new GenericArrayData(pairs.map(p => v(v.length - 1 - p._2)))
+      val a2 = new GenericArrayData(perm.map(_._1).toArray)
+      val b2 = new GenericArrayData(perm.map(p => v(v.length - 1 - p._2)).toArray)
+      ExprKernels.decimalDot(a1, b1) == ExprKernels.decimalDot(a2, b2)
+    }
+
+  property("lshBucket is deterministic and within 2^planes") =
+    forAll(vec, Gen.choose(1, 16)) { (v, planes) =>
+      val a = new GenericArrayData(v)
+      val b1 = ExprKernels.lshBucket(a, planes)
+      val b2 = ExprKernels.lshBucket(new GenericArrayData(v.clone()), planes)
+      Prop(b1 == b2 && b1 >= 0 && b1 < (1L << planes))
+    }
+}
