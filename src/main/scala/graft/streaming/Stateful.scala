@@ -64,21 +64,36 @@ object Stateful {
       }
 
   /** streamz `partition` (core.py:1078): group every `n` consecutive
-    * elements into one output. Remainders stay buffered in state.
+    * elements into one output. Remainders stay buffered in state; with
+    * `timeoutMs > 0` a partial group is flushed once no new element for
+    * the key has arrived within the timeout (the reference's `timeout=`
+    * flush), via the state store's processing-time timeout.
     */
   def partitionN[K: Encoder, V](
-      ds: Dataset[(K, Long, V)], n: Int)(
+      ds: Dataset[(K, Long, V)], n: Int, timeoutMs: Long = 0)(
       implicit buf: Encoder[Seq[(Long, V)]], out: Encoder[(K, Seq[V])],
-      kv: Encoder[(K, Long, V)]): Dataset[(K, Seq[V])] =
+      kv: Encoder[(K, Long, V)]): Dataset[(K, Seq[V])] = {
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     ds.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (key: K, it: Iterator[(K, Long, V)], state: GroupState[Seq[(Long, V)]]) =>
-          val buffered = state.getOption.getOrElse(Seq.empty).toVector ++
-            it.toVector.sortBy(_._2).map { case (_, seq, v) => (seq, v) }
-          val (full, rest) = buffered.splitAt(buffered.size / n * n)
-          state.update(rest)
-          full.grouped(n).map(g => (key, g.map(_._2))).toVector.iterator
+          if (state.hasTimedOut) {
+            val rest = state.getOption.getOrElse(Seq.empty)
+            state.remove()
+            if (rest.nonEmpty) Iterator.single((key, rest.map(_._2)))
+            else Iterator.empty
+          } else {
+            val buffered = state.getOption.getOrElse(Seq.empty).toVector ++
+              it.toVector.sortBy(_._2).map { case (_, seq, v) => (seq, v) }
+            val (full, rest) = buffered.splitAt(buffered.size / n * n)
+            state.update(rest)
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            full.grouped(n).map(g => (key, g.map(_._2))).toVector.iterator
+          }
       }
+  }
 
   /** streamz `ewm(alpha).mean()` (aggregations.py:151-170), pandas
     * adjust=true semantics: y_t = num_t/den_t with num ← x + (1-α)·num,

@@ -83,6 +83,27 @@ class StatefulSpec extends SparkSuite {
     assert(got.toSeq == Seq((1, Seq(10, 20, 30))))
   }
 
+  test("partitionN timeout: idle partial group is flushed (reference timeout=)") {
+    // NOTE: processAllAvailable does not terminate reliably once
+    // processing-time timeouts are registered — poll the sink instead.
+    val in = MemoryStream[(Int, Long, String)]
+    val out = Stateful.partitionN(in.toDS(), 3, timeoutMs = 500)
+    val q = out.toDF("key", "group").writeStream
+      .format("memory").queryName("pn_to").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      in.addData((1, 1L, "a"), (1, 2L, "b")) // partial: 2 of 3
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var got = Seq.empty[(Int, Seq[String])]
+      while (got.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        got = spark.table("pn_to").as[(Int, Seq[String])].collect().toSeq
+      }
+      assert(got == Seq((1, Seq("a", "b")))) // partial group flushed on timeout
+    } finally q.stop()
+  }
+
   test("ewmMean: matches the pandas adjust=true recurrence") {
     val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
     val alpha = 0.5
