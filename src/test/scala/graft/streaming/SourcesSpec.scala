@@ -12,6 +12,32 @@ import org.apache.spark.sql.functions._
 class SourcesSpec extends SparkSuite {
   import spark.implicits._
 
+  test("socket: line-delimited TCP source (reference from_tcp, sources.py:212)") {
+    val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val port = server.getLocalPort
+    // accept one client (the Spark socket source) and push lines at it
+    val pusher = new Thread(() => {
+      val client = server.accept()
+      val w = new java.io.PrintWriter(client.getOutputStream, true)
+      Seq("one", "two", "three").foreach(w.println)
+      w.flush()
+      Thread.sleep(3000) // keep the connection open while Spark reads
+      client.close(); server.close()
+    })
+    pusher.setDaemon(true); pusher.start()
+
+    val q = Sources.socket(spark, "localhost", port)
+      .writeStream.format("memory").queryName("sock_t").outputMode("append").start()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var got = Seq.empty[String]
+    while (got.size < 3 && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      got = spark.table("sock_t").as[String].collect().toSeq
+    }
+    q.stop()
+    assert(got.sorted == Seq("one", "three", "two"))
+  }
+
   test("textDir: appended files stream through as lines; text sink round-trips") {
     val src = Files.createTempDirectory("graft_txt_src").toString
     val out = Files.createTempDirectory("graft_txt_out").toString
