@@ -91,18 +91,18 @@ object Windows {
   }
 
   /** Windowed groupby with empty-group pruning (aggregations.py:323-404):
-    * (sum, count) per group value over the last `n` rows per stream key.
+    * `agg` of the values per group over the last `n` rows per stream key.
     * The snapshot is recomputed over the bounded buffer — O(n), equivalent
     * to the reference's incremental add/retract for bounded windows (the
     * truly incremental path is Aggregation.windowed) — and groups that
     * fall out of the buffer vanish, which is the reference's empty-group
     * pruning. Emits the snapshot once per key per micro-batch ("updating").
     */
-  def lastNGroupby[K: Encoder](
-      ds: Dataset[(K, Long, String, Double)], n: Int)(
+  def lastNGroupbyAgg[K: Encoder, A](
+      ds: Dataset[(K, Long, String, Double)], n: Int)(agg: Seq[Double] => A)(
       implicit buf: Encoder[Seq[(Long, String, Double)]],
-      out: Encoder[(K, Map[String, (Double, Long)])],
-      kv: Encoder[(K, Long, String, Double)]): Dataset[(K, Map[String, (Double, Long)])] =
+      out: Encoder[(K, Map[String, A])],
+      kv: Encoder[(K, Long, String, Double)]): Dataset[(K, Map[String, A])] =
     ds.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[(K, Long, String, Double)],
@@ -111,8 +111,17 @@ object Windows {
             it.toVector.sortBy(_._2).map { case (_, s, g, v) => (s, g, v) }).takeRight(n)
           state.update(win)
           val snapshot = win.groupBy(_._2).map { case (g, rows) =>
-            g -> (rows.map(_._3).sum, rows.size.toLong)
+            g -> agg(rows.map(_._3))
           }
           Iterator.single((key, snapshot))
       }
+
+  /** The (sum, count) form of [[lastNGroupbyAgg]] — enough to derive the
+    * reference's windowed-groupby sum/count/size/mean surface. */
+  def lastNGroupby[K: Encoder](
+      ds: Dataset[(K, Long, String, Double)], n: Int)(
+      implicit buf: Encoder[Seq[(Long, String, Double)]],
+      out: Encoder[(K, Map[String, (Double, Long)])],
+      kv: Encoder[(K, Long, String, Double)]): Dataset[(K, Map[String, (Double, Long)])] =
+    lastNGroupbyAgg(ds, n)(vs => (vs.sum, vs.size.toLong))
 }

@@ -64,6 +64,23 @@ class WindowsSpec extends SparkSuite {
     assert(got.toSeq == Seq((1, Seq("b1", "a2", "c1"))))
   }
 
+  test("lastNGroupbyAgg: arbitrary per-group aggregation (var over trailing rows)") {
+    val in = MemoryStream[(Int, Long, String, Double)]
+    val out = Windows.lastNGroupbyAgg(in.toDS(), 4) { vs =>
+      if (vs.size < 2) 0.0
+      else { // sample variance
+        val m = vs.sum / vs.size
+        vs.map(x => (x - m) * (x - m)).sum / (vs.size - 1)
+      }
+    }
+    val q = out.toDF("key", "groups").writeStream
+      .format("memory").queryName("lnga_t").outputMode("append").start()
+    in.addData((1, 1L, "a", 1.0), (1, 2L, "a", 3.0), (1, 3L, "b", 5.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("lnga_t").as[(Int, Map[String, Double])].collect()
+    assert(got(0)._2 == Map("a" -> 2.0, "b" -> 0.0)) // var(1,3)=2; single → 0
+  }
+
   test("lastNGroupby: per-group sums over trailing rows, empty groups pruned") {
     val in = MemoryStream[(Int, Long, String, Double)]
     val out = Windows.lastNGroupby(in.toDS(), 3)
