@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Keyed, ordered stateful operators — the pieces of the reference's surface
   * that Structured Streaming does not provide natively (SURVEY §4.3):
@@ -109,6 +109,47 @@ object Stateful {
         val d2 = 1 + (1 - alpha) * den
         ((n2, d2), n2 / d2)
     }
+  }
+
+  /** Incremental-state variant of [[partitionN]] on Spark 4's
+    * transformWithState API (requires the RocksDB state store provider):
+    * elements are `appendValue`d to a ListState and a counter tracks the
+    * fill level, so a growing partial group never rewrites the whole
+    * buffer into the state store per batch — the flatMapGroupsWithState
+    * ops above serialize their full buffer every batch, which is the
+    * right trade only for small windows. At 100 TB-scale group sizes the
+    * append-only path is the one to use.
+    */
+  def partitionNIncremental[K, V](
+      ds: Dataset[(K, Long, V)], n: Int)(
+      implicit ke: Encoder[K], ve: Encoder[(Long, V)], le: Encoder[Long],
+      out: Encoder[(K, Seq[V])], kv: Encoder[(K, Long, V)]): Dataset[(K, Seq[V])] = {
+    val processor = new StatefulProcessor[K, (K, Long, V), (K, Seq[V])] {
+      @transient private var buf: ListState[(Long, V)] = _
+      @transient private var cnt: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        buf = getHandle.getListState[(Long, V)]("buf", ve, TTLConfig.NONE)
+        cnt = getHandle.getValueState[Long]("cnt", le, TTLConfig.NONE)
+      }
+      override def handleInputRows(key: K, rows: Iterator[(K, Long, V)],
+          timerValues: TimerValues): Iterator[(K, Seq[V])] = {
+        var count = if (cnt.exists()) cnt.get() else 0L
+        val emitted = Vector.newBuilder[(K, Seq[V])]
+        rows.toVector.sortBy(_._2).foreach { case (_, seq, v) =>
+          buf.appendValue((seq, v)) // append-only: no buffer rewrite
+          count += 1
+          if (count == n) {
+            emitted += ((key, buf.get().toVector.map(_._2)))
+            buf.clear()
+            count = 0
+          }
+        }
+        cnt.update(count)
+        emitted.result().iterator
+      }
+    }
+    ds.groupByKey(_._1)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())
   }
 
   /** The reference's ewm parameterizations (dataframe/core.py:694-718):

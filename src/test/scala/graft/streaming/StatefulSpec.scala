@@ -104,6 +104,31 @@ class StatefulSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("partitionNIncremental (transformWithState/ListState) matches partitionN") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Int, Long, String)]
+      val out = Stateful.partitionNIncremental(in.toDS(), 3)
+      val q = out.toDF("key", "group").writeStream
+        .format("memory").queryName("pni_t").outputMode("append").start()
+      in.addData((1, 1L, "a"), (1, 2L, "b")); q.processAllAvailable()
+      assert(spark.table("pni_t").count() == 0) // partial stays buffered
+      in.addData((1, 3L, "c"), (1, 4L, "d"), (2, 5L, "x"))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("pni_t").as[(Int, Seq[String])].collect()
+      // key 1 completes a group of 3 across batches; "d"/key-2 stay partial
+      assert(got.toSeq == Seq((1, Seq("a", "b", "c"))))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("ewmMean: matches the pandas adjust=true recurrence") {
     val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
     val alpha = 0.5
