@@ -33,11 +33,13 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
+    // truncate BEFORE escaping — truncating after could split an escape
+    // pair and leave a dangling backslash that corrupts the JSON line
     def jstr(s: String): String =
-      "\"" + s.flatMap {
+      "\"" + s.take(300).flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => " "; case c => c.toString
-      }.take(300) + "\""
+      } + "\""
     val errs = results.collect { case (k, _, Some(msg)) =>
       s"""{"query":${jstr(k)},"error":${jstr(msg)}}"""
     }.mkString("[", ",", "]")

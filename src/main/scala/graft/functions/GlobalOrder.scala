@@ -35,9 +35,15 @@ object GlobalOrder {
           .cast("long"))
     val sorted = df.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*)
     val schema = StructType(sorted.schema.fields :+ StructField(rnCol, LongType, nullable = false))
+    // RDD-level persist (not DataFrame .cache): downstream actions reuse
+    // the sorted+numbered rows instead of re-running the reduce-side sort,
+    // and the blocks are dropped by the ContextCleaner once the RDD is
+    // unreachable — nothing pins storage for the session's lifetime.
+    // (zipWithIndex runs its count job eagerly here — inherent to the
+    // two-pass numbering, same as RDD.zipWithIndex anywhere.)
     val withRn = sorted.rdd.zipWithIndex().map { case (row, idx) =>
       Row.fromSeq(row.toSeq :+ (idx + 1L))
-    }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     spark.createDataFrame(withRn, schema)
   }
 }

@@ -19,6 +19,13 @@ object SkewJoin {
     * key's rows are often byte-identical duplicates, and a content hash
     * would send them all to one subkey); `dim` rows are replicated across
     * all salts. Result equals `big.join(dim, key)` row-for-row.
+    *
+    * Determinism caveat: the position salt depends on partition layout,
+    * so `big` should come from a deterministic lineage (a file scan, not
+    * a round-robin repartition) for stable retries — the same constraint
+    * Spark's own round-robin repartition operates under. For shuffle-skew
+    * (as opposed to a pathological single key), prefer AQE's built-in
+    * skew-join handling, which is on by default in graft sessions.
     */
   def saltedInner(big: DataFrame, dim: DataFrame, key: String, salt: Int = 8): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")

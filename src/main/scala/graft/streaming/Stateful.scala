@@ -65,32 +65,55 @@ object Stateful {
 
   /** streamz `partition` (core.py:1078): group every `n` consecutive
     * elements into one output. Remainders stay buffered in state; with
-    * `timeoutMs > 0` a partial group is flushed once no new element for
-    * the key has arrived within the timeout (the reference's `timeout=`
-    * flush), via the state store's processing-time timeout.
+    * `timeoutMs > 0` a partial group is flushed `timeoutMs` after its
+    * FIRST element arrived (the reference arms the timer once at
+    * `len(buffer)==1`, core.py:1163-1166, so the flush latency is bounded
+    * even under a steady trickle — the deadline is NOT pushed out by new
+    * arrivals). State carries the buffer plus the armed deadline; each
+    * invocation re-registers the *remaining* time because the state-store
+    * timeout resets on every function call.
     */
   def partitionN[K: Encoder, V](
       ds: Dataset[(K, Long, V)], n: Int, timeoutMs: Long = 0)(
-      implicit buf: Encoder[Seq[(Long, V)]], out: Encoder[(K, Seq[V])],
+      implicit buf: Encoder[(Seq[(Long, V)], Long)], out: Encoder[(K, Seq[V])],
       kv: Encoder[(K, Long, V)]): Dataset[(K, Seq[V])] = {
+    require(n >= 1, s"n must be >= 1, got $n")
     val timeoutConf =
       if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     ds.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
-        (key: K, it: Iterator[(K, Long, V)], state: GroupState[Seq[(Long, V)]]) =>
+        (key: K, it: Iterator[(K, Long, V)], state: GroupState[(Seq[(Long, V)], Long)]) =>
           if (state.hasTimedOut) {
-            val rest = state.getOption.getOrElse(Seq.empty)
+            val (rest, _) = state.getOption.getOrElse((Seq.empty[(Long, V)], 0L))
             state.remove()
             if (rest.nonEmpty) Iterator.single((key, rest.map(_._2)))
             else Iterator.empty
           } else {
-            val buffered = state.getOption.getOrElse(Seq.empty).toVector ++
+            val (prev, prevDeadline) = state.getOption.getOrElse((Seq.empty[(Long, V)], 0L))
+            val buffered = prev.toVector ++
               it.toVector.sortBy(_._2).map { case (_, seq, v) => (seq, v) }
             val (full, rest) = buffered.splitAt(buffered.size / n * n)
-            state.update(rest)
-            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
-            full.grouped(n).map(g => (key, g.map(_._2))).toVector.iterator
+            val now = System.currentTimeMillis()
+            // deadline: keep the existing one while the buffer has been
+            // continuously non-empty; a remainder whose elements all
+            // arrived this batch (prev emptied or was empty) arms fresh
+            val deadline =
+              if (rest.isEmpty) 0L
+              else if (prev.nonEmpty && rest.headOption == prev.headOption) prevDeadline
+              else now + timeoutMs
+            val fullGroups = full.grouped(n).map(g => (key, g.map(_._2))).toVector
+            // the state-store timeout only fires in data-free batches, so
+            // under continuous arrivals the expiry must be checked here too
+            if (timeoutMs > 0 && rest.nonEmpty && now >= deadline) {
+              state.update((Seq.empty[(Long, V)], 0L))
+              (fullGroups :+ ((key, rest.map(_._2)))).iterator
+            } else {
+              state.update((rest, deadline))
+              if (timeoutMs > 0 && rest.nonEmpty)
+                state.setTimeoutDuration(math.max(deadline - now, 1L))
+              fullGroups.iterator
+            }
           }
       }
   }
@@ -124,6 +147,7 @@ object Stateful {
       ds: Dataset[(K, Long, V)], n: Int)(
       implicit ke: Encoder[K], ve: Encoder[(Long, V)], le: Encoder[Long],
       out: Encoder[(K, Seq[V])], kv: Encoder[(K, Long, V)]): Dataset[(K, Seq[V])] = {
+    require(n >= 1, s"n must be >= 1, got $n")
     val processor = new StatefulProcessor[K, (K, Long, V), (K, Seq[V])] {
       @transient private var buf: ListState[(Long, V)] = _
       @transient private var cnt: ValueState[Long] = _

@@ -15,27 +15,31 @@ class SourcesSpec extends SparkSuite {
   test("socket: line-delimited TCP source (reference from_tcp, sources.py:212)") {
     val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
     val port = server.getLocalPort
-    // accept one client (the Spark socket source) and push lines at it
+    val done = new java.util.concurrent.CountDownLatch(1)
+    // accept one client (the Spark socket source), push lines, then hold
+    // the connection open until the assertions below have completed —
+    // a fixed timer here would race a slow first micro-batch
     val pusher = new Thread(() => {
       val client = server.accept()
       val w = new java.io.PrintWriter(client.getOutputStream, true)
       Seq("one", "two", "three").foreach(w.println)
       w.flush()
-      Thread.sleep(3000) // keep the connection open while Spark reads
+      done.await(60, java.util.concurrent.TimeUnit.SECONDS)
       client.close(); server.close()
     })
     pusher.setDaemon(true); pusher.start()
 
     val q = Sources.socket(spark, "localhost", port)
       .writeStream.format("memory").queryName("sock_t").outputMode("append").start()
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    var got = Seq.empty[String]
-    while (got.size < 3 && System.nanoTime() < deadline) {
-      Thread.sleep(200)
-      got = spark.table("sock_t").as[String].collect().toSeq
-    }
-    q.stop()
-    assert(got.sorted == Seq("one", "three", "two"))
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var got = Seq.empty[String]
+      while (got.size < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        got = spark.table("sock_t").as[String].collect().toSeq
+      }
+      assert(got.sorted == Seq("one", "three", "two"))
+    } finally { q.stop(); done.countDown() }
   }
 
   test("textDir: appended files stream through as lines; text sink round-trips") {

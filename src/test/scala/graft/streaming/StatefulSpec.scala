@@ -104,6 +104,34 @@ class StatefulSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("partitionN timeout deadline is fixed at first element, not pushed by arrivals") {
+    // reference core.py:1163-1166 arms the timer once at len(buffer)==1;
+    // a steady trickle (300 ms cadence < 800 ms timeout) must still flush
+    // ~800 ms after the FIRST element — re-arm-per-arrival semantics
+    // would defer the flush until after arrivals stop (~3.8 s here)
+    val in = MemoryStream[(Int, Long, String)]
+    val out = Stateful.partitionN(in.toDS(), 100, timeoutMs = 800)
+    val q = out.toDF("key", "group").writeStream
+      .format("memory").queryName("pn_fix").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      val t0 = System.nanoTime()
+      var flushedAtMs = -1L
+      var seq = 0L
+      while (flushedAtMs < 0 && (System.nanoTime() - t0) < 10L * 1000 * 1000 * 1000) {
+        seq += 1
+        in.addData((1, seq, s"e$seq"))
+        Thread.sleep(300)
+        if (spark.table("pn_fix").count() > 0)
+          flushedAtMs = (System.nanoTime() - t0) / 1000000
+      }
+      assert(flushedAtMs > 0, "no flush despite 800ms deadline")
+      assert(flushedAtMs < 5000,
+        s"flush at ${flushedAtMs}ms — deadline was pushed out by arrivals")
+    } finally q.stop()
+  }
+
   test("partitionNIncremental (transformWithState/ListState) matches partitionN") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
