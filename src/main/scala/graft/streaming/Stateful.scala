@@ -48,7 +48,8 @@ object Stateful {
       ds: Dataset[(K, Long, V)], n: Int, returnPartial: Boolean = true)(
       agg: Seq[V] => O)(
       implicit buf: Encoder[Seq[(Long, V)]], kvo: Encoder[(K, Long, O)],
-      kv: Encoder[(K, Long, V)]): Dataset[(K, Long, O)] =
+      kv: Encoder[(K, Long, V)]): Dataset[(K, Long, O)] = {
+    require(n >= 1, s"n must be >= 1, got $n")
     ds.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[(K, Long, V)], state: GroupState[Seq[(Long, V)]]) =>
@@ -62,6 +63,7 @@ object Stateful {
           state.update(win)
           out.result().iterator
       }
+  }
 
   /** streamz `partition` (core.py:1078): group every `n` consecutive
     * elements into one output. Remainders stay buffered in state; with
@@ -209,7 +211,8 @@ object Stateful {
   def uniqueLru[K: Encoder, V](
       ds: Dataset[(K, Long, V)], maxsize: Int = Int.MaxValue,
       dedupBy: V => String = (v: V) => String.valueOf(v))(
-      implicit buf: Encoder[Seq[String]], kv: Encoder[(K, Long, V)]): Dataset[(K, Long, V)] =
+      implicit buf: Encoder[Seq[String]], kv: Encoder[(K, Long, V)]): Dataset[(K, Long, V)] = {
+    require(maxsize >= 1, s"maxsize must be >= 1, got $maxsize")
     ds.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: K, it: Iterator[(K, Long, V)], state: GroupState[Seq[String]]) =>
@@ -233,4 +236,5 @@ object Stateful {
           state.update(seen.toSeq)
           out.result().iterator
       }
+  }
 }

@@ -25,7 +25,8 @@ object Windows {
   def lastN[K: Encoder, V, O](
       ds: Dataset[(K, Long, V)], n: Int)(agg: Seq[V] => O)(
       implicit buf: Encoder[Seq[(Long, V)]], out: Encoder[(K, O)],
-      kv: Encoder[(K, Long, V)]): Dataset[(K, O)] =
+      kv: Encoder[(K, Long, V)]): Dataset[(K, O)] = {
+    require(n >= 1, s"n must be >= 1, got $n")
     ds.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[(K, Long, V)], state: GroupState[Seq[(Long, V)]]) =>
@@ -34,6 +35,7 @@ object Windows {
           state.update(win)
           Iterator.single((key, agg(win.map(_._2))))
       }
+  }
 
   /** window(value=interval).agg: aggregate of rows with
     * eventTime ∈ (maxSeen - intervalMicros, maxSeen], maxSeen = latest
@@ -42,7 +44,8 @@ object Windows {
   def trailingTime[K: Encoder, V, O](
       ds: Dataset[(K, Long, V)], intervalMicros: Long)(agg: Seq[V] => O)(
       implicit buf: Encoder[(Long, Seq[(Long, V)])], out: Encoder[(K, O)],
-      kv: Encoder[(K, Long, V)]): Dataset[(K, O)] =
+      kv: Encoder[(K, Long, V)]): Dataset[(K, O)] = {
+    require(intervalMicros >= 1, s"intervalMicros must be >= 1, got $intervalMicros")
     ds.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[(K, Long, V)], state: GroupState[(Long, Seq[(Long, V)])]) =>
@@ -57,6 +60,7 @@ object Windows {
           state.update((maxSeen, buf))
           Iterator.single((key, agg(buf.map(_._2))))
       }
+  }
 
   /** streamz partition_unique (core.py:1168): buffer until `n` *distinct*
     * keys collected, then emit the group. keep="first"|"last" picks which
@@ -102,7 +106,8 @@ object Windows {
       ds: Dataset[(K, Long, String, Double)], n: Int)(agg: Seq[Double] => A)(
       implicit buf: Encoder[Seq[(Long, String, Double)]],
       out: Encoder[(K, Map[String, A])],
-      kv: Encoder[(K, Long, String, Double)]): Dataset[(K, Map[String, A])] =
+      kv: Encoder[(K, Long, String, Double)]): Dataset[(K, Map[String, A])] = {
+    require(n >= 1, s"n must be >= 1, got $n")
     ds.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[(K, Long, String, Double)],
@@ -115,6 +120,7 @@ object Windows {
           }
           Iterator.single((key, snapshot))
       }
+  }
 
   /** The (sum, count) form of [[lastNGroupbyAgg]] — enough to derive the
     * reference's windowed-groupby sum/count/size/mean surface. */
