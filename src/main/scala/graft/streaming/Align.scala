@@ -25,14 +25,37 @@ object Align {
     l.union(r)
   }
 
+  /** Bound a leftover buffer to `maxsize` (core.py:1589). The reference
+    * *blocks* the upstream once a buffer holds maxsize un-paired elements;
+    * Structured Streaming has no in-operator backpressure, so the
+    * documented divergence is a bounded buffer instead:
+    * `drop_oldest` keeps the newest maxsize elements, `error` fails the
+    * query (fail-fast when silent loss is unacceptable).
+    */
+  private def cap[E](buf: Seq[E], maxsize: Int, onOverflow: String): Seq[E] =
+    if (buf.size <= maxsize) buf
+    else if (onOverflow == "error")
+      throw new IllegalStateException(
+        s"zip buffer overflow: ${buf.size} un-paired elements > maxsize=$maxsize")
+    else buf.takeRight(maxsize)
+
+  private def checkOverflow(onOverflow: String): Unit =
+    require(onOverflow == "drop_oldest" || onOverflow == "error",
+      s"onOverflow must be drop_oldest|error: $onOverflow")
+
   /** streamz `zip`: pair the i-th left element with the i-th right element
-    * (lossless, buffers the faster side). Emits in pair order.
+    * (lossless, buffers the faster side). Emits in pair order. The faster
+    * side's leftover buffer is bounded by `maxsize` (reference default 10,
+    * core.py:1589) — see [[cap]] for the backpressure divergence.
     */
   def zip[K: Encoder, A, B](
-      left: Dataset[(K, Long, A)], right: Dataset[(K, Long, B)])(
+      left: Dataset[(K, Long, A)], right: Dataset[(K, Long, B)],
+      maxsize: Int = 10, onOverflow: String = "drop_oldest")(
       implicit tagged: Encoder[(K, Long, Int, Option[A], Option[B])],
       st: Encoder[(Seq[(Long, A)], Seq[(Long, B)])],
-      out: Encoder[(K, A, B)]): Dataset[(K, A, B)] =
+      out: Encoder[(K, A, B)]): Dataset[(K, A, B)] = {
+    require(maxsize > 0, s"maxsize must be positive: $maxsize")
+    checkOverflow(onOverflow)
     tag(left, right).groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[Tagged[K, A, B]],
@@ -45,9 +68,93 @@ object Align {
           }
           val k = math.min(la.size, lb.size)
           val out = la.take(k).zip(lb.take(k)).map { case ((_, a), (_, b)) => (key, a, b) }
-          state.update((la.drop(k), lb.drop(k)))
+          state.update((cap(la.drop(k), maxsize, onOverflow),
+            cap(lb.drop(k), maxsize, onOverflow)))
           out.iterator
       }
+  }
+
+  /** N-ary streamz `zip` (core.py:1575-1649): `Stream.zip(s0, s1, ..., sN)`
+    * over homogeneous element type V, emitting one Seq[V] tuple when every
+    * stream has produced an element. `literals` are the reference's
+    * non-Stream upstreams (core.py:1589-1593 + pack_literals): constant
+    * values spliced into every output tuple at their positional index —
+    * `zip(s0, 7, s1)` is `literals = Seq((1, 7))` with output arity 3.
+    * Buffers are bounded by `maxsize` as in [[zip]].
+    */
+  def zipN[K: Encoder, V](
+      streams: Seq[Dataset[(K, Long, V)]],
+      literals: Seq[(Int, V)] = Seq.empty,
+      maxsize: Int = 10, onOverflow: String = "drop_oldest")(
+      implicit tagged: Encoder[(K, Long, Int, V)],
+      st: Encoder[Seq[Seq[(Long, V)]]],
+      out: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] = {
+    val n = streams.size
+    require(n >= 1, "zipN needs at least one stream")
+    require(maxsize > 0, s"maxsize must be positive: $maxsize")
+    checkOverflow(onOverflow)
+    val arity = n + literals.size
+    require(literals.forall { case (i, _) => i >= 0 && i < arity },
+      s"literal positions must be in [0, $arity): ${literals.map(_._1)}")
+    require(literals.map(_._1).distinct.size == literals.size,
+      s"duplicate literal positions: ${literals.map(_._1)}")
+    val litByPos = literals.toMap
+    tagN(streams).groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[(K, Long, Int, V)],
+         state: GroupState[Seq[Seq[(Long, V)]]]) =>
+          var bufs = state.getOption.getOrElse(Seq.fill(n)(Seq.empty[(Long, V)])).toVector
+          it.toVector.sortBy(_._2).foreach { case (_, seq, side, v) =>
+            bufs = bufs.updated(side, bufs(side) :+ ((seq, v)))
+          }
+          val k = bufs.map(_.size).min
+          val out = (0 until k).map { i =>
+            val streamVals = bufs.map(_(i)._2).iterator
+            (key, (0 until arity).map(p => litByPos.getOrElse(p, streamVals.next())))
+          }
+          state.update(bufs.map(b => cap(b.drop(k), maxsize, onOverflow)))
+          out.iterator
+      }
+  }
+
+  /** N-ary streamz `combine_latest` (core.py:1652): on every arrival from
+    * any stream, emit the tuple of latest values once every stream has
+    * produced one. `emitOn` (core.py:1661-1680) restricts which stream
+    * indices trigger emission; empty = all streams emit.
+    */
+  def combineLatestN[K: Encoder, V](
+      streams: Seq[Dataset[(K, Long, V)]],
+      emitOn: Set[Int] = Set.empty)(
+      implicit tagged: Encoder[(K, Long, Int, V)],
+      st: Encoder[Seq[Option[V]]],
+      out: Encoder[(K, Long, Seq[V])]): Dataset[(K, Long, Seq[V])] = {
+    val n = streams.size
+    require(n >= 1, "combineLatestN needs at least one stream")
+    require(emitOn.forall(i => i >= 0 && i < n),
+      s"emitOn indices must be in [0, $n): $emitOn")
+    val emitting = if (emitOn.isEmpty) (0 until n).toSet else emitOn
+    tagN(streams).groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[(K, Long, Int, V)],
+         state: GroupState[Seq[Option[V]]]) =>
+          var cur = state.getOption.getOrElse(Seq.fill(n)(None: Option[V])).toVector
+          val out = Vector.newBuilder[(K, Long, Seq[V])]
+          it.toVector.sortBy(_._2).foreach { case (_, seq, side, v) =>
+            cur = cur.updated(side, Some(v))
+            if (emitting(side) && cur.forall(_.isDefined))
+              out += ((key, seq, cur.map(_.get)))
+          }
+          state.update(cur)
+          out.result().iterator
+      }
+  }
+
+  /** Index-tag and union N homogeneous streams (narrow, no shuffle). */
+  private def tagN[K, V](streams: Seq[Dataset[(K, Long, V)]])(
+      implicit enc: Encoder[(K, Long, Int, V)]): Dataset[(K, Long, Int, V)] =
+    streams.zipWithIndex.map { case (s, i) =>
+      s.map { case (k, seq, v) => (k, seq, i, v) }
+    }.reduce(_ union _)
 
   /** streamz `combine_latest`: on every arrival from either side, emit the
     * pair of latest values (once both sides have produced one).

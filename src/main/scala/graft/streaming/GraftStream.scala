@@ -56,9 +56,25 @@ final class GraftStream[T](val ds: Dataset[T]) extends Serializable {
   def sinkToList(name: String, outputMode: String = "append"): StreamingQuery =
     ds.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
 
+  /** streamz sink (sinks.py:26-73): run `f` once per element. Unlike the
+    * reference's single-process event loop, `f` runs *executor-side* where
+    * the element lives (ForeachWriter) — no data ever crosses the driver,
+    * so the sink scales with the cluster. `f` must be serializable; for
+    * per-connection resources use [[foreachWriter]] with open/close hooks.
+    */
   def sink(f: T => Unit): StreamingQuery =
-    ds.writeStream.foreachBatch((batch: Dataset[T], _: Long) =>
-      batch.collect().foreach(f)).start()
+    foreachWriter(new org.apache.spark.sql.ForeachWriter[T] {
+      def open(partitionId: Long, epochId: Long): Boolean = true
+      def process(value: T): Unit = f(value)
+      def close(errorOrNull: Throwable): Unit = ()
+    })
+
+  /** Full ForeachWriter form of [[sink]] for sinks that hold a resource
+    * per partition (connections, file handles): open/process/close run on
+    * the executor that owns the partition.
+    */
+  def foreachWriter(w: org.apache.spark.sql.ForeachWriter[T]): StreamingQuery =
+    ds.writeStream.foreach(w).start()
 
   def writeStream: DataStreamWriter[T] = ds.writeStream
 }

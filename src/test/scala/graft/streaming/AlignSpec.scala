@@ -78,6 +78,62 @@ class AlignSpec extends SparkSuite {
     assert(got.toSeq == Seq(("a", 1), ("b", 1), ("c", 1), ("d", 2)))
   }
 
+  test("zip maxsize: slow right side, left leftover buffer capped (drop_oldest)") {
+    val l = MemoryStream[(Int, Long, String)]
+    val r = MemoryStream[(Int, Long, Int)]
+    val out = Align.zip(l.toDS(), r.toDS(), maxsize = 3)
+    val q = out.toDF("key", "a", "b").writeStream
+      .format("memory").queryName("zip_cap").outputMode("append").start()
+    // 5 left elements, no right: only the newest 3 survive in state
+    l.addData((1 to 5).map(i => (1, i.toLong, s"l$i")): _*)
+    q.processAllAvailable()
+    r.addData((1 to 3).map(i => (1, (10 + i).toLong, i)): _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("zip_cap").as[(Int, String, Int)].collect().sortBy(_._3)
+    // l1, l2 were dropped oldest-first; l3..l5 pair with r1..r3
+    assert(got.toSeq == Seq((1, "l3", 1), (1, "l4", 2), (1, "l5", 3)))
+  }
+
+  test("zipN: 3 streams + a literal upstream spliced at its position") {
+    val s0 = MemoryStream[(Int, Long, String)]
+    val s1 = MemoryStream[(Int, Long, String)]
+    val s2 = MemoryStream[(Int, Long, String)]
+    // Stream.zip(s0, "LIT", s1, s2): literal at tuple position 1
+    val out = Align.zipN(Seq(s0.toDS(), s1.toDS(), s2.toDS()),
+      literals = Seq((1, "LIT")))
+    val q = out.toDF("key", "tup").writeStream
+      .format("memory").queryName("zipn_t").outputMode("append").start()
+    s0.addData((1, 1L, "a1"), (1, 2L, "a2"))
+    s1.addData((1, 3L, "b1"))
+    q.processAllAvailable()
+    assert(spark.table("zipn_t").count() == 0) // s2 has produced nothing yet
+    s2.addData((1, 4L, "c1"), (1, 5L, "c2"))
+    s1.addData((1, 6L, "b2"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("zipn_t").as[(Int, Seq[String])].collect()
+      .map(_._2).sortBy(_.head)
+    assert(got.toSeq == Seq(
+      Seq("a1", "LIT", "b1", "c1"), Seq("a2", "LIT", "b2", "c2")))
+  }
+
+  test("combineLatestN: emits latest N-tuple once all streams seen, emitOn respected") {
+    val s0 = MemoryStream[(Int, Long, Int)]
+    val s1 = MemoryStream[(Int, Long, Int)]
+    val s2 = MemoryStream[(Int, Long, Int)]
+    // only stream 0 triggers emission
+    val out = Align.combineLatestN(Seq(s0.toDS(), s1.toDS(), s2.toDS()), emitOn = Set(0))
+    val q = out.toDF("key", "seq", "tup").writeStream
+      .format("memory").queryName("cln_t").outputMode("append").start()
+    s0.addData((1, 1L, 100)); q.processAllAvailable()   // others empty: nothing
+    s1.addData((1, 2L, 200)); s2.addData((1, 3L, 300)); q.processAllAvailable() // non-emitting
+    s0.addData((1, 4L, 101)); q.processAllAvailable()   // emits (101, 200, 300)
+    s1.addData((1, 5L, 201)); q.processAllAvailable()   // non-emitting side: refresh only
+    s0.addData((1, 6L, 102)); q.processAllAvailable(); q.stop() // emits (102, 201, 300)
+    val got = spark.table("cln_t").as[(Int, Long, Seq[Int])].collect()
+      .sortBy(_._2).map(_._3)
+    assert(got.toSeq == Seq(Seq(101, 200, 300), Seq(102, 201, 300)))
+  }
+
   test("alignment state is sharded per key") {
     val l = MemoryStream[(Int, Long, String)]
     val r = MemoryStream[(Int, Long, Int)]

@@ -9,6 +9,12 @@ import org.apache.spark.sql.functions._
   * docs' canonical `sdf[sdf.name=='Alice'].amount.sum()` flow
   * (docs/source/dataframes.rst:38-46).
   */
+object GraftFrameSpec {
+  // sink target: static so the executor-side ForeachWriter (same JVM in
+  // local mode) and the test assertion see the same collection
+  val sunk = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+}
+
 class GraftFrameSpec extends SparkSuite {
   import spark.implicits._
   implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -22,6 +28,18 @@ class GraftFrameSpec extends SparkSuite {
     q.processAllAvailable(); q.stop()
     val got = spark.table("gs_t").as[Int].collect().sorted
     assert(got.toSeq == Seq(2, 10, 20, 30)) // 110 removed, odds filtered
+  }
+
+  test("sink: runs f per element executor-side (ForeachWriter, no driver collect)") {
+    val in = MemoryStream[Int]
+    GraftFrameSpec.sunk.clear()
+    val q = new GraftStream(in.toDS()).map(_ * 2).sink { i =>
+      GraftFrameSpec.sunk.add(i) // executor thread in local mode (same JVM)
+    }
+    in.addData(1, 2, 3); q.processAllAvailable()
+    in.addData(4); q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(GraftFrameSpec.sunk.asScala.toSeq.sorted == Seq(2, 4, 6, 8))
   }
 
   test("docs flagship: filter name == Alice, running grouped sum, update mode") {
