@@ -26,6 +26,9 @@ object DedupOps extends QueryGroup {
   private val NumHashes = 8
   private val BandSize = 2 // 4 bands of 2 → candidates at jaccard ≳ 0.5
   private val NumBands = NumHashes / BandSize
+  // hot-shingle bound for the exact-Jaccard self-join: a shingle in d docs
+  // yields d(d-1)/2 pairs, so df is capped (standard posting-list cap)
+  private val MaxShingleDf = 100
 
   /** (doc_id, sharr): distinct 3-token shingles per document, in-row. */
   private def shingleArrays(s: SparkSession, dir: String): DataFrame = {
@@ -52,15 +55,26 @@ object DedupOps extends QueryGroup {
     }),
 
     // exact n-gram Jaccard on candidate pairs sharing ≥1 shingle. The
-    // shingle explode + self-join is the blocking step; per-doc sizes ride
-    // along in-row and join back via broadcast.
+    // shingle explode + self-join is the blocking step; a document-
+    // frequency cap bounds it: a shingle shared by d docs contributes
+    // d(d-1)/2 candidate pairs, so one boilerplate sentence in 10⁶ docs
+    // would be ~10¹² pairs. Shingles with df > MaxShingleDf carry no
+    // discriminative signal and are dropped from the representation
+    // (blocking, intersection AND sizes — consistently, so jaccard stays
+    // well-defined); the per-shingle pair count is then ≤ MaxShingleDf²/2.
     "dedup_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
       val docs = shingleArrays(s, dir)
-      // the self-join reads the shingle set twice — cache the (small)
-      // exploded form rather than recomputing the per-doc shingling
-      val sh = docs.select($"doc_id", explode($"sharr").as("shingle")).cache()
-      val sizes = docs.select($"doc_id", size($"sharr").cast("long").as("n_sh"))
+      // cache the exploded form once: it feeds the df computation, both
+      // sides of the self-join, and the sizes — shingling runs one time
+      val sh0 = docs.select($"doc_id", explode($"sharr").as("shingle")).cache()
+      // sharr is distinct-per-doc, so count(*) per shingle = document
+      // frequency. `hot` is tiny (only boilerplate shingles) → the
+      // anti-join below broadcasts it.
+      val hot = sh0.groupBy($"shingle").agg(count(lit(1)).as("df"))
+        .filter($"df" > MaxShingleDf).select($"shingle")
+      val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val pairs = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -129,7 +143,9 @@ object DedupOps extends QueryGroup {
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      s"""WITH sh AS ($SQL_SHINGLES),
+      s"""WITH sh0 AS ($SQL_SHINGLES),
+         |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > $MaxShingleDf),
+         |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
          |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter

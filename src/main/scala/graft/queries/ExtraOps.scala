@@ -72,6 +72,20 @@ object ExtraOps extends QueryGroup {
         .filter($"rn" === 1)
         .groupBy($"wstart")
         .agg(count(lit(1)).as("n_unique_users"), dsum($"value", 2).as("first_values_total"))
+    }),
+
+    // timed_window_unique keep="last" (core.py:1365-1481 `keep` param): a
+    // duplicate key *replaces* the buffered element, so the window closes
+    // with each key's most-recent row — rn = 1 over the DESC arrival order.
+    "timed_window_unique_last" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events")
+        .withColumn("wstart", window($"ts", "1 hour").getField("start"))
+      val w = Window.partitionBy($"wstart", $"user_id").orderBy($"ts".desc, $"event_id".desc)
+      e.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .groupBy($"wstart")
+        .agg(count(lit(1)).as("n_unique_users"), dsum($"value", 2).as("last_values_total"))
     })
   )
 
@@ -121,6 +135,17 @@ object ExtraOps extends QueryGroup {
          |    ROW_NUMBER() OVER (
          |      PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP)), user_id
          |      ORDER BY $EVT_ORDER) AS rn
+         |  FROM events
+         |) WHERE rn = 1 GROUP BY wstart""".stripMargin,
+
+    "timed_window_unique_last" ->
+      s"""SELECT wstart, COUNT(*) AS n_unique_users,
+         |  ${DSUM("value", 2)} AS last_values_total
+         |FROM (
+         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart, user_id, value,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP)), user_id
+         |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
          |  FROM events
          |) WHERE rn = 1 GROUP BY wstart""".stripMargin
   )

@@ -95,6 +95,21 @@ object MiscOps extends QueryGroup {
             .as("w_median"))
     }),
 
+    // rolling(5).quantile(0.25) (dataframe/core.py:94-127): the generic
+    // interpolating-quantile form of rolling_median (GraftFrame
+    // .interpQuantile — pandas/QUANTILE_CONT linear interpolation), rounded
+    // 9 dp on both sides because interpolation formulas may differ by 1 ulp.
+    "rolling_quantile" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-4, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("arr", sort_array(collect_list($"value").over(w)))
+        .select($"user_id", $"event_id",
+          round(graft.streaming.GraftFrame.interpQuantile($"arr", lit(0.25)), 9)
+            .as("w_q25"))
+    }),
+
     // Batch/from_json path (batch.py:26-64, SURVEY §2.4): parse the JSON
     // payload with an explicit schema into typed columns.
     "json_struct_parse" -> ((s, dir) => {
@@ -148,6 +163,12 @@ object MiscOps extends QueryGroup {
       s"""SELECT user_id, event_id,
          |  ROUND(MEDIAN(value) OVER (PARTITION BY user_id ORDER BY $EVT_ORDER
          |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 9) AS w_median
+         |FROM events""".stripMargin,
+
+    "rolling_quantile" ->
+      s"""SELECT user_id, event_id,
+         |  ROUND(QUANTILE_CONT(value, 0.25) OVER (PARTITION BY user_id ORDER BY $EVT_ORDER
+         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 9) AS w_q25
          |FROM events""".stripMargin,
 
     "json_struct_parse" ->

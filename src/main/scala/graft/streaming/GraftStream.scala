@@ -137,6 +137,23 @@ final class GraftFrame(val df: DataFrame, val indexCol: String = "ts") {
         .drop("__w"),
       indexCol)
 
+  /** timed_window_unique keep="last" (core.py:1365-1481 `keep` param): a
+    * duplicate key *replaces* the buffered element, so each window closes
+    * with the key's most-recent row. Declarative streaming form: windowed
+    * groupBy + max_by over the index column (append mode emits each
+    * window's final rows once the watermark passes).
+    */
+  def timedWindowUniqueLast(duration: String, watermark: String, keyCols: String*): GraftFrame = {
+    val others = df.columns.filterNot(keyCols.contains).toSeq
+    val wdf = df.withWatermark(indexCol, watermark)
+    val out = wdf
+      .withColumn("__w", window(wdf(indexCol), duration))
+      .groupBy((col("__w") +: keyCols.map(col)): _*)
+      .agg(max_by(struct(others.map(col): _*), col(indexCol)).as("__row"))
+      .select(keyCols.map(col) ++ others.map(c => col(s"__row.$c").as(c)): _*)
+    new GraftFrame(out, indexCol)
+  }
+
   /** streamz unique (core.py:1776), unbounded/watermark-bounded dedupe. */
   def unique(cols: String*): GraftFrame = new GraftFrame(df.dropDuplicates(cols), indexCol)
 
@@ -162,6 +179,28 @@ final class GraftFrame(val df: DataFrame, val indexCol: String = "ts") {
   def rollingMin(c: String, n: Int, keys: String*): GraftFrame = rollingAgg(n, min, c, keys: _*)
   def rollingMax(c: String, n: Int, keys: String*): GraftFrame = rollingAgg(n, max, c, keys: _*)
 
+  /** rolling(n).quantile(q) (dataframe/core.py:94-127): linear-interpolating
+    * quantile (pandas default) over the trailing n rows. Spark aggregates
+    * like median/percentile reject window frames, so the ≤ n frame values
+    * are gathered and the quantile interpolated in-row — O(n log n) per row
+    * in the window length only, never in the partition size.
+    */
+  def rollingQuantile(c: String, n: Int, q: Double, keys: String*): GraftFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1]: $q")
+    val arr = sort_array(collect_list(df(c))
+      .over(win(keys).rowsBetween(-(n - 1), W.currentRow)))
+    wrap(df.withColumn(s"rolling_$c",
+      GraftFrame.interpQuantile(arr, lit(q))))
+  }
+
+  /** rolling(n).aggregate(custom) (dataframe/core.py:94-127): arbitrary fn
+    * of the trailing-frame values, expressed as a Column function over the
+    * gathered (arrival-ordered) frame array.
+    */
+  def rollingApply(n: Int, f: Column => Column, c: String, keys: String*): GraftFrame =
+    wrap(df.withColumn(s"rolling_$c",
+      f(collect_list(df(c)).over(win(keys).rowsBetween(-(n - 1), W.currentRow)))))
+
   /** expanding().agg — all history up to each row. */
   def expandingAgg(aggFn: Column => Column, c: String, keys: String*): GraftFrame =
     wrap(df.withColumn(s"expanding_$c",
@@ -173,6 +212,24 @@ final class GraftFrame(val df: DataFrame, val indexCol: String = "ts") {
   def expandingMean(c: String, keys: String*): GraftFrame = expandingAgg(avg, c, keys: _*)
 
   def writeStream: DataStreamWriter[org.apache.spark.sql.Row] = df.writeStream
+}
+
+object GraftFrame {
+  import org.apache.spark.sql.functions._
+
+  /** Linear-interpolating quantile of a *sorted* array column (pandas /
+    * QUANTILE_CONT semantics): position p = (n-1)q, result =
+    * arr[⌊p⌋] + (p-⌊p⌋)(arr[⌈p⌉] - arr[⌊p⌋]). element_at is 1-based.
+    */
+  def interpQuantile(sortedArr: Column, q: Column): Column = {
+    val n = size(sortedArr)
+    val p = (n - 1).cast("double") * q
+    val lo = floor(p).cast("int")
+    val hi = ceil(p).cast("int")
+    val vlo = element_at(sortedArr, lo + 1)
+    val vhi = element_at(sortedArr, hi + 1)
+    vlo + (p - lo) * (vhi - vlo)
+  }
 }
 
 final class GroupedGraftFrame(parent: GraftFrame, keys: Seq[Column]) {

@@ -39,6 +39,31 @@ object Stateful {
           out.iterator
       }
 
+  /** streamz `accumulate` with `start=no_default` (core.py:946-949): the
+    * first element *seeds* the state and is emitted unchanged (no `step`
+    * call); every later element folds via `step`. The no-seed mode forces
+    * state and output to share the element type — for distinct state types
+    * use [[scan]] with an explicit start, exactly like the reference.
+    */
+  def scanFromFirst[K: Encoder, V](
+      ds: Dataset[(K, Long, V)])(step: (V, V) => V)(
+      implicit kv: Encoder[(K, Long, V)], st: Encoder[V]): Dataset[(K, Long, V)] =
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[(K, Long, V)], state: GroupState[V]) =>
+          var s: Option[V] = state.getOption
+          val out = it.toVector.sortBy(_._2).map { case (_, seq, v) =>
+            val o = s match {
+              case None       => v // first element ever: seed + emit as-is
+              case Some(prev) => step(prev, v)
+            }
+            s = Some(o)
+            (key, seq, o)
+          }
+          s.foreach(state.update)
+          out.iterator
+      }
+
   /** streamz `sliding_window` (core.py:1269): per element, the trailing
     * window of up to `n` elements (including itself), aggregated by `agg`.
     * `returnPartial=false` mirrors the reference flag: suppress output

@@ -122,6 +122,20 @@ class GraftFrameSpec extends SparkSuite {
     assert(got.toSeq == Seq(3.0))
   }
 
+  test("timedWindowUniqueLast: duplicate key replaces the buffered element") {
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sdf = new GraftFrame(in.toDF().toDF("ts", "k", "v"), indexCol = "ts")
+    val q = sdf.timedWindowUniqueLast("10 seconds", "0 seconds", "k").writeStream
+      .format("memory").queryName("twul_t").outputMode("update").start()
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // window [0,10): k=a appears at t1 (v=1) and t5 (v=9) → last (9) kept
+    in.addData((t(1), "a", 1.0), (t(3), "b", 2.0), (t(5), "a", 9.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("twul_t").select("k", "v").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).last }
+    assert(got == Map("a" -> 9.0, "b" -> 2.0))
+  }
+
   test("timedWindow: tumbling event-time aggregation with watermark") {
     val in = MemoryStream[(java.sql.Timestamp, Double)]
     val sdf = new GraftFrame(in.toDF().toDF("ts", "v"), indexCol = "ts")

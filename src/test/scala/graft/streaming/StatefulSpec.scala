@@ -43,6 +43,22 @@ class StatefulSpec extends SparkSuite {
     assert(got.toSeq == Seq((1, 1L, 1.0), (1, 2L, 3.0), (1, 4L, 6.0), (2, 3L, 10.0), (2, 5L, 30.0)))
   }
 
+  test("scanFromFirst: no-start accumulate seeds from the first element") {
+    // reference test_core.py no-start accumulate: emits 0 1 3 6 10 — the
+    // first element passes through un-folded (core.py:946-949)
+    val in = MemoryStream[(Int, Long, Long)]
+    val out = Stateful.scanFromFirst(in.toDS())(_ + _)
+    val q = out.toDF("key", "seq", "running").writeStream
+      .format("memory").queryName("sff_t").outputMode("append").start()
+    in.addData((1, 1L, 0L), (1, 2L, 1L), (1, 3L, 2L))
+    q.processAllAvailable()
+    in.addData((1, 4L, 3L), (1, 5L, 4L), (2, 6L, 7L)) // seed survives batches; keys independent
+    drain(q)
+    val got = spark.table("sff_t").as[(Int, Long, Long)].collect().sortBy(_._2)
+    assert(got.filter(_._1 == 1).map(_._3).toSeq == Seq(0L, 1L, 3L, 6L, 10L))
+    assert(got.filter(_._1 == 2).map(_._3).toSeq == Seq(7L)) // fresh key: seeded, emitted as-is
+  }
+
   test("slidingWindow: trailing-3 sums match brute force incl. batch splits") {
     val xs = (1 to 10).map(i => (1, i.toLong, i.toDouble))
     val in = MemoryStream[(Int, Long, Double)]
