@@ -65,15 +65,23 @@ object DedupOps extends QueryGroup {
     "dedup_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
       val docs = shingleArrays(s, dir)
-      // cache the exploded form once: it feeds the df computation, both
-      // sides of the self-join, and the sizes — shingling runs one time
-      val sh0 = docs.select($"doc_id", explode($"sharr").as("shingle")).cache()
+      // materialize the exploded form once (it feeds the df computation and
+      // the anti-join) — localCheckpoint, not cache: an eager checkpoint is
+      // computed exactly once, truncates lineage for every consumer, and is
+      // NOT pinned in the CacheManager, so its blocks are released after the
+      // query instead of occupying executor memory for the rest of a
+      // multi-query session
+      val sh0 = docs.select($"doc_id", explode($"sharr").as("shingle")).localCheckpoint()
       // sharr is distinct-per-doc, so count(*) per shingle = document
-      // frequency. `hot` is tiny (only boilerplate shingles) → the
-      // anti-join below broadcasts it.
+      // frequency. hot's cardinality is only bounded by
+      // total_shingle_rows / MaxShingleDf — small in practice but not
+      // guaranteed tiny on a boilerplate-heavy corpus, so no forced
+      // broadcast: let AQE pick the anti-join strategy from actual sizes.
       val hot = sh0.groupBy($"shingle").agg(count(lit(1)).as("df"))
         .filter($"df" > MaxShingleDf).select($"shingle")
-      val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+      // the df-capped relation feeds THREE consumers (sizes + both sides of
+      // the self-join): checkpoint it so the anti-join runs once, not 3×
+      val sh = sh0.join(hot, Seq("shingle"), "left_anti").localCheckpoint()
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val pairs = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
         .filter(col("a.doc_id") < col("b.doc_id"))
@@ -97,11 +105,13 @@ object DedupOps extends QueryGroup {
     // is computed by zipping the two 8-element arrays, not a re-join per h.
     "dedup_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      // sigs feeds the banding and both sides of the estimate join — cache
-      // the 8-string-per-doc signatures rather than re-hashing shingles
+      // sigs feeds the banding and both sides of the estimate join —
+      // localCheckpoint the 8-string-per-doc signatures rather than
+      // re-hashing shingles (eager, computed once, and unlike cache() not
+      // pinned in the CacheManager after the query finishes)
       val sigs = shingleArrays(s, dir)
         .select($"doc_id", native.minhash_sigs($"sharr", NumHashes).as("sigs"))
-        .cache()
+        .localCheckpoint()
       // band b (0-based) = md5 of its ordered "h:sig" components
       val banded = sigs.select($"doc_id", posexplode(
         transform(sequence(lit(0), lit(NumBands - 1)), b =>

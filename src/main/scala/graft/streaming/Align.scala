@@ -25,12 +25,14 @@ object Align {
     l.union(r)
   }
 
-  /** Bound a leftover buffer to `maxsize` (core.py:1589). The reference
-    * *blocks* the upstream once a buffer holds maxsize un-paired elements;
-    * Structured Streaming has no in-operator backpressure, so the
-    * documented divergence is a bounded buffer instead:
-    * `drop_oldest` keeps the newest maxsize elements, `error` fails the
-    * query (fail-fast when silent loss is unacceptable).
+  /** Bound a buffer to `maxsize` (core.py:1589). The reference *blocks* the
+    * upstream once a buffer holds maxsize un-paired elements; Structured
+    * Streaming has no in-operator backpressure, so the documented divergence
+    * is a bounded buffer instead: `drop_oldest` keeps the newest maxsize
+    * elements, `error` fails the query (fail-fast when silent loss is
+    * unacceptable). The cap is applied incrementally as each element is
+    * folded in — never to a whole batch at once — so results do not depend
+    * on how the element sequence happens to split across micro-batches.
     */
   private def cap[E](buf: Seq[E], maxsize: Int, onOverflow: String): Seq[E] =
     if (buf.size <= maxsize) buf
@@ -61,16 +63,22 @@ object Align {
         (key: K, it: Iterator[Tagged[K, A, B]],
          state: GroupState[(Seq[(Long, A)], Seq[(Long, B)])]) =>
           var (la, lb) = state.getOption.getOrElse((Seq.empty[(Long, A)], Seq.empty[(Long, B)]))
+          val out = Vector.newBuilder[(K, A, B)]
+          // element-at-a-time: pair immediately against the opposite buffer
+          // or buffer-with-cap, so within-batch behavior is identical to the
+          // same sequence split across batches (invariant: at most one of
+          // la/lb is non-empty at any point)
           it.toVector.sortBy(_._2).foreach {
-            case (_, seq, 0, Some(a), _) => la = la :+ (seq, a)
-            case (_, seq, _, _, Some(b)) => lb = lb :+ (seq, b)
+            case (_, seq, 0, Some(a), _) =>
+              if (lb.nonEmpty) { out += ((key, a, lb.head._2)); lb = lb.tail }
+              else la = cap(la :+ ((seq, a)), maxsize, onOverflow)
+            case (_, seq, _, _, Some(b)) =>
+              if (la.nonEmpty) { out += ((key, la.head._2, b)); la = la.tail }
+              else lb = cap(lb :+ ((seq, b)), maxsize, onOverflow)
             case _ =>
           }
-          val k = math.min(la.size, lb.size)
-          val out = la.take(k).zip(lb.take(k)).map { case ((_, a), (_, b)) => (key, a, b) }
-          state.update((cap(la.drop(k), maxsize, onOverflow),
-            cap(lb.drop(k), maxsize, onOverflow)))
-          out.iterator
+          state.update((la, lb))
+          out.result().iterator
       }
   }
 
@@ -104,16 +112,21 @@ object Align {
         (key: K, it: Iterator[(K, Long, Int, V)],
          state: GroupState[Seq[Seq[(Long, V)]]]) =>
           var bufs = state.getOption.getOrElse(Seq.fill(n)(Seq.empty[(Long, V)])).toVector
+          val out = Vector.newBuilder[(K, Seq[V])]
+          // element-at-a-time (see zip): append, emit a tuple whenever every
+          // buffer is non-empty, then cap the appended side — batch-split
+          // independent (invariant: some buffer is empty between elements)
           it.toVector.sortBy(_._2).foreach { case (_, seq, side, v) =>
             bufs = bufs.updated(side, bufs(side) :+ ((seq, v)))
+            while (bufs.forall(_.nonEmpty)) {
+              val streamVals = bufs.map(_.head._2).iterator
+              out += ((key, (0 until arity).map(p => litByPos.getOrElse(p, streamVals.next()))))
+              bufs = bufs.map(_.tail)
+            }
+            bufs = bufs.updated(side, cap(bufs(side), maxsize, onOverflow))
           }
-          val k = bufs.map(_.size).min
-          val out = (0 until k).map { i =>
-            val streamVals = bufs.map(_(i)._2).iterator
-            (key, (0 until arity).map(p => litByPos.getOrElse(p, streamVals.next())))
-          }
-          state.update(bufs.map(b => cap(b.drop(k), maxsize, onOverflow)))
-          out.iterator
+          state.update(bufs)
+          out.result().iterator
       }
   }
 

@@ -61,6 +61,14 @@ final class GraftStream[T](val ds: Dataset[T]) extends Serializable {
     * the element lives (ForeachWriter) — no data ever crosses the driver,
     * so the sink scales with the cluster. `f` must be serializable; for
     * per-connection resources use [[foreachWriter]] with open/close hooks.
+    *
+    * Delivery semantics (the price of executor-side scale, vs the
+    * reference's in-order single-threaded sink): `f` runs per *partition*
+    * in parallel, so there is no global element order; and a failed task is
+    * re-run, so `f` may see an element more than once (at-least-once).
+    * Side-effecting `f` implementations must be idempotent — or key the
+    * effect on (partitionId, epochId) from [[foreachWriter]]'s open() for
+    * exactly-once against transactional targets.
     */
   def sink(f: T => Unit): StreamingQuery =
     foreachWriter(new org.apache.spark.sql.ForeachWriter[T] {
@@ -84,8 +92,17 @@ final class GraftStream[T](val ds: Dataset[T]) extends Serializable {
   * meant for `update`/`complete` output ("updating" stream type,
   * collection.py:26-29); element-wise ops stay "streaming" (append).
   */
-final class GraftFrame(val df: DataFrame, val indexCol: String = "ts") {
-  private def wrap(d: DataFrame) = new GraftFrame(d, indexCol)
+final class GraftFrame(val df: DataFrame, val indexCol: String = "ts",
+    private val allowGlobalWindow: Boolean = false) {
+  private def wrap(d: DataFrame) = new GraftFrame(d, indexCol, allowGlobalWindow)
+
+  /** Opt in to un-keyed rolling/expanding windows. A window with no
+    * partition keys plans as a SINGLE-partition WindowExec — the whole
+    * stream funnels through one task, which reproduces the reference's
+    * global-stream semantics but cannot scale. Deliberate escape hatch:
+    * `gf.globalWindow().rollingSum(...)`; at scale always pass keys.
+    */
+  def globalWindow(): GraftFrame = new GraftFrame(df, indexCol, true)
 
   // --- projection / element-wise (dataframe/core.py:239-296) --------------
   def apply(col: String): Column = df(col)
@@ -142,17 +159,32 @@ final class GraftFrame(val df: DataFrame, val indexCol: String = "ts") {
     * with the key's most-recent row. Declarative streaming form: windowed
     * groupBy + max_by over the index column (append mode emits each
     * window's final rows once the watermark passes).
+    *
+    * Ties: two rows of a key with the same index value resolve
+    * nondeterministically unless `tieBreak` names a column — then max_by
+    * orders on struct(index, tieBreak) and the largest tieBreak wins
+    * (e.g. an arrival sequence column reproduces the reference's
+    * keep-last-arrived exactly; the batch ExtraOps variant uses event_id).
     */
-  def timedWindowUniqueLast(duration: String, watermark: String, keyCols: String*): GraftFrame = {
+  def timedWindowUniqueLast(duration: String, watermark: String,
+      keyCols: Seq[String], tieBreak: Option[String] = None): GraftFrame = {
     val others = df.columns.filterNot(keyCols.contains).toSeq
     val wdf = df.withWatermark(indexCol, watermark)
+    val ord = tieBreak match {
+      case Some(tc) => struct(col(indexCol), col(tc))
+      case None     => struct(col(indexCol))
+    }
     val out = wdf
       .withColumn("__w", window(wdf(indexCol), duration))
       .groupBy((col("__w") +: keyCols.map(col)): _*)
-      .agg(max_by(struct(others.map(col): _*), col(indexCol)).as("__row"))
+      .agg(max_by(struct(others.map(col): _*), ord).as("__row"))
       .select(keyCols.map(col) ++ others.map(c => col(s"__row.$c").as(c)): _*)
     new GraftFrame(out, indexCol)
   }
+
+  /** Varargs convenience overload of [[timedWindowUniqueLast]] (no tie-break). */
+  def timedWindowUniqueLast(duration: String, watermark: String, keyCols: String*): GraftFrame =
+    timedWindowUniqueLast(duration, watermark, keyCols.toSeq, None)
 
   /** streamz unique (core.py:1776), unbounded/watermark-bounded dedupe. */
   def unique(cols: String*): GraftFrame = new GraftFrame(df.dropDuplicates(cols), indexCol)
@@ -161,12 +193,16 @@ final class GraftFrame(val df: DataFrame, val indexCol: String = "ts") {
   // Batch forms over the index order, optionally per key (the streaming
   // forms are the keyed stateful ops in Stateful/Windows). `keys` shards
   // the window — always pass keys at scale; an empty `keys` reproduces the
-  // reference's single global stream (single-partition window).
+  // reference's single global stream (single-partition window) and must be
+  // requested explicitly via [[globalWindow]].
   import org.apache.spark.sql.expressions.{Window => W, WindowSpec}
   private def win(keys: Seq[String]): WindowSpec = {
-    val base = if (keys.isEmpty) W.orderBy(df(indexCol))
-      else W.partitionBy(keys.map(df(_)): _*).orderBy(df(indexCol))
-    base
+    require(keys.nonEmpty || allowGlobalWindow,
+      "rolling/expanding with no keys plans a single-partition window " +
+        "(the whole stream through one task); call .globalWindow() first " +
+        "if the reference's un-keyed global stream is really what you want")
+    if (keys.isEmpty) W.orderBy(df(indexCol))
+    else W.partitionBy(keys.map(df(_)): _*).orderBy(df(indexCol))
   }
 
   /** rolling(n).agg over the trailing n rows (pandas-style row window). */
@@ -220,6 +256,8 @@ object GraftFrame {
   /** Linear-interpolating quantile of a *sorted* array column (pandas /
     * QUANTILE_CONT semantics): position p = (n-1)q, result =
     * arr[⌊p⌋] + (p-⌊p⌋)(arr[⌈p⌉] - arr[⌊p⌋]). element_at is 1-based.
+    * An empty array yields null (pandas NaN) — collect_list drops nulls,
+    * so an all-null rolling frame reaches here as an empty array.
     */
   def interpQuantile(sortedArr: Column, q: Column): Column = {
     val n = size(sortedArr)
@@ -228,7 +266,7 @@ object GraftFrame {
     val hi = ceil(p).cast("int")
     val vlo = element_at(sortedArr, lo + 1)
     val vhi = element_at(sortedArr, hi + 1)
-    vlo + (p - lo) * (vhi - vlo)
+    when(n === 0, lit(null)).otherwise(vlo + (p - lo) * (vhi - vlo))
   }
 }
 

@@ -42,6 +42,18 @@ class GraftFrameSpec extends SparkSuite {
     assert(GraftFrameSpec.sunk.asScala.toSeq.sorted == Seq(2, 4, 6, 8))
   }
 
+  test("mapAsync: ordered emission — output order matches input order per " +
+    "partition despite uneven per-element latency (core.py:722-835 contract)") {
+    val ds = spark.range(0, 100, 1, 2).as[Long]
+    val out = new GraftStream(ds).mapAsync { i =>
+      if (i % 7 == 0) Thread.sleep(1) // uneven latency must not reorder
+      i * 2
+    }.ds.collect()
+    // collect() concatenates partitions in order; mapPartitions preserves
+    // order within each, so the full sequence is order-preserved
+    assert(out.toSeq == (0L until 100L).map(_ * 2))
+  }
+
   test("docs flagship: filter name == Alice, running grouped sum, update mode") {
     val in = MemoryStream[(String, Double)]
     val sdf = new GraftFrame(in.toDF().toDF("name", "amount"))
@@ -134,6 +146,48 @@ class GraftFrameSpec extends SparkSuite {
     val got = spark.table("twul_t").select("k", "v").as[(String, Double)].collect()
       .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).last }
     assert(got == Map("a" -> 9.0, "b" -> 2.0))
+  }
+
+  test("rolling facade: keyed path plans a partitioned WindowExec; " +
+    "un-keyed requires explicit globalWindow() opt-in") {
+    val df = Seq(("a", 1, 1.0), ("b", 2, 2.0)).toDF("k", "ts", "v")
+    val f = new GraftFrame(df, indexCol = "ts")
+    // keyed: the physical plan's window operator must be partitioned
+    // (no "No Partition Defined" single-task funnel)
+    val plan = f.rollingSum("v", 2, "k").df.queryExecution.executedPlan.toString()
+    assert(plan.contains("Window"))
+    assert(plan.contains("partitionBy") || !plan.contains("No Partition Defined"))
+    assert(f.rollingSum("v", 2, "k").df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.forall(_.partitionSpec.nonEmpty))
+    // un-keyed without opt-in: refused at plan-construction time
+    intercept[IllegalArgumentException] { f.rollingSum("v", 2) }
+    // explicit opt-in reproduces the reference's global stream
+    val g = f.globalWindow().rollingSum("v", 2).df
+      .select("ts", "rolling_v").as[(Int, Double)].collect().toMap
+    assert(g == Map(1 -> 1.0, 2 -> 3.0))
+  }
+
+  test("rollingQuantile: all-null frame yields null, not an error") {
+    val df = Seq(("a", 1, None: Option[Double]), ("a", 2, None), ("a", 3, Some(4.0)))
+      .toDF("k", "ts", "v")
+    val f = new GraftFrame(df, indexCol = "ts")
+    val got = f.rollingQuantile("v", 2, 0.5, "k").df
+      .select("ts", "rolling_v").as[(Int, Option[Double])].collect().toMap
+    assert(got(1).isEmpty && got(2).isEmpty && got(3).contains(4.0))
+  }
+
+  test("timedWindowUniqueLast tieBreak: equal index values resolve by the tie column") {
+    val in = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val sdf = new GraftFrame(in.toDF().toDF("ts", "seq", "k", "v"), indexCol = "ts")
+    val q = sdf.timedWindowUniqueLast("10 seconds", "0 seconds", Seq("k"), Some("seq"))
+      .writeStream.format("memory").queryName("twul_tb").outputMode("update").start()
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // same key, SAME timestamp, different arrival seq → largest seq wins
+    in.addData((t(1), 1L, "a", 1.0), (t(1), 2L, "a", 9.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("twul_tb").select("k", "v").as[(String, Double)].collect()
+    assert(got.toSeq == Seq(("a", 9.0)))
   }
 
   test("timedWindow: tumbling event-time aggregation with watermark") {
