@@ -35,6 +35,22 @@ object Sources {
     spark.readStream.format("socket")
       .option("host", host).option("port", port).load()
 
+  /** from_http_server (sources.py:273-329): embedded HTTP listener; each
+    * request body is one event, acked 200 once buffered. Driver-side
+    * ingestion edge — see [[graft.sources.PushSource]] for the contract.
+    */
+  def httpServer(spark: SparkSession, port: Int, host: String = "0.0.0.0",
+                 path: String = "/"): DataFrame =
+    spark.readStream.format(classOf[graft.sources.HttpSourceProvider].getName)
+      .option("port", port).option("host", host).option("path", path).load()
+
+  /** from_process (sources.py:332-388): stream an external process's stdout
+    * line-by-line; `withStderr` merges stderr in (reference with_stderr).
+    */
+  def process(spark: SparkSession, cmd: String, withStderr: Boolean = false): DataFrame =
+    spark.readStream.format(classOf[graft.sources.ProcessSourceProvider].getName)
+      .option("cmd", cmd).option("withStderr", withStderr).load()
+
   /** from_kafka / from_kafka_batched (sources.py:391-716). `value` is the
     * raw binary payload; cast/parse downstream. maxOffsetsPerTrigger is the
     * analogue of the reference's max_batch_size.

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Keyed, ordered stateful operators — the pieces of the reference's surface
   * that Structured Streaming does not provide natively (SURVEY §4.3):
@@ -197,6 +197,78 @@ object Stateful {
         }
         cnt.update(count)
         emitted.result().iterator
+      }
+    }
+    ds.groupByKey(_._1)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Incremental-state variant of [[uniqueLru]] on transformWithState
+    * (requires the RocksDB state store provider), for the scale case the
+    * Seq-state version can't handle: [[uniqueLru]] rewrites its whole
+    * recency Seq into the state store every batch — O(history) per key per
+    * batch, unbounded at the default maxsize. Here membership lives in a
+    * `MapState[hash → recency tick]`, so a batch writes only the entries it
+    * touched (O(batch), not O(history)), and the unbounded default never
+    * reads the full map at all.
+    *
+    * Eviction (bounded `maxsize`) matches the reference's per-insert LRU
+    * exactly (core.py:1776 with history=maxsize): when an insert would
+    * exceed maxsize, the least-recently-seen hash is dropped *at that
+    * element* — an evicted value re-arriving later in the same batch is
+    * re-emitted, same as across batches. To find the LRU entry the map is
+    * loaded into an in-memory tick index once per evicting batch — O(state)
+    * but state is capped at `maxsize` entries by construction, so the load
+    * is bounded by the user's own cap and only paid when evicting.
+    */
+  def uniqueLruIncremental[K, V](
+      ds: Dataset[(K, Long, V)], maxsize: Int = Int.MaxValue,
+      dedupBy: V => String = (v: V) => String.valueOf(v))(
+      implicit ke: Encoder[K], se: Encoder[String], le: Encoder[Long],
+      me: Encoder[(Long, Long)], kv: Encoder[(K, Long, V)]): Dataset[(K, Long, V)] = {
+    require(maxsize >= 1, s"maxsize must be >= 1, got $maxsize")
+    val processor = new StatefulProcessor[K, (K, Long, V), (K, Long, V)] {
+      @transient private var seen: MapState[String, Long] = _ // hash → tick
+      @transient private var meta: ValueState[(Long, Long)] = _ // (nextTick, count)
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        seen = getHandle.getMapState[String, Long]("seen", se, le, TTLConfig.NONE)
+        meta = getHandle.getValueState[(Long, Long)]("meta", me, TTLConfig.NONE)
+      }
+      override def handleInputRows(key: K, rows: Iterator[(K, Long, V)],
+          timerValues: TimerValues): Iterator[(K, Long, V)] = {
+        var (tick, count) = if (meta.exists()) meta.get() else (0L, 0L)
+        // tick → hash recency index, built lazily from the map state the
+        // first time this batch actually needs to evict, then kept in sync
+        // for the rest of the batch; never built on the unbounded path
+        var recency: scala.collection.mutable.TreeMap[Long, String] = null
+        def index(): scala.collection.mutable.TreeMap[Long, String] = {
+          if (recency == null)
+            recency = scala.collection.mutable.TreeMap.from(
+              seen.iterator().map { case (h, t) => (t, h) })
+          recency
+        }
+        val out = Vector.newBuilder[(K, Long, V)]
+        rows.toVector.sortBy(_._2).foreach { case row @ (_, _, v) =>
+          val h = dedupBy(v)
+          if (seen.containsKey(h)) { // duplicate: refresh recency only
+            if (recency != null) { recency -= seen.getValue(h); recency += (tick -> h) }
+            seen.updateValue(h, tick)
+          } else {
+            out += row
+            seen.updateValue(h, tick)
+            if (recency != null) recency += (tick -> h)
+            count += 1
+            if (count > maxsize) { // evict the least-recently-seen hash NOW
+              val (lruTick, lruHash) = index().head
+              recency -= lruTick
+              seen.removeKey(lruHash)
+              count -= 1
+            }
+          }
+          tick += 1
+        }
+        meta.update((tick, count))
+        out.result().iterator
       }
     }
     ds.groupByKey(_._1)

@@ -42,6 +42,56 @@ class SourcesSpec extends SparkSuite {
     } finally { q.stop(); done.countDown() }
   }
 
+  test("httpServer: POSTed bodies become rows and are acked 200 " +
+    "(reference from_http_server, tests/test_sources.py http cases)") {
+    val port = { // find a free port, then hand it to the source
+      val s = new java.net.ServerSocket(0); val p = s.getLocalPort; s.close(); p
+    }
+    val q = Sources.httpServer(spark, port, host = "127.0.0.1")
+      .writeStream.format("memory").queryName("http_t").outputMode("append").start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(body: String): Int = {
+        val req = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"http://127.0.0.1:$port/"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+        client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      // the server only comes up with the stream's first micro-batch plan;
+      // retry the first POST until the listener answers
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var first = -1
+      while (first != 200 && System.nanoTime() < deadline) {
+        first = try post("alpha") catch { case _: java.net.ConnectException => Thread.sleep(100); -1 }
+      }
+      assert(first == 200)
+      assert(post("beta") == 200)
+      var got = Seq.empty[String]
+      while (got.size < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        got = spark.table("http_t").select("value").as[String].collect().toSeq
+      }
+      assert(got.sorted == Seq("alpha", "beta"))
+      // ts is a real arrival timestamp, usable for watermarking
+      assert(spark.table("http_t").select("ts").schema.head.dataType.typeName == "timestamp")
+    } finally q.stop()
+  }
+
+  test("process: subprocess stdout lines become rows " +
+    "(reference from_process, sources.py:332-388)") {
+    val q = Sources.process(spark, "printf 'l1\\nl2\\nl3\\n'")
+      .writeStream.format("memory").queryName("proc_t").outputMode("append").start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var got = Seq.empty[String]
+      while (got.size < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        got = spark.table("proc_t").select("value").as[String].collect().toSeq
+      }
+      assert(got == Seq("l1", "l2", "l3")) // stdout order is preserved
+    } finally q.stop()
+  }
+
   test("textDir: appended files stream through as lines; text sink round-trips") {
     val src = Files.createTempDirectory("graft_txt_src").toString
     val out = Files.createTempDirectory("graft_txt_out").toString

@@ -205,4 +205,33 @@ class StatefulSpec extends SparkSuite {
     val got = spark.table("uniq_t").as[(Int, Long, String)].collect().sortBy(_._2).map(_._3)
     assert(got.toSeq == Seq("a", "b", "c", "b"))
   }
+
+  test("uniqueLruIncremental (transformWithState/MapState) matches uniqueLru, " +
+    "incl. mid-batch eviction + cross-batch bounded state") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Int, Long, String)]
+      val out = Stateful.uniqueLruIncremental(in.toDS(), maxsize = 2)
+      val q = out.toDF("key", "seq", "v").writeStream
+        .format("memory").queryName("uniqi_t").outputMode("append").start()
+      // same one-batch scenario as the uniqueLru spec: per-INSERT eviction
+      // means b (evicted mid-batch by c) is readmitted within the batch
+      in.addData((1, 1L, "a"), (1, 2L, "b"), (1, 3L, "a"), (1, 4L, "c"), (1, 5L, "b"))
+      q.processAllAvailable()
+      // bounded state across batches: the retained set is {c, b} — a was
+      // evicted, so it re-emits (and its insert evicts c, which re-emits too)
+      in.addData((1, 6L, "a"), (1, 7L, "c"))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("uniqi_t").as[(Int, Long, String)].collect().sortBy(_._2)
+      assert(got.map(_._3).toSeq == Seq("a", "b", "c", "b", "a", "c"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
