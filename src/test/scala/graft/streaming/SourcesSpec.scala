@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   */
 class SourcesSpec extends SparkSuite {
   import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   test("socket: line-delimited TCP source (reference from_tcp, sources.py:212)") {
     val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
@@ -90,6 +91,66 @@ class SourcesSpec extends SparkSuite {
       }
       assert(got == Seq("l1", "l2", "l3")) // stdout order is preserved
     } finally q.stop()
+  }
+
+  test("websocket round-trip: to_websocket sink (client) pushes into the " +
+    "from_websocket source (server) — sources.py:798-838 + sinks.py:198-232") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val port = { val s = new java.net.ServerSocket(0); val p = s.getLocalPort; s.close(); p }
+    // source side: a listening websocket server, rows into a memory table
+    val srcQ = Sources.webSocket(spark, port, host = "127.0.0.1")
+      .writeStream.format("memory").queryName("ws_t").outputMode("append").start()
+    val in = MemoryStream[String]
+    var sinkQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      // the ws server only binds with the source's first micro-batch plan;
+      // wait for it before pointing the sink's client handshake at it
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var up = false
+      while (!up && System.nanoTime() < deadline) {
+        up = try { new java.net.Socket("127.0.0.1", port).close(); true }
+        catch { case _: java.io.IOException => Thread.sleep(100); false }
+      }
+      assert(up, "websocket source server did not bind")
+      // sink side: each element one masked text frame
+      in.addData("w1", "w2", "w3")
+      sinkQ = Sinks.websocket(in.toDS(), "127.0.0.1", port)
+      sinkQ.processAllAvailable()
+      var got = Seq.empty[String]
+      while (got.size < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        got = spark.table("ws_t").select("value").as[String].collect().toSeq
+      }
+      assert(got.sorted == Seq("w1", "w2", "w3"))
+    } finally { if (sinkQ != null) sinkQ.stop(); srcQ.stop() }
+  }
+
+  test("mqtt round-trip: to_mqtt sink publishes through a broker to the " +
+    "from_mqtt source — sources.py:879-932 + sinks.py:235-273") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val broker = new graft.sources.net.MiniMqttBroker
+    // subscribe first: the mini broker (QoS 0, no retained messages) only
+    // delivers messages published after the subscription, like the reference
+    val srcQ = Sources.mqttSource(spark, "127.0.0.1", broker.port, "graft/t")
+      .writeStream.format("memory").queryName("mqtt_t").outputMode("append").start()
+    val in = MemoryStream[String]
+    var sinkQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      // the source subscribes on its first micro-batch; give the SUBSCRIBE a
+      // moment to land before publishing (QoS 0 has no catch-up)
+      srcQ.processAllAvailable()
+      Thread.sleep(500)
+      in.addData("m1", "m2")
+      sinkQ = Sinks.mqtt(in.toDS(), "127.0.0.1", broker.port, "graft/t")
+      sinkQ.processAllAvailable()
+      var got = Seq.empty[String]
+      while (got.size < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        got = spark.table("mqtt_t").select("value").as[String].collect().toSeq
+      }
+      assert(got.sorted == Seq("m1", "m2"))
+    } finally { if (sinkQ != null) sinkQ.stop(); srcQ.stop(); broker.close() }
   }
 
   test("textDir: appended files stream through as lines; text sink round-trips") {
