@@ -17,7 +17,12 @@ object Bench {
       "join_inner_agg", "join_multiway", "join_semi").foreach { q =>
       try SparkEntry.queries(q)(spark, sfDir).write
         .format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // a warm-up-only failure must stay visible (stderr, not the JSON
+        // line): the measured loop below would re-report a persistent one,
+        // but e.g. an OOM that poisons the session would otherwise hide
+        System.err.println(s"[bench] warm-up '$q' failed: $e")
+      }
     }
     // A failed query reports -1 (never a small elapsed time that would be
     // indistinguishable from success) and lands in the "errors" array.

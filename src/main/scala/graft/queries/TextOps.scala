@@ -54,6 +54,24 @@ object TextOps extends QueryGroup {
         $"score_en", $"score_es", $"score_de", $"score_fr")
     }),
 
+    // token counting, BPE-ish: a subword-style lexer regex (letter runs |
+    // single digits | single punctuation — digits and punctuation split
+    // like BPE pre-tokenizers do) alongside the whitespace count;
+    // `fertility` (subword/word ratio) is the standard tokenizer-cost
+    // metric a training pipeline budgets by. Alternatives are disjoint by
+    // first character, so Java and RE2 regex engines match identically.
+    "text_tokens_bpe" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          size(TF.tokens($"text")).cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all($"text", lit(BpePattern), lit(0)))
+            .cast("long").as("n_bpe_tokens"))
+        .withColumn("fertility",
+          when($"n_ws_tokens" > 0,
+            round($"n_bpe_tokens".cast("double") / $"n_ws_tokens", 9)))
+    }),
+
     // document fingerprint: min-hash of 3-token shingles (content-defined;
     // stable under document re-chunking). fp_int is usable as a shard key.
     // Computed entirely in-row: shingle array → min md5, no explode/groupBy.
@@ -67,6 +85,11 @@ object TextOps extends QueryGroup {
           conv(substring($"fingerprint", 1, 8), 16, 10).cast("long").as("fp_int"))
     })
   )
+
+  // BPE-ish lexer: letter runs, single digits, single non-space symbols.
+  // No lookaround / backrefs, alternatives disjoint by first char → same
+  // matches under java.util.regex (Spark) and RE2 (DuckDB).
+  private val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
 
   private def sqlToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
@@ -98,6 +121,17 @@ object TextOps extends QueryGroup {
          |      CAST(len(list_filter(toks, x -> x IN ('der','die','und'))) AS BIGINT) AS score_de,
          |      CAST(len(list_filter(toks, x -> x IN ('le','les','et'))) AS BIGINT) AS score_fr
          |    FROM (SELECT doc_id, $sqlToks AS toks FROM documents)))""".stripMargin,
+
+    "text_tokens_bpe" ->
+      s"""SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+         |  CASE WHEN n_ws_tokens > 0
+         |    THEN ROUND(CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens, 9) END AS fertility
+         |FROM (
+         |  SELECT doc_id,
+         |    len($sqlToks) AS n_ws_tokens,
+         |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+         |      AS n_bpe_tokens
+         |  FROM documents)""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id, fingerprint,
