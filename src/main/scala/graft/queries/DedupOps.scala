@@ -170,23 +170,38 @@ object DedupOps extends QueryGroup {
     // candidate-pair dedup; no all-pairs product anywhere.
     "dedup_embed_cosine" -> ((s, dir) => {
       import s.implicits._
+      // emb feeds the banding and both sides of the join-back — checkpoint
+      // so signatures/norms are computed once (see the minhash sigs note)
       val emb = spread(t(s, dir, "embeddings"))
         .select($"vec_id", $"embedding",
           sqrt(native.decimal_dot($"embedding", $"embedding").cast("double")).as("nrm"),
           native.lsh_bucket($"embedding", EmbedPlanes).as("sig"))
-      val banded = emb.select($"vec_id", $"embedding", $"nrm",
+        .localCheckpoint()
+      // band/bucket rows carry ONLY ids: the self-join and the
+      // multi-band pair dedup shuffle 3 ints per row, not embedding
+      // arrays; embeddings re-enter via the two id equi-joins below
+      // (pairs ≪ corpus, the same join-back shape as dedup_minhash_lsh)
+      val banded = emb.select($"vec_id",
         posexplode(array((0 until EmbedBands).map(b =>
           shiftright($"sig", b * EmbedBandBits)
             .bitwiseAND(lit((1L << EmbedBandBits) - 1))): _*)))
-        .toDF("vec_id", "embedding", "nrm", "band", "bucket")
+        .toDF("vec_id", "band", "bucket")
+      // explicit repartition after the dedup: candidate rows are 2 ints, so
+      // AQE's byte-based coalescing would collapse them (and the broadcast
+      // joins + exact cosines downstream, which inherit this partitioning)
+      // onto one task — but each row costs a decimal dot, so hold the
+      // compute at full parallelism. An explicit width is exempt from AQE
+      // re-coalescing; NOT spread(), whose getNumPartitions probe would
+      // execute the join stages once just to read a count.
       val cand = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
             col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-          col("x.embedding").as("ea"), col("y.embedding").as("eb"),
-          col("x.nrm").as("na"), col("y.nrm").as("nb"))
-        .dropDuplicates("id_a", "id_b") // a pair can collide in several bands
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .distinct() // a pair can collide in several bands
+        .repartition(s.sparkContext.defaultParallelism)
       cand
+        .join(emb.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"nrm".as("na")), "id_a")
+        .join(emb.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"nrm".as("nb")), "id_b")
         .withColumn("cosine",
           round(native.decimal_dot($"ea", $"eb").cast("double") / ($"na" * $"nb"), 9))
         .filter($"cosine" >= CosineThreshold)

@@ -50,6 +50,10 @@ class HttpSourceProvider extends PushTableProvider {
 
       override protected def startFeeder(): Unit = {
         server = HttpServer.create(new InetSocketAddress(host, port), 0)
+        // without an executor the JDK server handles requests on its single
+        // dispatch thread — concurrent webhook posts would serialize acks
+        server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+          r => { val t = new Thread(r, "graft-http-handler"); t.setDaemon(true); t }))
         server.createContext(path, (exchange: HttpExchange) => {
           try {
             val body = readAll(exchange.getRequestBody)

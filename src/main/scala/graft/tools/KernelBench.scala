@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+import graft.functions.ExprKernels
+
+/** Microbenchmark for the native kernels (`runMain graft.tools.KernelBench`):
+  * isolates per-call cost of the exact-decimal kernels from Spark plan
+  * overheads, so plan-level timings (graft.Explain) can be attributed.
+  */
+object KernelBench {
+  def main(args: Array[String]): Unit = {
+    val rnd = new java.util.Random(42)
+    val vecs = Array.fill(1000)(ArrayData.toArrayData(Array.fill(64)(rnd.nextFloat())))
+    def time(label: String, reps: Int)(f: Int => Unit): Unit = {
+      var i = 0
+      while (i < reps) { f(i); i += 1 } // warm
+      val t0 = System.nanoTime()
+      i = 0
+      while (i < reps) { f(i); i += 1 }
+      val perCall = (System.nanoTime() - t0) / 1e3 / reps
+      println(f"$label%-24s $perCall%10.1f us/call")
+    }
+    time("decimalDot(64)", 2000)(i => ExprKernels.decimalDot(vecs(i % 1000), vecs((i + 1) % 1000)))
+    time("lshBucket(8)", 1000)(i => ExprKernels.lshBucket(vecs(i % 1000), 8))
+    time("lshBucket(32)", 1000)(i => ExprKernels.lshBucket(vecs(i % 1000), 32))
+  }
+}

@@ -104,4 +104,17 @@ object KernelProps extends Properties("ExprKernels") {
       val b2 = ExprKernels.lshBucket(new GenericArrayData(v.clone()), planes)
       Prop(b1 == b2 && b1 >= 0 && b1 < (1L << planes))
     }
+
+  // Zeros and tiny magnitudes push the double sums toward the fallback
+  // threshold; the guarded fast sign must agree with the exact decimal
+  // path everywhere, or bucket assignment diverges from the oracle SQL.
+  private val edgeVec: Gen[Array[Float]] =
+    Gen.nonEmptyListOf(Gen.oneOf(Gen.const(0f), Gen.chooseNum(-1e-6f, 1e-6f),
+      Gen.chooseNum(-100f, 100f))).map(_.toArray)
+
+  property("lshBucket guarded fast path == always-exact path") =
+    forAll(edgeVec, Gen.choose(1, 32)) { (v, planes) =>
+      val a = new GenericArrayData(v)
+      ExprKernels.lshBucket(a, planes) == ExprKernels.lshBucketExact(a, planes)
+    }
 }

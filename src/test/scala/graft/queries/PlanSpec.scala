@@ -46,6 +46,12 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("embedding near-dup never degenerates into an all-pairs product") {
+    val p = plan("dedup_embed_cosine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dedup_embed_cosine must stay an equi-join on (band, bucket):\n$p")
+  }
+
   test("whole-stage codegen covers the scan->project pipelines") {
     // codegen stages render as "*(n)" in the plan string
     Seq("map_project", "multimodal_meta").foreach { q =>

@@ -153,6 +153,22 @@ class SourcesSpec extends SparkSuite {
     } finally { if (sinkQ != null) sinkQ.stop(); srcQ.stop(); broker.close() }
   }
 
+  test("periodic: rate ticks arrive with timestamp + value " +
+    "(reference from_periodic/PeriodicDataFrame, sources.py:85)") {
+    val q = Sources.periodic(spark, rowsPerSecond = 100)
+      .writeStream.format("memory").queryName("rate_t").outputMode("append").start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var n = 0L
+      while (n < 10 && System.nanoTime() < deadline) {
+        Thread.sleep(200); n = spark.table("rate_t").count()
+      }
+      assert(n >= 10)
+      val cols = spark.table("rate_t").schema.map(f => f.name -> f.dataType.typeName).toMap
+      assert(cols == Map("timestamp" -> "timestamp", "value" -> "long"))
+    } finally q.stop()
+  }
+
   test("textDir: appended files stream through as lines; text sink round-trips") {
     val src = Files.createTempDirectory("graft_txt_src").toString
     val out = Files.createTempDirectory("graft_txt_out").toString
