@@ -16,12 +16,14 @@ object Explain {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = Sessions.local(appName = s"graft-explain-$name")
-    val stages = ArrayBuffer.empty[(Int, String, Int, Long)]
+    val stages = ArrayBuffer.empty[(Int, String, Int, Long, Long, Long, Long)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
         val si = ev.stageInfo
         val ms = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
-        stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(60), si.numTasks, ms))
+        val tm = si.taskMetrics
+        stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(60), si.numTasks, ms,
+          tm.executorRunTime, tm.executorCpuTime / 1000000, tm.jvmGCTime))
       }
     })
     val df = SparkEntry.queries(name)(spark, sfDir)
@@ -32,9 +34,9 @@ object Explain {
     // listener events are asynchronous; give the bus a moment to drain
     Thread.sleep(1000)
     println(f"%nTIMED: $name = $total%.3f s (construction excluded)%n")
-    println("stage  tasks  wall_ms  name")
-    stages.sortBy(_._1).foreach { case (id, nm, tasks, ms) =>
-      println(f"$id%5d  $tasks%5d  $ms%7d  $nm")
+    println("stage  tasks  wall_ms   run_ms   cpu_ms    gc_ms  name")
+    stages.sortBy(_._1).foreach { case (id, nm, tasks, ms, run, cpu, gc) =>
+      println(f"$id%5d  $tasks%5d  $ms%7d  $run%7d  $cpu%7d  $gc%7d  $nm")
     }
     spark.stop()
   }

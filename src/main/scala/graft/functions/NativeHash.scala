@@ -28,14 +28,124 @@ object ExprKernels {
     */
   def decimalDot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
-    var acc = JBigDecimal.ZERO
+    // Scale-20 fixed-point accumulation in a signed 128-bit (hi, lo)
+    // register: per element, parse the shortest-decimal representation
+    // (Double.toString — the SAME string BigDecimal.valueOf reads, so each
+    // addend is bit-identical to the reference semantics) into an integer
+    // number of 1e-20 units, HALF_UP like setScale(20). This replaces the
+    // BigDecimal object chain per element — the reference implementation
+    // allocated ~200 B × dims per dot, which made wide cosine stages GC-
+    // bound at 32 threads — with two longs. Elements too large for the
+    // 128-bit path (|p| ≳ 1e17, impossible for unit-normed embeddings)
+    // fall back to an exact BigDecimal side-accumulator.
+    var hi = 0L
+    var lo = 0L
+    var slow: JBigDecimal = null
     var i = 0
     while (i < n) {
       val p = a.getFloat(i).toDouble * b.getFloat(i).toDouble
-      acc = acc.add(JBigDecimal.valueOf(p).setScale(20, RoundingMode.HALF_UP))
+      if (p != 0.0) {
+        // --- parse shortest repr into (sHi, sLo) 1e-20 units, HALF_UP ---
+        val s = java.lang.Double.toString(p)
+        val len = s.length
+        var pos = 0
+        var neg = false
+        if (s.charAt(0) == '-') { neg = true; pos = 1 }
+        var digits = 0L
+        var nDigits = 0
+        var fracLen = 0
+        var inFrac = false
+        var exp10 = 0
+        var brk = false
+        while (pos < len && !brk) {
+          val c = s.charAt(pos)
+          if (c == '.') inFrac = true
+          else if (c == 'E') { exp10 = Integer.parseInt(s, pos + 1, len, 10); brk = true }
+          else {
+            digits = digits * 10 + (c - '0')
+            nDigits += 1
+            if (inFrac) fracLen += 1
+          }
+          pos += 1
+        }
+        val shift = 20 + exp10 - fracLen
+        var sHi = 0L
+        var sLo = 0L
+        var fast = nDigits <= 18 // shortest repr has ≤ 17 digits
+        if (fast) {
+          if (shift < 0) {
+            // divide by 10^-shift, HALF_UP on the magnitude
+            if (-shift >= 19) sLo = 0L // digits < 10^18 ⇒ rounds to 0
+            else {
+              val p10 = Pow10(-shift)
+              val q = digits / p10
+              val r = digits % p10
+              sLo = if (2 * r >= p10) q + 1 else q
+            }
+          } else if (shift <= 18) {
+            val p10 = Pow10(shift)
+            sHi = Math.multiplyHigh(digits, p10)
+            sLo = digits * p10
+          } else if (shift <= 36) {
+            // (digits × 10^18) × 10^(shift−18); in-domain |scaled| ≤ 1e37
+            // < 2^123 so no true overflow, guards are defensive.
+            // multiplyHigh is SIGNED; lo1 is an unsigned low word, so add
+            // the standard correction m when its top bit is set (Java 17
+            // has no unsignedMultiplyHigh)
+            val hi1 = Math.multiplyHigh(digits, Pow10(18))
+            val lo1 = digits * Pow10(18)
+            val m = Pow10(shift - 18)
+            val uHigh = Math.multiplyHigh(lo1, m) + (if (lo1 < 0) m else 0L)
+            val hiPart = hi1 * m + uHigh
+            if ((hi1 != 0 && (Long.MaxValue / m) < hi1) || hiPart < 0) fast = false
+            else { sHi = hiPart; sLo = lo1 * m }
+          } else fast = false
+          if (fast && sHi < 0) fast = false // top bit needed for the sign
+        }
+        if (fast) {
+          if (neg) { sLo = ~sLo + 1; sHi = ~sHi + (if (sLo == 0L) 1L else 0L) }
+          val newLo = lo + sLo
+          // carry detection for the unsigned low-half addition
+          hi += sHi + (((lo & sLo) | ((lo | sLo) & ~newLo)) >>> 63)
+          lo = newLo
+        } else {
+          val d = JBigDecimal.valueOf(p).setScale(20, RoundingMode.HALF_UP)
+          slow = if (slow == null) d else slow.add(d)
+        }
+      }
       i += 1
     }
+    // one conversion per dot: 128-bit unscaled → BigDecimal(scale 20) →
+    // correctly-rounded double, exactly BigDecimal.doubleValue()
+    val bytes = new Array[Byte](16)
+    var k = 0
+    while (k < 8) { bytes(k) = (hi >>> (56 - 8 * k)).toByte; k += 1 }
+    while (k < 16) { bytes(k) = (lo >>> (120 - 8 * k)).toByte; k += 1 }
+    var acc = new JBigDecimal(new java.math.BigInteger(bytes), 20)
+    if (slow != null) acc = acc.add(slow)
     acc.doubleValue()
+  }
+
+  private val Pow10 = Array.iterate(1L, 19)(_ * 10) // 10^0 .. 10^18
+
+  /** Plain IEEE-double dot product, fixed left-to-right order. Used as the
+    * cheap RANKING pass of the filter-verify pattern: |doubleDot − (exact
+    * decimal dot as double)| ≤ Σ|aᵢbᵢ|·1.4e-14 (per-term shortest-repr
+    * ulp/2 + accumulation ulps + scale-20 rounding), and by Cauchy-Schwarz
+    * Σ|aᵢbᵢ| ≤ ‖a‖·‖b‖ — so a COSINE computed from this dot sits within
+    * 1.4e-14 + ε of the exact-decimal cosine. Candidates within a 1e-9
+    * margin of a selection boundary are re-verified with [[decimalDot]],
+    * making filter-verify results provably identical to exact-everywhere.
+    */
+  def doubleDot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
   }
 
   /** SimHash of a token array over the first `bits` bits of each token's
@@ -279,6 +389,20 @@ case class DecimalDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Plain-double dot product (see [[ExprKernels.doubleDot]]). */
+case class DoubleDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.doubleDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.doubleDot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DoubleDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** SimHash over a token array (see [[ExprKernels.simHash]]). */
 case class SimHash(child: Expression, bits: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -353,6 +477,10 @@ object native {
   /** Exact-decimal dot product of two float-array columns, as double. */
   def decimal_dot(a: Column, b: Column): Column =
     col(DecimalDot(expr(a), expr(b)))
+
+  /** Plain-double dot product (cheap ranking pass of filter-verify). */
+  def double_dot(a: Column, b: Column): Column =
+    col(DoubleDot(expr(a), expr(b)))
 
   /** SimHash (default 64-bit) of a token-array column. */
   def simhash(tokens: Column, bits: Int = 64): Column =

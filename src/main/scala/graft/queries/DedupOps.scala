@@ -199,9 +199,16 @@ object DedupOps extends QueryGroup {
         .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
         .distinct() // a pair can collide in several bands
         .repartition(s.sparkContext.defaultParallelism)
+      // filter-verify (SimilarityOps scaladoc): the cheap double cosine
+      // prefilters candidates — |double − exact| ≤ 1.4e-14, and the final
+      // predicate round(exact, 9) ≥ T implies exact ≥ T − 5e-10, so any
+      // emitted pair has double cosine ≥ T − 5e-10 − 1.4e-14 > T − 1e-9;
+      // the 1e-9-margin prefilter provably drops no qualifying pair. The
+      // ~50 µs exact kernel then runs only on near-threshold survivors.
       cand
         .join(emb.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"nrm".as("na")), "id_a")
         .join(emb.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"nrm".as("nb")), "id_b")
+        .filter(native.double_dot($"ea", $"eb") / ($"na" * $"nb") >= CosineThreshold - 1e-9)
         .withColumn("cosine",
           round(native.decimal_dot($"ea", $"eb").cast("double") / ($"na" * $"nb"), 9))
         .filter($"cosine" >= CosineThreshold)

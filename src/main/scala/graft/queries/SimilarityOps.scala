@@ -9,16 +9,20 @@ import graft.functions.native
   *
   * All three queries share one scale-minded shape: the (small) query set is
   * broadcast, the corpus is scanned once, dot products run *inside the row*
-  * over the array column (codegen'd zip_with + aggregate — no explode, no
+  * over the array column (codegen'd native expressions — no explode, no
   * join on the dimension index), and top-k is a per-query-partition window.
   * On a 1000-executor cluster this is embarrassingly parallel: corpus
   * partitions never shuffle; only the (tiny) per-query top-k results move.
   *
-  * Numeric parity: per-dimension products are computed in double (matching
-  * DuckDB bit-for-bit), converted to scale-20 decimals, and summed exactly
-  * in unbounded precision (graft.functions.DecimalDot). Order-independent ⇒
-  * any plan matches the oracle's SUM. Cosines are ROUND(..., 9)'d on both
-  * sides.
+  * Numeric parity via FILTER-VERIFY: ranking runs on the cheap plain-double
+  * cosine (graft.functions.DoubleDot, ~2 µs), then the exact scale-20
+  * decimal cosine (DecimalDot, ~50 µs — the value DuckDB computes
+  * bit-for-bit) is evaluated ONLY for the provable superset of winners:
+  * every candidate within 1e-9 of the kth-best double cosine. Since
+  * |double cosine − exact cosine| ≤ 1.4e-14 (DoubleDot scaladoc), the
+  * superset provably contains the exact top-k, so results are IDENTICAL to
+  * exact-everywhere at ~1/25th the kernel cost. Cosines are
+  * ROUND(..., 9)'d on both sides.
   */
 object SimilarityOps extends QueryGroup {
 
@@ -26,6 +30,12 @@ object SimilarityOps extends QueryGroup {
     * by the native codegen-compatible expression (graft.functions.DecimalDot).
     */
   private def dotDec(a: Column, b: Column): Column = native.decimal_dot(a, b)
+
+  /** Margin for the double-cosine prefilter; ≥ 4 orders of magnitude above
+    * the 1.4e-14 double-vs-exact divergence bound, still selective enough
+    * that the exact pass sees ~k rows per query.
+    */
+  private val Margin = 1e-9
 
   /** vec_id, embedding, nrm (L2 norm as double, exact decimal sum inside). */
   private def withNorm(s: SparkSession, dir: String): DataFrame = {
@@ -35,15 +45,39 @@ object SimilarityOps extends QueryGroup {
         sqrt(dotDec($"embedding", $"embedding").cast("double")).as("nrm"))
   }
 
-  /** Broadcast corpus×queries cosine pairs: qid, vec_id, cosine (9 dp). */
-  private def cosines(s: SparkSession, dir: String): DataFrame = {
+  /** Filter-verify exact top-k: `cand` carries (qid, vec_id, qemb, qn,
+    * embedding, nrm) candidate rows; rank by the double cosine, keep every
+    * candidate within [[Margin]] of the kth-best per query (a provable
+    * superset of the exact top-k — see the object scaladoc), then compute
+    * the exact decimal cosine and rank on it. Output: qid, vec_id, rk,
+    * cosine — identical to running the exact cosine on every candidate.
+    */
+  private def exactTopK(cand: DataFrame, k: Int): DataFrame = {
+    val s = cand.sparkSession
     import s.implicits._
-    val emb = withNorm(s, dir)
-    val q = emb.filter($"vec_id" < 100)
-      .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"nrm".as("qn"))
-    emb.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
-      .withColumn("dot", dotDec($"embedding", $"qemb").cast("double"))
-      .withColumn("cosine", round($"dot" / ($"qn" * $"nrm"), 9))
+    val withD = cand.withColumn("dcos",
+      native.double_dot($"embedding", $"qemb") / ($"qn" * $"nrm"))
+    // kth-best double cosine per query, computed over SLIM rows (the sort
+    // must not carry the embedding arrays); k=1 needs no window at all —
+    // a hash max-aggregate replaces the sort+window entirely
+    val slim = withD.select($"qid", $"dcos")
+    val kth =
+      if (k == 1) slim.groupBy($"qid").agg(max($"dcos").as("kth_dcos"))
+      else {
+        val wd = Window.partitionBy($"qid").orderBy($"dcos".desc)
+        slim.withColumn("rkd", row_number().over(wd)).filter($"rkd" === k)
+          .select($"qid", $"dcos".as("kth_dcos"))
+      }
+    // left join: a query with < k candidates has no kth row — keep all.
+    // No window on this side: the margin filter alone defines survivors.
+    val survivors = withD.join(broadcast(kth), Seq("qid"), "left")
+      .filter($"kth_dcos".isNull || $"dcos" >= $"kth_dcos" - Margin)
+    val we = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
+    survivors
+      .withColumn("cosine",
+        round(dotDec($"embedding", $"qemb").cast("double") / ($"qn" * $"nrm"), 9))
+      .withColumn("rk", row_number().over(we))
+      .filter($"rk" <= k)
   }
 
   override def queries: Map[String, Q] = Map(
@@ -61,26 +95,27 @@ object SimilarityOps extends QueryGroup {
     // brute-force cosine top-1 neighbor for the first 100 vectors.
     "embed_knn" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
-      cosines(s, dir)
-        .withColumn("rk", row_number().over(w))
-        .filter($"rk" === 1)
-        .select($"qid", $"vec_id".as("nn_id"), $"cosine")
+      val emb = withNorm(s, dir)
+      val q = emb.filter($"vec_id" < 100)
+        .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"nrm".as("qn"))
+      val cand = emb.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
+      exactTopK(cand, 1).select($"qid", $"vec_id".as("nn_id"), $"cosine")
     }),
 
     // top-5 neighbors per query — same scan, per-partition top-k window.
     "similarity_topk_fast" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
-      cosines(s, dir)
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter($"rk" <= 5)
-        .select($"qid", $"vec_id".as("nn_id"), $"rk", $"cosine")
+      val emb = withNorm(s, dir)
+      val q = emb.filter($"vec_id" < 100)
+        .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"nrm".as("qn"))
+      val cand = emb.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
+      exactTopK(cand, 5)
+        .select($"qid", $"vec_id".as("nn_id"), $"rk".cast("long").as("rk"), $"cosine")
     }),
 
     // ANN scale path: sign-random-projection LSH (8 deterministic
     // md5-derived hyperplanes, graft.functions.LshBucket) buckets the
-    // corpus in-row; exact cosine runs only on same-bucket candidates.
+    // corpus in-row; cosine runs only on same-bucket candidates.
     // vs. the brute-force baseline: the broadcast join on `bucket` cuts
     // candidate pairs by ~2^planes, and the bucketing itself is one
     // narrow scan — at 100 TB, bucket becomes the partition key and each
@@ -95,12 +130,8 @@ object SimilarityOps extends QueryGroup {
         .select($"vec_id".as("qid"), $"embedding".as("qemb"),
           $"nrm".as("qn"), $"bucket")
       val cand = emb.join(broadcast(q), Seq("bucket")).filter($"vec_id" =!= $"qid")
-        .withColumn("dot", dotDec($"embedding", $"qemb").cast("double"))
-        .withColumn("cosine", round($"dot" / ($"qn" * $"nrm"), 9))
-      val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
-      cand.withColumn("rk", row_number().over(w).cast("long"))
-        .filter($"rk" <= 3)
-        .select($"qid", $"vec_id".as("nn_id"), $"rk", $"cosine")
+      exactTopK(cand, 3)
+        .select($"qid", $"vec_id".as("nn_id"), $"rk".cast("long").as("rk"), $"cosine")
     })
   )
 

@@ -85,6 +85,27 @@ object KernelProps extends Properties("ExprKernels") {
     ExprKernels.decimalDot(a, b) == model
   }
 
+  // full float range — subnormals, huge magnitudes, zeros — drives every
+  // branch of the fixed-point parser (negative shift, two-step multiply,
+  // BigDecimal fallback); the result must stay bit-identical to the model
+  private val extremeVec: Gen[Array[Float]] =
+    Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.const(0f), Gen.const(-0f), Gen.const(1e-40f), Gen.const(-1e-45f),
+      Gen.const(3e38f), Gen.const(-2.5e38f), Gen.const(1e-20f),
+      Gen.chooseNum(-1e19f, 1e19f), Gen.chooseNum(-1f, 1f),
+      Gen.chooseNum(-100f, 100f))).map(_.toArray)
+
+  property("decimalDot == model on extreme magnitudes") =
+    forAll(extremeVec) { v =>
+      val a = new GenericArrayData(v)
+      val b = new GenericArrayData(v.reverse)
+      val model = v.zip(v.reverse).foldLeft(JBigDecimal.ZERO) { case (acc, (x, y)) =>
+        acc.add(JBigDecimal.valueOf(x.toDouble * y.toDouble)
+          .setScale(20, RoundingMode.HALF_UP))
+      }.doubleValue()
+      ExprKernels.decimalDot(a, b) == model
+    }
+
   property("decimalDot is order-independent (oracle-parity invariant)") =
     forAll(vec) { v =>
       val pairs = v.zipWithIndex
@@ -95,6 +116,19 @@ object KernelProps extends Properties("ExprKernels") {
       val a2 = new GenericArrayData(perm.map(_._1).toArray)
       val b2 = new GenericArrayData(perm.map(p => v(v.length - 1 - p._2)).toArray)
       ExprKernels.decimalDot(a1, b1) == ExprKernels.decimalDot(a2, b2)
+    }
+
+  property("doubleDot == left-to-right IEEE fold; within 1.4e-14·Σ|aᵢbᵢ| of decimalDot") =
+    forAll(vec) { v =>
+      val a = new GenericArrayData(v)
+      val b = new GenericArrayData(v.reverse)
+      val model = v.zip(v.reverse).foldLeft(0.0) { case (s, (x, y)) =>
+        s + x.toDouble * y.toDouble
+      }
+      val sumAbs = v.zip(v.reverse).map { case (x, y) => math.abs(x.toDouble * y.toDouble) }.sum
+      val dd = ExprKernels.doubleDot(a, b)
+      dd == model &&
+        math.abs(dd - ExprKernels.decimalDot(a, b)) <= math.max(sumAbs * 1.4e-14, 1e-15)
     }
 
   property("lshBucket is deterministic and within 2^planes") =
