@@ -46,6 +46,16 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("filter-verify knn: k=1 threshold is a hash aggregate, not a window") {
+    // the kth-best pass must stay on slim rows — for k=1 that means a
+    // max() aggregate and exactly ONE Window (the final exact rank);
+    // a second Window would mean the wide side regrew a sort
+    val p = plan("embed_knn")
+    val windows = "(?m)^\\s*\\W*Window ".r.findAllIn(p).size
+    assert(windows == 1, s"embed_knn should plan exactly one Window, got $windows:\n$p")
+    assert(p.contains("HashAggregate"), s"kth threshold lost its aggregate:\n$p")
+  }
+
   test("embedding near-dup never degenerates into an all-pairs product") {
     val p = plan("dedup_embed_cosine")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
