@@ -34,11 +34,43 @@ final class GraftStream[T](val ds: Dataset[T]) extends Serializable {
   def starmap[A, B, U: Encoder](f: (A, B) => U)(implicit ev: T <:< (A, B)): GraftStream[U] =
     map(t => f(ev(t)._1, ev(t)._2))
 
-  /** streamz map_async (core.py:722): bounded-parallelism async map. Spark
-    * parallelizes natively; this runs f once per element per partition.
+  /** streamz map_async (core.py:722-835): concurrent evaluation of `f`
+    * with ORDERED emission. Spark already parallelizes across partitions;
+    * `parallelism > 1` additionally overlaps f-calls WITHIN a partition —
+    * the reference's contract for an async f whose latency, not CPU,
+    * dominates (an RPC per element, say). A sliding window of at most
+    * `parallelism` in-flight Futures preserves input order on emission
+    * (the reference emits in-order too) and bounds memory; f must be
+    * thread-safe. With the default `parallelism = 1` this degenerates to
+    * a plain sequential map with zero overhead.
     */
-  def mapAsync[U: Encoder](f: T => U): GraftStream[U] =
-    new GraftStream(ds.mapPartitions(_.map(f)))
+  def mapAsync[U: Encoder](f: T => U, parallelism: Int = 1): GraftStream[U] = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    if (parallelism == 1) new GraftStream(ds.mapPartitions(_.map(f)))
+    else new GraftStream(ds.mapPartitions { it =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      // prefill a bounded queue of Futures, then emit-head / submit-next:
+      // at most `parallelism` elements are in flight, output order = input
+      val buf = new scala.collection.mutable.Queue[Future[U]]()
+      new Iterator[U] {
+        private def fill(): Unit =
+          while (buf.size < parallelism && it.hasNext) {
+            val t = it.next()
+            buf.enqueue(Future(f(t)))
+          }
+        fill()
+        override def hasNext: Boolean = buf.nonEmpty
+        override def next(): U = {
+          val out = Await.result(buf.dequeue(), Duration.Inf)
+          fill()
+          out
+        }
+      }
+    })
+  }
 
   // --- relational escape hatch --------------------------------------------
   def toDF: GraftFrame = new GraftFrame(ds.toDF())

@@ -304,6 +304,11 @@ object Stateful {
     * whose key was seen in the last `maxsize` distinct values (LRU), or
     * ever (maxsize = None ≡ Int.MaxValue). Spark's dropDuplicates covers
     * the unbounded + watermark cases; this covers the LRU semantics.
+    *
+    * State-store cost caveat: this variant serializes the FULL recency Seq
+    * per key per batch — fine for small bounded `maxsize`, but at the
+    * unbounded default (or large histories) use [[uniqueLruIncremental]],
+    * whose MapState writes only the entries a batch touches.
     */
   def uniqueLru[K: Encoder, V](
       ds: Dataset[(K, Long, V)], maxsize: Int = Int.MaxValue,

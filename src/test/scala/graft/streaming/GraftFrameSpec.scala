@@ -54,6 +54,23 @@ class GraftFrameSpec extends SparkSuite {
     assert(out.toSeq == (0L until 100L).map(_ * 2))
   }
 
+  test("mapAsync parallelism>1: in-flight overlap within a partition, " +
+    "still ordered (core.py:722-835 bounded-parallelism contract)") {
+    val ds = spark.range(0, 32, 1, 1).as[Long] // ONE partition
+    def run(par: Int): (Seq[Long], Long) = {
+      val t0 = System.nanoTime()
+      val out = new GraftStream(ds).mapAsync({ i => Thread.sleep(25); i * 2 }, par)
+        .ds.collect().toSeq
+      (out, (System.nanoTime() - t0) / 1000000)
+    }
+    val (seqOut, seqMs) = run(1)   // 32 × 25ms ≈ 800ms sequential
+    val (parOut, parMs) = run(8)   // ⌈32/8⌉ × 25ms ≈ 100ms overlapped
+    assert(seqOut == (0L until 32L).map(_ * 2))
+    assert(parOut == seqOut) // ordered emission regardless of completion order
+    // generous bound: parallel must beat sequential by ≥ 2× (true ratio ~8×)
+    assert(parMs * 2 < seqMs, s"no overlap: sequential ${seqMs}ms, parallel ${parMs}ms")
+  }
+
   test("docs flagship: filter name == Alice, running grouped sum, update mode") {
     val in = MemoryStream[(String, Double)]
     val sdf = new GraftFrame(in.toDF().toDF("name", "amount"))
