@@ -94,6 +94,38 @@ class AlignSpec extends SparkSuite {
     assert(got.toSeq == Seq((1, "l3", 1), (1, "l4", 2), (1, "l5", 3)))
   }
 
+  test("zip maxsize drop_oldest is batch-split independent: same element " +
+    "sequence, any micro-batch slicing, same pairs (r3 advice pin)") {
+    // L1 L2 L3 L4 R1 R2 L5 R3 R4 R5 with maxsize=2 — element-at-a-time:
+    // L buffer caps to [L3,L4]; pairs (L3,R1) (L4,R2) (L5,R3); [R4,R5] wait
+    val events: Seq[(Boolean, Int, Long, String)] = Seq(
+      (true, 1, 1L, "L1"), (true, 1, 2L, "L2"), (true, 1, 3L, "L3"),
+      (true, 1, 4L, "L4"), (false, 1, 5L, "R1"), (false, 1, 6L, "R2"),
+      (true, 1, 7L, "L5"), (false, 1, 8L, "R3"), (false, 1, 9L, "R4"),
+      (false, 1, 10L, "R5"))
+    def run(name: String, slices: Seq[Seq[(Boolean, Int, Long, String)]]): Seq[(String, String)] = {
+      val l = MemoryStream[(Int, Long, String)]
+      val r = MemoryStream[(Int, Long, String)]
+      val q = Align.zip(l.toDS(), r.toDS(), maxsize = 2)
+        .toDF("key", "a", "b").writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      slices.foreach { slice =>
+        val (ls, rs) = slice.partition(_._1)
+        if (ls.nonEmpty) l.addData(ls.map(e => (e._2, e._3, e._4)))
+        if (rs.nonEmpty) r.addData(rs.map(e => (e._2, e._3, e._4)))
+        q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name).as[(Int, String, String)].collect().toSeq
+        .sortBy(_._2).map(t => (t._2, t._3))
+    }
+    val expect = Seq(("L3", "R1"), ("L4", "R2"), ("L5", "R3"))
+    assert(run("zbs_one", Seq(events)) == expect)             // one batch
+    assert(run("zbs_each", events.map(Seq(_))) == expect)     // one per batch
+    assert(run("zbs_mix", Seq(events.take(3), events.slice(3, 7),
+      events.drop(7))) == expect)                             // uneven split
+  }
+
   test("zipN: 3 streams + a literal upstream spliced at its position") {
     val s0 = MemoryStream[(Int, Long, String)]
     val s1 = MemoryStream[(Int, Long, String)]
