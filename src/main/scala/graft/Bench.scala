@@ -13,8 +13,14 @@ object Bench {
     // per-query costs — the measured numbers are steady-state):
     // lineitem, events, documents, embeddings, orders+customer,
     // nation+region, part
-    Seq("q1_agg", "filter_where", "multimodal_meta", "embed_norm",
-      "join_inner_agg", "join_multiway", "join_semi").foreach { q =>
+    // when SPARK_GRAFT_BENCH_ONLY narrows the run, warm up with the
+    // selected queries themselves instead of the full-suite warm list —
+    // otherwise single-query iteration still pays three full-data joins
+    val warmList = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Seq("q1_agg", "filter_where", "multimodal_meta", "embed_norm",
+        "join_inner_agg", "join_multiway", "join_semi"))
+    warmList.foreach { q =>
       try SparkEntry.queries(q)(spark, sfDir).write
         .format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

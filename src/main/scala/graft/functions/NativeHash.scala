@@ -45,6 +45,11 @@ object ExprKernels {
     while (i < n) {
       val p = a.getFloat(i).toDouble * b.getFloat(i).toDouble
       if (p != 0.0) {
+        // NaN/Infinity must fail loudly exactly like the BigDecimal path
+        // (valueOf throws NumberFormatException) — the digit parser below
+        // would otherwise fold "NaN" into the number 3520
+        if (!java.lang.Double.isFinite(p))
+          throw new NumberFormatException(s"decimalDot: non-finite product $p")
         // --- parse shortest repr into (sHi, sLo) 1e-20 units, HALF_UP ---
         val s = java.lang.Double.toString(p)
         val len = s.length
@@ -100,7 +105,10 @@ object ExprKernels {
             if ((hi1 != 0 && (Long.MaxValue / m) < hi1) || hiPart < 0) fast = false
             else { sHi = hiPart; sLo = lo1 * m }
           } else fast = false
-          if (fast && sHi < 0) fast = false // top bit needed for the sign
+          // cap per-term magnitude at 2^56 in the high word (|p| ≲ 1.3e16)
+          // so the running sum's overflow flush below has headroom; larger
+          // terms take the exact slow path
+          if (fast && (sHi < 0 || sHi > MaxTermHi)) fast = false
         }
         if (fast) {
           if (neg) { sLo = ~sLo + 1; sHi = ~sHi + (if (sLo == 0L) 1L else 0L) }
@@ -108,6 +116,13 @@ object ExprKernels {
           // carry detection for the unsigned low-half addition
           hi += sHi + (((lo & sLo) | ((lo | sLo) & ~newLo)) >>> 63)
           lo = newLo
+          // flush the accumulator into the BigDecimal side-sum before it
+          // can overflow: |hi| stays ≤ 2^62 + 2^56 per step, never wraps
+          if (hi > AccFlushHi || hi < -AccFlushHi) {
+            val d = accToDecimal(hi, lo)
+            slow = if (slow == null) d else slow.add(d)
+            hi = 0L; lo = 0L
+          }
         } else {
           val d = JBigDecimal.valueOf(p).setScale(20, RoundingMode.HALF_UP)
           slow = if (slow == null) d else slow.add(d)
@@ -117,13 +132,21 @@ object ExprKernels {
     }
     // one conversion per dot: 128-bit unscaled → BigDecimal(scale 20) →
     // correctly-rounded double, exactly BigDecimal.doubleValue()
+    var acc = accToDecimal(hi, lo)
+    if (slow != null) acc = acc.add(slow)
+    acc.doubleValue()
+  }
+
+  private final val MaxTermHi = 1L << 56 // per-term cap: |p| ≲ 1.3e16
+  private final val AccFlushHi = 1L << 62 // running-sum flush threshold
+
+  /** Signed 128-bit (hi, lo) count of 1e-20 units → BigDecimal(scale 20). */
+  private def accToDecimal(hi: Long, lo: Long): JBigDecimal = {
     val bytes = new Array[Byte](16)
     var k = 0
     while (k < 8) { bytes(k) = (hi >>> (56 - 8 * k)).toByte; k += 1 }
     while (k < 16) { bytes(k) = (lo >>> (120 - 8 * k)).toByte; k += 1 }
-    var acc = new JBigDecimal(new java.math.BigInteger(bytes), 20)
-    if (slow != null) acc = acc.add(slow)
-    acc.doubleValue()
+    new JBigDecimal(new java.math.BigInteger(bytes), 20)
   }
 
   private val Pow10 = Array.iterate(1L, 19)(_ * 10) // 10^0 .. 10^18

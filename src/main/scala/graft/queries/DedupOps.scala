@@ -281,8 +281,8 @@ object DedupOps extends QueryGroup {
         |GROUP BY doc_id""".stripMargin,
 
     // planes identical to graft.functions.ExprKernels.hyperplanes (see the
-    // similarity_ann_lsh oracle); band b (0-based) = bits 4b..4b+3 of the
-    // 16-bit bucket, i.e. planes 4b+1..4b+4 with in-band weight 2^((h-1)%4).
+    // similarity_ann_lsh oracle); band b (0-based) = bits 8b..8b+7 of the
+    // 32-bit signature, i.e. planes 8b+1..8b+8 with in-band weight 2^((h-1)%8).
     "dedup_embed_cosine" ->
       s"""WITH c AS (
          |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x

@@ -31,11 +31,14 @@ object SimilarityOps extends QueryGroup {
     */
   private def dotDec(a: Column, b: Column): Column = native.decimal_dot(a, b)
 
-  /** Margin for the double-cosine prefilter; ≥ 4 orders of magnitude above
-    * the 1.4e-14 double-vs-exact divergence bound, still selective enough
-    * that the exact pass sees ~k rows per query.
+  /** Margin for the double-cosine prefilter. Two bounds must hold: the
+    * 1.4e-14 double-vs-exact divergence, AND the rounding-tie case — the
+    * emitted value is round(exact, 9), so two candidates that ROUND equal
+    * (and then tie-break on vec_id) can differ by up to 1e-9 in exact
+    * cosine, hence up to 1e-9 + 2·1.4e-14 in double cosine. 2e-9 covers
+    * both with slack while the exact pass still sees ~k rows per query.
     */
-  private val Margin = 1e-9
+  private val Margin = 2e-9
 
   /** vec_id, embedding, nrm (L2 norm as double, exact decimal sum inside). */
   private def withNorm(s: SparkSession, dir: String): DataFrame = {
@@ -55,8 +58,14 @@ object SimilarityOps extends QueryGroup {
   private def exactTopK(cand: DataFrame, k: Int): DataFrame = {
     val s = cand.sparkSession
     import s.implicits._
+    // withD feeds BOTH the kth-threshold branch and the survivors branch;
+    // checkpoint so the candidate join + double dots run once, not twice
+    // (the DedupOps multi-consumer precedent). Tradeoff noted: at extreme
+    // scale, materializing the candidate set trades storage for the
+    // second scan — flip to recompute if candidates outgrow cluster disk.
     val withD = cand.withColumn("dcos",
       native.double_dot($"embedding", $"qemb") / ($"qn" * $"nrm"))
+      .localCheckpoint()
     // kth-best double cosine per query, computed over SLIM rows (the sort
     // must not carry the embedding arrays); k=1 needs no window at all —
     // a hash max-aggregate replaces the sort+window entirely

@@ -86,10 +86,14 @@ object TextOps extends QueryGroup {
     })
   )
 
-  // BPE-ish lexer: letter runs, single digits, single non-space symbols.
-  // No lookaround / backrefs, alternatives disjoint by first char → same
-  // matches under java.util.regex (Spark) and RE2 (DuckDB).
-  private val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  // BPE-ish lexer: letter runs, single digits, single ASCII punctuation.
+  // The symbol class is a POSITIVE ASCII range (not a negated class): a
+  // negated class would count non-BMP characters per UTF-16 code unit in
+  // java.util.regex (2 tokens per emoji) but per rune in DuckDB's RE2
+  // (1 token), breaking oracle parity on astral text. ASCII-only classes
+  // match identically in both engines; other characters count in neither.
+  private val BpePattern =
+    "[A-Za-z]+|[0-9]|[\\x21-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\x7e]"
 
   private def sqlToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
@@ -129,7 +133,8 @@ object TextOps extends QueryGroup {
          |FROM (
          |  SELECT doc_id,
          |    len($sqlToks) AS n_ws_tokens,
-         |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+         |    len(regexp_extract_all(text,
+         |      '[A-Za-z]+|[0-9]|[\\x21-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\x7e]'))
          |      AS n_bpe_tokens
          |  FROM documents)""".stripMargin,
 

@@ -39,6 +39,7 @@ class HttpSourceProvider extends PushTableProvider {
 
     new PushMicroBatchStream(parts) {
       private var server: HttpServer = _
+      private var pool: java.util.concurrent.ExecutorService = _
 
       private def readAll(in: InputStream): String = {
         val out = new java.io.ByteArrayOutputStream()
@@ -52,8 +53,9 @@ class HttpSourceProvider extends PushTableProvider {
         server = HttpServer.create(new InetSocketAddress(host, port), 0)
         // without an executor the JDK server handles requests on its single
         // dispatch thread — concurrent webhook posts would serialize acks
-        server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
-          r => { val t = new Thread(r, "graft-http-handler"); t.setDaemon(true); t }))
+        pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+          r => { val t = new Thread(r, "graft-http-handler"); t.setDaemon(true); t })
+        server.setExecutor(pool)
         server.createContext(path, (exchange: HttpExchange) => {
           try {
             val body = readAll(exchange.getRequestBody)
@@ -66,8 +68,10 @@ class HttpSourceProvider extends PushTableProvider {
         server.start()
       }
 
-      override protected def stopFeeder(): Unit =
+      override protected def stopFeeder(): Unit = {
         if (server != null) server.stop(0)
+        if (pool != null) pool.shutdown() // else 8 threads leak per query
+      }
     }
   }
 }

@@ -78,6 +78,11 @@ abstract class PushMicroBatchStream(numPartitions: Int)
     extends MicroBatchStream with Logging {
   require(numPartitions >= 1, s"numPartitions must be >= 1, got $numPartitions")
 
+  // Buffer state guards on its own lock so that stop() — which joins
+  // feeder threads — never holds the monitor a feeder's push() needs
+  // (joining under a shared lock stalled shutdown by the full join
+  // timeout whenever a message was in flight).
+  private val bufLock = new Object
   private val buf = ArrayBuffer.empty[(String, Long)]
   private var base = 0L // global offset of buf(0)
   private var feederUp = false
@@ -89,7 +94,7 @@ abstract class PushMicroBatchStream(numPartitions: Int)
   /** Append one event (thread-safe; called from feeder threads). */
   protected final def push(value: String): Unit = {
     val nowMicros = TimeUnit.MILLISECONDS.toMicros(System.currentTimeMillis())
-    synchronized { buf += ((value, nowMicros)) }
+    bufLock.synchronized { buf += ((value, nowMicros)) }
   }
 
   private def ensureStarted(): Unit = synchronized {
@@ -99,18 +104,37 @@ abstract class PushMicroBatchStream(numPartitions: Int)
   override def initialOffset(): Offset = { ensureStarted(); PushOffset(0L) }
   override def latestOffset(): Offset = {
     ensureStarted()
-    synchronized { PushOffset(base + buf.size) }
+    bufLock.synchronized { PushOffset(base + buf.size) }
   }
-  override def deserializeOffset(json: String): Offset = PushOffset(json.toLong)
+
+  /** Deserialization is also the recovery entry point: a checkpointed
+    * offset beyond this (fresh) driver's range means the buffering
+    * process died — REBASE so post-restart arrivals continue numbering
+    * from the checkpoint instead of colliding with already-committed
+    * offsets (which silently discarded every new event buffered before
+    * the first post-restart commit). Pre-crash uncommitted events are
+    * gone either way: the documented at-most-once window.
+    */
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.toLong
+    bufLock.synchronized {
+      if (n > base + buf.size) {
+        logWarning(s"push source: recovered offset $n is beyond this driver's " +
+          s"buffer [${base}, ${base + buf.size}); rebasing — events buffered " +
+          "by the previous driver but not committed are lost (at-most-once)")
+        base = n
+      }
+    }
+    PushOffset(n)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    synchronized {
+    bufLock.synchronized {
       val s = start.asInstanceOf[PushOffset].n
       val e = end.asInstanceOf[PushOffset].n
-      // A restart can hand us a checkpointed range the in-memory buffer no
-      // longer holds (the process that buffered it is gone) — emit what we
-      // have and log the loss instead of failing the query forever.
-      val from = math.max(s - base, 0L).toInt
+      // Long arithmetic clamped BEFORE narrowing (a >2^31-event range must
+      // not wrap); out-of-buffer ranges emit what exists and warn
+      val from = math.min(math.max(s - base, 0L), buf.size.toLong).toInt
       val until = math.min(math.max(e - base, 0L), buf.size.toLong).toInt
       if (s < base)
         logWarning(s"push source: offsets [$s, ${math.min(e, base)}) predate " +
@@ -124,7 +148,7 @@ abstract class PushMicroBatchStream(numPartitions: Int)
   override def createReaderFactory(): PartitionReaderFactory =
     new PushPartitionReaderFactory
 
-  override def commit(end: Offset): Unit = synchronized {
+  override def commit(end: Offset): Unit = bufLock.synchronized {
     val e = end.asInstanceOf[PushOffset].n
     val drop = math.min(math.max(e - base, 0L), buf.size.toLong).toInt
     buf.remove(0, drop)

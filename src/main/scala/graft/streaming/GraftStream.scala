@@ -59,7 +59,11 @@ final class GraftStream[T](val ds: Dataset[T]) extends Serializable {
         private def fill(): Unit =
           while (buf.size < parallelism && it.hasNext) {
             val t = it.next()
-            buf.enqueue(Future(f(t)))
+            // blocking{}: f is expected to BLOCK (an RPC), so tell the
+            // fork-join pool to spawn compensation threads — otherwise
+            // effective parallelism is capped at core count and concurrent
+            // Spark tasks starve each other on the shared global pool
+            buf.enqueue(Future(scala.concurrent.blocking(f(t))))
           }
         fill()
         override def hasNext: Boolean = buf.nonEmpty

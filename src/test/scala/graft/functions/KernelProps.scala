@@ -118,6 +118,32 @@ object KernelProps extends Properties("ExprKernels") {
       ExprKernels.decimalDot(a1, b1) == ExprKernels.decimalDot(a2, b2)
     }
 
+  // products in ~1e16..1e19 land in the band where a 128-bit scale-20
+  // accumulator can overflow without per-term/flush guards — pin that the
+  // guarded fast path still equals the BigDecimal model there
+  private val hugeVec: Gen[Array[Float]] =
+    Gen.nonEmptyListOf(Gen.oneOf(Gen.chooseNum(8e8f, 4e9f),
+      Gen.chooseNum(-4e9f, -8e8f), Gen.chooseNum(-1f, 1f))).map(_.toArray)
+
+  property("decimalDot == model in the accumulator-overflow band") =
+    forAll(hugeVec) { v =>
+      val a = new GenericArrayData(v)
+      val b = new GenericArrayData(v.reverse)
+      val model = v.zip(v.reverse).foldLeft(JBigDecimal.ZERO) { case (acc, (x, y)) =>
+        acc.add(JBigDecimal.valueOf(x.toDouble * y.toDouble)
+          .setScale(20, RoundingMode.HALF_UP))
+      }.doubleValue()
+      ExprKernels.decimalDot(a, b) == model
+    }
+
+  property("decimalDot throws on NaN/Infinity like BigDecimal.valueOf") =
+    forAll(Gen.oneOf(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity)) { bad =>
+      val a = new GenericArrayData(Array(1.0f, bad))
+      val b = new GenericArrayData(Array(1.0f, 1.0f))
+      Prop(scala.util.Try(ExprKernels.decimalDot(a, b)).failed.toOption
+        .exists(_.isInstanceOf[NumberFormatException]))
+    }
+
   property("doubleDot == left-to-right IEEE fold; within 1.4e-14·Σ|aᵢbᵢ| of decimalDot") =
     forAll(vec) { v =>
       val a = new GenericArrayData(v)
