@@ -40,6 +40,13 @@ object SimilarityOps extends QueryGroup {
     */
   private val Margin = 2e-9
 
+  /** IVF coarse-quantizer parameters: 16 fixed-sample centroids, 2 probed
+    * cells per query (~1/8th of the corpus scanned per query here; nlist
+    * scales with corpus size in a real deployment).
+    */
+  private val NList = 16
+  private val NProbe = 2
+
   /** vec_id, embedding, nrm (L2 norm as double, exact decimal sum inside). */
   private def withNorm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -122,6 +129,43 @@ object SimilarityOps extends QueryGroup {
         .select($"qid", $"vec_id".as("nn_id"), $"rk".cast("long").as("rk"), $"cosine")
     }),
 
+    // IVF scale path: inverted-file index with a deterministic coarse
+    // quantizer. Centroids = a fixed corpus sample (vec_id 100..115 — any
+    // fixed quantizer is a valid IVF; k-means training refines recall but
+    // adds nothing structural); every vector is assigned to its nearest
+    // centroid by exact-decimal L2 score (argmin ‖v−c‖² ≡ argmin
+    // ‖c‖²−2·v·c, ‖v‖² constant per v — decimal dots keep the score
+    // order-independent so DuckDB assigns identically); a query probes its
+    // `NProbe` nearest cells and ranks only those cells' members via
+    // [[exactTopK]]. At 100 TB, cell id becomes the partition key: a query
+    // reads NProbe partitions instead of the corpus, and the assignment
+    // pass is one narrow broadcast-join scan.
+    "similarity_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = withNorm(s, dir).localCheckpoint() // feeds assign + cand + queries
+      val cent = emb.filter($"vec_id" >= 100 && $"vec_id" < 100 + NList)
+        .select($"vec_id".as("cid"), $"embedding".as("cemb"),
+          ($"nrm" * $"nrm").as("c2"))
+      val scored = emb.crossJoin(broadcast(cent))
+        .withColumn("score",
+          $"c2" - lit(2.0) * dotDec($"embedding", $"cemb").cast("double"))
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"score", $"cid")
+      val assign = scored.withColumn("rn", row_number().over(wAssign))
+        .filter($"rn" === 1).select($"vec_id", $"cid")
+      val probes = scored.filter($"vec_id" < 100)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter($"rn" <= NProbe).select($"vec_id".as("qid"), $"cid")
+      val q = emb.filter($"vec_id" < 100)
+        .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"nrm".as("qn"))
+      val cand = assign.join(broadcast(probes), Seq("cid"))
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id")
+        .join(emb, Seq("vec_id"))
+        .join(broadcast(q), Seq("qid"))
+      exactTopK(cand, 3)
+        .select($"qid", $"vec_id".as("nn_id"), $"rk".cast("long").as("rk"), $"cosine")
+    }),
+
     // ANN scale path: sign-random-projection LSH (8 deterministic
     // md5-derived hyperplanes, graft.functions.LshBucket) buckets the
     // corpus in-row; cosine runs only on same-bucket candidates.
@@ -185,6 +229,56 @@ object SimilarityOps extends QueryGroup {
          |  SELECT qid, cid, cosine,
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
          |  FROM cosines) WHERE rk <= 5""".stripMargin,
+
+    // centroids/assignment replicate the Spark quantizer exactly: same
+    // fixed sample, same decimal dots, same score formula and (score, cid)
+    // tiebreak — so the probed cells and candidate sets are identical.
+    "similarity_ivf" ->
+      s"""WITH c AS ($SQL_COMPS),
+         |norms AS (
+         |  SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+         |  FROM c GROUP BY vec_id),
+         |cent AS (SELECT vec_id AS cid FROM embeddings
+         |  WHERE vec_id >= 100 AND vec_id < ${100 + NList}),
+         |cdot AS (
+         |  SELECT cv.vec_id, cc.vec_id AS cid,
+         |    CAST(SUM(CAST(cv.x * cc.x AS DECIMAL(38,20))) AS DOUBLE) AS dot
+         |  FROM c cv JOIN c cc ON cv.i = cc.i
+         |  JOIN cent ON cc.vec_id = cent.cid
+         |  GROUP BY cv.vec_id, cc.vec_id),
+         |scored AS (
+         |  SELECT cdot.vec_id, cid, (cn.nrm * cn.nrm) - 2 * dot AS score
+         |  FROM cdot JOIN norms cn ON cn.vec_id = cid),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+         |    FROM scored WHERE vec_id < 100) WHERE rn <= $NProbe),
+         |cand AS (
+         |  SELECT probes.qid, assign.vec_id AS did
+         |  FROM assign JOIN probes USING (cid)
+         |  WHERE assign.vec_id <> probes.qid),
+         |dots AS (
+         |  SELECT cand.qid, cand.did,
+         |    CAST(SUM(CAST(cq.x * cd.x AS DECIMAL(38,20))) AS DOUBLE) AS dot
+         |  FROM cand
+         |  JOIN c cq ON cq.vec_id = cand.qid
+         |  JOIN c cd ON cd.vec_id = cand.did AND cd.i = cq.i
+         |  GROUP BY cand.qid, cand.did),
+         |cosines AS (
+         |  SELECT qid, did, ROUND(dot / (qn.nrm * dn.nrm), 9) AS cosine
+         |  FROM dots
+         |  JOIN norms qn ON qn.vec_id = qid
+         |  JOIN norms dn ON dn.vec_id = did)
+         |SELECT qid, did AS nn_id, rk, cosine FROM (
+         |  SELECT qid, did, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, did) AS rk
+         |  FROM cosines) WHERE rk <= 3""".stripMargin,
 
     // hyperplane r(h,i) = ((int(md5("h|i")[1:6], 16) % 1000) - 500)/1000.0
     // — identical to graft.functions.ExprKernels.hyperplanes; bucket bit h
