@@ -104,18 +104,21 @@ class AlignSpec extends SparkSuite {
       (true, 1, 7L, "L5"), (false, 1, 8L, "R3"), (false, 1, 9L, "R4"),
       (false, 1, 10L, "R5"))
     def run(name: String, slices: Seq[Seq[(Boolean, Int, Long, String)]]): Seq[(String, String)] = {
-      val l = MemoryStream[(Int, Long, String)]
-      val r = MemoryStream[(Int, Long, String)]
-      val q = Align.zip(l.toDS(), r.toDS(), maxsize = 2)
+      // ONE source stream split into the two zip legs: both legs read the
+      // same source offsets, so each addData slice reaches both sides in
+      // the SAME micro-batch — two separate MemoryStreams would race the
+      // trigger thread between their addData calls and the engine could
+      // batch a slice's lefts before its rights (exactly the boundary
+      // dependence this test exists to rule out)
+      val src = MemoryStream[(Boolean, Int, Long, String)]
+      val l = src.toDS().filter(_._1).map(e => (e._2, e._3, e._4))
+      val r = src.toDS().filter(!_._1).map(e => (e._2, e._3, e._4))
+      val q = Align.zip(l, r, maxsize = 2)
         .toDF("key", "a", "b").writeStream
         .format("memory").queryName(name).outputMode("append").start()
-      slices.foreach { slice =>
-        val (ls, rs) = slice.partition(_._1)
-        if (ls.nonEmpty) l.addData(ls.map(e => (e._2, e._3, e._4)))
-        if (rs.nonEmpty) r.addData(rs.map(e => (e._2, e._3, e._4)))
-        q.processAllAvailable()
-      }
-      q.stop()
+      try {
+        slices.foreach { slice => src.addData(slice); q.processAllAvailable() }
+      } finally q.stop()
       spark.table(name).as[(Int, String, String)].collect().toSeq
         .sortBy(_._2).map(t => (t._2, t._3))
     }
