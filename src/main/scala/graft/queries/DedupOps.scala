@@ -78,13 +78,12 @@ object DedupOps extends QueryGroup {
     "dedup_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
       val docs = shingleArrays(s, dir)
-      // materialize the exploded form once (it feeds the df computation and
-      // the anti-join) — localCheckpoint, not cache: an eager checkpoint is
-      // computed exactly once, truncates lineage for every consumer, and is
-      // NOT pinned in the CacheManager, so its blocks are released after the
-      // query instead of occupying executor memory for the rest of a
-      // multi-query session
-      val sh0 = docs.select($"doc_id", explode($"sharr").as("shingle")).localCheckpoint()
+      // NOT checkpointed: both consumers of the exploded form (the df
+      // aggregate and the anti-join's left side) live inside the single
+      // checkpointed `sh` plan below, so materializing ~700k exploded rows
+      // here costs ~30 s of CPU (row copy + block serialization, measured
+      // via graft.Explain) to save one ~0.3 s shingle+explode recompute
+      val sh0 = docs.select($"doc_id", explode($"sharr").as("shingle"))
       // sharr is distinct-per-doc, so count(*) per shingle = document
       // frequency. hot's cardinality is only bounded by
       // total_shingle_rows / MaxShingleDf — small in practice but not

@@ -24,5 +24,16 @@ object KernelBench {
     time("decimalDot(64)", 2000)(i => ExprKernels.decimalDot(vecs(i % 1000), vecs((i + 1) % 1000)))
     time("lshBucket(8)", 1000)(i => ExprKernels.lshBucket(vecs(i % 1000), 8))
     time("lshBucket(32)", 1000)(i => ExprKernels.lshBucket(vecs(i % 1000), 32))
+
+    // text kernels on a ~1 KB 150-token document (the documents-table shape)
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val doc = org.apache.spark.unsafe.types.UTF8String.fromString(
+      Array.tabulate(150)(i => words(rnd.nextInt(words.length)) + i % 17).mkString(" "))
+    time("tokens(150w)", 2000)(_ => ExprKernels.tokens(doc))
+    time("shingles3(150w)", 2000)(_ => ExprKernels.shingles3(doc))
+    val toks = ExprKernels.tokens(doc)
+    time("minHashSigs(k=8)", 500)(_ => ExprKernels.minHashSigs(ExprKernels.shingles3(doc), 8))
+    time("simHash(16)", 1000)(_ => ExprKernels.simHash(toks, 16))
   }
 }
