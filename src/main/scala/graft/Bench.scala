@@ -3,50 +3,71 @@ package graft
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Results are fully materialized through a noop
   * write (a bare .count() would let Catalyst prune most of the plan).
+  *
+  * Noise control: per-query numbers in a single-pass suite swing with JIT
+  * warm-up ORDER (adding one alphabetically-early query shifted q1_agg
+  * 1.2s → 2.5s in r4 with zero plan change). So the harness (a) runs one
+  * full fixed-order warm-up pass — every selected query once, untimed —
+  * so codegen/classloading/footer costs are paid before any measurement,
+  * then (b) times SPARK_GRAFT_BENCH_REPS (default 3) full fixed-order
+  * passes and reports each query's BEST (min) across passes. Two choices
+  * both matter, measured on back-to-back suite runs: noise on a shared
+  * 32-thread JVM is one-sided — GC pauses and scheduler delays only ever
+  * ADD time — so the min estimates inherent cost where the median still
+  * swung 12/59 queries >15%; and load drifts on a multi-second timescale,
+  * so INTERLEAVED passes (each query sampled in 3 separate time windows)
+  * beat consecutive per-query reps (all 3 samples inside one window,
+  * which left 10/59 queries >15%). Re-runs should move no query >15%.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1: $reps")
     val spark = Sessions.local(appName = "graft-bench")
-    // warm the JVM + parquet footers once per input table (codegen,
-    // classloading and footer reads are session-level costs, not
-    // per-query costs — the measured numbers are steady-state):
-    // lineitem, events, documents, embeddings, orders+customer,
-    // nation+region, part
-    // when SPARK_GRAFT_BENCH_ONLY narrows the run, warm up with the
-    // selected queries themselves instead of the full-suite warm list —
-    // otherwise single-query iteration still pays three full-data joins
-    val warmList = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSeq)
-      .getOrElse(Seq("q1_agg", "filter_where", "multimodal_meta", "embed_norm",
-        "join_inner_agg", "join_multiway", "join_semi"))
-    warmList.foreach { q =>
-      try SparkEntry.queries(q)(spark, sfDir).write
-        .format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        // a warm-up-only failure must stay visible (stderr, not the JSON
-        // line): the measured loop below would re-report a persistent one,
-        // but e.g. an OOM that poisons the session would otherwise hide
-        System.err.println(s"[bench] warm-up '$q' failed: $e")
-      }
-    }
-    // A failed query reports -1 (never a small elapsed time that would be
-    // indistinguishable from success) and lands in the "errors" array.
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (fast iteration on
     // one query); the driver never sets it, so official runs are complete.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(f =>
       SparkEntry.queries.filter { case (k, _) => f(k) })
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (name, (System.nanoTime() - t0) / 1e9, None: Option[String])
-      } catch {
-        case e: Throwable =>
-          (name, -1.0, Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+      .toSeq.sortBy(_._1)
+
+    def runOnce(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+      catch { case e: Throwable =>
+        Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+
+    // warm-up: one full fixed-order pass (untimed). A warm-up-only failure
+    // must stay visible (stderr, not the JSON line): the measured loop
+    // below would re-report a persistent one, but e.g. an OOM that poisons
+    // the session would otherwise hide.
+    selected.foreach { case (name, fn) =>
+      runOnce(name, fn).foreach(e =>
+        System.err.println(s"[bench] warm-up '$name' failed: $e"))
+    }
+
+    // measurement: reps full fixed-order passes; per-query min across them.
+    // A failed query reports -1 (never a small elapsed time that would be
+    // indistinguishable from success) and lands in the "errors" array.
+    val samples: Seq[Seq[(String, Either[String, Double])]] =
+      (1 to reps).map { _ =>
+        selected.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          runOnce(name, fn) match {
+            case None      => (name, Right((System.nanoTime() - t0) / 1e9))
+            case Some(msg) => (name, Left(msg))
+          }
+        }
       }
+    val results = selected.map { case (name, _) =>
+      val mine = samples.map(_.collectFirst { case (`name`, r) => r }.get)
+      val ok = mine.collect { case Right(s) => s }
+      if (ok.isEmpty)
+        (name, -1.0, mine.collectFirst { case Left(m) => m })
+      else
+        (name, ok.min, None: Option[String])
     }
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -61,7 +82,7 @@ object Bench {
       s"""{"query":${jstr(k)},"error":${jstr(msg)}}"""
     }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
