@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed connected components over an edge list, via alternating
+  * large-star / small-star rounds (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", ACM SoCC 2014).
+  *
+  * This is the pairs→clusters step of the dedup story: the LSH dedup
+  * operators (graft.queries.DedupOps) emit candidate *pairs*; a pipeline
+  * needs every document labeled with a cluster id so one keeper per cluster
+  * can be retained. The reference (streamz) has no graph layer — this is a
+  * north-star extension, designed Spark-first.
+  *
+  * Scale shape: each round is two shuffles (a groupBy computing each
+  * neighborhood minimum and the join-back), all on the node id — no
+  * driver-side graph state, no collect. Convergence is O(log d) rounds in
+  * the component diameter d (the star operations square path lengths), so
+  * even a pathological 10⁹-node chain finishes in ~30 rounds; real dedup
+  * graphs (small clusters of near-duplicates) converge in 2-3. Lineage is
+  * cut per round with localCheckpoint, the standard discipline for
+  * iterative DataFrame algorithms. The per-round convergence probe is a
+  * 2-aggregate action (count + order-independent checksum), never a
+  * collect of edges.
+  */
+object ConnectedComponents {
+
+  /** Labels every node that appears in `edges` with the minimum node id of
+    * its connected component. Returns (id, cluster_id); nodes absent from
+    * the edge list are absent from the result (singleton handling is the
+    * caller's left-join). The two edge columns are taken positionally and
+    * may be any orderable type.
+    */
+  def labels(edges: DataFrame, maxRounds: Int = 50): DataFrame =
+    labelsAndRounds(edges, maxRounds)._1
+
+  /** As [[labels]], also returning how many large-star+small-star rounds
+    * ran before the edge set reached its fixpoint (0 for an empty graph).
+    * Throws if `maxRounds` is exceeded — an unconverged labeling would be
+    * silently wrong, which is worse than failing.
+    */
+  def labelsAndRounds(edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    val c = edges.columns
+    // canonical undirected edge set, oriented large→small, self-loops out
+    var e = edges
+      .select(col(c(0)).as("src"), col(c(1)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    var prev = fingerprint(e)
+    var rounds = 0
+    var converged = prev._1 == 0L // no edges → nothing to iterate
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val fp = fingerprint(next)
+      converged = fp == prev
+      prev = fp
+      e = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds")
+
+    // fixpoint is a forest of depth-1 stars: src=child → dst=component min
+    val out = e.select(col("src").as("id"), col("dst").as("cluster_id"))
+      .union(e.select(col("dst").as("id"), col("dst").as("cluster_id")))
+      .distinct()
+    (out, rounds)
+  }
+
+  /** Large-star: every node v strictly larger than a neighbor u is linked
+    * to m(u) = min(Γ(u) ∪ {u}). Each edge is processed from its smaller
+    * endpoint's perspective, so connectivity is preserved.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nb = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+    val m = nb.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    nb.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** Small-star: with edges oriented large→small, every node u links all
+    * its (smaller) neighbors and itself to m(u) = min(Γ⁻(u) ∪ {u}).
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val nb = e.select(greatest(col("src"), col("dst")).as("u"),
+      least(col("src"), col("dst")).as("v"))
+    val m = nb.groupBy(col("u")).agg(min(col("v")).as("m"))
+    nb.join(m, "u")
+      .select(col("v").as("x"), col("m"))
+      .union(m.select(col("u").as("x"), col("m")))
+      .filter(col("x") =!= col("m"))
+      .select(col("x").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** Order-independent edge-set fingerprint: (count, Σ xxhash64(src,dst)).
+    * The checksum sums as DECIMAL(38,0) so it cannot overflow under ANSI
+    * mode at any edge count a cluster could hold.
+    */
+  private def fingerprint(e: DataFrame): (Long, BigDecimal) = {
+    val r = e.agg(
+      count(lit(1)),
+      coalesce(sum(xxhash64(col("src"), col("dst")).cast(DecimalType(38, 0))),
+        lit(BigDecimal(0)))).head()
+    (r.getLong(0), BigDecimal(r.getDecimal(1)))
+  }
+}

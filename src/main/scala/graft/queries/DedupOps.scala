@@ -58,7 +58,7 @@ object DedupOps extends QueryGroup {
       |      WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3),
       |  UNNEST(generate_series(1, len(toks) - 2)) t(i)""".stripMargin
 
-  override def queries: Map[String, Q] = Map(
+  override def queries: Map[String, Q] = Map[String, Q](
     // exact dedup: hash-groupBy on content; keeper = min doc_id.
     "dedup_exact" -> ((s, dir) => {
       import s.implicits._
@@ -115,7 +115,37 @@ object DedupOps extends QueryGroup {
     // jaccard. Signatures (native.minhash_sigs) and band hashes are in-row;
     // band blocking is the only wide step; the signature-agreement estimate
     // is computed by zipping the two 8-element arrays, not a re-join per h.
-    "dedup_minhash_lsh" -> ((s, dir) => {
+    "dedup_minhash_lsh" -> ((s, dir) => minhashEstPairs(s, dir)),
+
+    // pairs → clusters → keepers: the step every dedup pipeline needs after
+    // the LSH candidates. Edges = minhash pairs at est_jaccard ≥ 0.5 (≥ 4
+    // of 8 signature agreements); connected components by alternating
+    // large-star/small-star (ConnectedComponents scaladoc — O(log d)
+    // rounds, two id-keyed shuffles per round, no driver graph state);
+    // cluster_id = component-min doc_id; the keeper is the cluster_id row
+    // itself. Docs in no pair are their own singleton cluster via the
+    // left join — output is one row per document, the retention verdict.
+    "dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val edges = minhashEstPairs(s, dir)
+        .filter($"est_jaccard" >= 0.5)
+        .select($"doc_a", $"doc_b")
+      val labels = graft.functions.ConnectedComponents.labels(edges)
+        .withColumnRenamed("id", "doc_id")
+      t(s, dir, "documents").select($"doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+        .withColumn("is_keeper",
+          when($"cluster_id" === $"doc_id", 1).otherwise(0))
+    })
+  ) ++ embedQueries
+
+  /** Body of dedup_minhash_lsh, shared with dedup_clusters: candidate
+    * pairs from band blocking plus the signature-zip jaccard estimate.
+    */
+  private def minhashEstPairs(s: SparkSession, dir: String): DataFrame = {
+    {
       import s.implicits._
       // sigs feeds the banding and both sides of the estimate join —
       // localCheckpoint the 8-string-per-doc signatures rather than
@@ -145,8 +175,10 @@ object DedupOps extends QueryGroup {
         .select($"doc_a", $"doc_b",
           (size(filter(zip_with($"sa", $"sb", (x, y) => x === y), m => m))
             .cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
-    }),
+    }
+  }
 
+  private def embedQueries: Map[String, Q] = Map(
     // SimHash: 16-bit native expression (graft.functions.SimHash; bit j of
     // the result votes on bit j of each token's md5, MSB-first). One narrow
     // scan, no shuffle; the same expression serves 64-bit at scale.
@@ -257,6 +289,47 @@ object DedupOps extends QueryGroup {
          |JOIN sigs sa ON sa.doc_id = doc_a
          |JOIN sigs sb ON sb.doc_id = doc_b AND sb.h = sa.h
          |GROUP BY doc_a, doc_b""".stripMargin,
+
+    // same minhash CTEs as dedup_minhash_lsh, then label propagation to a
+    // fixpoint: `reach` accumulates (id, lbl) for every label reachable
+    // from each doc over the thresholded pair edges (semi-naive recursive
+    // CTE, terminates because UNION dedups); MIN(lbl) per id is the
+    // component minimum — exactly what large-star/small-star converges to.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS ($SQL_SHINGLES),
+         |sigs AS (
+         |  SELECT doc_id, i AS h, MIN(md5(CAST(i AS VARCHAR) || '|' || shingle)) AS sig
+         |  FROM sh, UNNEST(generate_series(1, $NumHashes)) t(i)
+         |  GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, CAST((h - 1) // $BandSize AS INTEGER) AS band,
+         |    md5(string_agg(CAST(h AS VARCHAR) || ':' || sig, ',' ORDER BY CAST(h AS VARCHAR) || ':' || sig)) AS band_hash
+         |  FROM sigs GROUP BY doc_id, CAST((h - 1) // $BandSize AS INTEGER)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |      CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / $NumHashes.0
+         |        AS est_jaccard
+         |    FROM cand
+         |    JOIN sigs sa ON sa.doc_id = doc_a
+         |    JOIN sigs sb ON sb.doc_id = doc_b AND sb.h = sa.h
+         |    GROUP BY doc_a, doc_b)
+         |  WHERE est_jaccard >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+         |  UNION
+         |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
+         |SELECT id AS doc_id, MIN(lbl) AS cluster_id,
+         |  CASE WHEN id = MIN(lbl) THEN 1 ELSE 0 END AS is_keeper
+         |FROM reach GROUP BY id""".stripMargin,
 
     // bit j (1-based, MSB-first) of each token's md5: hex digit (j+3)//4,
     // bit 3-(j-1)%4 within the nibble.
