@@ -31,7 +31,10 @@ object ConnectedComponents {
     * its connected component. Returns (id, cluster_id); nodes absent from
     * the edge list are absent from the result (singleton handling is the
     * caller's left-join). The two edge columns are taken positionally and
-    * may be any orderable type.
+    * may be any orderable type. Edges with a NULL endpoint are filtered
+    * out explicitly — a null carries no identity to connect, and silently
+    * losing connectivity through three-valued logic would be worse than
+    * the visible drop (the row count of the result tells the caller).
     */
   def labels(edges: DataFrame, maxRounds: Int = 50): DataFrame =
     labelsAndRounds(edges, maxRounds)._1
@@ -46,6 +49,7 @@ object ConnectedComponents {
     // canonical undirected edge set, oriented large→small, self-loops out
     var e = edges
       .select(col(c(0)).as("src"), col(c(1)).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .filter(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
@@ -58,7 +62,13 @@ object ConnectedComponents {
     while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint()
       val fp = fingerprint(next)
-      converged = fp == prev
+      // the fingerprint is probabilistic (count + hash checksum): a 2^-64
+      // collision would declare a false fixpoint and silently emit wrong
+      // labels. On a fingerprint match, confirm with ONE exact set check —
+      // equal counts (from the fingerprint) + empty difference ⇔ set
+      // equality, since both sides are distinct. Runs once, at the final
+      // round only, so the steady-state cost stays two aggregates/round.
+      converged = fp == prev && next.except(e).isEmpty
       prev = fp
       e = next
       rounds += 1

@@ -125,6 +125,12 @@ object DedupOps extends QueryGroup {
     // cluster_id = component-min doc_id; the keeper is the cluster_id row
     // itself. Docs in no pair are their own singleton cluster via the
     // left join — output is one row per document, the retention verdict.
+    // NOTE: unlike every other query, invoking this Q runs the iterative
+    // CC loop EAGERLY (localCheckpoint + convergence actions per round);
+    // the returned DataFrame holds only the final join, so timing this
+    // query must time the Q *call* (Bench does — it wraps the call plus
+    // the write in one measurement), and plan inspection of the returned
+    // frame under-represents the work.
     "dedup_clusters" -> ((s, dir) => {
       import s.implicits._
       val edges = minhashEstPairs(s, dir)

@@ -43,10 +43,24 @@ final class GraftStream[T](val ds: Dataset[T]) extends Serializable {
     * (the reference emits in-order too) and bounds memory; f must be
     * thread-safe. With the default `parallelism = 1` this degenerates to
     * a plain sequential map with zero overhead.
+    *
+    * `stopOnException` mirrors the reference flag (core.py:755 default
+    * False): when false, an element whose `f` throws is logged and DROPPED
+    * and the stream continues; when true the exception propagates — the
+    * task fails and, after Spark's retries, the query stops. (Nuance vs
+    * the reference: its single process stops exactly once; Spark's unit of
+    * failure is the task, so a retried task re-runs the partition.)
     */
-  def mapAsync[U: Encoder](f: T => U, parallelism: Int = 1): GraftStream[U] = {
+  def mapAsync[U: Encoder](f: T => U, parallelism: Int = 1,
+      stopOnException: Boolean = false): GraftStream[U] = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
-    if (parallelism == 1) new GraftStream(ds.mapPartitions(_.map(f)))
+    def guarded(t: T): Option[U] =
+      try Some(f(t))
+      catch {
+        case scala.util.control.NonFatal(e) if !stopOnException =>
+          GraftStream.logDropped(e); None
+      }
+    if (parallelism == 1) new GraftStream(ds.mapPartitions(_.flatMap(guarded)))
     else new GraftStream(ds.mapPartitions { it =>
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
@@ -54,8 +68,9 @@ final class GraftStream[T](val ds: Dataset[T]) extends Serializable {
         scala.concurrent.ExecutionContext.global
       // prefill a bounded queue of Futures, then emit-head / submit-next:
       // at most `parallelism` elements are in flight, output order = input
-      val buf = new scala.collection.mutable.Queue[Future[U]]()
+      val buf = new scala.collection.mutable.Queue[Future[Option[U]]]()
       new Iterator[U] {
+        private var ready: Option[U] = None
         private def fill(): Unit =
           while (buf.size < parallelism && it.hasNext) {
             val t = it.next()
@@ -63,13 +78,21 @@ final class GraftStream[T](val ds: Dataset[T]) extends Serializable {
             // fork-join pool to spawn compensation threads — otherwise
             // effective parallelism is capped at core count and concurrent
             // Spark tasks starve each other on the shared global pool
-            buf.enqueue(Future(scala.concurrent.blocking(f(t))))
+            buf.enqueue(Future(scala.concurrent.blocking(guarded(t))))
           }
-        fill()
-        override def hasNext: Boolean = buf.nonEmpty
+        private def advance(): Unit =
+          while (ready.isEmpty && buf.nonEmpty) {
+            // a dropped element (None) just advances to the next Future —
+            // order among surviving elements is still input order
+            ready = Await.result(buf.dequeue(), Duration.Inf)
+            fill()
+          }
+        fill(); advance()
+        override def hasNext: Boolean = ready.nonEmpty
         override def next(): U = {
-          val out = Await.result(buf.dequeue(), Duration.Inf)
-          fill()
+          val out = ready.get
+          ready = None
+          advance()
           out
         }
       }
@@ -121,6 +144,14 @@ final class GraftStream[T](val ds: Dataset[T]) extends Serializable {
     ds.writeStream.foreach(w).start()
 
   def writeStream: DataStreamWriter[T] = ds.writeStream
+}
+
+object GraftStream {
+  // executor-side logging for mapAsync's drop-and-continue mode; the
+  // object-method reference keeps the closure free of a Logger field
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.streaming.GraftStream")
+  private def logDropped(e: Throwable): Unit =
+    log.warn(s"mapAsync: dropping element after exception (stopOnException=false): $e")
 }
 
 /** Untyped (SDF) facade: a DataFrame plus a designated index column — the

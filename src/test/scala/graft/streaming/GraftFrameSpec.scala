@@ -71,6 +71,41 @@ class GraftFrameSpec extends SparkSuite {
     assert(parMs * 2 < seqMs, s"no overlap: sequential ${seqMs}ms, parallel ${parMs}ms")
   }
 
+  test("mapAsync stopOnException=false (reference default): failing elements " +
+    "are dropped, the rest flow on in order (core.py:755)") {
+    val ds = spark.range(0, 10, 1, 1).as[Long]
+    def boom(i: Long): Long =
+      if (i % 3 == 0) throw new RuntimeException(s"boom $i") else i * 2
+    // sequential path
+    val seq1 = new GraftStream(ds).mapAsync(boom _).ds.collect().toSeq
+    assert(seq1 == Seq(2L, 4L, 8L, 10L, 14L, 16L))
+    // overlapped path: same drops, same order
+    val par = new GraftStream(ds).mapAsync(boom _, parallelism = 4).ds.collect().toSeq
+    assert(par == seq1)
+  }
+
+  test("mapAsync stopOnException=true: the exception propagates and fails the job") {
+    val ds = spark.range(0, 10, 1, 1).as[Long]
+    def boom(i: Long): Long =
+      if (i == 5) throw new RuntimeException("boom 5") else i
+    // the task failures below are the behavior under test — mute the
+    // executor's ERROR logging for their duration to keep logs clean
+    spark.sparkContext.setLogLevel("OFF")
+    try {
+      val eSeq = intercept[org.apache.spark.SparkException] {
+        new GraftStream(ds).mapAsync(boom _, stopOnException = true).ds.collect()
+      }
+      assert(eSeq.getMessage.contains("boom 5") ||
+        Option(eSeq.getCause).exists(_.getMessage.contains("boom 5")))
+      val ePar = intercept[org.apache.spark.SparkException] {
+        new GraftStream(ds).mapAsync(boom _, parallelism = 4, stopOnException = true)
+          .ds.collect()
+      }
+      assert(ePar.getMessage.contains("boom 5") ||
+        Option(ePar.getCause).exists(_.getMessage.contains("boom 5")))
+    } finally spark.sparkContext.setLogLevel("WARN")
+  }
+
   test("docs flagship: filter name == Alice, running grouped sum, update mode") {
     val in = MemoryStream[(String, Double)]
     val sdf = new GraftFrame(in.toDF().toDF("name", "amount"))

@@ -117,7 +117,7 @@ class StatefulSpec extends SparkSuite {
         got = spark.table("pn_to").as[(Int, Seq[String])].collect().toSeq
       }
       assert(got == Seq((1, Seq("a", "b")))) // partial group flushed on timeout
-    } finally q.stop()
+    } finally stopQuiesced(q)
   }
 
   test("partitionN timeout deadline is fixed at first element, not pushed by arrivals") {
@@ -145,7 +145,7 @@ class StatefulSpec extends SparkSuite {
       assert(flushedAtMs > 0, "no flush despite 800ms deadline")
       assert(flushedAtMs < 5000,
         s"flush at ${flushedAtMs}ms — deadline was pushed out by arrivals")
-    } finally q.stop()
+    } finally stopQuiesced(q)
   }
 
   test("partitionNIncremental (transformWithState/ListState) matches partitionN") {
