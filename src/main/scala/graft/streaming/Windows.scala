@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** The reference's trailing-window semantics that differ from Spark's
   * aligned tumbling/sliding windows (SURVEY §7.4 risk #1/#2):
@@ -16,50 +16,105 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * One emission per micro-batch (the reference emits per emitted chunk) —
   * "updating" outputs.
+  *
+  * State-store discipline: [[lastN]] and [[trailingTime]] run on Spark 4's
+  * transformWithState (requires the RocksDB state store provider) with the
+  * window buffer in a ListState — a micro-batch APPENDS its rows and
+  * eviction is an amortized compaction (rewrite only once stale rows
+  * outnumber live ones), so per-batch state writes are O(batch), not
+  * O(window). The flatMapGroupsWithState alternative rewrites the full
+  * buffer every batch — O(window) write amplification per key per batch,
+  * which at 100 TB-scale window sizes is the dominant state-store cost.
+  * WindowsSpec pins a bounded-write assertion via [[stateRowsWritten]].
   */
 object Windows {
 
-  /** window(n=N).agg: aggregate of the last `n` rows per key, one output
-    * per key per micro-batch that touched the key.
+  /** Test/diagnostic instrumentation: rows written into window ListStates
+    * (appends + compaction rewrites), summed across the JVM. In local-mode
+    * tests this exposes the write-amplification bound; meaningless across
+    * real executors (per-JVM), so production code must not read it.
     */
-  def lastN[K: Encoder, V, O](
+  private[streaming] val stateRowsWritten = new java.util.concurrent.atomic.LongAdder
+
+  /** window(n=N).agg: aggregate of the last `n` rows per key, one output
+    * per key per micro-batch that touched the key. Window buffer in an
+    * append-only ListState; stale prefix rows are compacted away only when
+    * they outnumber the window (≤ 1 rewrite of n rows per n appends —
+    * amortized ≤ 2 state-row writes per input row).
+    */
+  def lastN[K, V, O](
       ds: Dataset[(K, Long, V)], n: Int)(agg: Seq[V] => O)(
-      implicit buf: Encoder[Seq[(Long, V)]], out: Encoder[(K, O)],
-      kv: Encoder[(K, Long, V)]): Dataset[(K, O)] = {
+      implicit ke: Encoder[K], ve: Encoder[(Long, V)],
+      out: Encoder[(K, O)], kv: Encoder[(K, Long, V)]): Dataset[(K, O)] = {
     require(n >= 1, s"n must be >= 1, got $n")
-    ds.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: K, it: Iterator[(K, Long, V)], state: GroupState[Seq[(Long, V)]]) =>
-          val win = (state.getOption.getOrElse(Seq.empty).toVector ++
-            it.toVector.sortBy(_._2).map { case (_, s, v) => (s, v) }).takeRight(n)
-          state.update(win)
-          Iterator.single((key, agg(win.map(_._2))))
+    val processor = new StatefulProcessor[K, (K, Long, V), (K, O)] {
+      @transient private var buf: ListState[(Long, V)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        buf = getHandle.getListState[(Long, V)]("buf", ve, TTLConfig.NONE)
+      override def handleInputRows(key: K, rows: Iterator[(K, Long, V)],
+          timerValues: TimerValues): Iterator[(K, O)] = {
+        val incoming = rows.toVector.sortBy(_._2).map { case (_, s, v) => (s, v) }
+        incoming.foreach(buf.appendValue) // append-only: no buffer rewrite
+        stateRowsWritten.add(incoming.size)
+        // the aggregate needs the window contents anyway, so the O(stored)
+        // read is inherent; list order is append order = arrival order
+        val stored = buf.get().toVector
+        val win = stored.takeRight(n)
+        if (stored.size > 2L * n) { // amortized compaction of the stale prefix
+          buf.clear()
+          win.foreach(buf.appendValue)
+          stateRowsWritten.add(win.size)
+        }
+        Iterator.single((key, agg(win.map(_._2))))
       }
+    }
+    ds.groupByKey(_._1)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())
   }
 
   /** window(value=interval).agg: aggregate of rows with
     * eventTime ∈ (maxSeen - intervalMicros, maxSeen], maxSeen = latest
     * event time observed for the key so far. Event times are µs.
+    * Reference semantics (aggregations.py:210-245): out-of-order rows
+    * older than the window are dropped on entry; the aggregate sees the
+    * live rows sorted by event time. Buffer is an append-only ListState
+    * (in-window arrivals only); rows expired by a later maxSeen are
+    * filtered on read and compacted away once they outnumber live rows.
     */
-  def trailingTime[K: Encoder, V, O](
+  def trailingTime[K, V, O](
       ds: Dataset[(K, Long, V)], intervalMicros: Long)(agg: Seq[V] => O)(
-      implicit buf: Encoder[(Long, Seq[(Long, V)])], out: Encoder[(K, O)],
-      kv: Encoder[(K, Long, V)]): Dataset[(K, O)] = {
+      implicit ke: Encoder[K], ve: Encoder[(Long, V)], le: Encoder[Long],
+      out: Encoder[(K, O)], kv: Encoder[(K, Long, V)]): Dataset[(K, O)] = {
     require(intervalMicros >= 1, s"intervalMicros must be >= 1, got $intervalMicros")
-    ds.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: K, it: Iterator[(K, Long, V)], state: GroupState[(Long, Seq[(Long, V)])]) =>
-          val (prevMax, prevBuf) = state.getOption.getOrElse((Long.MinValue, Seq.empty[(Long, V)]))
-          val incoming = it.toVector.map { case (_, ts, v) => (ts, v) }
-          val maxSeen = (prevMax +: incoming.map(_._1)).max
-          // reference semantics: out-of-order rows older than the window are
-          // dropped on entry; the buffer stays sorted by event time
-          val buf = (prevBuf.toVector ++ incoming)
-            .filter(_._1 > maxSeen - intervalMicros)
-            .sortBy(_._1)
-          state.update((maxSeen, buf))
-          Iterator.single((key, agg(buf.map(_._2))))
+    val processor = new StatefulProcessor[K, (K, Long, V), (K, O)] {
+      @transient private var buf: ListState[(Long, V)] = _
+      @transient private var maxTs: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        buf = getHandle.getListState[(Long, V)]("buf", ve, TTLConfig.NONE)
+        maxTs = getHandle.getValueState[Long]("maxTs", le, TTLConfig.NONE)
       }
+      override def handleInputRows(key: K, rows: Iterator[(K, Long, V)],
+          timerValues: TimerValues): Iterator[(K, O)] = {
+        val incoming = rows.toVector.map { case (_, ts, v) => (ts, v) }
+        val prevMax = if (maxTs.exists()) maxTs.get() else Long.MinValue
+        val maxSeen = (prevMax +: incoming.map(_._1)).max
+        if (maxSeen != prevMax) maxTs.update(maxSeen)
+        val lo = maxSeen - intervalMicros // window is (lo, maxSeen]
+        val keep = incoming.filter(_._1 > lo) // drop-late-on-entry
+        keep.foreach(buf.appendValue) // append-only: no buffer rewrite
+        stateRowsWritten.add(keep.size)
+        val stored = buf.get().toVector
+        val live = stored.filter(_._1 > lo).sortBy(_._1)
+        if (stored.size >= 2L * math.max(live.size, 1L)) { // amortized compaction
+          buf.clear()
+          live.foreach(buf.appendValue)
+          stateRowsWritten.add(live.size)
+        }
+        Iterator.single((key, agg(live.map(_._2))))
+      }
+    }
+    ds.groupByKey(_._1)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())
   }
 
   /** streamz partition_unique (core.py:1168): buffer until `n` *distinct*

@@ -22,6 +22,21 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     while (q.status.isTriggerActive && System.nanoTime() < deadline) Thread.sleep(10)
     q.stop()
   }
+
+  /** Run `body` with the RocksDB state store provider (required by the
+    * transformWithState operators), restoring the previous provider after.
+    */
+  def withRocksDBState[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
 
 object SparkSuite {

@@ -149,11 +149,7 @@ class StatefulSpec extends SparkSuite {
   }
 
   test("partitionNIncremental (transformWithState/ListState) matches partitionN") {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBState {
       val in = MemoryStream[(Int, Long, String)]
       val out = Stateful.partitionNIncremental(in.toDS(), 3)
       val q = out.toDF("key", "group").writeStream
@@ -165,11 +161,6 @@ class StatefulSpec extends SparkSuite {
       val got = spark.table("pni_t").as[(Int, Seq[String])].collect()
       // key 1 completes a group of 3 across batches; "d"/key-2 stay partial
       assert(got.toSeq == Seq((1, Seq("a", "b", "c"))))
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
     }
   }
 
@@ -208,11 +199,7 @@ class StatefulSpec extends SparkSuite {
 
   test("uniqueLruIncremental (transformWithState/MapState) matches uniqueLru, " +
     "incl. mid-batch eviction + cross-batch bounded state") {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBState {
       val in = MemoryStream[(Int, Long, String)]
       val out = Stateful.uniqueLruIncremental(in.toDS(), maxsize = 2)
       val q = out.toDF("key", "seq", "v").writeStream
@@ -227,11 +214,6 @@ class StatefulSpec extends SparkSuite {
       q.processAllAvailable(); q.stop()
       val got = spark.table("uniqi_t").as[(Int, Long, String)].collect().sortBy(_._2)
       assert(got.map(_._3).toSeq == Seq("a", "b", "c", "b", "a", "c"))
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
     }
   }
 }
