@@ -1,20 +1,24 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video travel as opaque `binary`
   * columns with typed metadata; decode / feature-extract / frame-sample run
-  * partition-at-a-time so the (expensive, native) codec is amortized across
-  * a batch and the plan stays narrow — no shuffle anywhere in this module.
+  * partition-at-a-time so codec setup cost is amortized across a batch and
+  * the plan stays narrow — no shuffle anywhere in this module.
   *
-  * The codec itself is STUBBED: this container has no image/audio
-  * libraries, so [[Codec.decode]] is a clearly-marked deterministic fake
-  * that derives every output from the bytes alone (same bytes → same
-  * "decode" on any executor — required for retry/speculation safety).
-  * The Spark-side plumbing — schema, encoders, partition-preserving
-  * batch shape, metadata pushdown — is real and tested
-  * (graft.multimodal.MultimodalSpec).
+  * The image path is REAL: [[Codec.decodeImage]] sniffs the container by
+  * magic bytes and decodes PNG/BMP/GIF/JPEG rasters with the JDK's
+  * `javax.imageio` (no external dependency). Audio/video and unknown
+  * containers fall back to a clearly-marked deterministic fake (same bytes
+  * → same "decode" on any executor — required for retry/speculation
+  * safety); a real deployment swaps that branch for ffmpeg bindings etc.
+  * and everything downstream is unchanged.
   */
 object Multimodal {
 
@@ -24,16 +28,92 @@ object Multimodal {
   /** One sampled frame's feature vector. */
   case class FrameFeatures(docId: Long, frameIdx: Int, features: Array[Float])
 
-  /** The codec boundary. A real deployment swaps this object for one
-    * backed by an image/audio library; everything downstream is unchanged.
+  /** Raster-level facts recovered by a real image decode. Pixel values are
+    * band-0 samples (gray level for grayscale images), which avoids any
+    * color-space conversion and is exact for lossless containers.
+    */
+  case class ImagePixels(docId: Long, width: Int, height: Int, format: String,
+      pxTopLeft: Int, pxBottomRight: Int, pxSum: Long)
+
+  /** The codec boundary: real `javax.imageio` for image containers, the
+    * deterministic fake for everything else.
     */
   object Codec {
-    /** Deterministic fake decode: metadata derived from the byte length
-      * (matching the `multimodal_meta` oracle query) and per-frame features
-      * derived from a rolling byte hash. Replace with a real codec
-      * (`javax.imageio`, ffmpeg bindings, ...) outside this container.
+
+    /** Container sniff by magic bytes — cheap enough to run per row, and it
+      * keeps non-image blobs (the common case in a mixed corpus) from ever
+      * paying ImageIO reader discovery.
       */
-    def decode(docId: Long, bytes: Array[Byte]): (MediaMeta, Iterator[FrameFeatures]) = {
+    def imageFormat(bytes: Array[Byte]): Option[String] = {
+      def at(i: Int, v: Int): Boolean = (bytes(i) & 0xff) == v
+      if (bytes.length < 8) None
+      else if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) Some("png")
+      else if (at(0, 'B') && at(1, 'M')) Some("bmp")
+      else if (at(0, 'G') && at(1, 'I') && at(2, 'F') && at(3, '8')) Some("gif")
+      else if (at(0, 0xff) && at(1, 0xd8) && at(2, 0xff)) Some("jpeg")
+      else None
+    }
+
+    private def readImage(bytes: Array[Byte]): Option[(String, BufferedImage)] =
+      imageFormat(bytes).flatMap { fmt =>
+        // ImageIO.read returns null (not an exception) on undecodable input
+        Option(ImageIO.read(new ByteArrayInputStream(bytes))).map(fmt -> _)
+      }
+
+    /** REAL decode: parse the blob with `javax.imageio` and return raster
+      * facts, or None when the blob is not a decodable image. Deterministic
+      * and engine-independent for lossless containers (PNG/BMP/GIF): the
+      * samples are the encoded samples.
+      */
+    def decodeImage(docId: Long, bytes: Array[Byte]): Option[ImagePixels] =
+      readImage(bytes).map { case (fmt, img) =>
+        val r = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        ImagePixels(docId, w, h, fmt,
+          r.getSample(0, 0, 0), r.getSample(w - 1, h - 1, 0), sum)
+      }
+
+    /** Metadata + per-frame features. Image containers take the real path
+      * (one frame; features = mean band-0 level of 8 horizontal stripes,
+      * scaled to [0,1]); anything else takes the deterministic fake.
+      */
+    def decode(docId: Long, bytes: Array[Byte]): (MediaMeta, Iterator[FrameFeatures]) =
+      readImage(bytes) match {
+        case Some((_, img)) =>
+          val meta = MediaMeta(docId, bytes.length.toLong, img.getWidth, img.getHeight, 1)
+          val r = img.getRaster
+          val dim = 8
+          val feats = new Array[Float](dim)
+          val h = img.getHeight
+          var y = 0
+          while (y < h) {
+            var x = 0
+            var rowSum = 0L
+            while (x < img.getWidth) { rowSum += r.getSample(x, y, 0); x += 1 }
+            feats(y * dim / h) += rowSum.toFloat
+            y += 1
+          }
+          val norm = 255f * img.getWidth * math.max(h / dim, 1)
+          var j = 0
+          while (j < dim) { feats(j) /= norm; j += 1 }
+          (meta, Iterator.single(FrameFeatures(docId, 0, feats)))
+        case None => fakeDecode(docId, bytes)
+      }
+
+    /** Deterministic FAKE decode for containers this environment has no
+      * codec for (audio/video): metadata derived from the byte length
+      * (matching the `multimodal_meta` oracle query) and per-frame features
+      * from a rolling byte hash. Replace with real bindings in deployment.
+      */
+    private[multimodal] def fakeDecode(
+        docId: Long, bytes: Array[Byte]): (MediaMeta, Iterator[FrameFeatures]) = {
       val n = bytes.length.toLong
       val meta = MediaMeta(docId, n,
         width = (16 + n % 64).toInt, height = (16 + n % 48).toInt,
@@ -55,13 +135,50 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic images for fixtures and pipeline smoke tests:
+    * encode a real container from a pixel function, so decode paths can be
+    * verified end-to-end without binary fixtures in the repo.
+    */
+  object SyntheticImages {
+
+    /** 8-bit grayscale image encoded with the JDK writer for `format`
+      * ("png" and "bmp" are lossless for TYPE_BYTE_GRAY; PNG is the safe
+      * default). `pixel(x, y)` must return 0..255.
+      */
+    def gray(w: Int, h: Int, format: String = "png")(pixel: (Int, Int) => Int): Array[Byte] = {
+      require(w >= 1 && h >= 1, s"image dims must be >= 1: ${w}x$h")
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { r.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      require(ImageIO.write(img, format, out), s"no JDK writer for format $format")
+      out.toByteArray
+    }
+  }
+
   /** Attach decoded metadata columns derived from `blobCol`. Narrow —
-    * pure per-row expressions, schema known at plan time. */
+    * pure per-row expressions, schema known at plan time. These are the
+    * FAKE-path formulas (byte-length derived), pinned by the
+    * multimodal_meta oracle; real image metadata comes from [[decodeMeta]].
+    */
   def withMeta(df: DataFrame, blobCol: String = "blob"): DataFrame =
     df.withColumn("n_bytes", length(col(blobCol)).cast("long"))
       .withColumn("fake_width", lit(16L) + length(col(blobCol)).cast("long") % 64L)
       .withColumn("fake_height", lit(16L) + length(col(blobCol)).cast("long") % 48L)
       .withColumn("fake_frames", lit(1L) + length(col(blobCol)).cast("long") % 8L)
+
+  /** REAL per-blob metadata: decode each (id, blob) partition-at-a-time and
+    * emit the recovered MediaMeta (image containers via javax.imageio,
+    * others via the fake). Narrow; input partitioning preserved.
+    */
+  def decodeMeta(ds: Dataset[(Long, Array[Byte])])(
+      implicit enc: org.apache.spark.sql.Encoder[MediaMeta]): Dataset[MediaMeta] =
+    ds.mapPartitions(_.map { case (id, bytes) => Codec.decode(id, bytes)._1 })
 
   /** Frame-sampled feature extraction: one output row per sampled frame.
     * Runs partition-at-a-time (the Scala analogue of a pandas `mapInPandas`

@@ -2,14 +2,25 @@ package graft.queries
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
 
-/** Multimodal-column plumbing (north star): media as opaque binary columns
-  * with typed metadata. The decode itself is stubbed — no image/audio libs
-  * in this container; [[graft.multimodal.Multimodal.Codec]] holds the
-  * deterministic fake decoder behind the real partition-at-a-time
-  * plumbing (schema, encoders, frame sampling — see MultimodalSpec).
-  * This query pins the binary-column schema path and the metadata
-  * derivation (same formulas as Multimodal.withMeta) against the oracle.
+/** Multimodal-column operators (north star): media as opaque binary columns
+  * with typed metadata.
+  *
+  * `multimodal_decode` drives the REAL image path end-to-end: a
+  * deterministic grayscale PNG is encoded per document (dims and pixels
+  * are pure functions of doc_id), the blob is decoded back with the JDK's
+  * `javax.imageio` ([[graft.multimodal.Multimodal.Codec.decodeImage]]),
+  * and the recovered raster facts — dimensions, corner pixels, pixel sum —
+  * are hash-compared against an oracle that recomputes the same formulas
+  * in SQL. A decode that parsed the container wrong in any way (stride,
+  * bit depth, row order) breaks the hash. Narrow plan: encode + decode are
+  * one partition-at-a-time pass, no shuffle.
+  *
+  * `multimodal_meta` pins the byte-derived FAKE-path metadata (the branch
+  * non-image containers take — this environment has no audio/video codec)
+  * against the same formulas in the oracle, exactly as Multimodal.withMeta
+  * derives them.
   */
 object MultimodalOps extends QueryGroup {
 
@@ -24,6 +35,28 @@ object MultimodalOps extends QueryGroup {
           (lit(16L) + length($"blob").cast("long") % 64L).as("fake_width"),
           (lit(16L) + length($"blob").cast("long") % 48L).as("fake_height"),
           (lit(1L) + length($"blob").cast("long") % 8L).as("fake_frames"))
+    }),
+
+    // real encode → real javax.imageio decode → raster facts. The blob is
+    // generated (not read from a table) because the test corpus carries no
+    // image bytes; everything the DECODE recovers is checked bit-for-bit.
+    "multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      spread(t(s, dir, "documents")).select($"doc_id").as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (8 + id % 57).toInt
+            val h = (8 + (id * 3) % 41).toInt
+            val blob = Multimodal.SyntheticImages.gray(w, h)((x, y) =>
+              ((id * 31 + x * 7 + y * 13) % 256).toInt)
+            val px = Multimodal.Codec.decodeImage(id, blob).getOrElse(
+              throw new IllegalStateException(s"PNG decode failed for doc $id"))
+            (px.docId, px.width, px.height, px.format,
+              px.pxTopLeft, px.pxBottomRight, px.pxSum)
+          }
+        }
+        .toDF("doc_id", "width", "height", "format",
+          "px_top_left", "px_bottom_right", "px_sum")
     })
   )
 
@@ -34,6 +67,27 @@ object MultimodalOps extends QueryGroup {
         |  16 + octet_length(encode(text)) % 64 AS fake_width,
         |  16 + octet_length(encode(text)) % 48 AS fake_height,
         |  1 + octet_length(encode(text)) % 8 AS fake_frames
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // recompute what the PNG round trip must recover: pixel(x,y) =
+    // (doc_id·31 + 7x + 13y) mod 256 over a width×height raster with
+    // width = 8 + doc_id%57, height = 8 + 3·doc_id%41 (≤ 64×48, so the
+    // fixed series + filter stands in for a correlated generate_series).
+    "multimodal_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |    CAST(SUM((d.doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS px_sum
+        |  FROM documents d, generate_series(0, 63) gx(x), generate_series(0, 47) gy(y)
+        |  WHERE x < 8 + d.doc_id % 57 AND y < 8 + (d.doc_id * 3) % 41
+        |  GROUP BY d.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(8 + d.doc_id % 57 AS INTEGER) AS width,
+        |  CAST(8 + (d.doc_id * 3) % 41 AS INTEGER) AS height,
+        |  'png' AS format,
+        |  CAST((d.doc_id * 31) % 256 AS INTEGER) AS px_top_left,
+        |  CAST((d.doc_id * 31 + (7 + d.doc_id % 57) * 7 + (7 + (d.doc_id * 3) % 41) * 13) % 256
+        |    AS INTEGER) AS px_bottom_right,
+        |  px.px_sum
+        |FROM documents d JOIN px ON px.doc_id = d.doc_id""".stripMargin
   )
 }
