@@ -492,6 +492,18 @@ case class Shingles3(child: Expression) extends UnaryExpression with ExpectsInpu
     copy(child = newChild)
 }
 
+/** Merge-table BPE tokens of a document (see [[Bpe.bpeTokens]]). */
+case class BpeEncode(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(text: Any): Any =
+    Bpe.bpeTokens(text.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.bpeTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native expressions. */
 object native {
   private def expr(c: Column): Expression = org.apache.spark.sql.graftbridge.expression(c)
@@ -522,4 +534,7 @@ object native {
 
   /** Distinct 3-token shingles of a text column. */
   def shingles3(text: Column): Column = col(Shingles3(expr(text)))
+
+  /** Merge-table BPE tokens (learned default vocab) of a text column. */
+  def bpe_tokens(text: Column): Column = col(BpeEncode(expr(text)))
 }

@@ -72,6 +72,27 @@ object TextOps extends QueryGroup {
             round($"n_bpe_tokens".cast("double") / $"n_ws_tokens", 9)))
     }),
 
+    // TRUE merge-table BPE (greedy lowest-rank merges over the learned
+    // embedded vocab — graft.functions.Bpe): per doc, word count, BPE
+    // token count, merges applied, and an order-sensitive md5 over the
+    // full token sequence, so any divergence in any token of any word
+    // breaks the hash. Narrow per-row kernel, zero shuffle; the per-thread
+    // word cache makes Zipf text ~one encode per distinct word.
+    "text_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      spread(t(s, dir, "documents"))
+        .withColumn("bpe", graft.functions.native.bpe_tokens($"text"))
+        .withColumn("words", expr(
+          "transform(regexp_extract_all(text, '[A-Za-z]+', 0), w -> lower(w))"))
+        .select($"doc_id",
+          size($"words").cast("long").as("n_words"),
+          size($"bpe").cast("long").as("n_tokens"),
+          (aggregate($"words", lit(0L), (acc, w) => acc + length(w) + 1)
+            - size($"bpe")).cast("long").as("n_merges"),
+          when(size($"bpe") === 0, lit(null).cast("string"))
+            .otherwise(md5(concat_ws("|", $"bpe"))).as("tokens_md5"))
+    }),
+
     // document fingerprint: min-hash of 3-token shingles (content-defined;
     // stable under document re-chunking). fp_int is usable as a shard key.
     // Computed entirely in-row: shingle array → min md5, no explode/groupBy.
@@ -96,6 +117,23 @@ object TextOps extends QueryGroup {
     "[A-Za-z]+|[0-9]|[\\x21-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\x7e]"
 
   private def sqlToks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  // DuckDB oracle for text_bpe_merges: a recursive CTE applying ONE merge
+  // per step — leftmost occurrence of the lowest-rank adjacent pair —
+  // which for a well-formed (learned) table provably reaches the same
+  // token sequence as the kernel's all-at-once scan (Bpe scaladoc proves
+  // the equivalence; BpeSpec pins it on random inputs). The merge table
+  // is interpolated from Bpe.Default so oracle and kernel can never skew.
+  private def bpeMergeList: String =
+    graft.functions.Bpe.Default
+      .map { case (l, r) => s"'$l $r'" }.mkString("[", ", ", "]")
+  // rank vector of a token list: 1-based merge rank per adjacent pair,
+  // 999999 when the pair is not in the table.
+  private def bpeRs(toks: String): String =
+    s"""list_transform(range(1, len($toks)),
+       |      i -> CASE WHEN list_position($bpeMergeList, $toks[i] || ' ' || $toks[i+1]) = 0
+       |                THEN 999999
+       |                ELSE list_position($bpeMergeList, $toks[i] || ' ' || $toks[i+1]) END)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
     "text_stats" ->
@@ -137,6 +175,43 @@ object TextOps extends QueryGroup {
          |      '[A-Za-z]+|[0-9]|[\\x21-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\x7e]'))
          |      AS n_bpe_tokens
          |  FROM documents)""".stripMargin,
+
+    "text_bpe_merges" ->
+      s"""WITH RECURSIVE
+         |ws AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+') AS w FROM documents),
+         |words AS (
+         |  SELECT doc_id, i AS wi, lower(w[i]) AS word
+         |  FROM ws, UNNEST(generate_series(1, len(w))) t(i)),
+         |enc AS (
+         |  SELECT doc_id, wi,
+         |    [word[i:i] for i in range(1, 1 + len(word))] || ['_'] AS toks
+         |  FROM words
+         |  UNION ALL
+         |  SELECT doc_id, wi,
+         |    toks[1:bi-1] || [toks[bi] || toks[bi+1]] || toks[bi+2:] AS toks
+         |  FROM (
+         |    SELECT doc_id, wi, toks,
+         |      list_position(rs, list_min(rs)) AS bi, list_min(rs) AS mn
+         |    FROM (SELECT doc_id, wi, toks, ${bpeRs("toks")} AS rs FROM enc))
+         |  WHERE mn < 999999),
+         |fin AS (
+         |  SELECT doc_id, wi, toks
+         |  FROM (SELECT doc_id, wi, toks, list_min(${bpeRs("toks")}) AS mn FROM enc)
+         |  WHERE mn IS NULL OR mn = 999999),
+         |agg AS (
+         |  SELECT f.doc_id,
+         |    COUNT(*) AS n_words,
+         |    CAST(SUM(len(f.toks)) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(len(w.word) + 1 - len(f.toks)) AS BIGINT) AS n_merges,
+         |    md5(string_agg(array_to_string(f.toks, '|'), '|' ORDER BY f.wi)) AS tokens_md5
+         |  FROM fin f JOIN words w ON f.doc_id = w.doc_id AND f.wi = w.wi
+         |  GROUP BY f.doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_words, 0) AS n_words,
+         |  COALESCE(a.n_tokens, 0) AS n_tokens,
+         |  COALESCE(a.n_merges, 0) AS n_merges,
+         |  a.tokens_md5
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id, fingerprint,
