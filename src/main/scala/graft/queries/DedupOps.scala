@@ -160,13 +160,10 @@ object DedupOps extends QueryGroup {
       val sigs = shingleArrays(s, dir)
         .select($"doc_id", native.minhash_sigs($"sharr", NumHashes).as("sigs"))
         .localCheckpoint()
-      // band b (0-based) = md5 of its ordered "h:sig" components
+      // band b (0-based) = md5 of its ordered "h:sig" components — the
+      // banding expression is shared with streaming.Dedup (functions.Lsh)
       val banded = sigs.select($"doc_id", posexplode(
-        transform(sequence(lit(0), lit(NumBands - 1)), b =>
-          md5(array_join(array_sort(
-            transform(sequence(lit(1), lit(BandSize)), j =>
-              concat((b * BandSize + j).cast("string"), lit(":"),
-                element_at($"sigs", b * BandSize + j)))), ",")))))
+          graft.functions.Lsh.bandHashes($"sigs", NumBands, BandSize)))
         .toDF("doc_id", "band", "band_hash")
       val cand = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))

@@ -1,0 +1,164 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+import graft.functions.{native, Lsh}
+
+/** Streaming deduplication — the north-star dedup story for a stream of
+  * documents (VERDICT r5 item #4; the reference's closest surface is
+  * `unique` core.py:1776, which this generalizes from exact identity to
+  * content and near-duplicate identity).
+  *
+  * Exact: [[exact]] / [[exactWithinWatermark]] — Structured Streaming's
+  * own dropDuplicates state machinery keyed on a content hash; the
+  * watermarked variant bounds state for infinite streams and is the one
+  * a 100 TB/day pipeline runs.
+  *
+  * Near-dup: [[minhashVerdicts]] — the streaming MinHash+LSH variant of
+  * `queries.DedupOps.dedup_clusters`, sharing the batch pipeline's exact
+  * signature/banding code ([[graft.functions.Lsh]], k=8 MinHashes, 4
+  * bands of 2) AND its edge rule (band collision verified by signature
+  * agreement ≥ threshold), so streaming matches are exactly the batch
+  * pipeline's pairs. Two chained `transformWithState` stages:
+  *
+  *  1. keyed by band bucket: a ListState holds the bucket's member docs
+  *     (id + signature, capped at [[MaxBucketMembers]]) — an incoming doc
+  *     appends itself (one state write) and verifies against the ≤ cap
+  *     existing members, exactly the per-bucket pairing the batch
+  *     band-join produces;
+  *  2. keyed by doc: folds that doc's band verdicts (all emitted in the
+  *     same micro-batch) into one row — stateless fold, no state entries.
+  *
+  * Per batch that is two keyed shuffles (band, then doc) — the same wide
+  * shape as the batch LSH join, with bucket cardinality the partition
+  * key, so it scales exactly as the batch pipeline does. The member cap
+  * bounds hot buckets the same way MaxShingleDf bounds hot shingles in
+  * the exact-Jaccard path: a bucket holding many mutually-dissimilar docs
+  * carries no discriminative signal past its first few representatives.
+  *
+  * Greedy-vs-batch semantics: a doc is a KEEPER iff no verified match
+  * (est_jaccard ≥ threshold) against any earlier doc exists in any of its
+  * buckets (seq order, across and within batches). `root_doc` is the
+  * smallest matched earlier doc, one hop — a transitive LSH chain A–B–C
+  * where A and C share no verified pair assigns C root B (not A) where
+  * batch connected components would fold all three into one cluster.
+  * Keeper sets agree with the batch `dedup_clusters` output whenever
+  * every non-keeper has a verified pair with an earlier doc of its
+  * cluster — true by construction for near-copies, pinned against the
+  * real corpus in DedupStreamSpec.
+  */
+object Dedup {
+
+  /** Exact streaming dedup on a content hash: first occurrence passes,
+    * replays are suppressed. Unbounded state — prefer
+    * [[exactWithinWatermark]] on infinite streams. */
+  def exact(df: DataFrame, contentCol: String = "text"): DataFrame =
+    df.withColumn("content_hash", md5(col(contentCol)))
+      .dropDuplicates("content_hash")
+
+  /** Exact streaming dedup with state bounded by a watermark: duplicates
+    * are only tracked within `delay` of the event-time column, so state
+    * for long-gone documents ages out (dropDuplicatesWithinWatermark). */
+  def exactWithinWatermark(df: DataFrame, eventTimeCol: String,
+                           delay: String, contentCol: String = "text"): DataFrame =
+    df.withColumn("content_hash", md5(col(contentCol)))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  // LSH parameters — MUST mirror queries.DedupOps (k=8, 4 bands of 2,
+  // est_jaccard ≥ 0.5 = ≥ 4 of 8 signature agreements); the banding
+  // expression itself is shared via functions.Lsh.
+  private val NumHashes = 8
+  private val BandSize = 2
+  private val NumBands = NumHashes / BandSize
+  private val EstThreshold = 0.5
+  private[streaming] val MaxBucketMembers = 8
+
+  /** Per-band-bucket membership + verification stage: key = band hash;
+    * emits (docId, seq, matchedOwnerOrMinus1) per band row, where a match
+    * is an existing member with signature agreement ≥ EstThreshold (the
+    * batch pipeline's pair rule). Every doc also registers as a member
+    * (append-only, capped). */
+  private final class BucketMembers
+      extends StatefulProcessor[String, (String, Long, Long, Seq[String]), (Long, Long, Long)] {
+    @transient private var members: ListState[(Long, Seq[String])] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[(Long, Seq[String])](
+        "members", Encoders.product[(Long, Seq[String])], TTLConfig.NONE)
+    private def est(a: Seq[String], b: Seq[String]): Double = {
+      var agree = 0
+      var i = 0
+      while (i < NumHashes) { if (a(i) == b(i)) agree += 1; i += 1 }
+      agree.toDouble / NumHashes
+    }
+    override def handleInputRows(key: String, rows: Iterator[(String, Long, Long, Seq[String])],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      val sorted = rows.toVector.sortBy(_._3) // seq order within the batch
+      var mem = members.get().toVector // ≤ MaxBucketMembers by construction
+      val out = Vector.newBuilder[(Long, Long, Long)]
+      sorted.foreach { case (_, docId, seq, sigs) =>
+        val matched = mem.iterator
+          .filter { case (id, ms) => id != docId && est(ms, sigs) >= EstThreshold }
+          .map(_._1)
+        out += ((docId, seq, if (matched.isEmpty) -1L else matched.min))
+        if (mem.size < MaxBucketMembers && !mem.exists(_._1 == docId)) {
+          members.appendValue((docId, sigs)) // one write, never a rewrite
+          mem :+= ((docId, sigs))
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Per-doc verdict fold: key = doc id; all NumBands rows of a doc are
+    * emitted by stage 1 within the same micro-batch, so this registers no
+    * state at all — it is a batch-local reduce expressed on the streaming
+    * operator API. */
+  private final class DocVerdict
+      extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long, Boolean)] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Boolean)] = {
+      var seq = Long.MaxValue
+      var root = Long.MaxValue
+      rows.foreach { case (_, s, own) =>
+        seq = math.min(seq, s)
+        if (own >= 0 && own < root) root = own
+      }
+      val keeper = root == Long.MaxValue
+      Iterator.single((key, seq, if (keeper) key else root, keeper))
+    }
+  }
+
+  /** Streaming near-dup verdicts for `(doc_id, text, seq)` rows:
+    * one row per incoming doc — `(doc_id, seq, root_doc, is_keeper)`.
+    * Requires the RocksDB state store provider (transformWithState).
+    * Docs whose text yields no shingles (< 3 tokens) are always keepers
+    * with themselves as root, exactly like the batch pipeline's
+    * singleton left-join. */
+  def minhashVerdicts(ds: Dataset[(Long, String, Long)]): Dataset[(Long, Long, Long, Boolean)] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val df = ds.toDF("doc_id", "text", "seq")
+    val sigs = df.select($"doc_id", $"seq",
+      native.minhash_sigs(native.shingles3($"text"), NumHashes).as("sigs"))
+    // docs with no shingles have all-null signatures → no bands → keeper
+    val banded = sigs
+      .filter(element_at($"sigs", 1).isNotNull)
+      .select(explode(Lsh.bandHashes($"sigs", NumBands, BandSize)).as("band_hash"),
+        $"doc_id", $"seq", $"sigs")
+      .as[(String, Long, Long, Seq[String])]
+    val verdicts = banded
+      .groupByKey(_._1)
+      .transformWithState(new BucketMembers, TimeMode.None(), OutputMode.Append())
+      .groupByKey(_._1)
+      .transformWithState(new DocVerdict, TimeMode.None(), OutputMode.Append())
+    val singletons = sigs
+      .filter(element_at($"sigs", 1).isNull)
+      .select($"doc_id", $"seq", $"doc_id".as("root_doc"), lit(true).as("is_keeper"))
+      .as[(Long, Long, Long, Boolean)]
+    verdicts.union(singletons)
+  }
+}
