@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** River-equivalent online ML (streamz/river.py contract at micro-batch
+  * granularity): exact online least squares recovers the generating
+  * coefficients and equals the one-shot batch fit after any prefix of
+  * batches; prequential metrics are predict-before-learn; the scaler
+  * transform normalizes with running moments.
+  */
+class RiverSpec extends SparkSuite {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  // y = 3·x1 − 2·x2 + 1, exactly (noise-free → exact recovery)
+  private def gen(seed: Int, n: Int): Seq[(Seq[Double], Double)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n) {
+      val x1 = rnd.nextDouble() * 10 - 5
+      val x2 = rnd.nextDouble() * 4
+      (Seq(x1, x2), 3.0 * x1 - 2.0 * x2 + 1.0)
+    }
+  }
+
+  test("train: recovers exact coefficients across micro-batches; metrics are prequential") {
+    val model = new River.OnlineLinearRegression(features = 2)
+    val in = MemoryStream[(Seq[Double], Double)]
+    val h = River.train(in.toDS(), model, queryName = "river_train_t")
+    val chunks = gen(7, 300).grouped(100).toSeq
+    chunks.foreach { c => in.addData(c); h.query.processAllAvailable() }
+    h.query.stop()
+
+    val w = model.weights
+    assert(math.abs(w(0) - 3.0) < 1e-6 && math.abs(w(1) + 2.0) < 1e-6)
+    assert(math.abs(model.intercept - 1.0) < 1e-6)
+
+    // prequential: batch 0 is scored by the zero model (large error),
+    // later batches by an already-exact fit (≈ 0 error)
+    val ms = h.metrics
+    assert(ms.map(_.batchId) == Vector(0L, 1L, 2L))
+    assert(ms.head.mae > 1.0)
+    assert(ms(1).mae < 1e-6 && ms(2).mae < 1e-6)
+    assert(ms.forall(_.n == 100))
+  }
+
+  test("online fit after k batches == one-shot OLS of the union (order independence)") {
+    val data = gen(21, 240)
+    // online, 3 uneven batches
+    val online = new River.OnlineLinearRegression(features = 2)
+    Seq(data.take(30), data.slice(30, 200), data.drop(200)).foreach { c =>
+      online.learn(River.computeStats(c.toDS(), 2))
+    }
+    // one shot, different physical order
+    val oneShot = new River.OnlineLinearRegression(features = 2)
+    oneShot.learn(River.computeStats(data.reverse.toDS().repartition(7), 2))
+    online.weights.zip(oneShot.weights).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-8)
+    }
+  }
+
+  test("predict: scores with current parameters (RiverPredict)") {
+    val model = new River.OnlineLinearRegression(features = 2)
+    model.learn(River.computeStats(gen(5, 120).toDS(), 2))
+    val scored = River.predict(gen(6, 10).toDS(), model)
+      .select("label", "prediction")
+      .as[(Double, Double)].collect()
+    scored.foreach { case (y, p) => assert(math.abs(y - p) < 1e-6) }
+  }
+
+  test("scaler: transform normalizes with running moments (RiverTransform)") {
+    val scaler = new River.OnlineStandardScaler(features = 2)
+    val xs = Seq(Seq(1.0, 10.0), Seq(3.0, 10.0), Seq(5.0, 40.0), Seq(7.0, 40.0))
+    scaler.learn(River.computeStats(xs.map((_, 0.0)).toDS(), 2))
+    val (mean, varr) = scaler.meanVar
+    assert(mean.toSeq == Seq(4.0, 25.0))
+    assert(varr(0) == 5.0 && varr(1) == 225.0) // population variance
+    val out = scaler.transform(xs.toDS()).collect()
+    // normalized column means ≈ 0, sd ≈ 1
+    val m0 = out.map(_(0)).sum / out.length
+    val m1 = out.map(_(1)).sum / out.length
+    assert(math.abs(m0) < 1e-12 && math.abs(m1) < 1e-12)
+    assert(math.abs(out.map(r => r(0) * r(0)).sum / out.length - 1.0) < 1e-12)
+  }
+}
