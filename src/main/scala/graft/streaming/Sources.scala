@@ -108,6 +108,54 @@ object Sinks {
       .option("topic", topic)
       .option("checkpointLocation", checkpoint).start()
 
+  /** One confirmed-delivery acknowledgement (reference to_kafka pushes
+    * "responses from Kafka ... downstream", sinks.py:115-195). Spark's
+    * unit of delivery is the micro-batch — the kafka sink commits a batch
+    * transactionally per epoch — so the ack granularity is one row per
+    * delivered batch; `records` is the count confirmed in it. For
+    * per-RECORD confirmed values the Kafka-native stream is a read-back
+    * `Sources.kafka` on the written topic (at-least-once, exactly the
+    * reference's emit-after-callback contract). */
+  final case class ProduceAck(batchId: Long, topic: String, records: Long,
+                              wallClockMs: Long)
+
+  /** Handle on a confirmed sink: the query plus the delivery acks
+    * accumulated so far (same handle shape as River.TrainHandle). */
+  final class ConfirmedSink(val query: StreamingQuery,
+      ref: java.util.concurrent.atomic.AtomicReference[Vector[ProduceAck]]) {
+    def acks: Vector[ProduceAck] = ref.get()
+  }
+
+  /** Generic confirmation machinery behind [[kafkaConfirmed]], factored
+    * so the emit-on-success / suppress-on-failure contract is testable
+    * without a broker: `writeBatch` delivers one micro-batch (throwing on
+    * failure); an ack row is appended ONLY after it returns — a failed
+    * batch emits nothing, and Spark's retry of the epoch re-runs the
+    * write (at-least-once, as the reference's produce-retry loop). */
+  def confirmed(df: DataFrame, topic: String)(
+      writeBatch: (DataFrame, Long) => Unit): ConfirmedSink = {
+    val ref = new java.util.concurrent.atomic.AtomicReference[Vector[ProduceAck]](Vector.empty)
+    val q = df.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val n = batch.persist().count() // one materialization for write + count
+      try {
+        writeBatch(batch, id)
+        ref.updateAndGet(_ :+ ProduceAck(id, topic, n, System.currentTimeMillis()))
+        ()
+      } finally batch.unpersist()
+    }.start()
+    new ConfirmedSink(q, ref)
+  }
+
+  /** [[kafka]] with delivery confirmations pushed to the handle: each
+    * micro-batch that Kafka accepts appends one [[ProduceAck]]. */
+  def kafkaConfirmed(df: DataFrame, bootstrap: String, topic: String): ConfirmedSink =
+    confirmed(df, topic) { (batch, _) =>
+      batch.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    }
+
   /** Generic per-batch reentry point (collection.py map_partitions analogue:
     * arbitrary relational work per micro-batch).
     */

@@ -43,4 +43,25 @@ class KafkaSpec extends SparkSuite {
       assert(got.sorted == Seq("k1", "k2", "k3"))
     } finally { fromQ.stop(); toQ.stop() }
   }
+
+  test("kafkaConfirmed: delivery acks appear after produce (gated: GRAFT_LAUNCH_KAFKA)") {
+    assume(bootstrap.isDefined,
+      "set GRAFT_LAUNCH_KAFKA=host:port to run the Kafka ack round trip")
+    val bs = bootstrap.get
+    val topic = s"graft_ack_${System.currentTimeMillis()}"
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    in.addData("a1", "a2")
+    val h = Sinks.kafkaConfirmed(
+      in.toDS().toDF("value").selectExpr("CAST(null AS STRING) AS key", "value"),
+      bs, topic)
+    try {
+      h.query.processAllAvailable()
+      in.addData("a3")
+      h.query.processAllAvailable()
+      assert(h.acks.map(_.records).sum == 3)
+      assert(h.acks.forall(_.topic == topic))
+    } finally h.query.stop()
+  }
 }

@@ -186,4 +186,37 @@ class SourcesSpec extends SparkSuite {
     val got = spark.read.text(out).as[String].collect().sorted
     assert(got.toSeq == Seq("ALPHA", "BETA", "GAMMA"))
   }
+
+  test("confirmed sink: one ack per delivered batch; failed delivery emits no ack " +
+      "(reference to_kafka pushes responses downstream, sinks.py:115-195)") {
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val h = Sinks.confirmed(in.toDF(), "t1") { (batch, _) =>
+      batch.collect().foreach(r => delivered.add(r.getString(0)))
+    }
+    in.addData("a", "b"); h.query.processAllAvailable()
+    in.addData("c"); h.query.processAllAvailable()
+    h.query.stop()
+    assert(delivered.size == 3)
+    assert(h.acks.map(_.records) == Vector(2L, 1L))
+    assert(h.acks.map(_.topic).distinct == Vector("t1"))
+    assert(h.acks.map(_.batchId) == h.acks.map(_.batchId).sorted) // epoch order
+
+    // a write that throws must emit NO ack and fail the query (Spark then
+    // re-runs the epoch on restart — at-least-once, like the reference's
+    // produce retry loop). The failure is the behavior under test — mute
+    // ERROR logging for its duration to keep logs clean.
+    spark.sparkContext.setLogLevel("OFF")
+    try {
+      val in2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+      val h2 = Sinks.confirmed(in2.toDF(), "t2") { (_, _) =>
+        throw new RuntimeException("broker unavailable")
+      }
+      in2.addData("x")
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        h2.query.processAllAvailable()
+      }
+      assert(h2.acks.isEmpty)
+    } finally spark.sparkContext.setLogLevel("WARN")
+  }
 }
