@@ -1,0 +1,70 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{native, TextFunctions => TF}
+import graft.streaming.Dedup
+
+/** End-to-end training-data pipeline composing the engine's north-star
+  * pieces the way a production corpus build runs them (the two-stage
+  * medallion shape: a streaming ingest/dedup pass, then batch curation
+  * over the keeper set):
+  *
+  *  1. INGEST+DEDUP (streaming): raw documents arrive as files; the
+  *     MinHash band-state pipeline ([[Dedup.minhashVerdicts]]) emits one
+  *     restartable verdict per doc; keepers land in a parquet handoff.
+  *  2. CURATE (batch): keepers join back to their text; per doc compute
+  *     quality signals (stopword ratio, type-token ratio) and the TRUE
+  *     BPE token count ([[native.bpe_tokens]]); low-quality docs drop;
+  *     the result is a per-language token-budget report — the number a
+  *     training run actually plans against.
+  *
+  * Everything scales by construction: the streaming stage shuffles on
+  * band/doc ids, the batch stage is one narrow scan + an equi-join + one
+  * aggregation. Used by TrainingDataPipelineSpec at sf0.001.
+  */
+object TrainingDataPipeline {
+
+  /** Stage 1: stream `docsDir` parquet (doc_id, text, ... ) through
+    * near-dup dedup; write verdicts to `verdictDir`; blocks until all
+    * currently-available input is processed. Restart-safe via `ckptDir`.
+    */
+  def streamDedup(spark: SparkSession, docsDir: String, verdictDir: String,
+                  ckptDir: String): Unit = {
+    import spark.implicits._
+    val schema = spark.read.parquet(docsDir).schema
+    val ds = spark.readStream.schema(schema).parquet(docsDir)
+      .select($"doc_id", $"text", $"doc_id".as("seq"))
+      .as[(Long, String, Long)]
+    val q = Dedup.minhashVerdicts(ds)
+      .toDF("doc_id", "seq", "root_doc", "is_keeper")
+      .writeStream.format("parquet").option("path", verdictDir)
+      .option("checkpointLocation", ckptDir).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Stage 2: per-language token budget over the deduped, quality-
+    * filtered corpus. `minStopword`/`minTtr` are the usual cheap quality
+    * gates (a doc with no stopwords is unlikely to be natural prose; a
+    * degenerate type-token ratio flags boilerplate repetition). */
+  def tokenBudget(spark: SparkSession, docsDir: String, verdictDir: String,
+                  minStopword: Double = 0.0, minTtr: Double = 0.0): DataFrame = {
+    import spark.implicits._
+    val stopEn = Seq("the", "a", "and", "of", "to", "in")
+    val keepers = spark.read.parquet(verdictDir)
+      .filter($"is_keeper").select($"doc_id")
+    spark.read.parquet(docsDir)
+      .join(keepers, "doc_id") // equi-join on the doc key; AQE broadcasts when small
+      .withColumn("toks", TF.tokens($"text"))
+      .withColumn("stopword_ratio", TF.stopwordRatio($"toks", stopEn))
+      .withColumn("ttr", TF.typeTokenRatio($"toks"))
+      .filter($"stopword_ratio" >= minStopword && $"ttr" >= minTtr)
+      .withColumn("bpe_tokens", size(native.bpe_tokens($"text")).cast("long"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"bpe_tokens").as("token_budget"),
+        avg($"stopword_ratio").as("avg_stopword_ratio"))
+  }
+}

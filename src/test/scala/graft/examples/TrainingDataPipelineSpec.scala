@@ -1,0 +1,54 @@
+package graft.examples
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** The end-to-end pipeline at sf0.001: streaming dedup keepers must equal
+  * the batch dedup_clusters keepers, and the token budget must equal an
+  * independently computed batch aggregate over exactly those keepers.
+  */
+class TrainingDataPipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("stream-dedup → curate: budget matches an independent batch computation") {
+    withRocksDBState {
+      // stage the single-file table into a directory (the streaming file
+      // source watches directories; production ingest drops files here)
+      val docsDir = java.nio.file.Files.createTempDirectory("graft_tdp_docs").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sf() + "/documents.parquet"),
+        java.nio.file.Paths.get(docsDir, "part-0.parquet"))
+      val verdictDir = java.nio.file.Files.createTempDirectory("graft_tdp_v").toString
+      val ckptDir = java.nio.file.Files.createTempDirectory("graft_tdp_c").toString
+
+      TrainingDataPipeline.streamDedup(spark, docsDir, verdictDir, ckptDir)
+
+      // keeper set == batch connected-components keepers (pinned already
+      // in DedupStreamSpec for MemoryStream; here through the file path)
+      val streamKeepers = spark.read.parquet(verdictDir)
+        .filter($"is_keeper").select($"doc_id").as[Long].collect().toSet
+      val batchKeepers = graft.queries.DedupOps.queries("dedup_clusters")(spark, sf())
+        .filter("is_keeper = 1").select("doc_id").as[Long].collect().toSet
+      assert(streamKeepers == batchKeepers)
+
+      val budget = TrainingDataPipeline.tokenBudget(spark, docsDir, verdictDir)
+        .orderBy("lang")
+        .as[(String, Long, Long, Double)].collect().toSeq
+
+      // independent recomputation: same keepers, straight batch plan
+      val expect = spark.read.parquet(docsDir)
+        .filter($"doc_id".isin(streamKeepers.toSeq: _*))
+        .withColumn("bpe_tokens",
+          size(graft.functions.native.bpe_tokens($"text")).cast("long"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"bpe_tokens").as("token_budget"))
+        .orderBy("lang")
+        .select($"lang", $"n_docs", $"token_budget")
+        .as[(String, Long, Long)].collect().toSeq
+
+      assert(budget.map(r => (r._1, r._2, r._3)) == expect)
+      assert(budget.map(_._2).sum == streamKeepers.size.toLong)
+      assert(budget.forall(_._3 > 0)) // every language carries real tokens
+    }
+  }
+}

@@ -73,6 +73,39 @@ class DedupStreamSpec extends SparkSuite {
     }
   }
 
+  test("minhashVerdicts: bucket state survives a restart from the checkpoint") {
+    withRocksDBState {
+      val src = java.nio.file.Files.createTempDirectory("graft_mh_src").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_mh_ckpt").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_mh_out").toString
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType)))
+      def write(rows: (Long, String, Long)*): Unit =
+        rows.toSeq.toDF("doc_id", "text", "seq").coalesce(1)
+          .write.mode("append").parquet(src)
+      def start() = {
+        val ds = spark.readStream.schema(schema).parquet(src)
+          .as[(Long, String, Long)]
+        Dedup.minhashVerdicts(ds)
+          .toDF("doc_id", "seq", "root_doc", "is_keeper")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+      }
+      val base = "one two three four five six seven eight nine ten eleven twelve"
+      write((1L, base, 1L))
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      // the near-copy arrives AFTER the restart: matching it requires the
+      // bucket membership persisted in the checkpointed state store
+      write((2L, base + " thirteen", 2L))
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      val got = spark.read.parquet(out).as[(Long, Long, Long, Boolean)]
+        .collect().sortBy(_._1).toSeq
+      assert(got.map(r => (r._1, r._3, r._4)) == Seq((1L, 1L, true), (2L, 1L, false)))
+    }
+  }
+
   test("minhashVerdicts: shingle-less docs are singleton keepers; near-copy caught across batches") {
     withRocksDBState {
       val in = MemoryStream[(Long, String, Long)]
