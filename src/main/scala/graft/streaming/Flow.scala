@@ -21,7 +21,12 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, 
   * processing stall therefore does NOT cause a catch-up burst: after the
   * stall the backlog still drains one element per interval (timer fires
   * sharing one batch timestamp emit at most once — the spec pins this).
-  * Timers and queue live in the state store: checkpointed, restart-safe.
+  * Timers and queue live in the state store: checkpointed, restart-safe
+  * (FlowSpec pins backlog drain across a stop/start). One engine nuance:
+  * a RESTARTED query that is otherwise fully idle may not schedule
+  * batches for timer wake-ups alone — on a live stream (any traffic on
+  * any key) pending backlogs drain normally, which the recovery spec
+  * reproduces with an unrelated-key trickle.
   * `buffer(n)` (core.py:1546) stays a documented design row — decoupling
   * stages with a bounded queue IS micro-batch admission control
   * (maxOffsetsPerTrigger et al.), with no analytic output to test.
