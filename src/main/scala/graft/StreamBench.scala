@@ -101,8 +101,29 @@ object StreamBench {
     val mapSec = (System.nanoTime() - t4) / 1e9
     mapQ.stop()
 
+    // 6) streaming near-dup dedup (Dedup.minhashVerdicts): docs/s through
+    //    signature + banding + two chained transformWithState stages —
+    //    the per-doc cost of the streaming ingest-dedup stage (RocksDB
+    //    provider, as the 100 TB deployment would run)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) => (id, text, id) }
+    val dedupIn = MemoryStream[(Long, String, Long)]
+    val dedupQ = graft.streaming.Dedup.minhashVerdicts(dedupIn.toDS())
+      .writeStream.format("noop").outputMode("append").start()
+    dedupIn.addData(docs.take(100).toSeq); dedupQ.processAllAvailable() // warm
+    val t5 = System.nanoTime()
+    docs.drop(100).grouped(2000).foreach { c =>
+      dedupIn.addData(c.toSeq); dedupQ.processAllAvailable()
+    }
+    val dedupSec = (System.nanoTime() - t5) / 1e9
+    dedupQ.stop()
+
     val n = events.length
-    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"recovery_sec":$recoverSec%.2f,"rows":$n,"batches":${chunks.size},"sf":"$sfDir"}""")
+    val nd = docs.length - 100
+    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -107,7 +107,8 @@ final class GraftStream[T](val ds: Dataset[T]) extends Serializable {
     * ("updating" — run with outputMode update). */
   def frequencies: GraftFrame = {
     val df = ds.toDF()
-    new GraftFrame(df.groupBy(df.columns.map(df(_)): _*).agg(count(lit(1)).as("count")))
+    new GraftFrame(df.groupBy(df.columns.toIndexedSeq.map(df(_)): _*)
+      .agg(count(lit(1)).as("count")))
   }
 
   // --- terminal -----------------------------------------------------------
