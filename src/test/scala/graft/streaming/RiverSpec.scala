@@ -68,6 +68,22 @@ class RiverSpec extends SparkSuite {
     scored.foreach { case (y, p) => assert(math.abs(y - p) < 1e-6) }
   }
 
+  test("model agrees with the oracle-checked river_ols query on real data") {
+    val model = new River.OnlineLinearRegression(features = 1)
+    val data = spark.read.parquet(sf() + "/lineitem.parquet")
+      .select($"l_quantity", $"l_extendedprice")
+      .as[(Double, Double)].collect()
+      .map { case (x, y) => (Seq(x), y) }
+    // two uneven online batches — must converge to the same closed form
+    Seq(data.take(1000), data.drop(1000)).foreach { c =>
+      model.learn(River.computeStats(c.toSeq.toDS(), 1))
+    }
+    val row = graft.queries.MlOps.queries("river_ols")(spark, sf())
+      .select("slope", "intercept").first()
+    assert(math.abs(model.weights(0) - row.getDouble(0)) < 1e-7)
+    assert(math.abs(model.intercept - row.getDouble(1)) < 1e-4) // intercept ~1e3
+  }
+
   test("scaler: transform normalizes with running moments (RiverTransform)") {
     val scaler = new River.OnlineStandardScaler(features = 2)
     val xs = Seq(Seq(1.0, 10.0), Seq(3.0, 10.0), Seq(5.0, 40.0), Seq(7.0, 40.0))
