@@ -132,6 +132,55 @@ object Dedup {
     }
   }
 
+  /** First-owner processor keyed by a fingerprint: the first doc to
+    * present a fingerprint owns it; every later doc with the same
+    * fingerprint is a duplicate of the owner. One ValueState read/write
+    * per row. */
+  private final class FingerprintOwner
+      extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long, Boolean)] {
+    @transient private var owner: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState[Long]("owner", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Boolean)] = {
+      val sorted = rows.toVector.sortBy(_._3)
+      var own = if (owner.exists()) owner.get() else -1L
+      val out = Vector.newBuilder[(Long, Long, Long, Boolean)]
+      sorted.foreach { case (_, docId, seq) =>
+        if (own < 0) { own = docId; owner.update(docId) }
+        out += ((docId, seq, own, own == docId))
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming SimHash dedup for `(doc_id, text, seq)` rows — the
+    * streaming face of the batch `dedup_simhash` fingerprint (identical
+    * kernel and bit width, so batch and stream agree doc-for-doc): docs
+    * whose token stream collapses to the same `bits`-bit SimHash are
+    * near-duplicates; the first to arrive is the keeper. One keyed
+    * shuffle on the fingerprint, O(1) state per distinct fingerprint —
+    * the cheapest of the three streaming dedup flavors, the right tool
+    * when boilerplate-level similarity is enough. Token-less docs are
+    * singleton keepers (the batch query filters them out; a streaming
+    * verdict must still say something about every doc). */
+  def simhashVerdicts(ds: Dataset[(Long, String, Long)],
+                      bits: Int = 16): Dataset[(Long, Long, Long, Boolean)] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val df = ds.toDF("doc_id", "text", "seq")
+      .select($"doc_id", $"seq", native.tokens($"text").as("toks"))
+    val hashed = df.filter(size($"toks") >= 1)
+      .select(native.simhash($"toks", bits).as("fp"), $"doc_id", $"seq")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new FingerprintOwner, TimeMode.None(), OutputMode.Append())
+    val tokenless = df.filter(size($"toks") === 0)
+      .select($"doc_id", $"seq", $"doc_id".as("root_doc"), lit(true).as("is_keeper"))
+      .as[(Long, Long, Long, Boolean)]
+    hashed.union(tokenless)
+  }
+
   /** Streaming near-dup verdicts for `(doc_id, text, seq)` rows:
     * one row per incoming doc — `(doc_id, seq, root_doc, is_keeper)`.
     * Requires the RocksDB state store provider (transformWithState).

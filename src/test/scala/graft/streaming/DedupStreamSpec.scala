@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.min
 
 /** Streaming dedup surface: exact (dropDuplicates + watermark variants)
   * and the MinHash band-state near-dup pipeline, which must agree with
@@ -69,6 +70,34 @@ class DedupStreamSpec extends SparkSuite {
         .select("doc_id").as[Long].collect().toSet
       assert(streamKeepers == batchKeepers)
       // non-keepers must point at an earlier doc as root
+      got.filterNot(_._4).foreach { case (id, _, root, _) => assert(root < id) }
+    }
+  }
+
+  test("simhashVerdicts: streaming keepers == batch dedup_simhash fingerprint groups (sf0.001)") {
+    withRocksDBState {
+      val docs = spark.read.parquet(sf() + "/documents.parquet")
+        .select($"doc_id", $"text").as[(Long, String)]
+        .collect().sortBy(_._1)
+      val in = MemoryStream[(Long, String, Long)]
+      val out = Dedup.simhashVerdicts(in.toDS())
+      val q = out.toDF("doc_id", "seq", "root_doc", "is_keeper").writeStream
+        .format("memory").queryName("dedup_sh_t").outputMode("append").start()
+      docs.grouped(200).foreach { chunk =>
+        in.addData(chunk.map { case (id, t) => (id, t, id) }.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table("dedup_sh_t").as[(Long, Long, Long, Boolean)].collect()
+      assert(got.length == docs.length)
+      val streamKeepers = got.filter(_._4).map(_._1).toSet
+
+      // batch: keeper = min doc_id of each simhash16 fingerprint group
+      val batch = graft.queries.DedupOps.queries("dedup_simhash")(spark, sf())
+      val batchKeepers = batch.groupBy("simhash16").agg(min($"doc_id").as("k"))
+        .select("k").as[Long].collect().toSet
+      val tokenless = docs.filter(_._2.trim.isEmpty).map(_._1).toSet
+      assert(streamKeepers == batchKeepers ++ tokenless)
       got.filterNot(_._4).foreach { case (id, _, root, _) => assert(root < id) }
     }
   }
