@@ -35,8 +35,15 @@ object Multimodal {
   case class ImagePixels(docId: Long, width: Int, height: Int, format: String,
       pxTopLeft: Int, pxBottomRight: Int, pxSum: Long)
 
-  /** The codec boundary: real `javax.imageio` for image containers, the
-    * deterministic fake for everything else.
+  /** PCM facts recovered by a real audio decode — the audio analogue of
+    * [[ImagePixels]]: container-level format plus sample-level values
+    * that any stride/endianness/sign error would corrupt. */
+  case class AudioPcm(docId: Long, sampleRate: Int, channels: Int, bits: Int,
+      nSamples: Long, firstSample: Int, lastSample: Int, absSum: Long)
+
+  /** The codec boundary: real `javax.imageio` for image containers, real
+    * `javax.sound.sampled` for WAV audio, the deterministic fake for
+    * everything else.
     */
   object Codec {
 
@@ -78,6 +85,54 @@ object Multimodal {
         }
         ImagePixels(docId, w, h, fmt,
           r.getSample(0, 0, 0), r.getSample(w - 1, h - 1, 0), sum)
+      }
+
+    /** Container sniff for RIFF/WAVE audio. */
+    def audioFormat(bytes: Array[Byte]): Option[String] =
+      if (bytes.length >= 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
+        Some("wav")
+      else None
+
+    /** REAL audio decode: parse a WAV blob with the JDK's JavaSound
+      * (`javax.sound.sampled`, no external dependency) and return PCM
+      * facts. Supports the signed-16-bit case every PCM pipeline starts
+      * from; other encodings return None (caller falls back to the fake).
+      * Lossless container → deterministic, engine-independent samples.
+      */
+    def decodeAudio(docId: Long, bytes: Array[Byte]): Option[AudioPcm] =
+      audioFormat(bytes).flatMap { _ =>
+        try {
+          val in = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(new ByteArrayInputStream(bytes))
+          try {
+            val f = in.getFormat
+            val ok = f.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              f.getSampleSizeInBits == 16 && !f.isBigEndian
+            if (!ok) None
+            else {
+              val data = in.readAllBytes()
+              val n = data.length / 2
+              var absSum = 0L
+              var first = 0
+              var last = 0
+              var i = 0
+              while (i < n) {
+                val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+                if (i == 0) first = s
+                last = s
+                absSum += math.abs(s)
+                i += 1
+              }
+              Some(AudioPcm(docId, f.getSampleRate.toInt, f.getChannels, 16,
+                n / f.getChannels, first, last, absSum))
+            }
+          } finally in.close()
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        }
       }
 
     /** Metadata + per-frame features. Image containers take the real path
@@ -160,6 +215,40 @@ object Multimodal {
       out.toByteArray
     }
   }
+
+  /** Deterministic synthetic WAV clips, symmetric with [[SyntheticImages]]:
+    * encode real RIFF/WAVE PCM with the JDK writer from a sample function,
+    * so the audio decode path verifies end-to-end without binary fixtures.
+    */
+  object SyntheticAudio {
+
+    /** Mono signed-16-bit little-endian WAV; `sample(i)` must return a
+      * value in [-32768, 32767]. */
+    def pcm16(n: Int, sampleRate: Int)(sample: Int => Int): Array[Byte] = {
+      require(n >= 1 && sampleRate >= 1, s"need n >= 1, rate >= 1: $n, $sampleRate")
+      val data = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = sample(i)
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(data), fmt, n.toLong)
+      val out = new ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+  }
+
+  /** REAL per-blob audio decode, partition-at-a-time (see [[decodeMeta]]). */
+  def decodeAudio(ds: Dataset[(Long, Array[Byte])])(
+      implicit enc: org.apache.spark.sql.Encoder[AudioPcm]): Dataset[AudioPcm] =
+    ds.mapPartitions(_.flatMap { case (id, bytes) => Codec.decodeAudio(id, bytes) })
 
   /** Attach decoded metadata columns derived from `blobCol`. Narrow —
     * pure per-row expressions, schema known at plan time. These are the

@@ -57,6 +57,29 @@ object MultimodalOps extends QueryGroup {
         }
         .toDF("doc_id", "width", "height", "format",
           "px_top_left", "px_bottom_right", "px_sum")
+    }),
+
+    // real WAV encode → real javax.sound.sampled decode → PCM facts, the
+    // audio twin of multimodal_decode: samples are an integer recurrence
+    // of (doc_id, i) the oracle recomputes in SQL, so any endianness,
+    // sign, stride, or header error in the decode breaks the hash.
+    "multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      spread(t(s, dir, "documents")).select($"doc_id").as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (500 + id % 1500).toInt
+            val rate = (8000 + (id % 3) * 8000).toInt
+            val blob = Multimodal.SyntheticAudio.pcm16(n, rate)(i =>
+              (((id + 1) * 2654435761L + i * 40503L) % 65536L - 32768L).toInt)
+            val pcm = Multimodal.Codec.decodeAudio(id, blob).getOrElse(
+              throw new IllegalStateException(s"WAV decode failed for doc $id"))
+            (pcm.docId, pcm.sampleRate, pcm.channels, pcm.bits,
+              pcm.nSamples, pcm.firstSample, pcm.lastSample, pcm.absSum)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "channels", "bits",
+          "n_samples", "first_sample", "last_sample", "abs_sum")
     })
   )
 
@@ -88,6 +111,29 @@ object MultimodalOps extends QueryGroup {
         |  CAST((d.doc_id * 31 + (7 + d.doc_id % 57) * 7 + (7 + (d.doc_id * 3) % 41) * 13) % 256
         |    AS INTEGER) AS px_bottom_right,
         |  px.px_sum
-        |FROM documents d JOIN px ON px.doc_id = d.doc_id""".stripMargin
+        |FROM documents d JOIN px ON px.doc_id = d.doc_id""".stripMargin,
+
+    // recompute the PCM recurrence: sample(i) = ((doc_id+1)·2654435761 +
+    // 40503·i) mod 65536 − 32768 over n = 500 + doc_id%1500 samples
+    // (n ≤ 2000, so the fixed series + filter stands in for a correlated
+    // generate_series, as in multimodal_decode).
+    "multimodal_audio" ->
+      """WITH s AS (
+        |  SELECT d.doc_id,
+        |    CAST(SUM(ABS(((d.doc_id + 1) * 2654435761 + i * 40503) % 65536 - 32768))
+        |      AS BIGINT) AS abs_sum
+        |  FROM documents d, generate_series(0, 1999) g(i)
+        |  WHERE i < 500 + d.doc_id % 1500
+        |  GROUP BY d.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(8000 + (d.doc_id % 3) * 8000 AS INTEGER) AS sample_rate,
+        |  1 AS channels,
+        |  16 AS bits,
+        |  CAST(500 + d.doc_id % 1500 AS BIGINT) AS n_samples,
+        |  CAST(((d.doc_id + 1) * 2654435761) % 65536 - 32768 AS INTEGER) AS first_sample,
+        |  CAST(((d.doc_id + 1) * 2654435761 + (499 + d.doc_id % 1500) * 40503) % 65536 - 32768
+        |    AS INTEGER) AS last_sample,
+        |  s.abs_sum
+        |FROM documents d JOIN s ON s.doc_id = d.doc_id""".stripMargin
   )
 }

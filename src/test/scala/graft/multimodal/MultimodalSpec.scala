@@ -98,4 +98,50 @@ class MultimodalSpec extends SparkSuite {
     val resized = resizeFeatures(frameFeatures(ds), dim = 4).collect()
     assert(resized.forall(_.features.length == 4))
   }
+
+  test("Codec.decodeAudio: WAV round trip recovers format and exact samples") {
+    val samples = Array(0, 1000, -1000, 32767, -32768, 7)
+    val blob = SyntheticAudio.pcm16(samples.length, 16000)(samples(_))
+    val pcm = Codec.decodeAudio(9L, blob).get
+    assert(pcm == AudioPcm(9L, 16000, 1, 16, samples.length,
+      firstSample = 0, lastSample = 7,
+      absSum = samples.map(s => math.abs(s.toLong)).sum))
+  }
+
+  test("Codec.decodeAudio: hand-built RIFF bytes pin the parser conventions") {
+    // minimal RIFF/WAVE, PCM s16le mono 8 kHz, two samples: 258 (0x0102
+    // little-endian) and -2 (0xFFFE) — independent of SyntheticAudio, so
+    // endianness or header-offset bugs cannot cancel out
+    val data = Array[Int](0x02, 0x01, 0xfe, 0xff).map(_.toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String) = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int) = (0 to 3).foreach(i => out.write((v >> (8 * i)) & 0xff))
+    def le16(v: Int) = (0 to 1).foreach(i => out.write((v >> (8 * i)) & 0xff))
+    ascii("RIFF"); le32(36 + data.length); ascii("WAVE")
+    ascii("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+    ascii("data"); le32(data.length); out.write(data)
+    val pcm = Codec.decodeAudio(1L, out.toByteArray).get
+    assert(pcm == AudioPcm(1L, 8000, 1, 16, 2,
+      firstSample = 258, lastSample = -2, absSum = 260L))
+  }
+
+  test("Codec.decodeAudio: non-audio bytes return None (fake path untouched)") {
+    assert(Codec.decodeAudio(1L, Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Codec.decodeAudio(1L,
+      SyntheticImages.gray(4, 4)((_, _) => 0)).isEmpty) // image != audio
+    // image decode likewise rejects WAV bytes
+    assert(Codec.decodeImage(1L,
+      SyntheticAudio.pcm16(4, 8000)(_ => 0)).isEmpty)
+  }
+
+  test("decodeAudio: distributed decode over a mixed batch keeps only real WAVs") {
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      1L -> SyntheticAudio.pcm16(10, 8000)(i => i * 100),
+      2L -> Array[Byte](9, 9, 9, 9), // not audio
+      3L -> SyntheticAudio.pcm16(5, 24000)(_ => -1))
+    val got = decodeAudio(spark.createDataset(rows).repartition(2))
+      .collect().sortBy(_.docId)
+    assert(got.map(p => (p.docId, p.sampleRate, p.nSamples)).toSeq ==
+      Seq((1L, 8000, 10L), (3L, 24000, 5L)))
+  }
 }
