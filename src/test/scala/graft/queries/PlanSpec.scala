@@ -68,4 +68,28 @@ class PlanSpec extends SparkSuite {
       assert(plan(q).contains("*("), s"$q fell out of codegen:\n${plan(q)}")
     }
   }
+
+  test("BPE tokenization is a narrow pipeline (no join, no agg, no key shuffle)") {
+    val p = plan("text_bpe_merges")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"text_bpe_merges grew a wide step:\n$p")
+    // the only Exchange allowed is the test-data spread() repartition
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"text_bpe_merges should not key-shuffle:\n$p")
+    // the full query's word-stat columns use higher-order functions
+    // (interpreted eval); the BpeEncode kernel itself must stay codegen —
+    // assert on a bare projection of it
+    import org.apache.spark.sql.functions.size
+    val bare = graft.Tables(spark, sf(), "documents")
+      .select(size(graft.functions.native.bpe_tokens(
+        org.apache.spark.sql.functions.col("text"))).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(bare.contains("*("), s"BpeEncode fell out of codegen:\n$bare")
+  }
+
+  test("river_ols is one full aggregate — no join, no window") {
+    val p = plan("river_ols")
+    assert(p.contains("HashAggregate") && !p.contains("Join") && !p.contains("Window"),
+      s"river_ols should be a single reduction:\n$p")
+  }
 }
