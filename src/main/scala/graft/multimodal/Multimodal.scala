@@ -67,6 +67,63 @@ object Multimodal {
         Option(ImageIO.read(new ByteArrayInputStream(bytes))).map(fmt -> _)
       }
 
+    /** ALL stored frames of an image container — the real multi-frame
+      * ("video-style") path: GIF animations yield every frame via the
+      * ImageIO sequence reader, single-frame containers yield one. Frames
+      * are the STORED rasters (no disposal-method compositing — the right
+      * granularity for feature sampling, where each stored delta is a
+      * signal in its own right). */
+    private def readFrames(bytes: Array[Byte]): Option[(String, Vector[BufferedImage])] =
+      imageFormat(bytes).flatMap { fmt =>
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            r.setInput(iis)
+            try {
+              val n = math.max(r.getNumImages(true), 1)
+              Some(fmt -> Vector.tabulate(n)(r.read))
+            } finally r.dispose()
+          }
+        } catch { case _: javax.imageio.IIOException => None }
+        finally iis.close()
+      }
+
+    /** Mean band-0 level of 8 horizontal stripes, scaled to [0,1] —
+      * shared by the single- and multi-frame feature paths. Palette-based
+      * rasters (GIF) are rendered to 8-bit gray first, so features are
+      * gray levels, not palette indices. */
+    private def stripeFeatures(img0: BufferedImage): Array[Float] = {
+      val img =
+        if (img0.getType == BufferedImage.TYPE_BYTE_GRAY) img0
+        else {
+          val g = new BufferedImage(img0.getWidth, img0.getHeight,
+            BufferedImage.TYPE_BYTE_GRAY)
+          val gr = g.createGraphics()
+          gr.drawImage(img0, 0, 0, null)
+          gr.dispose()
+          g
+        }
+      val r = img.getRaster
+      val dim = 8
+      val feats = new Array[Float](dim)
+      val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        var rowSum = 0L
+        while (x < img.getWidth) { rowSum += r.getSample(x, y, 0); x += 1 }
+        feats(y * dim / h) += rowSum.toFloat
+        y += 1
+      }
+      val norm = 255f * img.getWidth * math.max(h / dim, 1)
+      var j = 0
+      while (j < dim) { feats(j) /= norm; j += 1 }
+      feats
+    }
+
     /** REAL decode: parse the blob with `javax.imageio` and return raster
       * facts, or None when the blob is not a decodable image. Deterministic
       * and engine-independent for lossless containers (PNG/BMP/GIF): the
@@ -136,29 +193,20 @@ object Multimodal {
       }
 
     /** Metadata + per-frame features. Image containers take the real path
-      * (one frame; features = mean band-0 level of 8 horizontal stripes,
-      * scaled to [0,1]); anything else takes the deterministic fake.
+      * — ALL stored frames, so animated GIFs behave like short videos
+      * (meta.frames = real frame count, one feature row per frame;
+      * features = mean gray level of 8 horizontal stripes in [0,1]);
+      * anything else takes the deterministic fake.
       */
     def decode(docId: Long, bytes: Array[Byte]): (MediaMeta, Iterator[FrameFeatures]) =
-      readImage(bytes) match {
-        case Some((_, img)) =>
-          val meta = MediaMeta(docId, bytes.length.toLong, img.getWidth, img.getHeight, 1)
-          val r = img.getRaster
-          val dim = 8
-          val feats = new Array[Float](dim)
-          val h = img.getHeight
-          var y = 0
-          while (y < h) {
-            var x = 0
-            var rowSum = 0L
-            while (x < img.getWidth) { rowSum += r.getSample(x, y, 0); x += 1 }
-            feats(y * dim / h) += rowSum.toFloat
-            y += 1
-          }
-          val norm = 255f * img.getWidth * math.max(h / dim, 1)
-          var j = 0
-          while (j < dim) { feats(j) /= norm; j += 1 }
-          (meta, Iterator.single(FrameFeatures(docId, 0, feats)))
+      readFrames(bytes) match {
+        case Some((_, frames)) =>
+          val first = frames.head
+          val meta = MediaMeta(docId, bytes.length.toLong,
+            first.getWidth, first.getHeight, frames.size)
+          (meta, frames.iterator.zipWithIndex.map { case (img, f) =>
+            FrameFeatures(docId, f, stripeFeatures(img))
+          })
         case None => fakeDecode(docId, bytes)
       }
 
@@ -195,6 +243,37 @@ object Multimodal {
     * verified end-to-end without binary fixtures in the repo.
     */
   object SyntheticImages {
+
+    /** Animated grayscale GIF — real multi-frame container for the
+      * frame-sampling path. `pixel(x, y, frame)` must return 0..255
+      * (use few distinct levels: GIF palettizes, and ImageIO preserves
+      * exact gray levels for small palettes). */
+    def animatedGray(w: Int, h: Int, nFrames: Int)(
+        pixel: (Int, Int, Int) => Int): Array[Byte] = {
+      require(w >= 1 && h >= 1 && nFrames >= 1, s"bad dims: ${w}x$h x$nFrames")
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+          val r = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { r.setSample(x, y, 0, pixel(x, y, f) & 0xff); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      out.toByteArray
+    }
 
     /** 8-bit grayscale image encoded with the JDK writer for `format`
       * ("png" and "bmp" are lossless for TYPE_BYTE_GRAY; PNG is the safe

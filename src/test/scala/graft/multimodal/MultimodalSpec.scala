@@ -99,6 +99,33 @@ class MultimodalSpec extends SparkSuite {
     assert(resized.forall(_.features.length == 4))
   }
 
+  test("Codec.decode: animated GIF yields real frame count and per-frame features") {
+    // 3 frames, binary palette (0/255 survive GIF palettization exactly):
+    // frame f is all-white above row f, all-black below → stripe means
+    // shift monotonically with f
+    val blob = SyntheticImages.animatedGray(8, 8, 3)((_, y, f) =>
+      if (y <= f * 2) 255 else 0)
+    val (meta, framesIt) = Codec.decode(42L, blob)
+    val frames = framesIt.toVector
+    assert(meta == Multimodal.MediaMeta(42L, blob.length.toLong, 8, 8, 3))
+    assert(frames.map(_.frameIdx) == Vector(0, 1, 2))
+    // more white rows → larger total feature mass, strictly increasing
+    val mass = frames.map(_.features.sum)
+    assert(mass(0) < mass(1) && mass(1) < mass(2), s"feature mass $mass")
+    // frame 0: only row 0 white → stripe 0 = 1.0, stripes 1..7 = 0
+    assert(frames(0).features(0) == 1.0f)
+    assert(frames(0).features.drop(1).forall(_ == 0.0f))
+  }
+
+  test("frameFeatures: sampleEvery subsamples a real animated container") {
+    val blob = SyntheticImages.animatedGray(4, 4, 5)((_, _, f) =>
+      if (f % 2 == 0) 255 else 0)
+    val ds = spark.createDataset(Seq(7L -> blob))
+    val got = frameFeatures(ds, sampleEvery = 2).collect().sortBy(_.frameIdx)
+    assert(got.map(_.frameIdx).toSeq == Seq(0, 2, 4))
+    assert(got.forall(_.features(0) == 1.0f)) // sampled frames are the white ones
+  }
+
   test("Codec.decodeAudio: WAV round trip recovers format and exact samples") {
     val samples = Array(0, 1000, -1000, 32767, -32768, 7)
     val blob = SyntheticAudio.pcm16(samples.length, 16000)(samples(_))
