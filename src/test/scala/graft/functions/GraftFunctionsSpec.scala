@@ -1,0 +1,47 @@
+package graft.functions
+
+import graft.SparkSuite
+
+/** SQL-callable native kernels: registered functions must produce the
+  * same results as the Column API (same expressions underneath), and the
+  * extension injection list must mirror the registry list.
+  */
+class GraftFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("registered SQL functions match the Column API results") {
+    GraftFunctions.register(spark)
+    Seq(("the fast stream", 1L), ("window join", 2L))
+      .toDF("text", "id").createOrReplaceTempView("gf_docs")
+
+    val sql = spark.sql(
+      """SELECT id, bpe_tokens(text) AS bpe, graft_tokens(text) AS toks,
+        |  graft_simhash(graft_tokens(text), 16) AS sh
+        |FROM gf_docs""".stripMargin)
+      .as[(Long, Seq[String], Seq[String], Long)].collect().sortBy(_._1)
+    val api = spark.table("gf_docs")
+      .select($"id", native.bpe_tokens($"text").as("bpe"),
+        native.tokens($"text").as("toks"),
+        native.simhash(native.tokens($"text"), 16).as("sh"))
+      .as[(Long, Seq[String], Seq[String], Long)].collect().sortBy(_._1)
+    assert(sql.toSeq == api.toSeq)
+    assert(sql.head._2 == Seq("the_", "fast_", "stream_"))
+
+    // parameterized kernels + dot products via SQL
+    val dot = spark.sql(
+      """SELECT graft_decimal_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                         array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT)))""".stripMargin)
+      .head().getDouble(0)
+    assert(dot == 4.0)
+    val sigs = spark.sql(
+      "SELECT graft_minhash_sigs(graft_shingles3('a b c d'), 4)")
+      .head().getSeq[String](0)
+    assert(sigs.length == 4 && sigs.forall(_ != null))
+  }
+
+  test("extension injection list mirrors the registry list") {
+    assert(GraftFunctions.injections.map(_._1.funcName) ==
+      GraftFunctions.functions.map(_._1))
+    assert(GraftFunctions.functions.size >= 8)
+  }
+}
