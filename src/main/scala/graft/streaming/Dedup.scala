@@ -186,7 +186,9 @@ object Dedup {
     * Requires the RocksDB state store provider (transformWithState).
     * Docs whose text yields no shingles (< 3 tokens) are always keepers
     * with themselves as root, exactly like the batch pipeline's
-    * singleton left-join. */
+    * singleton left-join. Assumes doc_ids are unique (run [[exact]] or
+    * id-dedup upstream for replays): a replayed id never matches its own
+    * registration, so it would emit a second keeper verdict. */
   def minhashVerdicts(ds: Dataset[(Long, String, Long)]): Dataset[(Long, Long, Long, Boolean)] = {
     val spark = ds.sparkSession
     import spark.implicits._

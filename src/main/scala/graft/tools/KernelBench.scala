@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.catalyst.util.ArrayData
 
-import graft.functions.ExprKernels
+import graft.functions.{Bpe, ExprKernels}
 
 /** Microbenchmark for the native kernels (`runMain graft.tools.KernelBench`):
   * isolates per-call cost of the exact-decimal kernels from Spark plan
@@ -35,5 +35,6 @@ object KernelBench {
     val toks = ExprKernels.tokens(doc)
     time("minHashSigs(k=8)", 500)(_ => ExprKernels.minHashSigs(ExprKernels.shingles3(doc), 8))
     time("simHash(16)", 1000)(_ => ExprKernels.simHash(toks, 16))
+    time("bpeTokens(150w, cached)", 2000)(_ => Bpe.bpeTokens(doc))
   }
 }
