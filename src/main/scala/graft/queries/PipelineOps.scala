@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators a training-data pipeline runs after
+  * dedup/quality filtering: budget-constrained selection and
+  * deterministic source mixing. Both are single-pass, key-partitioned
+  * plans (one shuffle on the stratification key), and both are
+  * hash-exact against the DuckDB oracle.
+  */
+object PipelineOps extends QueryGroup {
+
+  // per-language char budget for budget_sample (chars stand in for
+  // tokens in the oracle-simple variant; the BPE-true budget is the
+  // pipeline example's job)
+  private val CharBudget = 20000L
+  // per-source mixing weights in millionths (md5-derived uniform — the
+  // standard deterministic mixture-sampling trick, engine-identical):
+  // the corpus's src0..src19 get 200k/400k/600k/800k cyclically, the
+  // shape of a real mix (sources up- and down-weighted around parity)
+  private val Weights: Seq[(String, Long)] =
+    (0 until 20).map(i => s"src$i" -> ((i % 4) + 1) * 200000L)
+
+  override def queries: Map[String, Q] = Map(
+    // Budget-constrained selection: per language, admit docs in
+    // deterministic priority order (doc_id) while the running character
+    // total stays within budget. One window over the language partition —
+    // the partition key IS the stratification key, so the plan is one
+    // shuffle however large the corpus.
+    "budget_sample" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      t(s, dir, "documents")
+        .withColumn("cum_chars", sum($"n_chars").over(w))
+        .filter($"cum_chars" <= CharBudget)
+        .select($"doc_id", $"lang", $"n_chars", $"cum_chars")
+    }),
+
+    // Deterministic weighted source mixing: doc admitted iff its
+    // md5-derived uniform (first 8 hex digits of md5(doc_id), scaled to
+    // millionths) falls under its source's weight. Stateless, seedless,
+    // reproducible on any engine that has md5 — the property a data-mix
+    // audit needs. Narrow: no shuffle at all.
+    "mix_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val u = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000L
+      val keep = Weights.foldLeft(lit(false)) { case (acc, (src, wt)) =>
+        acc || ($"source" === src && u < wt)
+      }
+      t(s, dir, "documents")
+        .withColumn("u_millionths", u)
+        .filter(keep)
+        .select($"doc_id", $"source", $"u_millionths")
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "budget_sample" ->
+      s"""SELECT doc_id, lang, n_chars, cum_chars
+         |FROM (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT)
+         |      AS cum_chars
+         |  FROM documents)
+         |WHERE cum_chars <= $CharBudget""".stripMargin,
+
+    "mix_weighted" ->
+      s"""SELECT doc_id, source, u_millionths
+         |FROM (
+         |  SELECT doc_id, source,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % 1000000 AS u_millionths
+         |  FROM documents)
+         |WHERE ${Weights.map { case (s0, w) =>
+             s"(source = '$s0' AND u_millionths < $w)" }.mkString(" OR ")}""".stripMargin
+  )
+}
