@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Stream-static ANN: corpus vectors streamed back as queries must find
+  * themselves first (cos = 1 in their own bucket), k bounds hold per
+  * batch, and results agree with the batch same-bucket ranking.
+  */
+class SimilarityStreamSpec extends SparkSuite {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("streamed corpus vectors find themselves; k bound and batch parity hold") {
+    withRocksDBState {
+      val corpus = spark.read.parquet(sf() + "/embeddings.parquet")
+        .select($"vec_id", $"embedding").cache()
+      val queries = corpus.as[(Long, Array[Float])].collect().take(40)
+
+      val in = MemoryStream[(Long, Array[Float])]
+      val out = Similarity.streamKnn(in.toDS(), corpus, k = 5)
+      val q = out.toDF("query_id", "vec_id", "cos").writeStream
+        .format("memory").queryName("sim_knn_t").outputMode("append").start()
+      queries.grouped(15).foreach { c => in.addData(c.toSeq); q.processAllAvailable() }
+      q.stop()
+
+      val got = spark.table("sim_knn_t").as[(Long, Long, Double)].collect()
+        .groupBy(_._1)
+      assert(got.keySet == queries.map(_._1).toSet) // every query answered
+      got.foreach { case (qid, hits) =>
+        assert(hits.length <= 5)
+        // the query IS a corpus vector: something in its bucket scores ~1
+        // (itself, or an exactly-parallel near-dup — the corpus has those
+        // by design, and rounding may put the copy a ulp above self)
+        val top = hits.minBy { case (_, id, cos) => (-cos, id) }
+        assert(top._3 > 1.0 - 1e-9, s"query $qid top cos ${top._3}")
+      }
+
+      // batch parity for EVERY query: same-bucket top-5 ranking
+      import graft.functions.native
+      import org.apache.spark.sql.functions._
+      val statics = corpus.select($"vec_id", $"embedding",
+        sqrt(native.double_dot($"embedding", $"embedding")).as("nrm"),
+        native.lsh_bucket($"embedding", 8).as("bucket")).cache()
+      queries.foreach { case (qid, qemb) =>
+        val qn = math.sqrt(qemb.map(x => x.toDouble * x).sum)
+        val qb = statics.filter($"vec_id" === qid).select($"bucket").head().getLong(0)
+        val batch = statics.filter($"bucket" === qb)
+          .select($"vec_id",
+            (native.double_dot(typedLit(qemb), $"embedding") / ($"nrm" * qn)).as("cos"))
+          .as[(Long, Double)].collect()
+          .sortBy { case (id, cos) => (-cos, id) }.take(5).map(_._1).toSeq
+        val streamed = got(qid).sortBy { case (_, id, cos) => (-cos, id) }.map(_._2).toSeq
+        assert(streamed == batch, s"query $qid: $streamed vs $batch")
+      }
+      statics.unpersist()
+      corpus.unpersist()
+    }
+  }
+}
