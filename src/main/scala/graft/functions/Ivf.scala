@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trained IVF (inverted-file) index on [[Kmeans]] centroids — the
+  * production path the oracle-checked `similarity_ivf` query models with
+  * its deterministic quantizer: k-means learns the cells, every vector
+  * is tagged with its nearest centroid's cell id, and a query probes
+  * only its `nprobe` closest cells.
+  *
+  * Everything is declarative and set-based — no driver loop anywhere:
+  * probe selection is a broadcast join of queries against the k-row
+  * centroid table + a per-query rank, candidate generation is an
+  * equi-join on the cell id (the partition/bucket key at scale — write
+  * the tagged corpus with `Bucketing.writeBucketed` on `cell` and the
+  * probe join is also shuffle-free), and ranking is the cheap
+  * double-precision cosine. With `nprobe = k` the search is EXACTLY
+  * brute force (IvfSpec pins that equality), so recall degrades only
+  * and exactly as nprobe shrinks.
+  */
+object Ivf {
+
+  final case class Index(model: Kmeans.Model, cells: DataFrame)
+
+  /** Tag every corpus vector with its trained cell. `corpus` needs
+    * `vec_id` and `embedding`; returns (vec_id, embedding, nrm, cell). */
+  def build(corpus: DataFrame, k: Int, iters: Int): Index = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = Kmeans.fit(corpus, "embedding", "vec_id", k, iters)
+    val m = model // task-closure copy
+    val tagged = corpus.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        var n = 0.0
+        var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+        (id, v, math.sqrt(n), m.assign(v))
+      })
+      .toDF("vec_id", "embedding", "nrm", "cell")
+    Index(model, tagged)
+  }
+
+  /** Top-`topK` same-probed-cell hits per query: `(query_id, vec_id,
+    * cos, rank)`. `queries` needs `query_id` and `qemb` columns. */
+  def search(index: Index, queries: DataFrame, topK: Int, nprobe: Int): DataFrame = {
+    require(topK >= 1 && nprobe >= 1, s"need topK, nprobe >= 1: $topK, $nprobe")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centroids = index.model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "cemb")
+    // probe selection: query × k centroids (broadcast — k rows), keep the
+    // nprobe nearest cells per query
+    val probeW = Window.partitionBy($"query_id")
+      .orderBy($"cdist".asc, $"cell".asc)
+    val probes = queries.select($"query_id", $"qemb")
+      .join(broadcast(centroids))
+      .select($"query_id", $"qemb", $"cell",
+        (native.double_dot($"qemb", $"qemb")
+          - lit(2.0) * native.double_dot($"qemb", $"cemb")
+          + native.double_dot($"cemb", $"cemb")).as("cdist"))
+      .withColumn("prank", row_number().over(probeW))
+      .filter($"prank" <= nprobe)
+      .select($"query_id", $"qemb", $"cell")
+    // candidates: equi-join on the cell id, rank by cosine
+    val rankW = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    probes.join(index.cells, "cell")
+      .select($"query_id", $"vec_id",
+        (native.double_dot($"qemb", $"embedding") /
+          (sqrt(native.double_dot($"qemb", $"qemb")) * $"nrm")).as("cos"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter($"rank" <= topK)
+  }
+}
