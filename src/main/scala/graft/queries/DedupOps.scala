@@ -67,6 +67,27 @@ object DedupOps extends QueryGroup {
         .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keeper"))
     }),
 
+    // benchmark decontamination: flag corpus docs sharing >= 2 distinct
+    // shingles with any "benchmark" doc (deterministic holdout: doc_id %
+    // 97 == 0 stands in for an eval set — the operator is set-generic).
+    // The cross-corpus variant of the jaccard blocking join, with the
+    // structural advantage a real decontamination run has: the benchmark
+    // side is TINY (an eval suite, not a corpus), so its exploded
+    // shingles broadcast and the corpus side never shuffles — one narrow
+    // scan + broadcast join + partial-agg count at any corpus size.
+    "dedup_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val sh = shingleArrays(s, dir)
+        .select($"doc_id", explode($"sharr").as("shingle"))
+      val bench = sh.filter($"doc_id" % 97 === 0)
+        .select($"doc_id".as("bench_id"), $"shingle")
+      sh.filter($"doc_id" % 97 =!= 0)
+        .join(broadcast(bench), "shingle")
+        .groupBy($"doc_id", $"bench_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 2)
+    }),
+
     // exact n-gram Jaccard on candidate pairs sharing ≥1 shingle. The
     // shingle explode + self-join is the blocking step; a document-
     // frequency cap bounds it: a shingle shared by d docs contributes
@@ -254,6 +275,14 @@ object DedupOps extends QueryGroup {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_decontaminate" ->
+      s"""WITH sh AS ($SQL_SHINGLES)
+         |SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+         |FROM sh c JOIN sh b ON c.shingle = b.shingle
+         |WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+         |GROUP BY c.doc_id, b.doc_id
+         |HAVING COUNT(*) >= 2""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH sh0 AS ($SQL_SHINGLES),
