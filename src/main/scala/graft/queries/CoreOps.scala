@@ -133,6 +133,22 @@ object CoreOps extends QueryGroup {
         .select($"w.start".as("wstart"), $"event_type", $"n", $"total")
     }),
 
+    // sessionization (beyond reference — Spark-native session_window,
+    // the gap-merged event grouping every behavioral/training pipeline
+    // needs): per-user sessions with a 30-minute inactivity gap. One
+    // shuffle on user_id; Spark merges windows per key internally. The
+    // oracle is the classic gaps-and-islands rewrite (lag + running sum
+    // of session starts), pinning Spark's strict gap semantics (an event
+    // exactly `gap` after its predecessor starts a NEW session).
+    "sessionize_events" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts").as("session_start"), max($"ts").as("session_last"))
+        .select($"user_id", $"session_start", $"session_last", $"n_events")
+    }),
+
     // zip (core.py:1575) — align two streams by arrival order: join on a
     // synthesized sequence number (GlobalOrder keeps the numbering
     // parallel; the zip itself is then an equi-join on rn).
@@ -300,6 +316,22 @@ object CoreOps extends QueryGroup {
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart, event_type,
          |  COUNT(*) AS n, ${DSUM("value", 2)} AS total
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "sessionize_events" ->
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+         |    CASE WHEN CAST(ts AS TIMESTAMP)
+         |        - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY $EVT_ORDER)
+         |        >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+         |  FROM events),
+         |m AS (
+         |  SELECT user_id, t,
+         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM o)
+         |SELECT user_id, MIN(t) AS session_start, MAX(t) AS session_last,
+         |  COUNT(*) AS n_events
+         |FROM m GROUP BY user_id, sid""".stripMargin,
 
     "zip_seq" ->
       s"""WITH p AS (
