@@ -210,6 +210,18 @@ final class GraftFrame(val df: DataFrame, val indexCol: String = "ts",
     new GroupedGraftFrame(new GraftFrame(wdf, indexCol), Seq(window(wdf(indexCol), duration)))
   }
 
+  /** Gap-merged session windows keyed on the index column (beyond the
+    * reference — Spark-native session_window; batch analog pinned by the
+    * sessionize_events oracle query). `keyCols` separate concurrent
+    * actors; the watermark closes sessions whose gap has passed, which is
+    * what lets append mode emit each session exactly once.
+    */
+  def sessionWindow(gap: String, watermark: String, keyCols: String*): GroupedGraftFrame = {
+    val wdf = df.withWatermark(indexCol, watermark)
+    new GroupedGraftFrame(new GraftFrame(wdf, indexCol),
+      session_window(wdf(indexCol), gap) +: keyCols.map(wdf(_)))
+  }
+
   /** streamz timed_window_unique (core.py:1365): tumbling event-time window
     * deduplicated by `keyCols` within each window (keep = arrival-first;
     * works on batch and — with the watermark bounding state — streaming).

@@ -186,6 +186,25 @@ class GraftFrameSpec extends SparkSuite {
     assert(got.toSeq == Seq(3.0))
   }
 
+  test("sessionWindow: gap-merged per-key sessions close at the watermark") {
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sdf = new GraftFrame(in.toDF().toDF("ts", "k", "v"), indexCol = "ts")
+    val agg = sdf.sessionWindow("10 seconds", "0 seconds", "k").countAll()
+    val q = agg.writeStream.format("memory").queryName("sess_t").outputMode("append").start()
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${s / 60}%02d:${s % 60}%02d")
+    // key a: events at 1, 8, 15 chain into ONE session (gaps < 10s);
+    // key b: events at 2 and 30 are TWO sessions (28s gap)
+    in.addData((t(1), "a", 1.0), (t(8), "a", 1.0), (t(2), "b", 1.0))
+    q.processAllAvailable()
+    in.addData((t(15), "a", 1.0), (t(30), "b", 1.0))
+    q.processAllAvailable()
+    in.addData((t(300), "c", 1.0)) // advance watermark far past all sessions
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sess_t").selectExpr("k", "count")
+      .as[(String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(("a", 3L), ("b", 1L), ("b", 1L)))
+  }
+
   test("timedWindowUniqueLast: duplicate key replaces the buffered element") {
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]
     val sdf = new GraftFrame(in.toDF().toDF("ts", "k", "v"), indexCol = "ts")
