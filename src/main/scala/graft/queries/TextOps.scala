@@ -72,6 +72,42 @@ object TextOps extends QueryGroup {
             round($"n_bpe_tokens".cast("double") / $"n_ws_tokens", 9)))
     }),
 
+    // language-ID via character n-grams (the literal n-gram heuristic;
+    // the stopword-hit variant above stays as the word-level cousin).
+    // NOTE on the test corpus: documents.text is synthetic English-ish
+    // REGARDLESS of the lang label (the label is random metadata), so no
+    // classifier can beat chance here — the oracle pins the scoring
+    // mechanics exactly; on real multilingual text this is the standard
+    // profile heuristic.
+    // score = count of characteristic trigram occurrences per language
+    // over the ASCII-letter projection of the text (extraction strips
+    // non-[A-Za-z space] BEFORE lowercasing, so Unicode case mapping can
+    // never perturb the trigram stream — both engines see identical
+    // bytes). A doc whose best score is < 3 has essentially no latin
+    // trigrams and is classified zh (the CJK member of the corpus).
+    "text_langid_ngram" -> ((s, dir) => {
+      import s.implicits._
+      val scored = NgramProfiles.foldLeft(t(s, dir, "documents")) {
+        case (df, (lang, tris)) =>
+          df.withColumn(s"ng_$lang", expr(
+            s"""size(filter(
+               |  transform(sequence(1, greatest(length($CleanSql) - 2, 0)),
+               |    i -> substring($CleanSql, i, 3)),
+               |  t -> t IN (${tris.map(t => s"'$t'").mkString(", ")})))"""
+              .stripMargin).cast("long"))
+      }
+      val best = NgramProfiles.map { case (l, _) => col(s"ng_$l") }
+        .reduce((a, b) => greatest(a, b))
+      scored.select(
+        $"doc_id",
+        when(best < 3, "zh")
+          .when($"ng_en" === best, "en")
+          .when($"ng_es" === best, "es")
+          .when($"ng_de" === best, "de")
+          .otherwise("fr").as("lang_pred"),
+        $"ng_en", $"ng_es", $"ng_de", $"ng_fr")
+    }),
+
     // TRUE merge-table BPE (greedy lowest-rank merges over the learned
     // embedded vocab — graft.functions.Bpe): per doc, word count, BPE
     // token count, merges applied, and an order-sensitive md5 over the
@@ -117,6 +153,19 @@ object TextOps extends QueryGroup {
     "[A-Za-z]+|[0-9]|[\\x21-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\x7e]"
 
   private def sqlToks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  // characteristic character trigrams per latin language (space-padded
+  // entries catch word boundaries); identical constant on both sides
+  private val NgramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "ing", "ion", " th", "he "),
+    "es" -> Seq("que", "los", " de", "ado", "la ", "os "),
+    "de" -> Seq("der", "und", "sch", "ein", "ich", "en "),
+    "fr" -> Seq("les", "ent", " le", "des", "ion", "la "))
+  // ASCII-letter projection: strip-then-lower so case mapping is pure
+  // ASCII. Spark's regexp_replace is replace-all by default; DuckDB
+  // needs the explicit 'g' flag — hence two spellings of one projection.
+  private val CleanSql = "lower(regexp_replace(text, '[^A-Za-z ]', ''))"
+  private val CleanDuck = "lower(regexp_replace(text, '[^A-Za-z ]', '', 'g'))"
 
   // DuckDB oracle for text_bpe_merges: a recursive CTE applying ONE merge
   // per step — leftmost occurrence of the lowest-rank adjacent pair —
@@ -175,6 +224,28 @@ object TextOps extends QueryGroup {
          |      '[A-Za-z]+|[0-9]|[\\x21-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\x7e]'))
          |      AS n_bpe_tokens
          |  FROM documents)""".stripMargin,
+
+    "text_langid_ngram" -> {
+      def score(tris: Seq[String]) =
+        s"""CAST(len(list_filter(
+           |    [substr(c, i, 3) for i in range(1, greatest(len(c) - 2, 0) + 1)],
+           |    t -> t IN (${tris.map(t => s"'$t'").mkString(", ")}))) AS BIGINT)""".stripMargin
+      s"""SELECT doc_id,
+         |  CASE WHEN best < 3 THEN 'zh'
+         |       WHEN ng_en = best THEN 'en'
+         |       WHEN ng_es = best THEN 'es'
+         |       WHEN ng_de = best THEN 'de'
+         |       ELSE 'fr' END AS lang_pred,
+         |  ng_en, ng_es, ng_de, ng_fr
+         |FROM (
+         |  SELECT doc_id, ng_en, ng_es, ng_de, ng_fr,
+         |    greatest(ng_en, ng_es, ng_de, ng_fr) AS best
+         |  FROM (
+         |    SELECT doc_id,
+         |      ${NgramProfiles.map { case (l, tris) =>
+               s"${score(tris)} AS ng_$l" }.mkString(",\n      ")}
+         |    FROM (SELECT doc_id, $CleanDuck AS c FROM documents)))""".stripMargin
+    },
 
     "text_bpe_merges" ->
       s"""WITH RECURSIVE
