@@ -204,6 +204,33 @@ object ExprKernels {
     res
   }
 
+  /** Count of (overlapping) occurrences of any of `pats` — each a short
+    * ASCII byte pattern, e.g. a character trigram — in one pass over the
+    * text's bytes. The HOF spelling (`transform(sequence(...), i ->
+    * substring(text, i, k))`) is interpreted AND O(len) per element
+    * (UTF8String.substring scans for code points), i.e. O(len²) per row;
+    * this is O(len · |pats|) with |pats| tiny.
+    */
+  def ngramHits(text: UTF8String, pats: Array[UTF8String]): Long = {
+    val bytes = text.getBytes
+    var hits = 0L
+    var i = 0
+    while (i < bytes.length) {
+      var p = 0
+      while (p < pats.length) {
+        val pb = pats(p).getBytes
+        if (i + pb.length <= bytes.length) {
+          var j = 0
+          while (j < pb.length && bytes(i + j) == pb(j)) j += 1
+          if (j == pb.length) { hits += 1; p = pats.length - 1 } // count once per position
+        }
+        p += 1
+      }
+      i += 1
+    }
+    hits
+  }
+
   /** Whitespace tokens of a text column (split on ' ', empties dropped) —
     * matches `filter(split(text, " "), t => t =!= "")`. Splitting on the
     * raw 0x20 byte is UTF-8-safe (continuation bytes are ≥ 0x80).
@@ -492,6 +519,25 @@ case class Shingles3(child: Expression) extends UnaryExpression with ExpectsInpu
     copy(child = newChild)
 }
 
+/** N-gram pattern-hit count (see [[ExprKernels.ngramHits]]). */
+case class NgramHits(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty), "need non-empty patterns")
+  @transient private lazy val pats: Array[UTF8String] =
+    patterns.map(UTF8String.fromString).toArray
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(text: Any): Any =
+    ExprKernels.ngramHits(text.asInstanceOf[UTF8String], pats)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramPats", pats,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.ngramHits($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NgramHits =
+    copy(child = newChild)
+}
+
 /** Merge-table BPE tokens of a document (see [[Bpe.bpeTokens]]). */
 case class BpeEncode(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(StringType)
@@ -537,4 +583,8 @@ object native {
 
   /** Merge-table BPE tokens (learned default vocab) of a text column. */
   def bpe_tokens(text: Column): Column = col(BpeEncode(expr(text)))
+
+  /** Count of occurrences of any short ASCII pattern in a text column. */
+  def ngram_hits(text: Column, patterns: Seq[String]): Column =
+    col(NgramHits(expr(text), patterns))
 }

@@ -87,14 +87,15 @@ object TextOps extends QueryGroup {
     // trigrams and is classified zh (the CJK member of the corpus).
     "text_langid_ngram" -> ((s, dir) => {
       import s.implicits._
-      val scored = NgramProfiles.foldLeft(t(s, dir, "documents")) {
+      // per-language counts via the one-pass native kernel (the HOF
+      // spelling is interpreted and O(len²) per row — 143 s at sf0.1;
+      // the kernel is codegen'd and O(len), ~0.3 s)
+      val clean = lower(regexp_replace($"text", "[^A-Za-z ]", ""))
+      val scored = NgramProfiles.foldLeft(
+        t(s, dir, "documents").withColumn("__c", clean)) {
         case (df, (lang, tris)) =>
-          df.withColumn(s"ng_$lang", expr(
-            s"""size(filter(
-               |  transform(sequence(1, greatest(length($CleanSql) - 2, 0)),
-               |    i -> substring($CleanSql, i, 3)),
-               |  t -> t IN (${tris.map(t => s"'$t'").mkString(", ")})))"""
-              .stripMargin).cast("long"))
+          df.withColumn(s"ng_$lang",
+            graft.functions.native.ngram_hits($"__c", tris))
       }
       val best = NgramProfiles.map { case (l, _) => col(s"ng_$l") }
         .reduce((a, b) => greatest(a, b))

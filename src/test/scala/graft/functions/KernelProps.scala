@@ -177,4 +177,19 @@ object KernelProps extends Properties("ExprKernels") {
       val a = new GenericArrayData(v)
       ExprKernels.lshBucket(a, planes) == ExprKernels.lshBucketExact(a, planes)
     }
+
+  // the model the text_langid_ngram oracle executes: count positions i
+  // where the 3-char window equals any pattern (sliding, overlapping)
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)
+
+  property("ngramHits == sliding-window membership model") =
+    forAll(asciiText, Gen.nonEmptyListOf(
+      Gen.listOfN(3, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString))) { (t, pats0) =>
+      val pats = pats0.distinct
+      val model = (0 to t.length - 3).count(i => pats.contains(t.substring(i, i + 3)))
+      val got = ExprKernels.ngramHits(
+        UTF8String.fromString(t), pats.map(UTF8String.fromString).toArray)
+      got == model.toLong
+    }
 }
