@@ -51,9 +51,11 @@ object Bpe {
 
   final val EndOfWord = "_"
 
-  /** Merge table learned from the driver's `documents` corpus
-    * (sf0.01, 500 docs) by [[train]] with 160 merges and minFrequency=2 —
-    * regenerate with `graft.tools.TrainBpe`. Rank = position. */
+  /** Merge table learned from the driver's `documents` corpus at sf0.1
+    * by [[train]] with numMerges=200 (107 distinct-pair merges actually
+    * materialize before the frequency floor) and minFrequency=2 — the
+    * parameters recorded in [[BpeVocab]]; regenerate with
+    * `graft.tools.TrainBpe` (same defaults). Rank = position. */
   lazy val Default: IndexedSeq[(String, String)] = DefaultMerges
 
   // filled by TrainBpe output; kept in a separate private val so the

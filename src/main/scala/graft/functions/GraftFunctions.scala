@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{AnalysisException, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 
@@ -25,37 +25,58 @@ object GraftFunctions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(getClass.getCanonicalName, null, name, usage, "")
 
-  /** (name, usage, builder) for every SQL-exposed kernel. */
-  private[graft] val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
-    ("bpe_tokens", "bpe_tokens(text) - merge-table BPE tokens (learned default vocab)",
-      { case Seq(text) => BpeEncode(text) }),
-    ("graft_tokens", "graft_tokens(text) - whitespace tokens, empties dropped",
-      { case Seq(text) => Tokens(text) }),
-    ("graft_shingles3", "graft_shingles3(text) - distinct 3-token shingles",
-      { case Seq(text) => Shingles3(text) }),
-    ("graft_simhash", "graft_simhash(tokens, bits) - SimHash of a token array",
-      { case Seq(toks, IntegerLiteral(bits)) => SimHash(toks, bits) }),
-    ("graft_minhash_sigs", "graft_minhash_sigs(shingles, k) - k MinHash signatures",
-      { case Seq(sh, IntegerLiteral(k)) => MinHashSigs(sh, k) }),
-    ("graft_lsh_bucket", "graft_lsh_bucket(vec, planes) - sign-projection LSH bucket",
-      { case Seq(vec, IntegerLiteral(p)) => LshBucket(vec, p) }),
-    ("graft_decimal_dot", "graft_decimal_dot(a, b) - exact-decimal dot product",
-      { case Seq(a, b) => DecimalDot(a, b) }),
-    ("graft_double_dot", "graft_double_dot(a, b) - IEEE-double dot product",
-      { case Seq(a, b) => DoubleDot(a, b) }))
+  /** One SQL-exposed kernel: `build` matches only well-formed argument
+    * lists; `litIntParam` names the literal-int parameter (if any) for
+    * the NON_FOLDABLE_ARGUMENT error path. */
+  private[graft] final case class Fn(name: String, usage: String, arity: Int,
+      litIntParam: Option[String], build: PartialFunction[Seq[Expression], Expression])
+
+  /** Every SQL-exposed kernel. */
+  private[graft] val functions: Seq[Fn] = Seq(
+    Fn("bpe_tokens", "bpe_tokens(text) - merge-table BPE tokens (learned default vocab)",
+      1, None, { case Seq(text) => BpeEncode(text) }),
+    Fn("graft_tokens", "graft_tokens(text) - whitespace tokens, empties dropped",
+      1, None, { case Seq(text) => Tokens(text) }),
+    Fn("graft_shingles3", "graft_shingles3(text) - distinct 3-token shingles",
+      1, None, { case Seq(text) => Shingles3(text) }),
+    Fn("graft_simhash", "graft_simhash(tokens, bits) - SimHash of a token array",
+      2, Some("bits"), { case Seq(toks, IntegerLiteral(bits)) => SimHash(toks, bits) }),
+    Fn("graft_minhash_sigs", "graft_minhash_sigs(shingles, k) - k MinHash signatures",
+      2, Some("k"), { case Seq(sh, IntegerLiteral(k)) => MinHashSigs(sh, k) }),
+    Fn("graft_lsh_bucket", "graft_lsh_bucket(vec, planes) - sign-projection LSH bucket",
+      2, Some("planes"), { case Seq(vec, IntegerLiteral(p)) => LshBucket(vec, p) }),
+    Fn("graft_decimal_dot", "graft_decimal_dot(a, b) - exact-decimal dot product",
+      2, None, { case Seq(a, b) => DecimalDot(a, b) }),
+    Fn("graft_double_dot", "graft_double_dot(a, b) - IEEE-double dot product",
+      2, None, { case Seq(a, b) => DoubleDot(a, b) }))
+
+  /** Builders are called by the analyzer with whatever the user typed —
+    * a bad call must surface as an AnalysisException carrying the usage
+    * string (Spark's own error classes), never a raw MatchError. */
+  private def builder(fn: Fn): Seq[Expression] => Expression = exprs => {
+    if (exprs.length != fn.arity)
+      throw new AnalysisException("WRONG_NUM_ARGS.WITHOUT_SUGGESTION", Map(
+        "functionName" -> s"`${fn.name}` (usage: ${fn.usage})",
+        "expectedNum" -> fn.arity.toString,
+        "actualNum" -> exprs.length.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+    fn.build.applyOrElse(exprs, (_: Seq[Expression]) =>
+      throw new AnalysisException("NON_FOLDABLE_ARGUMENT", Map(
+        "funcName" -> s"`${fn.name}` (usage: ${fn.usage})",
+        "paramName" -> s"`${fn.litIntParam.getOrElse("arg")}`",
+        "paramType" -> "\"INT\"")))
+  }
 
   /** Register every kernel on a live session's FunctionRegistry. */
   def register(spark: SparkSession): Unit =
-    functions.foreach { case (name, usage, builder) =>
+    functions.foreach { fn =>
       spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier(name), info(name, usage), builder)
+        FunctionIdentifier(fn.name), info(fn.name, fn.usage), builder(fn))
     }
 
   private[graft] def injections
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    functions.map { case (name, usage, builder) =>
-      (FunctionIdentifier(name), info(name, usage), builder)
-    }
+    functions.map { fn => (FunctionIdentifier(fn.name), info(fn.name, fn.usage), builder(fn)) }
 }
 
 /** `spark.sql.extensions` entry point (see [[GraftFunctions]] scaladoc). */

@@ -44,7 +44,21 @@ object Ivf {
   }
 
   /** Top-`topK` same-probed-cell hits per query: `(query_id, vec_id,
-    * cos, rank)`. `queries` needs `query_id` and `qemb` columns. */
+    * cos, rank)`. `queries` needs `query_id` and `qemb` columns.
+    *
+    * Zero-norm vectors have no direction, so cosine is undefined for
+    * them: zero-norm queries and zero-norm corpus rows are EXCLUDED up
+    * front rather than ranked — an unguarded 0/0 would make NaN, and NaN
+    * sorts above every real double under `desc`, so a zero vector would
+    * otherwise outrank every genuine hit.
+    *
+    * Shuffle shape at scale: the corpus-side join is an equi-join on
+    * `cell` (shuffle-free when the tagged corpus is bucketed on it), the
+    * query norm is computed once per query — not once per candidate —
+    * and candidates are projected down to `(query_id, vec_id, cos)`
+    * BEFORE the rank window, so the rank exchange repartitions ids and
+    * one double, never embedding arrays (IvfSpec pins that with a plan
+    * assertion — the id-only shape `queries.DedupOps` uses). */
   def search(index: Index, queries: DataFrame, topK: Int, nprobe: Int): DataFrame = {
     require(topK >= 1 && nprobe >= 1, s"need topK, nprobe >= 1: $topK, $nprobe")
     val spark = queries.sparkSession
@@ -56,22 +70,24 @@ object Ivf {
     // nprobe nearest cells per query
     val probeW = Window.partitionBy($"query_id")
       .orderBy($"cdist".asc, $"cell".asc)
-    val probes = queries.select($"query_id", $"qemb")
+    val probes = queries
+      .select($"query_id", $"qemb",
+        sqrt(native.double_dot($"qemb", $"qemb")).as("qnrm"))
+      .filter($"qnrm" > 0)
       .join(broadcast(centroids))
-      .select($"query_id", $"qemb", $"cell",
+      .select($"query_id", $"qemb", $"qnrm", $"cell",
         (native.double_dot($"qemb", $"qemb")
           - lit(2.0) * native.double_dot($"qemb", $"cemb")
           + native.double_dot($"cemb", $"cemb")).as("cdist"))
       .withColumn("prank", row_number().over(probeW))
       .filter($"prank" <= nprobe)
-      .select($"query_id", $"qemb", $"cell")
-    // candidates: equi-join on the cell id, rank by cosine
+      .select($"query_id", $"qemb", $"qnrm", $"cell")
+    // candidates: equi-join on the cell id, project to scalars, rank
     val rankW = Window.partitionBy($"query_id")
       .orderBy($"cos".desc, $"vec_id".asc)
-    probes.join(index.cells, "cell")
+    probes.join(index.cells.filter($"nrm" > 0), "cell")
       .select($"query_id", $"vec_id",
-        (native.double_dot($"qemb", $"embedding") /
-          (sqrt(native.double_dot($"qemb", $"qemb")) * $"nrm")).as("cos"))
+        (native.double_dot($"qemb", $"embedding") / ($"qnrm" * $"nrm")).as("cos"))
       .withColumn("rank", row_number().over(rankW))
       .filter($"rank" <= topK)
   }

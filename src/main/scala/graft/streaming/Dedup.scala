@@ -74,14 +74,17 @@ object Dedup {
   private val BandSize = 2
   private val NumBands = NumHashes / BandSize
   private val EstThreshold = 0.5
+
+  /** Default per-bucket member cap — see the missed-pair trade-off on
+    * [[minhashVerdicts]]. */
   private[streaming] val MaxBucketMembers = 8
 
   /** Per-band-bucket membership + verification stage: key = band hash;
     * emits (docId, seq, matchedOwnerOrMinus1) per band row, where a match
     * is an existing member with signature agreement ≥ EstThreshold (the
     * batch pipeline's pair rule). Every doc also registers as a member
-    * (append-only, capped). */
-  private final class BucketMembers
+    * (append-only, capped at `cap`). */
+  private final class BucketMembers(cap: Int)
       extends StatefulProcessor[String, (String, Long, Long, Seq[String]), (Long, Long, Long)] {
     @transient private var members: ListState[(Long, Seq[String])] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -96,14 +99,14 @@ object Dedup {
     override def handleInputRows(key: String, rows: Iterator[(String, Long, Long, Seq[String])],
         timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
       val sorted = rows.toVector.sortBy(_._3) // seq order within the batch
-      var mem = members.get().toVector // ≤ MaxBucketMembers by construction
+      var mem = members.get().toVector // ≤ cap by construction
       val out = Vector.newBuilder[(Long, Long, Long)]
       sorted.foreach { case (_, docId, seq, sigs) =>
         val matched = mem.iterator
           .filter { case (id, ms) => id != docId && est(ms, sigs) >= EstThreshold }
           .map(_._1)
         out += ((docId, seq, if (matched.isEmpty) -1L else matched.min))
-        if (mem.size < MaxBucketMembers && !mem.exists(_._1 == docId)) {
+        if (mem.size < cap && !mem.exists(_._1 == docId)) {
           members.appendValue((docId, sigs)) // one write, never a rewrite
           mem :+= ((docId, sigs))
         }
@@ -188,8 +191,26 @@ object Dedup {
     * with themselves as root, exactly like the batch pipeline's
     * singleton left-join. Assumes doc_ids are unique (run [[exact]] or
     * id-dedup upstream for replays): a replayed id never matches its own
-    * registration, so it would emit a second keeper verdict. */
-  def minhashVerdicts(ds: Dataset[(Long, String, Long)]): Dataset[(Long, Long, Long, Boolean)] = {
+    * registration, so it would emit a second keeper verdict.
+    *
+    * '''The member cap can miss pairs.''' Registration is append-only
+    * first-`maxBucketMembers`: once a bucket holds that many mutually
+    * dissimilar docs, later arrivals still get VERIFIED against the
+    * registered members but never register themselves. Two FUTURE
+    * near-duplicates whose shared bands all land in already-full buckets
+    * are therefore both emitted as keepers — a divergence from the
+    * uncapped batch `dedup_clusters` pairing that grows with corpus skew.
+    * The cap exists because an LSH bucket at capacity with mutually
+    * dissimilar members is (for near-copies, whose signatures agree on
+    * ≥ the threshold fraction of bands) almost surely a LOW-SIGNAL
+    * collision bucket: a genuine near-dup pair collides in several bands,
+    * so missing it requires every one of its bands to be saturated by
+    * noise. Raise `maxBucketMembers` (more state, fewer missed pairs) or
+    * lower it (bounded hot-bucket state) per corpus; `Int.MaxValue`
+    * reproduces the batch pairing exactly at the cost of unbounded
+    * hot-bucket state. */
+  def minhashVerdicts(ds: Dataset[(Long, String, Long)],
+      maxBucketMembers: Int = MaxBucketMembers): Dataset[(Long, Long, Long, Boolean)] = {
     val spark = ds.sparkSession
     import spark.implicits._
     val df = ds.toDF("doc_id", "text", "seq")
@@ -203,7 +224,7 @@ object Dedup {
       .as[(String, Long, Long, Seq[String])]
     val verdicts = banded
       .groupByKey(_._1)
-      .transformWithState(new BucketMembers, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new BucketMembers(maxBucketMembers), TimeMode.None(), OutputMode.Append())
       .groupByKey(_._1)
       .transformWithState(new DocVerdict, TimeMode.None(), OutputMode.Append())
     val singletons = sigs

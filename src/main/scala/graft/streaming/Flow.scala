@@ -15,10 +15,18 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, 
   * Mechanics: per key, spacing is enforced at EMISSION time, exactly like
   * the reference's pacer coroutine (emit, then sleep the remaining
   * interval) — an element emits only when `now ≥ lastEmission +
-  * interval`, everything else parks in a ListState queue (append-only;
-  * head-pointer eviction with amortized compaction) and a single pending
-  * processing-time timer re-wakes the key for its next emission. A
-  * processing stall therefore does NOT cause a catch-up burst: after the
+  * interval`, everything else parks and a processing-time timer re-wakes
+  * the key for its next emission. The parked backlog is two-tier so both
+  * sides of the state traffic stay bounded: the next ≤ [[WindowCap]]
+  * elements sit in a single ValueState row (a timer fire reads THAT row,
+  * O(1), never the backlog), everything behind them in an append-only
+  * ListState tail (one append per arrival, head-pointer eviction with
+  * amortized compaction). Refills promote the next window in one lazy
+  * pass over the tail prefix every WindowCap emissions, so draining a
+  * deep backlog costs O(n) amortized tail reads, not the O(n²) a
+  * read-the-whole-queue-per-emission pacer pays (FlowSpec pins the read
+  * bound via [[stateRowsRead]], mirroring WindowsSpec's write bound). A
+  * processing stall does NOT cause a catch-up burst: after the
   * stall the backlog still drains one element per interval (timer fires
   * sharing one batch timestamp emit at most once — the spec pins this).
   * Timers and queue live in the state store: checkpointed, restart-safe
@@ -37,65 +45,122 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, 
   */
 object Flow {
 
-  private final class Pacer[K, V](intervalMs: Long,
-      qEnc: Encoder[(Long, V)])
+  /** Elements held in the ValueState emission window — large enough to
+    * make refills rare, small enough that the per-fire row stays tiny. */
+  private[streaming] val WindowCap = 64
+
+  /** Backlog (tail ListState) entries deserialized — local[*] test
+    * observability for the read-amplification bound, the mirror of
+    * [[Windows.stateRowsWritten]]. */
+  private[streaming] val stateRowsRead = new java.util.concurrent.atomic.LongAdder
+
+  /** Derive an `Encoder[Seq[T]]` from the element encoder (for the
+    * window ValueState — one state row holding the next few elements). */
+  private def seqEncoder[T](e: Encoder[T]): Encoder[Seq[T]] = {
+    import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoder, AgnosticEncoders, ToAgnosticEncoder}
+    val ag = e match {
+      case a: AgnosticEncoder[T] => a
+      case t: ToAgnosticEncoder[T @unchecked] => t.encoder
+    }
+    // hand the state store the agnostic encoder itself — it resolves and
+    // binds internally (an ExpressionEncoder built here would carry an
+    // unresolved MapObjects deserializer into the executor)
+    AgnosticEncoders.IterableEncoder(
+      scala.reflect.classTag[Seq[T]], ag, containsNull = false, lenientSerialization = false)
+  }
+
+  private final class Pacer[K, V](intervalMs: Long, windowCap: Int,
+      qEnc: Encoder[(Long, V)], winEnc: Encoder[Seq[(Long, V)]])
       extends StatefulProcessor[K, (K, Long, V), (K, Long, V)] {
     // earliest ms the next emission may happen
     @transient private var nextFree: ValueState[Long] = _
-    // (headIdx, totalLen) of the backlog queue; entries before headIdx
-    // are already emitted and reclaimed lazily by compaction
+    // the next ≤ windowCap elements to emit, in seq order: ONE state row,
+    // so a timer fire never touches the tail queue except on refill
+    @transient private var win: ValueState[Seq[(Long, V)]] = _
+    // (skip, totalLen) of the tail queue; entries before skip are already
+    // promoted into the window and reclaimed lazily by compaction
     @transient private var ptr: ValueState[(Long, Long)] = _
     @transient private var queue: ListState[(Long, V)] = _ // (seq, v)
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       nextFree = getHandle.getValueState[Long]("nextFree", Encoders.scalaLong, TTLConfig.NONE)
+      win = getHandle.getValueState[Seq[(Long, V)]]("win", winEnc, TTLConfig.NONE)
       ptr = getHandle.getValueState[(Long, Long)]("ptr",
         Encoders.product[(Long, Long)], TTLConfig.NONE)
       queue = getHandle.getListState[(Long, V)]("queue", qEnc, TTLConfig.NONE)
+    }
+    private def readWin(): Vector[(Long, V)] =
+      if (win.exists()) win.get().toVector else Vector.empty
+    /** Promote the next ≤ windowCap tail elements into the window: one
+      * lazy pass over the tail prefix. When the dead prefix dominates,
+      * fold the compaction into the same pass (read once, rewrite the
+      * live suffix) — amortized O(1) reads and writes per element. */
+    private def refill(skip0: Long, tot0: Long): (Vector[(Long, V)], Long, Long) = {
+      if (skip0 == tot0) return (Vector.empty, skip0, tot0)
+      if ((skip0 + windowCap) * 2 >= tot0) {
+        stateRowsRead.add(tot0)
+        val live = queue.get().drop(skip0.toInt).toVector
+        val (head, rest) = live.splitAt(windowCap)
+        queue.clear()
+        if (rest.nonEmpty) queue.appendList(rest.toArray)
+        (head, 0L, rest.size.toLong)
+      } else {
+        stateRowsRead.add(skip0 + windowCap)
+        val head = queue.get().drop(skip0.toInt).take(windowCap).toVector
+        (head, skip0 + head.size, tot0)
+      }
     }
     override def handleInputRows(key: K, rows: Iterator[(K, Long, V)],
         timerValues: TimerValues): Iterator[(K, Long, V)] = {
       val now = timerValues.getCurrentProcessingTimeInMs()
       var free = if (nextFree.exists()) nextFree.get() else 0L
-      var (head, tot) = if (ptr.exists()) ptr.get() else (0L, 0L)
+      var w = readWin()
+      var (skip, tot) = if (ptr.exists()) ptr.get() else (0L, 0L)
+      var wDirty = false
       val out = Vector.newBuilder[(K, Long, V)]
       rows.toVector.sortBy(_._2).foreach { case (_, seq, v) =>
-        if (head == tot && now >= free) { // empty backlog and free: emit now
+        if (w.isEmpty && skip == tot && now >= free) { // no backlog, free: emit now
           out += ((key, seq, v))
           free = now + intervalMs
+        } else if (skip == tot && w.size < windowCap) { // window has room
+          w :+= ((seq, v)) // (tail must be empty or order would break)
+          wDirty = true
         } else {
           queue.appendValue((seq, v)) // one append, no rewrite
           tot += 1
         }
       }
-      if (head < tot) getHandle.registerTimer(math.max(free, now + 1))
+      if (w.nonEmpty || skip < tot) getHandle.registerTimer(math.max(free, now + 1))
+      if (wDirty) win.update(w)
       nextFree.update(free)
-      ptr.update((head, tot))
+      ptr.update((skip, tot))
       out.result().iterator
     }
     override def handleExpiredTimer(key: K, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[(K, Long, V)] = {
       val now = timerValues.getCurrentProcessingTimeInMs()
       var free = if (nextFree.exists()) nextFree.get() else 0L
-      var (head, tot) = if (ptr.exists()) ptr.get() else (0L, 0L)
-      if (head == tot) return Iterator.empty // stale fire
+      var w = readWin()
+      var (skip, tot) = if (ptr.exists()) ptr.get() else (0L, 0L)
+      if (w.isEmpty && skip == tot) return Iterator.empty // stale fire
       if (now < free) { // early or duplicate fire (same-batch stall drain):
         getHandle.registerTimer(free) // re-arm, emit nothing — keeps spacing
         return Iterator.empty
       }
-      val q = queue.get().toVector
-      val (seq, v) = q(head.toInt)
-      head += 1
-      free = now + intervalMs
-      if (head * 2 > q.size) { // amortized compaction: reclaim emitted prefix
-        queue.clear()
-        val rest = q.drop(head.toInt)
-        if (rest.nonEmpty) queue.appendList(rest.toArray)
-        tot -= head
-        head = 0
+      if (w.isEmpty) { // defensive: invariant says this can't happen, but a
+        val r = refill(skip, tot) // refill costs one pass, not correctness
+        w = r._1; skip = r._2; tot = r._3
       }
-      if (head < tot) getHandle.registerTimer(free)
+      val (seq, v) = w.head
+      w = w.tail
+      free = now + intervalMs
+      if (w.isEmpty && skip < tot) {
+        val r = refill(skip, tot)
+        w = r._1; skip = r._2; tot = r._3
+      }
+      if (w.nonEmpty || skip < tot) getHandle.registerTimer(free)
+      win.update(w)
       nextFree.update(free)
-      ptr.update((head, tot))
+      ptr.update((skip, tot))
       Iterator.single((key, seq, v))
     }
   }
@@ -104,12 +169,14 @@ object Flow {
     * emissions (reference delay AND rate_limit contract — see object
     * scaladoc). Requires the RocksDB state store provider and a
     * ProcessingTime trigger no coarser than the wanted resolution. */
-  def pace[K, V](ds: Dataset[(K, Long, V)], intervalMs: Long)(
+  def pace[K, V](ds: Dataset[(K, Long, V)], intervalMs: Long,
+      windowCap: Int = WindowCap)(
       implicit ke: Encoder[K], qe: Encoder[(Long, V)],
       kv: Encoder[(K, Long, V)]): Dataset[(K, Long, V)] = {
     require(intervalMs >= 0, s"intervalMs must be >= 0, got $intervalMs")
+    require(windowCap >= 1, s"windowCap must be >= 1, got $windowCap")
     ds.groupByKey(_._1)
-      .transformWithState(new Pacer[K, V](intervalMs, qe),
+      .transformWithState(new Pacer[K, V](intervalMs, windowCap, qe, seqEncoder(qe)),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 

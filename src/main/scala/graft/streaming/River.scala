@@ -84,19 +84,27 @@ object River {
   }
 
   /** river model contract at batch granularity: learn from a batch's
-    * statistics; predict for a feature vector; current parameters. */
+    * statistics; predict for a feature vector; current parameters.
+    * `snapshot`/`restore` expose the accumulated Stats so [[train]] can
+    * persist the model across query restarts. */
   trait OnlineModel extends Serializable {
     def d: Int
     def learn(stats: Stats): Unit
     def predict(x: Seq[Double]): Double
+    /** Accumulated sufficient statistics — everything the model has seen. */
+    def snapshot: Stats
+    /** Replace the accumulated statistics (restart restore). */
+    def restore(s: Stats): Unit
   }
 
   /** Exact online least squares with intercept and ridge `lambda`:
     * solving (G + λI)·w = b over the RUNNING sufficient statistics means
     * the fit after k batches equals the one-shot OLS fit of all k batches'
-    * rows — order-independent, restart-safe (state is one Stats value).
-    * Features are augmented with a constant 1 for the intercept, so
-    * weights = (w₁…w_d, intercept). */
+    * rows — order-independent. Restart-safe only when driven by
+    * [[River.train]] with a `stateDir` (the running Stats persists per
+    * batch and restores on restart); a bare in-memory handle is
+    * single-run. Features are augmented with a constant 1 for the
+    * intercept, so weights = (w₁…w_d, intercept). */
   final class OnlineLinearRegression(val features: Int, lambda: Double = 1e-9)
       extends OnlineModel {
     val d: Int = features
@@ -110,6 +118,15 @@ object River {
     override def learn(stats: Stats): Unit = synchronized {
       acc = acc.merge(stats)
       if (acc.n > 0) w = solve()
+    }
+
+    // learn/merge never mutates acc's arrays in place, so handing out the
+    // reference is safe
+    override def snapshot: Stats = synchronized(acc)
+    override def restore(s: Stats): Unit = synchronized {
+      require(s.sx.length == d, s"restored width ${s.sx.length} != $d")
+      acc = s
+      w = if (acc.n > 0) solve() else new Array[Double](aug)
     }
 
     /** Normal equations over augmented features [x, 1]: the Gram matrix
@@ -172,6 +189,8 @@ object River {
     val d: Int = features
     private var acc: Stats = Stats.zero(d)
     override def learn(stats: Stats): Unit = synchronized { acc = acc.merge(stats) }
+    override def snapshot: Stats = synchronized(acc)
+    override def restore(s: Stats): Unit = synchronized { acc = s }
     override def predict(x: Seq[Double]): Double =
       throw new UnsupportedOperationException("scaler transforms, not predicts")
     def meanVar: (Array[Double], Array[Double]) = synchronized {
@@ -204,30 +223,88 @@ object River {
     def metrics: Vector[BatchMetric] = metricsRef.get()
   }
 
+  /** Atomic (batchId, Stats) persistence for restart-safe training: write
+    * a temp file, then atomically rename over the live snapshot, so a
+    * crash mid-write can never leave a torn file. One constant-size file,
+    * not a log — the Stats value is the whole model. */
+  private object ModelStore {
+    import java.io.{BufferedInputStream, BufferedOutputStream, ObjectInputStream, ObjectOutputStream}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def write(dir: String, batchId: Long, stats: Stats): Unit = {
+      Files.createDirectories(Paths.get(dir))
+      val tmp = Paths.get(dir, "model-stats.bin.tmp")
+      val out = new ObjectOutputStream(new BufferedOutputStream(Files.newOutputStream(tmp)))
+      try { out.writeLong(batchId); out.writeObject(stats) } finally out.close()
+      Files.move(tmp, Paths.get(dir, "model-stats.bin"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    def read(dir: String): Option[(Long, Stats)] = {
+      val p = Paths.get(dir, "model-stats.bin")
+      if (!Files.exists(p)) None
+      else {
+        val in = new ObjectInputStream(new BufferedInputStream(Files.newInputStream(p)))
+        try Some((in.readLong(), in.readObject().asInstanceOf[Stats])) finally in.close()
+      }
+    }
+  }
+
+  /** One micro-batch fold: prequential metric with the CURRENT model,
+    * then learn, then (optionally) persist — guarded against replays.
+    * foreachBatch is at-least-once, so a retried batch id at or below
+    * `lastFolded` is dropped whole: folding it again would break the
+    * "fit == one-shot OLS of everything seen" invariant. Persist happens
+    * BEFORE Spark commits the batch, so every crash point replays into
+    * either the fold (stats not yet written) or the guard (already
+    * written) — exactly-once either way. */
+  private[streaming] def foldBatch(batch: Dataset[(Seq[Double], Double)], batchId: Long,
+      model: OnlineModel, metricsRef: AtomicReference[Vector[BatchMetric]],
+      lastFolded: java.util.concurrent.atomic.AtomicLong,
+      stateDir: Option[String]): Unit = {
+    if (batchId <= lastFolded.get()) return
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val m = model // serialized into the closure with current weights
+    val err = batch.map { case (x, y) =>
+      val e = m.predict(x) - y; (math.abs(e), e * e, 1L)
+    }.toDF("sae", "sse", "n")
+      .agg(sum("sae"), sum("sse"), sum("n")).first()
+    if (!err.isNullAt(2) && err.getLong(2) > 0) {
+      val n = err.getLong(2)
+      metricsRef.updateAndGet(_ :+ BatchMetric(
+        batchId, n, err.getDouble(0) / n, math.sqrt(err.getDouble(1) / n)))
+    }
+    model.learn(computeStats(batch, model.d))
+    stateDir.foreach(d => ModelStore.write(d, batchId, model.snapshot))
+    lastFolded.set(batchId)
+  }
+
   /** RiverTrain: drive a `(features, label)` stream into `model` via
     * foreachBatch. Per micro-batch: (1) prequential metric — predict the
     * batch with the CURRENT model (distributed map, before learning);
     * (2) reduce the batch to Stats (distributed, constant-size result);
-    * (3) fold into the model on the driver. */
+    * (3) fold into the model on the driver.
+    *
+    * With `stateDir` the training run is RESTART-SAFE and exactly-once:
+    * the query checkpoints offsets under `stateDir/checkpoint`, the
+    * model's accumulated Stats persists atomically per batch under
+    * `stateDir`, restarting restores the Stats and resumes from the next
+    * uncommitted batch, and replayed batch ids are folded at most once
+    * (see [[foldBatch]]). Without it the handle is single-run: a
+    * restarted query re-reads from scratch into a fresh model. */
   def train(data: Dataset[(Seq[Double], Double)], model: OnlineModel,
-            queryName: String = "river_train"): TrainHandle = {
+            queryName: String = "river_train",
+            stateDir: Option[String] = None): TrainHandle = {
     val metricsRef = new AtomicReference[Vector[BatchMetric]](Vector.empty)
-    val query = data.writeStream
-      .queryName(queryName)
+    val lastFolded = new java.util.concurrent.atomic.AtomicLong(
+      stateDir.flatMap(ModelStore.read) match {
+        case Some((bid, st)) => model.restore(st); bid
+        case None => -1L
+      })
+    val writer = data.writeStream.queryName(queryName)
+    val query = stateDir
+      .fold(writer)(d => writer.option("checkpointLocation", d + "/checkpoint"))
       .foreachBatch { (batch: Dataset[(Seq[Double], Double)], batchId: Long) =>
-        val spark = batch.sparkSession
-        import spark.implicits._
-        val m = model // serialized into the closure with current weights
-        val err = batch.map { case (x, y) =>
-          val e = m.predict(x) - y; (math.abs(e), e * e, 1L)
-        }.toDF("sae", "sse", "n")
-          .agg(sum("sae"), sum("sse"), sum("n")).first()
-        if (!err.isNullAt(2) && err.getLong(2) > 0) {
-          val n = err.getLong(2)
-          metricsRef.updateAndGet(_ :+ BatchMetric(
-            batchId, n, err.getDouble(0) / n, math.sqrt(err.getDouble(1) / n)))
-        }
-        model.learn(computeStats(batch, model.d))
+        foldBatch(batch, batchId, model, metricsRef, lastFolded, stateDir)
       }
       .start()
     new TrainHandle(query, model, metricsRef)

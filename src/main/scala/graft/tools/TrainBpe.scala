@@ -12,8 +12,9 @@ import graft.functions.Bpe
   */
 object TrainBpe {
   def main(args: Array[String]): Unit = {
-    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
-    val numMerges = if (args.length > 1) args(1).toInt else 160
+    // defaults == the parameters that produced the committed BpeVocab
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val numMerges = if (args.length > 1) args(1).toInt else 200
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-train-bpe")

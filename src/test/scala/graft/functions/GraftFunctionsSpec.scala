@@ -41,7 +41,23 @@ class GraftFunctionsSpec extends SparkSuite {
 
   test("extension injection list mirrors the registry list") {
     assert(GraftFunctions.injections.map(_._1.funcName) ==
-      GraftFunctions.functions.map(_._1))
+      GraftFunctions.functions.map(_.name))
     assert(GraftFunctions.functions.size >= 8)
+  }
+
+  test("bad calls raise AnalysisException with the usage string, not MatchError") {
+    GraftFunctions.register(spark)
+    // wrong arity
+    val wrongArity = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_simhash(array('a'))").collect()
+    }
+    assert(wrongArity.getMessage.contains("graft_simhash(tokens, bits)"))
+    assert(wrongArity.getMessage.contains("2 parameters"))
+    // non-literal parameter where a literal int is required
+    val nonLiteral = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_minhash_sigs(array('a'), length('ab'))").collect()
+    }
+    assert(nonLiteral.getMessage.contains("graft_minhash_sigs(shingles, k)"))
+    assert(nonLiteral.getMessage.contains("foldable"))
   }
 }

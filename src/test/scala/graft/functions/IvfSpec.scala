@@ -50,6 +50,53 @@ class IvfSpec extends SparkSuite {
     } finally index.cells.unpersist()
   }
 
+  test("zero-norm query and corpus vectors are excluded, never NaN-ranked") {
+    val data = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 0f)),
+      (4L, Array(0f, 1f)), (5L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val index = Ivf.build(data, k = 2, iters = 3)
+    val queries = Seq((10L, Array(1f, 0.05f)), (11L, Array(0f, 0f)))
+      .toDF("query_id", "qemb")
+    val hits = Ivf.search(index, queries, topK = 10, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(hits.nonEmpty)
+    assert(!hits.exists(_._1 == 11L), "zero-norm query must be excluded")
+    assert(!hits.exists(_._2 == 3L), "zero-norm corpus vector must be excluded")
+    assert(hits.forall(h => !h._3.isNaN), "cosine must never be NaN")
+    // the top hit for the real query is its true nearest neighbor
+    assert(hits.filter(h => h._1 == 10L && h._4 == 1).map(_._2).toSeq == Seq(1L))
+  }
+
+  test("rank exchange repartitions ids and cosine only — no embedding arrays") {
+    // force the at-scale shape: corpus too big to broadcast, queries not
+    // collapsed to one partition (a single-partition child satisfies any
+    // distribution, so no exchange would appear at all)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val index = Ivf.build(corpus.limit(200), k = 4, iters = 2)
+      val queries = corpus.limit(5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qemb"))
+        .repartition(4)
+      val df = Ivf.search(index, queries, topK = 5, nprobe = 2)
+      assertRankExchangeIdOnly(df)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private def assertRankExchangeIdOnly(df: org.apache.spark.sql.DataFrame): Unit = {
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // formatted explain lists each operator's Input columns: any Exchange
+    // carrying the cosine (the rank repartition) must carry no vectors
+    val blocks = formatted.split("\n\n").filter(_.matches("(?s)\\(\\d+\\) Exchange.*"))
+    val rankExchanges = blocks.filter(_.contains("cos#"))
+    assert(rankExchanges.nonEmpty, s"expected an exchange carrying cos in:\n$formatted")
+    rankExchanges.foreach { b =>
+      assert(!b.contains("qemb") && !b.contains("embedding"),
+        s"rank exchange carries embedding arrays:\n$b")
+    }
+  }
+
   test("cell tags equal the model's assignment") {
     val index = Ivf.build(corpus.limit(100), k = 4, iters = 3)
     val rows = index.cells.select($"embedding", $"cell")

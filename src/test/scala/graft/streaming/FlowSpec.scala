@@ -99,6 +99,34 @@ class FlowSpec extends SparkSuite {
     }
   }
 
+  test("pace: draining a deep backlog reads O(1) amortized tail state per emission") {
+    withRocksDBState {
+      val n = 40
+      val in = MemoryStream[(Int, Long, String)]
+      // tiny window so the drain exercises many refills
+      val out = Flow.pace(in.toDS(), intervalMs = 1, windowCap = 4)
+      val q = out.toDF("key", "seq", "v").writeStream
+        .format("memory").queryName("pace_reads").outputMode("append")
+        .trigger(Trigger.ProcessingTime("25 milliseconds"))
+        .start()
+      try {
+        Flow.stateRowsRead.reset()
+        in.addData((1 to n).map(i => (1, i.toLong, "v" + i)))
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        def rows() = spark.table("pace_reads").as[(Int, Long, String)].collect().toSeq
+        while (rows().size < n && System.nanoTime() < deadline) Thread.sleep(50)
+        assert(rows().size == n)
+        assert(rows().map(_._2).sorted == (1 to n).map(_.toLong))
+        val reads = Flow.stateRowsRead.sum()
+        // the input batch absorbs 4 into the window; the other 36 drain
+        // through ~9 refills whose lazy prefix reads + folded-in compaction
+        // stay linear (~3n measured). The old read-the-whole-queue-per-
+        // emission pacer paid ~n²/2 ≈ 800 tail-entry reads on this drain.
+        assert(reads <= 6L * n, s"$reads tail-entry reads for $n rows — not amortized O(1)")
+      } finally stopQuiesced(q)
+    }
+  }
+
   test("pace: keys are paced independently; interval 0 passes everything through") {
     withRocksDBState {
       val in = MemoryStream[(Int, Long, String)]

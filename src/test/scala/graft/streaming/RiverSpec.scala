@@ -59,6 +59,57 @@ class RiverSpec extends SparkSuite {
     }
   }
 
+  test("replayed micro-batch folds at most once (at-least-once guard)") {
+    import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+    val model = new River.OnlineLinearRegression(features = 2)
+    val mref = new AtomicReference[Vector[River.BatchMetric]](Vector.empty)
+    val last = new AtomicLong(-1L)
+    val batch = gen(11, 50).toDS()
+    River.foldBatch(batch, 0L, model, mref, last, None)
+    val w1 = model.weights.toSeq
+    val n1 = model.snapshot.n
+    // foreachBatch retry: same batch id arrives again — must be a no-op
+    River.foldBatch(batch, 0L, model, mref, last, None)
+    assert(model.weights.toSeq == w1 && model.snapshot.n == n1)
+    assert(mref.get().size == 1)
+    // the next real batch still folds
+    River.foldBatch(gen(12, 50).toDS(), 1L, model, mref, last, None)
+    assert(model.snapshot.n == n1 + 50 && mref.get().size == 2)
+  }
+
+  test("train with stateDir: model survives a query restart (resumes == one-shot OLS)") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft_river_src").toString
+    val state = Files.createTempDirectory("graft_river_state").toString
+    def writeRows(rows: Seq[(Seq[Double], Double)]): Unit =
+      rows.map { case (x, y) => (x(0), x(1), y) }.toDF("x1", "x2", "y")
+        .coalesce(1).write.mode("append").parquet(src)
+    def stream() = spark.readStream
+      .schema("x1 double, x2 double, y double").parquet(src)
+      .selectExpr("array(x1, x2)", "y").as[(Seq[Double], Double)]
+
+    val all = gen(31, 200)
+    writeRows(all.take(80))
+    val m1 = new River.OnlineLinearRegression(features = 2)
+    val h1 = River.train(stream(), m1, "river_restart_a", stateDir = Some(state))
+    h1.query.processAllAvailable(); h1.query.stop()
+    assert(m1.snapshot.n == 80)
+
+    // restart: FRESH model object, same stateDir — offsets log skips the
+    // committed batch, the restored Stats carry the learned state forward
+    writeRows(all.drop(80))
+    val m2 = new River.OnlineLinearRegression(features = 2)
+    val h2 = River.train(stream(), m2, "river_restart_b", stateDir = Some(state))
+    h2.query.processAllAvailable(); h2.query.stop()
+    assert(m2.snapshot.n == 200) // 80 restored + 120 new, none twice
+
+    val oneShot = new River.OnlineLinearRegression(features = 2)
+    oneShot.learn(River.computeStats(all.toDS(), 2))
+    m2.weights.zip(oneShot.weights).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-8)
+    }
+  }
+
   test("predict: scores with current parameters (RiverPredict)") {
     val model = new River.OnlineLinearRegression(features = 2)
     model.learn(River.computeStats(gen(5, 120).toDS(), 2))
