@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
   * partition-at-a-time so codec setup cost is amortized across a batch and
   * the plan stays narrow — no shuffle anywhere in this module.
   *
-  * The image path is REAL: [[Codec.decodeImage]] sniffs the container by
-  * magic bytes and decodes PNG/BMP/GIF/JPEG rasters with the JDK's
-  * `javax.imageio` (no external dependency). Audio/video and unknown
-  * containers fall back to a clearly-marked deterministic fake (same bytes
-  * → same "decode" on any executor — required for retry/speculation
-  * safety); a real deployment swaps that branch for ffmpeg bindings etc.
-  * and everything downstream is unchanged.
+  * The image, audio and video paths are REAL: [[Codec.decodeImage]] sniffs
+  * the container by magic bytes and decodes PNG/BMP/GIF/JPEG rasters with
+  * the JDK's `javax.imageio`; [[Codec.decodeAudio]] parses RIFF/WAVE PCM
+  * with JavaSound; [[Codec.demuxAvi]] walks a RIFF/AVI chunk tree and
+  * feeds each MJPEG frame payload back through the JPEG image path (all
+  * pure JDK, no external dependency). Only unknown containers (e.g. MP4 —
+  * no JDK codec exists) fall back to a clearly-marked deterministic fake
+  * (same bytes → same "decode" on any executor — required for
+  * retry/speculation safety); a real deployment swaps that branch for
+  * ffmpeg bindings etc. and everything downstream is unchanged.
   */
 object Multimodal {
 
@@ -40,6 +43,13 @@ object Multimodal {
     * that any stride/endianness/sign error would corrupt. */
   case class AudioPcm(docId: Long, sampleRate: Int, channels: Int, bits: Int,
       nSamples: Long, firstSample: Int, lastSample: Int, absSum: Long)
+
+  /** Frame/raster facts recovered by a real video decode — the video
+    * analogue of [[ImagePixels]]: any demux error (frame boundary, order,
+    * count, header stride) corrupts at least one of these. Gray values
+    * are band-0 samples of the decoded frames. */
+  case class VideoPixels(docId: Long, width: Int, height: Int, nFrames: Int,
+      firstGray: Int, lastGray: Int, pxSum: Long)
 
   /** The codec boundary: real `javax.imageio` for image containers, real
     * `javax.sound.sampled` for WAV audio, the deterministic fake for
@@ -192,15 +202,98 @@ object Multimodal {
         }
       }
 
+    /** Container sniff for RIFF/AVI video. */
+    def videoFormat(bytes: Array[Byte]): Option[String] =
+      if (bytes.length >= 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' ')
+        Some("avi")
+      else None
+
+    private def leInt(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+    /** Pure-JDK MJPEG-in-AVI demux: walk the RIFF chunk tree, recover the
+      * stream dims from the `strf` BITMAPINFOHEADER and every video-frame
+      * payload (`??dc`/`??db` chunks of the `movi` list — storage order IS
+      * presentation order for MJPEG). Payloads are NOT decoded here; the
+      * caller feeds them back through the JPEG image path (MJPEG is
+      * exactly one JPEG per frame). Returns None unless the blob is a
+      * well-formed AVI with at least one frame payload. */
+    def demuxAvi(bytes: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] =
+      videoFormat(bytes).flatMap { _ =>
+        var width = 0
+        var height = 0
+        val frames = Vector.newBuilder[Array[Byte]]
+        def walk(start: Int, end: Int, inMovi: Boolean, inStrl: Boolean): Unit = {
+          var p = start
+          var torn = false
+          while (!torn && p + 8 <= end) {
+            val four = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+            val size = leInt(bytes, p + 4)
+            if (size < 0 || p + 8 + size > end) torn = true // stop at a torn chunk
+            else {
+              if (four == "LIST" && size >= 4) {
+                val kind = new String(bytes, p + 8, 4,
+                  java.nio.charset.StandardCharsets.US_ASCII)
+                walk(p + 12, p + 8 + size, inMovi || kind == "movi", inStrl || kind == "strl")
+              } else if (inStrl && four == "strf" && size >= 12 && width == 0) {
+                // BITMAPINFOHEADER: biWidth at +4, biHeight at +8 (LE; height
+                // may be negative = top-down in the DIB convention)
+                width = leInt(bytes, p + 8 + 4)
+                height = math.abs(leInt(bytes, p + 8 + 8))
+              } else if (inMovi && size > 0 && (four.endsWith("dc") || four.endsWith("db"))) {
+                frames += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + size)
+              }
+              p += 8 + size + (size & 1) // RIFF chunks are word-aligned
+            }
+          }
+        }
+        walk(12, bytes.length, inMovi = false, inStrl = false)
+        val fs = frames.result()
+        if (fs.isEmpty) None else Some((width, height, fs))
+      }
+
+    /** Decoded frames of an MJPEG AVI, or None when the blob is not AVI
+      * or any frame payload fails the JPEG decode (caller falls back). */
+    private def readAviFrames(bytes: Array[Byte]): Option[Vector[BufferedImage]] =
+      demuxAvi(bytes).flatMap { case (_, _, payloads) =>
+        val imgs = payloads.map(p =>
+          Option(ImageIO.read(new ByteArrayInputStream(p))))
+        if (imgs.exists(_.isEmpty)) None else Some(imgs.map(_.get))
+      }
+
+    /** REAL video decode: demux the AVI, JPEG-decode every frame, return
+      * frame/raster facts (see [[VideoPixels]]). */
+    def decodeVideo(docId: Long, bytes: Array[Byte]): Option[VideoPixels] =
+      readAviFrames(bytes).map { frames =>
+        val first = frames.head
+        var pxSum = 0L
+        frames.foreach { img =>
+          val r = img.getRaster
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { pxSum += r.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+        }
+        VideoPixels(docId, first.getWidth, first.getHeight, frames.size,
+          frames.head.getRaster.getSample(0, 0, 0),
+          frames.last.getRaster.getSample(0, 0, 0), pxSum)
+      }
+
     /** Metadata + per-frame features. Image containers take the real path
       * — ALL stored frames, so animated GIFs behave like short videos
       * (meta.frames = real frame count, one feature row per frame;
       * features = mean gray level of 8 horizontal stripes in [0,1]);
-      * anything else takes the deterministic fake.
+      * MJPEG AVIs demux and take the same real frame path; anything else
+      * takes the deterministic fake.
       */
     def decode(docId: Long, bytes: Array[Byte]): (MediaMeta, Iterator[FrameFeatures]) =
-      readFrames(bytes) match {
-        case Some((_, frames)) =>
+      readFrames(bytes).map(_._2).orElse(readAviFrames(bytes)) match {
+        case Some(frames) =>
           val first = frames.head
           val meta = MediaMeta(docId, bytes.length.toLong,
             first.getWidth, first.getHeight, frames.size)
@@ -210,8 +303,8 @@ object Multimodal {
         case None => fakeDecode(docId, bytes)
       }
 
-    /** Deterministic FAKE decode for containers this environment has no
-      * codec for (audio/video): metadata derived from the byte length
+    /** Deterministic FAKE decode for containers with no JDK codec (e.g.
+      * MP4/MKV video): metadata derived from the byte length
       * (matching the `multimodal_meta` oracle query) and per-frame features
       * from a rolling byte hash. Replace with real bindings in deployment.
       */
@@ -321,6 +414,94 @@ object Multimodal {
       javax.sound.sampled.AudioSystem.write(ais,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
       out.toByteArray
+    }
+  }
+
+  /** Deterministic synthetic MJPEG-in-AVI clips, symmetric with
+    * [[SyntheticImages]]/[[SyntheticAudio]]: encode a real RIFF/AVI
+    * container (avih + strl headers, `movi` list of `00dc` JPEG chunks)
+    * so the video demux + decode path verifies end-to-end without binary
+    * fixtures in the repo.
+    */
+  object SyntheticVideo {
+
+    /** Grayscale MJPEG AVI whose every frame is one SOLID gray level
+      * `gray(f)`: a flat 8×8 block at max JPEG quality is DC-only under a
+      * unit quantizer, so it round-trips BIT-EXACTLY — which is what makes
+      * an MJPEG fixture oracle-checkable at all (JPEG is otherwise lossy).
+      * `w`/`h` must be multiples of 8 so every block is flat. */
+    def mjpegAviFlat(w: Int, h: Int, nFrames: Int)(gray: Int => Int): Array[Byte] = {
+      require(w >= 8 && h >= 8 && w % 8 == 0 && h % 8 == 0,
+        s"dims must be positive multiples of 8 for flat-block exactness: ${w}x$h")
+      require(nFrames >= 1, s"need nFrames >= 1: $nFrames")
+      val frames = (0 until nFrames).map { f =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        val r = img.getRaster
+        val g = gray(f) & 0xff
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { r.setSample(x, y, 0, g); x += 1 }
+          y += 1
+        }
+        encodeJpegMax(img)
+      }
+      buildAvi(w, h, frames)
+    }
+
+    private def encodeJpegMax(img: BufferedImage): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(1.0f) // unit quantizer → flat blocks exact
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      } finally { writer.dispose(); ios.close() }
+      out.toByteArray
+    }
+
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+    private def chunk(four: String, data: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      out.write(four.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.write(le32(data.length), 0, 4)
+      out.write(data, 0, data.length)
+      if (data.length % 2 == 1) out.write(0) // word alignment pad
+      out.toByteArray
+    }
+
+    private def list(kind: String, data: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ data)
+
+    /** Structurally complete AVI: MainAVIHeader + one video stream
+      * (strh 'vids'/'MJPG' + strf BITMAPINFOHEADER) + movi frame chunks.
+      * No idx1 (AVIF_HASINDEX unset) — storage order is frame order. */
+    private def buildAvi(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val maxFrame = frames.map(_.length).max
+      val usPerFrame = 100000 // 10 fps
+      val avih = le32(usPerFrame) ++ le32(maxFrame * 10) ++ le32(0) ++ le32(0) ++
+        le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(maxFrame) ++
+        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val strh = "vids".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        "MJPG".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(10) ++ le32(0) ++
+        le32(frames.length) ++ le32(maxFrame) ++ le32(-1) ++ le32(0) ++
+        Array.fill[Byte](8)(0) // rcFrame
+      val strf = le32(40) ++ le32(w) ++ le32(h) ++
+        Array[Byte](1, 0, 24, 0) ++ // biPlanes=1, biBitCount=24
+        "MJPG".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val hdrl = list("hdrl",
+        chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+      chunk("RIFF",
+        "AVI ".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ hdrl ++ movi)
     }
   }
 

@@ -17,10 +17,13 @@ import graft.multimodal.Multimodal
   * bit depth, row order) breaks the hash. Narrow plan: encode + decode are
   * one partition-at-a-time pass, no shuffle.
   *
+  * `multimodal_audio` and `multimodal_video` are the same shape for the
+  * other two modalities: real WAV PCM via JavaSound, real MJPEG-in-AVI
+  * via the pure-JDK RIFF demux + per-frame JPEG decode.
+  *
   * `multimodal_meta` pins the byte-derived FAKE-path metadata (the branch
-  * non-image containers take — this environment has no audio/video codec)
-  * against the same formulas in the oracle, exactly as Multimodal.withMeta
-  * derives them.
+  * containers with no JDK codec take, e.g. MP4) against the same formulas
+  * in the oracle, exactly as Multimodal.withMeta derives them.
   */
 object MultimodalOps extends QueryGroup {
 
@@ -57,6 +60,32 @@ object MultimodalOps extends QueryGroup {
         }
         .toDF("doc_id", "width", "height", "format",
           "px_top_left", "px_bottom_right", "px_sum")
+    }),
+
+    // real MJPEG-in-AVI encode → real RIFF demux + javax.imageio JPEG
+    // decode → frame/raster facts, the video twin of multimodal_decode.
+    // Every frame is one solid gray level (flat 8×8 blocks at max JPEG
+    // quality round-trip bit-exactly, so the lossy codec becomes oracle-
+    // checkable); a demux bug in frame boundaries, order, count, or
+    // header parsing breaks the hash.
+    "multimodal_video" -> ((s, dir) => {
+      import s.implicits._
+      spread(t(s, dir, "documents")).select($"doc_id").as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (8L * (2 + id % 5)).toInt
+            val h = (8L * (2 + (id * 3) % 4)).toInt
+            val nf = (2 + id % 5).toInt
+            val blob = Multimodal.SyntheticVideo.mjpegAviFlat(w, h, nf)(f =>
+              ((id * 37 + f * 11) % 256).toInt)
+            val vp = Multimodal.Codec.decodeVideo(id, blob).getOrElse(
+              throw new IllegalStateException(s"AVI decode failed for doc $id"))
+            (vp.docId, vp.width, vp.height, vp.nFrames,
+              vp.firstGray, vp.lastGray, vp.pxSum)
+          }
+        }
+        .toDF("doc_id", "width", "height", "n_frames",
+          "first_gray", "last_gray", "px_sum")
     }),
 
     // real WAV encode → real javax.sound.sampled decode → PCM facts, the
@@ -112,6 +141,27 @@ object MultimodalOps extends QueryGroup {
         |    AS INTEGER) AS px_bottom_right,
         |  px.px_sum
         |FROM documents d JOIN px ON px.doc_id = d.doc_id""".stripMargin,
+
+    // recompute what the MJPEG round trip must recover: frame f is a
+    // solid gray (37·doc_id + 11f) mod 256 over a width×height raster,
+    // n_frames = 2 + doc_id%5 (≤ 6, so the fixed series + filter stands
+    // in for a correlated generate_series).
+    "multimodal_video" ->
+      """WITH g AS (
+        |  SELECT d.doc_id,
+        |    CAST(SUM((d.doc_id * 37 + f * 11) % 256) AS BIGINT) AS gray_sum
+        |  FROM documents d, generate_series(0, 6) gs(f)
+        |  WHERE f < 2 + d.doc_id % 5
+        |  GROUP BY d.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(8 * (2 + d.doc_id % 5) AS INTEGER) AS width,
+        |  CAST(8 * (2 + (d.doc_id * 3) % 4) AS INTEGER) AS height,
+        |  CAST(2 + d.doc_id % 5 AS INTEGER) AS n_frames,
+        |  CAST((d.doc_id * 37) % 256 AS INTEGER) AS first_gray,
+        |  CAST((d.doc_id * 37 + (1 + d.doc_id % 5) * 11) % 256 AS INTEGER) AS last_gray,
+        |  CAST(8 * (2 + d.doc_id % 5) AS BIGINT)
+        |    * CAST(8 * (2 + (d.doc_id * 3) % 4) AS BIGINT) * g.gray_sum AS px_sum
+        |FROM documents d JOIN g ON g.doc_id = d.doc_id""".stripMargin,
 
     // recompute the PCM recurrence: sample(i) = ((doc_id+1)·2654435761 +
     // 40503·i) mod 65536 − 32768 over n = 500 + doc_id%1500 samples

@@ -126,6 +126,39 @@ class MultimodalSpec extends SparkSuite {
     assert(got.forall(_.features(0) == 1.0f)) // sampled frames are the white ones
   }
 
+  test("Codec.decodeVideo: MJPEG AVI round trip recovers frames, order, exact flat pixels") {
+    val blob = SyntheticVideo.mjpegAviFlat(w = 24, h = 16, nFrames = 4)(f => 40 + f * 50)
+    assert(Codec.videoFormat(blob).contains("avi"))
+    val (dw, dh, payloads) = Codec.demuxAvi(blob).get
+    assert((dw, dh, payloads.size) == (24, 16, 4))
+    // every demuxed frame payload is a standalone JPEG
+    payloads.foreach(p => assert(Codec.imageFormat(p).contains("jpeg")))
+    val vp = Codec.decodeVideo(9L, blob).get
+    assert(vp == VideoPixels(9L, 24, 16, 4,
+      firstGray = 40, lastGray = 190,
+      pxSum = 24L * 16 * (40 + 90 + 140 + 190)))
+  }
+
+  test("Codec.decode: AVI blobs take the real multi-frame path") {
+    val blob = SyntheticVideo.mjpegAviFlat(16, 16, 3)(f => f * 100)
+    val (meta, frames) = Codec.decode(3L, blob)
+    assert(meta == MediaMeta(3L, blob.length.toLong, 16, 16, frames = 3))
+    val fs = frames.toVector
+    assert(fs.map(_.frameIdx) == Vector(0, 1, 2))
+    // flat frames → every stripe mean is exactly gray/255
+    fs.zipWithIndex.foreach { case (ff, f) =>
+      ff.features.foreach(v => assert(math.abs(v - f * 100 / 255f) < 1e-6f))
+    }
+  }
+
+  test("Codec.demuxAvi: truncated or non-AVI bytes return None, fake untouched") {
+    val blob = SyntheticVideo.mjpegAviFlat(16, 8, 2)(_ => 128)
+    assert(Codec.demuxAvi(java.util.Arrays.copyOf(blob, 60)).isEmpty)
+    assert(Codec.demuxAvi("RIFFxxxxWAVEdata".getBytes).isEmpty)
+    val (meta, _) = Codec.decode(1L, Array.fill[Byte](100)(7))
+    assert(meta.width == 16 + 100 % 64) // deterministic fake branch
+  }
+
   test("Codec.decodeAudio: WAV round trip recovers format and exact samples") {
     val samples = Array(0, 1000, -1000, 32767, -32768, 7)
     val blob = SyntheticAudio.pcm16(samples.length, 16000)(samples(_))
