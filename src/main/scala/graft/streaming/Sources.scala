@@ -132,24 +132,31 @@ object Sinks {
     * failure); an ack row is appended ONLY after it returns — a failed
     * batch emits nothing, and Spark's retry of the epoch re-runs the
     * write (at-least-once, as the reference's produce-retry loop). */
-  def confirmed(df: DataFrame, topic: String)(
+  def confirmed(df: DataFrame, topic: String, checkpoint: Option[String] = None)(
       writeBatch: (DataFrame, Long) => Unit): ConfirmedSink = {
     val ref = new java.util.concurrent.atomic.AtomicReference[Vector[ProduceAck]](Vector.empty)
-    val q = df.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      val n = batch.persist().count() // one materialization for write + count
-      try {
-        writeBatch(batch, id)
-        ref.updateAndGet(_ :+ ProduceAck(id, topic, n, System.currentTimeMillis()))
-        ()
-      } finally batch.unpersist()
-    }.start()
+    val writer = df.writeStream
+    val q = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val n = batch.persist().count() // one materialization for write + count
+        try {
+          writeBatch(batch, id)
+          ref.updateAndGet(_ :+ ProduceAck(id, topic, n, System.currentTimeMillis()))
+          ()
+        } finally batch.unpersist()
+      }.start()
     new ConfirmedSink(q, ref)
   }
 
   /** [[kafka]] with delivery confirmations pushed to the handle: each
-    * micro-batch that Kafka accepts appends one [[ProduceAck]]. */
-  def kafkaConfirmed(df: DataFrame, bootstrap: String, topic: String): ConfirmedSink =
-    confirmed(df, topic) { (batch, _) =>
+    * micro-batch that Kafka accepts appends one [[ProduceAck]]. With a
+    * `checkpoint`, a restarted sink resumes at the committed offsets —
+    * epochs whose write failed mid-flight re-run (at-least-once), epochs
+    * that completed are never re-produced (KafkaSpec pins both against a
+    * file-backed topic through this same seam). */
+  def kafkaConfirmed(df: DataFrame, bootstrap: String, topic: String,
+                     checkpoint: Option[String] = None): ConfirmedSink =
+    confirmed(df, topic, checkpoint) { (batch, _) =>
       batch.write.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
         .option("topic", topic)
