@@ -43,6 +43,15 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The only unpartitioned window in the engine is GlobalOrder's 1-split
+    // fallback, where "moving all data to a single partition" is exactly
+    // the plan chosen on purpose (functions/GlobalOrder.scala — the
+    // multi-split path never builds an unpartitioned window; PlanSpec pins
+    // that). Suppress WindowExec's blanket warning so bench/verify logs
+    // stay clean; GlobalOrderSpec asserts the warning stays silenced.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     spark
   }
 }

@@ -85,29 +85,8 @@ object TextOps extends QueryGroup {
     // never perturb the trigram stream — both engines see identical
     // bytes). A doc whose best score is < 3 has essentially no latin
     // trigrams and is classified zh (the CJK member of the corpus).
-    "text_langid_ngram" -> ((s, dir) => {
-      import s.implicits._
-      // per-language counts via the one-pass native kernel (the HOF
-      // spelling is interpreted and O(len²) per row — 143 s at sf0.1;
-      // the kernel is codegen'd and O(len), ~0.3 s)
-      val clean = lower(regexp_replace($"text", "[^A-Za-z ]", ""))
-      val scored = NgramProfiles.foldLeft(
-        t(s, dir, "documents").withColumn("__c", clean)) {
-        case (df, (lang, tris)) =>
-          df.withColumn(s"ng_$lang",
-            graft.functions.native.ngram_hits($"__c", tris))
-      }
-      val best = NgramProfiles.map { case (l, _) => col(s"ng_$l") }
-        .reduce((a, b) => greatest(a, b))
-      scored.select(
-        $"doc_id",
-        when(best < 3, "zh")
-          .when($"ng_en" === best, "en")
-          .when($"ng_es" === best, "es")
-          .when($"ng_de" === best, "de")
-          .otherwise("fr").as("lang_pred"),
-        $"ng_en", $"ng_es", $"ng_de", $"ng_fr")
-    }),
+    "text_langid_ngram" -> ((s, dir) =>
+      classifyLangNgram(t(s, dir, "documents"))),
 
     // TRUE merge-table BPE (greedy lowest-rank merges over the learned
     // embedded vocab — graft.functions.Bpe): per doc, word count, BPE
@@ -154,6 +133,32 @@ object TextOps extends QueryGroup {
     "[A-Za-z]+|[0-9]|[\\x21-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\x7e]"
 
   private def sqlToks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** The text_langid_ngram classifier over any `(doc_id, text)` frame —
+    * factored out of the query so fixture specs can drive it on REAL
+    * multilingual sentences (TextLangFixtureSpec), since the synthetic
+    * corpus pins only the scoring mechanics. Per-language counts run on
+    * the one-pass native kernel (the HOF spelling is interpreted and
+    * O(len²) per row — 143 s at sf0.1; the kernel is codegen'd and
+    * O(len), ~0.3 s). */
+  def classifyLangNgram(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val clean = lower(regexp_replace(col("text"), "[^A-Za-z ]", ""))
+    val scored = NgramProfiles.foldLeft(df.withColumn("__c", clean)) {
+      case (d, (lang, tris)) =>
+        d.withColumn(s"ng_$lang",
+          graft.functions.native.ngram_hits(col("__c"), tris))
+    }
+    val best = NgramProfiles.map { case (l, _) => col(s"ng_$l") }
+      .reduce((a, b) => greatest(a, b))
+    scored.select(
+      col("doc_id"),
+      when(best < 3, "zh")
+        .when(col("ng_en") === best, "en")
+        .when(col("ng_es") === best, "es")
+        .when(col("ng_de") === best, "de")
+        .otherwise("fr").as("lang_pred"),
+      col("ng_en"), col("ng_es"), col("ng_de"), col("ng_fr"))
+  }
 
   // characteristic character trigrams per latin language (space-padded
   // entries catch word boundaries); identical constant on both sides

@@ -27,6 +27,38 @@ class GlobalOrderSpec extends SparkSuite {
     assert(numbered.rdd.getNumPartitions > 1, "numbering must stay parallel")
   }
 
+  test("1-split fallback emits no WindowExec partition warning (clean bench logs)") {
+    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import scala.jdk.CollectionConverters._
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val appender = new AbstractAppender("graft-warn-capture", null, null, true,
+      org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit =
+        events.add(e.getMessage.getFormattedMessage)
+    }
+    appender.start()
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    cfg.getRootLogger.addAppender(appender, org.apache.logging.log4j.Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      // 1-split input: the documented plain-window fallback runs — the
+      // warning Sessions.local silences must NOT reach the logs
+      val df = (1 to 100).map(i => (i * 13 % 100, i)).toDF("k", "v").coalesce(1)
+      val rns = GlobalOrder.withRowNumber(df, "rn", col("k"), col("v"))
+        .select($"rn").as[Long].collect().sorted
+      assert(rns.toSeq == (1L to 100L))
+      val offending = events.asScala.filter(_.contains("No Partition Defined"))
+      assert(offending.isEmpty, s"WindowExec warning leaked: $offending")
+    } finally {
+      cfg.getRootLogger.removeAppender("graft-warn-capture")
+      ctx.updateLoggers()
+      appender.stop()
+    }
+  }
+
   test("withRowNumber is dense and 1-based across partitions") {
     val df = (1 to 1000).map(i => (i * 7 % 1000, i)).toDF("k", "payload")
     val rns = GlobalOrder.withRowNumber(df, "rn", col("k"), col("payload"))
