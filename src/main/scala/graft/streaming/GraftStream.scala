@@ -327,6 +327,40 @@ final class GraftFrame(val df: DataFrame, val indexCol: String = "ts",
   def cummax(c: String, keys: String*): GraftFrame = expandingAgg(max, c, keys: _*)
   def expandingMean(c: String, keys: String*): GraftFrame = expandingAgg(avg, c, keys: _*)
 
+  // --- updating-stream composition (dataframe/core.py:200-227) ------------
+  /** Chain relational work AFTER a streaming aggregation — the reference's
+    * `Frames`/`Seriess` ops, where every emission of an updating stream is
+    * a whole revised table and downstream operators transform each revision
+    * (e.g. `sdf.groupby(k).sum().nlargest(2)`). Spark rejects a second
+    * aggregation/sort stacked on a streaming aggregate inside one query, so
+    * the composition point is foreachBatch RE-ENTRY: each trigger
+    * materializes the CURRENT aggregate in `complete` mode, `continue` runs
+    * on it as an ordinary batch frame (any relational op — sort, limit,
+    * second aggregation, join), and the result REPLACES the published temp
+    * view `name` — exactly the replace-the-last-emission contract of the
+    * reference's updating streams.
+    *
+    * Readers consume `spark.table(s"global_temp.$name")`: always one
+    * complete, current result. (GLOBAL temp view because foreachBatch runs
+    * on a cloned session — a session-local view would land in the clone's
+    * catalog, invisible to the caller.) The previous epoch's cache is
+    * dropped only after the swap, so the view never dangles; the
+    * continuation result stays distributed (cached blocks, no driver
+    * collect).
+    */
+  def reenter(name: String)(continue: DataFrame => DataFrame): StreamingQuery = {
+    val prev = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    df.writeStream.outputMode("complete").queryName(s"reenter_$name")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val out = continue(batch).persist()
+        out.count() // materialize before swapping the published view
+        out.createOrReplaceGlobalTempView(name)
+        val old = prev.getAndSet(out)
+        if (old != null) old.unpersist()
+        ()
+      }.start()
+  }
+
   def writeStream: DataStreamWriter[org.apache.spark.sql.Row] = df.writeStream
 }
 

@@ -30,6 +30,39 @@ class GraftFrameSpec extends SparkSuite {
     assert(got.toSeq == Seq(2, 10, 20, 30)) // 110 removed, odds filtered
   }
 
+  test("reenter: nlargest chained after a running groupby sum (updating " +
+    "composition, dataframe/core.py:200-227 Frames contract)") {
+    val in = MemoryStream[(String, Double)]
+    val gf = new GraftStream(in.toDS()).toDF
+      .pluck("_1", "_2")
+      .groupby("_1").sumOf("_2")
+    // continuation: a SECOND relational stage (sort + limit) over the
+    // updating aggregate — rejected inside one streaming query, legal here
+    val q = gf.reenter("reenter_top") { agg =>
+      agg.orderBy(desc("sum__2"), asc("_1")).limit(2)
+    }
+    try {
+      // pandas-modeled oracle: running per-key sums, top 2 by (sum desc,
+      // key asc) — each emission REPLACES the previous result
+      def expectTop2(rows: (String, Double)*): Unit = {
+        val want = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+          .sortBy { case (k, s) => (-s, k) }.take(2)
+        val got = spark.table("global_temp.reenter_top")
+          .as[(String, Double)].collect().toSeq
+          .sortBy { case (k, s) => (-s, k) }
+        assert(got == want, s"got $got want $want")
+      }
+      val b1 = Seq(("a", 5.0), ("b", 9.0), ("c", 1.0))
+      in.addData(b1); q.processAllAvailable()
+      expectTop2(b1: _*)
+      // batch 2 revises the ranking: c overtakes both, a overtakes b
+      val b2 = Seq(("c", 20.0), ("a", 6.0))
+      in.addData(b2); q.processAllAvailable()
+      expectTop2(b1 ++ b2: _*)
+      assert(spark.table("global_temp.reenter_top").count() == 2) // replaced, not appended
+    } finally q.stop()
+  }
+
   test("sink: runs f per element executor-side (ForeachWriter, no driver collect)") {
     val in = MemoryStream[Int]
     GraftFrameSpec.sunk.clear()
