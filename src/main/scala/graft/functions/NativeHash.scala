@@ -587,4 +587,11 @@ object native {
   /** Count of occurrences of any short ASCII pattern in a text column. */
   def ngram_hits(text: Column, patterns: Seq[String]): Column =
     col(NgramHits(expr(text), patterns))
+
+  /** Exact scale-`scale` decimal sum of a double column, as double —
+    * bit-identical to `sum(cast(c as decimal(38,scale))).cast("double")`
+    * with a primitive two-long 128-bit buffer (see [[FixedSum]]). Usable
+    * in `agg(...)` and `.over(window)`. */
+  def fixed_sum(c: Column, scale: Int): Column =
+    col(FixedSum(expr(c), scale).toAggregateExpression())
 }

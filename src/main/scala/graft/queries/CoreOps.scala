@@ -99,7 +99,7 @@ object CoreOps extends QueryGroup {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "events").select(
         $"user_id", $"event_id",
-        sum(dec($"value", 2)).over(w).cast("double").as("running_value"))
+        graft.functions.native.fixed_sum($"value", 2).over(w).as("running_value"))
     }),
 
     // slice (core.py:1029) — positional start/end/step gate. Global
@@ -120,7 +120,7 @@ object CoreOps extends QueryGroup {
         .rowsBetween(-4, Window.currentRow)
       t(s, dir, "events").select(
         $"user_id", $"event_id",
-        sum(dec($"value", 2)).over(w).cast("double").as("w_sum"),
+        graft.functions.native.fixed_sum($"value", 2).over(w).as("w_sum"),
         count(lit(1)).over(w).as("w_cnt"))
     }),
 

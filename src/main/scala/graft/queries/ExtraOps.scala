@@ -28,8 +28,8 @@ object ExtraOps extends QueryGroup {
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
         .rowsBetween(-4, Window.currentRow)
       t(s, dir, "events")
-        .withColumn("s1", sum(dec($"value", 2)).over(w).cast("double"))
-        .withColumn("s2", sum(dec($"value" * $"value", 8)).over(w).cast("double"))
+        .withColumn("s1", graft.functions.native.fixed_sum($"value", 2).over(w))
+        .withColumn("s2", graft.functions.native.fixed_sum($"value" * $"value", 8).over(w))
         .withColumn("cnt", count(lit(1)).over(w))
         .select($"user_id", $"event_id",
           when($"cnt" > 1, ($"s2" - $"s1" * $"s1" / $"cnt") / ($"cnt" - 1))

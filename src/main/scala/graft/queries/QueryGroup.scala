@@ -42,8 +42,13 @@ trait QueryGroup {
   /** Exact-arithmetic (order-independent) sum of a double column. */
   protected def dec(c: Column, scale: Int): Column =
     c.cast(DecimalType(38, scale))
+  /** Bit-identical to `sum(dec(c, scale)).cast("double")` — the oracle's
+    * DSUM — but accumulating in FixedSum's two-long 128-bit buffer, which
+    * keeps hot aggregates inside whole-stage codegen instead of paying
+    * per-row Decimal38 (de)serialization (2.9× on q1_agg at sf1, see
+    * tools/IsoAgg). Parity pinned bit-for-bit by FixedSumSpec. */
   protected def dsum(c: Column, scale: Int = 4): Column =
-    sum(dec(c, scale)).cast("double")
+    graft.functions.native.fixed_sum(c, scale)
   /** Oracle-side fragment matching [[dsum]]. */
   protected def DSUM(e: String, scale: Int = 4): String =
     s"CAST(SUM(CAST($e AS DECIMAL(38,$scale))) AS DOUBLE)"

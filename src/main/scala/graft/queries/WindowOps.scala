@@ -26,7 +26,7 @@ object WindowOps extends QueryGroup {
         .rangeBetween(-3600000000L, 0L)
       t(s, dir, "events").select(
         $"user_id", $"event_id",
-        sum(dec($"value", 2)).over(w).cast("double").as("w_sum"),
+        graft.functions.native.fixed_sum($"value", 2).over(w).as("w_sum"),
         count(lit(1)).over(w).as("w_cnt"))
     }),
 
@@ -37,7 +37,7 @@ object WindowOps extends QueryGroup {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "events").select(
         $"user_id", $"event_id",
-        (sum(dec($"value", 2)).over(w).cast("double") / count(lit(1)).over(w))
+        (graft.functions.native.fixed_sum($"value", 2).over(w) / count(lit(1)).over(w))
           .as("expanding_mean"))
     }),
 
