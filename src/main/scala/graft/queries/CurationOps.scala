@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Data-curation operators a large-scale training pipeline runs between
+  * dedup and corpus assembly: PII scrubbing, repetition-based quality
+  * filtering (the MassiveText/Gopher rule family), and GPT-style
+  * sequence packing. All three are hash-exact against the DuckDB oracle
+  * and shaped for 100 TB: pii_redact and the packing offsets are narrow
+  * or one-shuffle; the repetition metrics shuffle (doc_id, gram) pairs —
+  * keys that distribute uniformly however skewed the corpus.
+  */
+object CurationOps extends QueryGroup {
+
+  // --- text_pii_redact ------------------------------------------------
+  // Patterns deliberately restricted to syntax valid in BOTH Java regex
+  // (Spark) and RE2 (DuckDB): no lookaround, no backrefs.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  private val LongNumRe = "\\b\\d{7,}\\b"
+
+  // --- quality_repetition --------------------------------------------
+  // Thresholds follow the Gopher/MassiveText RULE SHAPE (drop docs whose
+  // repetition fractions exceed a cap) with values tuned to this corpus's
+  // observed distribution (sf0.01: top2 p50=0.033/p90=0.069, dup2
+  // p50=0.028/p90=0.065, dupw p50=0.54/p90=0.68) so the verdict actually
+  // discriminates here — 280 keep / 220 drop — rather than keeping 100%
+  // as the paper's web-text thresholds would on word-salad documents.
+  private val MaxTop2GramFrac = 0.06
+  private val MaxDup2GramFrac = 0.05
+  private val MaxDupWordFrac = 0.65
+
+  // --- pack_sequences -------------------------------------------------
+  private val PackBudget = 8192L // chars per training window
+  private val PackShards = 8L // deterministic output shards
+
+  override def queries: Map[String, Q] = Map(
+    // PII redaction (the C4/RefinedWeb scrub stage): replace emails,
+    // IPv4 addresses, and long digit runs with typed placeholders and
+    // count each redaction class. The synthetic corpus carries no
+    // natural PII (0 regex hits, verified), so the query demonstrates
+    // the full redaction path on a CONSTRUCTED contact column derived
+    // deterministically from doc_id/source — every row makes all three
+    // patterns fire and the redacted bytes must hash-match DuckDB's.
+    // PiiFixtureSpec covers adversarial real-text cases. Counts are
+    // chain-positional: n_ip counts on the email-redacted string and
+    // n_longnum on the ip-redacted string, so digits inside an email or
+    // IP are never double-counted. Narrow plan: zero shuffles.
+    "text_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("rawtext", concat(
+          $"text", lit(" contact user"), $"doc_id".cast("string"),
+          lit("@mail-"), $"source", lit(".com or 192.168."),
+          ($"doc_id" % 256).cast("string"), lit(".7 ref "),
+          lpad(($"doc_id" * 7919L % 10000000L).cast("string"), 7, "0")))
+        .withColumn("r1", regexp_replace($"rawtext", EmailRe, "<EMAIL>"))
+        .withColumn("r2", regexp_replace($"r1", Ipv4Re, "<IP>"))
+        .select(
+          $"doc_id",
+          regexp_replace($"r2", LongNumRe, "<NUM>").as("redacted"),
+          regexp_count($"rawtext", lit(EmailRe)).cast("long").as("n_email"),
+          regexp_count($"r1", lit(Ipv4Re)).cast("long").as("n_ip"),
+          regexp_count($"r2", lit(LongNumRe)).cast("long").as("n_longnum"))
+    }),
+
+    // Repetition-based quality filter (Gopher rules): duplicate-word
+    // fraction, duplicate-2-gram fraction (repeat occurrences / total),
+    // and top-2-gram fraction (occurrences of the most frequent 2-gram /
+    // total). Distributed-exact via explode + two keyed aggregations —
+    // (doc_id, gram) then doc_id — rather than an in-row O(n²) HOF scan
+    // (the text_langid_ngram lesson: interpreted quadratic per-row HOFs
+    // are the trap; a shuffle on uniformly-distributing keys is not).
+    "quality_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents")
+        .withColumn("toks", TF.tokens($"text"))
+      val grams = base.select($"doc_id", explode(expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks)-2)," +
+          " i -> concat(toks[i], ' ', toks[i+1])) ELSE array() END")).as("g"))
+      val rep = grams.groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(
+          max($"c").as("maxc"), sum($"c").as("total"), count(lit(1)).as("ndist"))
+      base.select($"doc_id",
+          size($"toks").cast("long").as("n_tokens"),
+          size(array_distinct($"toks")).cast("long").as("nd"))
+        .join(rep, "doc_id")
+        .select(
+          $"doc_id", $"n_tokens",
+          (lit(1.0) - $"nd".cast("double") / $"n_tokens").as("dup_word_frac"),
+          (lit(1.0) - $"ndist".cast("double") / $"total").as("dup_2gram_frac"),
+          ($"maxc".cast("double") / $"total").as("top_2gram_frac"))
+        .withColumn("keep",
+          $"top_2gram_frac" <= MaxTop2GramFrac &&
+            $"dup_2gram_frac" <= MaxDup2GramFrac &&
+            $"dup_word_frac" <= MaxDupWordFrac)
+    }),
+
+    // GPT-style sequence packing: concatenate documents in deterministic
+    // order within hash shards and slice fixed-size training windows —
+    // documents straddle window boundaries (the standard pretraining
+    // packing; no per-bin greedy state needed, unlike first-fit). Each
+    // doc gets its shard, global char offset, owning window, offset
+    // within that window, and how many windows it spans. One shuffle on
+    // the shard key; the running offset is a plain window cumsum, so the
+    // plan survives any corpus size (shards bound partition width).
+    "pack_sequences" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"shard").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .withColumn("shard", $"doc_id" % PackShards)
+        .withColumn("seq_start", coalesce(sum($"n_chars").over(w), lit(0L)))
+        .select(
+          $"doc_id", $"shard", $"n_chars", $"seq_start",
+          expr(s"seq_start DIV $PackBudget").as("window_id"),
+          ($"seq_start" % PackBudget).as("window_offset"),
+          (expr(s"(seq_start + n_chars - 1) DIV $PackBudget") -
+            expr(s"seq_start DIV $PackBudget") + lit(1L)).as("n_windows"))
+    })
+  )
+
+  private val sqlToks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  override def oracle: Map[String, String] = Map(
+    "text_pii_redact" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(r2, '$LongNumRe', '<NUM>', 'g') AS redacted,
+         |  len(regexp_extract_all(rawtext, '$EmailRe')) AS n_email,
+         |  len(regexp_extract_all(r1, '$Ipv4Re')) AS n_ip,
+         |  len(regexp_extract_all(r2, '$LongNumRe')) AS n_longnum
+         |FROM (
+         |  SELECT doc_id, rawtext,
+         |    regexp_replace(rawtext, '$EmailRe', '<EMAIL>', 'g') AS r1,
+         |    regexp_replace(regexp_replace(rawtext, '$EmailRe', '<EMAIL>', 'g'),
+         |                   '$Ipv4Re', '<IP>', 'g') AS r2
+         |  FROM (
+         |    SELECT doc_id,
+         |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |        || '@mail-' || source || '.com or 192.168.'
+         |        || CAST(doc_id % 256 AS VARCHAR) || '.7 ref '
+         |        || lpad(CAST(doc_id * 7919 % 10000000 AS VARCHAR), 7, '0') AS rawtext
+         |    FROM documents))""".stripMargin,
+
+    "quality_repetition" ->
+      s"""SELECT doc_id, n_tokens,
+         |  dup_word_frac, dup_2gram_frac, top_2gram_frac,
+         |  (top_2gram_frac <= $MaxTop2GramFrac
+         |    AND dup_2gram_frac <= $MaxDup2GramFrac
+         |    AND dup_word_frac <= $MaxDupWordFrac) AS keep
+         |FROM (
+         |  SELECT doc_id, nt AS n_tokens,
+         |    1.0 - CAST(nd AS DOUBLE) / nt AS dup_word_frac,
+         |    1.0 - CAST(ndist AS DOUBLE) / total AS dup_2gram_frac,
+         |    CAST(maxc AS DOUBLE) / total AS top_2gram_frac
+         |  FROM (
+         |    SELECT doc_id, max(c) AS maxc, sum(c) AS total, count(*) AS ndist
+         |    FROM (
+         |      SELECT doc_id, g, count(*) AS c
+         |      FROM (
+         |        SELECT doc_id, unnest(
+         |          [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS g
+         |        FROM (SELECT doc_id, $sqlToks AS toks FROM documents))
+         |      GROUP BY doc_id, g)
+         |    GROUP BY doc_id)
+         |  JOIN (
+         |    SELECT doc_id, len(toks) AS nt, len(list_distinct(toks)) AS nd
+         |    FROM (SELECT doc_id, $sqlToks AS toks FROM documents))
+         |  USING (doc_id))""".stripMargin,
+
+    "pack_sequences" ->
+      s"""SELECT doc_id, shard, n_chars, seq_start,
+         |  seq_start // $PackBudget AS window_id,
+         |  seq_start % $PackBudget AS window_offset,
+         |  (seq_start + n_chars - 1) // $PackBudget
+         |    - seq_start // $PackBudget + 1 AS n_windows
+         |FROM (
+         |  SELECT doc_id, shard, n_chars,
+         |    CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS seq_start
+         |  FROM (SELECT doc_id, doc_id % $PackShards AS shard, n_chars
+         |        FROM documents))""".stripMargin
+  )
+}
