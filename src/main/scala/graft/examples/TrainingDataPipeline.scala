@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{native, TextFunctions => TF}
+import graft.functions.{native, Curation, TextFunctions => TF}
 import graft.streaming.Dedup
 
 /** End-to-end training-data pipeline composing the engine's north-star
@@ -43,6 +43,39 @@ object TrainingDataPipeline {
       .option("checkpointLocation", ckptDir).outputMode("append").start()
     q.processAllAvailable()
     q.stop()
+  }
+
+  /** Stage 1.5 (CURATE, r7): keepers → PII scrub → repetition-quality
+    * gate → GPT-style sequence packing. Returns the packing manifest a
+    * training run reads: one row per admitted doc with its redacted
+    * text, shard, char offset, owning training window, and straddle
+    * count. The scrub is narrow (regex chain per row), the repetition
+    * gate shuffles (doc_id, gram) then doc_id, the packing is one
+    * shuffle on the shard key — nothing here widens with corpus size.
+    */
+  def curate(spark: SparkSession, docsDir: String, verdictDir: String,
+             maxTop2Gram: Double = 0.06, maxDup2Gram: Double = 0.05,
+             maxDupWord: Double = 0.65,
+             packBudget: Long = 8192L, packShards: Long = 8L): DataFrame = {
+    import spark.implicits._
+    val keepers = spark.read.parquet(verdictDir)
+      .filter($"is_keeper").select($"doc_id")
+    val scrubbed = spark.read.parquet(docsDir)
+      .join(keepers, "doc_id")
+      .withColumn("clean_text", Curation.piiRedact($"text"))
+      .withColumn("toks", TF.tokens($"clean_text"))
+    val quality = Curation.repetitionMetrics(scrubbed, "doc_id", "toks")
+      .filter($"top_2gram_frac" <= maxTop2Gram &&
+        $"dup_2gram_frac" <= maxDup2Gram && $"dup_word_frac" <= maxDupWord)
+      .select($"doc_id", $"n_tokens")
+    val admitted = scrubbed
+      .select($"doc_id", $"lang", $"clean_text",
+        length($"clean_text").cast("long").as("n_clean_chars"))
+      .join(quality, "doc_id")
+    Curation.packSequences(admitted, "doc_id", "n_clean_chars",
+        packShards, packBudget)
+      .select($"doc_id", $"lang", $"clean_text", $"n_tokens", $"shard",
+        $"seq_start", $"window_id", $"window_offset", $"n_windows")
   }
 
   /** Stage 2: per-language token budget over the deduped, quality-

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable curation transforms shared by the oracle-checked queries
+  * (queries/CurationOps) and the end-to-end pipeline example
+  * (examples/TrainingDataPipeline): PII scrubbing, Gopher-style
+  * repetition metrics, GPT-style sequence packing. Kept as plain
+  * Column/DataFrame combinators so callers compose them into any plan.
+  */
+object Curation {
+
+  // Patterns restricted to syntax valid in BOTH Java regex (Spark) and
+  // RE2 (DuckDB): no lookaround, no backrefs.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val LongNumRe = "\\b\\d{7,}\\b"
+
+  /** Chained email → IPv4 → long-digit-run redaction. The chain order
+    * prevents double-redaction: digits inside an email or IP are gone
+    * before the later passes run. */
+  def piiRedact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
+      LongNumRe, "<NUM>")
+
+  /** Per-doc repetition metrics from a token-array column: returns
+    * `(id, n_tokens, dup_word_frac, dup_2gram_frac, top_2gram_frac)`.
+    * Distributed-exact via explode + two keyed aggregations — (id, gram)
+    * then id — instead of an in-row O(n²) HOF scan. Docs with < 2 tokens
+    * have no 2-grams and are dropped (inner join), matching the oracle. */
+  def repetitionMetrics(df: DataFrame, idCol: String, toksCol: String): DataFrame = {
+    val id = col(idCol)
+    val grams = df.select(id, explode(expr(
+      s"CASE WHEN size($toksCol) >= 2 THEN transform(sequence(0, size($toksCol)-2)," +
+        s" i -> concat($toksCol[i], ' ', $toksCol[i+1])) ELSE array() END")).as("g"))
+    val rep = grams.groupBy(id, col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(id).agg(
+        max(col("c")).as("maxc"), sum(col("c")).as("total"),
+        count(lit(1)).as("ndist"))
+    df.select(id,
+        size(col(toksCol)).cast("long").as("n_tokens"),
+        size(array_distinct(col(toksCol))).cast("long").as("nd"))
+      .join(rep, idCol)
+      .select(id, col("n_tokens"),
+        (lit(1.0) - col("nd").cast("double") / col("n_tokens")).as("dup_word_frac"),
+        (lit(1.0) - col("ndist").cast("double") / col("total")).as("dup_2gram_frac"),
+        (col("maxc").cast("double") / col("total")).as("top_2gram_frac"))
+  }
+
+  /** GPT-style sequence packing: deterministic order within hash shards,
+    * running size offsets, owning fixed-size training window. Documents
+    * straddle window boundaries (standard pretraining packing). Adds
+    * `shard, seq_start, window_id, window_offset, n_windows`. One
+    * shuffle on the shard key; shards bound partition width at scale. */
+  def packSequences(df: DataFrame, idCol: String, sizeCol: String,
+                    shards: Long, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", col(idCol) % shards)
+      .withColumn("seq_start", coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn("window_id", expr(s"seq_start DIV $budget"))
+      .withColumn("window_offset", col("seq_start") % budget)
+      .withColumn("n_windows",
+        expr(s"(seq_start + $sizeCol - 1) DIV $budget") -
+          col("window_id") + lit(1L))
+  }
+}

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Curation
 import graft.functions.{TextFunctions => TF}
 
 /** Data-curation operators a large-scale training pipeline runs between
@@ -16,11 +17,11 @@ import graft.functions.{TextFunctions => TF}
 object CurationOps extends QueryGroup {
 
   // --- text_pii_redact ------------------------------------------------
-  // Patterns deliberately restricted to syntax valid in BOTH Java regex
-  // (Spark) and RE2 (DuckDB): no lookaround, no backrefs.
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
-  private val LongNumRe = "\\b\\d{7,}\\b"
+  // Patterns live in functions.Curation (shared with the pipeline
+  // example); restricted to the Java-regex ∩ RE2 dialect intersection.
+  private val EmailRe = Curation.EmailRe
+  private val Ipv4Re = Curation.Ipv4Re
+  private val LongNumRe = Curation.LongNumRe
 
   // --- quality_repetition --------------------------------------------
   // Thresholds follow the Gopher/MassiveText RULE SHAPE (drop docs whose
@@ -76,23 +77,9 @@ object CurationOps extends QueryGroup {
     // are the trap; a shuffle on uniformly-distributing keys is not).
     "quality_repetition" -> ((s, dir) => {
       import s.implicits._
-      val base = t(s, dir, "documents")
-        .withColumn("toks", TF.tokens($"text"))
-      val grams = base.select($"doc_id", explode(expr(
-        "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks)-2)," +
-          " i -> concat(toks[i], ' ', toks[i+1])) ELSE array() END")).as("g"))
-      val rep = grams.groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id").agg(
-          max($"c").as("maxc"), sum($"c").as("total"), count(lit(1)).as("ndist"))
-      base.select($"doc_id",
-          size($"toks").cast("long").as("n_tokens"),
-          size(array_distinct($"toks")).cast("long").as("nd"))
-        .join(rep, "doc_id")
-        .select(
-          $"doc_id", $"n_tokens",
-          (lit(1.0) - $"nd".cast("double") / $"n_tokens").as("dup_word_frac"),
-          (lit(1.0) - $"ndist".cast("double") / $"total").as("dup_2gram_frac"),
-          ($"maxc".cast("double") / $"total").as("top_2gram_frac"))
+      Curation.repetitionMetrics(
+          t(s, dir, "documents").withColumn("toks", TF.tokens($"text")),
+          "doc_id", "toks")
         .withColumn("keep",
           $"top_2gram_frac" <= MaxTop2GramFrac &&
             $"dup_2gram_frac" <= MaxDup2GramFrac &&
@@ -109,17 +96,10 @@ object CurationOps extends QueryGroup {
     // plan survives any corpus size (shards bound partition width).
     "pack_sequences" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"shard").orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t(s, dir, "documents")
-        .withColumn("shard", $"doc_id" % PackShards)
-        .withColumn("seq_start", coalesce(sum($"n_chars").over(w), lit(0L)))
-        .select(
-          $"doc_id", $"shard", $"n_chars", $"seq_start",
-          expr(s"seq_start DIV $PackBudget").as("window_id"),
-          ($"seq_start" % PackBudget).as("window_offset"),
-          (expr(s"(seq_start + n_chars - 1) DIV $PackBudget") -
-            expr(s"seq_start DIV $PackBudget") + lit(1L)).as("n_windows"))
+      Curation.packSequences(t(s, dir, "documents"), "doc_id", "n_chars",
+          PackShards, PackBudget)
+        .select($"doc_id", $"shard", $"n_chars", $"seq_start",
+          $"window_id", $"window_offset", $"n_windows")
     })
   )
 

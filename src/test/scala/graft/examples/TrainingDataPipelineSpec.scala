@@ -49,6 +49,37 @@ class TrainingDataPipelineSpec extends SparkSuite {
       assert(budget.map(r => (r._1, r._2, r._3)) == expect)
       assert(budget.map(_._2).sum == streamKeepers.size.toLong)
       assert(budget.forall(_._3 > 0)) // every language carries real tokens
+
+      // stage 1.5: curate (PII scrub → repetition gate → packing)
+      val manifest = TrainingDataPipeline.curate(spark, docsDir, verdictDir)
+        .collect()
+      assert(manifest.nonEmpty)
+      val ids = manifest.map(_.getAs[Long]("doc_id")).toSet
+      assert(ids.subsetOf(streamKeepers), "only keepers may be packed")
+      // the quality gate really drops something on this corpus
+      assert(ids.size < streamKeepers.size)
+      // scrubbed text carries no remaining PII pattern hits
+      val leftover = TrainingDataPipeline.curate(spark, docsDir, verdictDir)
+        .select(
+          regexp_count(col("clean_text"),
+            lit(graft.functions.Curation.EmailRe)).as("e"),
+          regexp_count(col("clean_text"),
+            lit(graft.functions.Curation.Ipv4Re)).as("i"))
+        .agg(sum($"e" + $"i")).as[Long].head()
+      assert(leftover == 0L)
+      // packing offsets are consistent per shard: each doc starts where
+      // the previous one ended, and window bookkeeping matches offsets
+      manifest.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+        val ordered = rows.sortBy(_.getAs[Long]("doc_id"))
+        var expectStart = 0L
+        ordered.foreach { r =>
+          assert(r.getAs[Long]("seq_start") == expectStart,
+            s"gap at doc ${r.getAs[Long]("doc_id")}")
+          expectStart += r.getAs[String]("clean_text").length.toLong
+          assert(r.getAs[Long]("window_id") == r.getAs[Long]("seq_start") / 8192L)
+          assert(r.getAs[Long]("window_offset") == r.getAs[Long]("seq_start") % 8192L)
+        }
+      }
     }
   }
 }
