@@ -18,6 +18,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object GlobalOrder {
 
+  /** Largest rank bound [[slice]] serves via the top-k plan: a per-task
+    * heap of this many rows (~10 MB at 100 B/row) plus one merge task
+    * holding it once — past this, two-pass parallel numbering wins. */
+  val MaxTake = 100000L
+
   /** Append `rnCol` = 1-based global row number under the total order
     * `order` (which must be tie-free for determinism). Parallelism =
     * `defaultParallelism` range partitions; no single-partition window
@@ -45,5 +50,43 @@ object GlobalOrder {
       Row.fromSeq(row.toSeq :+ (idx + 1L))
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     spark.createDataFrame(withRn, schema)
+  }
+
+  /** Rows with `lo < rn <= hi` under the global order `order`, with
+    * `rnCol` attached — WITHOUT numbering anything beyond rank `hi`.
+    *
+    * `sort(order).limit(hi)` plans as TakeOrderedAndProject when `hi`
+    * is under `spark.sql.execution.topKSortFallbackThreshold`: each scan
+    * task keeps a `hi`-row heap and one merge assembles `hi` rows — no
+    * range shuffle of the full dataset, no count job, nothing written
+    * to shuffle storage beyond `tasks × hi` rows. At 100 TB that is the
+    * difference between "slice the first 200 rows" touching every byte
+    * twice ([[withRowNumber]]'s two passes) and a single scan that
+    * discards everything below the heap threshold. The merged ≤`hi`-row
+    * result is then numbered with the single-partition window ON
+    * PURPOSE — it is `hi` rows by construction (PlanSpec pins the
+    * TakeOrderedAndProject shape and the absence of a range exchange).
+    *
+    * For large `hi` the per-task heap and single merge stop being a
+    * win (Spark's own `topKSortFallbackThreshold` defaults to unlimited,
+    * so the planner will NOT protect us) — beyond [[MaxTake]] rows, or
+    * beyond the session threshold if the deployment lowered it, this
+    * delegates to [[withRowNumber]] + filter: two passes, but parallel
+    * and memory-bounded.
+    */
+  def slice(df: DataFrame, rnCol: String, lo: Long, hi: Long,
+            order: Column*): DataFrame = {
+    require(lo >= 0 && hi > lo, s"need 0 <= lo < hi: $lo, $hi")
+    val spark = df.sparkSession
+    val topK = spark.conf.getOption("spark.sql.execution.topKSortFallbackThreshold")
+      .map(_.toLong).getOrElse(MaxTake).min(MaxTake)
+    if (hi > topK)
+      return withRowNumber(df, rnCol, order: _*)
+        .filter(col(rnCol) > lo && col(rnCol) <= hi)
+    df.sort(order: _*).limit(hi.toInt)
+      .withColumn(rnCol,
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(order: _*))
+          .cast("long"))
+      .filter(col(rnCol) > lo)
   }
 }

@@ -102,14 +102,15 @@ object CoreOps extends QueryGroup {
         graft.functions.native.fixed_sum($"value", 2).over(w).as("running_value"))
     }),
 
-    // slice (core.py:1029) — positional start/end/step gate. Global
-    // numbering via GlobalOrder (range partitions + offsets), not a
-    // single-partition window.
+    // slice (core.py:1029) — positional start/end/step gate. Rank-bounded
+    // via GlobalOrder.slice: TakeOrderedAndProject keeps per-task top-200
+    // heaps, so nothing beyond rank `hi` is shuffled or numbered — the
+    // 100 TB plan for a bounded slice (PlanSpec pins the shape).
     "slice_rows" -> ((s, dir) => {
       import s.implicits._
       graft.functions.GlobalOrder
-        .withRowNumber(t(s, dir, "events"), "rn", $"event_id")
-        .filter($"rn" > 100 && $"rn" <= 200 && ($"rn" - 101) % 2 === 0)
+        .slice(t(s, dir, "events"), "rn", 100L, 200L, $"event_id")
+        .filter(($"rn" - 101) % 2 === 0)
         .select($"event_id", $"event_type", $"value")
     }),
 

@@ -17,6 +17,28 @@ class GlobalOrderSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("slice (rank-bounded path) matches withRowNumber + filter, incl. edge ranks") {
+    val e = spark.read.parquet(s"${sf()}/events.parquet")
+      .select($"event_id", $"user_id").repartition(8)
+    for ((lo, hi) <- Seq((100L, 200L), (0L, 1L), (0L, 50L))) {
+      val got = GlobalOrder.slice(e, "rn", lo, hi, $"event_id")
+        .select($"event_id", $"rn").as[(Long, Long)].collect().toSet
+      val want = GlobalOrder.withRowNumber(e, "rn", $"event_id")
+        .filter($"rn" > lo && $"rn" <= hi)
+        .select($"event_id", $"rn").as[(Long, Long)].collect().toSet
+      assert(got == want, s"lo=$lo hi=$hi")
+      assert(got.size == (hi - lo).min(e.count() - lo).max(0L), s"lo=$lo hi=$hi size")
+    }
+  }
+
+  test("slice beyond MaxTake falls back to the parallel numbering path") {
+    val e = spark.read.parquet(s"${sf()}/events.parquet")
+      .select($"event_id").repartition(8)
+    val big = GlobalOrder.slice(e, "rn", 0L, GlobalOrder.MaxTake + 1, $"event_id")
+    assert(!big.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    assert(big.count() == math.min(GlobalOrder.MaxTake + 1, e.count()))
+  }
+
   test("multi-split input takes the plan with no single-partition window") {
     val e = spark.read.parquet(s"${sf()}/events.parquet").repartition(8)
     val numbered = GlobalOrder.withRowNumber(e, "rn", $"event_id")

@@ -92,4 +92,14 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("HashAggregate") && !p.contains("Join") && !p.contains("Window"),
       s"river_ols should be a single reduction:\n$p")
   }
+
+  test("bounded slice is top-k, not a full range shuffle") {
+    // GlobalOrder.slice: per-task top-hi heaps + one merge; a range
+    // exchange of the full input here would be the 100 TB regression
+    val p = plan("slice_rows")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"slice_rows lost its top-k plan:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"slice_rows must not range-shuffle the full input:\n$p")
+  }
 }
