@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming packing must assign the SAME window coordinates the batch
+  * packer assigns on the same corpus — whether the docs arrive in one
+  * micro-batch or dribble in across many. That equality is the packing
+  * contract a training run depends on: re-ingesting a corpus as a
+  * stream may not move any document's training-window placement.
+  */
+class PackingStreamSpec extends SparkSuite {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val Budget = 100L
+
+  test("streaming placements == batch packSequences, with offsets continuing across batches") {
+    // (shard, doc_id, size) with shard = doc_id % 2 — the same derivation
+    // batch packSequences uses, so the two shardings coincide. Shard 0
+    // crosses the 100-char window boundary mid-doc; shard 1 fills exactly
+    // to a boundary. doc_ids are monotone with arrival order (the stream's
+    // in-shard order key).
+    val b1 = Seq((0L, 2L, 40L), (0L, 4L, 70L), (1L, 1L, 100L))
+    val b2 = Seq((0L, 6L, 95L), (1L, 3L, 1L), (0L, 8L, 200L))
+    val all = b1 ++ b2
+
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = Packing.pack(in.toDS(), Budget)
+      .map { case (shard, docId, p) =>
+        (shard, docId, p.seqStart, p.windowId, p.windowOffset, p.nWindows) }
+      .toDF("shard", "doc_id", "seq_start", "window_id", "window_offset", "n_windows")
+      .writeStream.format("memory").queryName("pack_t").outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable() // offsets must continue
+    } finally q.stop()
+
+    val got = spark.table("pack_t")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+
+    // batch oracle over the identical corpus, one pass
+    val batch = graft.functions.Curation.packSequences(
+        all.toDF("shard_in", "doc_id", "sz"), "doc_id", "sz", 2L, Budget)
+      .select($"shard_in", $"doc_id", $"seq_start", $"window_id",
+        $"window_offset", $"n_windows")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == batch, s"streaming $got\nbatch $batch")
+
+    // spot-check the boundary doc: shard 0, doc 8 starts at 205, spans
+    // windows 2..4 (205+200-1 = 404)
+    val doc8 = got.find(_._2 == 8L).get
+    assert(doc8 == ((0L, 8L, 205L, 2L, 5L, 3L)))
+  }
+
+  test("zero-size doc occupies one window and does not advance the offset") {
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = Packing.pack(in.toDS(), Budget)
+      .map { case (shard, docId, p) => (docId, p.seqStart, p.nWindows) }
+      .toDF("doc_id", "seq_start", "n_windows")
+      .writeStream.format("memory").queryName("pack_z").outputMode("append").start()
+    try {
+      in.addData((0L, 1L, 0L), (0L, 2L, 10L)); q.processAllAvailable()
+    } finally q.stop()
+    val byId = spark.table("pack_z").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L) == ((0L, 1L))) // zero-size: one window, no advance
+    assert(byId(2L) == ((0L, 1L))) // starts where doc 1 started
+  }
+}
