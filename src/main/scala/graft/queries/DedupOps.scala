@@ -42,6 +42,10 @@ object DedupOps extends QueryGroup {
   private val EmbedBands = 4
   private val EmbedBandBits = EmbedPlanes / EmbedBands
   private val CosineThreshold = 0.35
+  // dedup_substring window length, in tokens (the paper uses 50 BPE
+  // tokens on web text; this corpus averages 54 whitespace tokens/doc,
+  // so 20 keeps several windows per doc)
+  private val SpanLen = 20
 
   /** (doc_id, sharr): distinct 3-token shingles per document, in-row. */
   private def shingleArrays(s: SparkSession, dir: String): DataFrame = {
@@ -86,6 +90,34 @@ object DedupOps extends QueryGroup {
         .groupBy($"doc_id", $"bench_id")
         .agg(count(lit(1)).as("n_shared"))
         .filter($"n_shared" >= 2)
+    }),
+
+    // exact substring-level dedup (the Lee et al. 2021 "Deduplicating
+    // Training Data" operator, token-granular): a doc's 20-token windows
+    // are md5'd at every position; any window occurring ≥ 2 times in the
+    // corpus is a duplicated span, and any repeated run of ≥ SpanLen
+    // tokens necessarily contains such a window — same detection power
+    // as the paper's suffix array for fixed-length repeats, in three
+    // shuffle-friendly steps (explode → count by hash → join back +
+    // per-doc fold) instead of a global sorted structure. Linear in
+    // corpus tokens: no pair join anywhere, and a boilerplate span hot
+    // key only concentrates a COUNT (partial-agg safe), never a pair
+    // blowup. Docs under 20 tokens carry no window and are excluded.
+    "dedup_substring" -> ((s, dir) => {
+      import s.implicits._
+      val spans = spread(t(s, dir, "documents"))
+        .withColumn("toks", TF.tokens($"text"))
+        .filter(size($"toks") >= SpanLen)
+        .select($"doc_id", explode(expr(
+          s"transform(sequence(1, size(toks)-${SpanLen - 1}), " +
+            s"i -> md5(concat_ws(' ', slice(toks, i, $SpanLen))))")).as("h"))
+      val cnt = spans.groupBy($"h").agg(count(lit(1)).as("c"))
+      spans.join(cnt, "h")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when($"c" >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .select($"doc_id", $"n_spans", $"n_dup_spans",
+          ($"n_dup_spans".cast("double") / $"n_spans").as("dup_span_frac"))
     }),
 
     // exact n-gram Jaccard on candidate pairs sharing ≥1 shingle. The
@@ -283,6 +315,23 @@ object DedupOps extends QueryGroup {
          |WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
          |GROUP BY c.doc_id, b.doc_id
          |HAVING COUNT(*) >= 2""".stripMargin,
+
+    "dedup_substring" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |spans AS (
+         |  SELECT doc_id, unnest(
+         |    [md5(array_to_string(toks[i:i+${SpanLen - 1}], ' '))
+         |     for i in range(1, len(toks) - ${SpanLen - 2})]) AS h
+         |  FROM toks WHERE len(toks) >= $SpanLen),
+         |cnt AS (SELECT h, count(*) AS c FROM spans GROUP BY h)
+         |SELECT doc_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         |    AS dup_span_frac
+         |FROM spans JOIN cnt USING (h)
+         |GROUP BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH sh0 AS ($SQL_SHINGLES),
