@@ -108,6 +108,37 @@ object SimilarityOps extends QueryGroup {
             .as("l2_norm"))
     }),
 
+    // int8 scalar quantization — the compression step a 100 TB ANN
+    // pipeline runs before shuffling vectors (4× fewer bytes than
+    // float32 through every exchange; IVF/LSH bucket joins then carry
+    // int8 + one scale instead of float arrays). Symmetric per-vector
+    // scheme: scale = max|x|/127, q_i = floor(x_i/scale + 0.5) — floor
+    // (+0.5) instead of round() because the two engines' round() halving
+    // rules differ, while floor is IEEE-identical everywhere. Outputs
+    // are order-independent scalars (sum/min/max of q, max abs
+    // reconstruction error) so the oracle hash pins every quantized
+    // value without shipping arrays. Narrow, zero shuffle.
+    "embed_quantize" -> ((s, dir) => {
+      import s.implicits._
+      spread(t(s, dir, "embeddings"))
+        .select($"vec_id", $"embedding")
+        .withColumn("maxabs", expr(
+          "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .withColumn("scale", $"maxabs" / 127.0)
+        .withColumn("q", expr(
+          "CASE WHEN maxabs = 0 THEN transform(embedding, x -> 0L) " +
+            "ELSE transform(embedding, x -> " +
+            "CAST(floor(CAST(x AS DOUBLE) / scale + 0.5d) AS BIGINT)) END"))
+        .select(
+          $"vec_id", $"scale",
+          expr("aggregate(q, 0L, (a, b) -> a + b)").as("qsum"),
+          expr("array_min(q)").as("qmin"),
+          expr("array_max(q)").as("qmax"),
+          expr("array_max(transform(sequence(0, size(embedding)-1), " +
+            "i -> abs(q[i] * scale - CAST(embedding[i] AS DOUBLE))))")
+            .as("max_abs_err"))
+    }),
+
     // brute-force cosine top-1 neighbor for the first 100 vectors.
     "embed_knn" -> ((s, dir) => {
       import s.implicits._
@@ -215,6 +246,26 @@ object SimilarityOps extends QueryGroup {
          |SELECT vec_id,
          |  ROUND(sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)), 9) AS l2_norm
          |FROM c GROUP BY vec_id""".stripMargin,
+
+    "embed_quantize" ->
+      s"""SELECT vec_id, scale,
+         |  CAST(list_sum(q) AS BIGINT) AS qsum,
+         |  CAST(list_min(q) AS BIGINT) AS qmin,
+         |  CAST(list_max(q) AS BIGINT) AS qmax,
+         |  list_max([abs(q[i] * scale - CAST(embedding[i] AS DOUBLE))
+         |            for i in range(1, len(embedding) + 1)]) AS max_abs_err
+         |FROM (
+         |  SELECT vec_id, embedding, scale,
+         |    CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> 0)
+         |         ELSE list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) END AS q
+         |  FROM (
+         |    SELECT vec_id, embedding, maxabs, maxabs / 127.0 AS scale
+         |    FROM (
+         |      SELECT vec_id, embedding,
+         |        list_max(list_transform(embedding,
+         |          x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+         |      FROM embeddings)))""".stripMargin,
 
     "embed_knn" ->
       s"""$SQL_COSINES
