@@ -121,9 +121,23 @@ object StreamBench {
     val dedupSec = (System.nanoTime() - t5) / 1e9
     dedupQ.stop()
 
+    // 7) streaming sequence packing (Packing.pack): placement-assignment
+    //    throughput — state is ONE long per shard, so this is the per-row
+    //    floor of an emit-per-element stateful op (contrast with the scan
+    //    above, whose state is also tiny, and dedup, whose state is wide)
+    val packIn = MemoryStream[(Long, Long, Long)]
+    val packQ = graft.streaming.Packing.pack(packIn.toDS(), 8192L)
+      .writeStream.format("noop").outputMode("append").start()
+    val packRows = events.map { case (u, _, e) => (u % 8, e, 100L + (e % 400)) }
+    packIn.addData(packRows.take(1000)); packQ.processAllAvailable() // warm
+    val t6 = System.nanoTime()
+    packIn.addData(packRows); packQ.processAllAvailable()
+    val packSec = (System.nanoTime() - t6) / 1e9
+    packQ.stop()
+
     val n = events.length
     val nd = docs.length - 100
-    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
+    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
