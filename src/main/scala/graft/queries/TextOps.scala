@@ -109,6 +109,36 @@ object TextOps extends QueryGroup {
             .otherwise(md5(concat_ws("|", $"bpe"))).as("tokens_md5"))
     }),
 
+    // statistical-LM quality score (the CCNet/KenLM signal shape): a
+    // bigram model TRAINED ON THE CORPUS scores every document by its
+    // mean inverse transition probability Σ c(w1)/c(w1·w2) / n — high
+    // values = improbable word sequences = noise; low = formulaic. The
+    // score is a monotone analog of perplexity computed WITHOUT
+    // transcendentals on purpose: log/exp differ by ulps across libm
+    // implementations, while counts, IEEE division, and the exact
+    // decimal sum (dsum) are bit-identical in both engines — so the
+    // oracle hash pins every score. Plan: two count aggregations build
+    // the model, one equi-join scores (model broadcast when small; at
+    // corpus scale it is an ordinary key join), one fold per doc.
+    "text_lm_surprisal" -> ((s, dir) => {
+      import s.implicits._
+      val big = t(s, dir, "documents")
+        .withColumn("toks", TF.tokens($"text"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(toks)-2)," +
+            " i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("b"))
+        .select($"doc_id", $"b.w1", $"b.w2")
+      val bigCounts = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      val uniCounts = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      big.join(bigCounts, Seq("w1", "w2")).join(uniCounts, Seq("w1"))
+        .withColumn("inv_p", $"c1".cast("double") / $"c12")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), dsum($"inv_p", 9).as("sum_inv_p"))
+        .select($"doc_id", $"n_bigrams",
+          ($"sum_inv_p" / $"n_bigrams").as("mean_inv_p"))
+    }),
+
     // document fingerprint: min-hash of 3-token shingles (content-defined;
     // stable under document re-chunking). fp_int is usable as a shard key.
     // Computed entirely in-row: shingle array → min md5, no explode/groupBy.
@@ -289,6 +319,20 @@ object TextOps extends QueryGroup {
          |  COALESCE(a.n_merges, 0) AS n_merges,
          |  a.tokens_md5
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "text_lm_surprisal" ->
+      s"""WITH big AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents
+         |        WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 2),
+         |    UNNEST(generate_series(1, len(toks) - 1)) t(i)),
+         |bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+         |uc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(SUM(CAST(CAST(c1 AS DOUBLE) / c12 AS DECIMAL(38,9))) AS DOUBLE)
+         |    / count(*) AS mean_inv_p
+         |FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1)
+         |GROUP BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id, fingerprint,
