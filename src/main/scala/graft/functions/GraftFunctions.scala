@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{AnalysisException, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral, Literal}
 
 /** SQL surface for the native kernels: every custom Catalyst expression in
   * this package becomes a SQL-callable function, so `spark.sql` users get
@@ -50,6 +50,24 @@ object GraftFunctions {
     Fn("graft_double_dot", "graft_double_dot(a, b) - IEEE-double dot product",
       2, None, { case Seq(a, b) => DoubleDot(a, b) }))
 
+  /** Constant-int view of an expression at analysis time: a plain INT
+    * literal, or any foldable integral expression (`CAST(64 AS BIGINT)`,
+    * `32+32`, …) folded here — the builder runs BEFORE ConstantFolding,
+    * so accepting only `IntegerLiteral` would reject arguments that are
+    * constants in every sense the user cares about. */
+  private def constInt(e: Expression): Option[Int] = e match {
+    case IntegerLiteral(i) => Some(i)
+    case _ if e.foldable =>
+      try e.eval() match {
+        case i: java.lang.Integer => Some(i)
+        case l: java.lang.Long if l.longValue().isValidInt => Some(l.toInt)
+        case s: java.lang.Short => Some(s.toInt)
+        case b: java.lang.Byte => Some(b.toInt)
+        case _ => None
+      } catch { case _: Exception => None }
+    case _ => None
+  }
+
   /** Builders are called by the analyzer with whatever the user typed —
     * a bad call must surface as an AnalysisException carrying the usage
     * string (Spark's own error classes), never a raw MatchError. */
@@ -60,11 +78,22 @@ object GraftFunctions {
         "expectedNum" -> fn.arity.toString,
         "actualNum" -> exprs.length.toString,
         "docroot" -> "https://spark.apache.org/docs/latest"))
-    fn.build.applyOrElse(exprs, (_: Seq[Expression]) =>
-      throw new AnalysisException("NON_FOLDABLE_ARGUMENT", Map(
-        "funcName" -> s"`${fn.name}` (usage: ${fn.usage})",
-        "paramName" -> s"`${fn.litIntParam.getOrElse("arg")}`",
-        "paramType" -> "\"INT\"")))
+    val normalized = fn.litIntParam match {
+      case None => exprs
+      case Some(param) => constInt(exprs.last) match {
+        case Some(i) => exprs.init :+ Literal(i)
+        case None => // accurate now: the arg is non-constant or non-integral
+          throw new AnalysisException("NON_FOLDABLE_ARGUMENT", Map(
+            "funcName" -> s"`${fn.name}` (usage: ${fn.usage})",
+            "paramName" -> s"`$param`",
+            "paramType" -> "\"INT\""))
+      }
+    }
+    fn.build.applyOrElse(normalized, (_: Seq[Expression]) =>
+      // defensive: arity and the literal parameter are both normalized
+      // above, so the partial functions are total here
+      throw new AnalysisException("INTERNAL_ERROR", Map(
+        "message" -> s"graft function builder fell through for ${fn.name} (${fn.usage})")))
   }
 
   /** Register every kernel on a live session's FunctionRegistry. */

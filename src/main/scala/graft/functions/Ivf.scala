@@ -76,7 +76,10 @@ object Ivf {
       .filter($"qnrm" > 0)
       .join(broadcast(centroids))
       .select($"query_id", $"qemb", $"qnrm", $"cell",
-        (native.double_dot($"qemb", $"qemb")
+        // qemb·qemb = qnrm² (computed once per query above) — a
+        // double_dot here would re-run a dim-length kernel per
+        // (query, centroid) pair for a value that is constant per query
+        ($"qnrm" * $"qnrm"
           - lit(2.0) * native.double_dot($"qemb", $"cemb")
           + native.double_dot($"cemb", $"cemb")).as("cdist"))
       .withColumn("prank", row_number().over(probeW))

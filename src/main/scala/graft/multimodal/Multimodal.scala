@@ -225,14 +225,19 @@ object Multimodal {
       videoFormat(bytes).flatMap { _ =>
         var width = 0
         var height = 0
+        // a torn chunk ANYWHERE voids the whole blob: "well-formed AVI"
+        // is the contract, and returning the frames collected before the
+        // tear would silently publish partial decode facts for a
+        // truncated upload instead of falling back (shared across the
+        // recursion so a tear inside a nested LIST also voids it)
+        var torn = false
         val frames = Vector.newBuilder[Array[Byte]]
         def walk(start: Int, end: Int, inMovi: Boolean, inStrl: Boolean): Unit = {
           var p = start
-          var torn = false
           while (!torn && p + 8 <= end) {
             val four = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
             val size = leInt(bytes, p + 4)
-            if (size < 0 || p + 8 + size > end) torn = true // stop at a torn chunk
+            if (size < 0 || p + 8 + size > end) torn = true // torn chunk
             else {
               if (four == "LIST" && size >= 4) {
                 val kind = new String(bytes, p + 8, 4,
@@ -252,7 +257,7 @@ object Multimodal {
         }
         walk(12, bytes.length, inMovi = false, inStrl = false)
         val fs = frames.result()
-        if (fs.isEmpty) None else Some((width, height, fs))
+        if (torn || fs.isEmpty) None else Some((width, height, fs))
       }
 
     /** Decoded frames of an MJPEG AVI, or None when the blob is not AVI

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Flow control: the reference's `delay` (core.py:1485-1512) and
   * `rate_limit` (core.py:1515-1542), both of which are emission PACERS —
@@ -19,13 +19,17 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, 
   * the key for its next emission. The parked backlog is two-tier so both
   * sides of the state traffic stay bounded: the next ≤ [[WindowCap]]
   * elements sit in a single ValueState row (a timer fire reads THAT row,
-  * O(1), never the backlog), everything behind them in an append-only
-  * ListState tail (one append per arrival, head-pointer eviction with
-  * amortized compaction). Refills promote the next window in one lazy
-  * pass over the tail prefix every WindowCap emissions, so draining a
-  * deep backlog costs O(n) amortized tail reads, not the O(n²) a
-  * read-the-whole-queue-per-emission pacer pays (FlowSpec pins the read
-  * bound via [[stateRowsRead]], mirroring WindowsSpec's write bound). A
+  * O(1), never the backlog), everything behind them in a CHUNKED
+  * MapState queue — overflow appends new ≤ WindowCap-element chunks at
+  * the tail index, a refill gets-and-removes exactly one chunk at the
+  * head index. Every backlog element is written once and read once, so
+  * draining a deep backlog costs exactly n tail reads — not the
+  * Θ(n²/chunk) a ListState skip-pointer scheme pays re-deserializing
+  * the dead prefix on every refill, nor the O(n²) of a read-the-whole-
+  * queue-per-emission pacer (FlowSpec pins the read bound via
+  * [[stateRowsRead]], mirroring WindowsSpec's write bound) — and a
+  * consumed chunk is removed on the spot, so no dead state outlives
+  * its drain. A
   * processing stall does NOT cause a catch-up burst: after the
   * stall the backlog still drains one element per interval (timer fires
   * sharing one batch timestamp emit at most once — the spec pins this).
@@ -49,7 +53,7 @@ object Flow {
     * make refills rare, small enough that the per-fire row stays tiny. */
   private[streaming] val WindowCap = 64
 
-  /** Backlog (tail ListState) entries deserialized — local[*] test
+  /** Backlog (tail chunk) entries deserialized — local[*] test
     * observability for the read-amplification bound, the mirror of
     * [[Windows.stateRowsWritten]]. */
   private[streaming] val stateRowsRead = new java.util.concurrent.atomic.LongAdder
@@ -77,62 +81,66 @@ object Flow {
     // the next ≤ windowCap elements to emit, in seq order: ONE state row,
     // so a timer fire never touches the tail queue except on refill
     @transient private var win: ValueState[Seq[(Long, V)]] = _
-    // (skip, totalLen) of the tail queue; entries before skip are already
-    // promoted into the window and reclaimed lazily by compaction
-    @transient private var ptr: ValueState[(Long, Long)] = _
-    @transient private var queue: ListState[(Long, V)] = _ // (seq, v)
+    // Tail backlog as a CHUNKED QUEUE over MapState: chunk index → up to
+    // windowCap elements, live indices in [head, tail). A refill GETs and
+    // REMOVEs exactly one chunk (map point-lookup, no prefix scan); an
+    // overflow batch appends new chunks at `tail`. Every element is
+    // written once and read once — O(chunk) per operation, O(n) total
+    // for an n-element drain, and nothing dead ever lingers (a consumed
+    // chunk is removed on the spot). A ListState cannot do this: its
+    // iterator always starts at the head, so any skip-pointer scheme
+    // re-deserializes the dead prefix each refill — Θ(n²/chunk) reads
+    // over a drain (the round-6 design; ADVICE + review flagged it).
+    @transient private var bounds: ValueState[(Long, Long)] = _ // (head, tail)
+    @transient private var chunks: MapState[Long, Seq[(Long, V)]] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       nextFree = getHandle.getValueState[Long]("nextFree", Encoders.scalaLong, TTLConfig.NONE)
       win = getHandle.getValueState[Seq[(Long, V)]]("win", winEnc, TTLConfig.NONE)
-      ptr = getHandle.getValueState[(Long, Long)]("ptr",
+      bounds = getHandle.getValueState[(Long, Long)]("bounds",
         Encoders.product[(Long, Long)], TTLConfig.NONE)
-      queue = getHandle.getListState[(Long, V)]("queue", qEnc, TTLConfig.NONE)
+      chunks = getHandle.getMapState[Long, Seq[(Long, V)]]("chunks",
+        Encoders.scalaLong, winEnc, TTLConfig.NONE)
     }
     private def readWin(): Vector[(Long, V)] =
       if (win.exists()) win.get().toVector else Vector.empty
-    /** Promote the next ≤ windowCap tail elements into the window: one
-      * lazy pass over the tail prefix. When the dead prefix dominates,
-      * fold the compaction into the same pass (read once, rewrite the
-      * live suffix) — amortized O(1) reads and writes per element. */
-    private def refill(skip0: Long, tot0: Long): (Vector[(Long, V)], Long, Long) = {
-      if (skip0 == tot0) return (Vector.empty, skip0, tot0)
-      if ((skip0 + windowCap) * 2 >= tot0) {
-        stateRowsRead.add(tot0)
-        val live = queue.get().drop(skip0.toInt).toVector
-        val (head, rest) = live.splitAt(windowCap)
-        queue.clear()
-        if (rest.nonEmpty) queue.appendList(rest.toArray)
-        (head, 0L, rest.size.toLong)
-      } else {
-        stateRowsRead.add(skip0 + windowCap)
-        val head = queue.get().drop(skip0.toInt).take(windowCap).toVector
-        (head, skip0 + head.size, tot0)
-      }
+    /** Promote the next chunk into the window: one map get + remove. */
+    private def refill(head0: Long, tail0: Long): (Vector[(Long, V)], Long) = {
+      if (head0 == tail0) return (Vector.empty, head0)
+      val chunk = chunks.getValue(head0).toVector
+      chunks.removeKey(head0)
+      stateRowsRead.add(chunk.size)
+      (chunk, head0 + 1)
     }
     override def handleInputRows(key: K, rows: Iterator[(K, Long, V)],
         timerValues: TimerValues): Iterator[(K, Long, V)] = {
       val now = timerValues.getCurrentProcessingTimeInMs()
       var free = if (nextFree.exists()) nextFree.get() else 0L
       var w = readWin()
-      var (skip, tot) = if (ptr.exists()) ptr.get() else (0L, 0L)
+      var (head, tail) = if (bounds.exists()) bounds.get() else (0L, 0L)
       var wDirty = false
+      val overflow = Vector.newBuilder[(Long, V)]
+      var nOverflow = 0
       val out = Vector.newBuilder[(K, Long, V)]
       rows.toVector.sortBy(_._2).foreach { case (_, seq, v) =>
-        if (w.isEmpty && skip == tot && now >= free) { // no backlog, free: emit now
-          out += ((key, seq, v))
+        if (w.isEmpty && head == tail && nOverflow == 0 && now >= free) {
+          out += ((key, seq, v)) // no backlog, free: emit now
           free = now + intervalMs
-        } else if (skip == tot && w.size < windowCap) { // window has room
-          w :+= ((seq, v)) // (tail must be empty or order would break)
+        } else if (head == tail && nOverflow == 0 && w.size < windowCap) {
+          w :+= ((seq, v)) // window has room (tail empty, order holds)
           wDirty = true
         } else {
-          queue.appendValue((seq, v)) // one append, no rewrite
-          tot += 1
+          overflow += ((seq, v))
+          nOverflow += 1
         }
       }
-      if (w.nonEmpty || skip < tot) getHandle.registerTimer(math.max(free, now + 1))
+      overflow.result().grouped(windowCap).foreach { chunk =>
+        chunks.updateValue(tail, chunk) // new chunks only: never rewrite old
+        tail += 1
+      }
+      if (w.nonEmpty || head < tail) getHandle.registerTimer(math.max(free, now + 1))
       if (wDirty) win.update(w)
       nextFree.update(free)
-      ptr.update((skip, tot))
+      bounds.update((head, tail))
       out.result().iterator
     }
     override def handleExpiredTimer(key: K, timerValues: TimerValues,
@@ -140,27 +148,27 @@ object Flow {
       val now = timerValues.getCurrentProcessingTimeInMs()
       var free = if (nextFree.exists()) nextFree.get() else 0L
       var w = readWin()
-      var (skip, tot) = if (ptr.exists()) ptr.get() else (0L, 0L)
-      if (w.isEmpty && skip == tot) return Iterator.empty // stale fire
+      var (head, tail) = if (bounds.exists()) bounds.get() else (0L, 0L)
+      if (w.isEmpty && head == tail) return Iterator.empty // stale fire
       if (now < free) { // early or duplicate fire (same-batch stall drain):
         getHandle.registerTimer(free) // re-arm, emit nothing — keeps spacing
         return Iterator.empty
       }
       if (w.isEmpty) { // defensive: invariant says this can't happen, but a
-        val r = refill(skip, tot) // refill costs one pass, not correctness
-        w = r._1; skip = r._2; tot = r._3
+        val r = refill(head, tail) // refill costs one chunk, not correctness
+        w = r._1; head = r._2
       }
       val (seq, v) = w.head
       w = w.tail
       free = now + intervalMs
-      if (w.isEmpty && skip < tot) {
-        val r = refill(skip, tot)
-        w = r._1; skip = r._2; tot = r._3
+      if (w.isEmpty && head < tail) {
+        val r = refill(head, tail)
+        w = r._1; head = r._2
       }
-      if (w.nonEmpty || skip < tot) getHandle.registerTimer(free)
+      if (w.nonEmpty || head < tail) getHandle.registerTimer(free)
       win.update(w)
       nextFree.update(free)
-      ptr.update((skip, tot))
+      bounds.update((head, tail))
       Iterator.single((key, seq, v))
     }
   }

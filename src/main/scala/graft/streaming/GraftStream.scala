@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 
@@ -343,20 +343,24 @@ final class GraftFrame(val df: DataFrame, val indexCol: String = "ts",
     * Readers consume `spark.table(s"global_temp.$name")`: always one
     * complete, current result. (GLOBAL temp view because foreachBatch runs
     * on a cloned session — a session-local view would land in the clone's
-    * catalog, invisible to the caller.) The previous epoch's cache is
-    * dropped only after the swap, so the view never dangles; the
-    * continuation result stays distributed (cached blocks, no driver
-    * collect).
+    * catalog, invisible to the caller.) Epoch caches are retired on a
+    * one-generation delay: a reader that resolved the view just before a
+    * swap keeps scanning a STILL-CACHED previous epoch (unpersisting it
+    * at swap time would evict blocks mid-scan and force recomputation of
+    * a streaming micro-batch plan whose state-store version may already
+    * be gone); only the grandparent epoch — no longer reachable through
+    * the view for a full trigger interval — is unpersisted. The last
+    * epoch stays published and cached after the query stops, so the view
+    * keeps serving the final result; call [[GraftFrame.dropReentered]]
+    * to release both when done.
     */
   def reenter(name: String)(continue: DataFrame => DataFrame): StreamingQuery = {
-    val prev = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
     df.writeStream.outputMode("complete").queryName(s"reenter_$name")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val out = continue(batch).persist()
         out.count() // materialize before swapping the published view
         out.createOrReplaceGlobalTempView(name)
-        val old = prev.getAndSet(out)
-        if (old != null) old.unpersist()
+        GraftFrame.retireEpoch(name, out)
         ()
       }.start()
   }
@@ -366,6 +370,27 @@ final class GraftFrame(val df: DataFrame, val indexCol: String = "ts",
 
 object GraftFrame {
   import org.apache.spark.sql.functions._
+
+  // per-view (current, previous) epoch caches for reenter — previous is
+  // kept alive one trigger so readers mid-scan never lose their blocks
+  private val reentered =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  private[streaming] def retireEpoch(name: String, next: DataFrame): Unit = {
+    val old = reentered.put(name, (next, Option(reentered.get(name)).map(_._1).orNull))
+    if (old != null && old._2 != null) old._2.unpersist()
+  }
+
+  /** Release a [[GraftFrame.reenter]] view after its query stopped: drops
+    * the global temp view and unpersists the retained epoch caches. */
+  def dropReentered(spark: SparkSession, name: String): Unit = {
+    spark.catalog.dropGlobalTempView(name)
+    val last = reentered.remove(name)
+    if (last != null) {
+      if (last._1 != null) last._1.unpersist()
+      if (last._2 != null) last._2.unpersist()
+    }
+  }
 
   /** Linear-interpolating quantile of a *sorted* array column (pandas /
     * QUANTILE_CONT semantics): position p = (n-1)q, result =

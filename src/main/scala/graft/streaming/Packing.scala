@@ -36,11 +36,16 @@ object Packing {
     Stateful.scan(ds, 0L) { (offset: Long, size: Long) =>
       val start = offset
       val winId = start / budget
+      // EXACTLY the batch packSequences formula (truncating division,
+      // no size clamp) so streaming and batch placements can never
+      // diverge — including the zero-size corners: at start = 0 a
+      // zero-size doc reports 1 window ((0-1)/budget = 0 truncating),
+      // at a window boundary it reports 0 (it occupies no offset there)
       val placement = Placement(
         seqStart = start,
         windowId = winId,
         windowOffset = start % budget,
-        nWindows = (start + math.max(size, 1L) - 1L) / budget - winId + 1L)
+        nWindows = (start + size - 1L) / budget - winId + 1L)
       (offset + size, placement)
     }
   }

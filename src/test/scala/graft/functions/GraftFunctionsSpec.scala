@@ -53,11 +53,21 @@ class GraftFunctionsSpec extends SparkSuite {
     }
     assert(wrongArity.getMessage.contains("graft_simhash(tokens, bits)"))
     assert(wrongArity.getMessage.contains("2 parameters"))
-    // non-literal parameter where a literal int is required
-    val nonLiteral = intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql("SELECT graft_minhash_sigs(array('a'), length('ab'))").collect()
+    // any CONSTANT integral expression is accepted — folded at analysis
+    // time like Spark's own literal-int parameters (a foldable-but-not-
+    // IntegerLiteral arg used to be rejected with a misleading error)
+    assert(spark.sql(
+      "SELECT size(graft_minhash_sigs(array('a'), CAST(4 AS BIGINT)))")
+      .head().getInt(0) == 4)
+    assert(spark.sql(
+      "SELECT size(graft_minhash_sigs(array('a'), length('abcd')))")
+      .head().getInt(0) == 4)
+    // a genuinely non-constant parameter still raises with the usage string
+    val nonConstant = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_minhash_sigs(array('a'), CAST(id AS INT)) " +
+        "FROM range(3)").collect()
     }
-    assert(nonLiteral.getMessage.contains("graft_minhash_sigs(shingles, k)"))
-    assert(nonLiteral.getMessage.contains("foldable"))
+    assert(nonConstant.getMessage.contains("graft_minhash_sigs(shingles, k)"))
+    assert(nonConstant.getMessage.contains("foldable"))
   }
 }

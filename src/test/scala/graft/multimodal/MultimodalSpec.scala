@@ -155,6 +155,12 @@ class MultimodalSpec extends SparkSuite {
     val blob = SyntheticVideo.mjpegAviFlat(16, 8, 2)(_ => 128)
     assert(Codec.demuxAvi(java.util.Arrays.copyOf(blob, 60)).isEmpty)
     assert(Codec.demuxAvi("RIFFxxxxWAVEdata".getBytes).isEmpty)
+    // torn MID-movi (after intact frames): the whole blob is void — the
+    // contract is well-formed-or-None, never partial frame facts for a
+    // truncated upload
+    val multi = SyntheticVideo.mjpegAviFlat(16, 8, 4)(f => 40 * (f + 1))
+    assert(Codec.demuxAvi(multi).get._3.size == 4)
+    assert(Codec.demuxAvi(java.util.Arrays.copyOf(multi, multi.length - 10)).isEmpty)
     val (meta, _) = Codec.decode(1L, Array.fill[Byte](100)(7))
     assert(meta.width == 16 + 100 % 64) // deterministic fake branch
   }

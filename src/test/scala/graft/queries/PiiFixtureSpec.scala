@@ -13,9 +13,11 @@ import graft.SparkSuite
   */
 class PiiFixtureSpec extends SparkSuite {
 
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
-  private val LongNumRe = "\\b\\d{7,}\\b"
+  // the PRODUCTION patterns — a private copy here could silently drift
+  // from what text_pii_redact actually runs
+  private val EmailRe = graft.functions.Curation.EmailRe
+  private val Ipv4Re = graft.functions.Curation.Ipv4Re
+  private val LongNumRe = graft.functions.Curation.LongNumRe
 
   private def redact(texts: Seq[String]) = {
     import spark.implicits._

@@ -118,11 +118,12 @@ class FlowSpec extends SparkSuite {
         assert(rows().size == n)
         assert(rows().map(_._2).sorted == (1 to n).map(_.toLong))
         val reads = Flow.stateRowsRead.sum()
-        // the input batch absorbs 4 into the window; the other 36 drain
-        // through ~9 refills whose lazy prefix reads + folded-in compaction
-        // stay linear (~3n measured). The old read-the-whole-queue-per-
-        // emission pacer paid ~n²/2 ≈ 800 tail-entry reads on this drain.
-        assert(reads <= 6L * n, s"$reads tail-entry reads for $n rows — not amortized O(1)")
+        // chunked-queue contract: every backlog element is read exactly
+        // once (the input batch absorbs 4 straight into the window, the
+        // other 36 go through chunks — ≤ n reads total). The round-6
+        // ListState skip-pointer design paid ~3n here and Θ(n²/chunk)
+        // asymptotically; a read-the-whole-queue-per-emission pacer ~n²/2.
+        assert(reads <= n.toLong, s"$reads tail-entry reads for $n rows — not read-once")
       } finally stopQuiesced(q)
     }
   }

@@ -60,7 +60,12 @@ class GraftFrameSpec extends SparkSuite {
       in.addData(b2); q.processAllAvailable()
       expectTop2(b1 ++ b2: _*)
       assert(spark.table("global_temp.reenter_top").count() == 2) // replaced, not appended
-    } finally q.stop()
+    } finally {
+      q.stop()
+      GraftFrame.dropReentered(spark, "reenter_top")
+    }
+    // cleanup released the view and its epoch caches
+    assert(!spark.catalog.tableExists("global_temp.reenter_top"))
   }
 
   test("sink: runs f per element executor-side (ForeachWriter, no driver collect)") {

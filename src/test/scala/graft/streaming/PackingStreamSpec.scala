@@ -54,18 +54,33 @@ class PackingStreamSpec extends SparkSuite {
     assert(doc8 == ((0L, 8L, 205L, 2L, 5L, 3L)))
   }
 
-  test("zero-size doc occupies one window and does not advance the offset") {
+  test("zero-size docs match the batch formula at both corners (start 0 and boundary)") {
     val in = MemoryStream[(Long, Long, Long)]
     val q = Packing.pack(in.toDS(), Budget)
       .map { case (shard, docId, p) => (docId, p.seqStart, p.nWindows) }
       .toDF("doc_id", "seq_start", "n_windows")
       .writeStream.format("memory").queryName("pack_z").outputMode("append").start()
     try {
-      in.addData((0L, 1L, 0L), (0L, 2L, 10L)); q.processAllAvailable()
+      // doc 1: zero-size at start 0; doc 2 fills exactly to the boundary;
+      // doc 3: zero-size AT the boundary — the corner where a size clamp
+      // would report 1 window while the batch formula reports 0
+      in.addData((0L, 1L, 0L), (0L, 2L, 100L), (0L, 3L, 0L), (0L, 4L, 10L))
+      q.processAllAvailable()
     } finally q.stop()
     val byId = spark.table("pack_z").as[(Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(byId(1L) == ((0L, 1L))) // zero-size: one window, no advance
-    assert(byId(2L) == ((0L, 1L))) // starts where doc 1 started
+    assert(byId(1L) == ((0L, 1L))) // zero-size at 0: one window, no advance
+    assert(byId(2L) == ((0L, 1L)))
+    assert(byId(3L) == ((100L, 0L))) // zero-size at boundary: zero windows
+    assert(byId(4L) == ((100L, 1L))) // starts where doc 3 "sat"
+    // pin equality with the batch formula on the same rows
+    import org.apache.spark.sql.functions.col
+    val batch = graft.functions.Curation.packSequences(
+        Seq((0L, 10L, 0L), (0L, 20L, 100L), (0L, 30L, 0L), (0L, 40L, 10L))
+          .toDF("s", "doc_id", "sz"), "doc_id", "sz", 1L, Budget)
+      .select(col("doc_id") / 10L, col("seq_start"), col("n_windows"))
+      .as[(Double, Long, Long)].collect()
+      .map(r => r._1.toLong -> ((r._2, r._3))).toMap
+    assert(batch == byId)
   }
 }

@@ -2,6 +2,11 @@
 """Per-query scaling report between two Bench JSON lines.
 
 Usage: compare_bench.py small.json big.json [factor]
+       compare_bench.py scaling.jsonl [factor]
+
+Two-file form compares the last JSON line of each file. One-file form
+reads a 2-line jsonl (e.g. the committed BENCH_SCALING_r07.jsonl:
+small-SF line first, big-SF line second) and compares line 1 vs line 2.
 
 Prints each query's time at both SFs and the scaling ratio big/small,
 sorted by ratio descending, plus a summary. With a data-size `factor`
@@ -12,14 +17,20 @@ import json
 import sys
 
 
-def load(path):
+def load(path, line=-1):
     with open(path) as f:
-        return json.loads(f.read().strip().splitlines()[-1])
+        return json.loads(f.read().strip().splitlines()[line])
 
 
 def main():
-    small, big = load(sys.argv[1]), load(sys.argv[2])
-    factor = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+    args = sys.argv[1:]
+    if len(args) >= 2 and not args[1].replace(".", "").isdigit():
+        small, big = load(args[0]), load(args[1])
+        rest = args[2:]
+    else:  # single jsonl holding both runs
+        small, big = load(args[0], 0), load(args[0], 1)
+        rest = args[1:]
+    factor = float(rest[0]) if rest else 10.0
     qs, qb = small["queries"], big["queries"]
     rows = []
     for name in sorted(qs):
@@ -33,6 +44,9 @@ def main():
     for name, s, b, r in rows:
         mark = "  <-- SUPERLINEAR" if r > 2 * factor else ""
         print(f"{name:32s} {s:8.3f} {b:8.3f} {r:7.2f}{mark}")
+    if not rows:
+        print("no shared query names between the two bench lines")
+        return
     tot_s = sum(qs[n] for n, *_ in [(r[0],) for r in rows])
     tot_b = sum(qb[r[0]] for r in rows)
     print(f"\n{len(rows)} queries; total {tot_s:.1f}s -> {tot_b:.1f}s "
