@@ -192,4 +192,23 @@ object KernelProps extends Properties("ExprKernels") {
         UTF8String.fromString(t), pats.map(UTF8String.fromString).toArray)
       got == model.toLong
     }
+
+  // FixedSum's parse kernel vs the BigDecimal semantics it must replicate
+  // bit-for-bit (CAST(double AS DECIMAL(38,s)) = valueOf + setScale
+  // HALF_UP). Generator spans magnitudes 1e-12..1e12 with both signs —
+  // the shortest-repr fraction/exponent forms and every rounding branch.
+  private val anyDouble: Gen[Double] = for {
+    m <- Gen.choose(-1.0, 1.0)
+    e <- Gen.choose(-12, 12)
+    d = m * math.pow(10, e)
+    if !d.isNaN
+  } yield d
+
+  property("FixedPoint.units == BigDecimal.valueOf.setScale(HALF_UP).unscaled") =
+    forAll(anyDouble, Gen.oneOf(0, 2, 4, 6, 8)) { (d, s) =>
+      (math.abs(d) >= 9.2e18 / math.pow(10, s)) || // out of the 64-bit domain
+        FixedPoint.units(d, s) ==
+          JBigDecimal.valueOf(d).setScale(s, RoundingMode.HALF_UP)
+            .unscaledValue().longValueExact()
+    }
 }
