@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF}
 
@@ -107,6 +108,30 @@ object TextOps extends QueryGroup {
             - size($"bpe")).cast("long").as("n_merges"),
           when(size($"bpe") === 0, lit(null).cast("string"))
             .otherwise(md5(concat_ws("|", $"bpe"))).as("tokens_md5"))
+    }),
+
+    // tf-idf keyword extraction: top-3 terms per doc by term frequency ×
+    // inverse document frequency. Uses the EXACT-arithmetic idf variant
+    // N/df instead of log(N/df) — same ranking (log is monotone), but
+    // counts and one IEEE division are bit-identical cross-engine while
+    // log is libm-dependent (the text_lm_surprisal rationale). Plan: two
+    // count aggregations (tf by (doc, term), df by term), a 1-row count
+    // broadcast, one per-doc top-k window — every shuffle key-true.
+    "text_tfidf_terms" -> ((s, dir) => {
+      import s.implicits._
+      val terms = t(s, dir, "documents")
+        .select($"doc_id", explode(TF.tokens($"text")).as("term"))
+      val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = terms.groupBy($"term")
+        .agg(countDistinct($"doc_id").as("df"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"tfidf".desc, $"term".asc)
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf", ($"tf" * $"n_docs").cast("double") / $"df")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"rk", $"term", $"tf", $"df", $"tfidf")
     }),
 
     // statistical-LM quality score (the CCNet/KenLM signal shape): a
@@ -319,6 +344,24 @@ object TextOps extends QueryGroup {
          |  COALESCE(a.n_merges, 0) AS n_merges,
          |  a.tokens_md5
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "text_tfidf_terms" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest(toks) AS term
+         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, rk, term, tf, df, tfidf
+         |FROM (
+         |  SELECT doc_id, term, tf, df, tfidf,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rk
+         |  FROM (
+         |    SELECT doc_id, term, tf, df,
+         |      CAST(tf * n_docs AS DOUBLE) / df AS tfidf
+         |    FROM tf JOIN df USING (term) CROSS JOIN n))
+         |WHERE rk <= 3""".stripMargin,
 
     "text_lm_surprisal" ->
       s"""WITH big AS (
