@@ -82,7 +82,14 @@ object GraftFunctions {
       case None => exprs
       case Some(param) => constInt(exprs.last) match {
         case Some(i) => exprs.init :+ Literal(i)
-        case None => // accurate now: the arg is non-constant or non-integral
+        case None if exprs.last.foldable =>
+          // constant, but not usable as an INT (wrong type / out of
+          // range) — saying "non-foldable" here would be a lie
+          throw new AnalysisException("INVALID_PARAMETER_VALUE.INTEGER", Map(
+            "parameter" -> s"`$param`",
+            "functionName" -> s"`${fn.name}` (usage: ${fn.usage})",
+            "invalidValue" -> exprs.last.sql))
+        case None => // genuinely non-constant
           throw new AnalysisException("NON_FOLDABLE_ARGUMENT", Map(
             "funcName" -> s"`${fn.name}` (usage: ${fn.usage})",
             "paramName" -> s"`$param`",

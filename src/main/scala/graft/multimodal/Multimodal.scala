@@ -255,7 +255,13 @@ object Multimodal {
             }
           }
         }
-        walk(12, bytes.length, inMovi = false, inStrl = false)
+        // bound the walk at the RIFF-DECLARED extent, not the blob end:
+        // trailing junk after a complete RIFF payload does not make the
+        // AVI malformed (a spec reader never looks past the declared
+        // size), while a declared size beyond the blob is a truncation
+        val declaredEnd = 8L + (leInt(bytes, 4) & 0xffffffffL)
+        if (declaredEnd > bytes.length) torn = true
+        else walk(12, declaredEnd.toInt, inMovi = false, inStrl = false)
         val fs = frames.result()
         if (torn || fs.isEmpty) None else Some((width, height, fs))
       }

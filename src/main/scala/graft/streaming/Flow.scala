@@ -91,6 +91,11 @@ object Flow {
     // iterator always starts at the head, so any skip-pointer scheme
     // re-deserializes the dead prefix each refill — Θ(n²/chunk) reads
     // over a drain (the round-6 design; ADVICE + review flagged it).
+    // MIGRATION: the r6 layout ("ptr" ValueState + "queue" ListState) is
+    // NOT readable from this version — restarting a pace() query from a
+    // pre-chunked-queue checkpoint would orphan any then-parked backlog.
+    // Drain (or discard the checkpoint of) in-flight pacer queries
+    // before upgrading; fresh checkpoints are unaffected.
     @transient private var bounds: ValueState[(Long, Long)] = _ // (head, tail)
     @transient private var chunks: MapState[Long, Seq[(Long, V)]] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {

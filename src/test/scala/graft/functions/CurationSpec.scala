@@ -26,11 +26,12 @@ class CurationSpec extends SparkSuite {
         }
         (i.toLong, size)
       }
-      val out = Curation.packSequences(
-          docs.toDF("doc_id", "sz"), "doc_id", "sz", 4L, budget)
+      def run(rows: Seq[(Long, Long)]) = Curation.packSequences(
+          rows.toDF("doc_id", "sz"), "doc_id", "sz", 4L, budget)
         .select($"doc_id", $"sz", $"shard", $"seq_start", $"window_id",
           $"window_offset", $"n_windows")
         .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      val out = run(docs)
       assert(out.length == docs.length)
       out.groupBy(_._3).foreach { case (shard, rows) =>
         var expect = 0L
@@ -40,14 +41,21 @@ class CurationSpec extends SparkSuite {
           expect += sz
           assert(win == start / budget && off == start % budget,
             s"trial $trial doc $id window bookkeeping")
-          assert(nw == (start + sz - 1) / budget - win + 1,
-            s"trial $trial doc $id straddle count")
-          // a doc's last byte lands in window win + nw - 1
-          if (sz > 0)
-            assert((start + sz - 1) / budget == win + nw - 1,
-              s"trial $trial doc $id last-byte window")
+          // straddle count from an INDEPENDENT model (not the production
+          // formula): a doc with bytes spans first-byte window .. last-
+          // byte window; an empty doc occupies its start window, except
+          // exactly ON a later window boundary where it owns no offset
+          val wantNw =
+            if (sz > 0) (start + sz - 1) / budget - start / budget + 1
+            else if (start > 0 && start % budget == 0) 0L
+            else 1L
+          assert(nw == wantNw, s"trial $trial doc $id straddle count")
         }
       }
+      // permutation stability: the manifest is a function of the
+      // (id, size) multiset — input row order must not matter
+      val shuffled = run(rng.shuffle(docs))
+      assert(shuffled.toSet == out.toSet, s"trial $trial permutation stability")
     }
   }
 }

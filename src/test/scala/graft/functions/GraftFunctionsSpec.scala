@@ -69,5 +69,14 @@ class GraftFunctionsSpec extends SparkSuite {
     }
     assert(nonConstant.getMessage.contains("graft_minhash_sigs(shingles, k)"))
     assert(nonConstant.getMessage.contains("foldable"))
+    // a CONSTANT that cannot be an INT (out of range) gets the truthful
+    // invalid-parameter error, not "non-foldable"
+    val outOfRange = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_minhash_sigs(array('a'), CAST(5000000000 AS BIGINT))")
+        .collect()
+    }
+    assert(outOfRange.getMessage.contains("graft_minhash_sigs(shingles, k)"))
+    assert(outOfRange.getMessage.contains("integer literal"))
+    assert(!outOfRange.getMessage.contains("foldable"))
   }
 }

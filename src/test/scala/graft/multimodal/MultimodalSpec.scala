@@ -161,6 +161,11 @@ class MultimodalSpec extends SparkSuite {
     val multi = SyntheticVideo.mjpegAviFlat(16, 8, 4)(f => 40 * (f + 1))
     assert(Codec.demuxAvi(multi).get._3.size == 4)
     assert(Codec.demuxAvi(java.util.Arrays.copyOf(multi, multi.length - 10)).isEmpty)
+    // trailing junk PAST the declared RIFF size does not void the file —
+    // a spec reader never looks beyond the declared extent
+    val padded = java.util.Arrays.copyOf(multi, multi.length + 16)
+    java.util.Arrays.fill(padded, multi.length, padded.length, 0xFF.toByte)
+    assert(Codec.demuxAvi(padded).get._3.size == 4)
     val (meta, _) = Codec.decode(1L, Array.fill[Byte](100)(7))
     assert(meta.width == 16 + 100 % 64) // deterministic fake branch
   }

@@ -5,8 +5,9 @@ Usage: compare_bench.py small.json big.json [factor]
        compare_bench.py scaling.jsonl [factor]
 
 Two-file form compares the last JSON line of each file. One-file form
-reads a 2-line jsonl (e.g. the committed BENCH_SCALING_r07.jsonl:
-small-SF line first, big-SF line second) and compares line 1 vs line 2.
+reads a multi-line jsonl (e.g. the committed BENCH_SCALING_r07.jsonl:
+small-SF line first, big-SF line last) and compares the FIRST vs the
+LAST line — append newer run pairs and it stays fresh.
 
 Prints each query's time at both SFs and the scaling ratio big/small,
 sorted by ratio descending, plus a summary. With a data-size `factor`
@@ -27,8 +28,13 @@ def main():
     if len(args) >= 2 and not args[1].replace(".", "").isdigit():
         small, big = load(args[0]), load(args[1])
         rest = args[2:]
-    else:  # single jsonl holding both runs
-        small, big = load(args[0], 0), load(args[0], 1)
+    else:  # single jsonl holding both runs: first line vs last line
+        with open(args[0]) as f:
+            lines = f.read().strip().splitlines()
+        if len(lines) < 2:
+            sys.exit(f"{args[0]}: need >= 2 JSON lines (small-SF first, "
+                     "big-SF last), got " + str(len(lines)))
+        small, big = json.loads(lines[0]), json.loads(lines[-1])
         rest = args[1:]
     factor = float(rest[0]) if rest else 10.0
     qs, qb = small["queries"], big["queries"]
