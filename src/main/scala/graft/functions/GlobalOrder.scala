@@ -78,8 +78,12 @@ object GlobalOrder {
             order: Column*): DataFrame = {
     require(lo >= 0 && hi > lo, s"need 0 <= lo < hi: $lo, $hi")
     val spark = df.sparkSession
+    // Spark plans TakeOrderedAndProject only when limit < threshold
+    // (strict), so the session threshold is an EXCLUSIVE bound: hi ==
+    // threshold would silently take a full global sort. MaxTake is our
+    // own inclusive constant.
     val topK = spark.conf.getOption("spark.sql.execution.topKSortFallbackThreshold")
-      .map(_.toLong).getOrElse(MaxTake).min(MaxTake)
+      .map(_.toLong - 1).getOrElse(MaxTake).min(MaxTake)
     if (hi > topK)
       return withRowNumber(df, rnCol, order: _*)
         .filter(col(rnCol) > lo && col(rnCol) <= hi)

@@ -231,6 +231,12 @@ object Multimodal {
         // truncated upload instead of falling back (shared across the
         // recursion so a tear inside a nested LIST also voids it)
         var torn = false
+        // fccType of the most recent 'strh' seen while inside a 'strl'
+        // list: a stream's 'strf' is WAVEFORMATEX for audio streams and
+        // BITMAPINFOHEADER only for 'vids', so dims must come from a
+        // video stream's strf (an audio-first AVI would otherwise yield
+        // garbage width/height)
+        var strhType = ""
         val frames = Vector.newBuilder[Array[Byte]]
         def walk(start: Int, end: Int, inMovi: Boolean, inStrl: Boolean): Unit = {
           var p = start
@@ -242,8 +248,12 @@ object Multimodal {
               if (four == "LIST" && size >= 4) {
                 val kind = new String(bytes, p + 8, 4,
                   java.nio.charset.StandardCharsets.US_ASCII)
+                if (kind == "strl") strhType = "" // each strl re-declares its type
                 walk(p + 12, p + 8 + size, inMovi || kind == "movi", inStrl || kind == "strl")
-              } else if (inStrl && four == "strf" && size >= 12 && width == 0) {
+              } else if (inStrl && four == "strh" && size >= 4) {
+                strhType = new String(bytes, p + 8, 4,
+                  java.nio.charset.StandardCharsets.US_ASCII)
+              } else if (inStrl && strhType == "vids" && four == "strf" && size >= 12 && width == 0) {
                 // BITMAPINFOHEADER: biWidth at +4, biHeight at +8 (LE; height
                 // may be negative = top-down in the DIB convention)
                 width = leInt(bytes, p + 8 + 4)

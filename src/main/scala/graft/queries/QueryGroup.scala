@@ -46,9 +46,23 @@ trait QueryGroup {
     * DSUM — but accumulating in FixedSum's two-long 128-bit buffer, which
     * keeps hot aggregates inside whole-stage codegen instead of paying
     * per-row Decimal38 (de)serialization (2.9× on q1_agg at sf1, see
-    * tools/IsoAgg). Parity pinned bit-for-bit by FixedSumSpec. */
+    * tools/IsoAgg). Parity pinned bit-for-bit by FixedSumSpec.
+    *
+    * Domain rule (FixedSum throws past |x| ≥ ~9.2e18/10^s): use [[dsum]]
+    * only for columns whose domain is bounded a priori — schema-bounded
+    * amounts (prices ≤ ~1e5, quantities ≤ 50, their squares/products) and
+    * [0,1] ratios, where the bound sits ≥4 orders of magnitude out at any
+    * data scale. Columns whose magnitude GROWS with corpus size (counts,
+    * count-derived ratios like inv_p = N/df) take [[dsumWide]] instead —
+    * same bits, decimal buffer, no term bound. */
   protected def dsum(c: Column, scale: Int = 4): Column =
     graft.functions.native.fixed_sum(c, scale)
+  /** The decimal-cast twin of [[dsum]] for outlier-capable columns: terms
+    * up to ~1e34 and a silent null past DECIMAL(38) instead of FixedSum's
+    * 64-bit term bound. Slower (per-row BigDecimal traffic) — only for
+    * sums whose term domain scales with the data. */
+  protected def dsumWide(c: Column, scale: Int = 4): Column =
+    sum(dec(c, scale)).cast("double")
   /** Oracle-side fragment matching [[dsum]]. */
   protected def DSUM(e: String, scale: Int = 4): String =
     s"CAST(SUM(CAST($e AS DECIMAL(38,$scale))) AS DOUBLE)"

@@ -159,7 +159,11 @@ object TextOps extends QueryGroup {
       big.join(bigCounts, Seq("w1", "w2")).join(uniCounts, Seq("w1"))
         .withColumn("inv_p", $"c1".cast("double") / $"c12")
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), dsum($"inv_p", 9).as("sum_inv_p"))
+        // dsumWide, not dsum: inv_p = c1/c12 is count-derived and grows
+        // with corpus size (c1 ~ corpus tokens for a stopword with a rare
+        // successor), so at 100 TB it can blow FixedSum's scale-9 term
+        // bound (~9.2e9); the decimal buffer has no such bound
+        .agg(count(lit(1)).as("n_bigrams"), dsumWide($"inv_p", 9).as("sum_inv_p"))
         .select($"doc_id", $"n_bigrams",
           ($"sum_inv_p" / $"n_bigrams").as("mean_inv_p"))
     }),

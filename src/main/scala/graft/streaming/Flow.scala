@@ -92,12 +92,18 @@ object Flow {
     // re-deserializes the dead prefix each refill — Θ(n²/chunk) reads
     // over a drain (the round-6 design; ADVICE + review flagged it).
     // MIGRATION: the r6 layout ("ptr" ValueState + "queue" ListState) is
-    // NOT readable from this version — restarting a pace() query from a
-    // pre-chunked-queue checkpoint would orphan any then-parked backlog.
-    // Drain (or discard the checkpoint of) in-flight pacer queries
+    // NOT readable from this version — see COMPATIBILITY.md. Spark's
+    // transformWithState does NOT reject a checkpoint whose state
+    // variables changed (measured: the restart runs and the old column
+    // families are silently orphaned), so the processor itself guards:
+    // it re-declares the old "ptr" variable as a tombstone and throws at
+    // the first touch of any key that still carries old-layout state
+    // (FlowSpec pins the loud failure). Drain in-flight pacer queries
     // before upgrading; fresh checkpoints are unaffected.
     @transient private var bounds: ValueState[(Long, Long)] = _ // (head, tail)
     @transient private var chunks: MapState[Long, Seq[(Long, V)]] = _
+    // tombstone for the retired r6 layout: never written, only probed
+    @transient private var legacyPtr: ValueState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       nextFree = getHandle.getValueState[Long]("nextFree", Encoders.scalaLong, TTLConfig.NONE)
       win = getHandle.getValueState[Seq[(Long, V)]]("win", winEnc, TTLConfig.NONE)
@@ -105,7 +111,19 @@ object Flow {
         Encoders.product[(Long, Long)], TTLConfig.NONE)
       chunks = getHandle.getMapState[Long, Seq[(Long, V)]]("chunks",
         Encoders.scalaLong, winEnc, TTLConfig.NONE)
+      legacyPtr = getHandle.getValueState[Long]("ptr", Encoders.scalaLong, TTLConfig.NONE)
     }
+    /** Loud failure on a key whose checkpoint still carries r6 pacer
+      * state: the old parked backlog is unreadable here and running on
+      * would orphan it silently. One point lookup, and only until the
+      * key writes its first new-layout row. */
+    private def guardLegacy(): Unit =
+      if (!nextFree.exists() && legacyPtr.exists())
+        throw new IllegalStateException(
+          "Flow.pace: this checkpoint holds pre-r7 pacer state ('ptr'+'queue' " +
+            "layout) for the current key; its parked backlog cannot be read by " +
+            "the chunked-queue layout and would be orphaned. Drain the query on " +
+            "the old version or restart from a fresh checkpoint. See COMPATIBILITY.md.")
     private def readWin(): Vector[(Long, V)] =
       if (win.exists()) win.get().toVector else Vector.empty
     /** Promote the next chunk into the window: one map get + remove. */
@@ -118,6 +136,7 @@ object Flow {
     }
     override def handleInputRows(key: K, rows: Iterator[(K, Long, V)],
         timerValues: TimerValues): Iterator[(K, Long, V)] = {
+      guardLegacy()
       val now = timerValues.getCurrentProcessingTimeInMs()
       var free = if (nextFree.exists()) nextFree.get() else 0L
       var w = readWin()
@@ -150,6 +169,7 @@ object Flow {
     }
     override def handleExpiredTimer(key: K, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[(K, Long, V)] = {
+      guardLegacy()
       val now = timerValues.getCurrentProcessingTimeInMs()
       var free = if (nextFree.exists()) nextFree.get() else 0L
       var w = readWin()

@@ -128,6 +128,76 @@ class FlowSpec extends SparkSuite {
     }
   }
 
+  test("pace: restart from a pre-r7 'ptr'+'queue' checkpoint fails loudly, not silently") {
+    // The chunked-queue layout (COMPATIBILITY.md) cannot read the old
+    // pacer state. The acceptable failure mode is a LOUD one: the
+    // restarted query must fail, never run on and silently orphan the
+    // parked backlog. Spark's transformWithState does NOT reject a
+    // changed state-variable set by itself (measured), so Pacer carries
+    // its own legacy-layout guard — this stub re-creates the old
+    // layout's state variables, parks a backlog, restarts with the real
+    // Pacer on the same checkpoint, and touches the key again.
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    final class OldLayoutPacer extends StatefulProcessor[Int, (Int, Long, String), (Int, Long, String)] {
+      @transient private var ptr: ValueState[Long] = _
+      @transient private var queue: ListState[(Long, String)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        ptr = getHandle.getValueState[Long]("ptr", Encoders.scalaLong, TTLConfig.NONE)
+        queue = getHandle.getListState[(Long, String)]("queue",
+          Encoders.product[(Long, String)], TTLConfig.NONE)
+      }
+      override def handleInputRows(key: Int, rows: Iterator[(Int, Long, String)],
+          timerValues: TimerValues): Iterator[(Int, Long, String)] = {
+        rows.foreach { case (_, seq, v) => queue.appendValue((seq, v)) } // park all
+        ptr.update(0L)
+        Iterator.empty
+      }
+    }
+    withRocksDBState {
+      val src = java.nio.file.Files.createTempDirectory("graft_oldpace_src").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_oldpace_ckpt").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_oldpace_out").toString
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+      def source() = spark.readStream.schema(schema).parquet(src).as[(Int, Long, String)]
+      Seq((1, 1L, "a"), (1, 2L, "b")).toDF("key", "seq", "v")
+        .coalesce(1).write.mode("append").parquet(src)
+      val q1 = source().groupByKey(_._1)
+        .transformWithState(new OldLayoutPacer, TimeMode.ProcessingTime(), OutputMode.Append())
+        .toDF("key", "seq", "v")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+      val deadline1 = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (q1.recentProgress.forall(_.numInputRows == 0) &&
+        System.nanoTime() < deadline1) Thread.sleep(50)
+      stopQuiesced(q1) // checkpoint now holds a parked backlog in the old layout
+      assert(q1.exception.isEmpty, s"old-layout run failed: ${q1.exception}")
+
+      val q2 = Flow.pace(source(), intervalMs = 100)
+        .toDF("key", "seq", "v")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+      // new traffic touches key 1 → the legacy-state guard must kill the
+      // query before anything is emitted
+      Seq((1, 5L, "e")).toDF("key", "seq", "v")
+        .coalesce(1).write.mode("append").parquet(src)
+      val failed = try { q2.awaitTermination(30000); q2.exception.isDefined }
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => true }
+        finally { if (q2.isActive) stopQuiesced(q2) }
+      assert(failed,
+        "restart from an old-layout checkpoint ran instead of failing loudly")
+      val emitted =
+        try spark.read.parquet(out).count()
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      assert(emitted == 0L, s"restarted query emitted $emitted rows from orphaned state")
+    }
+  }
+
   test("pace: keys are paced independently; interval 0 passes everything through") {
     withRocksDBState {
       val in = MemoryStream[(Int, Long, String)]
