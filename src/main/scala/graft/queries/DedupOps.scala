@@ -46,6 +46,11 @@ object DedupOps extends QueryGroup {
   // tokens on web text; this corpus averages 54 whitespace tokens/doc,
   // so 20 keeps several windows per doc)
   private val SpanLen = 20
+  // image near-dup: pairs at dHash Hamming ≤ 3, found via 4 bands of 16
+  // bits. Exact by pigeonhole (≤ 3 differing bits over 4 bands leaves at
+  // least one band identical), so banded recall == full-scan recall and
+  // the O(n²) oracle checks the blocked plan bit-for-bit.
+  private val MaxHamming = 3
 
   /** (doc_id, sharr): distinct 3-token shingles per document, in-row. */
   private def shingleArrays(s: SparkSession, dir: String): DataFrame = {
@@ -198,7 +203,87 @@ object DedupOps extends QueryGroup {
         .withColumn("is_keeper",
           when($"cluster_id" === $"doc_id", 1).otherwise(0))
     })
+    ,
+
+    // image-content near-dup (the LAION-style first image pass): encode a
+    // deterministic grayscale PNG per doc — every doc_id trio (g = id/3)
+    // shares one base pattern whose pixels are the first md5 byte of
+    // (g|x|y), each variant v = id%3 brightens a small top-left patch.
+    // md5 pixels make trios INDEPENDENT (a linear congruential pattern
+    // left dHash bits correlated across trios — measured 40% of all
+    // pairs within Hamming 3, a quadratic output), so planted near-dups
+    // sit at Hamming ≤ 1, accidental pairs are ~zero (P ≈ 2.4e-15/pair),
+    // and pair count stays LINEAR in corpus size. The blob is then
+    // REAL-decoded back with javax.imageio and the decoded raster is
+    // dHashed (multimodal.Phash).
+    // Pairing is [[phashPairs]]: 16-bit banded blocking + exact Hamming
+    // verify, the dedup_embed_cosine shape made EXACT by pigeonhole
+    // (MaxHamming < bands). The oracle recomputes pixels → block means →
+    // bits → hashes in SQL and runs the full O(n²) scan the blocking must
+    // match. Real-image robustness (re-encode/resize/brightness) is
+    // PhashSpec's fixture, where decode can't be recomputed in SQL.
+    "dedup_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      val hashed = spread(t(s, dir, "documents")).select($"doc_id").as[Long]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { id =>
+            val g = id / 3
+            val v = (id % 3).toInt
+            val w = (18 + g % 23).toInt
+            val h = (16 + (g * 3) % 17).toInt
+            val blob = graft.multimodal.Multimodal.SyntheticImages.gray(w, h) { (x, y) =>
+              val base = md.digest(
+                s"$g|$x|$y".getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+              if (x < w / 9 && y < h / 8) (base + 24 * v) % 256 else base
+            }
+            val (hi, lo) = graft.multimodal.Phash.dhashBlob(blob).getOrElse(
+              throw new IllegalStateException(s"PNG decode failed for doc $id"))
+            (id, hi, lo)
+          }
+        }.toDF("doc_id", "h_hi", "h_lo")
+      phashPairs(hashed, MaxHamming)
+    })
   ) ++ embedQueries
+
+  /** Near-duplicate pairs among (id, h_hi, h_lo) dHash rows at Hamming ≤
+    * `maxHamming`: block on the four 16-bit bands of the 64-bit hash
+    * (join key is (band, bucket) — id-only rows, 3 ints of shuffle per
+    * row), then verify candidates with the exact two-word Hamming
+    * distance after an id join-back. EXACT for maxHamming ≤ 3: with 4
+    * bands, ≤ 3 differing bits leave ≥ 1 band identical (pigeonhole), so
+    * no qualifying pair can be missed. Scale shape mirrors
+    * dedup_embed_cosine: the only wide steps are the band equi-join
+    * (P(random 16-bit bucket collision) = 2^-16 per band) and the pair
+    * distinct; a real photo corpus concentrates mass in a few hashes
+    * (flat images), which a df-cap on hot buckets would bound exactly as
+    * MaxShingleDf does for shingles — not needed for this corpus, same
+    * honesty note as the streaming minhash bucket cap. */
+  private[graft] def phashPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banded blocking is exact only for maxHamming in [0, 3], got $maxHamming")
+    val s = hashed.sparkSession
+    import s.implicits._
+    // feeds the banding and both join-back sides — checkpoint, same as
+    // the minhash sigs note
+    val hc = hashed.localCheckpoint()
+    val banded = hc.select($"doc_id", posexplode(array(
+        $"h_lo" % 65536L, shiftright($"h_lo", 16),
+        $"h_hi" % 65536L, shiftright($"h_hi", 16))))
+      .toDF("doc_id", "band", "bucket")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct() // a pair can collide in several bands
+    cand
+      .join(hc.select($"doc_id".as("doc_a"), $"h_hi".as("ha_hi"), $"h_lo".as("ha_lo")), "doc_a")
+      .join(hc.select($"doc_id".as("doc_b"), $"h_hi".as("hb_hi"), $"h_lo".as("hb_lo")), "doc_b")
+      .withColumn("hamming",
+        bit_count($"ha_hi".bitwiseXOR($"hb_hi")) + bit_count($"ha_lo".bitwiseXOR($"hb_lo")))
+      .filter($"hamming" <= maxHamming)
+      .select($"doc_a", $"doc_b", $"hamming")
+  }
 
   /** Body of dedup_minhash_lsh, shared with dedup_clusters: candidate
     * pairs from band blocking plus the signature-zip jaccard estimate.
@@ -432,6 +517,49 @@ object DedupOps extends QueryGroup {
         |      UNNEST(generate_series(1, 16)) t(j))
         |  GROUP BY doc_id, j)
         |GROUP BY doc_id""".stripMargin,
+
+    // recompute the dHash pipeline from the pixel formula (the Spark side
+    // round-trips the same pixels through a real PNG encode/decode): cell
+    // of pixel x is x*9//w, block mean is the floored integer mean, bit
+    // k = cy*8+cx set iff the right cell mean exceeds the left, halves
+    // assembled as non-negative BIGINTs — then the FULL O(n²) scan, which
+    // the banded query must equal exactly (MaxHamming < bands).
+    "dedup_image_phash" ->
+      """WITH docs AS (
+        |  SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS v,
+        |    18 + (doc_id // 3) % 23 AS w, 16 + ((doc_id // 3) * 3) % 17 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, x * 9 // w AS cx, y * 8 // h AS cy,
+        |    CASE WHEN x < w // 9 AND y < h // 8
+        |      THEN (('0x' || substr(md5(CAST(g AS VARCHAR) || '|' || CAST(x AS VARCHAR)
+        |        || '|' || CAST(y AS VARCHAR)), 1, 2))::BIGINT + 24 * v) % 256
+        |      ELSE ('0x' || substr(md5(CAST(g AS VARCHAR) || '|' || CAST(x AS VARCHAR)
+        |        || '|' || CAST(y AS VARCHAR)), 1, 2))::BIGINT END AS p
+        |  FROM docs, generate_series(0, 39) gx(x), generate_series(0, 31) gy(y)
+        |  WHERE x < w AND y < h),
+        |cells AS (
+        |  SELECT doc_id, cx, cy, CAST(SUM(p) AS BIGINT) // COUNT(*) AS m
+        |  FROM px GROUP BY doc_id, cx, cy),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy * 8 + a.cx AS k,
+        |    CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN k >= 32 THEN bit * CAST(POWER(2, k - 32) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS h_hi,
+        |    CAST(SUM(CASE WHEN k < 32 THEN bit * CAST(POWER(2, k) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS h_lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo))
+        |      AS INTEGER) AS hamming
+        |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 3""".stripMargin,
 
     // planes identical to graft.functions.ExprKernels.hyperplanes (see the
     // similarity_ann_lsh oracle); band b (0-based) = bits 8b..8b+7 of the
