@@ -171,6 +171,22 @@ object ExprKernels {
     s
   }
 
+  /** Integer dot product of two int8 vectors stored as binary columns —
+    * the candidate-ranking kernel of the quantized IVF path (Ivf
+    * scaladoc): 64 products of two bytes fit a long with ~2^45 headroom,
+    * so the loop is pure integer ALU work on the raw byte arrays, no
+    * float math and no array-object traffic. */
+  def int8Dot(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += a(i) * b(i)
+      i += 1
+    }
+    s
+  }
+
   /** SimHash of a token array over the first `bits` bits of each token's
     * MD5, MSB-first (bit j of the digest bitstream = hex digit ⌈j/4⌉
     * shifted by 3−(j−1)%4). bits ≤ 64. Bit j (1-based) of the result is
@@ -453,6 +469,20 @@ case class DoubleDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Int8 dot product over binary columns (see [[ExprKernels.int8Dot]]). */
+case class Int8Dot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.int8Dot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.int8Dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8Dot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** SimHash over a token array (see [[ExprKernels.simHash]]). */
 case class SimHash(child: Expression, bits: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -562,6 +592,10 @@ object native {
   /** Plain-double dot product (cheap ranking pass of filter-verify). */
   def double_dot(a: Column, b: Column): Column =
     col(DoubleDot(expr(a), expr(b)))
+
+  /** Int8 dot product of two binary-typed quantized vectors. */
+  def int8_dot(a: Column, b: Column): Column =
+    col(Int8Dot(expr(a), expr(b)))
 
   /** SimHash (default 64-bit) of a token-array column. */
   def simhash(tokens: Column, bits: Int = 64): Column =

@@ -50,6 +50,78 @@ class IvfSpec extends SparkSuite {
     } finally index.cells.unpersist()
   }
 
+  test("quantized search with nprobe = k equals brute-force top-10 after exact rerank") {
+    val index = Ivf.build(corpus, k = 8, iters = 4)
+    index.cells.cache()
+    try {
+      val queries = corpus.limit(15)
+        .select($"vec_id".as("query_id"), $"embedding".as("qemb")).cache()
+      val quant = Ivf.searchQuantized(index, queries, topK = 10, nprobe = 8)
+        .select($"query_id", $"vec_id", $"rank")
+        .as[(Long, Long, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+      val brute = queries.join(corpus)
+        .select($"query_id", $"vec_id",
+          (native.double_dot($"qemb", $"embedding") /
+            (sqrt(native.double_dot($"qemb", $"qemb")) *
+              sqrt(native.double_dot($"embedding", $"embedding")))).as("cos"))
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(
+          _.sortBy { case (_, id, cos) => (-cos, id) }.take(10).map(_._2).toSeq).toMap
+      assert(quant.keySet == brute.keySet)
+      quant.keySet.foreach(q => assert(quant(q) == brute(q), s"query $q"))
+      queries.unpersist()
+    } finally index.cells.unpersist()
+  }
+
+  test("quantized candidate exchange ships int8 sidecars — measurably smaller, no float arrays") {
+    // static plans + no broadcast: both paths must actually exchange the
+    // corpus on `cell`, so the shuffled bytes are comparable
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val index = Ivf.build(corpus.limit(200), k = 4, iters = 2)
+      index.cells.cache()
+      try {
+        val queries = corpus.limit(10)
+          .select($"vec_id".as("query_id"), $"embedding".as("qemb"))
+          .repartition(4)
+        def cellExchangeBytes(df: org.apache.spark.sql.DataFrame): (Long, Seq[String]) = {
+          df.collect()
+          val exchanges = df.queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+              if e.outputPartitioning.isInstanceOf[
+                org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] &&
+                e.outputPartitioning.asInstanceOf[
+                  org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+                  .expressions.exists(_.references.exists(_.name == "cell")) => e
+          }
+          (exchanges.map(_.metrics("dataSize").value).sum,
+            exchanges.flatMap(_.output.map(a => s"${a.name}:${a.dataType.simpleString}")))
+        }
+        val (fBytes, fCols) = cellExchangeBytes(
+          Ivf.search(index, queries, topK = 5, nprobe = 4))
+        val (qBytes, qCols) = cellExchangeBytes(
+          Ivf.searchQuantized(index, queries, topK = 5, nprobe = 4))
+        // float path ships float arrays through the cell exchange; the
+        // quantized path ships binary sidecars and NO array column
+        assert(fCols.exists(_.endsWith("array<float>")), s"float plan: $fCols")
+        assert(qCols.exists(_.startsWith("q:binary")), s"quantized plan: $qCols")
+        assert(!qCols.exists(_.contains("array<float>")), s"quantized plan ships arrays: $qCols")
+        // 4x on the vector payload (4d -> d bytes); fixed per-row scalars
+        // dilute the total, so assert a conservative 2x on measured bytes
+        assert(fBytes > 0 && qBytes > 0, s"no cell exchange measured: $fBytes, $qBytes")
+        assert(qBytes * 2 <= fBytes,
+          s"quantized cell exchange $qBytes B vs float $fBytes B — expected >= 2x shrink")
+      } finally index.cells.unpersist()
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("zero-norm query and corpus vectors are excluded, never NaN-ranked") {
     val data = Seq(
       (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 0f)),
