@@ -37,6 +37,7 @@ object CurationOps extends QueryGroup {
   // --- pack_sequences -------------------------------------------------
   private val PackBudget = 8192L // chars per training window
   private val PackShards = 8L // deterministic output shards
+  private val TokenBudget = 2048L // BPE tokens per training window (GPT-style context)
 
   override def queries: Map[String, Q] = Map(
     // PII redaction (the C4/RefinedWeb scrub stage): replace emails,
@@ -99,6 +100,28 @@ object CurationOps extends QueryGroup {
       Curation.packSequences(t(s, dir, "documents"), "doc_id", "n_chars",
           PackShards, PackBudget)
         .select($"doc_id", $"shard", $"n_chars", $"seq_start",
+          $"window_id", $"window_offset", $"n_windows")
+    }),
+
+    // Token-level packing — pack_sequences with the budget in BPE TOKENS
+    // (what a real GPT pipeline packs by: the window is a context length,
+    // not a byte count). Token counts come from the TRUE merge-table BPE
+    // kernel (native.bpe_tokens, the text_bpe_merges encoder), so the
+    // offsets are the ones the training run will see after tokenization.
+    // Zero-token docs (no letter runs) are excluded — nothing to pack,
+    // and their empty-doc window arithmetic is division-convention bait
+    // (Spark DIV truncates, DuckDB // floors; (0-1)/b diverges). Same
+    // one-shuffle shape as pack_sequences; the BPE encode is the narrow
+    // per-row kernel with the per-thread word cache.
+    "pack_sequences_tokens" -> ((s, dir) => {
+      import s.implicits._
+      val sized = spread(t(s, dir, "documents"))
+        .withColumn("n_bpe_tokens",
+          size(graft.functions.native.bpe_tokens($"text")).cast("long"))
+        .filter($"n_bpe_tokens" >= 1)
+      Curation.packSequences(sized, "doc_id", "n_bpe_tokens",
+          PackShards, TokenBudget)
+        .select($"doc_id", $"shard", $"n_bpe_tokens", $"seq_start",
           $"window_id", $"window_offset", $"n_windows")
     })
   )
@@ -163,6 +186,51 @@ object CurationOps extends QueryGroup {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
          |      AS seq_start
          |  FROM (SELECT doc_id, doc_id % $PackShards AS shard, n_chars
-         |        FROM documents))""".stripMargin
+         |        FROM documents))""".stripMargin,
+
+    // the text_bpe_merges recursive-CTE encoder (TextOps.bpeRs) computes
+    // each doc's true BPE token count; the packing arithmetic is then
+    // identical to pack_sequences with the token column. Docs whose
+    // encode is empty are excluded, as in the query. All sizes >= 1, so
+    // (seq_start + n - 1) never goes negative and // == DIV.
+    "pack_sequences_tokens" ->
+      s"""WITH RECURSIVE
+         |ws AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+') AS w FROM documents),
+         |words AS (
+         |  SELECT doc_id, i AS wi, lower(w[i]) AS word
+         |  FROM ws, UNNEST(generate_series(1, len(w))) t(i)),
+         |enc AS (
+         |  SELECT doc_id, wi,
+         |    [word[i:i] for i in range(1, 1 + len(word))] || ['_'] AS toks
+         |  FROM words
+         |  UNION ALL
+         |  SELECT doc_id, wi,
+         |    toks[1:bi-1] || [toks[bi] || toks[bi+1]] || toks[bi+2:] AS toks
+         |  FROM (
+         |    SELECT doc_id, wi, toks,
+         |      list_position(rs, list_min(rs)) AS bi, list_min(rs) AS mn
+         |    FROM (SELECT doc_id, wi, toks, ${TextOps.bpeRs("toks")} AS rs FROM enc))
+         |  WHERE mn < 999999),
+         |fin AS (
+         |  SELECT doc_id, wi, toks
+         |  FROM (SELECT doc_id, wi, toks, list_min(${TextOps.bpeRs("toks")}) AS mn FROM enc)
+         |  WHERE mn IS NULL OR mn = 999999),
+         |sized AS (
+         |  SELECT doc_id, doc_id % $PackShards AS shard,
+         |    CAST(SUM(len(toks)) AS BIGINT) AS n_bpe_tokens
+         |  FROM fin GROUP BY doc_id
+         |  HAVING SUM(len(toks)) >= 1),
+         |off AS (
+         |  SELECT doc_id, shard, n_bpe_tokens,
+         |    CAST(COALESCE(SUM(n_bpe_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS seq_start
+         |  FROM sized)
+         |SELECT doc_id, shard, n_bpe_tokens, seq_start,
+         |  seq_start // $TokenBudget AS window_id,
+         |  seq_start % $TokenBudget AS window_offset,
+         |  (seq_start + n_bpe_tokens - 1) // $TokenBudget
+         |    - seq_start // $TokenBudget + 1 AS n_windows
+         |FROM off""".stripMargin
   )
 }

@@ -238,12 +238,12 @@ object TextOps extends QueryGroup {
   // token sequence as the kernel's all-at-once scan (Bpe scaladoc proves
   // the equivalence; BpeSpec pins it on random inputs). The merge table
   // is interpolated from Bpe.Default so oracle and kernel can never skew.
-  private def bpeMergeList: String =
+  private[queries] def bpeMergeList: String =
     graft.functions.Bpe.Default
       .map { case (l, r) => s"'$l $r'" }.mkString("[", ", ", "]")
   // rank vector of a token list: 1-based merge rank per adjacent pair,
   // 999999 when the pair is not in the table.
-  private def bpeRs(toks: String): String =
+  private[queries] def bpeRs(toks: String): String =
     s"""list_transform(range(1, len($toks)),
        |      i -> CASE WHEN list_position($bpeMergeList, $toks[i] || ' ' || $toks[i+1]) = 0
        |                THEN 999999

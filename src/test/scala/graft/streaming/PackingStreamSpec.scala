@@ -54,6 +54,39 @@ class PackingStreamSpec extends SparkSuite {
     assert(doc8 == ((0L, 8L, 205L, 2L, 5L, 3L)))
   }
 
+  test("token-level packing: streaming placements == batch pack_sequences_tokens on real docs") {
+    // sizes from the same true-BPE kernel the batch query uses, over the
+    // real documents table; budget = the query's TokenBudget (2048)
+    val sized = spark.read.parquet(sf() + "/documents.parquet")
+      .withColumn("n", size(graft.functions.native.bpe_tokens(col("text"))).cast("long"))
+      .filter(col("n") >= 1)
+      .select((col("doc_id") % 8L).as("shard"), col("doc_id"), col("n"))
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(sized.length > 100, s"fixture corpus too small: ${sized.length}")
+    val (b1, b2) = sized.splitAt(sized.length / 2)
+
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = Packing.pack(in.toDS(), 2048L)
+      .map { case (shard, docId, p) =>
+        (shard, docId, p.seqStart, p.windowId, p.windowOffset, p.nWindows) }
+      .toDF("shard", "doc_id", "seq_start", "window_id", "window_offset", "n_windows")
+      .writeStream.format("memory").queryName("pack_tok").outputMode("append").start()
+    try {
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+      in.addData(b2.toSeq: _*); q.processAllAvailable() // offsets continue
+    } finally q.stop()
+    val got = spark.table("pack_tok")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+
+    // the oracle-checked batch query itself, not a re-derivation
+    val batch = graft.SparkEntry.queries("pack_sequences_tokens")(spark, sf())
+      .select(col("shard"), col("doc_id"), col("seq_start"), col("window_id"),
+        col("window_offset"), col("n_windows"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == batch,
+      s"streaming-only: ${got.diff(batch).take(3)}; batch-only: ${batch.diff(got).take(3)}")
+  }
+
   test("zero-size docs match the batch formula at both corners (start 0 and boundary)") {
     val in = MemoryStream[(Long, Long, Long)]
     val q = Packing.pack(in.toDS(), Budget)
