@@ -53,8 +53,29 @@ object PipelineOps extends QueryGroup {
         .withColumn("u_millionths", u)
         .filter(keep)
         .select($"doc_id", $"source", $"u_millionths")
+    }),
+
+    // Deterministic corpus shuffle — the last step every training
+    // pipeline runs: a seeded, restart-stable global permutation. Sort
+    // key = md5(seed|doc_id), so the order is a pseudo-random function
+    // of (seed, id) alone: any re-run, any partitioning, any engine
+    // reproduces it bit-for-bit (ShuffleDeterminismSpec pins re-run
+    // equality; the oracle pins the engine-independence). Position comes
+    // from GlobalOrder.withRowNumber — a range-partitioned parallel
+    // numbering, ONE wide sort and no single-task window, the same
+    // machinery slice_rows trusts at scale.
+    "shuffle_deterministic" -> ((s, dir) => {
+      import s.implicits._
+      val keyed = t(s, dir, "documents")
+        .select($"doc_id",
+          md5(concat_ws("|", lit(ShuffleSeed), $"doc_id")).as("skey"))
+      graft.functions.GlobalOrder.withRowNumber(keyed, "pos", $"skey", $"doc_id")
+        .select($"doc_id", $"skey", $"pos")
     })
   )
+
+  // the training-run shuffle seed: changing it is a new epoch's order
+  private val ShuffleSeed = "epoch-0"
 
   override def oracle: Map[String, String] = Map(
     "budget_sample" ->
@@ -74,6 +95,14 @@ object PipelineOps extends QueryGroup {
          |      % 1000000 AS u_millionths
          |  FROM documents)
          |WHERE ${Weights.map { case (s0, w) =>
-             s"(source = '$s0' AND u_millionths < $w)" }.mkString(" OR ")}""".stripMargin
+             s"(source = '$s0' AND u_millionths < $w)" }.mkString(" OR ")}""".stripMargin,
+
+    "shuffle_deterministic" ->
+      s"""SELECT doc_id,
+         |  md5('$ShuffleSeed|' || CAST(doc_id AS VARCHAR)) AS skey,
+         |  CAST(ROW_NUMBER() OVER (
+         |    ORDER BY md5('$ShuffleSeed|' || CAST(doc_id AS VARCHAR)), doc_id)
+         |    AS BIGINT) AS pos
+         |FROM documents""".stripMargin
   )
 }
