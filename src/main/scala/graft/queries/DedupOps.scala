@@ -133,41 +133,10 @@ object DedupOps extends QueryGroup {
     // discriminative signal and are dropped from the representation
     // (blocking, intersection AND sizes — consistently, so jaccard stays
     // well-defined); the per-shingle pair count is then ≤ MaxShingleDf²/2.
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      import s.implicits._
-      val docs = shingleArrays(s, dir)
-      // NOT checkpointed: both consumers of the exploded form (the df
-      // aggregate and the anti-join's left side) live inside the single
-      // checkpointed `sh` plan below, so materializing ~700k exploded rows
-      // here costs ~30 s of CPU (row copy + block serialization, measured
-      // via graft.Explain) to save one ~0.3 s shingle+explode recompute
-      val sh0 = docs.select($"doc_id", explode($"sharr").as("shingle"))
-      // sharr is distinct-per-doc, so count(*) per shingle = document
-      // frequency. hot's cardinality is only bounded by
-      // total_shingle_rows / MaxShingleDf — small in practice but not
-      // guaranteed tiny on a boilerplate-heavy corpus, so no forced
-      // broadcast: let AQE pick the anti-join strategy from actual sizes.
-      val hot = sh0.groupBy($"shingle").agg(count(lit(1)).as("df"))
-        .filter($"df" > MaxShingleDf).select($"shingle")
-      // the df-capped relation feeds THREE consumers (sizes + both sides of
-      // the self-join): checkpoint it so the anti-join runs once, not 3×
-      val sh = sh0.join(hot, Seq("shingle"), "left_anti").localCheckpoint()
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-      val pairs = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      // sizes is corpus-sized (one row per doc): plain equi-joins — AQE
-      // may still broadcast at small scale, but nothing forces a
-      // driver-collected broadcast of a billion-row table at 100 TB
-      pairs
-        .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
-        .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
-        .withColumn("jaccard",
-          $"inter".cast("double") / ($"na" + $"nb" - $"inter").cast("double"))
-        .filter($"jaccard" >= 0.5)
-        .select($"doc_a", $"doc_b", $"jaccard")
-    }),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      jaccardPairs(shingleArrays(s, dir), MaxShingleDf)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))),
 
     // MinHash signatures + LSH banding → candidate pairs + estimated
     // jaccard. Signatures (native.minhash_sigs) and band hashes are in-row;
@@ -283,6 +252,44 @@ object DedupOps extends QueryGroup {
         bit_count($"ha_hi".bitwiseXOR($"hb_hi")) + bit_count($"ha_lo".bitwiseXOR($"hb_lo")))
       .filter($"hamming" <= maxHamming)
       .select($"doc_a", $"doc_b", $"hamming")
+  }
+
+  /** Candidate pairs + exact jaccard over a (doc_id, sharr) relation —
+    * the body of dedup_ngram_jaccard WITHOUT the final ≥ 0.5 filter, so
+    * BoilerplateFixtureSpec can count the blocked candidates directly
+    * and prove the df cap binds on a template-heavy corpus. */
+  private[graft] def jaccardPairs(docs: DataFrame, maxDf: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // NOT checkpointed: both consumers of the exploded form (the df
+    // aggregate and the anti-join's left side) live inside the single
+    // checkpointed `sh` plan below, so materializing ~700k exploded rows
+    // here costs ~30 s of CPU (row copy + block serialization, measured
+    // via graft.Explain) to save one ~0.3 s shingle+explode recompute
+    val sh0 = docs.select($"doc_id", explode($"sharr").as("shingle"))
+    // sharr is distinct-per-doc, so count(*) per shingle = document
+    // frequency. hot's cardinality is only bounded by
+    // total_shingle_rows / maxDf — small in practice but not
+    // guaranteed tiny on a boilerplate-heavy corpus, so no forced
+    // broadcast: let AQE pick the anti-join strategy from actual sizes.
+    val hot = sh0.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDf).select($"shingle")
+    // the df-capped relation feeds THREE consumers (sizes + both sides of
+    // the self-join): checkpoint it so the anti-join runs once, not 3×
+    val sh = sh0.join(hot, Seq("shingle"), "left_anti").localCheckpoint()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    // sizes is corpus-sized (one row per doc): plain equi-joins — AQE
+    // may still broadcast at small scale, but nothing forces a
+    // driver-collected broadcast of a billion-row table at 100 TB
+    pairs
+      .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
+      .withColumn("jaccard",
+        $"inter".cast("double") / ($"na" + $"nb" - $"inter").cast("double"))
   }
 
   /** Body of dedup_minhash_lsh, shared with dedup_clusters: candidate
