@@ -4,7 +4,8 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -437,6 +438,51 @@ object ExprKernels {
     }
     new GenericArrayData(out)
   }
+
+  private val GramSpace = UTF8String.fromString(" ")
+
+  /** Per-document Gopher repetition metrics from a token array, in one
+    * O(n) pass: a token hash-set (distinct words) and a 2-gram hash-map
+    * (max / total / distinct occurrence counts) — both bounded by the
+    * DOCUMENT length, so per-row memory stays bounded however large the
+    * corpus. The final fractions use the same double operations as the
+    * distributed explode+agg path ([[Curation.repetitionMetrics]]), so
+    * the two are bit-identical (CurateStreamSpec pins this). Returns
+    * null for docs with < 2 tokens — no 2-grams, the rows the batch
+    * path's inner join drops. A null TOKEN (possible only on hand-built
+    * arrays; the tokens() kernel never emits one) groups as a null gram
+    * and counts as one distinct word, matching explode + array_distinct.
+    */
+  def repMetrics(toks: ArrayData): InternalRow = {
+    val n = toks.numElements()
+    if (n < 2) return null
+    val words = new java.util.HashSet[UTF8String](n * 2)
+    val grams = new java.util.HashMap[UTF8String, Array[Long]](n * 2)
+    var prev = toks.getUTF8String(0)
+    words.add(prev)
+    var maxc = 0L
+    var i = 1
+    while (i < n) {
+      val cur = toks.getUTF8String(i)
+      words.add(cur)
+      // UTF8String.concat yields null when any input is null — the same
+      // null gram the batch expression's concat produces
+      val g = if (prev == null || cur == null) null
+              else UTF8String.concat(prev, GramSpace, cur)
+      val c = grams.get(g)
+      val nc = if (c == null) { grams.put(g, Array(1L)); 1L }
+               else { c(0) += 1; c(0) }
+      if (nc > maxc) maxc = nc
+      prev = cur
+      i += 1
+    }
+    val total = (n - 1).toDouble
+    new GenericInternalRow(Array[Any](
+      n.toLong,
+      1.0 - words.size().toDouble / n.toDouble,
+      1.0 - grams.size().toDouble / total,
+      maxc.toDouble / total))
+  }
 }
 
 /** Exact-decimal dot product (see [[ExprKernels.decimalDot]]). */
@@ -580,6 +626,32 @@ case class BpeEncode(child: Expression) extends UnaryExpression with ExpectsInpu
     copy(child = newChild)
 }
 
+/** Per-doc repetition-metrics struct (see [[ExprKernels.repMetrics]]).
+  * Null output for < 2 tokens, so codegen uses an explicit null check
+  * rather than defineCodeGen (which assumes a non-null result). */
+case class RepMetrics(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = RepMetrics.Schema
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(toks: Any): Any =
+    ExprKernels.repMetrics(toks.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ExprKernels.repMetrics($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): RepMetrics =
+    copy(child = newChild)
+}
+
+object RepMetrics {
+  val Schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("dup_word_frac", DoubleType, nullable = false),
+    StructField("dup_2gram_frac", DoubleType, nullable = false),
+    StructField("top_2gram_frac", DoubleType, nullable = false)))
+}
+
 /** Column-level entry points for the native expressions. */
 object native {
   private def expr(c: Column): Expression = org.apache.spark.sql.graftbridge.expression(c)
@@ -617,6 +689,11 @@ object native {
 
   /** Merge-table BPE tokens (learned default vocab) of a text column. */
   def bpe_tokens(text: Column): Column = col(BpeEncode(expr(text)))
+
+  /** Per-doc Gopher repetition metrics of a token-array column:
+    * struct(n_tokens, dup_word_frac, dup_2gram_frac, top_2gram_frac);
+    * null when the doc has < 2 tokens (no 2-grams). */
+  def rep_metrics(tokens: Column): Column = col(RepMetrics(expr(tokens)))
 
   /** Count of occurrences of any short ASCII pattern in a text column. */
   def ngram_hits(text: Column, patterns: Seq[String]): Column =

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{native, Curation}
+
+/** The curation stage (queries/CurationOps) on unbounded streams: PII
+  * scrubbing and Gopher repetition quality-filtering are per-DOCUMENT
+  * decisions, so their streaming form is stateless — zero state, zero
+  * shuffle, valid in append mode with no watermark. Both transforms are
+  * spec'd bit-identical to the batch path (CurateStreamSpec), so a
+  * pipeline can curate live ingest and a backfill with the same verdicts.
+  *
+  * Reference frame: streamz has no curation surface; this mirrors its
+  * `Stream.map/filter` composition (reference streamz/core.py:680) over
+  * the operators a training-data pipeline needs.
+  */
+object Curate {
+
+  /** Chained email → IPv4 → long-digit-run scrub with chain-positional
+    * per-class counts — the text_pii_redact semantics: n_ip counts on
+    * the email-redacted string and n_longnum on the ip-redacted one, so
+    * digits inside an email or IP are never double-counted. Adds
+    * `redacted, n_email, n_ip, n_longnum`. Narrow per-row plan. */
+  def piiRedact(df: DataFrame, textCol: String): DataFrame = {
+    val r1 = regexp_replace(col(textCol), Curation.EmailRe, "<EMAIL>")
+    val r2 = regexp_replace(r1, Curation.Ipv4Re, "<IP>")
+    df.withColumn("redacted", regexp_replace(r2, Curation.LongNumRe, "<NUM>"))
+      .withColumn("n_email",
+        regexp_count(col(textCol), lit(Curation.EmailRe)).cast("long"))
+      .withColumn("n_ip", regexp_count(r1, lit(Curation.Ipv4Re)).cast("long"))
+      .withColumn("n_longnum",
+        regexp_count(r2, lit(Curation.LongNumRe)).cast("long"))
+  }
+
+  /** Gopher repetition metrics + keep verdict per document. Uses the
+    * O(doc-length) per-row kernel (native.rep_metrics) rather than the
+    * batch explode + two keyed aggregations: a streaming aggregation
+    * would need shuffle state and a watermark for what is a purely
+    * per-document measure. Output columns and double values are
+    * bit-identical to Curation.repetitionMetrics + the threshold filter;
+    * docs with < 2 tokens (no 2-grams) are dropped, as the batch inner
+    * join drops them. */
+  def qualityRepetition(df: DataFrame, idCol: String, textCol: String,
+                        maxTop2GramFrac: Double, maxDup2GramFrac: Double,
+                        maxDupWordFrac: Double): DataFrame =
+    df.withColumn("m", native.rep_metrics(native.tokens(col(textCol))))
+      .filter(col("m").isNotNull)
+      .select(col(idCol), col("m.n_tokens").as("n_tokens"),
+        col("m.dup_word_frac").as("dup_word_frac"),
+        col("m.dup_2gram_frac").as("dup_2gram_frac"),
+        col("m.top_2gram_frac").as("top_2gram_frac"))
+      .withColumn("keep",
+        col("top_2gram_frac") <= maxTop2GramFrac &&
+          col("dup_2gram_frac") <= maxDup2GramFrac &&
+          col("dup_word_frac") <= maxDupWordFrac)
+}
