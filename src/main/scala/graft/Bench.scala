@@ -20,7 +20,40 @@ package graft
   * which left 10/59 queries >15%). Re-runs should move no query >15%.
   */
 object Bench {
+
+  /** Contention telemetry: 1-minute loadavg and how many OTHER JVMs are
+    * running. r7's official number was inflated 1.4–4× by concurrent
+    * JVMs on the shared 32-thread box (VERDICT r7 finding #1 — a process
+    * problem the timing itself can't distinguish from a regression), so
+    * the bench line now carries the evidence: a reader comparing rounds
+    * checks `env` before reading `queries`. Warn loudly on stderr too.
+    */
+  private def contentionEnv(): String = {
+    val load1 =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val self = ProcessHandle.current().pid()
+    val otherJvms =
+      try {
+        new java.io.File("/proc").listFiles((_, n) => n.forall(_.isDigit))
+          .count { d =>
+            val pid = d.getName.toLong
+            pid != self && {
+              try scala.io.Source.fromFile(s"/proc/$pid/comm").mkString.trim == "java"
+              catch { case _: Throwable => false }
+            }
+          }
+      } catch { case _: Throwable => -1 }
+    if (load1 > 4.0 || otherJvms > 0)
+      System.err.println(s"[bench] WARNING: contended machine (load1=$load1, " +
+        s"other JVMs=$otherJvms) — numbers will be inflated; rerun idle")
+    f"""{"load1":$load1%.2f,"other_jvms":$otherJvms}"""
+  }
+
   def main(args: Array[String]): Unit = {
+    // sampled BEFORE the session spins up: the bench itself drives load1
+    // toward 32, so an end-of-run sample would always read "contended"
+    val env = contentionEnv()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1: $reps")
@@ -82,7 +115,7 @@ object Bench {
       s"""{"query":${jstr(k)},"error":${jstr(msg)}}"""
     }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"env":$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
