@@ -202,6 +202,38 @@ object Multimodal {
         }
       }
 
+    /** REAL audio decode to the raw interleaved sample array — the
+      * sample-level sibling of [[decodeAudio]], for consumers that need
+      * the signal itself (acoustic fingerprinting, [[Afp]]) rather than
+      * summary facts. Same support envelope: PCM_SIGNED 16-bit
+      * little-endian; anything else returns None. */
+    def decodeAudioSamples(bytes: Array[Byte]): Option[Array[Int]] =
+      audioFormat(bytes).flatMap { _ =>
+        try {
+          val in = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(new ByteArrayInputStream(bytes))
+          try {
+            val f = in.getFormat
+            val ok = f.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              f.getSampleSizeInBits == 16 && !f.isBigEndian
+            if (!ok) None
+            else {
+              val data = in.readAllBytes()
+              val out = new Array[Int](data.length / 2)
+              var i = 0
+              while (i < out.length) {
+                out(i) = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+                i += 1
+              }
+              Some(out)
+            }
+          } finally in.close()
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        }
+      }
+
     /** Container sniff for RIFF/AVI video. */
     def videoFormat(bytes: Array[Byte]): Option[String] =
       if (bytes.length >= 12 &&

@@ -212,6 +212,44 @@ object DedupOps extends QueryGroup {
           }
         }.toDF("doc_id", "h_hi", "h_lo")
       phashPairs(hashed, MaxHamming)
+    }),
+
+    // Near-dup pairs among decoded AUDIO content (graft.multimodal.Afp:
+    // 65-frame energy dHash over the real WAV decode), then the SAME
+    // banded-Hamming pair join as dedup_image_phash — one blocking plan
+    // shared across modalities. The synthetic corpus plants trios
+    // (g = doc_id/3): per-frame loudness levels are md5 bytes (frames
+    // independent across groups — the image lesson), variants v=1,2 add
+    // a constant offset to frame 0 only, so a trio's fingerprints differ
+    // in at most bit 0 while unrelated docs sit ~32 bits apart. The
+    // WAV encode → JavaSound decode round trip is lossless PCM, so the
+    // oracle recomputes the signal arithmetically, never parsing a
+    // container — the Spark side is the one running the real codec.
+    "dedup_audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val hashed = spread(t(s, dir, "documents")).select($"doc_id").as[Long]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { id =>
+            val g = id / 3
+            val v = (id % 3).toInt
+            val n = (1040 + (g % 13) * 80).toInt
+            val levels = Array.tabulate(graft.multimodal.Afp.Frames) { f =>
+              md.digest(s"$g|$f".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+            }
+            val blob = graft.multimodal.Multimodal.SyntheticAudio.pcm16(n, 16000) { i =>
+              val f = ((i.toLong * graft.multimodal.Afp.Frames) / n).toInt
+              val amp = levels(f) * 96 + (i * 37 % 97) +
+                (if (f == 0) v * 512 else 0)
+              if (i % 2 == 0) amp else -amp
+            }
+            val (hi, lo) = graft.multimodal.Afp.energyHashBlob(blob).getOrElse(
+              throw new IllegalStateException(s"WAV decode failed for doc $id"))
+            (id, hi, lo)
+          }
+        }.toDF("doc_id", "h_hi", "h_lo")
+      phashPairs(hashed, MaxHamming)
     })
   ) ++ embedQueries
 
@@ -554,6 +592,45 @@ object DedupOps extends QueryGroup {
         |  FROM cells a JOIN cells b
         |    ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
         |  WHERE a.cx < 8),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN k >= 32 THEN bit * CAST(POWER(2, k - 32) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS h_hi,
+        |    CAST(SUM(CASE WHEN k < 32 THEN bit * CAST(POWER(2, k) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS h_lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo))
+        |      AS INTEGER) AS hamming
+        |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 3""".stripMargin,
+
+    // The WAV round trip is lossless 16-bit PCM, so the oracle recomputes
+    // the SIGNAL arithmetically (samples alternate sign, so |sample| is
+    // the amp expression directly) and the fingerprint from it — the
+    // Spark side is the one exercising the real container decode.
+    "dedup_audio_fingerprint" ->
+      """WITH docs AS (
+        |  SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS v,
+        |    1040 + (doc_id // 3 % 13) * 80 AS n
+        |  FROM documents),
+        |amps AS (
+        |  SELECT doc_id, i * 65 // n AS f,
+        |    ('0x' || substr(md5(CAST(g AS VARCHAR) || '|'
+        |        || CAST(i * 65 // n AS VARCHAR)), 1, 2))::BIGINT * 96
+        |      + (i * 37 % 97)
+        |      + CASE WHEN i * 65 // n = 0 THEN v * 512 ELSE 0 END AS amp
+        |  FROM docs, generate_series(0, 1999) t(i)
+        |  WHERE i < n),
+        |energies AS (
+        |  SELECT doc_id, f, CAST(SUM(amp) AS BIGINT) // COUNT(*) AS e
+        |  FROM amps GROUP BY doc_id, f),
+        |bits AS (
+        |  SELECT a.doc_id, a.f AS k, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+        |  FROM energies a JOIN energies b
+        |    ON b.doc_id = a.doc_id AND b.f = a.f + 1
+        |  WHERE a.f < 64),
         |hashes AS (
         |  SELECT doc_id,
         |    CAST(SUM(CASE WHEN k >= 32 THEN bit * CAST(POWER(2, k - 32) AS BIGINT)

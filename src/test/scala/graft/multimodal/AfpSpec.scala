@@ -1,0 +1,90 @@
+package graft.multimodal
+
+import graft.SparkSuite
+
+/** Afp.energyHash on REAL near-duplicate audio: the gain-changed /
+  * re-encoded / resampled variants an audio-corpus pass must pair stay
+  * within the Hamming-3 verify threshold, unrelated signals stay far,
+  * and the banded blocking (DedupOps.phashPairs, shared with images)
+  * returns exactly the brute-force pair set — exercised on signal
+  * shapes the SQL oracle can't reach (the oracle query covers the
+  * synthetic arithmetic path).
+  */
+class AfpSpec extends SparkSuite {
+
+  /** Structured test signal: 65 frames of ~60 samples whose loudness
+    * levels are a seeded md5 byte per frame — decisive adjacent-frame
+    * comparisons (levels are ~uniform on [0,255], so most differ by far
+    * more than round-trip noise), independent across seeds. */
+  private def signal(seed: Int, n: Int = 3900): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val levels = Array.tabulate(Afp.Frames)(f =>
+      md.digest(s"$seed|$f".getBytes("UTF-8"))(0) & 0xff)
+    Array.tabulate(n) { i =>
+      val f = ((i.toLong * Afp.Frames) / n).toInt
+      val amp = levels(f) * 96 + (i * 37 % 97)
+      if (i % 2 == 0) amp else -amp
+    }
+  }
+
+  private def wav(samples: Array[Int], rate: Int = 16000): Array[Byte] =
+    Multimodal.SyntheticAudio.pcm16(samples.length, rate)(samples(_))
+
+  private def hashOf(bytes: Array[Byte]): (Long, Long) =
+    Afp.energyHashBlob(bytes).getOrElse(fail("fixture blob did not decode"))
+
+  test("energy hash: gain/re-encode/resample variants stay within Hamming 3; unrelated far") {
+    val base = signal(seed = 7)
+    val baseHash = hashOf(wav(base))
+    def clip(x: Int) = math.max(-32768, math.min(32767, x))
+    val variants = Map(
+      // the WAV round trip itself is lossless: re-encoding is exact
+      "reencode" -> hashOf(wav(base)),
+      // uniform gain: all frame means scale together, order preserved up
+      // to floor-division ties
+      "gain_-6dB" -> hashOf(wav(base.map(s => s / 2))),
+      "gain_+2dB" -> hashOf(wav(base.map(s => clip(s * 5 / 4)))),
+      // header-only change: the fingerprint reads samples, not the rate
+      "rate_8k_header" -> hashOf(wav(base, rate = 8000)),
+      // crude 2:1 decimation: frame boundaries shift by <1 sample
+      "downsample_2x" -> hashOf(wav(Array.tabulate(base.length / 2)(i => base(2 * i)))),
+      // low-amplitude additive noise, well under the ~96-unit level gaps
+      "dither_noise" -> hashOf(wav(base.zipWithIndex.map { case (s, i) =>
+        clip(s + (if (s >= 0) 1 else -1) * (i * 13 % 7)) })))
+    variants.foreach { case (name, hsh) =>
+      val d = Afp.hamming(baseHash, hsh)
+      assert(d <= 3, s"$name drifted to Hamming $d from the base")
+    }
+    (1 to 5).foreach { s =>
+      val d = Afp.hamming(baseHash, hashOf(wav(signal(s))))
+      assert(d > 10, s"unrelated seed $s landed at Hamming $d of the base")
+    }
+  }
+
+  test("energy hash: non-audio and non-PCM16 blobs return None") {
+    assert(Afp.energyHashBlob(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Afp.energyHashBlob("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("phashPairs on audio fingerprints equals the brute-force Hamming scan") {
+    import spark.implicits._
+    // 4 near-dup families (base + gain + decimated) + 8 unrelated singles
+    val blobs: Seq[(Long, (Long, Long))] =
+      (0 until 4).flatMap { fam =>
+        val base = signal(seed = 100 + fam)
+        Seq(
+          (fam * 3L, hashOf(wav(base))),
+          (fam * 3L + 1, hashOf(wav(base.map(_ / 2)))),
+          (fam * 3L + 2, hashOf(wav(Array.tabulate(base.length / 2)(i => base(2 * i))))))
+      } ++ (0 until 8).map(u => (100L + u, hashOf(wav(signal(200 + u)))))
+    val expected = (for {
+      (ia, ha) <- blobs; (ib, hb) <- blobs
+      if ia < ib && Afp.hamming(ha, hb) <= 3
+    } yield (ia, ib, Afp.hamming(ha, hb))).toSet
+    assert(expected.size >= 4 * 2, s"planted families produced only $expected")
+    val df = blobs.map { case (id, (hi, lo)) => (id, hi, lo) }.toDF("doc_id", "h_hi", "h_lo")
+    val got = graft.queries.DedupOps.phashPairs(df, 3)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2, t._3)).toSet
+    assert(got == expected, s"banded=${got.size} brute=${expected.size}; diff=${got.diff(expected) ++ expected.diff(got)}")
+  }
+}
