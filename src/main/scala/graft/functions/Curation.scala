@@ -50,6 +50,27 @@ object Curation {
         (col("maxc").cast("double") / col("total")).as("top_2gram_frac"))
   }
 
+  /** Per-doc repetition metrics + keep verdict via the O(doc-length)
+    * per-row kernel (native.rep_metrics): the ZERO-shuffle form of
+    * [[repetitionMetrics]] + a threshold filter, bit-identical to it
+    * (CurateStreamSpec) and valid on batch and streaming frames alike —
+    * per-row memory is bounded by one document's token array, which the
+    * frame already materializes as a row. Docs with < 2 tokens (no
+    * 2-grams) are dropped, as the explode path's inner join drops them. */
+  def qualityRepetition(df: DataFrame, idCol: String, textCol: String,
+                        maxTop2GramFrac: Double, maxDup2GramFrac: Double,
+                        maxDupWordFrac: Double): DataFrame =
+    df.withColumn("m", native.rep_metrics(native.tokens(col(textCol))))
+      .filter(col("m").isNotNull)
+      .select(col(idCol), col("m.n_tokens").as("n_tokens"),
+        col("m.dup_word_frac").as("dup_word_frac"),
+        col("m.dup_2gram_frac").as("dup_2gram_frac"),
+        col("m.top_2gram_frac").as("top_2gram_frac"))
+      .withColumn("keep",
+        col("top_2gram_frac") <= maxTop2GramFrac &&
+          col("dup_2gram_frac") <= maxDup2GramFrac &&
+          col("dup_word_frac") <= maxDupWordFrac)
+
   /** GPT-style sequence packing: deterministic order within hash shards,
     * running size offsets, owning fixed-size training window. Documents
     * straddle window boundaries (standard pretraining packing). Adds

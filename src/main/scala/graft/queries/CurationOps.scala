@@ -4,15 +4,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Curation
-import graft.functions.{TextFunctions => TF}
 
 /** Data-curation operators a large-scale training pipeline runs between
   * dedup and corpus assembly: PII scrubbing, repetition-based quality
   * filtering (the MassiveText/Gopher rule family), and GPT-style
   * sequence packing. All three are hash-exact against the DuckDB oracle
-  * and shaped for 100 TB: pii_redact and the packing offsets are narrow
-  * or one-shuffle; the repetition metrics shuffle (doc_id, gram) pairs —
-  * keys that distribute uniformly however skewed the corpus.
+  * and shaped for 100 TB: pii_redact and the repetition metrics are
+  * narrow zero-shuffle per-row plans; the packing offsets pay exactly
+  * one shuffle on the shard key.
   */
 object CurationOps extends QueryGroup {
 
@@ -72,20 +71,20 @@ object CurationOps extends QueryGroup {
     // Repetition-based quality filter (Gopher rules): duplicate-word
     // fraction, duplicate-2-gram fraction (repeat occurrences / total),
     // and top-2-gram fraction (occurrences of the most frequent 2-gram /
-    // total). Distributed-exact via explode + two keyed aggregations —
-    // (doc_id, gram) then doc_id — rather than an in-row O(n²) HOF scan
-    // (the text_langid_ngram lesson: interpreted quadratic per-row HOFs
-    // are the trap; a shuffle on uniformly-distributing keys is not).
-    "quality_repetition" -> ((s, dir) => {
-      import s.implicits._
-      Curation.repetitionMetrics(
-          t(s, dir, "documents").withColumn("toks", TF.tokens($"text")),
-          "doc_id", "toks")
-        .withColumn("keep",
-          $"top_2gram_frac" <= MaxTop2GramFrac &&
-            $"dup_2gram_frac" <= MaxDup2GramFrac &&
-            $"dup_word_frac" <= MaxDupWordFrac)
-    }),
+    // total). Per-doc metrics via the O(doc-length) compiled kernel
+    // (native.rep_metrics, one hash-set + one hash-map pass): ZERO
+    // shuffles where the r7 explode + two keyed aggregations paid two
+    // plus a join. This is NOT the text_langid_ngram trap — that lesson
+    // was about interpreted quadratic per-row HOFs; a codegen'd linear
+    // kernel with memory bounded by one document beats shipping every
+    // (doc_id, gram) pair through an exchange. The explode+agg path
+    // remains in Curation.repetitionMetrics (streaming-parity
+    // cross-check + the shape for corpora whose single docs outgrow a
+    // row); CurateStreamSpec pins the two bit-identical.
+    "quality_repetition" -> ((s, dir) =>
+      Curation.qualityRepetition(
+        t(s, dir, "documents"), "doc_id", "text",
+        MaxTop2GramFrac, MaxDup2GramFrac, MaxDupWordFrac)),
 
     // GPT-style sequence packing: concatenate documents in deterministic
     // order within hash shards and slice fixed-size training windows —

@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{native, Curation}
+import graft.functions.Curation
 
 /** The curation stage (queries/CurationOps) on unbounded streams: PII
   * scrubbing and Gopher repetition quality-filtering are per-DOCUMENT
@@ -34,25 +34,15 @@ object Curate {
         regexp_count(r2, lit(Curation.LongNumRe)).cast("long"))
   }
 
-  /** Gopher repetition metrics + keep verdict per document. Uses the
-    * O(doc-length) per-row kernel (native.rep_metrics) rather than the
-    * batch explode + two keyed aggregations: a streaming aggregation
-    * would need shuffle state and a watermark for what is a purely
-    * per-document measure. Output columns and double values are
-    * bit-identical to Curation.repetitionMetrics + the threshold filter;
-    * docs with < 2 tokens (no 2-grams) are dropped, as the batch inner
-    * join drops them. */
+  /** Gopher repetition metrics + keep verdict per document — the
+    * O(doc-length) per-row kernel rather than an explode + keyed
+    * aggregation: a streaming aggregation would need shuffle state and
+    * a watermark for what is a purely per-document measure. Shared with
+    * the batch query via [[Curation.qualityRepetition]], spec'd
+    * bit-identical to the distributed explode+agg path. */
   def qualityRepetition(df: DataFrame, idCol: String, textCol: String,
                         maxTop2GramFrac: Double, maxDup2GramFrac: Double,
                         maxDupWordFrac: Double): DataFrame =
-    df.withColumn("m", native.rep_metrics(native.tokens(col(textCol))))
-      .filter(col("m").isNotNull)
-      .select(col(idCol), col("m.n_tokens").as("n_tokens"),
-        col("m.dup_word_frac").as("dup_word_frac"),
-        col("m.dup_2gram_frac").as("dup_2gram_frac"),
-        col("m.top_2gram_frac").as("top_2gram_frac"))
-      .withColumn("keep",
-        col("top_2gram_frac") <= maxTop2GramFrac &&
-          col("dup_2gram_frac") <= maxDup2GramFrac &&
-          col("dup_word_frac") <= maxDupWordFrac)
+    Curation.qualityRepetition(df, idCol, textCol,
+      maxTop2GramFrac, maxDup2GramFrac, maxDupWordFrac)
 }
