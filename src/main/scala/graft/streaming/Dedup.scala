@@ -157,6 +157,74 @@ object Dedup {
     }
   }
 
+  /** Band-bucket membership stage for 64-bit (hi, lo) perceptual
+    * fingerprints — the [[BucketMembers]] shape with Hamming
+    * verification: key = band·2^16 + bucket (the four 16-bit words of
+    * the hash, exactly `DedupOps.phashPairs` banding), members hold
+    * (docId, hi, lo) append-capped, a match is a registered member at
+    * Hamming ≤ maxHamming. Input rows: (key, docId, seq, hi, lo). */
+  private final class FpBucketMembers(cap: Int, maxHamming: Int)
+      extends StatefulProcessor[Long, (Long, Long, Long, Long, Long), (Long, Long, Long)] {
+    @transient private var members: ListState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[(Long, Long, Long)](
+        "members", Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      val sorted = rows.toVector.sortBy(_._3) // seq order within the batch
+      var mem = members.get().toVector // ≤ cap by construction
+      val out = Vector.newBuilder[(Long, Long, Long)]
+      sorted.foreach { case (_, docId, seq, hi, lo) =>
+        val matched = mem.iterator
+          .filter { case (id, mhi, mlo) =>
+            id != docId && java.lang.Long.bitCount(mhi ^ hi) +
+              java.lang.Long.bitCount(mlo ^ lo) <= maxHamming
+          }
+          .map(_._1)
+        out += ((docId, seq, if (matched.isEmpty) -1L else matched.min))
+        if (mem.size < cap && !mem.exists(_._1 == docId)) {
+          members.appendValue((docId, hi, lo)) // one write, never a rewrite
+          mem :+= ((docId, hi, lo))
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming near-dup verdicts for 64-bit perceptual fingerprints
+    * `(doc_id, h_hi, h_lo, seq)` — the streaming face of
+    * `dedup_image_phash` AND `dedup_audio_fingerprint` (both produce the
+    * [[graft.multimodal.Phash]] (hi, lo) contract, so ONE streaming
+    * operator serves both modalities, exactly as one batch pair join
+    * does). Same two-stage shape as [[minhashVerdicts]]: band on the
+    * four 16-bit words, verify exact Hamming ≤ `maxHamming` against
+    * registered bucket members, fold band verdicts per doc. For
+    * maxHamming ≤ 3 the banding is complete by pigeonhole among
+    * REGISTERED members; the member cap carries the same missed-pair
+    * trade-off documented on [[minhashVerdicts]] (saturated buckets stop
+    * registering, so two future near-dups can both emerge keepers).
+    * Output: (doc_id, seq, root_doc, is_keeper). */
+  def fingerprintVerdicts(ds: Dataset[(Long, Long, Long, Long)],
+      maxHamming: Int = 3,
+      maxBucketMembers: Int = MaxBucketMembers): Dataset[(Long, Long, Long, Boolean)] = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banded blocking is complete only for maxHamming in [0, 3], got $maxHamming")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.toDF("doc_id", "h_hi", "h_lo", "seq")
+      .select($"doc_id", $"seq", $"h_hi", $"h_lo", posexplode(array(
+        $"h_lo" % 65536L, shiftright($"h_lo", 16),
+        $"h_hi" % 65536L, shiftright($"h_hi", 16))))
+      .select(($"pos" * 65536L + $"col").as("key"),
+        $"doc_id", $"seq", $"h_hi", $"h_lo")
+      .as[(Long, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new FpBucketMembers(maxBucketMembers, maxHamming),
+        TimeMode.None(), OutputMode.Append())
+      .groupByKey(_._1)
+      .transformWithState(new DocVerdict, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming SimHash dedup for `(doc_id, text, seq)` rows — the
     * streaming face of the batch `dedup_simhash` fingerprint (identical
     * kernel and bit width, so batch and stream agree doc-for-doc): docs
