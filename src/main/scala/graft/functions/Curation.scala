@@ -50,6 +50,37 @@ object Curation {
         (col("maxc").cast("double") / col("total")).as("top_2gram_frac"))
   }
 
+  /** URL canonicalization — the Common-Crawl-style URL dedup key: two
+    * renditions of the same resource must map to one string before an
+    * exact dedup keyed on it. Rules (each a deterministic column op in
+    * the Java∩RE2 regex dialect, so batch, streaming and the DuckDB
+    * oracle agree byte-for-byte):
+    *  1. drop the fragment;
+    *  2. lowercase scheme and authority (never the path — case is
+    *     significant there);
+    *  3. strip default ports :80/:443;
+    *  4. resolve `/seg/../` dot segments, one level per pass (plain
+    *     [A-Za-z0-9_-] segments; full RFC 3986 nesting needs a kernel);
+    *  5. drop `utm_*` tracking params, sort the survivors (query order
+    *     is not semantic), drop the `?` if nothing survives.
+    * Malformed URLs (no scheme://authority head) pass through with only
+    * the fragment dropped — canonicalization must never invent a URL. */
+  def canonicalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*", "")
+    val head = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val tail = noFrag.substr(length(head) + lit(1), length(noFrag))
+    val headCanon = regexp_replace(lower(head), ":(80|443)$", "")
+    val path = regexp_extract(tail, "^([^?]*)", 1)
+    val query = regexp_extract(tail, "^[^?]*\\?(.*)$", 1)
+    val pathCanon = regexp_replace(path, "/[A-Za-z0-9_-]+/\\.\\./", "/")
+    val params = filter(split(query, "&"),
+      x => x =!= "" && substring(x, 1, 4) =!= "utm_")
+    val queryCanon = array_join(array_sort(params), "&")
+    when(head === "", noFrag).otherwise(
+      concat(headCanon, pathCanon,
+        when(queryCanon === "", lit("")).otherwise(concat(lit("?"), queryCanon))))
+  }
+
   /** Per-doc repetition metrics + keep verdict via the O(doc-length)
     * per-row kernel (native.rep_metrics): the ZERO-shuffle form of
     * [[repetitionMetrics]] + a threshold filter, bit-identical to it

@@ -102,6 +102,37 @@ object CurationOps extends QueryGroup {
           $"window_id", $"window_offset", $"n_windows")
     }),
 
+    // URL canonicalization (Curation.canonicalizeUrl): the CC-style URL
+    // dedup key. The corpus carries no URL column, so the query
+    // constructs one deterministically from doc_id/source — built so
+    // EVERY rule fires on every row (mixed-case scheme+host, default
+    // port, one dot segment, a utm_ param, unsorted params, fragment) —
+    // then emits the canonical form plus the group the key collapses
+    // into: url_dups counts how many raw URLs share the canonical key
+    // (doc_id % 4 variants differ only in case/port/fragment/param
+    // order, so groups of 4 collapse). Narrow plan + one count agg on
+    // the canonical key.
+    "url_canonicalize" -> ((s, dir) => {
+      import s.implicits._
+      val urls = t(s, dir, "documents").select($"doc_id",
+        concat(
+          when($"doc_id" % 4 === 0, "HTTP://WWW.Site").otherwise("http://www.site"),
+          expr("doc_id DIV 4").cast("string"),
+          when($"doc_id" % 4 === 1, ".COM").otherwise(".com"),
+          when($"doc_id" % 4 === 2, ":80").otherwise(""),
+          lit("/a/"), $"source", lit("/../p"), ($"doc_id" % 13).cast("string"),
+          lit("/index.html?"),
+          when($"doc_id" % 4 === 3, "z=2&utm_source=feed&a=1")
+            .otherwise("a=1&utm_campaign=x&z=2"),
+          lit("#sec"), ($"doc_id" % 7).cast("string")).as("url"))
+      val canon = urls.select($"doc_id",
+        graft.functions.Curation.canonicalizeUrl($"url").as("canon_url"))
+      canon.join(
+          canon.groupBy($"canon_url").agg(count(lit(1)).as("url_dups")),
+          "canon_url")
+        .select($"doc_id", $"canon_url", $"url_dups")
+    }),
+
     // Token-level packing — pack_sequences with the budget in BPE TOKENS
     // (what a real GPT pipeline packs by: the window is a context length,
     // not a byte count). Token counts come from the TRUE merge-table BPE
@@ -186,6 +217,45 @@ object CurationOps extends QueryGroup {
          |      AS seq_start
          |  FROM (SELECT doc_id, doc_id % $PackShards AS shard, n_chars
          |        FROM documents))""".stripMargin,
+
+    "url_canonicalize" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.Site' ELSE 'http://www.site' END)
+        |    || CAST(doc_id // 4 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 4 = 1 THEN '.COM' ELSE '.com' END)
+        |    || (CASE WHEN doc_id % 4 = 2 THEN ':80' ELSE '' END)
+        |    || '/a/' || source || '/../p' || CAST(doc_id % 13 AS VARCHAR)
+        |    || '/index.html?'
+        |    || (CASE WHEN doc_id % 4 = 3 THEN 'z=2&utm_source=feed&a=1'
+        |        ELSE 'a=1&utm_campaign=x&z=2' END)
+        |    || '#sec' || CAST(doc_id % 7 AS VARCHAR) AS url
+        |  FROM documents),
+        |hp AS (
+        |  SELECT doc_id, nofrag,
+        |    regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS head
+        |  FROM (SELECT doc_id, regexp_replace(url, '#.*', '') AS nofrag FROM urls)),
+        |pieces AS (
+        |  SELECT doc_id, nofrag, head,
+        |    regexp_replace(lower(head), ':(80|443)$', '') AS headc,
+        |    regexp_extract(tail, '^([^?]*)', 1) AS path,
+        |    regexp_extract(tail, '^[^?]*\?(.*)$', 1) AS q
+        |  FROM (SELECT doc_id, nofrag, head, substr(nofrag, length(head) + 1) AS tail
+        |        FROM hp)),
+        |canon AS (
+        |  SELECT doc_id,
+        |    CASE WHEN head = '' THEN nofrag ELSE
+        |      headc || regexp_replace(path, '/[A-Za-z0-9_-]+/\.\./', '/', 'g')
+        |      || (CASE WHEN qq = '' THEN '' ELSE '?' || qq END)
+        |    END AS canon_url
+        |  FROM (
+        |    SELECT doc_id, nofrag, head, headc, path,
+        |      array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |        x -> x <> '' AND substr(x, 1, 4) <> 'utm_')), '&') AS qq
+        |    FROM pieces))
+        |SELECT doc_id, canon_url,
+        |  COUNT(*) OVER (PARTITION BY canon_url) AS url_dups
+        |FROM canon""".stripMargin,
 
     // the text_bpe_merges recursive-CTE encoder (TextOps.bpeRs) computes
     // each doc's true BPE token count; the packing arithmetic is then

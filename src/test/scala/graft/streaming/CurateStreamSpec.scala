@@ -69,6 +69,28 @@ class CurateStreamSpec extends SparkSuite {
     assert(out(1) == ((4L, 2L, 0.0, 0.0, 1.0, false)))
   }
 
+  test("canonicalizeUrl: each rule on adversarial edges") {
+    val cases = Seq(
+      // all rules at once: fragment, case, default port, dot segment,
+      // utm_ strip, param sort
+      ("https://Host.COM:443/x/y/../z?utm_a=1&B=2#f", "https://host.com/x/z?B=2"),
+      // fragment only; path case preserved
+      ("HTTP://EX.com/P#frag", "http://ex.com/P"),
+      // malformed (no scheme://authority): passes through minus fragment
+      ("plain text #note", "plain text "),
+      // nested dot segments resolve ONE level per pass (documented)
+      ("http://h/a/../b/../c", "http://h/b/../c"),
+      // params sort; non-default port kept; no query survives -> no '?'
+      ("http://h:8080/p?utm_only=1", "http://h:8080/p"),
+      ("http://h/p?z=1&y=2&x=3", "http://h/p?x=3&y=2&z=1"))
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.functions.Curation.canonicalizeUrl($"url").as("c"))
+      .as[String].collect().toSeq
+    cases.zip(got).foreach { case ((in, want), is) =>
+      assert(is == want, s"canonicalizeUrl($in) = $is, wanted $want")
+    }
+  }
+
   test("piiRedact: streaming bytes and counts == batch, adversarial texts") {
     val texts = Seq(
       (1L, "mail a.b+c@x-y.co or 10.0.0.1 acct 12345678 done"),
