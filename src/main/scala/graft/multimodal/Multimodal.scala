@@ -483,19 +483,39 @@ object Multimodal {
       * unit quantizer, so it round-trips BIT-EXACTLY — which is what makes
       * an MJPEG fixture oracle-checkable at all (JPEG is otherwise lossy).
       * `w`/`h` must be multiples of 8 so every block is flat. */
-    def mjpegAviFlat(w: Int, h: Int, nFrames: Int)(gray: Int => Int): Array[Byte] = {
+    def mjpegAviFlat(w: Int, h: Int, nFrames: Int)(gray: Int => Int): Array[Byte] =
+      mjpegAviBlocks(w, h, nFrames)((f, _, _) => gray(f))
+
+    /** Grayscale MJPEG AVI whose every frame is a grid of FLAT 8×8
+      * blocks (`gray(f, bx, by)`) — the per-block generalization of
+      * [[mjpegAviFlat]]: JPEG blocks are independent 8×8 transforms, a
+      * flat block is DC-only under the unit quantizer, and DC prediction
+      * across blocks is LOSSLESS differential coding, so frames with
+      * block-level structure still round-trip bit-exactly — which is
+      * what a first-frame perceptual-hash fixture needs (a solid frame
+      * hashes to all-zero bits). */
+    def mjpegAviBlocks(w: Int, h: Int, nFrames: Int)(
+        gray: (Int, Int, Int) => Int): Array[Byte] = {
       require(w >= 8 && h >= 8 && w % 8 == 0 && h % 8 == 0,
         s"dims must be positive multiples of 8 for flat-block exactness: ${w}x$h")
       require(nFrames >= 1, s"need nFrames >= 1: $nFrames")
       val frames = (0 until nFrames).map { f =>
         val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
         val r = img.getRaster
-        val g = gray(f) & 0xff
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { r.setSample(x, y, 0, g); x += 1 }
-          y += 1
+        var by = 0
+        while (by < h / 8) {
+          var bx = 0
+          while (bx < w / 8) {
+            val g = gray(f, bx, by) & 0xff
+            var y = by * 8
+            while (y < by * 8 + 8) {
+              var x = bx * 8
+              while (x < bx * 8 + 8) { r.setSample(x, y, 0, g); x += 1 }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
         }
         encodeJpegMax(img)
       }

@@ -250,6 +250,40 @@ object DedupOps extends QueryGroup {
           }
         }.toDF("doc_id", "h_hi", "h_lo")
       phashPairs(hashed, MaxHamming)
+    }),
+
+    // Near-dup pairs among decoded VIDEO content: dHash of the FIRST
+    // decoded frame (demuxAvi → JPEG decode → Phash, the multimodal_video
+    // path), then once more the shared banded-Hamming join — with this
+    // the whole modality family (text, embeddings, image, audio, video)
+    // funnels near-dup detection into ONE pair plan. Fixture: 72×64
+    // block-flat MJPEG (9×8 JPEG blocks = the dHash grid exactly, so
+    // each cell mean IS the block gray and the lossy codec becomes
+    // bit-exact — PhashSpec pins the bridge); trios perturb frame 0's
+    // block (0,0) only (≤ 1 bit apart), frame 1 carries a different
+    // pattern so hashing the wrong frame cannot pass the oracle.
+    "dedup_video_phash" -> ((s, dir) => {
+      import s.implicits._
+      val hashed = spread(t(s, dir, "documents")).select($"doc_id").as[Long]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { id =>
+            val g = id / 3
+            val v = (id % 3).toInt
+            val blob = graft.multimodal.Multimodal.SyntheticVideo
+              .mjpegAviBlocks(72, 64, 2) { (f, bx, by) =>
+                val base = md.digest(s"$g|$f|$bx|$by".getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8))(0) & 0x7f
+                if (f == 0 && bx == 0 && by == 0) base + 16 * v else base
+              }
+            val frames = graft.multimodal.Multimodal.Codec.demuxAvi(blob)
+              .getOrElse(throw new IllegalStateException(s"AVI demux failed for doc $id"))._3
+            val (hi, lo) = graft.multimodal.Phash.dhashBlob(frames.head).getOrElse(
+              throw new IllegalStateException(s"frame decode failed for doc $id"))
+            (id, hi, lo)
+          }
+        }.toDF("doc_id", "h_hi", "h_lo")
+      phashPairs(hashed, MaxHamming)
     })
   ) ++ embedQueries
 
@@ -631,6 +665,37 @@ object DedupOps extends QueryGroup {
         |  FROM energies a JOIN energies b
         |    ON b.doc_id = a.doc_id AND b.f = a.f + 1
         |  WHERE a.f < 64),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN k >= 32 THEN bit * CAST(POWER(2, k - 32) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS h_hi,
+        |    CAST(SUM(CASE WHEN k < 32 THEN bit * CAST(POWER(2, k) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS h_lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo))
+        |      AS INTEGER) AS hamming
+        |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 3""".stripMargin,
+
+    // Block-flat MJPEG decodes bit-exactly (PhashSpec's bridge test), so
+    // the oracle's cell mean is the block gray itself — no pixel sums.
+    "dedup_video_phash" ->
+      """WITH docs AS (
+        |  SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS v FROM documents),
+        |cells AS (
+        |  SELECT doc_id, bx, by,
+        |    ('0x' || substr(md5(CAST(g AS VARCHAR) || '|0|' || CAST(bx AS VARCHAR)
+        |      || '|' || CAST(by AS VARCHAR)), 1, 2))::BIGINT % 128
+        |    + CASE WHEN bx = 0 AND by = 0 THEN 16 * v ELSE 0 END AS m
+        |  FROM docs, generate_series(0, 8) gx(bx), generate_series(0, 7) gy(by)),
+        |bits AS (
+        |  SELECT a.doc_id, a.by * 8 + a.bx AS k,
+        |    CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON b.doc_id = a.doc_id AND b.by = a.by AND b.bx = a.bx + 1
+        |  WHERE a.bx < 8),
         |hashes AS (
         |  SELECT doc_id,
         |    CAST(SUM(CASE WHEN k >= 32 THEN bit * CAST(POWER(2, k - 32) AS BIGINT)

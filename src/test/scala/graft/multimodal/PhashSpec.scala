@@ -98,6 +98,29 @@ class PhashSpec extends SparkSuite {
     assert(Phash.hamming(Phash.dhash(gray), Phash.dhash(rgb)) == 0)
   }
 
+  test("first-frame dhash of a block-flat MJPEG AVI equals the arithmetic hash of its grays") {
+    // 72×64 = 9×8 JPEG blocks aligning exactly with the dHash grid, so
+    // each dHash cell mean IS the block gray — the bit-exact bridge that
+    // lets the video near-dup oracle recompute the hash in SQL while
+    // Spark runs the real demux + JPEG decode. Frame 1 carries a
+    // different pattern: hashing the wrong frame cannot pass.
+    def gray(f: Int, bx: Int, by: Int): Int = (bx * 31 + by * 17 + f * 77) % 128
+    val blob = Multimodal.SyntheticVideo.mjpegAviBlocks(72, 64, 2)(gray)
+    val (w, h, frames) = Multimodal.Codec.demuxAvi(blob).get
+    assert((w, h, frames.size) == ((72, 64, 2)))
+    val got = Phash.dhashBlob(frames.head).get
+    var hi = 0L
+    var lo = 0L
+    for (cy <- 0 until 8; cx <- 0 until 8)
+      if (gray(0, cx + 1, cy) > gray(0, cx, cy)) {
+        val k = cy * 8 + cx
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+    assert(got == ((hi, lo)),
+      f"decoded-frame hash ${got} != arithmetic ${(hi, lo)}")
+    assert(Phash.dhashBlob(frames(1)).get != got, "frames must differ")
+  }
+
   test("phashPairs equals the brute-force Hamming scan on a planted fixture") {
     import spark.implicits._
     // 4 near-dup families (base + 2 variants each) + 8 unrelated singles
