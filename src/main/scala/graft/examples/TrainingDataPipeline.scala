@@ -49,9 +49,10 @@ object TrainingDataPipeline {
     * gate → GPT-style sequence packing. Returns the packing manifest a
     * training run reads: one row per admitted doc with its redacted
     * text, shard, char offset, owning training window, and straddle
-    * count. The scrub is narrow (regex chain per row), the repetition
-    * gate shuffles (doc_id, gram) then doc_id, the packing is one
-    * shuffle on the shard key — nothing here widens with corpus size.
+    * count. The scrub AND the repetition gate are narrow per-row plans
+    * (regex chain; the O(doc-length) rep_metrics kernel), the packing
+    * is one shuffle on the shard key — nothing here widens with corpus
+    * size.
     */
   def curate(spark: SparkSession, docsDir: String, verdictDir: String,
              maxTop2Gram: Double = 0.06, maxDup2Gram: Double = 0.05,
@@ -63,10 +64,9 @@ object TrainingDataPipeline {
     val scrubbed = spark.read.parquet(docsDir)
       .join(keepers, "doc_id")
       .withColumn("clean_text", Curation.piiRedact($"text"))
-      .withColumn("toks", TF.tokens($"clean_text"))
-    val quality = Curation.repetitionMetrics(scrubbed, "doc_id", "toks")
-      .filter($"top_2gram_frac" <= maxTop2Gram &&
-        $"dup_2gram_frac" <= maxDup2Gram && $"dup_word_frac" <= maxDupWord)
+    val quality = Curation.qualityRepetition(scrubbed, "doc_id", "clean_text",
+        maxTop2Gram, maxDup2Gram, maxDupWord)
+      .filter($"keep")
       .select($"doc_id", $"n_tokens")
     val admitted = scrubbed
       .select($"doc_id", $"lang", $"clean_text",
