@@ -58,7 +58,9 @@ object Curation {
     *  1. drop the fragment;
     *  2. lowercase scheme and authority (never the path — case is
     *     significant there);
-    *  3. strip default ports :80/:443;
+    *  3. strip the scheme's OWN default port (http → :80, https →
+    *     :443) — never the other way: `https://h:80` is a real
+    *     non-default port and must stay distinct;
     *  4. resolve `/seg/../` dot segments, one level per pass (plain
     *     [A-Za-z0-9_-] segments; full RFC 3986 nesting needs a kernel);
     *  5. drop `utm_*` tracking params, sort the survivors (query order
@@ -69,7 +71,11 @@ object Curation {
     val noFrag = regexp_replace(c, "#.*", "")
     val head = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     val tail = noFrag.substr(length(head) + lit(1), length(noFrag))
-    val headCanon = regexp_replace(lower(head), ":(80|443)$", "")
+    val headLc = lower(head)
+    val headCanon =
+      when(headLc.startsWith("http://"), regexp_replace(headLc, ":80$", ""))
+        .when(headLc.startsWith("https://"), regexp_replace(headLc, ":443$", ""))
+        .otherwise(headLc)
     val path = regexp_extract(tail, "^([^?]*)", 1)
     val query = regexp_extract(tail, "^[^?]*\\?(.*)$", 1)
     val pathCanon = regexp_replace(path, "/[A-Za-z0-9_-]+/\\.\\./", "/")

@@ -21,4 +21,18 @@ object Lsh {
         transform(sequence(lit(1), lit(bandSize)), j =>
           concat((b * bandSize + j).cast("string"), lit(":"),
             element_at(sigs, b * bandSize + j)))), ",")))
+
+  /** Loud guard for the unsigned-32-bit-half fingerprint contract
+    * (Phash/Afp hashes travel as two longs in [0, 2^32)): passes the
+    * value through, raises on anything outside the domain. The 16-bit
+    * banding would otherwise MISS pairs silently — `% 65536` of a
+    * negative long is negative and `shiftright` sign-extends, so an
+    * out-of-contract hash (e.g. a raw 64-bit simhash packed into one
+    * negative long) lands in garbage buckets and the pigeonhole
+    * completeness proof no longer holds. Lives inside the banding
+    * expression, so column pruning cannot drop the check. */
+  def unsignedHalf(c: Column, name: String): Column =
+    when(c >= 0L && c <= 4294967295L, c).otherwise(raise_error(
+      concat(lit(s"fingerprint banding: $name outside [0, 2^32): "),
+        c.cast("string"))))
 }

@@ -61,9 +61,12 @@ object Afp {
 
   /** Fingerprint of an encoded WAV blob via the real JavaSound decode
     * (PCM_SIGNED 16-bit LE), or None when the blob is not decodable
-    * audio. */
+    * audio OR carries fewer than 65 samples (a ~4 ms clip has no
+    * loudness contour to hash and must not crash the pipeline — it
+    * simply never pairs). */
   def energyHashBlob(bytes: Array[Byte]): Option[(Long, Long)] =
-    Multimodal.Codec.decodeAudioSamples(bytes).map(energyHash)
+    Multimodal.Codec.decodeAudioSamples(bytes)
+      .filter(_.length >= Frames).map(energyHash)
 
   /** Hamming distance between two (hi, lo) fingerprints. */
   def hamming(a: (Long, Long), b: (Long, Long)): Int =

@@ -87,11 +87,16 @@ object Phash {
     (hi, lo)
   }
 
-  /** dHash of an encoded image blob (any container `javax.imageio` reads),
-    * or None when the blob is not a decodable image. */
+  /** dHash of an encoded image blob (any container `javax.imageio`
+    * reads), or None when the blob is not a decodable image OR decodes
+    * smaller than the 9×8 grid (1×1 tracking pixels are common in a web
+    * crawl; a sub-grid image has no meaningful block structure and must
+    * not crash the pipeline — it simply never pairs). */
   def dhashBlob(bytes: Array[Byte]): Option[(Long, Long)] =
     Multimodal.Codec.imageFormat(bytes).flatMap { _ =>
-      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map(dhash)
+      Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+        .filter(img => img.getWidth >= GridCols && img.getHeight >= GridRows)
+        .map(dhash)
     }
 
   /** Hamming distance between two (hi, lo) hashes. */

@@ -104,7 +104,8 @@ object CurationOps extends QueryGroup {
 
     // URL canonicalization (Curation.canonicalizeUrl): the CC-style URL
     // dedup key. The corpus carries no URL column, so the query
-    // constructs one deterministically from doc_id/source — built so
+    // constructs one deterministically from doc_id — every non-variant
+    // part keys off doc_id DIV 4 so the group REALLY collapses, and
     // EVERY rule fires on every row (mixed-case scheme+host, default
     // port, one dot segment, a utm_ param, unsorted params, fragment) —
     // then emits the canonical form plus the group the key collapses
@@ -120,7 +121,8 @@ object CurationOps extends QueryGroup {
           expr("doc_id DIV 4").cast("string"),
           when($"doc_id" % 4 === 1, ".COM").otherwise(".com"),
           when($"doc_id" % 4 === 2, ":80").otherwise(""),
-          lit("/a/"), $"source", lit("/../p"), ($"doc_id" % 13).cast("string"),
+          lit("/a/src"), expr("doc_id DIV 4 % 5").cast("string"),
+          lit("/../p"), expr("doc_id DIV 4 % 13").cast("string"),
           lit("/index.html?"),
           when($"doc_id" % 4 === 3, "z=2&utm_source=feed&a=1")
             .otherwise("a=1&utm_campaign=x&z=2"),
@@ -225,7 +227,8 @@ object CurationOps extends QueryGroup {
         |    || CAST(doc_id // 4 AS VARCHAR)
         |    || (CASE WHEN doc_id % 4 = 1 THEN '.COM' ELSE '.com' END)
         |    || (CASE WHEN doc_id % 4 = 2 THEN ':80' ELSE '' END)
-        |    || '/a/' || source || '/../p' || CAST(doc_id % 13 AS VARCHAR)
+        |    || '/a/src' || CAST(doc_id // 4 % 5 AS VARCHAR)
+        |    || '/../p' || CAST(doc_id // 4 % 13 AS VARCHAR)
         |    || '/index.html?'
         |    || (CASE WHEN doc_id % 4 = 3 THEN 'z=2&utm_source=feed&a=1'
         |        ELSE 'a=1&utm_campaign=x&z=2' END)
@@ -237,7 +240,11 @@ object CurationOps extends QueryGroup {
         |  FROM (SELECT doc_id, regexp_replace(url, '#.*', '') AS nofrag FROM urls)),
         |pieces AS (
         |  SELECT doc_id, nofrag, head,
-        |    regexp_replace(lower(head), ':(80|443)$', '') AS headc,
+        |    CASE WHEN starts_with(lower(head), 'http://')
+        |         THEN regexp_replace(lower(head), ':80$', '')
+        |         WHEN starts_with(lower(head), 'https://')
+        |         THEN regexp_replace(lower(head), ':443$', '')
+        |         ELSE lower(head) END AS headc,
         |    regexp_extract(tail, '^([^?]*)', 1) AS path,
         |    regexp_extract(tail, '^[^?]*\?(.*)$', 1) AS q
         |  FROM (SELECT doc_id, nofrag, head, substr(nofrag, length(head) + 1) AS tail

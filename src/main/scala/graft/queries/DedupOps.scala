@@ -308,9 +308,14 @@ object DedupOps extends QueryGroup {
     // feeds the banding and both join-back sides — checkpoint, same as
     // the minhash sigs note
     val hc = hashed.localCheckpoint()
+    // Lsh.unsignedHalf: raise on hashes outside [0, 2^32) — the banding
+    // below would silently mis-bucket them (negative %, sign-extending
+    // shift) and void the pigeonhole completeness claim
+    val lo = graft.functions.Lsh.unsignedHalf($"h_lo", "h_lo")
+    val hi = graft.functions.Lsh.unsignedHalf($"h_hi", "h_hi")
     val banded = hc.select($"doc_id", posexplode(array(
-        $"h_lo" % 65536L, shiftright($"h_lo", 16),
-        $"h_hi" % 65536L, shiftright($"h_hi", 16))))
+        lo % 65536L, shiftright(lo, 16),
+        hi % 65536L, shiftright(hi, 16))))
       .toDF("doc_id", "band", "bucket")
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&

@@ -211,10 +211,14 @@ object Dedup {
       s"banded blocking is complete only for maxHamming in [0, 3], got $maxHamming")
     val spark = ds.sparkSession
     import spark.implicits._
+    // Lsh.unsignedHalf: raise on hashes outside [0, 2^32) rather than
+    // silently mis-bucketing them (same guard as the batch phashPairs)
+    val lo = Lsh.unsignedHalf(col("h_lo"), "h_lo")
+    val hi = Lsh.unsignedHalf(col("h_hi"), "h_hi")
     ds.toDF("doc_id", "h_hi", "h_lo", "seq")
       .select($"doc_id", $"seq", $"h_hi", $"h_lo", posexplode(array(
-        $"h_lo" % 65536L, shiftright($"h_lo", 16),
-        $"h_hi" % 65536L, shiftright($"h_hi", 16))))
+        lo % 65536L, shiftright(lo, 16),
+        hi % 65536L, shiftright(hi, 16))))
       .select(($"pos" * 65536L + $"col").as("key"),
         $"doc_id", $"seq", $"h_hi", $"h_lo")
       .as[(Long, Long, Long, Long, Long)]

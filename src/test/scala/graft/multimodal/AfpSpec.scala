@@ -61,9 +61,13 @@ class AfpSpec extends SparkSuite {
     }
   }
 
-  test("energy hash: non-audio and non-PCM16 blobs return None") {
+  test("energy hash: non-audio, non-PCM16, and too-short blobs return None") {
     assert(Afp.energyHashBlob(Array[Byte](1, 2, 3, 4)).isEmpty)
     assert(Afp.energyHashBlob("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    // decodable 64-sample clip: one short of a loudness contour — None,
+    // not a crash (the pipeline simply never pairs it)
+    assert(Afp.energyHashBlob(wav(Array.tabulate(64)(i => i * 100))).isEmpty)
+    assert(Afp.energyHashBlob(wav(Array.tabulate(65)(i => i * 100))).isDefined)
   }
 
   test("phashPairs on audio fingerprints equals the brute-force Hamming scan") {

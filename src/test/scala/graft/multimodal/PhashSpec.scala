@@ -121,6 +121,24 @@ class PhashSpec extends SparkSuite {
     assert(Phash.dhashBlob(frames(1)).get != got, "frames must differ")
   }
 
+  test("dhashBlob: a decodable-but-sub-grid image (tracking pixel) is None, not a crash") {
+    val px = new BufferedImage(1, 1, BufferedImage.TYPE_BYTE_GRAY)
+    assert(Phash.dhashBlob(encode(px, "png")).isEmpty)
+    assert(Phash.dhashBlob(encode(new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY), "png")).isEmpty)
+    assert(Phash.dhashBlob(encode(new BufferedImage(9, 8, BufferedImage.TYPE_BYTE_GRAY), "png")).isDefined)
+  }
+
+  test("phashPairs raises on hashes outside the unsigned-half contract") {
+    import spark.implicits._
+    val bad = Seq((1L, -1L, 7L), (2L, 3L, 4L)).toDF("doc_id", "h_hi", "h_lo")
+    val e = intercept[Exception] {
+      graft.queries.DedupOps.phashPairs(bad, 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("outside [0, 2^32)")), e.toString)
+  }
+
   test("phashPairs equals the brute-force Hamming scan on a planted fixture") {
     import spark.implicits._
     // 4 near-dup families (base + 2 variants each) + 8 unrelated singles

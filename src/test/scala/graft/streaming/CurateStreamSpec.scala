@@ -82,6 +82,10 @@ class CurateStreamSpec extends SparkSuite {
       ("http://h/a/../b/../c", "http://h/b/../c"),
       // params sort; non-default port kept; no query survives -> no '?'
       ("http://h:8080/p?utm_only=1", "http://h:8080/p"),
+      // only the scheme's OWN default port strips: https on :80 and
+      // http on :443 are real non-default ports, distinct resources
+      ("https://h:80/x", "https://h:80/x"),
+      ("http://h:443/x", "http://h:443/x"),
       ("http://h/p?z=1&y=2&x=3", "http://h/p?x=3&y=2&z=1"))
     val got = cases.map(_._1).toDF("url")
       .select(graft.functions.Curation.canonicalizeUrl($"url").as("c"))
