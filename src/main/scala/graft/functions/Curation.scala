@@ -71,13 +71,17 @@ object Curation {
     val noFrag = regexp_replace(c, "#.*", "")
     val head = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     val tail = noFrag.substr(length(head) + lit(1), length(noFrag))
+    // \z (end of TEXT) everywhere a '$' would sit: Java's '$' matches
+    // before a trailing line terminator while RE2's does not, so '$'
+    // breaks the dialect-intersection contract on a URL with a trailing
+    // newline; '\z' means end-of-input in BOTH engines
     val headLc = lower(head)
     val headCanon =
-      when(headLc.startsWith("http://"), regexp_replace(headLc, ":80$", ""))
-        .when(headLc.startsWith("https://"), regexp_replace(headLc, ":443$", ""))
+      when(headLc.startsWith("http://"), regexp_replace(headLc, ":80\\z", ""))
+        .when(headLc.startsWith("https://"), regexp_replace(headLc, ":443\\z", ""))
         .otherwise(headLc)
     val path = regexp_extract(tail, "^([^?]*)", 1)
-    val query = regexp_extract(tail, "^[^?]*\\?(.*)$", 1)
+    val query = regexp_extract(tail, "^[^?]*\\?(.*)\\z", 1)
     val pathCanon = regexp_replace(path, "/[A-Za-z0-9_-]+/\\.\\./", "/")
     val params = filter(split(query, "&"),
       x => x =!= "" && substring(x, 1, 4) =!= "utm_")

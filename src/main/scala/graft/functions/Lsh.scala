@@ -33,6 +33,9 @@ object Lsh {
     * expression, so column pruning cannot drop the check. */
   def unsignedHalf(c: Column, name: String): Column =
     when(c >= 0L && c <= 4294967295L, c).otherwise(raise_error(
+      // coalesce: a NULL hash fires this branch too (three-valued when),
+      // and concat would null-poison the crafted message exactly when
+      // it is needed
       concat(lit(s"fingerprint banding: $name outside [0, 2^32): "),
-        c.cast("string"))))
+        coalesce(c.cast("string"), lit("NULL")))))
 }

@@ -241,12 +241,12 @@ object CurationOps extends QueryGroup {
         |pieces AS (
         |  SELECT doc_id, nofrag, head,
         |    CASE WHEN starts_with(lower(head), 'http://')
-        |         THEN regexp_replace(lower(head), ':80$', '')
+        |         THEN regexp_replace(lower(head), ':80\z', '')
         |         WHEN starts_with(lower(head), 'https://')
-        |         THEN regexp_replace(lower(head), ':443$', '')
+        |         THEN regexp_replace(lower(head), ':443\z', '')
         |         ELSE lower(head) END AS headc,
         |    regexp_extract(tail, '^([^?]*)', 1) AS path,
-        |    regexp_extract(tail, '^[^?]*\?(.*)$', 1) AS q
+        |    regexp_extract(tail, '^[^?]*\?(.*)\z', 1) AS q
         |  FROM (SELECT doc_id, nofrag, head, substr(nofrag, length(head) + 1) AS tail
         |        FROM hp)),
         |canon AS (

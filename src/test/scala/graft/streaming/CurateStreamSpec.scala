@@ -86,6 +86,10 @@ class CurateStreamSpec extends SparkSuite {
       // http on :443 are real non-default ports, distinct resources
       ("https://h:80/x", "https://h:80/x"),
       ("http://h:443/x", "http://h:443/x"),
+      // trailing newline: '\z' (end of TEXT in Java AND RE2) means the
+      // port does NOT strip — Java's '$' alone would strip it here while
+      // the RE2 oracle would not, silently forking the dedup key
+      ("http://h:80\n", "http://h:80\n"),
       ("http://h/p?z=1&y=2&x=3", "http://h/p?x=3&y=2&z=1"))
     val got = cases.map(_._1).toDF("url")
       .select(graft.functions.Curation.canonicalizeUrl($"url").as("c"))
