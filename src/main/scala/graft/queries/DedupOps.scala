@@ -191,27 +191,32 @@ object DedupOps extends QueryGroup {
     // bits → hashes in SQL and runs the full O(n²) scan the blocking must
     // match. Real-image robustness (re-encode/resize/brightness) is
     // PhashSpec's fixture, where decode can't be recomputed in SQL.
-    "dedup_image_phash" -> ((s, dir) => {
+    "dedup_image_phash" -> ((s, dir) =>
+      phashPairs(imageHashes(s, dir), MaxHamming)),
+
+    // Eval-set leakage scan over decoded IMAGE content — the multimodal
+    // analogue of dedup_decontaminate (an image benchmark must not leak
+    // into the training corpus via re-encodes/near-copies that exact
+    // hashing misses). Eval set = every doc_id ≡ 0 (mod 30)'s image;
+    // emit (doc_id, eval_doc, hamming) for every corpus image within
+    // Hamming ≤ 3 of an eval image — flagging the eval row itself and
+    // its trio near-copies. Scale shape: the eval side is TINY by
+    // construction (a benchmark), so it BROADCASTS and the corpus scan
+    // stays in place — a broadcast nested-loop with |eval| bit_count
+    // compares per row and ZERO shuffles of the corpus, cheaper than
+    // banding + distinct for small eval sets (banding would pay a
+    // pair-dedup exchange; |eval| XORs per row is a few ns each).
+    "dedup_decontaminate_image" -> ((s, dir) => {
       import s.implicits._
-      val hashed = spread(t(s, dir, "documents")).select($"doc_id").as[Long]
-        .mapPartitions { it =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          it.map { id =>
-            val g = id / 3
-            val v = (id % 3).toInt
-            val w = (18 + g % 23).toInt
-            val h = (16 + (g * 3) % 17).toInt
-            val blob = graft.multimodal.Multimodal.SyntheticImages.gray(w, h) { (x, y) =>
-              val base = md.digest(
-                s"$g|$x|$y".getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
-              if (x < w / 9 && y < h / 8) (base + 24 * v) % 256 else base
-            }
-            val (hi, lo) = graft.multimodal.Phash.dhashBlob(blob).getOrElse(
-              throw new IllegalStateException(s"PNG decode failed for doc $id"))
-            (id, hi, lo)
-          }
-        }.toDF("doc_id", "h_hi", "h_lo")
-      phashPairs(hashed, MaxHamming)
+      val hashed = imageHashes(s, dir).localCheckpoint()
+      val eval = hashed.filter($"doc_id" % 30 === 0)
+        .select($"doc_id".as("eval_doc"), $"h_hi".as("e_hi"), $"h_lo".as("e_lo"))
+      hashed.join(broadcast(eval),
+          bit_count($"h_hi".bitwiseXOR($"e_hi")) +
+            bit_count($"h_lo".bitwiseXOR($"e_lo")) <= MaxHamming)
+        .select($"doc_id", $"eval_doc",
+          (bit_count($"h_hi".bitwiseXOR($"e_hi")) +
+            bit_count($"h_lo".bitwiseXOR($"e_lo"))).as("hamming"))
     }),
 
     // Near-dup pairs among decoded AUDIO content (graft.multimodal.Afp:
@@ -329,6 +334,68 @@ object DedupOps extends QueryGroup {
         bit_count($"ha_hi".bitwiseXOR($"hb_hi")) + bit_count($"ha_lo".bitwiseXOR($"hb_lo")))
       .filter($"hamming" <= maxHamming)
       .select($"doc_a", $"doc_b", $"hamming")
+  }
+
+  /** The decoded-image dHash pipeline in DuckDB terms (pixels → 9×8
+    * block means → comparison bits → (h_hi, h_lo)), shared by the
+    * image-phash and image-decontaminate oracles. Mirrors
+    * [[imageHashes]] arithmetic exactly. */
+  private val SqlImageHashes =
+    """WITH docs AS (
+      |  SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS v,
+      |    18 + (doc_id // 3) % 23 AS w, 16 + ((doc_id // 3) * 3) % 17 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, x * 9 // w AS cx, y * 8 // h AS cy,
+      |    CASE WHEN x < w // 9 AND y < h // 8
+      |      THEN (('0x' || substr(md5(CAST(g AS VARCHAR) || '|' || CAST(x AS VARCHAR)
+      |        || '|' || CAST(y AS VARCHAR)), 1, 2))::BIGINT + 24 * v) % 256
+      |      ELSE ('0x' || substr(md5(CAST(g AS VARCHAR) || '|' || CAST(x AS VARCHAR)
+      |        || '|' || CAST(y AS VARCHAR)), 1, 2))::BIGINT END AS p
+      |  FROM docs, generate_series(0, 39) gx(x), generate_series(0, 31) gy(y)
+      |  WHERE x < w AND y < h),
+      |cells AS (
+      |  SELECT doc_id, cx, cy, CAST(SUM(p) AS BIGINT) // COUNT(*) AS m
+      |  FROM px GROUP BY doc_id, cx, cy),
+      |bits AS (
+      |  SELECT a.doc_id, a.cy * 8 + a.cx AS k,
+      |    CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b
+      |    ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+      |  WHERE a.cx < 8),
+      |hashes AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN k >= 32 THEN bit * CAST(POWER(2, k - 32) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS h_hi,
+      |    CAST(SUM(CASE WHEN k < 32 THEN bit * CAST(POWER(2, k) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS h_lo
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** Decoded-image dHash rows (doc_id, h_hi, h_lo) over the synthetic
+    * trio corpus — the real PNG encode → ImageIO decode → Phash path,
+    * shared by dedup_image_phash and dedup_decontaminate_image. Trios
+    * (g = doc_id/3): md5-byte pixels (groups independent), variants
+    * v=1,2 brighten the top-left dHash cell only (≤ 1 bit apart). */
+  private def imageHashes(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    spread(t(s, dir, "documents")).select($"doc_id").as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+          val g = id / 3
+          val v = (id % 3).toInt
+          val w = (18 + g % 23).toInt
+          val h = (16 + (g * 3) % 17).toInt
+          val blob = graft.multimodal.Multimodal.SyntheticImages.gray(w, h) { (x, y) =>
+            val base = md.digest(
+              s"$g|$x|$y".getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+            if (x < w / 9 && y < h / 8) (base + 24 * v) % 256 else base
+          }
+          val (hi, lo) = graft.multimodal.Phash.dhashBlob(blob).getOrElse(
+            throw new IllegalStateException(s"PNG decode failed for doc $id"))
+          (id, hi, lo)
+        }
+      }.toDF("doc_id", "h_hi", "h_lo")
   }
 
   /** Candidate pairs + exact jaccard over a (doc_id, sharr) relation —
@@ -608,42 +675,24 @@ object DedupOps extends QueryGroup {
     // k = cy*8+cx set iff the right cell mean exceeds the left, halves
     // assembled as non-negative BIGINTs — then the FULL O(n²) scan, which
     // the banded query must equal exactly (MaxHamming < bands).
-    "dedup_image_phash" ->
-      """WITH docs AS (
-        |  SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS v,
-        |    18 + (doc_id // 3) % 23 AS w, 16 + ((doc_id // 3) * 3) % 17 AS h
-        |  FROM documents),
-        |px AS (
-        |  SELECT doc_id, x * 9 // w AS cx, y * 8 // h AS cy,
-        |    CASE WHEN x < w // 9 AND y < h // 8
-        |      THEN (('0x' || substr(md5(CAST(g AS VARCHAR) || '|' || CAST(x AS VARCHAR)
-        |        || '|' || CAST(y AS VARCHAR)), 1, 2))::BIGINT + 24 * v) % 256
-        |      ELSE ('0x' || substr(md5(CAST(g AS VARCHAR) || '|' || CAST(x AS VARCHAR)
-        |        || '|' || CAST(y AS VARCHAR)), 1, 2))::BIGINT END AS p
-        |  FROM docs, generate_series(0, 39) gx(x), generate_series(0, 31) gy(y)
-        |  WHERE x < w AND y < h),
-        |cells AS (
-        |  SELECT doc_id, cx, cy, CAST(SUM(p) AS BIGINT) // COUNT(*) AS m
-        |  FROM px GROUP BY doc_id, cx, cy),
-        |bits AS (
-        |  SELECT a.doc_id, a.cy * 8 + a.cx AS k,
-        |    CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
-        |  FROM cells a JOIN cells b
-        |    ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
-        |  WHERE a.cx < 8),
-        |hashes AS (
-        |  SELECT doc_id,
-        |    CAST(SUM(CASE WHEN k >= 32 THEN bit * CAST(POWER(2, k - 32) AS BIGINT)
-        |      ELSE 0 END) AS BIGINT) AS h_hi,
-        |    CAST(SUM(CASE WHEN k < 32 THEN bit * CAST(POWER(2, k) AS BIGINT)
-        |      ELSE 0 END) AS BIGINT) AS h_lo
-        |  FROM bits GROUP BY doc_id)
+    "dedup_image_phash" -> (SqlImageHashes +
+      """
         |SELECT doc_a, doc_b, hamming FROM (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    CAST(bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo))
         |      AS INTEGER) AS hamming
         |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id)
-        |WHERE hamming <= 3""".stripMargin,
+        |WHERE hamming <= 3""".stripMargin),
+
+    // same hash pipeline, eval-join tail (eval = doc_id ≡ 0 mod 30)
+    "dedup_decontaminate_image" -> (SqlImageHashes +
+      """
+        |SELECT doc_id, eval_doc, hamming FROM (
+        |  SELECT c.doc_id, e.doc_id AS eval_doc,
+        |    CAST(bit_count(xor(c.h_hi, e.h_hi)) + bit_count(xor(c.h_lo, e.h_lo))
+        |      AS INTEGER) AS hamming
+        |  FROM hashes c JOIN hashes e ON e.doc_id % 30 = 0)
+        |WHERE hamming <= 3""".stripMargin),
 
     // The WAV round trip is lossless 16-bit PCM, so the oracle recomputes
     // the SIGNAL arithmetically (samples alternate sign, so |sample| is

@@ -102,4 +102,25 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange rangepartitioning"),
       s"slice_rows must not range-shuffle the full input:\n$p")
   }
+
+  test("curation per-row stages are zero-shuffle narrow pipelines") {
+    // the r8 rep_metrics kernel plan: scan -> kernel project -> filter,
+    // nothing wide; the r7 explode+agg form paid two Exchanges + a join
+    Seq("quality_repetition", "text_pii_redact").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange") && !p.contains("Join"),
+        s"$q must stay a narrow per-row plan:\n$p")
+    }
+  }
+
+  test("media near-dup pair joins stay equi-joins on (band, bucket)") {
+    // the shared phashPairs plan: a cartesian/nested-loop here is the
+    // O(n^2) blowup the banding exists to prevent
+    Seq("dedup_image_phash", "dedup_audio_fingerprint", "dedup_video_phash")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"$q degenerated into an all-pairs product:\n$p")
+      }
+  }
 }
