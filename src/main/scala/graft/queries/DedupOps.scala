@@ -197,19 +197,22 @@ object DedupOps extends QueryGroup {
     // Eval-set leakage scan over decoded IMAGE content — the multimodal
     // analogue of dedup_decontaminate (an image benchmark must not leak
     // into the training corpus via re-encodes/near-copies that exact
-    // hashing misses). Eval set = every doc_id ≡ 0 (mod 30)'s image;
-    // emit (doc_id, eval_doc, hamming) for every corpus image within
-    // Hamming ≤ 3 of an eval image — flagging the eval row itself and
-    // its trio near-copies. Scale shape: the eval side is TINY by
-    // construction (a benchmark), so it BROADCASTS and the corpus scan
-    // stays in place — a broadcast nested-loop with |eval| bit_count
-    // compares per row and ZERO shuffles of the corpus, cheaper than
-    // banding + distinct for small eval sets (banding would pay a
-    // pair-dedup exchange; |eval| XORs per row is a few ns each).
+    // hashing misses). Eval set = doc_id ≡ 0 (mod 30) within the first
+    // 3000 ids — the id CAP models what a real benchmark is: a FIXED
+    // set that does not grow with the corpus (≤ 100 images at any SF),
+    // so the broadcast build side is bounded at any corpus size and the
+    // per-row compare count is a constant, not n/30. Emit (doc_id,
+    // eval_doc, hamming) for every corpus image within Hamming ≤ 3 of
+    // an eval image — flagging the eval row itself and its trio
+    // near-copies. Scale shape: the eval side BROADCASTS and the
+    // corpus scan stays in place — a broadcast nested-loop with |eval|
+    // bit_count compares per row and ZERO shuffles of the corpus,
+    // cheaper than banding + distinct for small eval sets (banding
+    // would pay a pair-dedup exchange; an XOR compare is a few ns).
     "dedup_decontaminate_image" -> ((s, dir) => {
       import s.implicits._
       val hashed = imageHashes(s, dir).localCheckpoint()
-      val eval = hashed.filter($"doc_id" % 30 === 0)
+      val eval = hashed.filter($"doc_id" % 30 === 0 && $"doc_id" < 3000)
         .select($"doc_id".as("eval_doc"), $"h_hi".as("e_hi"), $"h_lo".as("e_lo"))
       hashed.join(broadcast(eval),
           bit_count($"h_hi".bitwiseXOR($"e_hi")) +
@@ -684,14 +687,15 @@ object DedupOps extends QueryGroup {
         |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id)
         |WHERE hamming <= 3""".stripMargin),
 
-    // same hash pipeline, eval-join tail (eval = doc_id ≡ 0 mod 30)
+    // same hash pipeline, eval-join tail (eval = doc_id ≡ 0 mod 30,
+    // capped to the first 3000 ids — a fixed-size benchmark)
     "dedup_decontaminate_image" -> (SqlImageHashes +
       """
         |SELECT doc_id, eval_doc, hamming FROM (
         |  SELECT c.doc_id, e.doc_id AS eval_doc,
         |    CAST(bit_count(xor(c.h_hi, e.h_hi)) + bit_count(xor(c.h_lo, e.h_lo))
         |      AS INTEGER) AS hamming
-        |  FROM hashes c JOIN hashes e ON e.doc_id % 30 = 0)
+        |  FROM hashes c JOIN hashes e ON e.doc_id % 30 = 0 AND e.doc_id < 3000)
         |WHERE hamming <= 3""".stripMargin),
 
     // The WAV round trip is lossless 16-bit PCM, so the oracle recomputes
