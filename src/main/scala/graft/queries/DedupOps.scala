@@ -51,6 +51,13 @@ object DedupOps extends QueryGroup {
   // least one band identical), so banded recall == full-scan recall and
   // the O(n²) oracle checks the blocked plan bit-for-bit.
   private val MaxHamming = 3
+  // dedup_semantic coarse quantizer: 16 fixed-sample centroids (vec_id
+  // 100..115 — the similarity_ivf sample; any fixed quantizer is a valid
+  // SemDeDup partition, k-means training tightens clusters but adds
+  // nothing structural, and the fixed sample keeps the oracle
+  // deterministic). In a deployment nlist scales with corpus size so
+  // cluster population stays bounded (the paper's regime).
+  private val SemClusters = 16
 
   /** (doc_id, sharr): distinct 3-token shingles per document, in-row. */
   private def shingleArrays(s: SparkSession, dir: String): DataFrame = {
@@ -539,6 +546,73 @@ object DedupOps extends QueryGroup {
           round(native.decimal_dot($"ea", $"eb").cast("double") / ($"na" * $"nb"), 9))
         .filter($"cosine" >= CosineThreshold)
         .select($"id_a", $"id_b", $"cosine")
+    }),
+
+    // semantic dedup (the SemDeDup frame: cluster the embedding space,
+    // then search for near-duplicates only WITHIN a cluster, and emit a
+    // per-document keep/drop verdict — the form a curation pipeline
+    // consumes). Three stages, each scale-shaped:
+    //  1. assignment: nearest of [[SemClusters]] fixed-sample centroids by
+    //     exact-decimal L2 score (argmin ‖v−c‖² ≡ argmin ‖c‖² − 2·v·c, the
+    //     similarity_ivf quantizer — decimal dots make DuckDB assign
+    //     identically); min(struct(score, cid)) is the sort-free argmin
+    //     with the tiebreak built in. One broadcast, no shuffle.
+    //  2. candidates: within a cluster, pairs are blocked by the 32-plane
+    //     sign-LSH bands (the dedup_embed_cosine construction) — the join
+    //     key is (cid, band, bucket), so two vectors meet only if they
+    //     share BOTH the semantic cluster and a band bucket. Band rows
+    //     carry 4 ints; no embedding arrays move through the wide steps.
+    //  3. verify: filter-verify exact cosine ≥ [[CosineThreshold]] (margin
+    //     argument at dedup_embed_cosine), then a per-doc fold: a vector
+    //     is a duplicate iff some LOWER-id cluster-mate is within the
+    //     threshold — keeper = min id per near-dup group, the
+    //     deterministic greedy rule — with dup_of = that partner and
+    //     n_dups = how many lower-id partners matched.
+    // Output: one row per vector (vec_id, cid, dup_of, n_dups); keepers
+    // have dup_of NULL / n_dups 0. Oracle replays every stage exactly.
+    "dedup_semantic" -> ((s, dir) => {
+      import s.implicits._
+      // emb feeds centroids, assignment, banding, and both verify sides
+      val emb = spread(t(s, dir, "embeddings"))
+        .select($"vec_id", $"embedding",
+          sqrt(native.decimal_dot($"embedding", $"embedding").cast("double")).as("nrm"),
+          native.lsh_bucket($"embedding", EmbedPlanes).as("sig"))
+        .localCheckpoint()
+      val cent = emb.filter($"vec_id" >= 100 && $"vec_id" < 100 + SemClusters)
+        .select($"vec_id".as("cid"), $"embedding".as("cemb"),
+          ($"nrm" * $"nrm").as("c2"))
+      val assign = emb.crossJoin(broadcast(cent))
+        .select($"vec_id", struct(
+          ($"c2" - lit(2.0) * native.decimal_dot($"embedding", $"cemb")
+            .cast("double")).as("score"), $"cid").as("sc"))
+        .groupBy($"vec_id").agg(min($"sc").as("m"))
+        .select($"vec_id", $"m.cid".as("cid"))
+      val banded = assign.join(emb.select($"vec_id", $"sig"), "vec_id")
+        .select($"vec_id", $"cid",
+          posexplode(array((0 until EmbedBands).map(b =>
+            shiftright($"sig", b * EmbedBandBits)
+              .bitwiseAND(lit((1L << EmbedBandBits) - 1))): _*)))
+        .toDF("vec_id", "cid", "band", "bucket")
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.cid") === col("y.cid") && col("x.band") === col("y.band") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .distinct() // a pair can collide in several bands
+        .repartition(s.sparkContext.defaultParallelism)
+      val pairs = cand
+        .join(emb.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"nrm".as("na")), "id_a")
+        .join(emb.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"nrm".as("nb")), "id_b")
+        .filter(native.double_dot($"ea", $"eb") / ($"na" * $"nb") >= CosineThreshold - 1e-9)
+        .withColumn("cosine",
+          round(native.decimal_dot($"ea", $"eb").cast("double") / ($"na" * $"nb"), 9))
+        .filter($"cosine" >= CosineThreshold)
+      val dups = pairs.groupBy($"id_b")
+        .agg(min($"id_a").as("dup_of"), count(lit(1)).as("n_dups"))
+        .withColumnRenamed("id_b", "vec_id")
+      assign.join(dups, Seq("vec_id"), "left")
+        .select($"vec_id", $"cid", $"dup_of",
+          coalesce($"n_dups", lit(0L)).as("n_dups"))
     })
   )
 
@@ -809,6 +883,74 @@ object DedupOps extends QueryGroup {
          |  FROM dots
          |  JOIN norms na ON na.vec_id = id_a
          |  JOIN norms nb ON nb.vec_id = id_b)
-         |WHERE cosine >= $CosineThreshold""".stripMargin
+         |WHERE cosine >= $CosineThreshold""".stripMargin,
+
+    // replays the Spark plan stage for stage: same fixed-sample centroids
+    // and exact-decimal assignment (the similarity_ivf oracle), same
+    // 32-plane banding (the dedup_embed_cosine oracle), same exact cosine
+    // and min-id verdict fold.
+    "dedup_semantic" ->
+      s"""WITH c AS (
+         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)),
+         |norms AS (
+         |  SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+         |  FROM c GROUP BY vec_id),
+         |cent AS (SELECT vec_id AS cid FROM embeddings
+         |  WHERE vec_id >= 100 AND vec_id < ${100 + SemClusters}),
+         |cdot AS (
+         |  SELECT cv.vec_id, cc.vec_id AS cid,
+         |    CAST(SUM(CAST(cv.x * cc.x AS DECIMAL(38,20))) AS DOUBLE) AS dot
+         |  FROM c cv JOIN c cc ON cv.i = cc.i
+         |  JOIN cent ON cc.vec_id = cent.cid
+         |  GROUP BY cv.vec_id, cc.vec_id),
+         |scored AS (
+         |  SELECT cdot.vec_id, cid, (cn.nrm * cn.nrm) - 2 * dot AS score
+         |  FROM cdot JOIN norms cn ON cn.vec_id = cid),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |r AS (
+         |  SELECT h, i,
+         |    ((('0x' || substr(md5(CAST(h AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 6))::BIGINT
+         |      % 1000) - 500) / 1000.0 AS rv
+         |  FROM UNNEST(generate_series(1, $EmbedPlanes)) t1(h),
+         |    UNNEST(generate_series(1, (SELECT MAX(len(embedding)) FROM embeddings))) t2(i)),
+         |bits AS (
+         |  SELECT c.vec_id, r.h,
+         |    CASE WHEN SUM(CAST(c.x * r.rv AS DECIMAL(38,20))) >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM c JOIN r ON c.i = r.i
+         |  GROUP BY c.vec_id, r.h),
+         |bands AS (
+         |  SELECT vec_id, CAST((h - 1) // $EmbedBandBits AS INTEGER) AS band,
+         |    CAST(SUM(bit * CAST(POWER(2, (h - 1) % $EmbedBandBits) AS BIGINT)) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY vec_id, CAST((h - 1) // $EmbedBandBits AS INTEGER)),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  JOIN assign ax ON ax.vec_id = x.vec_id
+         |  JOIN assign ay ON ay.vec_id = y.vec_id AND ay.cid = ax.cid),
+         |dots AS (
+         |  SELECT cand.id_a, cand.id_b,
+         |    CAST(SUM(CAST(ca.x * cb.x AS DECIMAL(38,20))) AS DOUBLE) AS dot
+         |  FROM cand
+         |  JOIN c ca ON ca.vec_id = cand.id_a
+         |  JOIN c cb ON cb.vec_id = cand.id_b AND cb.i = ca.i
+         |  GROUP BY cand.id_a, cand.id_b),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), 9) AS cosine
+         |    FROM dots
+         |    JOIN norms na ON na.vec_id = id_a
+         |    JOIN norms nb ON nb.vec_id = id_b)
+         |  WHERE cosine >= $CosineThreshold),
+         |dups AS (
+         |  SELECT id_b AS vec_id, MIN(id_a) AS dup_of, COUNT(*) AS n_dups
+         |  FROM pairs GROUP BY id_b)
+         |SELECT a.vec_id, a.cid, d.dup_of, COALESCE(d.n_dups, 0) AS n_dups
+         |FROM assign a LEFT JOIN dups d USING (vec_id)""".stripMargin
   )
 }
