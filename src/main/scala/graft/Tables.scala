@@ -2,16 +2,21 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Canonical loaders for the driver-provided parquet tables (TESTDATA.md).
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark 4 cannot
-  * read natively; sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`
-  * (see [[Sessions]]), which surfaces the column as a nanosecond LONG. We
-  * normalize it to a microsecond TimestampType by truncation — exactly what
-  * DuckDB (the driver's oracle engine) does when it reads the same file, so
-  * both engines observe identical timestamp values.
+  * `events.ts` has shipped in two physical spellings across testdata
+  * generations, and the loader normalizes BOTH to a microsecond
+  * `TimestampType` (µs UTC instant — sessions pin UTC, see [[Sessions]])
+  * so every query sees one type:
+  *  - parquet TIMESTAMP(NANOS), which Spark 4 cannot read natively;
+  *    sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and the
+  *    column surfaces as a nanosecond LONG → truncate to µs, exactly what
+  *    DuckDB (the driver's oracle engine) does reading the same file;
+  *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4
+  *    surfaces as `TIMESTAMP_NTZ` → cast to TimestampType, value-
+  *    preserving under the UTC session, matching DuckDB's naive read.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -20,9 +25,12 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000L)"))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000L)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 }
 
