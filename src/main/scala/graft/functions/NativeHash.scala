@@ -252,6 +252,31 @@ object ExprKernels {
     * matches `filter(split(text, " "), t => t =!= "")`. Splitting on the
     * raw 0x20 byte is UTF-8-safe (continuation bytes are ≥ 0x80).
     */
+  /** Unicode NFC normalization of a string value. ASCII fast path: every
+    * pure-ASCII string is already NFC-normal (ASCII characters neither
+    * decompose nor combine), so one byte scan returns the input UNCHANGED
+    * — zero-copy, no String materialization — unless a high bit appears.
+    * Non-ASCII strings take `java.text.Normalizer` (the JDK's Unicode
+    * tables), with an `isNormalized` pre-check so already-normal text
+    * still avoids the rebuild. On web corpora most documents never leave
+    * the fast path, which is what makes NFC affordable as a default
+    * pipeline stage at 100 TB.
+    */
+  def nfc(text: UTF8String): UTF8String = {
+    val b = text.getBytes
+    var i = 0
+    while (i < b.length) {
+      if (b(i) < 0) {
+        val s = text.toString
+        return if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+        else UTF8String.fromString(
+          java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+      }
+      i += 1
+    }
+    text
+  }
+
   def tokens(text: UTF8String): ArrayData = {
     val bytes = text.getBytes
     val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
@@ -583,6 +608,18 @@ case class Tokens(child: Expression) extends UnaryExpression with ExpectsInputTy
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (see [[ExprKernels.nfc]]). */
+case class NfcNormalize(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(text: Any): Any =
+    ExprKernels.nfc(text.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Distinct 3-token shingles (see [[ExprKernels.shingles3]]). */
 case class Shingles3(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(StringType)
@@ -686,6 +723,9 @@ object native {
 
   /** Distinct 3-token shingles of a text column. */
   def shingles3(text: Column): Column = col(Shingles3(expr(text)))
+
+  /** Unicode NFC normalization of a text column (ASCII = zero-copy). */
+  def nfc(text: Column): Column = col(NfcNormalize(expr(text)))
 
   /** Merge-table BPE tokens (learned default vocab) of a text column. */
   def bpe_tokens(text: Column): Column = col(BpeEncode(expr(text)))

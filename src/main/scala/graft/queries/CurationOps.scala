@@ -38,6 +38,14 @@ object CurationOps extends QueryGroup {
   private val PackShards = 8L // deterministic output shards
   private val TokenBudget = 2048L // BPE tokens per training window (GPT-style context)
 
+  // --- text_normalize -------------------------------------------------
+  // C0 control chars except \t \r \n (those are whitespace — the collapse
+  // handles them) plus DEL: the strip class of every web-text cleaner.
+  // Both classes are pure-ASCII ranges, so Java and RE2 compile them
+  // identically (the BpePattern rule).
+  private val CtrlRe = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+  private val WsRe = "[ \\t\\n\\r]+"
+
   override def queries: Map[String, Q] = Map(
     // PII redaction (the C4/RefinedWeb scrub stage): replace emails,
     // IPv4 addresses, and long digit runs with typed placeholders and
@@ -155,6 +163,33 @@ object CurationOps extends QueryGroup {
           PackShards, TokenBudget)
         .select($"doc_id", $"shard", $"n_bpe_tokens", $"seq_start",
           $"window_id", $"window_offset", $"n_windows")
+    }),
+
+    // Text normalization — the first stage of every web-text cleaner:
+    // Unicode NFC (the native.nfc kernel: pure-ASCII rows are detected in
+    // one byte scan and returned zero-copy, so at corpus scale the
+    // Normalizer runs only on rows that can actually change), then strip
+    // C0/DEL control chars, then collapse whitespace runs to single
+    // spaces and trim. The synthetic corpus is already clean ASCII (the
+    // pii_redact situation), so the query appends a CONSTRUCTED suffix
+    // that makes every stage fire on every row: a tab, a double space, a
+    // BEL control, a DECOMPOSED e+U+0301 (NFC must compose it to é —
+    // pinning real cross-engine Unicode composition, not just ASCII
+    // identity), and a CRLF with trailing spaces. n_chars_raw/nfc/norm
+    // expose each stage's length delta, so the hash pins where every
+    // character went. Narrow plan: zero shuffles, one projection.
+    "text_normalize" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("raw", concat($"text",
+          lit("\t tabbed  twice \u0007 caf"), lit("e\u0301"), lit(" \r\nend  ")))
+        .withColumn("nfc", graft.functions.native.nfc($"raw"))
+        .withColumn("clean", regexp_replace($"nfc", CtrlRe, ""))
+        .select($"doc_id",
+          length($"raw").cast("long").as("n_chars_raw"),
+          length($"nfc").cast("long").as("n_chars_nfc"),
+          trim(regexp_replace($"clean", WsRe, " ")).as("text_norm"))
+        .withColumn("n_chars_norm", length($"text_norm").cast("long"))
     })
   )
 
@@ -307,6 +342,28 @@ object CurationOps extends QueryGroup {
          |  seq_start % $TokenBudget AS window_offset,
          |  (seq_start + n_bpe_tokens - 1) // $TokenBudget
          |    - seq_start // $TokenBudget + 1 AS n_windows
-         |FROM off""".stripMargin
+         |FROM off""".stripMargin,
+
+    // same constructed suffix, chr()-spelled (chr(9) tab, chr(7) BEL,
+    // chr(101)||chr(769) = decomposed e + combining acute, chr(13)||
+    // chr(10) CRLF); nfc_normalize is DuckDB's NFC — the composed é must
+    // come out of BOTH engines' Unicode tables for the hash to match.
+    "text_normalize" ->
+      s"""SELECT doc_id, n_chars_raw, n_chars_nfc, text_norm,
+         |  len(text_norm) AS n_chars_norm
+         |FROM (
+         |  SELECT doc_id, n_chars_raw, n_chars_nfc,
+         |    trim(regexp_replace(clean, '$WsRe', ' ', 'g')) AS text_norm
+         |  FROM (
+         |    SELECT doc_id, len(raw) AS n_chars_raw, len(n) AS n_chars_nfc,
+         |      regexp_replace(n, '$CtrlRe', '', 'g') AS clean
+         |    FROM (
+         |      SELECT doc_id, raw, nfc_normalize(raw) AS n
+         |      FROM (
+         |        SELECT doc_id,
+         |          text || chr(9) || ' tabbed  twice ' || chr(7) || ' caf'
+         |            || chr(101) || chr(769) || ' ' || chr(13) || chr(10)
+         |            || 'end  ' AS raw
+         |        FROM documents))))""".stripMargin
   )
 }
