@@ -38,6 +38,17 @@ object CurationOps extends QueryGroup {
   private val PackShards = 8L // deterministic output shards
   private val TokenBudget = 2048L // BPE tokens per training window (GPT-style context)
 
+  // --- quality_heuristics ---------------------------------------------
+  // The C4 + Gopher doc-level rule battery: minimum word count, mean
+  // word length band, required stopword diversity (Gopher's "has >= 2 of
+  // a small stopword set"), and the C4 content flags (curly brace =
+  // code page, "lorem ipsum" = template page).
+  private val MinWords = 5L
+  private val MinMeanWordLen = 3.0
+  private val MaxMeanWordLen = 10.0
+  private val MinStopHits = 2L
+  private val HeurStops = Seq("the", "a", "and", "of", "to", "in")
+
   // --- text_normalize -------------------------------------------------
   // C0 control chars except \t \r \n (those are whitespace — the collapse
   // handles them) plus DEL: the strip class of every web-text cleaner.
@@ -190,6 +201,44 @@ object CurationOps extends QueryGroup {
           length($"nfc").cast("long").as("n_chars_nfc"),
           trim(regexp_replace($"clean", WsRe, " ")).as("text_norm"))
         .withColumn("n_chars_norm", length($"text_norm").cast("long"))
+    }),
+
+    // Heuristic quality filter — the C4 + Gopher doc-level battery:
+    // word count >= MinWords, mean word length inside [3, 10], stopword
+    // diversity (>= MinStopHits distinct members of a 6-word stop set
+    // present — Gopher's cheap English-ness gate), no '{' (C4's code-page
+    // flag), no 'lorem ipsum' (C4's template-page flag). The corpus is
+    // brace- and lorem-free, so the flags are armed by a CONSTRUCTED
+    // suffix on deterministic doc_id slices (the pii_redact pattern) —
+    // every rule genuinely fires somewhere and the keep verdict varies.
+    // mean_word_len is one exact long sum / IEEE division, round 9 both
+    // engines. Narrow plan, zero shuffles, one linear fold per row.
+    "quality_heuristics" -> ((s, dir) => {
+      import s.implicits._
+      val stopsArr = array(HeurStops.map(lit): _*)
+      t(s, dir, "documents")
+        .withColumn("raw", concat($"text",
+          when($"doc_id" % 7 === 0, " {code}").otherwise(""),
+          when($"doc_id" % 11 === 0, " lorem ipsum dolor").otherwise("")))
+        .withColumn("toks", graft.functions.native.tokens($"raw"))
+        .select($"doc_id",
+          size($"toks").cast("long").as("n_words"),
+          expr("aggregate(toks, 0L, (a, w) -> a + length(w))").as("wchars"),
+          size(filter(stopsArr, sw => array_contains($"toks", sw)))
+            .cast("long").as("n_stop_hits"),
+          $"raw".contains("{").as("has_brace"),
+          $"raw".contains("lorem ipsum").as("has_lorem"))
+        .withColumn("mean_word_len",
+          when($"n_words" > 0,
+            round($"wchars".cast("double") / $"n_words", 9)))
+        .withColumn("keep",
+          $"n_words" >= MinWords &&
+            $"mean_word_len" >= MinMeanWordLen &&
+            $"mean_word_len" <= MaxMeanWordLen &&
+            !$"has_brace" && !$"has_lorem" &&
+            $"n_stop_hits" >= MinStopHits)
+        .select($"doc_id", $"n_words", $"mean_word_len", $"n_stop_hits",
+          $"has_brace", $"has_lorem", $"keep")
     })
   )
 
@@ -364,6 +413,34 @@ object CurationOps extends QueryGroup {
          |          text || chr(9) || ' tabbed  twice ' || chr(7) || ' caf'
          |            || chr(101) || chr(769) || ' ' || chr(13) || chr(10)
          |            || 'end  ' AS raw
-         |        FROM documents))))""".stripMargin
+         |        FROM documents))))""".stripMargin,
+
+    "quality_heuristics" ->
+      s"""SELECT doc_id, n_words, mean_word_len, n_stop_hits,
+         |  has_brace, has_lorem,
+         |  (n_words >= $MinWords
+         |    AND mean_word_len >= $MinMeanWordLen
+         |    AND mean_word_len <= $MaxMeanWordLen
+         |    AND NOT has_brace AND NOT has_lorem
+         |    AND n_stop_hits >= $MinStopHits) AS keep
+         |FROM (
+         |  SELECT doc_id, len(toks) AS n_words,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      ROUND(CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+         |        / len(toks), 9) END AS mean_word_len,
+         |    CAST(len(list_filter(
+         |      [${HeurStops.map(w => s"'$w'").mkString(", ")}],
+         |      s -> list_contains(toks, s))) AS BIGINT) AS n_stop_hits,
+         |    contains(raw, '{') AS has_brace,
+         |    contains(raw, 'lorem ipsum') AS has_lorem
+         |  FROM (
+         |    SELECT doc_id, raw,
+         |      list_filter(string_split(raw, ' '), x -> x <> '') AS toks
+         |    FROM (
+         |      SELECT doc_id,
+         |        text || (CASE WHEN doc_id % 7 = 0 THEN ' {code}' ELSE '' END)
+         |          || (CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum dolor' ELSE '' END)
+         |          AS raw
+         |      FROM documents)))""".stripMargin
   )
 }
