@@ -55,6 +55,48 @@ object PipelineOps extends QueryGroup {
         .select($"doc_id", $"source", $"u_millionths")
     }),
 
+    // Temperature-scaled source mixing — the multilingual-corpus rebalance
+    // (the mT5/XLM-R move): source shares p_s are flattened to
+    // q_s ∝ p_s^α and each doc is admitted with probability
+    // rate_s = (q_s/p_s) / max_rate, so the rarest source keeps 100% and
+    // dominant sources are downsampled toward parity. α = 1/2 ON PURPOSE:
+    // p^0.5 is sqrt — IEEE-754 correctly rounded in every engine — where
+    // a general pow() is libm-dependent (the text_lm_surprisal rationale),
+    // so every rate is bit-identical cross-engine; the one multi-term sum
+    // (Z = Σ√p_s) runs through the exact decimal cast. The corpus's real
+    // sources are EXACTLY uniform (25 docs each — flattening would be a
+    // no-op, every rate 1.0), so the mix key is a CONSTRUCTED skewed
+    // label floor(sqrt(doc_id % 100)): buckets 0..9 with 1:3:...:19
+    // populations (the pii_redact pattern) — the downsampling genuinely
+    // bites, bucket 9 keeps ~23%. Admission reuses the mix_weighted
+    // md5-uniform. Plan: one tiny count agg (10 rows), three 1-row
+    // broadcasts, then a narrow broadcast-join scan — the corpus never
+    // shuffles at any scale.
+    "mix_temperature" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .withColumn("mix_src",
+          floor(sqrt(($"doc_id" % 100L).cast("double"))).cast("long"))
+      val counts = docs.groupBy($"mix_src").agg(count(lit(1)).as("n_s"))
+      val tot = counts.agg(sum($"n_s").as("n_total"))
+      val w = counts.crossJoin(broadcast(tot))
+        .withColumn("w_s", sqrt($"n_s".cast("double") / $"n_total"))
+      val z = w.agg(sum(dec($"w_s", 18)).cast("double").as("z"))
+      val rates = w.crossJoin(broadcast(z))
+        .withColumn("rate", $"w_s" / $"z" * $"n_total" / $"n_s")
+      val mx = rates.agg(max($"rate").as("max_rate"))
+      val rateM = rates.crossJoin(broadcast(mx))
+        .withColumn("rate_millionths",
+          floor($"rate" / $"max_rate" * 1000000.0).cast("long"))
+        .select($"mix_src", $"rate_millionths")
+      val u = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000L
+      docs.join(broadcast(rateM), "mix_src")
+        .withColumn("u_millionths", u)
+        .filter($"u_millionths" < $"rate_millionths")
+        .select($"doc_id", $"mix_src", $"rate_millionths", $"u_millionths")
+    }),
+
     // Deterministic corpus shuffle — the last step every training
     // pipeline runs: a seeded, restart-stable global permutation. Sort
     // key = md5(seed|doc_id), so the order is a pseudo-random function
@@ -96,6 +138,36 @@ object PipelineOps extends QueryGroup {
          |  FROM documents)
          |WHERE ${Weights.map { case (s0, w) =>
              s"(source = '$s0' AND u_millionths < $w)" }.mkString(" OR ")}""".stripMargin,
+
+    "mix_temperature" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CAST(FLOOR(sqrt(CAST(doc_id % 100 AS DOUBLE))) AS BIGINT) AS mix_src
+        |  FROM documents),
+        |counts AS (
+        |  SELECT mix_src, COUNT(*) AS n_s FROM docs GROUP BY mix_src),
+        |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_total FROM counts),
+        |w AS (
+        |  SELECT mix_src, n_s, n_total,
+        |    sqrt(CAST(n_s AS DOUBLE) / n_total) AS w_s
+        |  FROM counts CROSS JOIN tot),
+        |z AS (SELECT CAST(SUM(CAST(w_s AS DECIMAL(38,18))) AS DOUBLE) AS z FROM w),
+        |rates AS (
+        |  SELECT mix_src, n_s, n_total, w_s / z * n_total / n_s AS rate
+        |  FROM w CROSS JOIN z),
+        |mx AS (SELECT MAX(rate) AS max_rate FROM rates),
+        |rm AS (
+        |  SELECT mix_src,
+        |    CAST(FLOOR(rate / max_rate * 1000000.0) AS BIGINT) AS rate_millionths
+        |  FROM rates CROSS JOIN mx)
+        |SELECT d.doc_id, d.mix_src, rm.rate_millionths, d.u_millionths
+        |FROM (
+        |  SELECT doc_id, mix_src,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 1000000 AS u_millionths
+        |  FROM docs) d
+        |JOIN rm USING (mix_src)
+        |WHERE d.u_millionths < rm.rate_millionths""".stripMargin,
 
     "shuffle_deterministic" ->
       s"""SELECT doc_id,
