@@ -18,6 +18,51 @@ object Curation {
   val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
   val LongNumRe = "\\b\\d{7,}\\b"
 
+  // text_normalize classes (pure-ASCII ranges — Java and RE2 compile
+  // them identically): C0 controls except \t \r \n, plus DEL; and the
+  // whitespace-run class the collapse rewrites to single spaces.
+  val CtrlRe = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+  val WsRe = "[ \\t\\n\\r]+"
+
+  /** Web-text normalization: Unicode NFC (native.nfc — zero-copy on
+    * pure-ASCII rows), strip C0/DEL controls, collapse whitespace runs
+    * to single spaces, trim. Stateless per-row column transform — valid
+    * on batch and streaming frames alike. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(native.nfc(c), CtrlRe, ""), WsRe, " "))
+
+  /** The C4 + Gopher doc-level heuristic battery over a text column:
+    * word count, mean word length, stopword diversity, code-page ('{')
+    * and template-page ('lorem ipsum') flags, folded into a keep
+    * verdict (queries/CurationOps.quality_heuristics is the oracle-
+    * checked instance). Adds `n_words, mean_word_len, n_stop_hits,
+    * has_brace, has_lorem, keep`. Stateless per-row plan. */
+  def qualityHeuristics(df: DataFrame, textCol: String,
+                        minWords: Long, minMeanWordLen: Double,
+                        maxMeanWordLen: Double, minStopHits: Long,
+                        stops: Seq[String]): DataFrame = {
+    val stopsArr = array(stops.map(lit): _*)
+    df.withColumn("__toks", native.tokens(col(textCol)))
+      .withColumn("n_words", size(col("__toks")).cast("long"))
+      .withColumn("__wchars",
+        expr("aggregate(__toks, 0L, (a, w) -> a + length(w))"))
+      .withColumn("n_stop_hits",
+        size(filter(stopsArr, sw => array_contains(col("__toks"), sw)))
+          .cast("long"))
+      .withColumn("has_brace", col(textCol).contains("{"))
+      .withColumn("has_lorem", col(textCol).contains("lorem ipsum"))
+      .withColumn("mean_word_len",
+        when(col("n_words") > 0,
+          round(col("__wchars").cast("double") / col("n_words"), 9)))
+      .withColumn("keep",
+        col("n_words") >= minWords &&
+          col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen &&
+          !col("has_brace") && !col("has_lorem") &&
+          col("n_stop_hits") >= minStopHits)
+      .drop("__toks", "__wchars")
+  }
+
   /** Chained email → IPv4 → long-digit-run redaction. The chain order
     * prevents double-redaction: digits inside an email or IP are gone
     * before the later passes run. */

@@ -50,12 +50,9 @@ object CurationOps extends QueryGroup {
   private val HeurStops = Seq("the", "a", "and", "of", "to", "in")
 
   // --- text_normalize -------------------------------------------------
-  // C0 control chars except \t \r \n (those are whitespace — the collapse
-  // handles them) plus DEL: the strip class of every web-text cleaner.
-  // Both classes are pure-ASCII ranges, so Java and RE2 compile them
-  // identically (the BpePattern rule).
-  private val CtrlRe = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
-  private val WsRe = "[ \\t\\n\\r]+"
+  // Classes live in functions.Curation (shared with the streaming stage).
+  private val CtrlRe = Curation.CtrlRe
+  private val WsRe = Curation.WsRe
 
   override def queries: Map[String, Q] = Map(
     // PII redaction (the C4/RefinedWeb scrub stage): replace emails,
@@ -195,11 +192,12 @@ object CurationOps extends QueryGroup {
         .withColumn("raw", concat($"text",
           lit("\t tabbed  twice \u0007 caf"), lit("e\u0301"), lit(" \r\nend  ")))
         .withColumn("nfc", graft.functions.native.nfc($"raw"))
-        .withColumn("clean", regexp_replace($"nfc", CtrlRe, ""))
         .select($"doc_id",
           length($"raw").cast("long").as("n_chars_raw"),
           length($"nfc").cast("long").as("n_chars_nfc"),
-          trim(regexp_replace($"clean", WsRe, " ")).as("text_norm"))
+          // trim(collapse(strip(nfc(raw)))) — the shared streaming-parity
+          // transform; the nfc column above only feeds the length probe
+          Curation.normalizeText($"raw").as("text_norm"))
         .withColumn("n_chars_norm", length($"text_norm").cast("long"))
     }),
 
@@ -215,28 +213,12 @@ object CurationOps extends QueryGroup {
     // engines. Narrow plan, zero shuffles, one linear fold per row.
     "quality_heuristics" -> ((s, dir) => {
       import s.implicits._
-      val stopsArr = array(HeurStops.map(lit): _*)
-      t(s, dir, "documents")
+      val armed = t(s, dir, "documents")
         .withColumn("raw", concat($"text",
           when($"doc_id" % 7 === 0, " {code}").otherwise(""),
           when($"doc_id" % 11 === 0, " lorem ipsum dolor").otherwise("")))
-        .withColumn("toks", graft.functions.native.tokens($"raw"))
-        .select($"doc_id",
-          size($"toks").cast("long").as("n_words"),
-          expr("aggregate(toks, 0L, (a, w) -> a + length(w))").as("wchars"),
-          size(filter(stopsArr, sw => array_contains($"toks", sw)))
-            .cast("long").as("n_stop_hits"),
-          $"raw".contains("{").as("has_brace"),
-          $"raw".contains("lorem ipsum").as("has_lorem"))
-        .withColumn("mean_word_len",
-          when($"n_words" > 0,
-            round($"wchars".cast("double") / $"n_words", 9)))
-        .withColumn("keep",
-          $"n_words" >= MinWords &&
-            $"mean_word_len" >= MinMeanWordLen &&
-            $"mean_word_len" <= MaxMeanWordLen &&
-            !$"has_brace" && !$"has_lorem" &&
-            $"n_stop_hits" >= MinStopHits)
+      Curation.qualityHeuristics(armed, "raw",
+          MinWords, MinMeanWordLen, MaxMeanWordLen, MinStopHits, HeurStops)
         .select($"doc_id", $"n_words", $"mean_word_len", $"n_stop_hits",
           $"has_brace", $"has_lorem", $"keep")
     })

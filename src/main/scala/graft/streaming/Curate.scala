@@ -34,6 +34,25 @@ object Curate {
         regexp_count(r2, lit(Curation.LongNumRe)).cast("long"))
   }
 
+  /** Web-text normalization per document — NFC (zero-copy on pure-ASCII
+    * rows), C0/DEL control strip, whitespace-run collapse, trim. Adds
+    * `<textCol>_norm`. Stateless narrow map; bit-identical to the batch
+    * text_normalize path by construction (one shared transform). */
+  def normalize(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(s"${textCol}_norm", Curation.normalizeText(col(textCol)))
+
+  /** The C4 + Gopher doc-level heuristic battery + keep verdict — the
+    * quality_heuristics semantics on a live stream. Stateless: every
+    * rule is a per-document measure, so append mode needs no watermark
+    * and no state. Shared with the batch query via
+    * [[Curation.qualityHeuristics]]. */
+  def qualityHeuristics(df: DataFrame, textCol: String,
+                        minWords: Long, minMeanWordLen: Double,
+                        maxMeanWordLen: Double, minStopHits: Long,
+                        stops: Seq[String]): DataFrame =
+    Curation.qualityHeuristics(df, textCol,
+      minWords, minMeanWordLen, maxMeanWordLen, minStopHits, stops)
+
   /** Gopher repetition metrics + keep verdict per document — the
     * O(doc-length) per-row kernel rather than an explode + keyed
     * aggregation: a streaming aggregation would need shuffle state and

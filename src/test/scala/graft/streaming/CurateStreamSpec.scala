@@ -99,6 +99,76 @@ class CurateStreamSpec extends SparkSuite {
     }
   }
 
+  test("normalize: streaming bytes == batch, across batches, with real Unicode") {
+    // corpus rows plus adversarial rows the ASCII corpus can't produce:
+    // decomposed accent (must compose), controls, CRLF runs, tabs
+    val docs = realDocs.take(60) ++ Seq(
+      (100001L, "cafe\u0301  au \u0007lait\r\n\r\n end\t"),
+      (100002L, "\u0000\u001f only  controls \u007f"),
+      (100003L, ""),
+      (100004L, "   "))
+    val (b1, b2) = docs.splitAt(30)
+
+    val in = MemoryStream[(Long, String)]
+    val q = Curate.normalize(in.toDS().toDF("doc_id", "text"), "text")
+      .select($"doc_id", $"text_norm")
+      .writeStream.format("memory").queryName("norm_q").outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("norm_q").as[(Long, String)].collect().toMap
+
+    val batch = Curate.normalize(docs.toSeq.toDF("doc_id", "text"), "text")
+      .select($"doc_id", $"text_norm").as[(Long, String)].collect().toMap
+    assert(got == batch)
+    assert(got(100001L) == "caf\u00e9 au lait end")
+    assert(got(100002L) == "only controls")
+    assert(got(100003L) == "" && got(100004L) == "")
+  }
+
+  test("qualityHeuristics: streaming verdicts == batch on the armed corpus") {
+    // same arming the oracle-checked query uses: inject the C4 flags on
+    // deterministic id slices so both flags actually fire
+    val docs = realDocs.take(120).map { case (id, text) =>
+      val armed = text +
+        (if (id % 7 == 0) " {code}" else "") +
+        (if (id % 11 == 0) " lorem ipsum dolor" else "")
+      (id, armed)
+    } ++ Seq((200001L, "tiny"), (200002L, ""))
+    val (b1, b2) = docs.splitAt(60)
+    val stops = Seq("the", "a", "and", "of", "to", "in")
+
+    val in = MemoryStream[(Long, String)]
+    val q = Curate.qualityHeuristics(in.toDS().toDF("doc_id", "text"),
+        "text", 5L, 3.0, 10.0, 2L, stops)
+      .select($"doc_id", $"n_words", $"mean_word_len", $"n_stop_hits",
+        $"has_brace", $"has_lorem", $"keep")
+      .writeStream.format("memory").queryName("heur_q").outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("heur_q").collect().map(r => r.getLong(0) -> r).toMap
+
+    val batch = Curate.qualityHeuristics(docs.toSeq.toDF("doc_id", "text"),
+        "text", 5L, 3.0, 10.0, 2L, stops)
+      .select($"doc_id", $"n_words", $"mean_word_len", $"n_stop_hits",
+        $"has_brace", $"has_lorem", $"keep")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == batch.size)
+    got.foreach { case (id, r) => assert(r == batch(id), s"doc $id") }
+    // flags and verdicts genuinely vary on the armed fixture
+    val rows = got.values.toSeq
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
+    assert(rows.exists(_.getBoolean(6)) && rows.exists(!_.getBoolean(6)))
+    // the short doc fails the word-count gate; the empty doc has a null
+    // mean but still a FALSE (not null) verdict
+    assert(!got(200001L).getBoolean(6))
+    assert(got(200002L).isNullAt(2) && !got(200002L).getBoolean(6))
+  }
+
   test("piiRedact: streaming bytes and counts == batch, adversarial texts") {
     val texts = Seq(
       (1L, "mail a.b+c@x-y.co or 10.0.0.1 acct 12345678 done"),
