@@ -570,10 +570,21 @@ object DedupOps extends QueryGroup {
     //     n_dups = how many lower-id partners matched.
     // Output: one row per vector (vec_id, cid, dup_of, n_dups); keepers
     // have dup_of NULL / n_dups 0. Oracle replays every stage exactly.
-    "dedup_semantic" -> ((s, dir) => {
-      import s.implicits._
+    "dedup_semantic" -> ((s, dir) =>
+      semanticDedup(spread(t(s, dir, "embeddings"))))
+  )
+
+  /** dedup_semantic over any `(vec_id, embedding: array<float>)` frame —
+    * factored out of the query so fixture specs can drive it on PLANTED
+    * near-duplicate corpora (SemanticFixtureSpec), since the natural
+    * corpus only exercises its incidental high-cosine tail. Centroids
+    * are the fixed sample vec_id ∈ [100, 100+SemClusters). */
+  private[queries] def semanticDedup(raw: DataFrame): DataFrame = {
+    val s = raw.sparkSession
+    import s.implicits._
+    {
       // emb feeds centroids, assignment, banding, and both verify sides
-      val emb = spread(t(s, dir, "embeddings"))
+      val emb = raw
         .select($"vec_id", $"embedding",
           sqrt(native.decimal_dot($"embedding", $"embedding").cast("double")).as("nrm"),
           native.lsh_bucket($"embedding", EmbedPlanes).as("sig"))
@@ -613,8 +624,8 @@ object DedupOps extends QueryGroup {
       assign.join(dups, Seq("vec_id"), "left")
         .select($"vec_id", $"cid", $"dup_of",
           coalesce($"n_dups", lit(0L)).as("n_dups"))
-    })
-  )
+    }
+  }
 
   override def oracle: Map[String, String] = Map(
     "dedup_exact" ->
