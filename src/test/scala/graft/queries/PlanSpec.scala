@@ -113,6 +113,35 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("normalize and heuristic quality are zero-shuffle narrow pipelines") {
+    Seq("text_normalize", "quality_heuristics").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange") && !p.contains("Join"),
+        s"$q must stay a narrow per-row plan:\n$p")
+    }
+  }
+
+  test("mix_temperature: the corpus path is broadcast-joined, never shuffled wide") {
+    // the corpus is scanned for the tiny count agg and the admission
+    // join; the rates side (10 rows) must reach it as a broadcast —
+    // a sort-merge join on mix_src would shuffle the whole corpus
+    val p = plan("mix_temperature")
+    assert(p.contains("BroadcastHashJoin"), s"rate join lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"mix_temperature must never sort-merge the corpus:\n$p")
+  }
+
+  test("dedup_semantic stays on equi-joins with a broadcast quantizer") {
+    val p = plan("dedup_semantic")
+    // centroids reach every vector as a broadcast nested-loop-free cross
+    // join of a 16-row side; candidates stay equi-joins on
+    // (cid, band, bucket) — a cartesian here is the O(n^2) blowup
+    assert(!p.contains("CartesianProduct"),
+      s"dedup_semantic degenerated into an all-pairs product:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"centroid side must broadcast:\n$p")
+  }
+
   test("media near-dup pair joins stay equi-joins on (band, bucket)") {
     // the shared phashPairs plan: a cartesian/nested-loop here is the
     // O(n^2) blowup the banding exists to prevent
