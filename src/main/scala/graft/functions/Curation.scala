@@ -63,6 +63,39 @@ object Curation {
       .drop("__toks", "__wchars")
   }
 
+  // text_html_extract patterns — the Java ∩ RE2 dialect: inline (?s)
+  // and lazy .*? are supported identically by both engines. Script and
+  // style bodies are dropped wholesale (their text is not content);
+  // comments likewise; every remaining tag becomes a space.
+  val ScriptRe = "(?s)<script[^>]*>.*?</script>"
+  val StyleRe = "(?s)<style[^>]*>.*?</style>"
+  val CommentRe = "(?s)<!--.*?-->"
+  val TagRe = "<[^>]+>"
+  // entity decode table, applied IN ORDER: '&amp;' must come last or
+  // '&amp;lt;' would double-decode to '<' instead of the literal '&lt;'
+  // the author wrote. '&nbsp;' decodes to a plain space on purpose (it
+  // feeds the whitespace collapse, not a U+00A0 survivor).
+  val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Main-text extraction from an HTML column — the WET-style stage a
+    * web-crawl pipeline runs before any text analysis: drop script and
+    * style bodies, drop comments, replace every tag with a space, decode
+    * the six HTML core entities (single-decode, `&amp;` last), collapse
+    * whitespace, trim. Stateless per-row transform, batch and streaming
+    * alike. */
+  def htmlExtract(c: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(regexp_replace(c, ScriptRe, " "), StyleRe, " "),
+      CommentRe, " ")
+    val noTags = regexp_replace(noBlocks, TagRe, " ")
+    val decoded = Entities.foldLeft(noTags) { case (acc, (ent, ch)) =>
+      replace(acc, lit(ent), lit(ch))
+    }
+    trim(regexp_replace(decoded, WsRe, " "))
+  }
+
   /** Chained email → IPv4 → long-digit-run redaction. The chain order
     * prevents double-redaction: digits inside an email or IP are gone
     * before the later passes run. */

@@ -201,6 +201,34 @@ object CurationOps extends QueryGroup {
         .withColumn("n_chars_norm", length($"text_norm").cast("long"))
     }),
 
+    // HTML main-text extraction (Curation.htmlExtract) — the WET-style
+    // stage before any text analysis: drop script/style bodies and
+    // comments, strip tags, decode the six core entities (single-decode,
+    // '&amp;' last), collapse whitespace. The corpus has no markup, so
+    // the query WRAPS each doc in a constructed page that exercises every
+    // rule on every row — attributes, a script with '<' in its body, a
+    // style block, a comment, and all six entities (including the
+    // '&amp;lt;' double-decode trap, which must surface as the literal
+    // text '&lt;'). n_tags counts raw tags pre-strip; the extracted
+    // bytes and both counts must hash-match DuckDB. Narrow, zero
+    // shuffles.
+    "text_html_extract" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("html", concat(
+          lit("<html ><body class=\"c"), ($"doc_id" % 5).cast("string"),
+          lit("\"><h1>T&amp;T "), $"source", lit("</h1>\n<p>"), $"text",
+          lit("</p><script type=\"text/javascript\">var x = 1 &lt; 2;</script>"),
+          lit("<style>.a{color:red}</style>"),
+          lit("<p>1 &lt; 2 &amp;&amp; 3 &gt; 2, \"q&quot;s\", it&#39;s,"),
+          lit(" a&nbsp;b, literal &amp;lt; stays</p>"),
+          lit("<!-- hidden --></body></html>")))
+        .select($"doc_id",
+          Curation.htmlExtract($"html").as("text_main"),
+          regexp_count($"html", lit(Curation.TagRe)).cast("long").as("n_tags"))
+        .withColumn("n_chars_main", length($"text_main").cast("long"))
+    }),
+
     // Heuristic quality filter — the C4 + Gopher doc-level battery:
     // word count >= MinWords, mean word length inside [3, 10], stopword
     // diversity (>= MinStopHits distinct members of a 6-word stop set
@@ -396,6 +424,37 @@ object CurationOps extends QueryGroup {
          |            || chr(101) || chr(769) || ' ' || chr(13) || chr(10)
          |            || 'end  ' AS raw
          |        FROM documents))))""".stripMargin,
+
+    // same constructed page; the entity decode chain is replace() in the
+    // same order, '&amp;' last — the '&amp;lt;' trap must come out as
+    // the literal '&lt;' in both engines.
+    "text_html_extract" ->
+      s"""SELECT doc_id, text_main, n_tags, len(text_main) AS n_chars_main
+         |FROM (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(
+         |      replace(replace(replace(replace(replace(replace(
+         |        regexp_replace(
+         |          regexp_replace(
+         |            regexp_replace(
+         |              regexp_replace(html, '${Curation.ScriptRe}', ' ', 'g'),
+         |              '${Curation.StyleRe}', ' ', 'g'),
+         |            '${Curation.CommentRe}', ' ', 'g'),
+         |          '${Curation.TagRe}', ' ', 'g'),
+         |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+         |      '$WsRe', ' ', 'g')) AS text_main,
+         |    len(regexp_extract_all(html, '${Curation.TagRe}')) AS n_tags
+         |  FROM (
+         |    SELECT doc_id,
+         |      '<html ><body class="c' || CAST(doc_id % 5 AS VARCHAR)
+         |      || '"><h1>T&amp;T ' || source || '</h1>' || chr(10) || '<p>' || text
+         |      || '</p><script type="text/javascript">var x = 1 &lt; 2;</script>'
+         |      || '<style>.a{color:red}</style>'
+         |      || '<p>1 &lt; 2 &amp;&amp; 3 &gt; 2, "q&quot;s", it&#39;s,'
+         |      || ' a&nbsp;b, literal &amp;lt; stays</p>'
+         |      || '<!-- hidden --></body></html>' AS html
+         |    FROM documents))""".stripMargin,
 
     "quality_heuristics" ->
       s"""SELECT doc_id, n_words, mean_word_len, n_stop_hits,

@@ -34,6 +34,13 @@ object Curate {
         regexp_count(r2, lit(Curation.LongNumRe)).cast("long"))
   }
 
+  /** HTML main-text extraction per document — drop script/style bodies
+    * and comments, strip tags, decode the six core entities, collapse
+    * whitespace (the text_html_extract semantics). Adds
+    * `<htmlCol>_main`. Stateless narrow map. */
+  def htmlExtract(df: DataFrame, htmlCol: String): DataFrame =
+    df.withColumn(s"${htmlCol}_main", Curation.htmlExtract(col(htmlCol)))
+
   /** Web-text normalization per document — NFC (zero-copy on pure-ASCII
     * rows), C0/DEL control strip, whitespace-run collapse, trim. Adds
     * `<textCol>_norm`. Stateless narrow map; bit-identical to the batch

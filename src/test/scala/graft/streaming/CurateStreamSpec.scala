@@ -169,6 +169,36 @@ class CurateStreamSpec extends SparkSuite {
     assert(got(200002L).isNullAt(2) && !got(200002L).getBoolean(6))
   }
 
+  test("htmlExtract: adversarial edges, streaming == batch") {
+    val cases = Seq(
+      // entity double-decode trap: author wrote the literal text '&lt;'
+      (1L, "a &amp;lt; b", "a &lt; b"),
+      // script body containing '<' and quotes is dropped wholesale
+      (2L, "<p>x</p><script>if (1<2) alert(\"y\")</script><p>z</p>", "x z"),
+      // multi-line comment swallowed by (?s)
+      (3L, "a<!-- line1\nline2 -->b", "a b"),
+      // unclosed tag survives as text (no '>' to terminate it)
+      (4L, "text <unclosed and more", "text <unclosed and more"),
+      // all six entities
+      (5L, "&lt;&gt;&quot;&#39;&nbsp;&amp;", "<>\"' &"),
+      (6L, "", ""))
+    val got = cases.map(t => (t._1, t._2)).toDF("doc_id", "html")
+      .select($"doc_id", graft.functions.Curation.htmlExtract($"html").as("m"))
+      .as[(Long, String)].collect().toMap
+    cases.foreach { case (id, in, want) =>
+      assert(got(id) == want, s"htmlExtract($in) = ${got(id)}, wanted $want")
+    }
+
+    val in = MemoryStream[(Long, String)]
+    val q = Curate.htmlExtract(in.toDS().toDF("doc_id", "html"), "html")
+      .select($"doc_id", $"html_main")
+      .writeStream.format("memory").queryName("html_q").outputMode("append").start()
+    try { in.addData(cases.map(t => (t._1, t._2)): _*); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.table("html_q").as[(Long, String)].collect().toMap
+    assert(streamed == got)
+  }
+
   test("piiRedact: streaming bytes and counts == batch, adversarial texts") {
     val texts = Seq(
       (1L, "mail a.b+c@x-y.co or 10.0.0.1 acct 12345678 done"),
