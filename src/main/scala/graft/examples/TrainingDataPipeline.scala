@@ -45,30 +45,41 @@ object TrainingDataPipeline {
     q.stop()
   }
 
-  /** Stage 1.5 (CURATE, r7): keepers → PII scrub → repetition-quality
-    * gate → GPT-style sequence packing. Returns the packing manifest a
-    * training run reads: one row per admitted doc with its redacted
-    * text, shard, char offset, owning training window, and straddle
-    * count. The scrub AND the repetition gate are narrow per-row plans
-    * (regex chain; the O(doc-length) rep_metrics kernel), the packing
-    * is one shuffle on the shard key — nothing here widens with corpus
-    * size.
+  /** Stage 1.5 (CURATE): keepers → text normalization (NFC + control
+    * strip + whitespace collapse) → PII scrub → heuristic quality gate
+    * (C4/Gopher word-count, mean-word-length, stopword-diversity, code-
+    * and template-page flags) → repetition-quality gate → GPT-style
+    * sequence packing. Returns the packing manifest a training run
+    * reads: one row per admitted doc with its cleaned text, shard, char
+    * offset, owning training window, and straddle count. Every gate is
+    * a narrow per-row plan (the NFC kernel's ASCII fast path; regex
+    * chains; the O(doc-length) rep_metrics kernel), the packing is one
+    * shuffle on the shard key — nothing here widens with corpus size.
     */
   def curate(spark: SparkSession, docsDir: String, verdictDir: String,
              maxTop2Gram: Double = 0.06, maxDup2Gram: Double = 0.05,
              maxDupWord: Double = 0.65,
-             packBudget: Long = 8192L, packShards: Long = 8L): DataFrame = {
+             packBudget: Long = 8192L, packShards: Long = 8L,
+             heurMinWords: Long = 5L, heurMinMeanLen: Double = 3.0,
+             heurMaxMeanLen: Double = 10.0, heurMinStopHits: Long = 2L,
+             heurStops: Seq[String] = Seq("the", "a", "and", "of", "to", "in"))
+            : DataFrame = {
     import spark.implicits._
     val keepers = spark.read.parquet(verdictDir)
       .filter($"is_keeper").select($"doc_id")
     val scrubbed = spark.read.parquet(docsDir)
       .join(keepers, "doc_id")
-      .withColumn("clean_text", Curation.piiRedact($"text"))
-    val quality = Curation.qualityRepetition(scrubbed, "doc_id", "clean_text",
+      .withColumn("norm_text", Curation.normalizeText($"text"))
+      .withColumn("clean_text", Curation.piiRedact($"norm_text"))
+    val heurKept = Curation.qualityHeuristics(scrubbed, "clean_text",
+        heurMinWords, heurMinMeanLen, heurMaxMeanLen, heurMinStopHits, heurStops)
+      .filter($"keep")
+      .select(scrubbed.columns.map(col): _*)
+    val quality = Curation.qualityRepetition(heurKept, "doc_id", "clean_text",
         maxTop2Gram, maxDup2Gram, maxDupWord)
       .filter($"keep")
       .select($"doc_id", $"n_tokens")
-    val admitted = scrubbed
+    val admitted = heurKept
       .select($"doc_id", $"lang", $"clean_text",
         length($"clean_text").cast("long").as("n_clean_chars"))
       .join(quality, "doc_id")
