@@ -405,6 +405,39 @@ object ExprKernels {
     bucket
   }
 
+  /** Johnson-Lindenstrauss random projection of a float vector onto the
+    * first `k` md5-derived hyperplanes (the SAME planes [[lshBucket]]
+    * signs — sign(rpProject(v)(h)) == bit h, an invariant NativeHashSpec
+    * pins). Each coordinate is the exact scale-20 decimal sum of the
+    * per-dimension double products, cast to double — bit-identical to
+    * DuckDB's SUM(CAST(x*rv AS DECIMAL(38,20)))::DOUBLE. BigDecimal
+    * accumulation is fine here: the projection runs ONCE per corpus row
+    * (a storage-layout transform), not per candidate pair like
+    * [[decimalDot]], so the ~µs/plane cost never multiplies.
+    */
+  def rpProject(vec: ArrayData, k: Int): ArrayData = {
+    val planes = hyperplanes(k, vec.numElements())
+    val out = new Array[Any](k)
+    var h = 0
+    while (h < k) {
+      val r = planes(h)
+      var acc = JBigDecimal.ZERO
+      var i = 0
+      while (i < r.length) {
+        val p = vec.getFloat(i).toDouble * r(i)
+        if (p != 0.0) {
+          if (!java.lang.Double.isFinite(p))
+            throw new NumberFormatException(s"rpProject: non-finite product $p")
+          acc = acc.add(JBigDecimal.valueOf(p).setScale(20, RoundingMode.HALF_UP))
+        }
+        i += 1
+      }
+      out(h) = acc.doubleValue()
+      h += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val HexDigits = "0123456789abcdef".toCharArray
 
   private def toHex(bytes: Array[Byte]): UTF8String = {
@@ -608,6 +641,20 @@ case class Tokens(child: Expression) extends UnaryExpression with ExpectsInputTy
     copy(child = newChild)
 }
 
+/** Random projection onto k md5 hyperplanes (see [[ExprKernels.rpProject]]). */
+case class RpProject(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1 && k <= 64, s"rp_project: k must be in [1, 64], got $k")
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(vec: Any): Any =
+    ExprKernels.rpProject(vec.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.rpProject($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): RpProject =
+    copy(child = newChild)
+}
+
 /** Unicode NFC normalization (see [[ExprKernels.nfc]]). */
 case class NfcNormalize(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(StringType)
@@ -717,6 +764,11 @@ object native {
   /** Sign-random-projection LSH bucket of a float-vector column. */
   def lsh_bucket(vec: Column, numPlanes: Int): Column =
     col(LshBucket(expr(vec), numPlanes))
+
+  /** Exact-decimal random projection of a float-vector column onto the
+    * first k md5 hyperplanes, as array<double>. */
+  def rp_project(vec: Column, k: Int): Column =
+    col(RpProject(expr(vec), k))
 
   /** Whitespace tokens (empties dropped) of a text column. */
   def tokens(text: Column): Column = col(Tokens(expr(text)))

@@ -47,6 +47,10 @@ object SimilarityOps extends QueryGroup {
   private val NList = 16
   private val NProbe = 2
 
+  /** embed_project target dimensionality (JL projection onto the first
+    * RpDims md5 hyperplanes). */
+  private val RpDims = 8
+
   /** vec_id, embedding, nrm (L2 norm as double, exact decimal sum inside). */
   private def withNorm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -137,6 +141,24 @@ object SimilarityOps extends QueryGroup {
           expr("array_max(transform(sequence(0, size(embedding)-1), " +
             "i -> abs(q[i] * scale - CAST(embedding[i] AS DOUBLE))))")
             .as("max_abs_err"))
+    }),
+
+    // Johnson-Lindenstrauss random projection — the dimension-reduction
+    // step a 100 TB ANN pipeline runs before shuffling vectors (64 → 8
+    // dims here: 8× fewer bytes through every exchange, with JL's
+    // distance-preservation guarantee scaling as k grows). Projection
+    // planes are the SAME seedless md5-derived hyperplanes the LSH
+    // bucketer signs — deterministic on any engine, no stored model —
+    // and each coordinate is the exact scale-20 decimal dot (the
+    // embed_norm arithmetic), so DuckDB reproduces every value
+    // bit-for-bit; round 9 guards the final decimal→double conversion.
+    // Narrow plan: one in-row kernel, zero shuffles.
+    "embed_project" -> ((s, dir) => {
+      import s.implicits._
+      spread(t(s, dir, "embeddings"))
+        .withColumn("p", native.rp_project($"embedding", RpDims))
+        .select($"vec_id" +:
+          (0 until RpDims).map(h => round($"p" (h), 9).as(s"p${h + 1}")): _*)
     }),
 
     // brute-force cosine top-1 neighbor for the first 100 vectors.
@@ -266,6 +288,29 @@ object SimilarityOps extends QueryGroup {
          |        list_max(list_transform(embedding,
          |          x -> abs(CAST(x AS DOUBLE)))) AS maxabs
          |      FROM embeddings)))""".stripMargin,
+
+    // same r(h,i) hyperplane formula as similarity_ann_lsh's oracle; the
+    // projected value is the exact decimal sum itself, not its sign
+    "embed_project" -> {
+      val ps = (1 to RpDims)
+        .map(h => s"ROUND(MAX(CASE WHEN h = $h THEN v END), 9) AS p$h")
+        .mkString(",\n  ")
+      s"""WITH c AS ($SQL_COMPS),
+         |r AS (
+         |  SELECT h, i,
+         |    ((('0x' || substr(md5(CAST(h AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 6))::BIGINT
+         |      % 1000) - 500) / 1000.0 AS rv
+         |  FROM UNNEST(generate_series(1, $RpDims)) t1(h),
+         |    UNNEST(generate_series(1, (SELECT MAX(len(embedding)) FROM embeddings))) t2(i)),
+         |proj AS (
+         |  SELECT c.vec_id, r.h,
+         |    CAST(SUM(CAST(c.x * r.rv AS DECIMAL(38,20))) AS DOUBLE) AS v
+         |  FROM c JOIN r ON c.i = r.i
+         |  GROUP BY c.vec_id, r.h)
+         |SELECT vec_id,
+         |  $ps
+         |FROM proj GROUP BY vec_id""".stripMargin
+    },
 
     "embed_knn" ->
       s"""$SQL_COSINES

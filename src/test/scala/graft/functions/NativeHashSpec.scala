@@ -20,6 +20,30 @@ class NativeHashSpec extends SparkSuite {
     (5L, "x  y   z  x y z x y") // repeated shingles, multiple spaces
   ).toDF("doc_id", "text")
 
+  test("rp_project signs reproduce lsh_bucket bits (same planes, same exact sums)") {
+    // the projection and the bucketer must agree plane for plane: bit h
+    // of the 8-plane bucket is exactly sign(p_h) >= 0 of the UNROUNDED
+    // projection — one exact-arithmetic path, two consumers
+    val vecs = Seq(
+      Tuple1(Array(0.25f, -1.5f, 3.125f, 0.0f)),
+      Tuple1(Array.fill(64)(0.123456f)),
+      Tuple1(Array.tabulate(64)(i => if (i % 3 == 0) -0.5f else 0.25f)),
+      Tuple1(Array.fill(16)(0.0f))
+    ).toDF("v")
+    val rows = vecs.select(
+        native.rp_project($"v", 8).as("p"),
+        native.lsh_bucket($"v", 8).as("b"))
+      .collect()
+    rows.foreach { r =>
+      val p = r.getSeq[Double](0)
+      val b = r.getLong(1)
+      p.zipWithIndex.foreach { case (v, h) =>
+        assert((v >= 0.0) == ((b >> h & 1L) == 1L),
+          s"plane $h: projection $v vs bucket bit ${(b >> h) & 1L}")
+      }
+    }
+  }
+
   test("decimal_dot matches the decimal zip_with/aggregate construction") {
     val dec = DecimalType(38, 20)
     val vecs = Seq(
