@@ -55,6 +55,37 @@ object PipelineOps extends QueryGroup {
         .select($"doc_id", $"source", $"u_millionths")
     }),
 
+    // Per-language corpus report — the numbers a training run plans
+    // against: docs, chars, tokens, and EXACT p50/p90 document lengths.
+    // The percentiles are computed from the (lang, n_chars) histogram —
+    // counts + a running sum over the DISTINCT length values, then "first
+    // value whose cumulative count reaches rank ceil(q·n)" — not by
+    // sorting documents: the only per-doc shuffle is the count
+    // aggregation, and the window runs over ≤ |distinct lengths| rows per
+    // language, which stays tiny at any corpus size (the scalable exact
+    // order statistic; a per-language document sort would be the 100 TB
+    // regression). Ranks are pure integer arithmetic, engine-identical.
+    "corpus_stats" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .withColumn("n_toks",
+          size(graft.functions.native.tokens($"text")).cast("long"))
+      val tot = docs.groupBy($"lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        sum($"n_toks").as("total_tokens"))
+      val hist = docs.groupBy($"lang", $"n_chars").agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy($"lang").orderBy($"n_chars")
+      hist.withColumn("cc", sum($"c").over(wc))
+        .join(tot, "lang")
+        .groupBy($"lang", $"n_docs", $"total_chars", $"total_tokens")
+        .agg(
+          min(when($"cc" >= expr("(n_docs + 1) DIV 2"), $"n_chars"))
+            .as("p50_chars"),
+          min(when($"cc" >= expr("(9 * n_docs + 9) DIV 10"), $"n_chars"))
+            .as("p90_chars"))
+    }),
+
     // Temperature-scaled source mixing — the multilingual-corpus rebalance
     // (the mT5/XLM-R move): source shares p_s are flattened to
     // q_s ∝ p_s^α and each doc is admitted with probability
@@ -138,6 +169,28 @@ object PipelineOps extends QueryGroup {
          |  FROM documents)
          |WHERE ${Weights.map { case (s0, w) =>
              s"(source = '$s0' AND u_millionths < $w)" }.mkString(" OR ")}""".stripMargin,
+
+    "corpus_stats" ->
+      """WITH docs AS (
+        |  SELECT lang, n_chars,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks
+        |  FROM documents),
+        |tot AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+        |  FROM docs GROUP BY lang),
+        |hist AS (
+        |  SELECT lang, n_chars, COUNT(*) AS c FROM docs GROUP BY lang, n_chars),
+        |cum AS (
+        |  SELECT lang, n_chars,
+        |    CAST(SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT) AS cc
+        |  FROM hist)
+        |SELECT t.lang, t.n_docs, t.total_chars, t.total_tokens,
+        |  MIN(CASE WHEN cc >= (t.n_docs + 1) // 2 THEN n_chars END) AS p50_chars,
+        |  MIN(CASE WHEN cc >= (9 * t.n_docs + 9) // 10 THEN n_chars END) AS p90_chars
+        |FROM cum JOIN tot t USING (lang)
+        |GROUP BY t.lang, t.n_docs, t.total_chars, t.total_tokens""".stripMargin,
 
     "mix_temperature" ->
       """WITH docs AS (
