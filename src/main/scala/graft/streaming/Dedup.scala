@@ -1,10 +1,11 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
-import graft.functions.{native, Lsh}
+import graft.functions.{native, ExprKernels, Lsh}
 
 /** Streaming deduplication — the north-star dedup story for a stream of
   * documents (VERDICT r5 item #4; the reference's closest surface is
@@ -304,5 +305,108 @@ object Dedup {
       .select($"doc_id", $"seq", $"doc_id".as("root_doc"), lit(true).as("is_keeper"))
       .as[(Long, Long, Long, Boolean)]
     verdicts.union(singletons)
+  }
+
+  /** Semantic-cluster bucket membership — the [[FpBucketMembers]] shape
+    * with exact-cosine verification: key = packed (cid, band, bucket),
+    * members hold (vecId, embedding, nrm) append-capped, a match is a
+    * registered member whose ROUND(exact decimal cosine, 9) clears the
+    * threshold — the batch dedup_semantic predicate verbatim, so a
+    * caught pair is exactly a batch-caught pair. The exact kernel runs
+    * only against same-bucket members (≤ cap), never corpus-wide.
+    * Input rows: (key, vecId, seq, embedding, nrm). */
+  private final class SemBucketMembers(cap: Int, threshold: Double)
+      extends StatefulProcessor[Long, (Long, Long, Long, Array[Float], Double), (Long, Long, Long)] {
+    @transient private var members: ListState[(Long, Array[Float], Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[(Long, Array[Float], Double)](
+        "members", Encoders.product[(Long, Array[Float], Double)], TTLConfig.NONE)
+    private def cosine9(a: Array[Float], na: Double, b: Array[Float], nb: Double): Double = {
+      val dot = ExprKernels.decimalDot(ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+      java.math.BigDecimal.valueOf(dot / (na * nb))
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, Array[Float], Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      val sorted = rows.toVector.sortBy(_._3) // seq order within the batch
+      var mem = members.get().toVector // ≤ cap by construction
+      val out = Vector.newBuilder[(Long, Long, Long)]
+      sorted.foreach { case (_, vecId, seq, emb, nrm) =>
+        val matched = mem.iterator
+          .filter { case (id, memb, mnrm) =>
+            id != vecId && cosine9(emb, nrm, memb, mnrm) >= threshold
+          }
+          .map(_._1)
+        out += ((vecId, seq, if (matched.isEmpty) -1L else matched.min))
+        if (mem.size < cap && !mem.exists(_._1 == vecId)) {
+          members.appendValue((vecId, emb, nrm)) // one write, never a rewrite
+          mem :+= ((vecId, emb, nrm))
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming semantic near-dup verdicts for embedding rows
+    * `(vec_id, embedding, seq)` — the streaming face of the batch
+    * `dedup_semantic` query. The caller supplies the FROZEN coarse
+    * quantizer (`centroids`): a live stream cannot re-cluster
+    * retroactively, so production systems train offline
+    * ([[graft.functions.Kmeans]]) or fix a sample (the batch query's
+    * choice), version it, and restart on upgrade. Per arriving vector —
+    * all in stateless narrow expressions before any shuffle — the
+    * nearest centroid is chosen by the SAME exact-decimal L2 score and
+    * (score, cid) tiebreak the batch plan uses, the 32-plane sign-LSH
+    * signature is banded 4×8, and candidates meet only in
+    * (cid, band, bucket) buckets; [[SemBucketMembers]] then verifies
+    * with the exact decimal cosine at ROUND(·,9) ≥ `threshold`.
+    * Verdicts agree row-for-row with batch `dedup_semantic` when
+    * arrival order is id order and the cap does not bind
+    * (SemanticStreamSpec); the member cap carries the documented
+    * [[minhashVerdicts]] missed-pair trade-off. State per bucket is
+    * ≤ cap embeddings — the stored vectors are what exact verification
+    * costs; quantize upstream (embed_quantize) to shrink it 4×.
+    * Output: (vec_id, seq, root_doc, is_keeper). */
+  def semanticVerdicts(ds: Dataset[(Long, Array[Float], Long)],
+      centroids: Seq[(Long, Array[Float])],
+      threshold: Double = 0.35,
+      maxBucketMembers: Int = MaxBucketMembers): Dataset[(Long, Long, Long, Boolean)] = {
+    require(centroids.nonEmpty, "semanticVerdicts: need at least one centroid")
+    require(centroids.forall(_._1 >= 0), "semanticVerdicts: centroid ids must be >= 0")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val planes = 32
+    val bands = 4
+    val bandBits = planes / bands
+    // exact-decimal ||c||^2 per centroid, once, driver-side — the same
+    // kernel arithmetic the batch assignment uses
+    val scores = centroids.map { case (cid, cemb) =>
+      val c2 = ExprKernels.decimalDot(ArrayData.toArrayData(cemb), ArrayData.toArrayData(cemb))
+      struct(
+        (lit(c2) - lit(2.0) * native.decimal_dot($"embedding", typedlit(cemb))).as("s"),
+        lit(cid).as("c"))
+    }
+    val cidCol = (if (scores.size == 1) scores.head
+                  else least(scores: _*)).getField("c")
+    val keyed = ds.toDF("vec_id", "embedding", "seq")
+      .withColumn("nrm",
+        sqrt(native.decimal_dot($"embedding", $"embedding").cast("double")))
+      .withColumn("cid", cidCol)
+      .withColumn("sig", native.lsh_bucket($"embedding", planes))
+      .select($"vec_id", $"seq", $"embedding", $"nrm", $"cid",
+        posexplode(array((0 until bands).map(b =>
+          shiftright($"sig", b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+      .select(
+        ($"cid" * lit((bands.toLong << bandBits)) + $"pos" * lit(1L << bandBits) + $"col")
+          .as("key"),
+        $"vec_id", $"seq", $"embedding", $"nrm")
+      .as[(Long, Long, Long, Array[Float], Double)]
+    keyed
+      .groupByKey(_._1)
+      .transformWithState(new SemBucketMembers(maxBucketMembers, threshold),
+        TimeMode.None(), OutputMode.Append())
+      .groupByKey(_._1)
+      .transformWithState(new DocVerdict, TimeMode.None(), OutputMode.Append())
   }
 }
