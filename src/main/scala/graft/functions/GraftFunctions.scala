@@ -48,7 +48,11 @@ object GraftFunctions {
     Fn("graft_decimal_dot", "graft_decimal_dot(a, b) - exact-decimal dot product",
       2, None, { case Seq(a, b) => DecimalDot(a, b) }),
     Fn("graft_double_dot", "graft_double_dot(a, b) - IEEE-double dot product",
-      2, None, { case Seq(a, b) => DoubleDot(a, b) }))
+      2, None, { case Seq(a, b) => DoubleDot(a, b) }),
+    Fn("graft_nfc", "graft_nfc(text) - Unicode NFC normalization (zero-copy on ASCII)",
+      1, None, { case Seq(text) => NfcNormalize(text) }),
+    Fn("graft_rp_project", "graft_rp_project(vec, k) - exact-decimal JL projection onto k md5 hyperplanes",
+      2, Some("k"), { case Seq(vec, IntegerLiteral(k)) => RpProject(vec, k) }))
 
   /** Constant-int view of an expression at analysis time: a plain INT
     * literal, or any foldable integral expression (`CAST(64 AS BIGINT)`,

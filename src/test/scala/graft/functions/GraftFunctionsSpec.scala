@@ -37,6 +37,22 @@ class GraftFunctionsSpec extends SparkSuite {
       "SELECT graft_minhash_sigs(graft_shingles3('a b c d'), 4)")
       .head().getSeq[String](0)
     assert(sigs.length == 4 && sigs.forall(_ != null))
+
+    // r8 kernels: NFC (decomposed 'e'+U+0301 composes) and JL projection
+    // (signs must reproduce the LSH bucket bits — one arithmetic path)
+    val nfc = spark.sql("SELECT graft_nfc('cafe\\u0301')")
+      .head().getString(0)
+    assert(nfc == "caf\u00e9")
+    val pb = spark.sql(
+      """SELECT graft_rp_project(array(CAST(0.5 AS FLOAT), CAST(-1.25 AS FLOAT)), 8),
+        |  graft_lsh_bucket(array(CAST(0.5 AS FLOAT), CAST(-1.25 AS FLOAT)), 8)""".stripMargin)
+      .head()
+    val proj = pb.getSeq[Double](0)
+    val bucket = pb.getLong(1)
+    assert(proj.length == 8)
+    proj.zipWithIndex.foreach { case (v, h) =>
+      assert((v >= 0.0) == ((bucket >> h & 1L) == 1L))
+    }
   }
 
   test("extension injection list mirrors the registry list") {
