@@ -63,12 +63,13 @@ object Curation {
       .drop("__toks", "__wchars")
   }
 
-  // text_html_extract patterns — the Java ∩ RE2 dialect: inline (?s)
-  // and lazy .*? are supported identically by both engines. Script and
+  // text_html_extract patterns — the Java ∩ RE2 dialect: inline (?is)
+  // and lazy .*? are supported identically by both engines. Tag names
+  // are case-insensitive in HTML, so <SCRIPT> bodies drop too. Script and
   // style bodies are dropped wholesale (their text is not content);
   // comments likewise; every remaining tag becomes a space.
-  val ScriptRe = "(?s)<script[^>]*>.*?</script>"
-  val StyleRe = "(?s)<style[^>]*>.*?</style>"
+  val ScriptRe = "(?is)<script[^>]*>.*?</script>"
+  val StyleRe = "(?is)<style[^>]*>.*?</style>"
   val CommentRe = "(?s)<!--.*?-->"
   val TagRe = "<[^>]+>"
   // entity decode table, applied IN ORDER: '&amp;' must come last or

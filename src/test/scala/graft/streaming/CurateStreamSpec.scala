@@ -179,6 +179,8 @@ class CurateStreamSpec extends SparkSuite {
       (3L, "a<!-- line1\nline2 -->b", "a b"),
       // unclosed tag survives as text (no '>' to terminate it)
       (4L, "text <unclosed and more", "text <unclosed and more"),
+      // HTML tag names are case-insensitive: <SCRIPT>/<Style> drop too
+      (7L, "a<SCRIPT>var x</SCRIPT>b<Style>.c{}</Style>c", "a b c"),
       // all six entities
       (5L, "&lt;&gt;&quot;&#39;&nbsp;&amp;", "<>\"' &"),
       (6L, "", ""))
