@@ -571,7 +571,38 @@ object DedupOps extends QueryGroup {
     // Output: one row per vector (vec_id, cid, dup_of, n_dups); keepers
     // have dup_of NULL / n_dups 0. Oracle replays every stage exactly.
     "dedup_semantic" -> ((s, dir) =>
-      semanticDedup(spread(t(s, dir, "embeddings"))))
+      semanticDedup(spread(t(s, dir, "embeddings")))),
+
+    // embedding-space eval decontamination — the third member of the
+    // decontamination trio (text shingles: dedup_decontaminate; image
+    // hashes: dedup_decontaminate_image; embeddings: here). Flags corpus
+    // vectors whose cosine to ANY eval vector clears the near-dup
+    // threshold — the semantic-leak scan that catches paraphrased eval
+    // items exact and n-gram matching miss. Eval set = the fixed id
+    // slice (vec_id ≡ 0 mod 30, capped under 3000 — a benchmark is a
+    // fixed-size artifact), so the eval side BROADCASTS and the corpus
+    // scans in place: per-row work is |eval| double prefilters plus
+    // exact decimal verification only on near-threshold survivors
+    // (filter-verify margin argument at dedup_embed_cosine) —
+    // corpus-linear at any scale, zero shuffles.
+    "dedup_decontaminate_embed" -> ((s, dir) => {
+      import s.implicits._
+      val emb = spread(t(s, dir, "embeddings"))
+        .select($"vec_id", $"embedding",
+          sqrt(native.decimal_dot($"embedding", $"embedding").cast("double")).as("nrm"))
+      val isEval = ($"vec_id" % 30 === 0) && ($"vec_id" < 3000)
+      val eval = emb.filter(isEval)
+        .select($"vec_id".as("eval_vec"), $"embedding".as("ee"), $"nrm".as("en"))
+      emb.filter(!isEval)
+        .crossJoin(broadcast(eval))
+        .filter(native.double_dot($"embedding", $"ee") / ($"nrm" * $"en")
+          >= CosineThreshold - 1e-9)
+        .withColumn("cosine",
+          round(native.decimal_dot($"embedding", $"ee").cast("double")
+            / ($"nrm" * $"en"), 9))
+        .filter($"cosine" >= CosineThreshold)
+        .select($"vec_id", $"eval_vec", $"cosine")
+    })
   )
 
   /** dedup_semantic over any `(vec_id, embedding: array<float>)` frame —
@@ -894,6 +925,31 @@ object DedupOps extends QueryGroup {
          |  FROM dots
          |  JOIN norms na ON na.vec_id = id_a
          |  JOIN norms nb ON nb.vec_id = id_b)
+         |WHERE cosine >= $CosineThreshold""".stripMargin,
+
+    // same fixed eval slice; the exact cosine over every (corpus, eval)
+    // pair IS the oracle — the Spark side's double prefilter provably
+    // drops no qualifying pair (margin argument at dedup_embed_cosine)
+    "dedup_decontaminate_embed" ->
+      s"""WITH c AS (
+         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)),
+         |norms AS (
+         |  SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+         |  FROM c GROUP BY vec_id),
+         |dots AS (
+         |  SELECT cd.vec_id, ce.vec_id AS eval_vec,
+         |    CAST(SUM(CAST(cd.x * ce.x AS DECIMAL(38,20))) AS DOUBLE) AS dot
+         |  FROM c cd JOIN c ce ON cd.i = ce.i
+         |  WHERE ce.vec_id % 30 = 0 AND ce.vec_id < 3000
+         |    AND NOT (cd.vec_id % 30 = 0 AND cd.vec_id < 3000)
+         |  GROUP BY cd.vec_id, ce.vec_id)
+         |SELECT vec_id, eval_vec, cosine FROM (
+         |  SELECT dots.vec_id, eval_vec,
+         |    ROUND(dot / (dn.nrm * en.nrm), 9) AS cosine
+         |  FROM dots
+         |  JOIN norms dn ON dn.vec_id = dots.vec_id
+         |  JOIN norms en ON en.vec_id = eval_vec)
          |WHERE cosine >= $CosineThreshold""".stripMargin,
 
     // replays the Spark plan stage for stage: same fixed-sample centroids
