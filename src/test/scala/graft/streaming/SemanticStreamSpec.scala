@@ -55,6 +55,43 @@ class SemanticStreamSpec extends SparkSuite {
     }
   }
 
+  test("bucket state survives a query restart from the checkpoint") {
+    withRocksDBState {
+      def oneHot(dim: Int): Array[Float] = {
+        val v = Array.fill(64)(0.0f); v(dim) = 1.0f; v
+      }
+      val src = java.nio.file.Files.createTempDirectory("graft_sem_src").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sem_ckpt").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_sem_out").toString
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("seq", LongType)))
+      def write(rows: (Long, Array[Float], Long)*): Unit =
+        rows.toSeq.toDF("vec_id", "embedding", "seq").coalesce(1)
+          .write.mode("append").parquet(src)
+      def start() = {
+        val ds = spark.readStream.schema(schema).parquet(src)
+          .as[(Long, Array[Float], Long)]
+        Dedup.semanticVerdicts(ds, Seq(0L -> oneHot(0)),
+            maxBucketMembers = Int.MaxValue)
+          .toDF("vec_id", "seq", "root_doc", "is_keeper")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+      }
+      write((10L, oneHot(7), 1L))
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      // the near-copy arrives AFTER the restart: catching it requires the
+      // registered member (id + embedding + norm) from the checkpoint
+      write((20L, oneHot(7), 2L))
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      val got = spark.read.parquet(out).as[(Long, Long, Long, Boolean)]
+        .collect().sortBy(_._1).toSeq
+      assert(got.map(r => (r._1, r._3, r._4)) == Seq((10L, 10L, true), (20L, 10L, false)))
+    }
+  }
+
   test("a near-dup arriving in a LATER batch is still caught via registered state") {
     withRocksDBState {
       def oneHot(dim: Int): Array[Float] = {
