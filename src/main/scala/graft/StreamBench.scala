@@ -135,9 +135,26 @@ object StreamBench {
     val packSec = (System.nanoTime() - t6) / 1e9
     packQ.stop()
 
+    // 8) streaming curation chain (Curate.normalize → qualityHeuristics):
+    //    docs/s through the full stateless per-document gate stack — the
+    //    live-ingest cost of the scrub/quality stage (no state, so this
+    //    measures the per-row kernel + regex chain, not the state store)
+    val curDocs = docs.map { case (id, text, _) => (id, text) }
+    val curIn = MemoryStream[(Long, String)]
+    val curQ = graft.streaming.Curate.qualityHeuristics(
+        graft.streaming.Curate.normalize(
+          curIn.toDS().toDF("doc_id", "text"), "text"),
+        "text_norm", 5L, 3.0, 10.0, 2L, Seq("the", "a", "and", "of", "to", "in"))
+      .writeStream.format("noop").outputMode("append").start()
+    curIn.addData(curDocs.take(100).toSeq); curQ.processAllAvailable() // warm
+    val t7 = System.nanoTime()
+    curIn.addData(curDocs.drop(100).toSeq); curQ.processAllAvailable()
+    val curSec = (System.nanoTime() - t7) / 1e9
+    curQ.stop()
+
     val n = events.length
     val nd = docs.length - 100
-    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
+    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"stream_curate_docs_per_sec":${nd / curSec}%.0f,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
