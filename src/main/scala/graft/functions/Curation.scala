@@ -55,11 +55,16 @@ object Curation {
         when(col("n_words") > 0,
           round(col("__wchars").cast("double") / col("n_words"), 9)))
       .withColumn("keep",
-        col("n_words") >= minWords &&
-          col("mean_word_len") >= minMeanWordLen &&
-          col("mean_word_len") <= maxMeanWordLen &&
-          !col("has_brace") && !col("has_lorem") &&
-          col("n_stop_hits") >= minStopHits)
+        // coalesce: with minWords = 0 an empty doc's NULL mean_word_len
+        // would leak a three-valued NULL out of a documented boolean
+        // verdict (true && NULL = NULL); a no-words doc is a drop
+        coalesce(
+          col("n_words") >= minWords &&
+            col("mean_word_len") >= minMeanWordLen &&
+            col("mean_word_len") <= maxMeanWordLen &&
+            !col("has_brace") && !col("has_lorem") &&
+            col("n_stop_hits") >= minStopHits,
+          lit(false)))
       .drop("__toks", "__wchars")
   }
 

@@ -38,10 +38,12 @@ object DedupOps extends QueryGroup {
   // tail (no planted duplicates); the operator is threshold-generic and a
   // real-dup corpus (cosine ≥ 0.8, band-collision ≥ 0.16/band) is exactly
   // where the OR-amplified recall concentrates.
-  private val EmbedPlanes = 32
-  private val EmbedBands = 4
-  private val EmbedBandBits = EmbedPlanes / EmbedBands
-  private val CosineThreshold = 0.35
+  // geometry + threshold live in functions.Lsh (one constant for the
+  // batch queries AND the streaming twins — a retune cannot fork them)
+  private val EmbedPlanes = graft.functions.Lsh.EmbedPlanes
+  private val EmbedBands = graft.functions.Lsh.EmbedBands
+  private val EmbedBandBits = graft.functions.Lsh.EmbedBandBits
+  private val CosineThreshold = graft.functions.Lsh.EmbedCosineThreshold
   // dedup_substring window length, in tokens (the paper uses 50 BPE
   // tokens on web text; this corpus averages 54 whitespace tokens/doc,
   // so 20 keeps several windows per doc)
@@ -515,9 +517,8 @@ object DedupOps extends QueryGroup {
       // arrays; embeddings re-enter via the two id equi-joins below
       // (pairs ≪ corpus, the same join-back shape as dedup_minhash_lsh)
       val banded = emb.select($"vec_id",
-        posexplode(array((0 until EmbedBands).map(b =>
-          shiftright($"sig", b * EmbedBandBits)
-            .bitwiseAND(lit((1L << EmbedBandBits) - 1))): _*)))
+        posexplode(graft.functions.Lsh.embedBandBuckets(
+          $"sig", EmbedBands, EmbedBandBits)))
         .toDF("vec_id", "band", "bucket")
       // explicit repartition after the dedup: candidate rows are 2 ints, so
       // AQE's byte-based coalescing would collapse them (and the broadcast
@@ -555,8 +556,10 @@ object DedupOps extends QueryGroup {
     //  1. assignment: nearest of [[SemClusters]] fixed-sample centroids by
     //     exact-decimal L2 score (argmin ‖v−c‖² ≡ argmin ‖c‖² − 2·v·c, the
     //     similarity_ivf quantizer — decimal dots make DuckDB assign
-    //     identically); min(struct(score, cid)) is the sort-free argmin
-    //     with the tiebreak built in. One broadcast, no shuffle.
+    //     identically); Lsh.nearestCentroid evaluates all centroid scores
+    //     as ONE narrow per-row least() over the driver-side centroid
+    //     constants — genuinely zero shuffle, no aggregation, the same
+    //     construction the streaming twin uses.
     //  2. candidates: within a cluster, pairs are blocked by the 32-plane
     //     sign-LSH bands (the dedup_embed_cosine construction) — the join
     //     key is (cid, band, bucket), so two vectors meet only if they
@@ -609,32 +612,34 @@ object DedupOps extends QueryGroup {
     * factored out of the query so fixture specs can drive it on PLANTED
     * near-duplicate corpora (SemanticFixtureSpec), since the natural
     * corpus only exercises its incidental high-cosine tail. Centroids
-    * are the fixed sample vec_id ∈ [100, 100+SemClusters). */
+    * are the fixed sample vec_id ∈ [100, 100+SemClusters), collected
+    * driver-side (≤ SemClusters rows by construction) so the assignment
+    * is a NARROW per-row least() over the broadcast centroid scores —
+    * no corpus shuffle anywhere before the band join. The streaming
+    * twin ([[graft.streaming.Dedup.semanticVerdicts]]) uses the
+    * identical construction, so batch and stream assign bit-identically
+    * by sharing code, not by coincidence. */
   private[queries] def semanticDedup(raw: DataFrame): DataFrame = {
     val s = raw.sparkSession
     import s.implicits._
     {
-      // emb feeds centroids, assignment, banding, and both verify sides
+      // emb feeds assignment, banding, and both verify sides
       val emb = raw
         .select($"vec_id", $"embedding",
           sqrt(native.decimal_dot($"embedding", $"embedding").cast("double")).as("nrm"),
           native.lsh_bucket($"embedding", EmbedPlanes).as("sig"))
         .localCheckpoint()
-      val cent = emb.filter($"vec_id" >= 100 && $"vec_id" < 100 + SemClusters)
-        .select($"vec_id".as("cid"), $"embedding".as("cemb"),
-          ($"nrm" * $"nrm").as("c2"))
-      val assign = emb.crossJoin(broadcast(cent))
-        .select($"vec_id", struct(
-          ($"c2" - lit(2.0) * native.decimal_dot($"embedding", $"cemb")
-            .cast("double")).as("score"), $"cid").as("sc"))
-        .groupBy($"vec_id").agg(min($"sc").as("m"))
-        .select($"vec_id", $"m.cid".as("cid"))
-      val banded = assign.join(emb.select($"vec_id", $"sig"), "vec_id")
+      val centroids = emb
+        .filter($"vec_id" >= 100 && $"vec_id" < 100 + SemClusters)
+        .select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+      val assigned = emb
+        .withColumn("cid", graft.functions.Lsh.nearestCentroid($"embedding", centroids))
+      val banded = assigned
         .select($"vec_id", $"cid",
-          posexplode(array((0 until EmbedBands).map(b =>
-            shiftright($"sig", b * EmbedBandBits)
-              .bitwiseAND(lit((1L << EmbedBandBits) - 1))): _*)))
+          posexplode(graft.functions.Lsh.embedBandBuckets($"sig", EmbedBands, EmbedBandBits)))
         .toDF("vec_id", "cid", "band", "bucket")
+      val assign = assigned.select($"vec_id", $"cid")
       val cand = banded.as("x").join(banded.as("y"),
           col("x.cid") === col("y.cid") && col("x.band") === col("y.band") &&
             col("x.bucket") === col("y.bucket") &&

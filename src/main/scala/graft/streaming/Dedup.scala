@@ -369,34 +369,25 @@ object Dedup {
     * Output: (vec_id, seq, root_doc, is_keeper). */
   def semanticVerdicts(ds: Dataset[(Long, Array[Float], Long)],
       centroids: Seq[(Long, Array[Float])],
-      threshold: Double = 0.35,
+      threshold: Double = Lsh.EmbedCosineThreshold,
       maxBucketMembers: Int = MaxBucketMembers): Dataset[(Long, Long, Long, Boolean)] = {
     require(centroids.nonEmpty, "semanticVerdicts: need at least one centroid")
     require(centroids.forall(_._1 >= 0), "semanticVerdicts: centroid ids must be >= 0")
     val spark = ds.sparkSession
     import spark.implicits._
-    val planes = 32
-    val bands = 4
-    val bandBits = planes / bands
-    // exact-decimal ||c||^2 per centroid, once, driver-side — the same
-    // kernel arithmetic the batch assignment uses
-    val scores = centroids.map { case (cid, cemb) =>
-      val c2 = ExprKernels.decimalDot(ArrayData.toArrayData(cemb), ArrayData.toArrayData(cemb))
-      struct(
-        (lit(c2) - lit(2.0) * native.decimal_dot($"embedding", typedlit(cemb))).as("s"),
-        lit(cid).as("c"))
-    }
-    val cidCol = (if (scores.size == 1) scores.head
-                  else least(scores: _*)).getField("c")
+    // geometry and assignment SHARED with the batch query (one constant,
+    // one construction — Lsh.nearestCentroid reproduces the batch plan's
+    // column arithmetic including the nrm² sqrt-square roundtrip, so a
+    // near-tied assignment cannot fork between batch and stream)
+    val bands = Lsh.EmbedBands
+    val bandBits = Lsh.EmbedBandBits
     val keyed = ds.toDF("vec_id", "embedding", "seq")
       .withColumn("nrm",
         sqrt(native.decimal_dot($"embedding", $"embedding").cast("double")))
-      .withColumn("cid", cidCol)
-      .withColumn("sig", native.lsh_bucket($"embedding", planes))
+      .withColumn("cid", Lsh.nearestCentroid($"embedding", centroids))
+      .withColumn("sig", native.lsh_bucket($"embedding", Lsh.EmbedPlanes))
       .select($"vec_id", $"seq", $"embedding", $"nrm", $"cid",
-        posexplode(array((0 until bands).map(b =>
-          shiftright($"sig", b * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+        posexplode(Lsh.embedBandBuckets($"sig", bands, bandBits)))
       .select(
         ($"cid" * lit((bands.toLong << bandBits)) + $"pos" * lit(1L << bandBits) + $"col")
           .as("key"),

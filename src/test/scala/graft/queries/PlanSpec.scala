@@ -131,15 +131,15 @@ class PlanSpec extends SparkSuite {
       s"mix_temperature must never sort-merge the corpus:\n$p")
   }
 
-  test("dedup_semantic stays on equi-joins with a broadcast quantizer") {
+  test("dedup_semantic: narrow quantizer, candidates stay equi-joins") {
     val p = plan("dedup_semantic")
-    // centroids reach every vector as a broadcast nested-loop-free cross
-    // join of a 16-row side; candidates stay equi-joins on
-    // (cid, band, bucket) — a cartesian here is the O(n^2) blowup
-    assert(!p.contains("CartesianProduct"),
+    // the quantizer is a per-row least() over driver-side centroid
+    // constants (Lsh.nearestCentroid) — no crossJoin, no aggregation
+    // stage for assignment; the only joins are the (cid, band, bucket)
+    // candidate equi-join and the id join-backs. A cartesian or
+    // nested-loop join here is the O(n^2) blowup the blocking prevents.
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"dedup_semantic degenerated into an all-pairs product:\n$p")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
-      s"centroid side must broadcast:\n$p")
   }
 
   test("media near-dup pair joins stay equi-joins on (band, bucket)") {

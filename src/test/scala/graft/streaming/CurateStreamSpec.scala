@@ -167,6 +167,16 @@ class CurateStreamSpec extends SparkSuite {
     // mean but still a FALSE (not null) verdict
     assert(!got(200001L).getBoolean(6))
     assert(got(200002L).isNullAt(2) && !got(200002L).getBoolean(6))
+
+    // minWords = 0: the word-count conjunct no longer short-circuits the
+    // NULL mean — the verdict must STILL be false, never NULL
+    val zeroMin = Curate.qualityHeuristics(
+        Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text"),
+        "text", 0L, 3.0, 10.0, 0L, stops)
+      .select($"doc_id", $"keep").collect()
+    zeroMin.foreach { r =>
+      assert(!r.isNullAt(1) && !r.getBoolean(1), s"empty doc keep: $r")
+    }
   }
 
   test("htmlExtract: adversarial edges, streaming == batch") {
