@@ -157,6 +157,29 @@ object KernelProps extends Properties("ExprKernels") {
         math.abs(dd - ExprKernels.decimalDot(a, b)) <= math.max(sumAbs * 1.4e-14, 1e-15)
     }
 
+  property("rpProject == independently derived md5-plane BigDecimal model") =
+    forAll(vec, Gen.choose(1, 16)) { (v, k) =>
+      // plane values re-derived HERE from the documented formula
+      // (r(h,i) = ((md5("h|i")[0:6hex] % 1000) - 500)/1000.0) — an
+      // independent spelling, not a call into the kernel's own cache
+      def plane(h: Int, dim: Int): Array[Double] =
+        Array.tabulate(dim) { i0 =>
+          val hex6 = java.lang.Long.parseLong(md5hex(s"$h|${i0 + 1}").take(6), 16)
+          ((hex6 % 1000) - 500) / 1000.0
+        }
+      val got = ExprKernels.rpProject(new GenericArrayData(v), k)
+        .toDoubleArray().toSeq
+      val model = (1 to k).map { h =>
+        val r = plane(h, v.length)
+        v.zip(r).foldLeft(JBigDecimal.ZERO) { case (acc, (x, rv)) =>
+          val p = x.toDouble * rv
+          if (p == 0.0) acc
+          else acc.add(JBigDecimal.valueOf(p).setScale(20, RoundingMode.HALF_UP))
+        }.doubleValue()
+      }
+      got == model
+    }
+
   property("lshBucket is deterministic and within 2^planes") =
     forAll(vec, Gen.choose(1, 16)) { (v, planes) =>
       val a = new GenericArrayData(v)
