@@ -52,7 +52,23 @@ object GraftFunctions {
     Fn("graft_nfc", "graft_nfc(text) - Unicode NFC normalization (zero-copy on ASCII)",
       1, None, { case Seq(text) => NfcNormalize(text) }),
     Fn("graft_rp_project", "graft_rp_project(vec, k) - exact-decimal JL projection onto k md5 hyperplanes",
-      2, Some("k"), { case Seq(vec, IntegerLiteral(k)) => RpProject(vec, k) }))
+      2, Some("k"), { case Seq(vec, IntegerLiteral(k)) => RpProject(vec, k) }),
+    Fn("hll_sketch", "hll_sketch(x) - 256-register HLL distinct sketch (binary, mergeable)",
+      1, None, { case Seq(x) => HllSketchAgg(x) }),
+    Fn("hll_merge", "hll_merge(sketch) - register-wise max merge of HLL sketches",
+      1, None, { case Seq(x) => HllMergeAgg(x) }),
+    Fn("hll_estimate", "hll_estimate(sketch) - deterministic HLL cardinality estimate",
+      1, None, { case Seq(x) => HllEstimate(x) }),
+    Fn("hll_nonzero", "hll_nonzero(sketch) - populated-register count of an HLL sketch",
+      1, None, { case Seq(x) => HllNonzero(x) }),
+    Fn("cms_sketch", "cms_sketch(x) - 3x1024 Count-Min counter grid (binary, mergeable)",
+      1, None, { case Seq(x) => CmsSketchAgg(x) }),
+    Fn("cms_query", "cms_query(sketch, x) - Count-Min point-frequency estimate",
+      2, None, { case Seq(sk, x) => CmsQuery(sk, x) }),
+    Fn("bloom_sketch", "bloom_sketch(x) - 2 KiB Bloom bitset (binary, mergeable)",
+      1, None, { case Seq(x) => BloomSketchAgg(x) }),
+    Fn("bloom_contains", "bloom_contains(sketch, x) - Bloom membership, no false negatives",
+      2, None, { case Seq(sk, x) => BloomContains(sk, x) }))
 
   /** Constant-int view of an expression at analysis time: a plain INT
     * literal, or any foldable integral expression (`CAST(64 AS BIGINT)`,

@@ -797,4 +797,36 @@ object native {
     * in `agg(...)` and `.over(window)`. */
   def fixed_sum(c: Column, scale: Int): Column =
     col(FixedSum(expr(c), scale).toAggregateExpression())
+
+  /** 256-register HLL sketch (binary) of a string column's distinct
+    * values — query with [[hll_estimate]]/[[hll_nonzero]], re-merge
+    * with [[hll_merge]]. See [[Sketches]]. */
+  def hll_sketch(c: Column): Column =
+    col(HllSketchAgg(expr(c)).toAggregateExpression())
+
+  /** Register-wise max merge of stored HLL sketches. */
+  def hll_merge(c: Column): Column =
+    col(HllMergeAgg(expr(c)).toAggregateExpression())
+
+  /** Deterministic HLL cardinality estimate of a sketch. */
+  def hll_estimate(c: Column): Column = col(HllEstimate(expr(c)))
+
+  /** Populated-register count of an HLL sketch. */
+  def hll_nonzero(c: Column): Column = col(HllNonzero(expr(c)))
+
+  /** 3×1024 Count-Min counter grid (binary) of a string column. */
+  def cms_sketch(c: Column): Column =
+    col(CmsSketchAgg(expr(c)).toAggregateExpression())
+
+  /** Count-Min point-frequency estimate of `v` in `sketch`. */
+  def cms_query(sketch: Column, v: Column): Column =
+    col(CmsQuery(expr(sketch), expr(v)))
+
+  /** 2 KiB Bloom bitset (binary) of a string column's values. */
+  def bloom_sketch(c: Column): Column =
+    col(BloomSketchAgg(expr(c)).toAggregateExpression())
+
+  /** Bloom membership of `v` in `sketch` (no false negatives). */
+  def bloom_contains(sketch: Column, v: Column): Column =
+    col(BloomContains(expr(sketch), expr(v)))
 }
