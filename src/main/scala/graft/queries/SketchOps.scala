@@ -88,6 +88,30 @@ object SketchOps extends QueryGroup {
     // constant-size at any corpus size. The exact top-10 (count, token)
     // ranking is again the demo control. cm_est ≥ exact_cnt always
     // (one-sided error), equality when no collision lands in all 3 rows.
+    // Per-language vocabulary size (distinct tokens) via grouped HLL
+    // sketches, plus an "ALL" rollup row whose sketch is hll_merge of
+    // the per-language sketches — NOT a re-scan: the rollup the sketch
+    // family exists for (hourly→daily, shard→corpus) re-merges stored
+    // 256-byte states. The oracle re-derives the ALL row from scratch,
+    // so the oracle match PROVES merge-of-parts == recompute-from-whole
+    // cross-engine, bit-for-bit. Exact COUNT(DISTINCT) columns are the
+    // demo control, as in sketch_hll_distinct.
+    "sketch_vocab_by_lang" -> ((s, dir) => {
+      import s.implicits._
+      val toks = spread(t(s, dir, "documents"))
+        .select($"lang", explode(graft.functions.native.tokens($"text")).as("tok"))
+      val sks = toks.groupBy($"lang")
+        .agg(graft.functions.native.hll_sketch($"tok").as("sk"))
+      val exacts = toks.groupBy($"lang").agg(countDistinct($"tok").as("exact_vocab"))
+      val perLang = sks.join(exacts, "lang").select($"lang", $"exact_vocab", $"sk")
+      val all = sks.agg(graft.functions.native.hll_merge($"sk").as("sk"))
+        .crossJoin(broadcast(toks.agg(countDistinct($"tok").as("exact_vocab"))))
+        .select(lit("ALL").as("lang"), $"exact_vocab", $"sk")
+      perLang.unionByName(all)
+        .select($"lang", $"exact_vocab",
+          graft.functions.native.hll_estimate($"sk").as("vocab_est"))
+    }),
+
     "sketch_countmin_topk" -> ((s, dir) => {
       import s.implicits._
       val toks = spread(t(s, dir, "documents"))
@@ -159,6 +183,45 @@ object SketchOps extends QueryGroup {
          |SELECT ex.exact_distinct, sk.nonzero_registers,
          |  $HllNum / CAST(sk.s_total AS DOUBLE) AS hll_estimate
          |FROM sk CROSS JOIN ex""".stripMargin,
+
+    "sketch_vocab_by_lang" ->
+      s"""WITH toks AS (
+         |  SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+         |  FROM documents),
+         |h AS (
+         |  SELECT lang,
+         |    CAST(('0x' || substr(md5(tok), 1, 2)) AS BIGINT) AS bucket,
+         |    ltrim(substr(md5(tok), 3, 12), '0') AS st
+         |  FROM toks),
+         |r AS (
+         |  SELECT lang, bucket,
+         |    CAST(CASE WHEN length(st) = 0 THEN 49
+         |         ELSE (12 - length(st)) * 4 +
+         |              (CASE substr(st, 1, 1) WHEN '1' THEN 3
+         |                WHEN '2' THEN 2 WHEN '3' THEN 2
+         |                WHEN '4' THEN 1 WHEN '5' THEN 1
+         |                WHEN '6' THEN 1 WHEN '7' THEN 1 ELSE 0 END) + 1
+         |         END AS INTEGER) AS rho
+         |  FROM h),
+         |regs AS (SELECT lang, bucket, MAX(rho) AS m_j FROM r GROUP BY lang, bucket),
+         |sk AS (
+         |  SELECT lang, CAST(SUM(CAST(1 AS BIGINT) << (49 - m_j)) AS BIGINT)
+         |    + ($HllM - COUNT(*)) * $HllScale AS s_total
+         |  FROM regs GROUP BY lang),
+         |ex AS (SELECT lang, COUNT(DISTINCT tok) AS exact_vocab FROM toks GROUP BY lang),
+         |gregs AS (SELECT bucket, MAX(rho) AS m_j FROM r GROUP BY bucket),
+         |gsk AS (
+         |  SELECT CAST(SUM(CAST(1 AS BIGINT) << (49 - m_j)) AS BIGINT)
+         |    + ($HllM - COUNT(*)) * $HllScale AS s_total
+         |  FROM gregs),
+         |gex AS (SELECT COUNT(DISTINCT tok) AS exact_vocab FROM toks)
+         |SELECT sk.lang, ex.exact_vocab,
+         |  $HllNum / CAST(sk.s_total AS DOUBLE) AS vocab_est
+         |FROM sk JOIN ex USING (lang)
+         |UNION ALL
+         |SELECT 'ALL' AS lang, gex.exact_vocab,
+         |  $HllNum / CAST(gsk.s_total AS DOUBLE) AS vocab_est
+         |FROM gsk CROSS JOIN gex""".stripMargin,
 
     "sketch_countmin_topk" ->
       s"""WITH toks AS (
