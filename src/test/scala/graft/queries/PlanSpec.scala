@@ -121,6 +121,30 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("sketch builds are single-pass object-hash aggregates") {
+    // TypedImperativeAggregate sketches must plan as ObjectHashAggregate:
+    // each map task folds to ONE fixed-size buffer before any exchange —
+    // a SortAggregate here would mean a per-task sort the sketch never
+    // needs; a missing aggregate would mean the build degenerated into
+    // the exact-distinct shuffle the sketch exists to avoid
+    Seq("sketch_hll_distinct", "sketch_countmin_topk",
+        "sketch_vocab_by_lang").foreach { q =>
+      assert(plan(q).contains("ObjectHashAggregate"),
+        s"$q lost the single-pass sketch aggregate:\n${plan(q)}")
+    }
+  }
+
+  test("bloom decontamination probes via one broadcast row, no wide corpus join") {
+    // the bitset attaches through a broadcast nested loop of exactly one
+    // row (that IS the intended shape); the corpus must never sort-merge
+    // or range-shuffle against the eval side
+    val p = plan("sketch_bloom_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bitset should attach as a 1-row broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus side grew a wide join:\n$p")
+  }
+
   test("mix_temperature: the corpus path is broadcast-joined, never shuffled wide") {
     // the corpus is scanned for the tiny count agg and the admission
     // join; the rates side (10 rows) must reach it as a broadcast —
