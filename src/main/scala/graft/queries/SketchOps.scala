@@ -124,6 +124,52 @@ object SketchOps extends QueryGroup {
           graft.functions.native.cms_query($"sk", $"tok").as("cm_est"))
     }),
 
+    // Mergeable quantile estimation via a deterministic log-histogram
+    // (the HDR-histogram idea): price cents bucket into octaves × 16
+    // sub-buckets (values < 32 are exact), relative bucket width ≤ 1/16.
+    // The histogram is a ≤1024-group count aggregate — partial-agg
+    // collapsible like the other sketches (counters sum, so shard/day
+    // histograms re-merge into any rollup), and the quantile walk runs
+    // over ≤1024 rows whatever the corpus size. Built declaratively ON
+    // PURPOSE (unlike HLL/CMS): long counters in a HashAggregate stay in
+    // whole-stage codegen, strictly better than an object buffer. The
+    // exact-order-statistic control comes from GlobalOrder.withRowNumber
+    // (ONE wide range-partitioned sort, no single-task window), and the
+    // oracle proves est_lo ≤ exact_val ≤ est_hi deterministically.
+    "sketch_quantile_hist" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select(round($"l_extendedprice" * 100).cast("long").as("v"),
+          $"l_orderkey", $"l_linenumber")
+      // bucket: v<32 exact; else 32 + 16·(bitlen-6) + (top-5-bits - 16)
+      val blen = length(bin($"v")).cast("int")
+      val bucket = when($"v" < 32, $"v")
+        .otherwise(lit(32) + (blen - 6) * 16 +
+          expr("shiftright(v, CAST(length(bin(v)) AS INT) - 5)") - 16)
+      val hist = li.select(bucket.as("bucket")).groupBy($"bucket")
+        .agg(count(lit(1)).as("c"))
+      val n = li.agg(count(lit(1)).as("n"))
+      val wc = org.apache.spark.sql.expressions.Window.orderBy($"bucket")
+      val cum = hist.withColumn("cc", sum($"c").over(wc)).crossJoin(broadcast(n))
+      val pcts = Seq(50L, 90L, 99L).toDF("pct")
+      val est = cum.crossJoin(broadcast(pcts))
+        .filter($"cc" >= expr("(pct * n + pct) DIV 100"))
+        .groupBy($"pct", $"n").agg(min($"bucket").as("bucket"))
+        .select($"pct", $"n",
+          when($"bucket" < 32, $"bucket").otherwise(
+            expr("shiftleft(16 + (bucket - 32) % 16, CAST((bucket - 32) DIV 16 AS INT) + 1)"))
+            .as("est_lo"),
+          when($"bucket" < 32, $"bucket").otherwise(
+            expr("shiftleft(16 + (bucket - 32) % 16 + 1, CAST((bucket - 32) DIV 16 AS INT) + 1) - 1"))
+            .as("est_hi"))
+      val ranked = graft.functions.GlobalOrder.withRowNumber(
+        li, "pos", $"v", $"l_orderkey", $"l_linenumber")
+      val exact = ranked.crossJoin(broadcast(pcts)).crossJoin(broadcast(n))
+        .filter($"pos" === expr("(pct * n + pct) DIV 100"))
+        .select($"pct", $"v".as("exact_val"))
+      est.join(exact, "pct").select($"pct", $"est_lo", $"est_hi", $"exact_val")
+    }),
+
     // Bloom-filter eval-set decontamination — dedup_decontaminate with
     // the eval shingle SET replaced by a fixed 2 KiB bitset. Here the
     // bitset is the distinct-position relation (tiny, broadcast); the
@@ -245,6 +291,51 @@ object SketchOps extends QueryGroup {
          |  CAST(MIN(c.cnt) AS BIGINT) AS cm_est
          |FROM probes p JOIN cells c USING (r, cell)
          |GROUP BY p.tok, p.exact_cnt""".stripMargin,
+
+    "sketch_quantile_hist" ->
+      """WITH li AS (
+        |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT CASE WHEN v < 32 THEN v
+        |    ELSE 32 + (length(bin(v)) - 6) * 16 + ((v >> (length(bin(v)) - 5)) - 16)
+        |    END AS bucket
+        |  FROM li),
+        |hist AS (SELECT bucket, COUNT(*) AS c FROM b GROUP BY bucket),
+        |n AS (SELECT COUNT(*) AS n FROM li),
+        |cum AS (
+        |  SELECT bucket, CAST(SUM(c) OVER (ORDER BY bucket) AS BIGINT) AS cc
+        |  FROM hist),
+        |pcts AS (SELECT unnest([50, 90, 99]) AS pct),
+        |est AS (
+        |  SELECT pct,
+        |    MIN(bucket) AS bucket
+        |  FROM cum CROSS JOIN n CROSS JOIN pcts
+        |  WHERE cc >= (pct * n + pct) // 100
+        |  GROUP BY pct),
+        |bounds AS (
+        |  SELECT pct,
+        |    CASE WHEN bucket < 32 THEN bucket
+        |      ELSE (16 + (bucket - 32) % 16) << ((bucket - 32) // 16 + 1) END
+        |      AS est_lo,
+        |    CASE WHEN bucket < 32 THEN bucket
+        |      ELSE ((16 + (bucket - 32) % 16 + 1) << ((bucket - 32) // 16 + 1)) - 1 END
+        |      AS est_hi
+        |  FROM est),
+        |ranked AS (
+        |  SELECT v, CAST(ROW_NUMBER() OVER
+        |    (ORDER BY v, l_orderkey, l_linenumber) AS BIGINT) AS pos
+        |  FROM li),
+        |exact AS (
+        |  SELECT pct, v AS exact_val
+        |  FROM ranked CROSS JOIN n CROSS JOIN pcts
+        |  WHERE pos = (pct * n + pct) // 100)
+        |SELECT CAST(b2.pct AS BIGINT) AS pct,
+        |  CAST(b2.est_lo AS BIGINT) AS est_lo,
+        |  CAST(b2.est_hi AS BIGINT) AS est_hi,
+        |  e.exact_val
+        |FROM bounds b2 JOIN exact e USING (pct)""".stripMargin,
 
     "sketch_bloom_decontaminate" ->
       s"""WITH sh AS (

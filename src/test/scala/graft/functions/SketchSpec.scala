@@ -166,6 +166,34 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  // ---- log-histogram quantile buckets (sketch_quantile_hist) ----
+
+  test("log-histogram bucket bounds bracket every value at <= 1/16 relative width") {
+    // the query's bucket/bound arithmetic, re-derived independently:
+    // bucket(v) must place v within [lo(bucket), hi(bucket)], and the
+    // log region's width must stay under lo/16 — the sketch's accuracy
+    // contract for any long, not just the prices the query happens to see
+    def bucket(v: Long): Long = {
+      val blen = 64 - java.lang.Long.numberOfLeadingZeros(v)
+      if (v < 32) v else 32L + (blen - 6) * 16 + ((v >>> (blen - 5)) - 16)
+    }
+    def lo(b: Long): Long =
+      if (b < 32) b else (16 + (b - 32) % 16) << ((b - 32) / 16 + 1)
+    def hi(b: Long): Long =
+      if (b < 32) b else ((16 + (b - 32) % 16 + 1) << ((b - 32) / 16 + 1)) - 1
+    val rnd = new scala.util.Random(7)
+    val samples = (0L until 32L) ++ Seq(32L, 33L, 63L, 64L, 1L << 40, Long.MaxValue / 2) ++
+      (1 to 5000).map(_ => math.abs(rnd.nextLong()) / 2 + 1)
+    samples.filter(_ >= 1).foreach { v =>
+      val b = bucket(v)
+      assert(lo(b) <= v && v <= hi(b), s"v=$v bucket=$b lo=${lo(b)} hi=${hi(b)}")
+      if (v >= 32)
+        assert(hi(b) - lo(b) + 1 <= lo(b) / 16.0 + 1, s"width too wide at v=$v")
+      // buckets are monotone in v: the quantile walk's ordering premise
+      assert(bucket(hi(b)) == b && (b < 32 || bucket(lo(b) - 1) == b - 1))
+    }
+  }
+
   test("sketch SQL surface is registered") {
     GraftFunctions.register(spark)
     words.toDF("v").createOrReplaceTempView("sketch_words")
