@@ -69,8 +69,15 @@ object Sketches {
     if (rho > buf(bucket)) buf(bucket) = rho.toByte
   }
 
+  /** Wrong-size binaries mean the caller is querying something that is
+    * not the matching sketch — fail loudly, never index garbage. */
+  private def checkSize(buf: Array[Byte], want: Int, fn: String): Unit =
+    require(buf.length == want,
+      s"$fn: not a $want-byte sketch (${buf.length} bytes)")
+
   /** Register count with rank ≥ 1 — the SQL side's COUNT(*) over regs. */
   def hllNonzero(buf: Array[Byte]): Long = {
+    checkSize(buf, HllM, "hll_nonzero")
     var n = 0L
     var i = 0
     while (i < HllM) { if (buf(i) != 0) n += 1; i += 1 }
@@ -80,6 +87,7 @@ object Sketches {
   /** alpha·m²·2^49 / Σ 2^(49-M_j) — integer register sum (empty register
     * contributes 2^49), one shared-constant division. */
   def hllEstimate(buf: Array[Byte]): Double = {
+    checkSize(buf, HllM, "hll_estimate")
     var s = 0L
     var i = 0
     while (i < HllM) { s += HllScale >>> buf(i); i += 1 }
@@ -108,6 +116,13 @@ object Sketches {
       grid(r * CmWidth + cmsCell(r, value)) += 1L
       r += 1
     }
+  }
+
+  /** [[cmsQuery]] over the serialized grid — the scalar-expression entry
+    * point, with the size check before any index arithmetic. */
+  def cmsQueryBytes(sk: Array[Byte], value: UTF8String): Long = {
+    checkSize(sk, CmDepth * CmWidth * 8, "cms_query")
+    cmsQuery(bytesToLongs(sk), value)
   }
 
   /** Point-frequency estimate: min over the 3 row counters — one-sided
@@ -143,6 +158,7 @@ object Sketches {
   /** Membership test: all k bit positions set (one-sided: never a false
     * negative; false positives at the documented load-dependent rate). */
   def bloomContains(bits: Array[Byte], value: UTF8String): Boolean = {
+    checkSize(bits, BloomM / 8, "bloom_contains")
     val d = md5(value.getBytes)
     var i = 0
     while (i < 2) {
@@ -351,11 +367,10 @@ case class CmsQuery(left: Expression, right: Expression)
   override def inputTypes = Seq(BinaryType, StringType)
   override def dataType: DataType = LongType
   override protected def nullSafeEval(sk: Any, v: Any): Any =
-    Sketches.cmsQuery(Sketches.bytesToLongs(sk.asInstanceOf[Array[Byte]]),
-      v.asInstanceOf[UTF8String])
+    Sketches.cmsQueryBytes(sk.asInstanceOf[Array[Byte]], v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (sk, v) =>
-      s"graft.functions.Sketches.cmsQuery(graft.functions.Sketches.bytesToLongs($sk), $v)")
+      s"graft.functions.Sketches.cmsQueryBytes($sk, $v)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CmsQuery =
     copy(left = newLeft, right = newRight)

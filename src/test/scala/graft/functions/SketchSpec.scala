@@ -166,6 +166,23 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("scalar sketch queries reject wrong-size binaries loudly") {
+    def errOf(body: => Any): String = {
+      val e = intercept[Exception](body)
+      Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).mkString("\n")
+    }
+    val bad = Seq(Array[Byte](1, 2, 3)).toDF("sk")
+    assert(errOf(bad.select(native.hll_estimate($"sk")).collect())
+      .contains("hll_estimate"))
+    assert(errOf(bad.select(native.hll_nonzero($"sk")).collect())
+      .contains("hll_nonzero"))
+    assert(errOf(bad.select(native.cms_query($"sk", lit("x"))).collect())
+      .contains("cms_query"))
+    assert(errOf(bad.select(native.bloom_contains($"sk", lit("x"))).collect())
+      .contains("bloom_contains"))
+  }
+
   // ---- log-histogram quantile buckets (sketch_quantile_hist) ----
 
   test("log-histogram bucket bounds bracket every value at <= 1/16 relative width") {
