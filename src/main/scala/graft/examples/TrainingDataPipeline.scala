@@ -89,6 +89,40 @@ object TrainingDataPipeline {
         $"seq_start", $"window_id", $"window_offset", $"n_windows")
   }
 
+  /** Stage 1.75 (DECONTAMINATE): flag corpus docs sharing ≥ `minShared`
+    * distinct 3-token shingles with the eval suite, with a Bloom
+    * PREFILTER in front of the exact check — the engine's filter-verify
+    * shape applied to decontamination. The 2 KiB bitset
+    * ([[native.bloom_sketch]] of the eval shingles) attaches to the
+    * corpus scan as one broadcast row and drops ~99% of shingles in-row
+    * BEFORE the exact eval-set join: when the eval suite is small the
+    * exact side broadcasts anyway and the prefilter just cuts probe
+    * work, but when it is NOT broadcast-able the exact join is a
+    * shuffle, and the prefilter shrinks the shuffled corpus volume to
+    * the (tiny) bloom-hit subset. No false negatives: the flagged set is
+    * IDENTICAL to the exact-only computation (TrainingDataPipelineSpec
+    * pins the equality), because bloom misses nothing that is truly in
+    * the set — FPs only cost a wasted verify probe.
+    */
+  def decontaminate(spark: SparkSession, docs: DataFrame, evalDocs: DataFrame,
+                    minShared: Long = 2L): DataFrame = {
+    import spark.implicits._
+    val evalSh = evalDocs
+      .select(explode(TF.shingles3($"text")).as("shingle")).distinct()
+    val bits = evalSh.agg(native.bloom_sketch($"shingle").as("bits"))
+    val flagged = docs
+      .select($"doc_id", explode(TF.shingles3($"text")).as("shingle"))
+      .crossJoin(broadcast(bits))
+      .filter(native.bloom_contains($"bits", $"shingle")) // 2 KiB prefilter
+      .drop("bits")
+      .join(evalSh, Seq("shingle")) // exact verify — only bloom survivors
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
+      .select($"doc_id", lit(true).as("contaminated"))
+    docs.join(flagged, Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce($"contaminated", lit(false)))
+  }
+
   /** Stage 2: per-language token budget over the deduped, quality-
     * filtered corpus. `minStopword`/`minTtr` are the usual cheap quality
     * gates (a doc with no stopwords is unlikely to be natural prose; a

@@ -82,4 +82,30 @@ class TrainingDataPipelineSpec extends SparkSuite {
       }
     }
   }
+
+  test("bloom-prefiltered decontamination equals the exact-only computation") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    // eval suite: the dedup_decontaminate holdout convention
+    val evalDocs = docs.filter($"doc_id" % 97 === 0)
+    val corpus = docs.filter($"doc_id" % 97 =!= 0)
+
+    val got = TrainingDataPipeline.decontaminate(spark, corpus, evalDocs)
+      .filter($"contaminated").select($"doc_id").as[Long].collect().toSet
+
+    // exact-only: the same flagging with NO bloom stage
+    val evalSh = evalDocs
+      .select(explode(TF.shingles3($"text")).as("shingle")).distinct()
+    val expect = corpus
+      .select($"doc_id", explode(TF.shingles3($"text")).as("shingle"))
+      .join(evalSh, Seq("shingle"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 2).select($"doc_id").as[Long].collect().toSet
+
+    assert(got == expect, "bloom prefilter must not change the flagged set")
+    assert(got.nonEmpty, "fixture vacuity: no contaminated docs at all")
+    // every corpus doc got a verdict, flagged or not
+    val n = TrainingDataPipeline.decontaminate(spark, corpus, evalDocs).count()
+    assert(n == corpus.count())
+  }
 }
