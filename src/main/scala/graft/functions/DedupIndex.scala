@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental (snapshot-to-snapshot) near-dup dedup — the daily-ingest
+  * operation: dedup TODAY's batch against everything already admitted
+  * WITHOUT re-reading the old corpus. The persisted artifact is a
+  * signature index (band rows carrying their MinHash signatures); each
+  * new batch probes it with one equi-join, gets greedy first-owner
+  * verdicts, and appends its own band rows as the index delta.
+  *
+  * Shares the batch pipeline's exact LSH geometry and edge rule
+  * (queries.DedupOps / streaming.Dedup: k=8 MinHashes, 4 bands of 2,
+  * verified at signature agreement ≥ 0.5), so incremental verdicts agree
+  * with the one-shot batch computation: DedupIndexSpec pins that
+  * chunked ingestion (index → probe → delta → probe …) produces verdicts
+  * IDENTICAL to running the whole corpus as one batch, and identical to
+  * the streaming `Dedup.minhashVerdicts` pipeline in id order.
+  *
+  * Scale shape: the index is (band, band_hash)-keyed — a probe is one
+  * equi-join on the band key (bucket cardinality is the partition key,
+  * exactly the batch LSH join), verification happens INSIDE the join
+  * filter because index rows carry their signatures (storage ×NumBands
+  * for zero re-join — the space/locality trade a probe-heavy index
+  * wants). Nothing scans the old corpus; the index grows by the new
+  * batch's band rows only. Greedy semantics, not connected components:
+  * a new doc's root is the SMALLEST matched earlier doc, one hop — the
+  * streaming pipeline's documented rule.
+  */
+object DedupIndex {
+  // MUST mirror queries.DedupOps and streaming.Dedup — the shared
+  // geometry is what makes incremental == one-shot == streaming hold.
+  private val NumHashes = 8
+  private val BandSize = 2
+  private val NumBands = NumHashes / BandSize
+  private val EstThreshold = 0.5
+
+  /** Fraction of the 8 signatures agreeing — the shared edge rule. */
+  private def est(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), m => m))
+      .cast("double") / lit(NumHashes.toDouble)
+
+  /** The signature index rows of `docs` (doc_id, text): one row per
+    * (doc, band) with the doc's full signature vector inlined —
+    * `(doc_id, sigs, band, band_hash)`. Persist this (e.g. parquet
+    * partitioned or bucketed by `band_hash`) as the dedup index; docs
+    * with no 3-shingle (under 3 tokens) index nothing and always keep. */
+  def indexRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextFunctions.shingles3(col("text")).as("sharr"))
+      .filter(size(col("sharr")) >= 1)
+      .select(col("doc_id"),
+        native.minhash_sigs(col("sharr"), NumHashes).as("sigs"))
+      .select(col("doc_id"), col("sigs"),
+        posexplode(Lsh.bandHashes(col("sigs"), NumBands, BandSize)))
+      .toDF("doc_id", "sigs", "band", "band_hash")
+
+  /** Greedy verdicts for `newDocs` against the stored `index` (rows in
+    * [[indexRows]] shape; may be empty) AND against earlier docs of the
+    * same batch (smaller doc_id = earlier, matching the one-shot batch
+    * order). One row per new doc: `(doc_id, root_doc, is_keeper)` —
+    * keeper iff no verified match; root = smallest matched earlier doc,
+    * else itself. Every new doc enters the next index generation via
+    * [[indexRows]] regardless of verdict (duplicates still own future
+    * matches — the streaming membership rule), so the caller appends
+    * `indexRows(newDocs)` as the delta.
+    */
+  def incrementalVerdicts(newDocs: DataFrame, index: DataFrame): DataFrame = {
+    val nb = indexRows(newDocs)
+    val vsOld = nb.as("n")
+      .join(index.as("o"),
+        col("n.band") === col("o.band") &&
+          col("n.band_hash") === col("o.band_hash") &&
+          col("n.doc_id") =!= col("o.doc_id") &&
+          est(col("n.sigs"), col("o.sigs")) >= EstThreshold)
+      .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("match_id"))
+    val vsNew = nb.as("a")
+      .join(nb.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") > col("b.doc_id") &&
+          est(col("a.sigs"), col("b.sigs")) >= EstThreshold)
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("match_id"))
+    val roots = vsOld.unionByName(vsNew)
+      .groupBy(col("doc_id")).agg(min(col("match_id")).as("match_id"))
+    newDocs.select(col("doc_id"))
+      .join(roots, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("match_id"), col("doc_id")).as("root_doc"),
+        col("match_id").isNull.as("is_keeper"))
+  }
+}

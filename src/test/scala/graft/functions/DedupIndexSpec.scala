@@ -1,0 +1,87 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The incremental-dedup contract: ingesting a corpus in chunks against
+  * a growing signature index produces verdicts IDENTICAL to the one-shot
+  * batch run, and identical to the streaming pipeline in id order — the
+  * property that lets a daily ingest trust index-probe verdicts without
+  * ever re-running the full corpus.
+  */
+class DedupIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs: DataFrame =
+    spark.read.parquet(sf() + "/documents.parquet").select($"doc_id", $"text")
+
+  private def verdicts(df: DataFrame): Set[(Long, Long, Boolean)] =
+    df.select($"doc_id", $"root_doc", $"is_keeper")
+      .as[(Long, Long, Boolean)].collect().toSet
+
+  test("chunked ingestion == one-shot batch verdicts") {
+    val ids = docs.select($"doc_id").as[Long].collect().sorted
+    val mid = ids(ids.length / 2)
+    val (a, b) = (docs.filter($"doc_id" < mid), docs.filter($"doc_id" >= mid))
+
+    val oneShot = verdicts(DedupIndex.incrementalVerdicts(
+      docs, DedupIndex.indexRows(docs.limit(0))))
+
+    val vA = verdicts(DedupIndex.incrementalVerdicts(
+      a, DedupIndex.indexRows(docs.limit(0))))
+    // persist the index the way a deployment would (parquet round trip)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+    DedupIndex.indexRows(a).write.mode("overwrite").parquet(idxDir)
+    val vB = verdicts(DedupIndex.incrementalVerdicts(
+      b, spark.read.parquet(idxDir)))
+
+    assert(vA ++ vB == oneShot, "chunked verdicts drifted from one-shot")
+    assert(oneShot.map(_._1) == ids.toSet)
+    assert(oneShot.exists(!_._3), "fixture vacuity: no duplicates at all")
+  }
+
+  test("incremental verdicts == streaming minhashVerdicts in id order") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, String, Long)]
+    withRocksDBState {
+      val q = graft.streaming.Dedup.minhashVerdicts(
+        in.toDS().toDF("doc_id", "text", "seq").as[(Long, String, Long)])
+        .toDF("doc_id", "seq", "root_doc", "is_keeper")
+        .writeStream.format("memory").queryName("incr_stream")
+        .outputMode("append").start()
+      try {
+        in.addData(rows.map { case (id, t) => (id, t, id) }: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val stream = spark.table("incr_stream")
+      .select($"doc_id", $"root_doc", $"is_keeper")
+      .as[(Long, Long, Boolean)].collect().toSet
+
+    val incr = verdicts(DedupIndex.incrementalVerdicts(
+      docs, DedupIndex.indexRows(docs.limit(0))))
+    assert(incr == stream, "incremental drifted from the streaming pipeline")
+  }
+
+  test("a near-copy arriving in a later batch is flagged with the original as root") {
+    val base = docs
+    val victim = base.orderBy($"doc_id").as[(Long, String)].head()
+    // near-copy: append one token — jaccard stays ≥ 0.5 for any real doc
+    val copy = Seq((victim._1 + 1000000L, victim._2 + " addendum")).toDF("doc_id", "text")
+    val idx = DedupIndex.indexRows(base)
+    val v = verdicts(DedupIndex.incrementalVerdicts(copy, idx))
+    assert(v == Set((victim._1 + 1000000L, victim._1, false)),
+      s"near-copy not flagged against the index: $v")
+  }
+
+  test("docs with no shingle (under 3 tokens) always keep and never index") {
+    val tiny = Seq((1L, "too short"), (2L, "")).toDF("doc_id", "text")
+    assert(DedupIndex.indexRows(tiny).isEmpty)
+    val v = verdicts(DedupIndex.incrementalVerdicts(
+      tiny, DedupIndex.indexRows(docs)))
+    assert(v == Set((1L, 1L, true), (2L, 2L, true)))
+  }
+}
