@@ -152,9 +152,25 @@ object StreamBench {
     val curSec = (System.nanoTime() - t7) / 1e9
     curQ.stop()
 
+    // 9) windowed HLL distinct (streaming.Sketches.windowedDistinct):
+    //    rows/s through the sketch aggregation — per-window state is one
+    //    256-byte buffer, so this measures the md5+register update rate,
+    //    the bounded-state alternative to exact streaming distinct
+    val hllIn = MemoryStream[(Long, Double, Long)]
+    val hllQ = graft.streaming.Sketches.windowedDistinct(
+        hllIn.toDF().toDF("user_id", "value", "event_id")
+          .withColumn("ts", timestamp_seconds($"event_id" % 7200)),
+        "ts", "1 hour", "48 hours", Nil, $"user_id")
+      .writeStream.format("noop").outputMode("update").start()
+    hllIn.addData(events.take(1000)); hllQ.processAllAvailable() // warm
+    val t8 = System.nanoTime()
+    hllIn.addData(events); hllQ.processAllAvailable()
+    val hllSec = (System.nanoTime() - t8) / 1e9
+    hllQ.stop()
+
     val n = events.length
     val nd = docs.length - 100
-    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"stream_curate_docs_per_sec":${nd / curSec}%.0f,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
+    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"stream_curate_docs_per_sec":${nd / curSec}%.0f,"stream_hll_rows_per_sec":${n / hllSec}%.0f,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

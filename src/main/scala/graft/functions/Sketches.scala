@@ -2,6 +2,7 @@ package graft.functions
 
 import java.security.MessageDigest
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
@@ -45,6 +46,38 @@ object Sketches {
 
   /** Bloom: 2^14 bits (2 KiB), k=2 16-bit md5 chunks folded mod m. */
   val BloomM = 16384
+
+  /** Deterministic log-histogram bucket of a positive long column —
+    * the quantile sketch's binning (values < 32 exact; else octave ×
+    * 16 sub-buckets, ≤ 1/16 relative width — bounds and monotonicity
+    * property-tested in SketchSpec). Counts per bucket are a plain
+    * (partial-agg-friendly, addition-mergeable) aggregate; shared by
+    * the batch query sketch_quantile_hist and streaming
+    * [[graft.streaming.Sketches.windowedHistogram]] so the two can
+    * never drift. */
+  def logBucket(v: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val blen = length(bin(v)).cast("int")
+    when(v < 32, v).otherwise(
+      lit(32) + (blen - 6) * 16 + (call_function("shiftright", v, blen - 5) - 16))
+  }
+
+  /** Inclusive value bounds of a [[logBucket]] bucket id. */
+  def bucketLo(b: Column): Column = {
+    import org.apache.spark.sql.functions._
+    // (b-32) DIV 16 == (b-32) >> 4 for the non-negative log region
+    val oct = call_function("shiftright", b - 32, lit(4)).cast("int") + 1
+    when(b < 32, b).otherwise(
+      call_function("shiftleft", pmod(b - 32, lit(16)) + 16, oct))
+  }
+
+  /** See [[bucketLo]]. */
+  def bucketHi(b: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val oct = call_function("shiftright", b - 32, lit(4)).cast("int") + 1
+    when(b < 32, b).otherwise(
+      call_function("shiftleft", pmod(b - 32, lit(16)) + 17, oct) - 1)
+  }
 
   private val md5Local = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")

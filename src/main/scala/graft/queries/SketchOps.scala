@@ -142,12 +142,10 @@ object SketchOps extends QueryGroup {
         .select(round($"l_extendedprice" * 100).cast("long").as("v"),
           $"l_orderkey", $"l_linenumber")
       // bucket: v<32 exact; else 32 + 16·(bitlen-6) + (top-5-bits - 16)
-      val blen = length(bin($"v")).cast("int")
-      val bucket = when($"v" < 32, $"v")
-        .otherwise(lit(32) + (blen - 6) * 16 +
-          expr("shiftright(v, CAST(length(bin(v)) AS INT) - 5)") - 16)
-      val hist = li.select(bucket.as("bucket")).groupBy($"bucket")
-        .agg(count(lit(1)).as("c"))
+      // — the shared functions.Sketches.logBucket binning (streaming
+      // windowedHistogram uses the same helper, so they cannot drift)
+      val hist = li.select(graft.functions.Sketches.logBucket($"v").as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("c"))
       val n = li.agg(count(lit(1)).as("n"))
       val wc = org.apache.spark.sql.expressions.Window.orderBy($"bucket")
       val cum = hist.withColumn("cc", sum($"c").over(wc)).crossJoin(broadcast(n))
@@ -156,12 +154,8 @@ object SketchOps extends QueryGroup {
         .filter($"cc" >= expr("(pct * n + pct) DIV 100"))
         .groupBy($"pct", $"n").agg(min($"bucket").as("bucket"))
         .select($"pct", $"n",
-          when($"bucket" < 32, $"bucket").otherwise(
-            expr("shiftleft(16 + (bucket - 32) % 16, CAST((bucket - 32) DIV 16 AS INT) + 1)"))
-            .as("est_lo"),
-          when($"bucket" < 32, $"bucket").otherwise(
-            expr("shiftleft(16 + (bucket - 32) % 16 + 1, CAST((bucket - 32) DIV 16 AS INT) + 1) - 1"))
-            .as("est_hi"))
+          graft.functions.Sketches.bucketLo($"bucket").as("est_lo"),
+          graft.functions.Sketches.bucketHi($"bucket").as("est_hi"))
       val ranked = graft.functions.GlobalOrder.withRowNumber(
         li, "pos", $"v", $"l_orderkey", $"l_linenumber")
       val exact = ranked.crossJoin(broadcast(pcts)).crossJoin(broadcast(n))

@@ -52,6 +52,23 @@ object Sketches {
       .groupBy(keyCols :+ window(col(eventTimeCol), windowDuration): _*)
       .agg(native.cms_sketch(valueCol.cast("string")).as("cms"))
 
+  /** Log-histogram bucket counts per (`keyCols`, event-time window)
+    * over a positive long `valueCol` — the streaming face of
+    * `sketch_quantile_hist`'s bucket build, on the SAME
+    * [[graft.functions.Sketches.logBucket]] binning. State per group is
+    * one long counter per populated bucket (≤ ~1024); counts merge by
+    * addition across micro-batches and re-merge across windows for
+    * rollups. The ≤1024-row quantile walk (rank → bucket →
+    * [[graft.functions.Sketches.bucketLo]]/`bucketHi` bounds) belongs
+    * in the consumer — `foreachBatch` or a downstream report join — not
+    * in the stream. */
+  def windowedHistogram(df: DataFrame, eventTimeCol: String, windowDuration: String,
+                        delay: String, keyCols: Seq[Column], valueCol: Column): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .groupBy(keyCols ++ Seq(window(col(eventTimeCol), windowDuration),
+        graft.functions.Sketches.logBucket(valueCol).as("bucket")): _*)
+      .agg(count(lit(1)).as("c"))
+
   /** Tag a stream against a batch-built Bloom bitset (the nightly
     * blocked-set build of `sketch_bloom_decontaminate`): `bits` is the
     * ONE-ROW DataFrame produced by `agg(bloom_sketch(...))`; the stream

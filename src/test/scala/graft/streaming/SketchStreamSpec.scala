@@ -94,6 +94,43 @@ class SketchStreamSpec extends SparkSuite {
       assert(got((wA, p)) >= exact.getOrElse(p, 0L), s"under-count for $p"))
   }
 
+  test("windowedHistogram: streaming bucket counts == batch logBucket histogram") {
+    val vals = batch1.zipWithIndex.map { case ((t, _), i) => (t, (i * 37L + 1) % 5000 + 1) } ++
+      batch2.zipWithIndex.map { case ((t, _), i) => (t, (1L << (i % 40)) + i) }
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = Sketches.windowedHistogram(
+      in.toDS().toDF("ts", "v"), "ts", "1 hour", "2 hours", Nil, $"v")
+      .writeStream.format("memory").queryName("hist_win")
+      .outputMode("complete").start()
+    try {
+      in.addData(vals.take(17): _*); q.processAllAvailable()
+      in.addData(vals.drop(17): _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      df.select($"window.start".cast("string"), $"bucket", $"c")
+        .as[(String, Long, Long)].collect().toSet
+    val got = rows(spark.table("hist_win"))
+    val batch = rows(vals.toDF("ts", "v")
+      .groupBy(window($"ts", "1 hour"),
+        graft.functions.Sketches.logBucket($"v").as("bucket"))
+      .agg(count(lit(1)).as("c")))
+    assert(got == batch, s"streaming $got\nbatch $batch")
+    // and the consumer-side walk brackets the true p50 per window
+    val winA = vals.filter(_._1.toString.startsWith("2026-01-01 10")).map(_._2).sorted
+    val p50 = winA((winA.size + 1) / 2 - 1)
+    val histA = got.toSeq.filter(_._1.startsWith("2026-01-01 10"))
+      .map { case (_, b, c) => (b, c) }.sortBy(_._1)
+    val rank = (winA.size + 1) / 2
+    val bucket = histA.scanLeft((0L, 0L)) { case ((_, cum), (b, c)) => (b, cum + c) }
+      .find(_._2 >= rank).get._1
+    val lo = Seq(bucket).toDF("b")
+      .select(graft.functions.Sketches.bucketLo($"b")).as[Long].head()
+    val hi = Seq(bucket).toDF("b")
+      .select(graft.functions.Sketches.bucketHi($"b")).as[Long].head()
+    assert(lo <= p50 && p50 <= hi, s"p50=$p50 outside [$lo,$hi]")
+  }
+
   test("tagBlocked: stream filtered by a batch-built bloom, no false negatives") {
     val blocked = (0 until 200).map(i => s"bad-$i")
     val bits = blocked.toDF("v")
