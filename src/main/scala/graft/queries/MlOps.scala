@@ -1,21 +1,29 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Oracle-checked query for the online-ML layer (SURVEY §2.7,
-  * `graft.streaming.River`): simple least squares fit as ONE distributed
-  * aggregation over exact sufficient statistics — the same math
-  * `OnlineLinearRegression` folds incrementally (RiverSpec ties the two
-  * together numerically).
+/** Oracle-checked queries for the in-engine ML surface: the online-ML
+  * layer's least squares (SURVEY §2.7, `graft.streaming.River`), the
+  * hashing-trick text vectorizer, and embedding-free document
+  * clustering over those hashed features.
   *
-  * Bit-parity design (QueryGroup scaladoc): every sum goes through the
-  * DECIMAL(38,s) cast so it is order-independent and identical in both
-  * engines; the closed-form slope/intercept arithmetic then runs in
-  * DOUBLE with the exact same expression shape on both sides, so the
-  * final doubles are bit-equal. One narrow scan + one aggregate — at any
-  * scale this is a single reduction.
+  * Bit-parity design (QueryGroup scaladoc): river_ols sums go through
+  * the DECIMAL(38,s) cast so they are order-independent and identical
+  * in both engines; the vectorizer and clustering are PURE INTEGER
+  * (md5 buckets, token counts, squared-distance arithmetic), so their
+  * outputs hash-match with no floating point anywhere.
   */
 object MlOps extends QueryGroup {
+
+  // hashing-trick feature dimension: 64 buckets (first 8 md5 hex chars
+  // of the token, mod 64) — small enough that the DuckDB oracle stays
+  // cheap, large enough that docs separate; the operator is dim-generic
+  private val HashDim = 64
+  // coarse "centroids": the hashed feature vectors of a fixed doc
+  // sample (doc_id % 101 == 0) — the similarity_ivf deterministic-
+  // quantizer convention, so the oracle reproduces the model exactly
+  private val CentMod = 101
 
   override def queries: Map[String, Q] = Map(
     // y = l_extendedprice regressed on x = l_quantity
@@ -33,6 +41,61 @@ object MlOps extends QueryGroup {
             ($"n" * $"sxx" - $"sx" * $"sx")).as("slope"),
           ((($"sy" - (($"n" * $"sxy" - $"sx" * $"sy") /
             ($"n" * $"sxx" - $"sx" * $"sx")) * $"sx")) / $"n").as("intercept"))
+    }),
+
+    // Hashing-trick vectorizer (the fastText/VW featurization): each doc
+    // becomes a sparse 64-dim term-frequency vector, feature index =
+    // md5(token) mod 64 — seedless, vocabulary-free, engine-identical.
+    // Output is the sparse relation (doc_id, feature_idx, cnt): one
+    // token explode + one keyed count, partial-agg-friendly; the dense
+    // form is a pivot the caller applies if needed. Pure integers.
+    "text_hash_features" -> ((s, dir) => {
+      import s.implicits._
+      spread(t(s, dir, "documents"))
+        .select($"doc_id",
+          explode(graft.functions.native.tokens($"text")).as("tok"))
+        .select($"doc_id",
+          (conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long") % HashDim)
+            .as("feature_idx"))
+        .groupBy($"doc_id", $"feature_idx")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Embedding-free document clustering: assign every doc to its
+    // nearest coarse centroid in hashed-TF space by EXACT INTEGER
+    // squared distance — ‖x−c‖² = ‖x‖² + ‖c‖² − 2⟨x,c⟩ over the sparse
+    // features, ties broken by centroid id. The centroid set is the
+    // fixed doc sample (similarity_ivf's deterministic-quantizer
+    // convention; a production run trains it with functions.Kmeans).
+    // Plan: one feature build (keyed count), one broadcast join on
+    // feature_idx for the sparse dots (centroid side is ncent×dim ≤ a
+    // few hundred rows at ANY corpus size), one per-doc fold over ≤
+    // ncent rows — the corpus never pairwise-joins itself.
+    "cluster_docs_hashed" -> ((s, dir) => {
+      import s.implicits._
+      val feats = spread(t(s, dir, "documents"))
+        .select($"doc_id",
+          explode(graft.functions.native.tokens($"text")).as("tok"))
+        .select($"doc_id",
+          (conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long") % HashDim)
+            .as("idx"))
+        .groupBy($"doc_id", $"idx").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // feeds centroids, norms, and dots once
+      val cent = feats.filter($"doc_id" % CentMod === 0)
+        .select($"doc_id".as("cid"), $"idx", $"cnt".as("ccnt"))
+      val cnorm = cent.groupBy($"cid").agg(sum($"ccnt" * $"ccnt").as("c2"))
+      val docs = feats.filter($"doc_id" % CentMod =!= 0)
+      val dnorm = docs.groupBy($"doc_id").agg(sum($"cnt" * $"cnt").as("x2"))
+      val dots = docs.join(broadcast(cent), Seq("idx"))
+        .groupBy($"doc_id", $"cid").agg(sum($"cnt" * $"ccnt").as("dot"))
+      val dist = dnorm.crossJoin(broadcast(cnorm))
+        .join(dots, Seq("doc_id", "cid"), "left")
+        .withColumn("dist2",
+          $"x2" + $"c2" - lit(2L) * coalesce($"dot", lit(0L)))
+      val w = Window.partitionBy($"doc_id").orderBy($"dist2", $"cid")
+      dist.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"cid".as("cluster_id"), $"dist2")
     })
   )
 
@@ -47,6 +110,52 @@ object MlOps extends QueryGroup {
          |    ${DSUM("l_extendedprice")} AS sy,
          |    ${DSUM("l_quantity * l_extendedprice")} AS sxy,
          |    ${DSUM("l_quantity * l_quantity")} AS sxx
-         |  FROM lineitem)""".stripMargin
+         |  FROM lineitem)""".stripMargin,
+
+    "text_hash_features" ->
+      s"""SELECT doc_id,
+         |  CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % $HashDim AS feature_idx,
+         |  COUNT(*) AS cnt
+         |FROM (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+         |  FROM documents)
+         |GROUP BY doc_id, feature_idx""".stripMargin,
+
+    "cluster_docs_hashed" ->
+      s"""WITH feats AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % $HashDim AS idx,
+         |    COUNT(*) AS cnt
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+         |    FROM documents)
+         |  GROUP BY doc_id, idx),
+         |cent AS (
+         |  SELECT doc_id AS cid, idx, cnt AS ccnt FROM feats
+         |  WHERE doc_id % $CentMod = 0),
+         |cnorm AS (
+         |  SELECT cid, CAST(SUM(ccnt * ccnt) AS BIGINT) AS c2
+         |  FROM cent GROUP BY cid),
+         |docs AS (SELECT * FROM feats WHERE doc_id % $CentMod <> 0),
+         |dnorm AS (
+         |  SELECT doc_id, CAST(SUM(cnt * cnt) AS BIGINT) AS x2
+         |  FROM docs GROUP BY doc_id),
+         |dots AS (
+         |  SELECT d.doc_id, c.cid, CAST(SUM(d.cnt * c.ccnt) AS BIGINT) AS dot
+         |  FROM docs d JOIN cent c USING (idx)
+         |  GROUP BY d.doc_id, c.cid),
+         |dist AS (
+         |  SELECT dn.doc_id, cn.cid,
+         |    dn.x2 + cn.c2 - 2 * COALESCE(dt.dot, 0) AS dist2
+         |  FROM dnorm dn CROSS JOIN cnorm cn
+         |  LEFT JOIN dots dt ON dt.doc_id = dn.doc_id AND dt.cid = cn.cid)
+         |SELECT doc_id, cid AS cluster_id, CAST(dist2 AS BIGINT) AS dist2
+         |FROM (
+         |  SELECT doc_id, cid, dist2,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist2, cid) AS rn
+         |  FROM dist)
+         |WHERE rn = 1""".stripMargin
   )
 }
