@@ -67,10 +67,18 @@ object MlOps extends QueryGroup {
     // features, ties broken by centroid id. The centroid set is the
     // fixed doc sample (similarity_ivf's deterministic-quantizer
     // convention; a production run trains it with functions.Kmeans).
+    //
     // Plan: one feature build (keyed count), one broadcast join on
-    // feature_idx for the sparse dots (centroid side is ncent×dim ≤ a
-    // few hundred rows at ANY corpus size), one per-doc fold over ≤
-    // ncent rows — the corpus never pairwise-joins itself.
+    // feature_idx for the sparse dots, one per-doc argmin over ≤ ncent+t
+    // candidate rows. The argmin deliberately does NOT densify: a doc's
+    // candidates are its dots rows (score = c2 − 2·dot) plus the GLOBAL
+    // min-(c2, cid) centroid rows standing in for every zero-overlap
+    // centroid — sufficient because a dot only LOWERS a score, so any
+    // zero-overlap centroid that could win must itself be a min-c2 row
+    // (ties included: all min-c2 rows are kept, so the (dist2, cid)
+    // tie-break is exact). A dense corpus×ncent outer join here — the
+    // obvious formulation, and the DuckDB oracle's — would sort-merge
+    // ncent copies of the corpus at scale.
     "cluster_docs_hashed" -> ((s, dir) => {
       import s.implicits._
       val feats = spread(t(s, dir, "documents"))
@@ -86,16 +94,22 @@ object MlOps extends QueryGroup {
       val cnorm = cent.groupBy($"cid").agg(sum($"ccnt" * $"ccnt").as("c2"))
       val docs = feats.filter($"doc_id" % CentMod =!= 0)
       val dnorm = docs.groupBy($"doc_id").agg(sum($"cnt" * $"cnt").as("x2"))
-      val dots = docs.join(broadcast(cent), Seq("idx"))
+      val scored = docs.join(broadcast(cent), Seq("idx"))
         .groupBy($"doc_id", $"cid").agg(sum($"cnt" * $"ccnt").as("dot"))
-      val dist = dnorm.crossJoin(broadcast(cnorm))
-        .join(dots, Seq("doc_id", "cid"), "left")
-        .withColumn("dist2",
-          $"x2" + $"c2" - lit(2L) * coalesce($"dot", lit(0L)))
-      val w = Window.partitionBy($"doc_id").orderBy($"dist2", $"cid")
-      dist.withColumn("rn", row_number().over(w))
+        .join(broadcast(cnorm), Seq("cid"))
+        .select($"doc_id", $"cid", ($"c2" - lit(2L) * $"dot").as("score"))
+      val gmin = cnorm.agg(min($"c2").as("c2min"))
+      val gbest = cnorm.crossJoin(broadcast(gmin))
+        .filter($"c2" === $"c2min")
+        .select($"cid", $"c2".as("score"))
+      val cand = scored.unionByName(
+        dnorm.select($"doc_id").crossJoin(broadcast(gbest)))
+      val w = Window.partitionBy($"doc_id").orderBy($"score", $"cid")
+      cand.withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
-        .select($"doc_id", $"cid".as("cluster_id"), $"dist2")
+        .join(dnorm, Seq("doc_id"))
+        .select($"doc_id", $"cid".as("cluster_id"),
+          ($"x2" + $"score").as("dist2"))
     })
   )
 

@@ -145,6 +145,14 @@ class PlanSpec extends SparkSuite {
       s"corpus side grew a wide join:\n$p")
   }
 
+  test("hashed clustering: sparse dots broadcast the centroid side, corpus never self-joins") {
+    val p = plan("cluster_docs_hashed")
+    assert(p.contains("BroadcastHashJoin"),
+      s"feature-idx dot join lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus side grew a wide join:\n$p")
+  }
+
   test("mix_temperature: the corpus path is broadcast-joined, never shuffled wide") {
     // the corpus is scanned for the tiny count agg and the admission
     // join; the rates side (10 rows) must reach it as a broadcast —

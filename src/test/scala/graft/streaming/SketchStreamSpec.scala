@@ -131,6 +131,43 @@ class SketchStreamSpec extends SparkSuite {
     assert(lo <= p50 && p50 <= hi, s"p50=$p50 outside [$lo,$hi]")
   }
 
+  test("windowedDistinct state survives a checkpoint restart bit-for-bit") {
+    // the sketch buffer lives in the state store between micro-batches —
+    // a restart must recover the registers exactly, so the final window
+    // estimate equals the batch bits over ALL rows, pre- and post-restart
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val src = Files.createTempDirectory("graft_skrec_src").toString
+    val ckpt = Files.createTempDirectory("graft_skrec_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("user", StringType)))
+    def write(rows: Seq[(Timestamp, String)]): Unit =
+      rows.toDF("ts", "user").coalesce(1).write.mode("append").parquet(src)
+    def start() = Sketches.windowedDistinct(
+        spark.readStream.schema(schema).parquet(src),
+        "ts", "1 hour", "2 hours", Nil, $"user")
+      .select($"window.start".cast("string").as("w"), $"distinct_est", $"nonzero_registers")
+      .writeStream.format("memory").queryName("hll_rec")
+      .option("checkpointLocation", ckpt).outputMode("complete").start()
+
+    write(batch1)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    write(batch2)
+    val q2 = start(); q2.processAllAvailable()
+    val got = spark.table("hll_rec").as[(String, Double, Long)].collect()
+      .map { case (w, e, n) => w -> ((e, n)) }.toMap
+    q2.stop()
+
+    val batch = (batch1 ++ batch2).toDF("ts", "user")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(native.hll_sketch($"user").as("sk"))
+      .select($"window.start".cast("string"),
+        native.hll_estimate($"sk"), native.hll_nonzero($"sk"))
+      .as[(String, Double, Long)].collect()
+      .map { case (w, e, n) => w -> ((e, n)) }.toMap
+    assert(got == batch, s"restarted stream drifted: $got vs $batch")
+  }
+
   test("tagBlocked: stream filtered by a batch-built bloom, no false negatives") {
     val blocked = (0 until 200).map(i => s"bad-$i")
     val bits = blocked.toDF("v")
