@@ -307,6 +307,55 @@ object Dedup {
     verdicts.union(singletons)
   }
 
+  /** Cross-snapshot streaming dedup: greedy verdicts for a stream of
+    * (doc_id, text, seq) against a STATIC signature index
+    * ([[graft.functions.DedupIndex.indexRows]] shape) — the streaming
+    * face of incremental snapshot dedup. Each doc's bands equi-join the
+    * index (stream-static, verification inside the join condition since
+    * index rows carry their signatures); the per-doc fold reuses the
+    * stateless [[DocVerdict]] stage. Output rows: (doc_id, seq,
+    * root_doc, is_keeper) with root = smallest matched indexed doc.
+    *
+    * Scope: INDEX matches only — within-stream near-dups are
+    * [[minhashVerdicts]]'s job; a full ingest composes the two (index
+    * probe for yesterday's corpus, band-state for today's stream).
+    * DedupIndexSpec pins verdict equality with the batch
+    * `DedupIndex.incrementalVerdicts` cross-index component. */
+  def indexVerdicts(ds: Dataset[(Long, String, Long)], index: DataFrame)
+      : Dataset[(Long, Long, Long, Boolean)] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val df = ds.toDF("doc_id", "text", "seq")
+    val sigs = df.select($"doc_id", $"seq",
+      native.minhash_sigs(native.shingles3($"text"), NumHashes).as("sigs"))
+    val banded = sigs
+      .filter(element_at($"sigs", 1).isNotNull)
+      .select($"doc_id", $"seq", $"sigs",
+        posexplode(Lsh.bandHashes($"sigs", NumBands, BandSize)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val agree = size(filter(zip_with(col("n.sigs"), col("o.sigs"),
+      (x, y) => x === y), m => m)).cast("double") / lit(NumHashes.toDouble)
+    val matched = banded.as("n")
+      .join(index.as("o"),
+        col("n.band") === col("o.band") &&
+          col("n.band_hash") === col("o.band_hash") &&
+          col("n.doc_id") =!= col("o.doc_id") &&
+          agree >= EstThreshold,
+        "left")
+      .select(col("n.doc_id"), col("n.seq"),
+        coalesce(col("o.doc_id"), lit(-1L)).as("own"))
+      .as[(Long, Long, Long)]
+    val verdicts = matched
+      .groupByKey(_._1)
+      .transformWithState(new DocVerdict, TimeMode.None(), OutputMode.Append())
+    val singletons = sigs
+      .filter(element_at($"sigs", 1).isNull)
+      .select($"doc_id", $"seq", $"doc_id".as("root_doc"), lit(true).as("is_keeper"))
+      .as[(Long, Long, Long, Boolean)]
+    verdicts.union(singletons)
+  }
+
   /** Semantic-cluster bucket membership — the [[FpBucketMembers]] shape
     * with exact-cosine verification: key = packed (cid, band, bucket),
     * members hold (vecId, embedding, nrm) append-capped, a match is a

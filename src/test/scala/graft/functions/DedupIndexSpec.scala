@@ -77,6 +77,46 @@ class DedupIndexSpec extends SparkSuite {
       s"near-copy not flagged against the index: $v")
   }
 
+  test("streaming indexVerdicts == batch cross-index verdicts over a stored index") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ids = docs.select($"doc_id").as[Long].collect().sorted
+    val mid = ids(ids.length / 2)
+    val (a, b) = (docs.filter($"doc_id" < mid), docs.filter($"doc_id" >= mid))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    DedupIndex.indexRows(a).write.mode("overwrite").parquet(idxDir)
+    val index = spark.read.parquet(idxDir)
+
+    val rows = b.as[(Long, String)].collect().map { case (id, t) => (id, t, id) }
+    val in = MemoryStream[(Long, String, Long)]
+    withRocksDBState {
+      val q = graft.streaming.Dedup.indexVerdicts(
+          in.toDS().toDF("doc_id", "text", "seq").as[(Long, String, Long)], index)
+        .toDF("doc_id", "seq", "root_doc", "is_keeper")
+        .writeStream.format("memory").queryName("idx_stream")
+        .outputMode("append").start()
+      try {
+        // two chunks — the probe is stateless per doc, chunking must not matter
+        in.addData(rows.take(7).toSeq); q.processAllAvailable()
+        in.addData(rows.drop(7).toSeq); q.processAllAvailable()
+      } finally q.stop()
+    }
+    val got = spark.table("idx_stream")
+      .select($"doc_id", $"root_doc", $"is_keeper")
+      .as[(Long, Long, Boolean)].collect().toSet
+
+    // batch cross-index component: incremental verdicts of b against the
+    // index, with b's WITHIN-batch matches excluded by keeping only docs
+    // whose match comes from the index — recompute directly
+    val expect = verdicts(DedupIndex.incrementalVerdicts(
+      b, index)).map { case (id, root, keep) =>
+      // discard within-batch roots: recompute as index-only by checking
+      // the root is an indexed doc (all index ids < mid) or self
+      if (!keep && root >= mid) (id, id, true) else (id, root, keep)
+    }
+    assert(got == expect, s"streaming probe drifted:\n$got\nvs\n$expect")
+    assert(got.exists(!_._3), "fixture vacuity: nothing matched the index")
+  }
+
   test("docs with no shingle (under 3 tokens) always keep and never index") {
     val tiny = Seq((1L, "too short"), (2L, "")).toDF("doc_id", "text")
     assert(DedupIndex.indexRows(tiny).isEmpty)
