@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
   private val groups: Seq[QueryGroup] =
     Seq(CoreOps, WindowOps, ExtraOps, MiscOps, JoinOps, TextOps, DedupOps,
-      SimilarityOps, MultimodalOps, MlOps, PipelineOps, CurationOps, SketchOps)
+      SimilarityOps, MultimodalOps, MlOps, PipelineOps, CurationOps, SketchOps,
+      GovernanceOps, ScaleOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

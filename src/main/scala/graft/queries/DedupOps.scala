@@ -48,6 +48,11 @@ object DedupOps extends QueryGroup {
   // tokens on web text; this corpus averages 54 whitespace tokens/doc,
   // so 20 keeps several windows per doc)
   private val SpanLen = 20
+  // dedup_span_removal granularity: non-overlapping 10-token chunks (C4
+  // removes repeated three-sentence spans; fixed aligned chunks are the
+  // shuffle-linear granularity — every token belongs to exactly ONE
+  // counted unit, so corpus volume through the count is 1×, not SpanLen×)
+  private val ChunkLen = 10
   // image near-dup: pairs at dHash Hamming ≤ 3, found via 4 bands of 16
   // bits. Exact by pigeonhole (≤ 3 differing bits over 4 bands leaves at
   // least one band identical), so banded recall == full-scan recall and
@@ -132,6 +137,37 @@ object DedupOps extends QueryGroup {
           sum(when($"c" >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
         .select($"doc_id", $"n_spans", $"n_dup_spans",
           ($"n_dup_spans".cast("double") / $"n_spans").as("dup_span_frac"))
+    }),
+
+    // C4-style duplicated-span REMOVAL: where dedup_substring only scores
+    // each document's duplicated fraction, this one rewrites the corpus —
+    // any non-overlapping ChunkLen-token chunk occurring ≥2 times
+    // corpus-wide (including within one document) is cut, and the
+    // surviving chunks are reassembled in order. Three-step plan, all
+    // uniform-key: in-row chunking (narrow), a partial-agg-safe count by
+    // chunk hash (a boilerplate chunk concentrates into ONE count row,
+    // never a pair join), a hash-join back, and one groupBy(doc_id)
+    // reassembly. Corpus volume through every shuffle is ≤1× the token
+    // stream — the same no-pair-blowup argument as dedup_substring, plus
+    // the aligned-chunk trick keeps it 1× instead of SpanLen×.
+    "dedup_span_removal" -> ((s, dir) => {
+      import s.implicits._
+      val chunks = spread(t(s, dir, "documents"))
+        .withColumn("toks", TF.tokens($"text"))
+        .filter(size($"toks") >= 1)
+        .select($"doc_id", explode(expr(
+          s"transform(sequence(0, (size(toks)-1) DIV $ChunkLen), i -> " +
+            s"struct(i AS chunk_id, concat_ws(' ', slice(toks, i*$ChunkLen+1, $ChunkLen)) AS chunk))"))
+          .as("ch"))
+        .select($"doc_id", $"ch.chunk_id", $"ch.chunk", md5($"ch.chunk").as("h"))
+      val cnt = chunks.groupBy($"h").agg(count(lit(1)).as("c"))
+      chunks.join(cnt, "h")
+        .groupBy($"doc_id")
+        .agg(
+          expr("array_join(transform(array_sort(collect_list(" +
+            "CASE WHEN c < 2 THEN struct(chunk_id, chunk) END)), x -> x.chunk), ' ')")
+            .as("kept_text"),
+          sum(when($"c" >= 2, 1L).otherwise(0L)).as("n_removed"))
     }),
 
     // exact n-gram Jaccard on candidate pairs sharing ≥1 shingle. The
@@ -691,6 +727,23 @@ object DedupOps extends QueryGroup {
          |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
          |    AS dup_span_frac
          |FROM spans JOIN cnt USING (h)
+         |GROUP BY doc_id""".stripMargin,
+
+    "dedup_span_removal" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |chunks AS (
+         |  SELECT doc_id, i AS chunk_id,
+         |    array_to_string(toks[i*$ChunkLen+1 : i*$ChunkLen+$ChunkLen], ' ') AS chunk
+         |  FROM toks, UNNEST(generate_series(0, (len(toks)-1)//$ChunkLen)) t(i)
+         |  WHERE len(toks) >= 1),
+         |cnt AS (SELECT md5(chunk) AS h, COUNT(*) AS c FROM chunks GROUP BY 1)
+         |SELECT doc_id,
+         |  COALESCE(string_agg(CASE WHEN c < 2 THEN chunk END, ' ' ORDER BY chunk_id), '')
+         |    AS kept_text,
+         |  CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+         |FROM chunks JOIN cnt ON md5(chunk) = h
          |GROUP BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Operators whose whole POINT is cluster mechanics: storage layout for
+  * data-skipping and skew mitigation for shuffle joins. Both produce
+  * results an oracle can hash-compare, but what they buy only shows in
+  * the physical plan / file statistics — specs pin that side
+  * (ZorderSpec, SkewJoinSpec, PlanSpec).
+  */
+object ScaleOps extends QueryGroup {
+
+  /** Bits per dimension in the Z-value (10 → 20-bit key, 1M cells). */
+  private val ZBits = 10
+  /** Salt fan-out for the skewed join (hot key spreads over 8 cells). */
+  private val Salts = 8
+
+  /** The bit-interleave Σᵢ ((x≫i)&1)≪2i + ((y≫i)&1)≪(2i+1), generated
+    * once and rendered per dialect so the two engines can't drift.
+    * Addition is exact OR here: every term occupies a distinct bit. */
+  private def zInterleave(shl: (String, Int) => String,
+                          shr: (String, Int) => String,
+                          x: String, y: String): String =
+    (0 until ZBits).flatMap { i =>
+      Seq(shl(s"(${shr(x, i)} & 1)", 2 * i),
+          shl(s"(${shr(y, i)} & 1)", 2 * i + 1))
+    }.mkString(" + ")
+
+  private val SparkZ =
+    zInterleave((e, n) => s"shiftleft($e, $n)", (e, n) => s"(shiftright($e, $n))", "x", "y")
+  private val DuckZ =
+    zInterleave((e, n) => s"($e << $n)", (e, n) => s"($e >> $n)", "x", "y")
+
+  override def queries: Map[String, Q] = Map(
+    // Z-order layout key: interleave the bits of two query dimensions
+    // (user and value bucket) so that sorting by zkey places rows close
+    // in BOTH dimensions into the same parquet files — min/max footer
+    // stats then prune either predicate. Interleaving raw values
+    // degenerates when one dimension occupies fewer bits than the other
+    // (its high bits are constant and the curve collapses to a
+    // single-dim sort), so each dimension is first normalized to the
+    // full ZBits width by its observed min/max — the exact,
+    // oracle-friendly stand-in for the rank/range-ID normalization
+    // production Z-order writers use (right for near-uniform dims;
+    // heavily skewed dims would want quantile cutpoints instead). Plan:
+    // one tiny bounds aggregate broadcast back, then a narrow codegen'd
+    // bit expression; the layout write itself is one range sort by zkey
+    // (ZorderSpec measures per-file narrowing in BOTH dims at once —
+    // what no single-column sort achieves). This is the single-pass
+    // alternative to maintaining two sorted copies of a 100 TB table.
+    "zorder_layout" -> ((s, dir) => {
+      import s.implicits._
+      val raw = t(s, dir, "events")
+        .withColumn("xr", $"user_id" % 1024L)
+        .withColumn("yr",
+          (floor($"value" * 2.0).cast("long") % 1024L + 1024L) % 1024L)
+      val bounds = raw.agg(
+        min($"xr").as("mnx"), max($"xr").as("mxx"),
+        min($"yr").as("mny"), max($"yr").as("mxy"))
+      raw.crossJoin(broadcast(bounds))
+        .withColumn("x", expr(s"(xr - mnx) * ${(1 << ZBits) - 1} DIV greatest(mxx - mnx, 1)"))
+        .withColumn("y", expr(s"(yr - mny) * ${(1 << ZBits) - 1} DIV greatest(mxy - mny, 1)"))
+        .withColumn("zkey", expr(SparkZ))
+        .select($"event_id", $"x", $"y", $"zkey")
+    }),
+
+    // Skew-salted shuffle join: ~80% of lineitem rows are funneled onto
+    // one synthetic key (the classic hot-partition profile), then joined
+    // to nation through SkewJoin.saltedInner — the hot key's rows spread
+    // over `Salts` shuffle cells, the right side replicates ×Salts. The
+    // oracle is the PLAIN join: the result is identical for ANY salt
+    // assignment, so salting must be invisible in it. (nation would of
+    // course broadcast — it stands in for a dimension too large to;
+    // SkewJoinSpec exercises the utility with broadcast disabled.)
+    "join_skew_salted" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .withColumn("skew_key",
+          when($"l_partkey" % 25L < 20L, 0L)
+            .otherwise(($"l_partkey" % 25L).cast("long")))
+      val n = t(s, dir, "nation")
+        .select($"n_nationkey".cast("long").as("skew_key"), $"n_name")
+      graft.functions.SkewJoin.saltedInner(li, n, "skew_key", Salts)
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_rows"),
+          dsum($"l_extendedprice", 4).as("revenue"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "zorder_layout" ->
+      s"""WITH raw AS (
+         |  SELECT event_id, user_id % 1024 AS xr,
+         |    ((CAST(FLOOR("value" * 2.0) AS BIGINT) % 1024) + 1024) % 1024 AS yr
+         |  FROM events),
+         |b AS (SELECT MIN(xr) AS mnx, MAX(xr) AS mxx,
+         |             MIN(yr) AS mny, MAX(yr) AS mxy FROM raw)
+         |SELECT event_id, x, y, $DuckZ AS zkey
+         |FROM (
+         |  SELECT event_id,
+         |    (xr - mnx) * ${(1 << ZBits) - 1} // GREATEST(mxx - mnx, 1) AS x,
+         |    (yr - mny) * ${(1 << ZBits) - 1} // GREATEST(mxy - mny, 1) AS y
+         |  FROM raw CROSS JOIN b)""".stripMargin,
+
+    "join_skew_salted" ->
+      s"""SELECT n_name, COUNT(*) AS n_rows,
+         |  ${DSUM("l_extendedprice", 4)} AS revenue
+         |FROM (
+         |  SELECT CASE WHEN l_partkey % 25 < 20 THEN 0
+         |              ELSE l_partkey % 25 END AS skew_key, l_extendedprice
+         |  FROM lineitem) l
+         |JOIN nation ON n_nationkey = skew_key
+         |GROUP BY n_name""".stripMargin
+  )
+}

@@ -174,6 +174,37 @@ class PlanSpec extends SparkSuite {
       s"dedup_semantic degenerated into an all-pairs product:\n$p")
   }
 
+  test("domain_cap keeps only local top-N per domain before the shuffle") {
+    // the rk <= N filter over row_number must trigger WindowGroupLimit:
+    // each map task pre-prunes to its local top-N per domain, so a
+    // billion-doc domain ships <= N*tasks rows into the exchange, not
+    // its full population
+    val p = plan("domain_cap")
+    assert(p.contains("WindowGroupLimit"),
+      s"domain_cap lost its rank-bounded pre-shuffle prune:\n$p")
+  }
+
+  test("profile_constraints is one scan (Expand is the exact-distinct cost)") {
+    // multiple exact COUNT(DISTINCT)s plan an Expand over ONE scan of the
+    // table; a second FileScan would mean the profile reads the data per
+    // column. (The approximate at-scale twin is sketch_hll_distinct.)
+    val p = plan("profile_constraints")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"profile must read the table once, got $scans scans:\n$p")
+    assert(p.contains("Expand"), s"exact multi-distinct should plan an Expand:\n$p")
+  }
+
+  test("span removal: chunk counts are partial-agg safe, no pair join") {
+    // the chunk-frequency aggregate must partial-aggregate map-side (a
+    // boilerplate chunk concentrates into one count row); the join back
+    // must stay a hash equi-join on the chunk hash
+    val p = plan("dedup_span_removal")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dedup_span_removal must never pair documents:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"chunk counting lost its hash aggregate:\n$p")
+  }
+
   test("media near-dup pair joins stay equi-joins on (band, bucket)") {
     // the shared phashPairs plan: a cartesian/nested-loop here is the
     // O(n^2) blowup the banding exists to prevent
