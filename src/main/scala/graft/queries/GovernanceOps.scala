@@ -34,8 +34,12 @@ object GovernanceOps extends QueryGroup {
   /** Seed for the cap's keep-priority; a new seed is a new draw. */
   private val CapSeed = "cap-0"
 
-  /** documents columns profiled (name, sql expr). */
-  private val Cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+  /** Columns profiled. The corpus carries no natural nulls (every
+    * completeness would be a trivial 1.0), so the profile runs over a
+    * derived view with one planted-null column — lang nulled for
+    * doc_id % 7 == 0 — proving the completeness metric actually reads
+    * non-null fractions. The operator itself is column-generic. */
+  private val Cols = Seq("doc_id", "text", "lang", "source", "n_chars", "lang_or_null")
 
   override def queries: Map[String, Q] = Map(
     // Deequ-style profile: one row per column with completeness
@@ -45,6 +49,8 @@ object GovernanceOps extends QueryGroup {
     "profile_constraints" -> ((s, dir) => {
       import s.implicits._
       val d = t(s, dir, "documents")
+        .withColumn("lang_or_null",
+          when($"doc_id" % 7L === 0L, lit(null)).otherwise($"lang"))
       val aggs = Seq(count(lit(1)).as("n_rows")) ++ Cols.flatMap { c =>
         Seq(count(col(c)).as(s"nn_$c"),
           count_distinct(col(c)).as(s"nd_$c"),
@@ -88,7 +94,13 @@ object GovernanceOps extends QueryGroup {
            |  CAST(nn_$c AS DOUBLE) / CAST(n_rows AS DOUBLE) AS completeness,
            |  nd_$c AS n_distinct, mn_$c AS min_repr, mx_$c AS max_repr FROM a""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"WITH a AS (SELECT COUNT(*) AS n_rows,\n  $aggSql\nFROM documents)\n$rows"
+      s"""WITH d AS (
+         |  SELECT *, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang_or_null
+         |  FROM documents),
+         |a AS (SELECT COUNT(*) AS n_rows,
+         |  $aggSql
+         |FROM d)
+         |$rows""".stripMargin
     },
 
     "domain_cap" ->

@@ -21,9 +21,17 @@ object MlOps extends QueryGroup {
   // cheap, large enough that docs separate; the operator is dim-generic
   private val HashDim = 64
   // coarse "centroids": the hashed feature vectors of a fixed doc
-  // sample (doc_id % 101 == 0) — the similarity_ivf deterministic-
-  // quantizer convention, so the oracle reproduces the model exactly
+  // sample (doc_id % 101 == 0, capped at NCent) — the similarity_ivf
+  // deterministic-quantizer convention, so the oracle reproduces the
+  // model exactly. The cap is what keeps the operator LINEAR in corpus
+  // size: k is a model constant (a real run trains k centroids with
+  // functions.Kmeans), not a function of the data — without it the
+  // sparse-dot join grows |docs|x|cents| ~ quadratically (measured
+  // 22.8x at 10x data before the cap; 48 centroids pin it linear)
   private val CentMod = 101
+  private val NCent = 48
+  private val CentPred = s"doc_id % $CentMod = 0 AND doc_id DIV $CentMod < $NCent"
+  private val CentPredSql = s"doc_id % $CentMod = 0 AND doc_id // $CentMod < $NCent"
 
   override def queries: Map[String, Q] = Map(
     // y = l_extendedprice regressed on x = l_quantity
@@ -89,10 +97,10 @@ object MlOps extends QueryGroup {
             .as("idx"))
         .groupBy($"doc_id", $"idx").agg(count(lit(1)).as("cnt"))
         .localCheckpoint() // feeds centroids, norms, and dots once
-      val cent = feats.filter($"doc_id" % CentMod === 0)
+      val cent = feats.filter(expr(CentPred))
         .select($"doc_id".as("cid"), $"idx", $"cnt".as("ccnt"))
       val cnorm = cent.groupBy($"cid").agg(sum($"ccnt" * $"ccnt").as("c2"))
-      val docs = feats.filter($"doc_id" % CentMod =!= 0)
+      val docs = feats.filter(not(expr(CentPred)))
       val dnorm = docs.groupBy($"doc_id").agg(sum($"cnt" * $"cnt").as("x2"))
       val scored = docs.join(broadcast(cent), Seq("idx"))
         .groupBy($"doc_id", $"cid").agg(sum($"cnt" * $"ccnt").as("dot"))
@@ -148,11 +156,11 @@ object MlOps extends QueryGroup {
          |  GROUP BY doc_id, idx),
          |cent AS (
          |  SELECT doc_id AS cid, idx, cnt AS ccnt FROM feats
-         |  WHERE doc_id % $CentMod = 0),
+         |  WHERE $CentPredSql),
          |cnorm AS (
          |  SELECT cid, CAST(SUM(ccnt * ccnt) AS BIGINT) AS c2
          |  FROM cent GROUP BY cid),
-         |docs AS (SELECT * FROM feats WHERE doc_id % $CentMod <> 0),
+         |docs AS (SELECT * FROM feats WHERE NOT ($CentPredSql)),
          |dnorm AS (
          |  SELECT doc_id, CAST(SUM(cnt * cnt) AS BIGINT) AS x2
          |  FROM docs GROUP BY doc_id),

@@ -14,6 +14,9 @@ object ScaleOps extends QueryGroup {
   private val ZBits = 10
   /** Salt fan-out for the skewed join (hot key spreads over 8 cells). */
   private val Salts = 8
+  /** Interval-join band width, µs (= the bin width: a pair within the
+    * band can differ by at most one bin). */
+  private val BandUs = 60000000L
 
   /** The bit-interleave Σᵢ ((x≫i)&1)≪2i + ((y≫i)&1)≪(2i+1), generated
     * once and rendered per dialect so the two engines can't drift.
@@ -72,6 +75,35 @@ object ScaleOps extends QueryGroup {
     // assignment, so salting must be invisible in it. (nation would of
     // course broadcast — it stands in for a dimension too large to;
     // SkewJoinSpec exercises the utility with broadcast disabled.)
+    // Banded interval self-join: pairs of same-type events within 60 s
+    // of each other. A time-proximity predicate is a THETA join — naive
+    // Spark plans it as a per-key (or worse, global) nested loop. The
+    // scalable form bins time at the band width and equi-joins on
+    // (type, bin) with the right side replicated into its 3 adjacent
+    // bins: any pair within the band differs by at most one bin, so the
+    // equi-join's candidate set is complete (band ≤ bin width), each
+    // qualifying pair matches EXACTLY once (the left row has one bin,
+    // the right emits three distinct), and the exact |Δt| filter runs
+    // on candidates only. Per-task work is bounded by events per
+    // (type, bin) — the stream's per-type rate × band, independent of
+    // corpus size. Times are exact µs longs on both engines
+    // (unix_micros / epoch_us), so gaps hash-compare bit-for-bit.
+    "join_range_band" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events")
+        .select($"event_id", $"event_type", unix_micros($"ts").as("us"))
+      val a = e.select($"event_type", $"event_id".as("event_a"), $"us".as("us_a"))
+        .withColumn("bin", expr(s"us_a DIV $BandUs"))
+      val b = e.select($"event_type", $"event_id".as("event_b"), $"us".as("us_b"))
+        .withColumn("bin", explode(array(
+          expr(s"us_b DIV $BandUs - 1"), expr(s"us_b DIV $BandUs"),
+          expr(s"us_b DIV $BandUs + 1"))))
+      a.join(b, Seq("event_type", "bin"))
+        .filter($"event_a" < $"event_b" && abs($"us_a" - $"us_b") <= BandUs)
+        .select($"event_type", $"event_a", $"event_b",
+          abs($"us_a" - $"us_b").as("gap_us"))
+    }),
+
     "join_skew_salted" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
@@ -101,6 +133,16 @@ object ScaleOps extends QueryGroup {
          |    (xr - mnx) * ${(1 << ZBits) - 1} // GREATEST(mxx - mnx, 1) AS x,
          |    (yr - mny) * ${(1 << ZBits) - 1} // GREATEST(mxy - mny, 1) AS y
          |  FROM raw CROSS JOIN b)""".stripMargin,
+
+    "join_range_band" ->
+      s"""WITH e AS (
+         |  SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events)
+         |SELECT a.event_type, a.event_id AS event_a, b.event_id AS event_b,
+         |  abs(a.us - b.us) AS gap_us
+         |FROM e a JOIN e b
+         |  ON a.event_type = b.event_type AND a.event_id < b.event_id
+         |  AND abs(a.us - b.us) <= $BandUs""".stripMargin,
 
     "join_skew_salted" ->
       s"""SELECT n_name, COUNT(*) AS n_rows,

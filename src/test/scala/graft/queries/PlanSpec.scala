@@ -205,6 +205,15 @@ class PlanSpec extends SparkSuite {
       s"chunk counting lost its hash aggregate:\n$p")
   }
 
+  test("interval join stays an equi-join on (type, time-bin)") {
+    // the theta predicate (|Δt| <= band) must reach the plan as a
+    // post-join filter over an equi-join, never a nested loop over the
+    // event stream
+    val p = plan("join_range_band")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"join_range_band degenerated into a nested-loop theta join:\n$p")
+  }
+
   test("media near-dup pair joins stay equi-joins on (band, bucket)") {
     // the shared phashPairs plan: a cartesian/nested-loop here is the
     // O(n^2) blowup the banding exists to prevent
