@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational joins (SURVEY §2.9: the reference only has stream-alignment
@@ -33,6 +34,42 @@ object JoinOps extends QueryGroup {
         .groupBy($"r_name", $"n_name")
         .agg(count(lit(1)).as("n_customers"),
           dsum($"c_acctbal", 4).as("total_acctbal"))
+    }),
+
+    // Point-in-time (AS-OF) join — the feature-store join Spark has no
+    // native operator for: each click is matched to the user's LATEST
+    // purchase at or before it (p_us <= c_us, greatest p_us wins; left
+    // semantics — clicks before any purchase keep a null match). The
+    // scalable plan is union-tag + one keyed window: both sides shuffle
+    // ONCE on user_id, purchases sort before same-µs clicks, and a
+    // running last(ignoreNulls) propagates the latest purchase id/time
+    // onto every click row — no per-row range probe, no join blowup,
+    // state per task is one row. Purchases are first collapsed per
+    // (user, µs) to max(event_id) so the match is defined even under
+    // same-instant duplicates (DuckDB's native ASOF JOIN, the oracle,
+    // leaves that tie unspecified).
+    "join_asof" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type",
+          unix_micros($"ts").as("us"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"us", $"event_id",
+          lit(null).cast("long").as("p_id"), lit(1).as("side"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", $"us")
+        .agg(max($"event_id").as("p_id"))
+        .select($"user_id", $"us", lit(null).cast("long").as("event_id"),
+          $"p_id", lit(0).as("side"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"us", $"side", coalesce($"event_id", $"p_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.unionByName(clicks)
+        .withColumn("last_purchase_id", last($"p_id", ignoreNulls = true).over(w))
+        .withColumn("p_us", last(when($"side" === 0, $"us"), ignoreNulls = true).over(w))
+        .filter($"side" === 1)
+        .select($"event_id", $"user_id", $"last_purchase_id",
+          ($"us" - $"p_us").as("gap_us"))
     }),
 
     // left-semi: parts that ship (EXISTS).
@@ -68,6 +105,19 @@ object JoinOps extends QueryGroup {
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name""".stripMargin,
+
+    "join_asof" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |c AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, us AS p_us, MAX(event_id) AS last_purchase_id
+        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, us)
+        |SELECT c.event_id, c.user_id, p.last_purchase_id, c.us - p.p_us AS gap_us
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.us >= p.p_us""".stripMargin,
 
     "join_semi" ->
       """SELECT p_partkey, p_name FROM part

@@ -205,6 +205,16 @@ class PlanSpec extends SparkSuite {
       s"chunk counting lost its hash aggregate:\n$p")
   }
 
+  test("asof join is one keyed window pass — no join operator at all") {
+    // the point-in-time match compiles to union + window, not a range
+    // join: any Join node here means the plan regressed to per-row
+    // range probing
+    val p = plan("join_asof")
+    assert(!p.contains("Join"), s"join_asof must not plan a join:\n$p")
+    assert("(?m)^\\s*\\W*Window ".r.findAllIn(p).nonEmpty,
+      s"join_asof lost its window pass:\n$p")
+  }
+
   test("interval join stays an equi-join on (type, time-bin)") {
     // the theta predicate (|Δt| <= band) must reach the plan as a
     // post-join filter over an equi-join, never a nested loop over the
