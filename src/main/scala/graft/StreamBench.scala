@@ -168,9 +168,32 @@ object StreamBench {
     val hllSec = (System.nanoTime() - t8) / 1e9
     hllQ.stop()
 
+    // 10) stream-stream interval join (Joins.interval): rows/s through
+    //     the watermarked time-range join — both sides buffered in join
+    //     state keyed by event_type, eviction driven by the two-sided
+    //     band condition; measures the state insert+probe rate of the
+    //     streaming twin of join_range_band
+    val evRows = Tables(spark, sfDir, "events")
+      .select($"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .as[(Long, String, Long)].collect().sortBy(_._3)
+    val ivL = MemoryStream[(Long, String, Long)]
+    val ivR = MemoryStream[(Long, String, Long)]
+    def ivSide(in: MemoryStream[(Long, String, Long)]) =
+      in.toDF().toDF("event_id", "event_type", "us")
+        .withColumn("ts", timestamp_micros($"us"))
+    val ivQ = graft.streaming.Joins
+      .interval(ivSide(ivL), ivSide(ivR), "event_type", "ts", 60)
+      .writeStream.format("noop").outputMode("append").start()
+    ivL.addData(evRows.take(1000)); ivR.addData(evRows.take(1000))
+    ivQ.processAllAvailable() // warm
+    val t9 = System.nanoTime()
+    ivL.addData(evRows); ivR.addData(evRows); ivQ.processAllAvailable()
+    val ivSec = (System.nanoTime() - t9) / 1e9
+    ivQ.stop()
+
     val n = events.length
     val nd = docs.length - 100
-    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"stream_curate_docs_per_sec":${nd / curSec}%.0f,"stream_hll_rows_per_sec":${n / hllSec}%.0f,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
+    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"stream_curate_docs_per_sec":${nd / curSec}%.0f,"stream_hll_rows_per_sec":${n / hllSec}%.0f,"stream_interval_join_rows_per_sec":${2 * n / ivSec}%.0f,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

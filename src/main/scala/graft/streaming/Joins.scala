@@ -1,19 +1,22 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Native stream-stream joins beyond the reference (which only aligns by
   * arrival order — see [[Align]]). The watermarked interval join is the
-  * streaming twin of `queries.ScaleOps.join_range_band`: where the batch
-  * plan bins time and equi-joins on (key, bin±1), Structured Streaming
-  * keeps a time-bounded buffer of each side keyed by the equi-key and
-  * matches new rows against it — same completeness, same density bound.
-  * Both watermarks plus the two-sided time-range condition are what let
-  * Spark EVICT state: a row can only match rows within `band` of itself,
-  * so buffered state is (per-key rate × (band + delay))-bounded however
-  * long the streams run — the streaming face of the batch plan's
-  * "per-task work bounded by rate × band" argument.
+  * streaming twin of `queries.ScaleOps.join_range_band`, and it uses the
+  * SAME bin trick, for a reason that is easy to miss: Spark's symmetric
+  * hash join organizes each side's buffered state by the EQUI-key only —
+  * the time-range conjuncts bound how long rows are RETAINED (state
+  * eviction), but not how many rows a probe SCANS. Join on a low-
+  * cardinality key alone (5 event types) and every arriving row walks
+  * every buffered row of its key: O(n²/k) probe work — measured as a
+  * wall-clock hang at 100k rows/side. Folding `floor(time / band)` into
+  * the equi-key (right side replicated into its 3 adjacent bins, exactly
+  * the batch plan) bounds both: state per (key, bin) is per-key rate ×
+  * band, probes scan only that, and any pair within the band still
+  * matches exactly once.
   */
 object Joins {
 
@@ -35,12 +38,19 @@ object Joins {
     */
   def interval(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                bandSeconds: Long, delay: String = "2 minutes"): DataFrame = {
-    require(bandSeconds >= 0, s"bandSeconds must be >= 0: $bandSeconds")
-    val l = left.withWatermark(tsCol, delay).alias("l")
-    val r = right.withWatermark(tsCol, delay).alias("r")
+    require(bandSeconds >= 1, s"bandSeconds must be >= 1: $bandSeconds")
+    val bandUs = bandSeconds * 1000000L
+    def bin(shift: Long): Column =
+      expr(s"unix_micros($tsCol) DIV $bandUs") + lit(shift)
+    val l = left.withColumn("__graft_bin", bin(0))
+      .withWatermark(tsCol, delay).alias("l")
+    val r = right
+      .withColumn("__graft_bin", explode(array(bin(-1), bin(0), bin(1))))
+      .withWatermark(tsCol, delay).alias("r")
     l.join(r, expr(
-      s"l.$key = r.$key" +
+      s"l.$key = r.$key AND l.__graft_bin = r.__graft_bin" +
         s" AND r.$tsCol >= l.$tsCol - interval $bandSeconds seconds" +
         s" AND r.$tsCol <= l.$tsCol + interval $bandSeconds seconds"))
+      .drop(col("l.__graft_bin")).drop(col("r.__graft_bin"))
   }
 }
