@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Operators whose whole POINT is cluster mechanics: storage layout for
@@ -67,14 +68,45 @@ object ScaleOps extends QueryGroup {
         .select($"event_id", $"x", $"y", $"zkey")
     }),
 
-    // Skew-salted shuffle join: ~80% of lineitem rows are funneled onto
-    // one synthetic key (the classic hot-partition profile), then joined
-    // to nation through SkewJoin.saltedInner — the hot key's rows spread
-    // over `Salts` shuffle cells, the right side replicates ×Salts. The
-    // oracle is the PLAIN join: the result is identical for ANY salt
-    // assignment, so salting must be invisible in it. (nation would of
-    // course broadcast — it stands in for a dimension too large to;
-    // SkewJoinSpec exercises the utility with broadcast disabled.)
+    // Rank-normalized Z-order — the skewed-dimension answer min/max
+    // normalization doesn't have: x here is EXPONENTIALLY spaced
+    // (2^(user_id mod 10): ten values spanning 1..512), so min/max
+    // mapping collapses half the mass into a handful of low cells and
+    // the curve degenerates. Rank normalization (what production
+    // Z-order writers do with range IDs) assigns each value its
+    // cumulative-count bucket: bucket(v) = floor(rows_below(v) ·
+    // 2^ZBits / total) — near-uniform bucket occupancy for ANY value
+    // distribution, exactly computable from the per-value histogram.
+    // Plan: one histogram aggregate per dimension (rows = |distinct|,
+    // ≤ a few thousand for bucketized dims — pre-bucket continuous dims
+    // first), a cumulative window over those few rows, broadcast join
+    // back, then the same narrow interleave. The window runs over
+    // |distinct| rows on one task — bounded by construction, never by
+    // the corpus (the corpus_stats histogram argument).
+    "zorder_layout_ranked" -> ((s, dir) => {
+      import s.implicits._
+      val scale = 1 << ZBits // bucket(v) < 2^ZBits since below < total
+      val raw = t(s, dir, "events")
+        .withColumn("xr", expr("shiftleft(1L, CAST(user_id % 10 AS INT))"))
+        .withColumn("yr",
+          (floor($"value" * 2.0).cast("long") % 1024L + 1024L) % 1024L)
+      def rankBuckets(dim: String): org.apache.spark.sql.DataFrame = {
+        val hist = raw.groupBy(col(dim)).agg(count(lit(1)).as("cnt"))
+        val tot = hist.agg(sum($"cnt").as("total"))
+        val w = Window.orderBy(col(dim))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        hist.withColumn("below", coalesce(sum($"cnt").over(w), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .select(col(dim),
+            expr(s"(below * $scale) DIV total").as(s"${dim}_b"))
+      }
+      raw.join(broadcast(rankBuckets("xr")), "xr")
+        .join(broadcast(rankBuckets("yr")), "yr")
+        .withColumn("x", $"xr_b").withColumn("y", $"yr_b")
+        .withColumn("zkey", expr(SparkZ))
+        .select($"event_id", $"x", $"y", $"zkey")
+    }),
+
     // Banded interval self-join: pairs of same-type events within 60 s
     // of each other. A time-proximity predicate is a THETA join — naive
     // Spark plans it as a per-key (or worse, global) nested loop. The
@@ -104,6 +136,14 @@ object ScaleOps extends QueryGroup {
           abs($"us_a" - $"us_b").as("gap_us"))
     }),
 
+    // Skew-salted shuffle join: ~80% of lineitem rows are funneled onto
+    // one synthetic key (the classic hot-partition profile), then joined
+    // to nation through SkewJoin.saltedInner — the hot key's rows spread
+    // over `Salts` shuffle cells, the right side replicates ×Salts. The
+    // oracle is the PLAIN join: the result is identical for ANY salt
+    // assignment, so salting must be invisible in it. (nation would of
+    // course broadcast — it stands in for a dimension too large to;
+    // SkewJoinSpec exercises the utility with broadcast disabled.)
     "join_skew_salted" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
@@ -133,6 +173,31 @@ object ScaleOps extends QueryGroup {
          |    (xr - mnx) * ${(1 << ZBits) - 1} // GREATEST(mxx - mnx, 1) AS x,
          |    (yr - mny) * ${(1 << ZBits) - 1} // GREATEST(mxy - mny, 1) AS y
          |  FROM raw CROSS JOIN b)""".stripMargin,
+
+    "zorder_layout_ranked" -> {
+      val scale = 1 << ZBits
+      s"""WITH raw AS (
+         |  SELECT event_id,
+         |    CAST(1 << CAST(user_id % 10 AS INTEGER) AS BIGINT) AS xr,
+         |    ((CAST(FLOOR("value" * 2.0) AS BIGINT) % 1024) + 1024) % 1024 AS yr
+         |  FROM events),
+         |xh AS (
+         |  SELECT xr,
+         |    CAST((COALESCE(SUM(cnt) OVER (ORDER BY xr
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * $scale)
+         |      // SUM(cnt) OVER () AS BIGINT) AS xr_b
+         |  FROM (SELECT xr, COUNT(*) AS cnt FROM raw GROUP BY xr)),
+         |yh AS (
+         |  SELECT yr,
+         |    CAST((COALESCE(SUM(cnt) OVER (ORDER BY yr
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * $scale)
+         |      // SUM(cnt) OVER () AS BIGINT) AS yr_b
+         |  FROM (SELECT yr, COUNT(*) AS cnt FROM raw GROUP BY yr))
+         |SELECT event_id, x, y, $DuckZ AS zkey
+         |FROM (
+         |  SELECT event_id, xh.xr_b AS x, yh.yr_b AS y
+         |  FROM raw JOIN xh USING (xr) JOIN yh USING (yr))""".stripMargin
+    },
 
     "join_range_band" ->
       s"""WITH e AS (

@@ -46,6 +46,30 @@ class ZorderSpec extends SparkSuite {
     } finally z.unpersist()
   }
 
+  test("rank normalization spreads a skewed dimension; min/max provably collapses it") {
+    // the ranked query's x dim is 2^(user_id%10): ten values, 1..512
+    val z = SparkEntry.queries("zorder_layout_ranked")(spark, sf()).cache()
+    try {
+      val xs = z.select($"x").distinct().as[Long].collect().sorted
+      assert(xs.length == 10, s"expected 10 skew values, got ${xs.toSeq}")
+      // rank buckets are near-evenly spaced across the 0..1023 space
+      assert(xs.head == 0 && xs.last >= 850, s"rank buckets not spread: ${xs.toSeq}")
+      val minGap = xs.sliding(2).map(p => p(1) - p(0)).min
+      assert(minGap >= 50, s"rank buckets bunched: ${xs.toSeq}")
+      // the same values under min/max normalization: half the mass lands
+      // in the bottom eighth of the bucket space — the collapse rank
+      // normalization exists to fix (pure arithmetic, pinned here so the
+      // contrast is a measured fact, not a comment)
+      val vals = (0 until 10).map(i => 1L << i)
+      val mm = vals.map(v => (v - 1) * 1023 / 511)
+      assert(mm.count(_ < 128) >= 5, s"min/max collapse assumption broke: $mm")
+      // and the ranked layout still yields two-dim-narrow splits
+      val (zx, zy) = extents(z.repartitionByRange(Files, $"zkey"))
+      assert(zx <= 512 + 64 && zy <= 512 + 64,
+        s"ranked z-layout splits not dyadic-narrow: $zx, $zy")
+    } finally z.unpersist()
+  }
+
   test("the z-value key stays codegen'd; only the tiny bounds row is wide") {
     val plan = SparkEntry.queries("zorder_layout")(spark, sf())
       .queryExecution.executedPlan.toString
