@@ -34,6 +34,11 @@ object CurationOps extends QueryGroup {
   private val MaxDupWordFrac = 0.65
 
   // --- pack_sequences -------------------------------------------------
+  // chunk_documents: context-window splitting with overlap — window of
+  // ChunkWin tokens starting every ChunkStride (overlap = Win - Stride),
+  // so every token is covered and boundary context is preserved
+  private val ChunkWin = 64
+  private val ChunkStride = 48
   private val PackBudget = 8192L // chars per training window
   private val PackShards = 8L // deterministic output shards
   private val TokenBudget = 2048L // BPE tokens per training window (GPT-style context)
@@ -110,6 +115,28 @@ object CurationOps extends QueryGroup {
     // within that window, and how many windows it spans. One shuffle on
     // the shard key; the running offset is a plain window cumsum, so the
     // plan survives any corpus size (shards bound partition width).
+    // Context-window chunking — the embedding/RAG preprocessing twin of
+    // packing: each document becomes overlapping ChunkWin-token windows
+    // starting every ChunkStride tokens (start_i = i·stride while
+    // start < n, tail windows shorter), so every token is covered and
+    // a span crossing a cut boundary still appears whole in the
+    // overlapping neighbor. Pure in-row transform+explode — zero
+    // shuffles at any corpus size; window coordinates are integers so
+    // the output hash-compares exactly.
+    "chunk_documents" -> ((s, dir) => {
+      import s.implicits._
+      spread(t(s, dir, "documents"))
+        .withColumn("toks", graft.functions.TextFunctions.tokens($"text"))
+        .filter(size($"toks") >= 1)
+        .select($"doc_id", explode(expr(
+          s"transform(sequence(0, (size(toks)-1) DIV $ChunkStride), i -> " +
+            s"struct(i AS chunk_idx, " +
+            s"concat_ws(' ', slice(toks, i*$ChunkStride+1, $ChunkWin)) AS chunk_text, " +
+            s"size(slice(toks, i*$ChunkStride+1, $ChunkWin)) AS n_toks))")).as("c"))
+        .select($"doc_id", $"c.chunk_idx".cast("long").as("chunk_idx"),
+          $"c.chunk_text", $"c.n_toks".cast("long").as("n_toks"))
+    }),
+
     "pack_sequences" -> ((s, dir) => {
       import s.implicits._
       Curation.packSequences(t(s, dir, "documents"), "doc_id", "n_chars",
@@ -300,8 +327,20 @@ object CurationOps extends QueryGroup {
          |    FROM (SELECT doc_id, $sqlToks AS toks FROM documents))
          |  USING (doc_id))""".stripMargin,
 
+    "chunk_documents" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents)
+         |SELECT doc_id, i AS chunk_idx,
+         |  array_to_string(toks[i*$ChunkStride+1 : i*$ChunkStride+$ChunkWin], ' ')
+         |    AS chunk_text,
+         |  CAST(len(toks[i*$ChunkStride+1 : i*$ChunkStride+$ChunkWin]) AS BIGINT)
+         |    AS n_toks
+         |FROM tk, UNNEST(generate_series(0, (len(toks)-1)//$ChunkStride)) t(i)
+         |WHERE len(toks) >= 1""".stripMargin,
+
     "pack_sequences" ->
-      s"""SELECT doc_id, shard, n_chars, seq_start,
+s"""SELECT doc_id, shard, n_chars, seq_start,
          |  seq_start // $PackBudget AS window_id,
          |  seq_start % $PackBudget AS window_offset,
          |  (seq_start + n_chars - 1) // $PackBudget

@@ -174,6 +174,14 @@ class PlanSpec extends SparkSuite {
       s"dedup_semantic degenerated into an all-pairs product:\n$p")
   }
 
+  test("chunk_documents is a pure in-row explode — no join, no agg, no key shuffle") {
+    val p = plan("chunk_documents")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"chunk_documents grew a wide step:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunk_documents should not key-shuffle:\n$p")
+  }
+
   test("domain_cap keeps only local top-N per domain before the shuffle") {
     // the rk <= N filter over row_number must trigger WindowGroupLimit:
     // each map task pre-prunes to its local top-N per domain, so a
