@@ -123,6 +123,23 @@ object TrainingDataPipeline {
       .withColumn("contaminated", coalesce($"contaminated", lit(false)))
   }
 
+  /** Stage 1.9 (GOVERN): per-domain cap over the curated set — no
+    * single source may contribute more than `cap` documents, chosen by
+    * deterministic md5(seed, id) priority (the domain_cap query's
+    * plan: the rank filter triggers a WindowGroupLimit, so every map
+    * task pre-prunes to its local top-N per domain before the one
+    * shuffle). A new `seed` is a fresh draw; re-runs with the same
+    * seed select the identical survivors. */
+  def capPerDomain(docs: DataFrame, domainCol: String, idCol: String,
+                   cap: Long, seed: String = "cap-0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val prio = md5(concat_ws("|", lit(seed), col(idCol)))
+    val w = Window.partitionBy(col(domainCol)).orderBy(prio, col(idCol))
+    docs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap).drop("__rk")
+  }
+
   /** Stage 2: per-language token budget over the deduped, quality-
     * filtered corpus. `minStopword`/`minTtr` are the usual cheap quality
     * gates (a doc with no stopwords is unlikely to be natural prose; a

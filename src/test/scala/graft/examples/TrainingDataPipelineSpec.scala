@@ -108,4 +108,25 @@ class TrainingDataPipelineSpec extends SparkSuite {
     val n = TrainingDataPipeline.decontaminate(spark, corpus, evalDocs).count()
     assert(n == corpus.count())
   }
+
+  test("per-domain cap: deterministic survivors, WindowGroupLimit plan, cap binds") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val capped = TrainingDataPipeline.capPerDomain(docs, "source", "doc_id", 20L)
+    // never more than cap per domain, and the cap genuinely binds here
+    val sizes = capped.groupBy($"source").count().as[(String, Long)].collect()
+    assert(sizes.forall(_._2 <= 20L), s"cap exceeded: ${sizes.filter(_._2 > 20).toSeq}")
+    assert(sizes.exists(_._2 == 20L), "cap never bound — fixture too small")
+    // identical survivors on re-run (same seed), different draw on a new seed
+    val a = capped.select($"doc_id").as[Long].collect().toSet
+    val b = TrainingDataPipeline.capPerDomain(docs, "source", "doc_id", 20L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a == b, "same-seed re-run must select identical survivors")
+    val c = TrainingDataPipeline.capPerDomain(docs, "source", "doc_id", 20L, seed = "cap-1")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(c != a, "a new seed should be a fresh draw")
+    // the rank filter must pre-prune before the shuffle
+    val plan = TrainingDataPipeline.capPerDomain(docs, "source", "doc_id", 20L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"lost the pre-shuffle prune:\n$plan")
+  }
 }
