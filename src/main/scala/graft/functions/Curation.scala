@@ -201,6 +201,32 @@ object Curation {
     * straddle window boundaries (standard pretraining packing). Adds
     * `shard, seq_start, window_id, window_offset, n_windows`. One
     * shuffle on the shard key; shards bound partition width at scale. */
+  /** Context-window chunking: each document becomes overlapping `win`-
+    * token windows starting every `stride` tokens (start_i = i·stride
+    * while start < n; tail windows shorter), so every token is covered
+    * and a span crossing a cut boundary appears whole in the
+    * overlapping neighbor. Adds `chunk_idx, chunk_text, n_toks` (one
+    * output row per window); rows with no tokens drop. Pure in-row
+    * transform+explode — stateless, so it runs unchanged on batch and
+    * streaming frames (the chunk_documents query and Curate.chunk both
+    * call THIS, and cannot drift). */
+  def chunkDocuments(df: DataFrame, textCol: String, win: Int, stride: Int): DataFrame = {
+    require(win >= 1, s"win must be >= 1: $win")
+    require(stride >= 1 && stride <= win,
+      s"need 1 <= stride <= win for full coverage: $stride, $win")
+    df.withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= 1)
+      .withColumn("__c", explode(expr(
+        s"transform(sequence(0, (size(__toks)-1) DIV $stride), i -> " +
+          s"struct(i AS chunk_idx, " +
+          s"concat_ws(' ', slice(__toks, i*$stride+1, $win)) AS chunk_text, " +
+          s"size(slice(__toks, i*$stride+1, $win)) AS n_toks))")))
+      .withColumn("chunk_idx", col("__c.chunk_idx").cast("long"))
+      .withColumn("chunk_text", col("__c.chunk_text"))
+      .withColumn("n_toks", col("__c.n_toks").cast("long"))
+      .drop("__toks", "__c")
+  }
+
   def packSequences(df: DataFrame, idCol: String, sizeCol: String,
                     shards: Long, budget: Long): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))

@@ -125,16 +125,9 @@ object CurationOps extends QueryGroup {
     // the output hash-compares exactly.
     "chunk_documents" -> ((s, dir) => {
       import s.implicits._
-      spread(t(s, dir, "documents"))
-        .withColumn("toks", graft.functions.TextFunctions.tokens($"text"))
-        .filter(size($"toks") >= 1)
-        .select($"doc_id", explode(expr(
-          s"transform(sequence(0, (size(toks)-1) DIV $ChunkStride), i -> " +
-            s"struct(i AS chunk_idx, " +
-            s"concat_ws(' ', slice(toks, i*$ChunkStride+1, $ChunkWin)) AS chunk_text, " +
-            s"size(slice(toks, i*$ChunkStride+1, $ChunkWin)) AS n_toks))")).as("c"))
-        .select($"doc_id", $"c.chunk_idx".cast("long").as("chunk_idx"),
-          $"c.chunk_text", $"c.n_toks".cast("long").as("n_toks"))
+      Curation.chunkDocuments(spread(t(s, dir, "documents")),
+          "text", ChunkWin, ChunkStride)
+        .select($"doc_id", $"chunk_idx", $"chunk_text", $"n_toks")
     }),
 
     "pack_sequences" -> ((s, dir) => {

@@ -71,4 +71,11 @@ object Curate {
                         maxDupWordFrac: Double): DataFrame =
     Curation.qualityRepetition(df, idCol, textCol,
       maxTop2GramFrac, maxDup2GramFrac, maxDupWordFrac)
+
+  /** Context-window chunking on a stream — per-document, so stateless:
+    * a document chunks identically whether it arrived live or in a
+    * backfill (shared with the chunk_documents query via
+    * [[Curation.chunkDocuments]]; parity spec'd in CurateStreamSpec). */
+  def chunk(df: DataFrame, textCol: String, win: Int, stride: Int): DataFrame =
+    Curation.chunkDocuments(df, textCol, win, stride)
 }

@@ -127,6 +127,41 @@ class CurateStreamSpec extends SparkSuite {
     assert(got(100003L) == "" && got(100004L) == "")
   }
 
+  test("chunk: streaming windows == batch chunk_documents, incl. tail windows") {
+    val docs = realDocs.take(60) ++ Seq(
+      (100001L, "one two three"), // single partial window
+      (100002L, ""), (100003L, "   ")) // tokenless rows drop
+    val (b1, b2) = docs.splitAt(30)
+
+    val in = MemoryStream[(Long, String)]
+    val q = Curate.chunk(in.toDS().toDF("doc_id", "text"), "text", 64, 48)
+      .select($"doc_id", $"chunk_idx", $"chunk_text", $"n_toks")
+      .writeStream.format("memory").queryName("chunk_q").outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("chunk_q")
+      .as[(Long, Long, String, Long)].collect().toSet
+
+    val batch = graft.functions.Curation
+      .chunkDocuments(docs.toSeq.toDF("doc_id", "text"), "text", 64, 48)
+      .select($"doc_id", $"chunk_idx", $"chunk_text", $"n_toks")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got == batch)
+    assert(got.contains((100001L, 0L, "one two three", 3L)), "partial window missing")
+    assert(!got.exists(r => r._1 == 100002L || r._1 == 100003L), "tokenless rows must drop")
+    // overlap: a doc longer than the stride has its boundary tokens in
+    // two windows
+    val multi = got.groupBy(_._1).filter(_._2.size > 1)
+    assert(multi.nonEmpty, "fixture has no multi-window doc")
+    val (_, ws) = multi.head
+    val sorted = ws.toSeq.sortBy(_._2)
+    val w0 = sorted(0)._3.split(' '); val w1 = sorted(1)._3.split(' ')
+    assert(w0.drop(48).sameElements(w1.take(w0.length - 48)),
+      "window overlap must repeat the boundary tokens")
+  }
+
   test("qualityHeuristics: streaming verdicts == batch on the armed corpus") {
     // same arming the oracle-checked query uses: inject the C4 flags on
     // deterministic id slices so both flags actually fire
