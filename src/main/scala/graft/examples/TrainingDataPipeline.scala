@@ -131,14 +131,10 @@ object TrainingDataPipeline {
     * shuffle). A new `seed` is a fresh draw; re-runs with the same
     * seed select the identical survivors. */
   def capPerDomain(docs: DataFrame, domainCol: String, idCol: String,
-                   cap: Long, seed: String = "cap-0"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(cap >= 1, s"cap must be >= 1: $cap")
-    val prio = md5(concat_ws("|", lit(seed), col(idCol)))
-    val w = Window.partitionBy(col(domainCol)).orderBy(prio, col(idCol))
-    docs.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= cap).drop("__rk")
-  }
+                   cap: Long, seed: String = "cap-0"): DataFrame =
+    graft.functions.Governance
+      .capPerDomain(docs, domainCol, idCol, cap, seed)
+      .drop("prio", "rk")
 
   /** Stage 2: per-language token budget over the deduped, quality-
     * filtered corpus. `minStopword`/`minTtr` are the usual cheap quality

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Small-file compaction — the maintenance pass every streaming-sink
@@ -10,26 +11,48 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Scale design: the file count is derived from the table's ACTUAL bytes
   * (filesystem metadata, no data read), and the rewrite is one
-  * `repartition(n)` — a single round-robin shuffle, no driver-side
-  * row handling. Rewrite-then-swap keeps the operation crash-safe:
-  * the new files land in a staging directory and replace the table only
-  * after the write commits (on a real deployment the swap is the table
-  * format's transaction — Delta/Iceberg `OPTIMIZE`; on raw directories
-  * it is a rename, and readers mid-swap see the old listing).
+  * `repartition(n)` — a single round-robin shuffle, no driver-side row
+  * handling.
+  *
+  * Concurrency/failure contract (raw directories have no transaction
+  * log — on Delta/Iceberg this whole operation is `OPTIMIZE`):
+  *  - SINGLE WRITER: pause the sink while compacting. As a guard, the
+  *    input listing is re-checked after the rewrite and the swap ABORTS
+  *    (staging deleted, table untouched) if any file was added, removed,
+  *    or resized meanwhile; the remaining unguarded window is only the
+  *    two renames of the swap itself.
+  *  - CRASH: the swap is rename(dir → dir__precompact) then
+  *    rename(staging → dir) then delete(backup). A crash between steps
+  *    leaves a state [[recover]] repairs deterministically: table
+  *    missing + backup present → restore the backup (the rewrite is
+  *    discarded); table present + backup present → the swap had
+  *    completed, drop the backup. Readers mid-swap can observe a
+  *    missing directory for the instant between the renames.
   */
 object Compaction {
 
-  /** Bytes of all data files under `dir` (filesystem metadata only). */
-  def dataBytes(spark: SparkSession, dir: String): Long = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val path = new Path(dir)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
+  /** (path, length) of every data file under `dir` — the identity of the
+    * table's current contents for the concurrent-write guard. */
+  private[functions] def dataFiles(fs: FileSystem, path: Path): Set[(String, Long)] = {
     val it = fs.listFiles(path, true)
-    var total = 0L
+    val b = Set.newBuilder[(String, Long)]
     while (it.hasNext) {
       val f = it.next()
-      if (!f.getPath.getName.startsWith("_")) total += f.getLen
+      if (!f.getPath.getName.startsWith("_"))
+        b += ((f.getPath.toString, f.getLen))
     }
-    total
+    b.result()
+  }
+
+  /** Bytes of all data files under `dir` (filesystem metadata only). */
+  def dataBytes(spark: SparkSession, dir: String): Long = {
+    val (fs, path) = fsFor(spark, dir)
+    dataFiles(fs, path).iterator.map(_._2).sum
   }
 
   /** Target output file count for `bytes` of data: ceil(bytes/target),
@@ -39,26 +62,71 @@ object Compaction {
     math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
   }
 
+  private def backupPath(dir: String) = new Path(dir.stripSuffix("/") + "__precompact")
+  private def stagingPath(dir: String) = new Path(dir.stripSuffix("/") + "__compacting")
+
   /** Compact the parquet table at `dir` into ~`targetBytes` files via a
-    * staging rewrite + atomic-as-the-filesystem-allows rename swap.
-    * Returns the number of files written. */
+    * staging rewrite + rename swap (see the concurrency/failure contract
+    * above). Returns the number of files written. */
   def compactParquet(spark: SparkSession, dir: String, targetBytes: Long): Int = {
-    val n = targetFiles(dataBytes(spark, dir), targetBytes)
-    val staging = dir.stripSuffix("/") + "__compacting"
+    val (fs, path) = fsFor(spark, dir)
+    compactWithBaseline(spark, dir, targetBytes, dataFiles(fs, path))
+  }
+
+  /** [[compactParquet]] with the guard baseline injected — the listing
+    * the rewrite is planned from. Package-visible so the spec can
+    * exercise the concurrent-write abort deterministically. */
+  private[functions] def compactWithBaseline(spark: SparkSession, dir: String,
+      targetBytes: Long, before: Set[(String, Long)]): Int = {
+    val (fs, path) = fsFor(spark, dir)
+    val n = targetFiles(before.iterator.map(_._2).sum, targetBytes)
+    val staging = stagingPath(dir)
     spark.read.parquet(dir).repartition(n)
-      .write.mode(SaveMode.Overwrite).parquet(staging)
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val backup = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "__precompact")
-    if (!fs.rename(path, backup))
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // concurrent-write guard: a sink that committed a file during the
+    // rewrite would lose it in the swap — abort, keep the table as-is
+    val after = dataFiles(fs, path)
+    if (after != before) {
+      fs.delete(staging, true)
+      throw new java.util.ConcurrentModificationException(
+        s"$dir changed during compaction (" +
+          s"${(after -- before).size} added, ${(before -- after).size} removed/resized); " +
+          "aborted — pause the writer and retry")
+    }
+    val backup = backupPath(dir)
+    if (!fs.rename(path, backup)) {
+      fs.delete(staging, true)
       throw new java.io.IOException(s"could not stage out $dir")
-    if (!fs.rename(stagingPath, path)) {
+    }
+    if (!fs.rename(staging, path)) {
       fs.rename(backup, path) // restore; staging left for inspection
       throw new java.io.IOException(s"could not swap $staging into $dir")
     }
     fs.delete(backup, true)
     n
+  }
+
+  /** Repair after a crash mid-[[compactParquet]]. Idempotent; returns a
+    * description of the action taken (or "clean"). Rules: a surviving
+    * backup with no table restores the backup and discards staging; a
+    * surviving backup WITH a table means the swap completed — drop the
+    * backup; leftover staging alone is a discarded rewrite. */
+  def recover(spark: SparkSession, dir: String): String = {
+    val (fs, path) = fsFor(spark, dir)
+    val backup = backupPath(dir)
+    val staging = stagingPath(dir)
+    if (fs.exists(backup) && !fs.exists(path)) {
+      fs.delete(staging, true)
+      if (!fs.rename(backup, path))
+        throw new java.io.IOException(s"could not restore $backup to $dir")
+      "restored-backup"
+    } else if (fs.exists(backup)) {
+      fs.delete(backup, true)
+      "dropped-completed-backup"
+    } else if (fs.exists(staging)) {
+      fs.delete(staging, true)
+      "dropped-stale-staging"
+    } else "clean"
   }
 
   /** Plan-only variant for sinks still being written: coalesce `df` to

@@ -196,11 +196,6 @@ object Curation {
           col("dup_2gram_frac") <= maxDup2GramFrac &&
           col("dup_word_frac") <= maxDupWordFrac)
 
-  /** GPT-style sequence packing: deterministic order within hash shards,
-    * running size offsets, owning fixed-size training window. Documents
-    * straddle window boundaries (standard pretraining packing). Adds
-    * `shard, seq_start, window_id, window_offset, n_windows`. One
-    * shuffle on the shard key; shards bound partition width at scale. */
   /** Context-window chunking: each document becomes overlapping `win`-
     * token windows starting every `stride` tokens (start_i = i·stride
     * while start < n; tail windows shorter), so every token is covered
@@ -227,6 +222,11 @@ object Curation {
       .drop("__toks", "__c")
   }
 
+  /** GPT-style sequence packing: deterministic order within hash shards,
+    * running size offsets, owning fixed-size training window. Documents
+    * straddle window boundaries (standard pretraining packing). Adds
+    * `shard, seq_start, window_id, window_offset, n_windows`. One
+    * shuffle on the shard key; shards bound partition width at scale. */
   def packSequences(df: DataFrame, idCol: String, sizeCol: String,
                     shards: Long, budget: Long): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))

@@ -33,12 +33,14 @@ object CurationOps extends QueryGroup {
   private val MaxDup2GramFrac = 0.05
   private val MaxDupWordFrac = 0.65
 
-  // --- pack_sequences -------------------------------------------------
-  // chunk_documents: context-window splitting with overlap — window of
-  // ChunkWin tokens starting every ChunkStride (overlap = Win - Stride),
-  // so every token is covered and boundary context is preserved
+  // --- chunk_documents ------------------------------------------------
+  // context-window splitting with overlap — window of ChunkWin tokens
+  // starting every ChunkStride (overlap = Win - Stride), so every token
+  // is covered and boundary context is preserved
   private val ChunkWin = 64
   private val ChunkStride = 48
+
+  // --- pack_sequences -------------------------------------------------
   private val PackBudget = 8192L // chars per training window
   private val PackShards = 8L // deterministic output shards
   private val TokenBudget = 2048L // BPE tokens per training window (GPT-style context)
@@ -333,7 +335,7 @@ object CurationOps extends QueryGroup {
          |WHERE len(toks) >= 1""".stripMargin,
 
     "pack_sequences" ->
-s"""SELECT doc_id, shard, n_chars, seq_start,
+      s"""SELECT doc_id, shard, n_chars, seq_start,
          |  seq_start // $PackBudget AS window_id,
          |  seq_start % $PackBudget AS window_offset,
          |  (seq_start + n_chars - 1) // $PackBudget

@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-governance operators a 100 TB corpus run needs around the pipeline
@@ -68,17 +67,15 @@ object GovernanceOps extends QueryGroup {
     }),
 
     // Per-domain cap: admit at most DomainCap docs per source, chosen by
-    // deterministic md5 priority. The `rk <= N` filter over the window
-    // rank is the WindowGroupLimit trigger — the shuffle carries only
-    // each task's local top-N per domain.
+    // deterministic md5 priority — the shared combinator
+    // (functions.Governance.capPerDomain), whose `rk <= N` filter is
+    // the WindowGroupLimit trigger: the shuffle carries only each
+    // task's local top-N per domain.
     "domain_cap" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"source").orderBy($"prio", $"doc_id")
-      t(s, dir, "documents")
-        .withColumn("prio",
-          md5(concat_ws("|", lit(CapSeed), $"doc_id")))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter($"rk" <= DomainCap)
+      graft.functions.Governance
+        .capPerDomain(t(s, dir, "documents"), "source", "doc_id",
+          DomainCap, CapSeed)
         .select($"doc_id", $"source", $"prio", $"rk")
     })
   )

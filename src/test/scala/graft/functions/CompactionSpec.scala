@@ -44,6 +44,44 @@ class CompactionSpec extends SparkSuite {
       s"staging debris left: $parent")
   }
 
+  test("recover repairs every crash state; compaction aborts on concurrent writes") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_rec").toString
+    val dir = base + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(dir)
+
+    // crash between the two renames: table gone, backup present
+    fs.rename(new Path(dir), new Path(dir + "__precompact"))
+    assert(Compaction.recover(spark, dir) == "restored-backup")
+    assert(spark.read.parquet(dir).count() == 2)
+    // crash after the swap, before backup delete: both present
+    fs.mkdirs(new Path(dir + "__precompact"))
+    assert(Compaction.recover(spark, dir) == "dropped-completed-backup")
+    assert(!fs.exists(new Path(dir + "__precompact")))
+    // stale staging from an aborted rewrite
+    fs.mkdirs(new Path(dir + "__compacting"))
+    assert(Compaction.recover(spark, dir) == "dropped-stale-staging")
+    assert(Compaction.recover(spark, dir) == "clean")
+
+    // concurrent write during the rewrite: take the guard baseline,
+    // land a late micro-batch file, then run the swap against the stale
+    // baseline — the guard must abort, delete its staging, and leave
+    // the table (INCLUDING the late file) untouched
+    val stale = Compaction.dataFiles(fs, new Path(dir))
+    Seq((99L, "late")).toDF("id", "v").coalesce(1).write.mode("append").parquet(dir)
+    intercept[java.util.ConcurrentModificationException] {
+      Compaction.compactWithBaseline(spark, dir, Long.MaxValue, stale)
+    }
+    assert(!fs.exists(new Path(dir + "__compacting")), "aborted staging must be deleted")
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (99L, "late")), "aborted compaction must not lose rows")
+    // quiescent compaction afterwards succeeds
+    Compaction.compactParquet(spark, dir, Long.MaxValue)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (99L, "late")))
+  }
+
   test("targetFiles derivation and coalesceForWrite plan") {
     assert(Compaction.targetFiles(1, 128) == 1)
     assert(Compaction.targetFiles(129, 128) == 2)
