@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational joins (SURVEY §2.9: the reference only has stream-alignment
@@ -40,11 +39,10 @@ object JoinOps extends QueryGroup {
     // native operator for: each click is matched to the user's LATEST
     // purchase at or before it (p_us <= c_us, greatest p_us wins; left
     // semantics — clicks before any purchase keep a null match). The
-    // scalable plan is union-tag + one keyed window: both sides shuffle
-    // ONCE on user_id, purchases sort before same-µs clicks, and a
-    // running last(ignoreNulls) propagates the latest purchase id/time
-    // onto every click row — no per-row range probe, no join blowup,
-    // state per task is one row. Purchases are first collapsed per
+    // generic operator is functions.AsofJoin.leftAsof (union-tag + ONE
+    // keyed window, no per-row range probe — its scaladoc has the full
+    // plan argument; AsofJoinSpec pins it against a brute-force model
+    // with duplicate timestamps). Purchases are first collapsed per
     // (user, µs) to max(event_id) so the match is defined even under
     // same-instant duplicates (DuckDB's native ASOF JOIN, the oracle,
     // leaves that tie unspecified).
@@ -54,20 +52,13 @@ object JoinOps extends QueryGroup {
         .select($"event_id", $"user_id", $"event_type",
           unix_micros($"ts").as("us"))
       val clicks = ev.filter($"event_type" === "click")
-        .select($"user_id", $"us", $"event_id",
-          lit(null).cast("long").as("p_id"), lit(1).as("side"))
+        .select($"event_id", $"user_id", $"us")
       val purchases = ev.filter($"event_type" === "purchase")
-        .groupBy($"user_id", $"us")
-        .agg(max($"event_id").as("p_id"))
-        .select($"user_id", $"us", lit(null).cast("long").as("event_id"),
-          $"p_id", lit(0).as("side"))
-      val w = Window.partitionBy($"user_id")
-        .orderBy($"us", $"side", coalesce($"event_id", $"p_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      purchases.unionByName(clicks)
-        .withColumn("last_purchase_id", last($"p_id", ignoreNulls = true).over(w))
-        .withColumn("p_us", last(when($"side" === 0, $"us"), ignoreNulls = true).over(w))
-        .filter($"side" === 1)
+        .groupBy($"user_id", $"us".as("p_us"))
+        .agg(max($"event_id").as("last_purchase_id"))
+        .select($"user_id", $"p_us", $"last_purchase_id")
+      graft.functions.AsofJoin
+        .leftAsof(clicks, purchases, "user_id", "us", "p_us")
         .select($"event_id", $"user_id", $"last_purchase_id",
           ($"us" - $"p_us").as("gap_us"))
     }),
