@@ -134,7 +134,7 @@ object TrainingDataPipeline {
                    cap: Long, seed: String = "cap-0"): DataFrame =
     graft.functions.Governance
       .capPerDomain(docs, domainCol, idCol, cap, seed)
-      .drop("prio", "rk")
+      .drop("__graft_prio", "__graft_rk")
 
   /** Stage 2: per-language token budget over the deduped, quality-
     * filtered corpus. `minStopword`/`minTtr` are the usual cheap quality

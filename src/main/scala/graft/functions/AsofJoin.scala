@@ -18,10 +18,18 @@ import org.apache.spark.sql.types.StructType
   * every left row. State per task is one row; output is |left| rows.
   *
   * Determinism: right rows tied on (key, rightTime) are resolved by the
-  * greatest right payload (struct ordering) — a total, engine-
-  * independent rule, so re-runs and engines agree even with duplicate
-  * timestamps. At equal left/right times the right row DOES match
-  * (`<=`, the standard AS-OF convention).
+  * greatest ORDERABLE right payload (struct ordering over the right
+  * columns whose types Spark can sort — map-typed columns are excluded
+  * from the tiebreak, so with map payloads determinism holds up to the
+  * remaining columns) — a total, engine-independent rule, so re-runs
+  * and engines agree even with duplicate timestamps. At equal
+  * left/right times the right row DOES match (`<=`, the standard AS-OF
+  * convention).
+  *
+  * Null semantics follow SQL joins: a right row with a null key or
+  * null time can never match (the predicate is never true), and a left
+  * row with a null key or null time keeps a null match — NOT
+  * null-equals-null grouping.
   */
 object AsofJoin {
 
@@ -45,18 +53,28 @@ object AsofJoin {
     val lStruct = struct(left.columns.map(col): _*)
     val lType = StructType(left.schema.fields)
 
-    val taggedL = left.select(col(key).as("__k"),
+    // SQL join null semantics: null-key/null-time right rows can never
+    // match; null-key/null-time left rows bypass matching entirely and
+    // keep a null right payload
+    val leftMatchable = col(key).isNotNull && col(leftTime).isNotNull
+    val taggedL = left.filter(leftMatchable).select(col(key).as("__k"),
       col(leftTime).as("__t"), lit(1).as("__side"),
       lStruct.as("__l"), lit(null).cast(rType).as("__r"))
-    val taggedR = right.select(col(key).as("__k"),
-      col(rightTime).as("__t"), lit(0).as("__side"),
-      lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+    val taggedR = right.filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .select(col(key).as("__k"),
+        col(rightTime).as("__t"), lit(0).as("__side"),
+        lit(null).cast(lType).as("__l"), rStruct.as("__r"))
 
     // right rows sort before same-instant left rows (side 0 < 1) so the
-    // <= convention holds; among right ties, __r ascending makes last()
-    // the greatest payload
+    // <= convention holds; among right ties, the ORDERABLE slice of the
+    // payload ascending makes last() the greatest payload (map-typed
+    // columns cannot be sort keys and are left out of the tiebreak)
+    val orderableCols = right.select(rightPayloadCols.map(col): _*).schema.fields
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+      .map(f => col(s"__r.${f.name}")).toSeq
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"), col("__r"))
+      .orderBy(col("__t") +: col("__side") +: orderableCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = taggedR.unionByName(taggedL)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
@@ -64,6 +82,10 @@ object AsofJoin {
 
     val leftOut = left.columns.toSeq.map(c => col(s"__l.$c").as(c))
     val rightOut = rightPayloadCols.map(c => col(s"__m.$c").as(c))
-    matched.select(leftOut ++ rightOut: _*)
+    val matchedOut = matched.select(leftOut ++ rightOut: _*)
+    val bypassOut = left.filter(!leftMatchable).select(
+      left.columns.toSeq.map(col) ++
+        rType.fields.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    matchedOut.unionByName(bypassOut)
   }
 }

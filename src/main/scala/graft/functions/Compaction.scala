@@ -26,8 +26,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    leaves a state [[recover]] repairs deterministically: table
   *    missing + backup present → restore the backup (the rewrite is
   *    discarded); table present + backup present → the swap had
-  *    completed, drop the backup. Readers mid-swap can observe a
-  *    missing directory for the instant between the renames.
+  *    completed, drop the backup. A new compaction REFUSES to start
+  *    while such debris exists (renaming onto an existing directory is
+  *    filesystem-dependent — HDFS would nest the table inside the stale
+  *    backup). Readers mid-swap can observe a missing directory for the
+  *    instant between the renames.
   */
 object Compaction {
 
@@ -49,10 +52,18 @@ object Compaction {
     b.result()
   }
 
-  /** Bytes of all data files under `dir` (filesystem metadata only). */
+  /** Bytes of all data files under `dir` (filesystem metadata only) — a
+    * streaming sum, no per-file materialization: the target tables are
+    * exactly the ones with millions of files. */
   def dataBytes(spark: SparkSession, dir: String): Long = {
     val (fs, path) = fsFor(spark, dir)
-    dataFiles(fs, path).iterator.map(_._2).sum
+    val it = fs.listFiles(path, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_")) total += f.getLen
+    }
+    total
   }
 
   /** Target output file count for `bytes` of data: ceil(bytes/target),
@@ -79,6 +90,14 @@ object Compaction {
   private[functions] def compactWithBaseline(spark: SparkSession, dir: String,
       targetBytes: Long, before: Set[(String, Long)]): Int = {
     val (fs, path) = fsFor(spark, dir)
+    // fail fast on debris from a prior crash: renaming onto an existing
+    // backup directory has filesystem-dependent semantics (HDFS nests
+    // the source INSIDE it), which a later crash would then "restore" as
+    // corrupt table contents — recover() first, always
+    Seq(backupPath(dir), stagingPath(dir)).filter(fs.exists).foreach { p =>
+      throw new java.io.IOException(
+        s"leftover $p from a prior compaction — run Compaction.recover(\"$dir\") first")
+    }
     val n = targetFiles(before.iterator.map(_._2).sum, targetBytes)
     val staging = stagingPath(dir)
     spark.read.parquet(dir).repartition(n)

@@ -75,7 +75,7 @@ object GovernanceOps extends QueryGroup {
       import s.implicits._
       graft.functions.Governance
         .capPerDomain(t(s, dir, "documents"), "source", "doc_id",
-          DomainCap, CapSeed)
+          DomainCap, CapSeed, prioCol = "prio", rkCol = "rk")
         .select($"doc_id", $"source", $"prio", $"rk")
     })
   )

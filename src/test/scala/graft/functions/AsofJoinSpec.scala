@@ -61,6 +61,32 @@ class AsofJoinSpec extends SparkSuite {
     assert(got == query)
   }
 
+  test("SQL null semantics: null keys/times never match; null left rows pass through") {
+    val left = Seq(
+      (1L, Option(1L), Option(10L)),  // normal match
+      (2L, None: Option[Long], Option(10L)), // null key: no match, row kept
+      (3L, Option(1L), None: Option[Long]),  // null time: no match, row kept
+      (4L, Option(9L), Option(10L))   // key with only null-time right rows
+    ).toDF("l_id", "k", "lt")
+    val right = Seq(
+      (Option(1L), Option(5L), 100),
+      (None: Option[Long], Option(1L), 200), // null key: must never match anything
+      (Option(9L), None: Option[Long], 300)  // null time: must never match anything
+    ).toDF("k", "rt", "payload")
+    val got = AsofJoin.leftAsof(left, right, "k", "lt", "rt")
+      .select($"l_id", $"payload").as[(Long, Option[Int])].collect().toMap
+    assert(got == Map(1L -> Some(100), 2L -> None, 3L -> None, 4L -> None))
+  }
+
+  test("map-typed right payloads join (excluded from the tiebreak, not an error)") {
+    val left = Seq((1L, 1L, 10L)).toDF("l_id", "k", "lt")
+    val right = Seq((1L, 5L, Map("f" -> 1.0)))
+      .toDF("k", "rt", "features")
+    val got = AsofJoin.leftAsof(left, right, "k", "lt", "rt")
+      .select($"l_id", $"features").as[(Long, Map[String, Double])].collect()
+    assert(got.toSeq == Seq((1L, Map("f" -> 1.0))))
+  }
+
   test("misuse is loud: overlapping columns, mismatched time types") {
     val l = Seq((1L, 2L)).toDF("k", "t")
     val r = Seq((1L, 2L)).toDF("k", "t")

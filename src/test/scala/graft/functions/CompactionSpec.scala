@@ -64,6 +64,13 @@ class CompactionSpec extends SparkSuite {
     assert(Compaction.recover(spark, dir) == "dropped-stale-staging")
     assert(Compaction.recover(spark, dir) == "clean")
 
+    // compaction refuses to start over un-recovered debris
+    fs.mkdirs(new Path(dir + "__precompact"))
+    val e = intercept[java.io.IOException](
+      Compaction.compactParquet(spark, dir, Long.MaxValue))
+    assert(e.getMessage.contains("recover"), e.getMessage)
+    assert(Compaction.recover(spark, dir) == "dropped-completed-backup")
+
     // concurrent write during the rewrite: take the guard baseline,
     // land a late micro-batch file, then run the swap against the stale
     // baseline — the guard must abort, delete its staging, and leave
