@@ -53,11 +53,14 @@ object AsofJoin {
     val lStruct = struct(left.columns.map(col): _*)
     val lType = StructType(left.schema.fields)
 
-    // SQL join null semantics: null-key/null-time right rows can never
-    // match; null-key/null-time left rows bypass matching entirely and
-    // keep a null right payload
-    val leftMatchable = col(key).isNotNull && col(leftTime).isNotNull
-    val taggedL = left.filter(leftMatchable).select(col(key).as("__k"),
+    // SQL join null semantics with ONE scan of each side: null-key or
+    // null-time RIGHT rows are filtered out (the join predicate can
+    // never be true for them), and that alone makes every left row
+    // correct without a bypass branch — a null-key left row partitions
+    // under the null key where no right rows remain (no null-equals-
+    // null grouping), and a null-time left row sorts nulls-first, i.e.
+    // before every right row of its key, so its running match is null
+    val taggedL = left.select(col(key).as("__k"),
       col(leftTime).as("__t"), lit(1).as("__side"),
       lStruct.as("__l"), lit(null).cast(rType).as("__r"))
     val taggedR = right.filter(col(key).isNotNull && col(rightTime).isNotNull)
@@ -82,10 +85,6 @@ object AsofJoin {
 
     val leftOut = left.columns.toSeq.map(c => col(s"__l.$c").as(c))
     val rightOut = rightPayloadCols.map(c => col(s"__m.$c").as(c))
-    val matchedOut = matched.select(leftOut ++ rightOut: _*)
-    val bypassOut = left.filter(!leftMatchable).select(
-      left.columns.toSeq.map(col) ++
-        rType.fields.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
-    matchedOut.unionByName(bypassOut)
+    matched.select(leftOut ++ rightOut: _*)
   }
 }
