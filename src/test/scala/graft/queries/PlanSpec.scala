@@ -223,6 +223,23 @@ class PlanSpec extends SparkSuite {
       s"join_asof lost its window pass:\n$p")
   }
 
+  test("ranked z-order: bucket maps broadcast, the corpus never shuffles wide") {
+    // the two per-dim histograms are tiny (<= |distinct| rows); they must
+    // reach the row stream as broadcasts — a sort-merge join here would
+    // shuffle the whole corpus for a <=1024-row lookup table
+    val p = plan("zorder_layout_ranked")
+    assert(p.contains("BroadcastHashJoin"), s"bucket join lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"zorder_layout_ranked must never sort-merge the corpus:\n$p")
+  }
+
+  test("salted join replicates the dim side (Generate) and stays an equi-join") {
+    val p = plan("join_skew_salted")
+    assert(p.contains("Generate"), s"salt replication (explode) missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"salted join degenerated:\n$p")
+  }
+
   test("interval join stays an equi-join on (type, time-bin)") {
     // the theta predicate (|Δt| <= band) must reach the plan as a
     // post-join filter over an equi-join, never a nested loop over the
