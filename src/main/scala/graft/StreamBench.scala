@@ -184,16 +184,21 @@ object StreamBench {
     val ivQ = graft.streaming.Joins
       .interval(ivSide(ivL), ivSide(ivR), "event_type", "ts", 60)
       .writeStream.format("noop").outputMode("append").start()
-    ivL.addData(evRows.take(1000)); ivR.addData(evRows.take(1000))
+    // warm with the earliest-timestamp PREFIX only, then time the
+    // disjoint remainder: replaying rows older than the warm-up's
+    // advanced watermark would drop them as late while still counting
+    // them in the throughput denominator (r8 ADVICE)
+    val (ivWarm, ivRest) = evRows.splitAt(1000)
+    ivL.addData(ivWarm); ivR.addData(ivWarm)
     ivQ.processAllAvailable() // warm
     val t9 = System.nanoTime()
-    ivL.addData(evRows); ivR.addData(evRows); ivQ.processAllAvailable()
+    ivL.addData(ivRest); ivR.addData(ivRest); ivQ.processAllAvailable()
     val ivSec = (System.nanoTime() - t9) / 1e9
     ivQ.stop()
 
     val n = events.length
     val nd = docs.length - 100
-    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"stream_curate_docs_per_sec":${nd / curSec}%.0f,"stream_hll_rows_per_sec":${n / hllSec}%.0f,"stream_interval_join_rows_per_sec":${2 * n / ivSec}%.0f,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
+    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"stream_curate_docs_per_sec":${nd / curSec}%.0f,"stream_hll_rows_per_sec":${n / hllSec}%.0f,"stream_interval_join_rows_per_sec":${2 * ivRest.length / ivSec}%.0f,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

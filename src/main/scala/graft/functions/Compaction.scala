@@ -39,15 +39,19 @@ object Compaction {
     (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
   }
 
-  /** (path, length) of every data file under `dir` — the identity of the
-    * table's current contents for the concurrent-write guard. */
-  private[functions] def dataFiles(fs: FileSystem, path: Path): Set[(String, Long)] = {
+  /** (path, length, mtime) of every data file under `dir` — the identity
+    * of the table's current contents for the concurrent-write guard.
+    * mtime closes the equal-length-in-place-overwrite hole: a writer that
+    * replaces a file with same-sized contents during the rewrite still
+    * changes the modification time, so the swap aborts instead of
+    * silently dropping its data. */
+  private[functions] def dataFiles(fs: FileSystem, path: Path): Set[(String, Long, Long)] = {
     val it = fs.listFiles(path, true)
-    val b = Set.newBuilder[(String, Long)]
+    val b = Set.newBuilder[(String, Long, Long)]
     while (it.hasNext) {
       val f = it.next()
       if (!f.getPath.getName.startsWith("_"))
-        b += ((f.getPath.toString, f.getLen))
+        b += ((f.getPath.toString, f.getLen, f.getModificationTime))
     }
     b.result()
   }
@@ -67,10 +71,16 @@ object Compaction {
   }
 
   /** Target output file count for `bytes` of data: ceil(bytes/target),
-    * min 1. */
+    * min 1. Fails loudly when the count exceeds Int.MaxValue (a multi-TB
+    * table with a byte-scale target) instead of wrapping to a negative
+    * `repartition(n)` argument. */
   def targetFiles(bytes: Long, targetBytes: Long): Int = {
     require(targetBytes >= 1, s"targetBytes must be >= 1: $targetBytes")
-    math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    require(n <= Int.MaxValue,
+      s"targetFiles overflow: $bytes bytes at $targetBytes/file needs $n files " +
+        "(> Int.MaxValue) — raise targetBytes")
+    n.toInt
   }
 
   private def backupPath(dir: String) = new Path(dir.stripSuffix("/") + "__precompact")
@@ -88,7 +98,7 @@ object Compaction {
     * the rewrite is planned from. Package-visible so the spec can
     * exercise the concurrent-write abort deterministically. */
   private[functions] def compactWithBaseline(spark: SparkSession, dir: String,
-      targetBytes: Long, before: Set[(String, Long)]): Int = {
+      targetBytes: Long, before: Set[(String, Long, Long)]): Int = {
     val (fs, path) = fsFor(spark, dir)
     // fail fast on debris from a prior crash: renaming onto an existing
     // backup directory has filesystem-dependent semantics (HDFS nests

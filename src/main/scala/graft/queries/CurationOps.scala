@@ -109,14 +109,6 @@ object CurationOps extends QueryGroup {
         t(s, dir, "documents"), "doc_id", "text",
         MaxTop2GramFrac, MaxDup2GramFrac, MaxDupWordFrac)),
 
-    // GPT-style sequence packing: concatenate documents in deterministic
-    // order within hash shards and slice fixed-size training windows —
-    // documents straddle window boundaries (the standard pretraining
-    // packing; no per-bin greedy state needed, unlike first-fit). Each
-    // doc gets its shard, global char offset, owning window, offset
-    // within that window, and how many windows it spans. One shuffle on
-    // the shard key; the running offset is a plain window cumsum, so the
-    // plan survives any corpus size (shards bound partition width).
     // Context-window chunking — the embedding/RAG preprocessing twin of
     // packing: each document becomes overlapping ChunkWin-token windows
     // starting every ChunkStride tokens (start_i = i·stride while
@@ -132,6 +124,14 @@ object CurationOps extends QueryGroup {
         .select($"doc_id", $"chunk_idx", $"chunk_text", $"n_toks")
     }),
 
+    // GPT-style sequence packing: concatenate documents in deterministic
+    // order within hash shards and slice fixed-size training windows —
+    // documents straddle window boundaries (the standard pretraining
+    // packing; no per-bin greedy state needed, unlike first-fit). Each
+    // doc gets its shard, global char offset, owning window, offset
+    // within that window, and how many windows it spans. One shuffle on
+    // the shard key; the running offset is a plain window cumsum, so the
+    // plan survives any corpus size (shards bound partition width).
     "pack_sequences" -> ((s, dir) => {
       import s.implicits._
       Curation.packSequences(t(s, dir, "documents"), "doc_id", "n_chars",

@@ -39,6 +39,13 @@ object Joins {
   def interval(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                bandSeconds: Long, delay: String = "2 minutes"): DataFrame = {
     require(bandSeconds >= 1, s"bandSeconds must be >= 1: $bandSeconds")
+    // loud collision check (same contract as Governance.capPerDomain):
+    // withColumn would silently REPLACE a caller's __graft_bin and the
+    // final drop would then remove it from the output
+    Seq("left" -> left, "right" -> right).foreach { case (side, df) =>
+      require(!df.columns.contains("__graft_bin"),
+        s"$side input already has a __graft_bin column — rename it before interval()")
+    }
     val bandUs = bandSeconds * 1000000L
     def bin(shift: Long): Column =
       expr(s"unix_micros($tsCol) DIV $bandUs") + lit(shift)

@@ -87,6 +87,16 @@ class CompactionSpec extends SparkSuite {
     Compaction.compactParquet(spark, dir, Long.MaxValue)
     assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (2L, "b"), (99L, "late")))
+
+    // equal-length in-place overwrite: same path, same byte count, new
+    // mtime — the (path, len, mtime) identity must still trip the guard
+    val base2 = Compaction.dataFiles(fs, new Path(dir))
+    val touched = base2.head._1
+    fs.setTimes(new Path(touched), base2.head._3 + 60000L, -1)
+    intercept[java.util.ConcurrentModificationException] {
+      Compaction.compactWithBaseline(spark, dir, Long.MaxValue, base2)
+    }
+    assert(!fs.exists(new Path(dir + "__compacting")))
   }
 
   test("targetFiles derivation and coalesceForWrite plan") {
@@ -94,6 +104,10 @@ class CompactionSpec extends SparkSuite {
     assert(Compaction.targetFiles(129, 128) == 2)
     assert(Compaction.targetFiles(128L * 100, 128) == 100)
     intercept[IllegalArgumentException](Compaction.targetFiles(10, 0))
+    // overflow guard: a multi-EB byte count at 1 byte/file must fail
+    // loudly rather than wrap to a negative repartition argument
+    val ov = intercept[IllegalArgumentException](Compaction.targetFiles(Long.MaxValue, 1))
+    assert(ov.getMessage.contains("overflow"), ov.getMessage)
     // shrinking writes coalesce down to the derived file count
     val df = spark.range(1000).toDF("id").repartition(32)
     val planned = Compaction.coalesceForWrite(df, 1000, 100, 50000)
