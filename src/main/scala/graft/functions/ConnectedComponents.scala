@@ -19,9 +19,12 @@ import org.apache.spark.sql.types.DecimalType
   * driver-side graph state, no collect. Convergence is O(log d) rounds in
   * the component diameter d (the star operations square path lengths), so
   * even a pathological 10⁹-node chain finishes in ~30 rounds; real dedup
-  * graphs (small clusters of near-duplicates) converge in 2-3. Lineage is
-  * cut per round with localCheckpoint, the standard discipline for
-  * iterative DataFrame algorithms. The per-round convergence probe is a
+  * graphs (small clusters of near-duplicates) converge in 2-3. Each round
+  * is materialized through [[Materialize.cut]] — the standard lineage
+  * discipline for iterative DataFrame algorithms, with the storage choice
+  * (reliable checkpoint / replicated disk / local) made per-session so an
+  * executor loss on a real cluster degrades instead of failing the query.
+  * The per-round convergence probe is a
   * 2-aggregate action (count + order-independent checksum), never a
   * collect of edges.
   */
@@ -54,13 +57,13 @@ object ConnectedComponents {
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .distinct()
-      .localCheckpoint()
+    e = Materialize.cut(e)
 
     var prev = fingerprint(e)
     var rounds = 0
     var converged = prev._1 == 0L // no edges → nothing to iterate
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = Materialize.cut(smallStar(largeStar(e)))
       val fp = fingerprint(next)
       // the fingerprint is probabilistic (count + hash checksum): a 2^-64
       // collision would declare a false fixpoint and silently emit wrong
@@ -69,6 +72,7 @@ object ConnectedComponents {
       // equality, since both sides are distinct. Runs once, at the final
       // round only, so the steady-state cost stays two aggregates/round.
       converged = fp == prev && next.except(e).isEmpty
+      Materialize.release(e) // superseded round (no-op for checkpoint cuts)
       prev = fp
       e = next
       rounds += 1

@@ -172,7 +172,7 @@ object Ivf {
       })
       .toDF("query_id", "qemb", "qnrm", "qq", "qs", "ql1")
       .filter($"qnrm" > 0)
-      .localCheckpoint() // feeds probe selection and the rerank join
+      .transform(graft.functions.Materialize.cut) // feeds probe selection and the rerank join
     val probeW = Window.partitionBy($"query_id")
       .orderBy($"cdist".asc, $"cell".asc)
     val probes = qz

@@ -198,7 +198,7 @@ object DedupOps extends QueryGroup {
     // itself. Docs in no pair are their own singleton cluster via the
     // left join — output is one row per document, the retention verdict.
     // NOTE: unlike every other query, invoking this Q runs the iterative
-    // CC loop EAGERLY (localCheckpoint + convergence actions per round);
+    // CC loop EAGERLY (Materialize.cut + convergence actions per round);
     // the returned DataFrame holds only the final join, so timing this
     // query must time the Q *call* (Bench does — it wraps the call plus
     // the write in one measurement), and plan inspection of the returned
@@ -256,7 +256,7 @@ object DedupOps extends QueryGroup {
     // would pay a pair-dedup exchange; an XOR compare is a few ns).
     "dedup_decontaminate_image" -> ((s, dir) => {
       import s.implicits._
-      val hashed = imageHashes(s, dir).localCheckpoint()
+      val hashed = imageHashes(s, dir).transform(graft.functions.Materialize.cut)
       val eval = hashed.filter($"doc_id" % 30 === 0 && $"doc_id" < 3000)
         .select($"doc_id".as("eval_doc"), $"h_hi".as("e_hi"), $"h_lo".as("e_lo"))
       hashed.join(broadcast(eval),
@@ -360,7 +360,7 @@ object DedupOps extends QueryGroup {
     import s.implicits._
     // feeds the banding and both join-back sides — checkpoint, same as
     // the minhash sigs note
-    val hc = hashed.localCheckpoint()
+    val hc = hashed.transform(graft.functions.Materialize.cut)
     // Lsh.unsignedHalf: raise on hashes outside [0, 2^32) — the banding
     // below would silently mis-bucket them (negative %, sign-extending
     // shift) and void the pigeonhole completeness claim
@@ -468,7 +468,7 @@ object DedupOps extends QueryGroup {
       .filter($"df" > maxDf).select($"shingle")
     // the df-capped relation feeds THREE consumers (sizes + both sides of
     // the self-join): checkpoint it so the anti-join runs once, not 3×
-    val sh = sh0.join(hot, Seq("shingle"), "left_anti").localCheckpoint()
+    val sh = sh0.join(hot, Seq("shingle"), "left_anti").transform(graft.functions.Materialize.cut)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -491,12 +491,12 @@ object DedupOps extends QueryGroup {
     {
       import s.implicits._
       // sigs feeds the banding and both sides of the estimate join —
-      // localCheckpoint the 8-string-per-doc signatures rather than
-      // re-hashing shingles (eager, computed once, and unlike cache() not
-      // pinned in the CacheManager after the query finishes)
+      // Materialize.cut the 8-string-per-doc signatures rather than
+      // re-hashing shingles (eager, computed once, storage picked by the
+      // session's fault-tolerance policy)
       val sigs = shingleArrays(s, dir)
         .select($"doc_id", native.minhash_sigs($"sharr", NumHashes).as("sigs"))
-        .localCheckpoint()
+        .transform(graft.functions.Materialize.cut)
       // band b (0-based) = md5 of its ordered "h:sig" components — the
       // banding expression is shared with streaming.Dedup (functions.Lsh)
       val banded = sigs.select($"doc_id", posexplode(
@@ -547,7 +547,7 @@ object DedupOps extends QueryGroup {
         .select($"vec_id", $"embedding",
           sqrt(native.decimal_dot($"embedding", $"embedding").cast("double")).as("nrm"),
           native.lsh_bucket($"embedding", EmbedPlanes).as("sig"))
-        .localCheckpoint()
+        .transform(graft.functions.Materialize.cut)
       // band/bucket rows carry ONLY ids: the self-join and the
       // multi-band pair dedup shuffle 3 ints per row, not embedding
       // arrays; embeddings re-enter via the two id equi-joins below
@@ -664,7 +664,7 @@ object DedupOps extends QueryGroup {
         .select($"vec_id", $"embedding",
           sqrt(native.decimal_dot($"embedding", $"embedding").cast("double")).as("nrm"),
           native.lsh_bucket($"embedding", EmbedPlanes).as("sig"))
-        .localCheckpoint()
+        .transform(graft.functions.Materialize.cut)
       val centroids = emb
         .filter($"vec_id" >= 100 && $"vec_id" < 100 + SemClusters)
         .select($"vec_id", $"embedding")

@@ -96,7 +96,7 @@ object MlOps extends QueryGroup {
           (conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long") % HashDim)
             .as("idx"))
         .groupBy($"doc_id", $"idx").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // feeds centroids, norms, and dots once
+        .transform(graft.functions.Materialize.cut) // feeds centroids, norms, and dots once
       val cent = feats.filter(expr(CentPred))
         .select($"doc_id".as("cid"), $"idx", $"cnt".as("ccnt"))
       val cnorm = cent.groupBy($"cid").agg(sum($"ccnt" * $"ccnt").as("c2"))

@@ -76,7 +76,7 @@ object SimilarityOps extends QueryGroup {
     // second scan — flip to recompute if candidates outgrow cluster disk.
     val withD = cand.withColumn("dcos",
       native.double_dot($"embedding", $"qemb") / ($"qn" * $"nrm"))
-      .localCheckpoint()
+      .transform(graft.functions.Materialize.cut)
     // kth-best double cosine per query, computed over SLIM rows (the sort
     // must not carry the embedding arrays); k=1 needs no window at all —
     // a hash max-aggregate replaces the sort+window entirely
@@ -195,7 +195,7 @@ object SimilarityOps extends QueryGroup {
     // pass is one narrow broadcast-join scan.
     "similarity_ivf" -> ((s, dir) => {
       import s.implicits._
-      val emb = withNorm(s, dir).localCheckpoint() // feeds assign + cand + queries
+      val emb = withNorm(s, dir).transform(graft.functions.Materialize.cut) // feeds assign + cand + queries
       val cent = emb.filter($"vec_id" >= 100 && $"vec_id" < 100 + NList)
         .select($"vec_id".as("cid"), $"embedding".as("cemb"),
           ($"nrm" * $"nrm").as("c2"))

@@ -1,0 +1,96 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
+
+/** Materialize.cut — the session-policy replacement for the r8-era
+  * localCheckpoint sites. Asserts the MODE CHOICE and the artifact each
+  * mode produces (lineage-truncated plan vs replicated-disk persist with
+  * lineage intact); the executor-loss recovery itself is not locally
+  * testable, which is exactly why the storage-level choice is pinned
+  * here.
+  */
+class MaterializeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def withConf[A](k: String, v: String)(body: => A): A = {
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(k, p); case None => spark.conf.unset(k)
+    }
+  }
+
+  test("auto resolves to local on a local master with no checkpoint dir") {
+    assert(spark.sparkContext.isLocal)
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    assert(Materialize.mode(spark) == "local")
+    // and the cut is a lineage-truncated RDD scan (localCheckpoint shape)
+    val cut = Materialize.cut(Seq(1, 2, 3).toDF("v"))
+    assert(cut.queryExecution.logical.isInstanceOf[LogicalRDD],
+      cut.queryExecution.logical.getClass.toString)
+    assert(cut.as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("auto prefers reliable checkpoint once a checkpoint dir is set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      assert(Materialize.mode(spark) == "reliable")
+      val cut = Materialize.cut(Seq(4, 5).toDF("v"))
+      assert(cut.queryExecution.logical.isInstanceOf[LogicalRDD])
+      // the backing RDD is reliably checkpointed — files under the dir
+      assert(new java.io.File(dir).listFiles().nonEmpty,
+        "no reliable checkpoint artifact found")
+      assert(cut.as[Int].collect().sorted.toSeq == Seq(4, 5))
+      // release is a safe no-op for checkpoint cuts
+      Materialize.release(cut)
+    } finally {
+      // SparkContext has no public unset (setCheckpointDir only writes);
+      // clear the private var reflectively so the shared suite session
+      // does not stay in reliable mode for every later test
+      classOf[org.apache.spark.SparkContext]
+        .getMethod("checkpointDir_$eq", classOf[Option[_]])
+        .invoke(spark.sparkContext, None)
+      assert(Materialize.mode(spark) == "local")
+    }
+  }
+
+  test("disk mode persists DISK_ONLY_2 with lineage intact; release frees it") {
+    withConf(Materialize.ConfKey, "disk") {
+      assert(Materialize.mode(spark) == "disk")
+      val df = spark.range(100).toDF("id")
+      val cut = Materialize.cut(df)
+      // replicated disk blocks: executor loss degrades to re-read/recompute
+      assert(cut.storageLevel == StorageLevel.DISK_ONLY_2, cut.storageLevel.toString)
+      // lineage NOT truncated — the logical plan is still the range, so a
+      // lost block has a recompute path (the whole point vs localCheckpoint)
+      assert(!cut.queryExecution.logical.isInstanceOf[LogicalRDD])
+      assert(cut.count() == 100)
+      Materialize.release(cut)
+      assert(cut.storageLevel == StorageLevel.NONE)
+    }
+  }
+
+  test("explicit mode conf overrides auto; junk value fails loudly") {
+    withConf(Materialize.ConfKey, "local") {
+      assert(Materialize.mode(spark) == "local")
+    }
+    withConf(Materialize.ConfKey, "chaos") {
+      val e = intercept[IllegalArgumentException](Materialize.mode(spark))
+      assert(e.getMessage.contains("chaos"))
+    }
+  }
+
+  test("CC rounds still converge under the disk policy, cleaning up rounds") {
+    withConf(Materialize.ConfKey, "disk") {
+      val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 5L)).toDF("a", "b")
+      val (labels, rounds) = ConnectedComponents.labelsAndRounds(edges)
+      val got = labels.as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      assert(rounds >= 1)
+    }
+  }
+}
