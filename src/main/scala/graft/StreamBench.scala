@@ -196,9 +196,60 @@ object StreamBench {
     val ivSec = (System.nanoTime() - t9) / 1e9
     ivQ.stop()
 
+    // 11) stream-static ANN, float vs int8-quantized probe join
+    //     (Similarity.streamKnn / streamKnnQuantized): queries/s for both
+    //     paths over the embeddings corpus, plus the optimizer's estimate
+    //     of the probe join's static-side bytes — the exchange the
+    //     quantized path exists to shrink (the corpus re-enters that join
+    //     every micro-batch at scale)
+    val corpus = spark.read.parquet(sfDir + "/embeddings.parquet")
+      .select($"vec_id", $"embedding").cache()
+    val knnQueries = corpus.as[(Long, Array[Float])].collect().take(2000)
+    def knnRun(f: org.apache.spark.sql.Dataset[(Long, Array[Float])] =>
+        org.apache.spark.sql.Dataset[(Long, Long, Double)]): Double = {
+      val in = MemoryStream[(Long, Array[Float])]
+      val q = f(in.toDS()).toDF("query_id", "vec_id", "cos")
+        .writeStream.format("noop").outputMode("append").start()
+      in.addData(knnQueries.take(200)); q.processAllAvailable() // warm
+      val t = System.nanoTime()
+      knnQueries.drop(200).grouped(600).foreach { c =>
+        in.addData(c.toSeq); q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t) / 1e9
+      q.stop()
+      (knnQueries.length - 200) / sec
+    }
+    val knnFloatQps = knnRun(ds => graft.streaming.Similarity.streamKnn(ds, corpus, 5))
+    val knnQuantQps = knnRun(ds => graft.streaming.Similarity.streamKnnQuantized(ds, corpus, 5))
+    // byte width of the static relation each probe join ships: float
+    // embeddings vs the int8 sidecar, measured by materializing both
+    // projections (real serialized bytes, not a timing and not an
+    // optimizer guess — a typed map's plan stats just echo its child)
+    import graft.functions.native
+    val floatSide = corpus.select($"vec_id", $"embedding",
+      sqrt(native.double_dot($"embedding", $"embedding")).as("nrm"),
+      native.lsh_bucket($"embedding", 8).as("bucket"))
+    val int8Side = corpus
+      .select($"vec_id", $"embedding",
+        sqrt(native.double_dot($"embedding", $"embedding")).as("nrm"),
+        native.lsh_bucket($"embedding", 8).as("bucket"))
+      .as[(Long, Array[Float], Double, Long)]
+      .mapPartitions(_.map { case (id, v, nrm, bucket) =>
+        val (qb, s, l1) = graft.functions.Ivf.quantize(v)
+        (id, bucket, nrm, qb, s, l1)
+      }).toDF("vec_id", "bucket", "nrm", "q", "scale", "l1")
+    def sideBytes(df: org.apache.spark.sql.DataFrame): Long = {
+      val dir = Files.createTempDirectory("graft_sb_knn").toString + "/t"
+      df.write.parquet(dir)
+      graft.functions.Compaction.dataBytes(spark, dir)
+    }
+    val knnFloatBytes = sideBytes(floatSide)
+    val knnInt8Bytes = sideBytes(int8Side)
+    corpus.unpersist()
+
     val n = events.length
     val nd = docs.length - 100
-    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"stream_curate_docs_per_sec":${nd / curSec}%.0f,"stream_hll_rows_per_sec":${n / hllSec}%.0f,"stream_interval_join_rows_per_sec":${2 * ivRest.length / ivSec}%.0f,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
+    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"stream_curate_docs_per_sec":${nd / curSec}%.0f,"stream_hll_rows_per_sec":${n / hllSec}%.0f,"stream_interval_join_rows_per_sec":${2 * ivRest.length / ivSec}%.0f,"stream_knn_float_q_per_sec":$knnFloatQps%.0f,"stream_knn_int8_q_per_sec":$knnQuantQps%.0f,"knn_probe_static_bytes_float":$knnFloatBytes,"knn_probe_static_bytes_int8":$knnInt8Bytes,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

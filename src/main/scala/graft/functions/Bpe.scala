@@ -235,12 +235,28 @@ object Bpe {
     merges.result()
   }
 
+  /** Largest word histogram [[train]] will pull to the driver: 4M
+    * entries ≈ a few hundred MB of (word, count) rows — far under
+    * driver heap, far over any useful BPE vocabulary (published
+    * tokenizers train from ≤1M). A request above it fails loudly up
+    * front instead of OOMing the driver mid-collect. */
+  val MaxDriverVocabWords = 4000000
+
   /** Distributed training entry point: ONE wide aggregation builds the
     * word histogram (top `maxVocabWords` by frequency — at 100 TB the tail
     * below the cut cannot influence top-merge counts materially), then the
-    * driver-local loop above. */
+    * driver-local loop above. The collect is bounded by construction
+    * (`limit(maxVocabWords)`), and `maxVocabWords` itself is bounded by
+    * [[MaxDriverVocabWords]] — the loud-guard pattern of the sketch
+    * kernels, applied to the one deliberate driver hot spot. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
             maxVocabWords: Int = 1000000, minFrequency: Long = 2L): IndexedSeq[(String, String)] = {
+    require(maxVocabWords >= 1, s"maxVocabWords must be >= 1: $maxVocabWords")
+    require(maxVocabWords <= MaxDriverVocabWords,
+      s"maxVocabWords=$maxVocabWords exceeds the driver-collect bound " +
+        s"$MaxDriverVocabWords — a histogram that size belongs in a " +
+        "distributed trainer, not a driver loop; lower the request or " +
+        "raise Bpe.MaxDriverVocabWords deliberately")
     val counts = df
       .select(explode(expr(
         s"transform(regexp_extract_all($textCol, '[A-Za-z]+', 0), w -> lower(w))")).as("word"))

@@ -29,11 +29,11 @@ import org.apache.spark.sql.functions._
   * streaming pipeline's documented rule.
   */
 object DedupIndex {
-  // MUST mirror queries.DedupOps and streaming.Dedup — the shared
-  // geometry is what makes incremental == one-shot == streaming hold.
-  private val NumHashes = 8
-  private val BandSize = 2
-  private val NumBands = NumHashes / BandSize
+  // The shared Lsh.Small geometry (same constant as queries.DedupOps and
+  // streaming.Dedup) is what makes incremental == one-shot == streaming.
+  private val NumHashes = Lsh.Small.numHashes
+  private val BandSize = Lsh.Small.rows
+  private val NumBands = Lsh.Small.bands
   private val EstThreshold = 0.5
 
   /** Fraction of the 8 signatures agreeing — the shared edge rule. */

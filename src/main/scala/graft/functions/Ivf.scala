@@ -31,7 +31,7 @@ object Ivf {
     * [[searchQuantized]] needs it per CANDIDATE PAIR — computing it
     * there would re-scan the array once per pair instead of once per
     * vector. */
-  private[functions] def quantize(v: Array[Float]): (Array[Byte], Double, Long) = {
+  private[graft] def quantize(v: Array[Float]): (Array[Byte], Double, Long) = {
     var maxabs = 0.0
     var i = 0
     while (i < v.length) {

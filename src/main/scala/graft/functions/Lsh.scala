@@ -11,6 +11,53 @@ import org.apache.spark.sql.functions._
   */
 object Lsh {
 
+  /** MinHash banding geometry: `numHashes` = `bands` × `rows` signature
+    * components, hashed per band. The S-curve gives the candidate
+    * probability of a pair at Jaccard s: P(s) = 1 − (1 − s^rows)^bands,
+    * with inflection near (1/bands)^(1/rows) — the effective similarity
+    * threshold the geometry targets.
+    */
+  final case class Geometry(numHashes: Int, bands: Int, rows: Int) {
+    require(bands >= 1 && rows >= 1 && bands * rows == numHashes,
+      s"bands($bands) × rows($rows) must equal numHashes($numHashes)")
+    /** The similarity where P(candidate) crosses ~1−1/e — the S-curve's
+      * working threshold. */
+    def threshold: Double = math.pow(1.0 / bands, 1.0 / rows)
+    /** Analytic candidate probability for a pair at Jaccard `s`. */
+    def candidateProbability(s: Double): Double = {
+      require(s >= 0.0 && s <= 1.0, s"jaccard out of [0,1]: $s")
+      1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+    }
+  }
+
+  /** Oracle-friendly legacy geometry (r3-r8): 8 hashes, 4 bands of 2 —
+    * candidates at jaccard ≳ 0.5 with a DuckDB-replicable cost. */
+  val Small = Geometry(8, 4, 2)
+
+  /** Production near-dup geometry: k = 128 signatures in 16 bands of 8 —
+    * the scale published pipelines run (GPT-3 used 10 hashes but modern
+    * curation — RefinedWeb, Dolma, SlimPajama — runs k = 112–128 with
+    * r = 8–9, thresholding near 0.7). threshold = (1/16)^(1/8) ≈ 0.707;
+    * the steeper S-curve (rows = 8 vs 2) crushes the false-candidate
+    * rate at web-corpus scale: P(cand) at s = 0.3 is ~10⁻³ here vs ~0.32
+    * for [[Small]], which is the difference between a linear and a
+    * near-quadratic candidate join at 10⁹ documents. */
+  val Production = Geometry(128, 16, 8)
+
+  /** Pick the (bands, rows) factorization of `numHashes` whose S-curve
+    * threshold lands closest to `targetThreshold` (the datasketch-style
+    * tuner, minus the integral — the threshold form is exact enough to
+    * choose between divisor pairs). */
+  def chooseGeometry(numHashes: Int, targetThreshold: Double): Geometry = {
+    require(numHashes >= 1, s"numHashes must be >= 1: $numHashes")
+    require(targetThreshold > 0.0 && targetThreshold < 1.0,
+      s"targetThreshold must be in (0,1): $targetThreshold")
+    val candidates = for {
+      b <- 1 to numHashes if numHashes % b == 0
+    } yield Geometry(numHashes, b, numHashes / b)
+    candidates.minBy(g => math.abs(g.threshold - targetThreshold))
+  }
+
   /** Embedding near-dup banding geometry + verification threshold —
     * shared by batch dedup_embed_cosine / dedup_semantic and streaming
     * Dedup.semanticVerdicts so a retune can never fork the two: 32

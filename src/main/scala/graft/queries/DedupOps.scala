@@ -23,9 +23,14 @@ import graft.functions.{TextFunctions => TF, native}
   */
 object DedupOps extends QueryGroup {
 
-  private val NumHashes = 8
-  private val BandSize = 2 // 4 bands of 2 → candidates at jaccard ≳ 0.5
-  private val NumBands = NumHashes / BandSize
+  // oracle-friendly geometry (4 bands of 2 → candidates at jaccard ≳ 0.5);
+  // the production k=128 twin is functions.Lsh.Production — one source of
+  // truth for both, so oracle SQL and Spark plans cannot drift
+  private val NumHashes = graft.functions.Lsh.Small.numHashes
+  private val BandSize = graft.functions.Lsh.Small.rows
+  private val NumBands = graft.functions.Lsh.Small.bands
+  private val ProdHashes = graft.functions.Lsh.Production.numHashes
+  private val ProdBandSize = graft.functions.Lsh.Production.rows
   // hot-shingle bound for the exact-Jaccard self-join: a shingle in d docs
   // yields d(d-1)/2 pairs, so df is capped (standard posting-list cap)
   private val MaxShingleDf = 100
@@ -187,7 +192,20 @@ object DedupOps extends QueryGroup {
     // jaccard. Signatures (native.minhash_sigs) and band hashes are in-row;
     // band blocking is the only wide step; the signature-agreement estimate
     // is computed by zipping the two 8-element arrays, not a re-join per h.
-    "dedup_minhash_lsh" -> ((s, dir) => minhashEstPairs(s, dir)),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      minhashEstPairs(s, dir, graft.functions.Lsh.Small)),
+
+    // The same operator at PRODUCTION geometry — k = 128 signatures in 16
+    // bands of 8 (functions.Lsh.Production, threshold ≈ 0.707): the
+    // configuration published web-corpus pipelines actually run. The
+    // S-curve at rows = 8 is what makes 10⁹-doc dedup linear: unrelated
+    // pairs (s ≈ 0.3) band-collide at ~10⁻³ vs ~0.32 for the 4×2 toy, so
+    // the candidate join stays proportional to true near-dups, not to the
+    // corpus's shared-boilerplate pair count. Same plan as
+    // dedup_minhash_lsh — only in-row widths change; LshGeometrySpec pins
+    // measured recall to the analytic curve on a planted corpus.
+    "dedup_minhash_production" -> ((s, dir) =>
+      minhashEstPairs(s, dir, graft.functions.Lsh.Production)),
 
     // pairs → clusters → keepers: the step every dedup pipeline needs after
     // the LSH candidates. Edges = minhash pairs at est_jaccard ≥ 0.5 (≥ 4
@@ -205,7 +223,7 @@ object DedupOps extends QueryGroup {
     // frame under-represents the work.
     "dedup_clusters" -> ((s, dir) => {
       import s.implicits._
-      val edges = minhashEstPairs(s, dir)
+      val edges = minhashEstPairs(s, dir, graft.functions.Lsh.Small)
         .filter($"est_jaccard" >= 0.5)
         .select($"doc_a", $"doc_b")
       val labels = graft.functions.ConnectedComponents.labels(edges)
@@ -484,23 +502,29 @@ object DedupOps extends QueryGroup {
         $"inter".cast("double") / ($"na" + $"nb" - $"inter").cast("double"))
   }
 
-  /** Body of dedup_minhash_lsh, shared with dedup_clusters: candidate
-    * pairs from band blocking plus the signature-zip jaccard estimate.
+  /** Body of dedup_minhash_lsh (geometry [[graft.functions.Lsh.Small]],
+    * shared with dedup_clusters) and dedup_minhash_production
+    * ([[graft.functions.Lsh.Production]], k = 128 in 16 bands of 8):
+    * candidate pairs from band blocking plus the signature-zip jaccard
+    * estimate. The plan shape is geometry-independent — only the in-row
+    * signature width and band count change; the single shuffle stays the
+    * (band, band_hash) equi-join.
     */
-  private def minhashEstPairs(s: SparkSession, dir: String): DataFrame = {
+  private def minhashEstPairs(s: SparkSession, dir: String,
+      geom: graft.functions.Lsh.Geometry): DataFrame = {
     {
       import s.implicits._
       // sigs feeds the banding and both sides of the estimate join —
-      // Materialize.cut the 8-string-per-doc signatures rather than
+      // Materialize.cut the k-string-per-doc signatures rather than
       // re-hashing shingles (eager, computed once, storage picked by the
       // session's fault-tolerance policy)
       val sigs = shingleArrays(s, dir)
-        .select($"doc_id", native.minhash_sigs($"sharr", NumHashes).as("sigs"))
+        .select($"doc_id", native.minhash_sigs($"sharr", geom.numHashes).as("sigs"))
         .transform(graft.functions.Materialize.cut)
       // band b (0-based) = md5 of its ordered "h:sig" components — the
       // banding expression is shared with streaming.Dedup (functions.Lsh)
       val banded = sigs.select($"doc_id", posexplode(
-          graft.functions.Lsh.bandHashes($"sigs", NumBands, BandSize)))
+          graft.functions.Lsh.bandHashes($"sigs", geom.bands, geom.rows)))
         .toDF("doc_id", "band", "band_hash")
       val cand = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
@@ -514,7 +538,7 @@ object DedupOps extends QueryGroup {
         .join(sigs.select($"doc_id".as("doc_b"), $"sigs".as("sb")), "doc_b")
         .select($"doc_a", $"doc_b",
           (size(filter(zip_with($"sa", $"sb", (x, y) => x === y), m => m))
-            .cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
+            .cast("double") / lit(geom.numHashes.toDouble)).as("est_jaccard"))
     }
   }
 
@@ -778,6 +802,29 @@ object DedupOps extends QueryGroup {
          |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b,
          |  CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / $NumHashes.0
+         |    AS est_jaccard
+         |FROM cand
+         |JOIN sigs sa ON sa.doc_id = doc_a
+         |JOIN sigs sb ON sb.doc_id = doc_b AND sb.h = sa.h
+         |GROUP BY doc_a, doc_b""".stripMargin,
+
+    // identical construction at the production geometry (k=128, 16×8)
+    "dedup_minhash_production" ->
+      s"""WITH sh AS ($SQL_SHINGLES),
+         |sigs AS (
+         |  SELECT doc_id, i AS h, MIN(md5(CAST(i AS VARCHAR) || '|' || shingle)) AS sig
+         |  FROM sh, UNNEST(generate_series(1, $ProdHashes)) t(i)
+         |  GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, CAST((h - 1) // $ProdBandSize AS INTEGER) AS band,
+         |    md5(string_agg(CAST(h AS VARCHAR) || ':' || sig, ',' ORDER BY CAST(h AS VARCHAR) || ':' || sig)) AS band_hash
+         |  FROM sigs GROUP BY doc_id, CAST((h - 1) // $ProdBandSize AS INTEGER)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / $ProdHashes.0
          |    AS est_jaccard
          |FROM cand
          |JOIN sigs sa ON sa.doc_id = doc_a

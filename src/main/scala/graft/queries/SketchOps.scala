@@ -133,14 +133,17 @@ object SketchOps extends QueryGroup {
     // over ≤1024 rows whatever the corpus size. Built declaratively ON
     // PURPOSE (unlike HLL/CMS): long counters in a HashAggregate stay in
     // whole-stage codegen, strictly better than an object buffer. The
-    // exact-order-statistic control comes from GlobalOrder.withRowNumber
-    // (ONE wide range-partitioned sort, no single-task window), and the
-    // oracle proves est_lo ≤ exact_val ≤ est_hi deterministically.
+    // query is PURE sketch — one narrow scan + the ≤1024-group agg, no
+    // global sort at any corpus size; the oracle re-derives the bounds
+    // from its own independently-built histogram (as sketch_hll_distinct
+    // does for registers), and the est_lo ≤ exact ≤ est_hi bracketing vs
+    // the GlobalOrder order-statistic control lives in SketchSpec, where
+    // a control's cost belongs (r8 verdict: at 100× the demonstration
+    // query would have been paced by the control, not the sketch).
     "sketch_quantile_hist" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
-        .select(round($"l_extendedprice" * 100).cast("long").as("v"),
-          $"l_orderkey", $"l_linenumber")
+        .select(round($"l_extendedprice" * 100).cast("long").as("v"))
       // bucket: v<32 exact; else 32 + 16·(bitlen-6) + (top-5-bits - 16)
       // — the shared functions.Sketches.logBucket binning (streaming
       // windowedHistogram uses the same helper, so they cannot drift)
@@ -150,18 +153,12 @@ object SketchOps extends QueryGroup {
       val wc = org.apache.spark.sql.expressions.Window.orderBy($"bucket")
       val cum = hist.withColumn("cc", sum($"c").over(wc)).crossJoin(broadcast(n))
       val pcts = Seq(50L, 90L, 99L).toDF("pct")
-      val est = cum.crossJoin(broadcast(pcts))
+      cum.crossJoin(broadcast(pcts))
         .filter($"cc" >= expr("(pct * n + pct) DIV 100"))
         .groupBy($"pct", $"n").agg(min($"bucket").as("bucket"))
         .select($"pct", $"n",
           graft.functions.Sketches.bucketLo($"bucket").as("est_lo"),
           graft.functions.Sketches.bucketHi($"bucket").as("est_hi"))
-      val ranked = graft.functions.GlobalOrder.withRowNumber(
-        li, "pos", $"v", $"l_orderkey", $"l_linenumber")
-      val exact = ranked.crossJoin(broadcast(pcts)).crossJoin(broadcast(n))
-        .filter($"pos" === expr("(pct * n + pct) DIV 100"))
-        .select($"pct", $"v".as("exact_val"))
-      est.join(exact, "pct").select($"pct", $"est_lo", $"est_hi", $"exact_val")
     }),
 
     // Bloom-filter eval-set decontamination — dedup_decontaminate with
@@ -288,8 +285,7 @@ object SketchOps extends QueryGroup {
 
     "sketch_quantile_hist" ->
       """WITH li AS (
-        |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
-        |         l_orderkey, l_linenumber
+        |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
         |  FROM lineitem),
         |b AS (
         |  SELECT CASE WHEN v < 32 THEN v
@@ -303,33 +299,19 @@ object SketchOps extends QueryGroup {
         |  FROM hist),
         |pcts AS (SELECT unnest([50, 90, 99]) AS pct),
         |est AS (
-        |  SELECT pct,
+        |  SELECT pct, n,
         |    MIN(bucket) AS bucket
         |  FROM cum CROSS JOIN n CROSS JOIN pcts
         |  WHERE cc >= (pct * n + pct) // 100
-        |  GROUP BY pct),
-        |bounds AS (
-        |  SELECT pct,
-        |    CASE WHEN bucket < 32 THEN bucket
-        |      ELSE (16 + (bucket - 32) % 16) << ((bucket - 32) // 16 + 1) END
-        |      AS est_lo,
-        |    CASE WHEN bucket < 32 THEN bucket
-        |      ELSE ((16 + (bucket - 32) % 16 + 1) << ((bucket - 32) // 16 + 1)) - 1 END
-        |      AS est_hi
-        |  FROM est),
-        |ranked AS (
-        |  SELECT v, CAST(ROW_NUMBER() OVER
-        |    (ORDER BY v, l_orderkey, l_linenumber) AS BIGINT) AS pos
-        |  FROM li),
-        |exact AS (
-        |  SELECT pct, v AS exact_val
-        |  FROM ranked CROSS JOIN n CROSS JOIN pcts
-        |  WHERE pos = (pct * n + pct) // 100)
-        |SELECT CAST(b2.pct AS BIGINT) AS pct,
-        |  CAST(b2.est_lo AS BIGINT) AS est_lo,
-        |  CAST(b2.est_hi AS BIGINT) AS est_hi,
-        |  e.exact_val
-        |FROM bounds b2 JOIN exact e USING (pct)""".stripMargin,
+        |  GROUP BY pct, n)
+        |SELECT CAST(pct AS BIGINT) AS pct, n,
+        |  CAST(CASE WHEN bucket < 32 THEN bucket
+        |    ELSE (16 + (bucket - 32) % 16) << ((bucket - 32) // 16 + 1) END
+        |    AS BIGINT) AS est_lo,
+        |  CAST(CASE WHEN bucket < 32 THEN bucket
+        |    ELSE ((16 + (bucket - 32) % 16 + 1) << ((bucket - 32) // 16 + 1)) - 1 END
+        |    AS BIGINT) AS est_hi
+        |FROM est""".stripMargin,
 
     "sketch_bloom_decontaminate" ->
       s"""WITH sh AS (

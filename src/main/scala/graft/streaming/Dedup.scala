@@ -68,12 +68,13 @@ object Dedup {
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("content_hash")
 
-  // LSH parameters — MUST mirror queries.DedupOps (k=8, 4 bands of 2,
-  // est_jaccard ≥ 0.5 = ≥ 4 of 8 signature agreements); the banding
-  // expression itself is shared via functions.Lsh.
-  private val NumHashes = 8
-  private val BandSize = 2
-  private val NumBands = NumHashes / BandSize
+  // LSH parameters — the shared Lsh.Small geometry (k=8, 4 bands of 2,
+  // est_jaccard ≥ 0.5 = ≥ 4 of 8 signature agreements): ONE constant for
+  // batch, streaming, and the index, so a retune cannot fork them; the
+  // banding expression itself is shared via functions.Lsh too.
+  private val NumHashes = Lsh.Small.numHashes
+  private val BandSize = Lsh.Small.rows
+  private val NumBands = Lsh.Small.bands
   private val EstThreshold = 0.5
 
   /** Default per-bucket member cap — see the missed-pair trade-off on

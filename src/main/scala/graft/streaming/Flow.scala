@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{DataStreamReader, ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Flow control: the reference's `delay` (core.py:1485-1512) and
   * `rate_limit` (core.py:1515-1542), both of which are emission PACERS —
@@ -39,9 +39,8 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, S
   * batches for timer wake-ups alone — on a live stream (any traffic on
   * any key) pending backlogs drain normally, which the recovery spec
   * reproduces with an unrelated-key trickle.
-  * `buffer(n)` (core.py:1546) stays a documented design row — decoupling
-  * stages with a bounded queue IS micro-batch admission control
-  * (maxOffsetsPerTrigger et al.), with no analytic output to test.
+  * `buffer(n)` (core.py:1546) maps to micro-batch admission control —
+  * [[buffer]] below is the callable symbol for it.
   *
   * Scale: state per key is the in-flight backlog only; a hot key's queue
   * grows when its input rate exceeds 1/interval — which is the USER'S
@@ -222,4 +221,27 @@ object Flow {
   def rateLimit[K, V](ds: Dataset[(K, Long, V)], intervalMs: Long)(
       implicit ke: Encoder[K], qe: Encoder[(Long, V)],
       kv: Encoder[(K, Long, V)]): Dataset[(K, Long, V)] = pace(ds, intervalMs)
+
+  /** streamz buffer(n) (core.py:1545-1572): decouple a fast producer
+    * from a slow consumer through a queue of bounded size. In the
+    * micro-batch model that queue is the SOURCE's unread backlog and the
+    * bound is admission control — what each trigger is allowed to pull —
+    * so `buffer` configures the reader rather than inserting an
+    * operator: `maxFilesPerTrigger`=n for file sources and
+    * `maxOffsetsPerTrigger`=n for Kafka (each source reads its own
+    * option and ignores the other's, so one combinator serves both).
+    * Downstream stages then see at most n units per batch no matter how
+    * bursty the upstream backlog is, which is exactly the reference's
+    * decoupling contract — with the queue checkpoint-tracked instead of
+    * in-heap. Unlike the reference there is no `loses data on overflow`
+    * variant: the un-admitted backlog stays in the source, nothing is
+    * dropped. FlowSpec drives a bursty file backlog through a bounded
+    * drain and pins the per-batch admission.
+    */
+  def buffer(reader: DataStreamReader, n: Long): DataStreamReader = {
+    require(n >= 1, s"buffer size must be >= 1, got $n")
+    reader
+      .option("maxFilesPerTrigger", n)   // file-based sources
+      .option("maxOffsetsPerTrigger", n) // kafka
+  }
 }

@@ -68,4 +68,112 @@ object Similarity {
       .groupByKey(_._1)
       .transformWithState(new TopK(k), TimeMode.None(), OutputMode.Append())
   }
+
+  /** Certified-survivor filter per query id (stateless per-batch groups,
+    * like [[TopK]]): rows are a tagged union — ONE query-vector row
+    * (vec_id = -1, carrying qemb/qnrm) plus the int8-scored candidate
+    * rows (approx ± err certified cosine intervals). Emits the survivor
+    * superset `(query_id, vec_id, qemb, qnrm)`: every candidate whose
+    * upper bound reaches the k-th largest lower bound — the same
+    * provable filter-verify margin as [[graft.functions.Ivf
+    * .searchQuantized]], so the exact rerank downstream cannot lose a
+    * true winner. Survivor rows are the only place a float query vector
+    * travels after the probe join, ≈ k + margin rows per query. */
+  private final class Survivors(k: Int)
+      extends StatefulProcessor[Long, (Long, Long, Double, Double, Array[Float], Double),
+        (Long, Long, Array[Float], Double)] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Double, Double, Array[Float], Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Array[Float], Double)] = {
+      var qemb: Array[Float] = null
+      var qnrm = 0.0
+      val cand = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+      rows.foreach {
+        case (_, -1L, _, _, emb, nrm) => qemb = emb; qnrm = nrm
+        case (_, vid, approx, err, _, _) => cand += ((vid, approx, err))
+      }
+      if (qemb == null || cand.isEmpty) Iterator.empty
+      else {
+        val lbs = cand.map { case (_, a, e) => a - e }.sorted(Ordering[Double].reverse)
+        val thresh = if (lbs.size < k) Double.NegativeInfinity else lbs(k - 1)
+        cand.iterator.collect {
+          case (vid, a, e) if a + e >= thresh => (key, vid, qemb, qnrm)
+        }
+      }
+    }
+  }
+
+  /** [[streamKnn]] with the int8 candidate ranking of
+    * `Ivf.searchQuantized` wired into the stream-static probe join: the
+    * SAME winners (SimilarityStreamSpec pins equality), with the bucket
+    * join's static side carrying the d-byte int8 sidecar instead of the
+    * 4d-byte float embedding — at scale that join is the exchange that
+    * ships the corpus every micro-batch, so the probe traffic shrinks
+    * ~4×. Candidates are scored by the integer dot kernel with a
+    * certified error interval; a per-query survivor filter keeps the
+    * provable superset of the top k; float embeddings re-enter BY ID
+    * for survivors only (≈ k + margin rows per query) for the exact
+    * rerank, then the [[TopK]] fold picks winners exactly as the float
+    * path does. Zero-norm corpus vectors and queries are excluded as in
+    * the batch path (cosine undefined).
+    */
+  def streamKnnQuantized(queries: Dataset[(Long, Array[Float])], corpus: DataFrame,
+                         k: Int, planes: Int = 8): Dataset[(Long, Long, Double)] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // static side, quantized once: (vec_id, bucket, nrm, q, scale, l1) —
+    // the float embedding column is NOT in the probe join's projection
+    val taggedStatic = corpus
+      .select($"vec_id", $"embedding",
+        sqrt(native.double_dot($"embedding", $"embedding")).as("nrm"),
+        native.lsh_bucket($"embedding", planes).as("bucket"))
+      .filter($"nrm" > 0)
+      .as[(Long, Array[Float], Double, Long)]
+      .mapPartitions(_.map { case (id, v, nrm, bucket) =>
+        val (q, s, l1) = graft.functions.Ivf.quantize(v)
+        (id, bucket, nrm, q, s, l1)
+      })
+      .toDF("vec_id", "bucket", "nrm", "q", "scale", "l1")
+    val floatStatic = corpus
+      .select($"vec_id", $"embedding",
+        sqrt(native.double_dot($"embedding", $"embedding")).as("nrm"))
+      .filter($"nrm" > 0)
+    // stream side, quantized in-row
+    val qz = queries.toDF("query_id", "qemb")
+      .select($"query_id", $"qemb",
+        sqrt(native.double_dot($"qemb", $"qemb")).as("qnrm"),
+        native.lsh_bucket($"qemb", planes).as("bucket"))
+      .filter($"qnrm" > 0)
+      .as[(Long, Array[Float], Double, Long)]
+      .mapPartitions(_.map { case (id, v, qnrm, bucket) =>
+        val (qq, qs, ql1) = graft.functions.Ivf.quantize(v)
+        (id, v, qnrm, bucket, qq, qs, ql1)
+      })
+      .toDF("query_id", "qemb", "qnrm", "bucket", "qq", "qs", "ql1")
+    // int8-scored candidates: approx cosine ± certified radius (the
+    // searchQuantized bound), all scalars — no arrays in these rows
+    val d = lit(0.25) * least(length($"qq"), length($"q")).cast("double")
+    val cands = qz.drop("qemb").join(taggedStatic, "bucket")
+      .select($"query_id", $"vec_id",
+        (($"qs" * $"scale" * native.int8_dot($"qq", $"q")) / ($"qnrm" * $"nrm")).as("approx"),
+        (($"qs" * $"scale" * (($"ql1" + $"l1") / lit(2.0) + d)) / ($"qnrm" * $"nrm")).as("err"),
+        typedlit[Array[Float]](null).as("qemb"), lit(0.0).as("qnrm"))
+    // tagged union: one vec_id = -1 row per query carries the float qemb
+    val qrows = qz.select($"query_id", lit(-1L).as("vec_id"),
+      lit(0.0).as("approx"), lit(0.0).as("err"), $"qemb", $"qnrm")
+    val survivors = qrows.unionByName(cands)
+      .as[(Long, Long, Double, Double, Array[Float], Double)]
+      .groupByKey(_._1)
+      .transformWithState(new Survivors(k), TimeMode.None(), OutputMode.Append())
+      .toDF("query_id", "vec_id", "qemb", "qnrm")
+    // exact rerank of the certified superset: float arrays re-enter by id
+    survivors.join(floatStatic, "vec_id")
+      .select($"query_id", $"vec_id",
+        (native.double_dot($"qemb", $"embedding") / ($"qnrm" * $"nrm")).as("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new TopK(k), TimeMode.None(), OutputMode.Append())
+  }
 }

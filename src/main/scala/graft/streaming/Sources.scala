@@ -19,6 +19,39 @@ object Sources {
     spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load()
 
+  /** Random/random_datablock (dataframe/core.py:1029-1074, 957-977): the
+    * reference's quick-start demo source — a periodic stream of random
+    * rows with `x` uniform on [0,1), `y` Poisson(λ=1), `z` standard
+    * normal, plus the rate source's `timestamp`. Built on `rate` +
+    * column arithmetic (uniform from a seeded hash of the row id;
+    * Poisson by inverse-CDF walk over the first 8 terms, exact to
+    * P(y ≤ 7) ≈ 1 − 1e-8 at λ=1; normal via Box-Muller on two
+    * independent uniforms) so the stream is pure plan — no UDF, no
+    * driver loop, reproducible per row id under `seed`.
+    */
+  def random(spark: SparkSession, rowsPerSecond: Long = 10, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+    // three independent uniforms from salted 64-bit hashes of the row id
+    def u(salt: String) =
+      (abs(xxhash64(col("value"), lit(seed), lit(salt))) % 1000000000L)
+        .cast("double") / 1e9
+    // inverse-CDF Poisson(1): y = least k with U < P(Y ≤ k)
+    val cdf = (0 to 7).scanLeft(0.0) { case (acc, k) =>
+      acc + math.exp(-1.0) / (1 to k).product.toDouble
+    }.tail // P(Y ≤ 0), ..., P(Y ≤ 7)
+    val y = cdf.zipWithIndex.foldRight(lit(8): org.apache.spark.sql.Column) {
+      case ((p, k), rest) => when(u("y") < p, k.toLong).otherwise(rest)
+    }
+    base.select(
+      col("timestamp"),
+      u("x").as("x"),
+      y.as("y"),
+      (sqrt(lit(-2.0) * log(greatest(u("z1"), lit(1e-12)))) *
+        cos(lit(2.0 * math.Pi) * u("z2"))).as("z"))
+  }
+
   /** filenames/from_textfile tail mode (sources.py:116-209): watch a
     * directory, each new file's lines become events.
     */

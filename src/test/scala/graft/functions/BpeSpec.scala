@@ -111,4 +111,19 @@ class BpeSpec extends SparkSuite {
     assert(rows(1) == Seq("window_", "join_"))
     assert(rows(2) == Seq.empty)
   }
+
+  test("train rejects an oversized driver-collect vocab request loudly") {
+    import spark.implicits._
+    val docs = Seq("a b c").toDF("text")
+    val e = intercept[IllegalArgumentException](
+      Bpe.train(docs, "text", numMerges = 1,
+        maxVocabWords = Bpe.MaxDriverVocabWords + 1))
+    assert(e.getMessage.contains("driver-collect bound"), e.getMessage)
+    intercept[IllegalArgumentException](
+      Bpe.train(docs, "text", numMerges = 1, maxVocabWords = 0))
+    // in-bounds requests still train
+    val merges = Bpe.train(Seq("aa bb aa bb aa bb").toDF("text"), "text",
+      numMerges = 1, maxVocabWords = 10, minFrequency = 1L)
+    assert(merges.nonEmpty)
+  }
 }

@@ -211,6 +211,37 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("histogram quantile bounds bracket the exact order statistic (the r8 control, moved out of the query)") {
+    import spark.implicits._
+    // the sketch_quantile_hist contract on real data: for each pct, the
+    // bucket-walk bounds must bracket the GlobalOrder exact order
+    // statistic. This control ran INSIDE the oracle query through r8;
+    // it is a range-partitioned global sort, so at scale it would pace
+    // the demonstration — the query is now pure-sketch and the exact
+    // comparison lives here, at test-data size, where a control belongs.
+    val s = spark
+    val dir = sf("sf0.01")
+    val est = graft.SparkEntry.queries("sketch_quantile_hist")(s, dir)
+      .select($"pct", $"n", $"est_lo", $"est_hi")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(est.map(_._1).toSeq == Seq(50L, 90L, 99L))
+    val li = graft.Tables(s, dir, "lineitem")
+      .select(round($"l_extendedprice" * 100).cast("long").as("v"),
+        $"l_orderkey", $"l_linenumber")
+    val n = est.head._2
+    assert(li.count() == n, "sketch n must be the exact row count")
+    val ranked = GlobalOrder.withRowNumber(li, "pos", $"v", $"l_orderkey", $"l_linenumber")
+    val wanted = est.map { case (pct, nn, _, _) => (pct * nn + pct) / 100 }.toSet
+    val exact = ranked.filter($"pos".isin(wanted.toSeq: _*))
+      .select($"pos", $"v").as[(Long, Long)].collect().toMap
+    est.foreach { case (pct, nn, lo, hi) =>
+      val ev = exact((pct * nn + pct) / 100)
+      assert(lo <= ev && ev <= hi, s"pct=$pct: exact=$ev outside [$lo, $hi]")
+      // and the bounds honor the ≤1/16 relative width the sketch promises
+      if (lo >= 32) assert(hi - lo + 1 <= lo / 16.0 + 1)
+    }
+  }
+
   test("sketch SQL surface is registered") {
     GraftFunctions.register(spark)
     words.toDF("v").createOrReplaceTempView("sketch_words")

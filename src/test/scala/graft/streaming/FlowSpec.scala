@@ -217,4 +217,33 @@ class FlowSpec extends SparkSuite {
       } finally stopQuiesced(q)
     }
   }
+
+  test("buffer: a bursty 12-file backlog drains in bounded per-batch admissions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_buffer").toString
+    // the burst: 12 one-row files land before the query ever starts
+    (0 until 12).foreach { i =>
+      Seq(s"row-$i").toDF("value").coalesce(1)
+        .write.mode("append").text(dir)
+    }
+    val buffered = graft.streaming.Flow.buffer(spark.readStream, 3).text(dir)
+    val sinkName = "flow_buffer_sink"
+    val q = buffered.writeStream.format("memory").queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      // every row arrived, nothing dropped (the no-overflow-loss contract)
+      val got = spark.table(sinkName).as[String].collect().toSet
+      assert(got == (0 until 12).map(i => s"row-$i").toSet)
+      // and admission was bounded: ≥ ceil(12/3) batches, ≤ 3 rows each
+      // (one row per file, so rows-per-batch IS files-per-trigger)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 4,
+        s"backlog drained in ${batches.length} batches — admission not bounded")
+      assert(batches.forall(_.numInputRows <= 3),
+        s"a batch overran the buffer: ${batches.map(_.numInputRows).mkString(",")}")
+      intercept[IllegalArgumentException](
+        graft.streaming.Flow.buffer(spark.readStream, 0))
+    } finally q.stop()
+  }
 }

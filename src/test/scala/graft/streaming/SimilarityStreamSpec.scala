@@ -57,4 +57,34 @@ class SimilarityStreamSpec extends SparkSuite {
       corpus.unpersist()
     }
   }
+
+  test("quantized stream ANN: winners == float path (certified filter-verify parity)") {
+    withRocksDBState {
+      val corpus = spark.read.parquet(sf() + "/embeddings.parquet")
+        .select($"vec_id", $"embedding").cache()
+      val queries = corpus.as[(Long, Array[Float])].collect().take(40)
+
+      def run(name: String,
+          f: org.apache.spark.sql.Dataset[(Long, Array[Float])] =>
+            org.apache.spark.sql.Dataset[(Long, Long, Double)]): Map[Long, Seq[Long]] = {
+        val in = MemoryStream[(Long, Array[Float])]
+        val q = f(in.toDS()).toDF("query_id", "vec_id", "cos").writeStream
+          .format("memory").queryName(name).outputMode("append").start()
+        queries.grouped(15).foreach { c => in.addData(c.toSeq); q.processAllAvailable() }
+        q.stop()
+        spark.table(name).as[(Long, Long, Double)].collect()
+          .groupBy(_._1)
+          .map { case (qid, hits) =>
+            qid -> hits.sortBy { case (_, id, cos) => (-cos, id) }.map(_._2).toSeq
+          }
+      }
+      val floatHits = run("sim_knn_f", ds => Similarity.streamKnn(ds, corpus, k = 5))
+      val quantHits = run("sim_knn_q", ds => Similarity.streamKnnQuantized(ds, corpus, k = 5))
+      assert(quantHits.keySet == floatHits.keySet)
+      floatHits.foreach { case (qid, want) =>
+        assert(quantHits(qid) == want, s"query $qid: ${quantHits(qid)} vs $want")
+      }
+      corpus.unpersist()
+    }
+  }
 }

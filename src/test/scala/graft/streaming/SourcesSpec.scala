@@ -169,6 +169,34 @@ class SourcesSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("random: demo source streams (timestamp, x, y, z) with the documented " +
+    "distributions (reference Random/random_datablock, dataframe/core.py:1029-1074)") {
+    val q = Sources.random(spark, rowsPerSecond = 200)
+      .writeStream.format("memory").queryName("random_t").outputMode("append").start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var n = 0L
+      while (n < 100 && System.nanoTime() < deadline) {
+        Thread.sleep(200); n = spark.table("random_t").count()
+      }
+      assert(n >= 100)
+      val cols = spark.table("random_t").schema.map(f => f.name -> f.dataType.typeName).toMap
+      assert(cols == Map("timestamp" -> "timestamp", "x" -> "double",
+        "y" -> "long", "z" -> "double"))
+      val rows = spark.table("random_t")
+        .select("x", "y", "z").collect()
+      assert(rows.forall(r => r.getDouble(0) >= 0.0 && r.getDouble(0) < 1.0))
+      assert(rows.forall(r => r.getLong(1) >= 0L && r.getLong(1) <= 8L))
+      assert(rows.forall(r => !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+      // Poisson(1): ~37% zeros; uniform x: mean ~0.5 — loose 5-sigma-ish
+      // envelopes at n >= 100, just enough to catch a wired-wrong column
+      val zeroFrac = rows.count(_.getLong(1) == 0L).toDouble / rows.length
+      assert(zeroFrac > 0.15 && zeroFrac < 0.6, s"P(y=0) = $zeroFrac")
+      val xMean = rows.map(_.getDouble(0)).sum / rows.length
+      assert(xMean > 0.3 && xMean < 0.7, s"mean(x) = $xMean")
+    } finally q.stop()
+  }
+
   test("textDir: appended files stream through as lines; text sink round-trips") {
     val src = Files.createTempDirectory("graft_txt_src").toString
     val out = Files.createTempDirectory("graft_txt_out").toString
