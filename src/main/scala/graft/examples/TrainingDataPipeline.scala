@@ -158,4 +158,42 @@ object TrainingDataPipeline {
         sum($"bpe_tokens").as("token_budget"),
         avg($"stopword_ratio").as("avg_stopword_ratio"))
   }
+
+  /** Stage 0 maintenance loop: a streaming sink whose table does not rot.
+    * Micro-batch writers emit a file per (batch × partition); a month of
+    * short triggers is 10⁵ kilobyte files. This sink appends each batch,
+    * then every `everyNBatches` batches compacts the table to
+    * `targetBytes` files and — when `layoutBy` names columns (e.g. a
+    * [[graft.functions.Zorder.interleave]] key materialized on the
+    * stream) — re-layouts rows so footer min/max stats prune on them:
+    * the foreachBatch-driven OPTIMIZE+ZORDER of open-format engines.
+    *
+    * Why foreachBatch: `Compaction.compactParquet`'s contract is SINGLE
+    * WRITER, and the space between two micro-batches of the only writer
+    * is exactly that window — the maintenance runs inside the sink's own
+    * callback, so no coordination with the ingest is ever needed, and a
+    * crash mid-swap is repaired by `Compaction.recover` on restart
+    * (called here before the first batch touches the table). Readers see
+    * identical rows before and after each maintenance pass
+    * (TrainingDataPipelineSpec pins counts across live compactions).
+    */
+  def ingestWithMaintenance(input: DataFrame, outDir: String, ckptDir: String,
+      targetBytes: Long, everyNBatches: Int,
+      layoutBy: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(everyNBatches >= 1, s"everyNBatches must be >= 1: $everyNBatches")
+    val spark = input.sparkSession
+    val repaired = graft.functions.Compaction.recover(spark, outDir)
+    if (repaired != "clean") // debris from a crash mid-swap — repaired
+      System.err.println(s"[graft] maintenance recover on $outDir: $repaired")
+    input.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        if ((batchId + 1) % everyNBatches == 0) {
+          graft.functions.Compaction.compactParquet(spark, outDir, targetBytes, layoutBy)
+          () // foreachBatch wants Unit, not the file count
+        }
+      }
+      .start()
+  }
 }

@@ -88,17 +88,28 @@ object Compaction {
 
   /** Compact the parquet table at `dir` into ~`targetBytes` files via a
     * staging rewrite + rename swap (see the concurrency/failure contract
-    * above). Returns the number of files written. */
-  def compactParquet(spark: SparkSession, dir: String, targetBytes: Long): Int = {
+    * above). Returns the number of files written.
+    *
+    * `layoutBy` turns the rewrite into a RE-LAYOUT: instead of a
+    * round-robin `repartition(n)`, rows are range-partitioned and sorted
+    * within files by the named columns (e.g. a [[Zorder.interleave]] key
+    * materialized at write time) — the periodic OPTIMIZE ... ZORDER BY
+    * of a streaming sink, done in the same single-writer window as the
+    * compaction so the table pays one rewrite for both. Same byte-driven
+    * file count; footer min/max stats of the layout columns become
+    * tight, so later scans prune on them. */
+  def compactParquet(spark: SparkSession, dir: String, targetBytes: Long,
+      layoutBy: Seq[String] = Nil): Int = {
     val (fs, path) = fsFor(spark, dir)
-    compactWithBaseline(spark, dir, targetBytes, dataFiles(fs, path))
+    compactWithBaseline(spark, dir, targetBytes, dataFiles(fs, path), layoutBy)
   }
 
   /** [[compactParquet]] with the guard baseline injected — the listing
     * the rewrite is planned from. Package-visible so the spec can
     * exercise the concurrent-write abort deterministically. */
   private[functions] def compactWithBaseline(spark: SparkSession, dir: String,
-      targetBytes: Long, before: Set[(String, Long, Long)]): Int = {
+      targetBytes: Long, before: Set[(String, Long, Long)],
+      layoutBy: Seq[String] = Nil): Int = {
     val (fs, path) = fsFor(spark, dir)
     // fail fast on debris from a prior crash: renaming onto an existing
     // backup directory has filesystem-dependent semantics (HDFS nests
@@ -110,8 +121,14 @@ object Compaction {
     }
     val n = targetFiles(before.iterator.map(_._2).sum, targetBytes)
     val staging = stagingPath(dir)
-    spark.read.parquet(dir).repartition(n)
-      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val table = spark.read.parquet(dir)
+    val laidOut =
+      if (layoutBy.isEmpty) table.repartition(n)
+      else {
+        val cols = layoutBy.map(org.apache.spark.sql.functions.col)
+        table.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
+      }
+    laidOut.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     // concurrent-write guard: a sink that committed a file during the
     // rewrite would lose it in the swap — abort, keep the table as-is
     val after = dataFiles(fs, path)

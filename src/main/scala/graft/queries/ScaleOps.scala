@@ -19,21 +19,20 @@ object ScaleOps extends QueryGroup {
     * band can differ by at most one bin). */
   private val BandUs = 60000000L
 
-  /** The bit-interleave Σᵢ ((x≫i)&1)≪2i + ((y≫i)&1)≪(2i+1), generated
-    * once and rendered per dialect so the two engines can't drift.
+  /** The bit-interleave Σᵢ ((x≫i)&1)≪2i + ((y≫i)&1)≪(2i+1), rendered
+    * for DuckDB; the Spark side uses [[graft.functions.Zorder
+    * .interleave]] (the shared Column helper the maintenance loop also
+    * re-layouts with), and the oracle equality of zorder_layout pins the
+    * two formulations bit-identical — the same cross-engine-drift guard
+    * the generated-string pair gave, with the Spark form reusable.
     * Addition is exact OR here: every term occupies a distinct bit. */
-  private def zInterleave(shl: (String, Int) => String,
-                          shr: (String, Int) => String,
-                          x: String, y: String): String =
+  private val DuckZ =
     (0 until ZBits).flatMap { i =>
-      Seq(shl(s"(${shr(x, i)} & 1)", 2 * i),
-          shl(s"(${shr(y, i)} & 1)", 2 * i + 1))
+      Seq(s"(((x >> $i) & 1) << ${2 * i})",
+          s"(((y >> $i) & 1) << ${2 * i + 1})")
     }.mkString(" + ")
 
-  private val SparkZ =
-    zInterleave((e, n) => s"shiftleft($e, $n)", (e, n) => s"(shiftright($e, $n))", "x", "y")
-  private val DuckZ =
-    zInterleave((e, n) => s"($e << $n)", (e, n) => s"($e >> $n)", "x", "y")
+  private def sparkZ = graft.functions.Zorder.interleave(col("x"), col("y"), ZBits)
 
   override def queries: Map[String, Q] = Map(
     // Z-order layout key: interleave the bits of two query dimensions
@@ -64,7 +63,7 @@ object ScaleOps extends QueryGroup {
       raw.crossJoin(broadcast(bounds))
         .withColumn("x", expr(s"(xr - mnx) * ${(1 << ZBits) - 1} DIV greatest(mxx - mnx, 1)"))
         .withColumn("y", expr(s"(yr - mny) * ${(1 << ZBits) - 1} DIV greatest(mxy - mny, 1)"))
-        .withColumn("zkey", expr(SparkZ))
+        .withColumn("zkey", sparkZ)
         .select($"event_id", $"x", $"y", $"zkey")
     }),
 
@@ -103,7 +102,7 @@ object ScaleOps extends QueryGroup {
       raw.join(broadcast(rankBuckets("xr")), "xr")
         .join(broadcast(rankBuckets("yr")), "yr")
         .withColumn("x", $"xr_b").withColumn("y", $"yr_b")
-        .withColumn("zkey", expr(SparkZ))
+        .withColumn("zkey", sparkZ)
         .select($"event_id", $"x", $"y", $"zkey")
     }),
 

@@ -129,4 +129,82 @@ class TrainingDataPipelineSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"lost the pre-shuffle prune:\n$plan")
   }
+
+  test("maintenance loop: table compacts + z-orders WHILE the ingest streams; counts identical") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_mnt_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_mnt_out").toString + "/t"
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_mnt_ckpt").toString
+
+    def listParquet() = {
+      val d = new java.io.File(outDir)
+      if (!d.exists()) Array.empty[java.io.File]
+      else d.listFiles().filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    }
+    def landBatch(b: Int): Unit =
+      Seq.tabulate(500)(i => (b * 500L + i, (b * 500L + i) % 97, (i % 41).toLong))
+        .toDF("event_id", "user_id", "vbucket")
+        // the layout key travels WITH the data, materialized at ingest
+        .withColumn("zkey",
+          graft.functions.Zorder.interleave(col("user_id"), col("vbucket"), 7))
+        .coalesce(4).write.mode("append").parquet(srcDir)
+
+    landBatch(0)
+    val input = spark.readStream
+      .schema("event_id LONG, user_id LONG, vbucket LONG, zkey LONG")
+      .option("maxFilesPerTrigger", 4).parquet(srcDir)
+    // maintenance every 2 batches; 64 KiB target → the compacted state is
+    // 1-2 files at this fixture's size, unambiguous next to the 4-file
+    // appends (exact counts under parquet footer overhead are not stable
+    // enough to pin tighter)
+    val q = TrainingDataPipeline.ingestWithMaintenance(
+      input, outDir, ckptDir, targetBytes = 65536L,
+      everyNBatches = 2, layoutBy = Seq("zkey"))
+    try {
+      var sawCompacted = false
+      var sawFragmented = false
+      // one drop == one micro-batch (4 files, maxFilesPerTrigger = 4), so
+      // maintenance fires deterministically after batches 1, 3, 5 — and
+      // every observation below happens between batches of a LIVE query
+      (1 until 6).foreach { b =>
+        q.processAllAvailable()
+        val files = listParquet().length
+        if (b % 2 == 0 && files <= 2) sawCompacted = true // post-maintenance state
+        if (b % 2 == 1 && files > 2) sawFragmented = true // appends piling up
+        landBatch(b)
+      }
+      q.processAllAvailable() // batch 5 + its maintenance pass
+      val filesAfter = listParquet()
+      assert(filesAfter.length <= 2,
+        s"table not compacted after the batch-5 maintenance: ${filesAfter.length} files")
+      assert(sawCompacted, "never observed a compacted state between live batches")
+      assert(sawFragmented, "fixture vacuity: appends never fragmented the table")
+      // the stream keeps ingesting AFTER a live rewrite swapped the table
+      landBatch(6)
+      q.processAllAvailable()
+      q.stop()
+      // nothing lost, nothing duplicated across all live rewrites
+      val got = spark.read.parquet(outDir)
+        .select("event_id").as[Long].collect().sorted.toSeq
+      assert(got == (0L until 7 * 500L).toSeq,
+        s"row set diverged: ${got.length} rows for ${7 * 500L} written")
+      // the re-layout really clustered the z key: run one more
+      // maintenance rewrite at a small target (deterministic batch call,
+      // the same code path the loop runs) and check the range-partitioned
+      // files each span less than the global z range — the footer-pruning
+      // evidence a z-ordered table exists to provide
+      val written = graft.functions.Compaction.compactParquet(
+        spark, outDir, targetBytes = 8192L, layoutBy = Seq("zkey"))
+      val files = listParquet()
+      assert(files.length == written && files.length >= 2,
+        s"want >= 2 z-ordered files for the span check: ${files.length}")
+      val spans = files.toSeq.map { f =>
+        val r = spark.read.parquet(f.toString)
+          .agg(min(col("zkey")), max(col("zkey"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val global = (spans.map(_._1).min, spans.map(_._2).max)
+      assert(spans.exists(sp => (sp._2 - sp._1) < (global._2 - global._1)),
+        s"z-order layout left every file spanning the full key range: $spans")
+    } finally q.stop()
+  }
 }
