@@ -58,6 +58,9 @@ object DedupOps extends QueryGroup {
   // shuffle-linear granularity — every token belongs to exactly ONE
   // counted unit, so corpus volume through the count is 1×, not SpanLen×)
   private val ChunkLen = 10
+  // embedding near-dup bucket-occupancy cap (see dedup_embed_cosine):
+  // candidates ≤ EmbedBands · 2^EmbedBandBits · C²/2 at ANY corpus size
+  private val MaxBucketMembers = 64
   // image near-dup: pairs at dHash Hamming ≤ 3, found via 4 bands of 16
   // bits. Exact by pigeonhole (≤ 3 differing bits over 4 bands leaves at
   // least one band identical), so banded recall == full-scan recall and
@@ -576,10 +579,31 @@ object DedupOps extends QueryGroup {
       // multi-band pair dedup shuffle 3 ints per row, not embedding
       // arrays; embeddings re-enter via the two id equi-joins below
       // (pairs ≪ corpus, the same join-back shape as dedup_minhash_lsh)
-      val banded = emb.select($"vec_id",
+      val banded0 = emb.select($"vec_id",
         posexplode(graft.functions.Lsh.embedBandBuckets(
           $"sig", EmbedBands, EmbedBandBits)))
         .toDF("vec_id", "band", "bucket")
+      // Bucket-occupancy cap — the embedding twin of the MaxShingleDf
+      // posting-list cap, added after r9's 40× scaling run measured the
+      // uncapped plan superlinear (100.8× at 40× data): with 8-bit bands
+      // the buckets are FIXED in number (4 × 256), so occupancy grows
+      // with the corpus and the self-join grows as Σ d² — quadratic.
+      // Keeping the first MaxBucketMembers members per (band, bucket)
+      // (deterministic: lowest vec_id; WindowGroupLimit pre-prunes map-
+      // side) bounds candidates at bands · 2^bits · C²/2 — a CONSTANT in
+      // corpus size. The trade is explicit and owned: pairs beyond the C
+      // representatives live in a dense cosine neighborhood, which is
+      // the cluster operators' job (dedup_semantic blocks by k-means
+      // cell; dedup_clusters labels components) — a pairwise LISTER that
+      // enumerated a dense bucket would be emitting the quadratic answer
+      // itself. Streaming twin: Dedup.semanticVerdicts caps its per-
+      // bucket ListState at 8 under the same contract.
+      val wOcc = org.apache.spark.sql.expressions.Window
+        .partitionBy($"band", $"bucket").orderBy($"vec_id")
+      val banded = banded0
+        .withColumn("rno", row_number().over(wOcc))
+        .filter($"rno" <= MaxBucketMembers)
+        .drop("rno")
       // explicit repartition after the dedup: candidate rows are 2 ints, so
       // AQE's byte-based coalescing would collapse them (and the broadcast
       // joins + exact cosines downstream, which inherit this partitioning)
@@ -1007,10 +1031,15 @@ object DedupOps extends QueryGroup {
          |    CASE WHEN SUM(CAST(c.x * r.rv AS DECIMAL(38,20))) >= 0 THEN 1 ELSE 0 END AS bit
          |  FROM c JOIN r ON c.i = r.i
          |  GROUP BY c.vec_id, r.h),
-         |bands AS (
+         |bands0 AS (
          |  SELECT vec_id, CAST((h - 1) // $EmbedBandBits AS INTEGER) AS band,
          |    CAST(SUM(bit * CAST(POWER(2, (h - 1) % $EmbedBandBits) AS BIGINT)) AS BIGINT) AS bucket
          |  FROM bits GROUP BY vec_id, CAST((h - 1) // $EmbedBandBits AS INTEGER)),
+         |bands AS (
+         |  SELECT vec_id, band, bucket FROM (
+         |    SELECT vec_id, band, bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rno
+         |    FROM bands0) WHERE rno <= $MaxBucketMembers),
          |norms AS (
          |  SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
          |  FROM c GROUP BY vec_id),

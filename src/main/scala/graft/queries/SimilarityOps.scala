@@ -59,45 +59,66 @@ object SimilarityOps extends QueryGroup {
         sqrt(dotDec($"embedding", $"embedding").cast("double")).as("nrm"))
   }
 
-  /** Filter-verify exact top-k: `cand` carries (qid, vec_id, qemb, qn,
-    * embedding, nrm) candidate rows; rank by the double cosine, keep every
-    * candidate within [[Margin]] of the kth-best per query (a provable
-    * superset of the exact top-k — see the object scaladoc), then compute
-    * the exact decimal cosine and rank on it. Output: qid, vec_id, rk,
-    * cosine — identical to running the exact cosine on every candidate.
+  /** Filter-verify exact top-k. `scored` carries SLIM candidate rows
+    * (qid, vec_id, dcos) — the double cosine projected in the same stage
+    * that computed it, so no embedding array survives into any exchange;
+    * keep every candidate within [[Margin]] of the kth-best per query (a
+    * provable superset of the exact top-k — see the object scaladoc);
+    * then join the float arrays back BY ID for the ≈ k + margin
+    * survivors per query and rank on the exact decimal cosine. Output:
+    * qid, vec_id, rk, cosine — identical to running the exact cosine on
+    * every candidate.
+    *
+    * Why slim rows are load-bearing, not a nicety: r9's 40× scaling run
+    * OOM'd the pre-refactor version, which materialized the candidate ×
+    * (embedding, qemb) rows through Materialize.cut — ~0.5 KB/candidate
+    * where these rows are ~25 B. The candidate COUNT still scales with
+    * corpus × queries for the brute-force callers (that is what brute
+    * force means; the ANN paths bound it), but the bytes through the
+    * cut and both shuffles are now scalars only — the searchQuantized
+    * join-back-by-id shape.
     */
-  private def exactTopK(cand: DataFrame, k: Int): DataFrame = {
-    val s = cand.sparkSession
+  private def exactTopK(scored: DataFrame, corpus: DataFrame, q: DataFrame,
+      k: Int): DataFrame = {
+    val s = scored.sparkSession
     import s.implicits._
-    // withD feeds BOTH the kth-threshold branch and the survivors branch;
-    // checkpoint so the candidate join + double dots run once, not twice
-    // (the DedupOps multi-consumer precedent). Tradeoff noted: at extreme
-    // scale, materializing the candidate set trades storage for the
-    // second scan — flip to recompute if candidates outgrow cluster disk.
-    val withD = cand.withColumn("dcos",
-      native.double_dot($"embedding", $"qemb") / ($"qn" * $"nrm"))
-      .transform(graft.functions.Materialize.cut)
-    // kth-best double cosine per query, computed over SLIM rows (the sort
-    // must not carry the embedding arrays); k=1 needs no window at all —
+    // slim feeds BOTH the kth-threshold branch and the survivors branch;
+    // cut so the candidate scoring runs once, not twice (the DedupOps
+    // multi-consumer precedent)
+    val slim = scored.transform(graft.functions.Materialize.cut)
+    // kth-best double cosine per query; k=1 needs no window at all —
     // a hash max-aggregate replaces the sort+window entirely
-    val slim = withD.select($"qid", $"dcos")
     val kth =
       if (k == 1) slim.groupBy($"qid").agg(max($"dcos").as("kth_dcos"))
       else {
         val wd = Window.partitionBy($"qid").orderBy($"dcos".desc)
-        slim.withColumn("rkd", row_number().over(wd)).filter($"rkd" === k)
+        slim.select($"qid", $"dcos")
+          .withColumn("rkd", row_number().over(wd)).filter($"rkd" === k)
           .select($"qid", $"dcos".as("kth_dcos"))
       }
     // left join: a query with < k candidates has no kth row — keep all.
     // No window on this side: the margin filter alone defines survivors.
-    val survivors = withD.join(broadcast(kth), Seq("qid"), "left")
+    val survivors = slim.join(broadcast(kth), Seq("qid"), "left")
       .filter($"kth_dcos".isNull || $"dcos" >= $"kth_dcos" - Margin)
+      .select($"qid", $"vec_id")
     val we = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
     survivors
+      .join(corpus.select($"vec_id", $"embedding", $"nrm"), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
       .withColumn("cosine",
         round(dotDec($"embedding", $"qemb").cast("double") / ($"qn" * $"nrm"), 9))
       .withColumn("rk", row_number().over(we))
       .filter($"rk" <= k)
+  }
+
+  /** The slim brute-force scoring for [[exactTopK]]: every (corpus,
+    * query) pair's double cosine, arrays dropped in the same projection. */
+  private def bruteScores(corpus: DataFrame, q: DataFrame): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    corpus.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        (native.double_dot($"embedding", $"qemb") / ($"qn" * $"nrm")).as("dcos"))
   }
 
   override def queries: Map[String, Q] = Map(
@@ -167,8 +188,8 @@ object SimilarityOps extends QueryGroup {
       val emb = withNorm(s, dir)
       val q = emb.filter($"vec_id" < 100)
         .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"nrm".as("qn"))
-      val cand = emb.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
-      exactTopK(cand, 1).select($"qid", $"vec_id".as("nn_id"), $"cosine")
+      exactTopK(bruteScores(emb, q), emb, q, 1)
+        .select($"qid", $"vec_id".as("nn_id"), $"cosine")
     }),
 
     // top-5 neighbors per query — same scan, per-partition top-k window.
@@ -177,8 +198,7 @@ object SimilarityOps extends QueryGroup {
       val emb = withNorm(s, dir)
       val q = emb.filter($"vec_id" < 100)
         .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"nrm".as("qn"))
-      val cand = emb.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
-      exactTopK(cand, 5)
+      exactTopK(bruteScores(emb, q), emb, q, 5)
         .select($"qid", $"vec_id".as("nn_id"), $"rk".cast("long").as("rk"), $"cosine")
     }),
 
@@ -210,12 +230,14 @@ object SimilarityOps extends QueryGroup {
         .filter($"rn" <= NProbe).select($"vec_id".as("qid"), $"cid")
       val q = emb.filter($"vec_id" < 100)
         .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"nrm".as("qn"))
-      val cand = assign.join(broadcast(probes), Seq("cid"))
+      val candScored = assign.join(broadcast(probes), Seq("cid"))
         .filter($"vec_id" =!= $"qid")
         .select($"qid", $"vec_id")
         .join(emb, Seq("vec_id"))
         .join(broadcast(q), Seq("qid"))
-      exactTopK(cand, 3)
+        .select($"qid", $"vec_id",
+          (native.double_dot($"embedding", $"qemb") / ($"qn" * $"nrm")).as("dcos"))
+      exactTopK(candScored, emb, q, 3)
         .select($"qid", $"vec_id".as("nn_id"), $"rk".cast("long").as("rk"), $"cosine")
     }),
 
@@ -235,8 +257,10 @@ object SimilarityOps extends QueryGroup {
       val q = emb.filter($"vec_id" < 100)
         .select($"vec_id".as("qid"), $"embedding".as("qemb"),
           $"nrm".as("qn"), $"bucket")
-      val cand = emb.join(broadcast(q), Seq("bucket")).filter($"vec_id" =!= $"qid")
-      exactTopK(cand, 3)
+      val scored = emb.join(broadcast(q), Seq("bucket")).filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          (native.double_dot($"embedding", $"qemb") / ($"qn" * $"nrm")).as("dcos"))
+      exactTopK(scored, emb, q.drop("bucket"), 3)
         .select($"qid", $"vec_id".as("nn_id"), $"rk".cast("long").as("rk"), $"cosine")
     })
   )

@@ -141,4 +141,31 @@ class BoilerplateFixtureSpec extends SparkSuite {
     assert(roomy(11L) == ((10L, false)),
       s"with room in the buckets the pair must be found, got ${roomy(11L)}")
   }
+
+  test("embed bucket-occupancy cap binds: a dense bucket lists C-representative pairs only") {
+    // 200 IDENTICAL vectors land in the same bucket of every band — the
+    // uncapped self-join would list all C(200,2) = 19900 pairs (the r9
+    // 40×-scaling superlinearity, in miniature); the 64-member cap must
+    // collapse that to C(64,2) = 2016 pairs among the LOWEST 64 ids
+    // (deterministic representatives), while a genuine near-dup pair in
+    // a different, sparse bucket is still found
+    val dim = 8
+    val dense = Array.tabulate(dim)(i => if (i == 0) 1.0f else 0.0f)
+    val w = Array.tabulate(dim)(i => if (i == 1) 1.0f else 0.2f)
+    val w2 = w.clone(); w2(3) = 0.3f // cosine(w, w2) ≈ 0.99 — a near-dup
+    val rows = (0 until 200).map(i => (i.toLong, dense)) ++
+      Seq((9000L, w), (9001L, w2))
+    val dir = java.nio.file.Files.createTempDirectory("graft_embcap").toString
+    rows.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+
+    val pairs = DedupOps.queries("dedup_embed_cosine")(spark, dir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val densePairs = pairs.filter { case (a, b) => a < 300 && b < 300 }
+    assert(densePairs.size == 64 * 63 / 2,
+      s"cap must bound the dense bucket to C(64,2) pairs, got ${densePairs.size}")
+    assert(densePairs.forall { case (a, b) => a < 64 && b < 64 },
+      "representatives must be the deterministic lowest ids")
+    assert(pairs.contains((9000L, 9001L)),
+      "the sparse-bucket near-dup pair must still be listed")
+  }
 }

@@ -60,6 +60,12 @@ class PlanSpec extends SparkSuite {
     val p = plan("dedup_embed_cosine")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"dedup_embed_cosine must stay an equi-join on (band, bucket):\n$p")
+    // the r9 bucket-occupancy cap: the rank filter must pre-prune
+    // map-side (WindowGroupLimit), the domain_cap shape — without it the
+    // fixed 4×256 bucket space makes the self-join quadratic in corpus
+    // size (measured 100.8× at 40× data before the cap)
+    assert(p.contains("WindowGroupLimit"),
+      s"dedup_embed_cosine lost the bucket-occupancy pre-prune:\n$p")
   }
 
   test("whole-stage codegen covers the scan->project pipelines") {
