@@ -204,7 +204,8 @@ object StreamBench {
     //     every micro-batch at scale)
     val corpus = spark.read.parquet(sfDir + "/embeddings.parquet")
       .select($"vec_id", $"embedding").cache()
-    val knnQueries = corpus.as[(Long, Array[Float])].collect().take(2000)
+    // limit BEFORE collect — the corpus grows with SF, the query set must not
+    val knnQueries = corpus.limit(2000).as[(Long, Array[Float])].collect()
     def knnRun(f: org.apache.spark.sql.Dataset[(Long, Array[Float])] =>
         org.apache.spark.sql.Dataset[(Long, Long, Double)]): Double = {
       val in = MemoryStream[(Long, Array[Float])]

@@ -176,6 +176,20 @@ object TrainingDataPipeline {
     * (called here before the first batch touches the table). Readers see
     * identical rows before and after each maintenance pass
     * (TrainingDataPipelineSpec pins counts across live compactions).
+    *
+    * Exactly-once despite foreachBatch's at-least-once replay: a naive
+    * `mode("append")` would re-append the whole batch when a crash lands
+    * between the write and the micro-batch commit (the compaction
+    * rewrite is a long such window). Each batch therefore commits
+    * through a marker protocol: files land under batch-prefixed names
+    * (`b<id>-…`), a marker in the sibling `<outDir>__batches` dir is the
+    * commit point, and a replayed batchId either skips entirely (marker
+    * present) or first deletes its own partial files (marker absent) —
+    * so every row of every batch appears exactly once no matter where a
+    * crash lands (spec: the crash-replay test re-invokes the batch
+    * function by hand). Compaction renames data files, but it runs
+    * strictly after the marker, so compacted rows always belong to
+    * committed batches.
     */
   def ingestWithMaintenance(input: DataFrame, outDir: String, ckptDir: String,
       targetBytes: Long, everyNBatches: Int,
@@ -188,12 +202,50 @@ object TrainingDataPipeline {
     input.writeStream
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(outDir)
+        appendBatchExactlyOnce(batch, outDir, batchId)
         if ((batchId + 1) % everyNBatches == 0) {
           graft.functions.Compaction.compactParquet(spark, outDir, targetBytes, layoutBy)
           () // foreachBatch wants Unit, not the file count
         }
       }
       .start()
+  }
+
+  /** The idempotent append of [[ingestWithMaintenance]] (package-visible
+    * so the spec can replay a crashed attempt deterministically): write
+    * the batch to a staging dir, rename its data files into the table
+    * under `b<batchId>-` prefixes, then create the marker — the commit
+    * point. Marker present → the whole call is a no-op; marker absent →
+    * any `b<batchId>-` files are debris from a crashed attempt and are
+    * deleted before the re-append. */
+  private[examples] def appendBatchExactlyOnce(batch: DataFrame, outDir: String,
+      batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val table = new Path(outDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(outDir.stripSuffix("/") + "__batches", batchId.toString)
+    if (fs.exists(marker)) return // committed by a previous attempt
+    // debris sweep: a prior attempt of THIS batch may have crashed
+    // mid-rename; its files are identifiable by prefix and uncommitted
+    if (fs.exists(table)) {
+      val prefix = s"b$batchId-"
+      fs.listStatus(table).iterator.filter(_.getPath.getName.startsWith(prefix))
+        .foreach(f => fs.delete(f.getPath, false))
+    }
+    val staging = new Path(outDir.stripSuffix("/") + s"__ingest-$batchId")
+    batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging.toString)
+    fs.mkdirs(table)
+    fs.listStatus(staging).iterator
+      .filter { f => val n = f.getPath.getName; n.endsWith(".parquet") && !n.startsWith("_") }
+      .foreach { f =>
+        val dst = new Path(table, s"b$batchId-${f.getPath.getName}")
+        if (!fs.rename(f.getPath, dst))
+          throw new java.io.IOException(s"could not land ${f.getPath} as $dst")
+      }
+    fs.delete(staging, true)
+    // commit point: marker creation is the atomic "this batch is in"
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, false).close()
   }
 }

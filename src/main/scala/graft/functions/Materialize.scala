@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Fault-tolerance-aware plan materialization — the one place iterative
@@ -19,12 +20,18 @@ import org.apache.spark.storage.StorageLevel
   *    `auto` whenever `SparkContext.setCheckpointDir` has been called.
   *  - `local` — `df.localCheckpoint()`: fastest; executor-resident blocks,
   *    no recompute path. Chosen by `auto` only on a `local[*]` master.
-  *  - `disk` — `persist(DISK_ONLY_2)` + eager count: blocks on 2
-  *    executors' disks AND the recompute lineage intact, so an executor
-  *    loss degrades to a re-read, never a query failure. Chosen by
-  *    `auto` on a cluster master with no checkpoint dir. Lineage is NOT
-  *    truncated (Catalyst swaps the cached fragment in at planning), so
-  *    release superseded rounds with [[release]] in long loops.
+  *  - `disk` — the plan's RDD persisted at DISK_ONLY_2 + eager count,
+  *    wrapped back as a DataFrame: blocks on 2 executors' disks AND the
+  *    RDD recompute lineage intact, so an executor loss degrades to a
+  *    re-read, never a query failure. Chosen by `auto` on a cluster
+  *    master with no checkpoint dir. Deliberately NOT `Dataset.persist`:
+  *    that pins the plan in the session CacheManager until an explicit
+  *    unpersist — every query would leak its intermediates for the
+  *    session lifetime (the reason the old sites chose localCheckpoint).
+  *    A raw persisted RDD is GC-tracked: when the cut DataFrame becomes
+  *    unreachable, the ContextCleaner unpersists the blocks, the same
+  *    lifecycle localCheckpoint had. Iterative loops should still
+  *    [[release]] superseded rounds promptly rather than waiting for GC.
   */
 object Materialize {
 
@@ -45,6 +52,14 @@ object Materialize {
     }
   }
 
+  /** disk-mode cuts → their persisted backing RDD, so [[release]] can
+    * unpersist promptly. Weak keys: an un-released cut that goes out of
+    * scope drops its entry, the RDD becomes unreachable, and the
+    * ContextCleaner frees the blocks — no session-lifetime pinning. */
+  private val diskCuts =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, RDD[Row]]())
+
   /** Eagerly materialize `df` under the session's fault-tolerance policy
     * and return the DataFrame downstream consumers should use. Always
     * eager — on return the result exists and multi-consumer plans will
@@ -53,14 +68,19 @@ object Materialize {
     case "reliable" => df.checkpoint() // eager by default
     case "local"    => df.localCheckpoint()
     case "disk" =>
-      df.persist(StorageLevel.DISK_ONLY_2)
-      df.count() // materialize now; replicated blocks + intact lineage
-      df
+      val rows = df.rdd
+      rows.persist(StorageLevel.DISK_ONLY_2)
+      rows.count() // materialize now; replicated blocks + intact lineage
+      val out = df.sparkSession.createDataFrame(rows, df.schema)
+      diskCuts.put(out, rows)
+      out
   }
 
   /** Free a cut that has been superseded (iterative loops) or fully
     * consumed. No-op for checkpoint-based cuts — their cleanup is the
     * checkpoint dir's lifecycle / ContextCleaner's, not per-round. */
-  def release(df: DataFrame): Unit =
+  def release(df: DataFrame): Unit = {
+    Option(diskCuts.remove(df)).foreach(_.unpersist(blocking = false))
     if (df.storageLevel != StorageLevel.NONE) df.unpersist(blocking = false)
+  }
 }

@@ -47,7 +47,11 @@ object Similarity {
   /** One row per (query, hit): `(query_id, vec_id, cosine)`, the top `k`
     * same-bucket corpus vectors per query per micro-batch. `corpus` must
     * have `vec_id` and `embedding` columns; it is bucketed once here and
-    * should be cached by the caller when many batches will probe it. */
+    * should be cached by the caller when many batches will probe it.
+    * Zero-norm vectors have no direction — cosine is 0/0 — so zero-norm
+    * corpus rows and queries are excluded up front, exactly as the batch
+    * paths and [[streamKnnQuantized]] do (an unguarded NaN would outrank
+    * every real hit under desc ordering). */
   def streamKnn(queries: Dataset[(Long, Array[Float])], corpus: DataFrame,
                 k: Int, planes: Int = 8): Dataset[(Long, Long, Double)] = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -57,10 +61,12 @@ object Similarity {
       .select($"vec_id", $"embedding",
         sqrt(native.double_dot($"embedding", $"embedding")).as("nrm"),
         native.lsh_bucket($"embedding", planes).as("bucket"))
+      .filter($"nrm" > 0)
     val qs = queries.toDF("query_id", "qemb")
       .select($"query_id", $"qemb",
         sqrt(native.double_dot($"qemb", $"qemb")).as("qnrm"),
         native.lsh_bucket($"qemb", planes).as("bucket"))
+      .filter($"qnrm" > 0)
     qs.join(statics, "bucket") // stream-static: stateless, no watermark
       .select($"query_id", $"vec_id",
         (native.double_dot($"qemb", $"embedding") / ($"qnrm" * $"nrm")).as("cos"))
@@ -71,8 +77,10 @@ object Similarity {
 
   /** Certified-survivor filter per query id (stateless per-batch groups,
     * like [[TopK]]): rows are a tagged union — ONE query-vector row
-    * (vec_id = -1, carrying qemb/qnrm) plus the int8-scored candidate
-    * rows (approx ± err certified cosine intervals). Emits the survivor
+    * (isQuery = true, carrying qemb/qnrm) plus the int8-scored candidate
+    * rows (approx ± err certified cosine intervals; the explicit boolean
+    * tag rather than a sentinel id, because any Long is a legal corpus
+    * vec_id). Emits the survivor
     * superset `(query_id, vec_id, qemb, qnrm)`: every candidate whose
     * upper bound reaches the k-th largest lower bound — the same
     * provable filter-verify margin as [[graft.functions.Ivf
@@ -80,18 +88,18 @@ object Similarity {
     * true winner. Survivor rows are the only place a float query vector
     * travels after the probe join, ≈ k + margin rows per query. */
   private final class Survivors(k: Int)
-      extends StatefulProcessor[Long, (Long, Long, Double, Double, Array[Float], Double),
+      extends StatefulProcessor[Long, (Long, Boolean, Long, Double, Double, Array[Float], Double),
         (Long, Long, Array[Float], Double)] {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
     override def handleInputRows(key: Long,
-        rows: Iterator[(Long, Long, Double, Double, Array[Float], Double)],
+        rows: Iterator[(Long, Boolean, Long, Double, Double, Array[Float], Double)],
         timerValues: TimerValues): Iterator[(Long, Long, Array[Float], Double)] = {
       var qemb: Array[Float] = null
       var qnrm = 0.0
       val cand = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
       rows.foreach {
-        case (_, -1L, _, _, emb, nrm) => qemb = emb; qnrm = nrm
-        case (_, vid, approx, err, _, _) => cand += ((vid, approx, err))
+        case (_, true, _, _, _, emb, nrm) => qemb = emb; qnrm = nrm
+        case (_, false, vid, approx, err, _, _) => cand += ((vid, approx, err))
       }
       if (qemb == null || cand.isEmpty) Iterator.empty
       else {
@@ -156,15 +164,15 @@ object Similarity {
     // searchQuantized bound), all scalars — no arrays in these rows
     val d = lit(0.25) * least(length($"qq"), length($"q")).cast("double")
     val cands = qz.drop("qemb").join(taggedStatic, "bucket")
-      .select($"query_id", $"vec_id",
+      .select($"query_id", lit(false).as("is_query"), $"vec_id",
         (($"qs" * $"scale" * native.int8_dot($"qq", $"q")) / ($"qnrm" * $"nrm")).as("approx"),
         (($"qs" * $"scale" * (($"ql1" + $"l1") / lit(2.0) + d)) / ($"qnrm" * $"nrm")).as("err"),
         typedlit[Array[Float]](null).as("qemb"), lit(0.0).as("qnrm"))
-    // tagged union: one vec_id = -1 row per query carries the float qemb
-    val qrows = qz.select($"query_id", lit(-1L).as("vec_id"),
+    // tagged union: one is_query row per query carries the float qemb
+    val qrows = qz.select($"query_id", lit(true).as("is_query"), lit(0L).as("vec_id"),
       lit(0.0).as("approx"), lit(0.0).as("err"), $"qemb", $"qnrm")
     val survivors = qrows.unionByName(cands)
-      .as[(Long, Long, Double, Double, Array[Float], Double)]
+      .as[(Long, Boolean, Long, Double, Double, Array[Float], Double)]
       .groupByKey(_._1)
       .transformWithState(new Survivors(k), TimeMode.None(), OutputMode.Append())
       .toDF("query_id", "vec_id", "qemb", "qnrm")

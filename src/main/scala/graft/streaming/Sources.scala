@@ -34,8 +34,10 @@ object Sources {
     val base = spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load()
     // three independent uniforms from salted 64-bit hashes of the row id
+    // (pmod, not abs-then-%: abs(Long.MinValue) is still negative and
+    // would leak a value outside [0, 1))
     def u(salt: String) =
-      (abs(xxhash64(col("value"), lit(seed), lit(salt))) % 1000000000L)
+      pmod(xxhash64(col("value"), lit(seed), lit(salt)), lit(1000000000L))
         .cast("double") / 1e9
     // inverse-CDF Poisson(1): y = least k with U < P(Y ≤ k)
     val cdf = (0 to 7).scanLeft(0.0) { case (acc, k) =>

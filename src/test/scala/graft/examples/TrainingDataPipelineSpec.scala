@@ -140,6 +140,11 @@ class TrainingDataPipelineSpec extends SparkSuite {
       if (!d.exists()) Array.empty[java.io.File]
       else d.listFiles().filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
     }
+    // observations run between batches of a live query, where a read can
+    // still race the table's creation instant — treat unreadable as 0
+    def tableCount(): Long =
+      try { if (listParquet().isEmpty) 0L else spark.read.parquet(outDir).count() }
+      catch { case scala.util.control.NonFatal(_) => 0L }
     def landBatch(b: Int): Unit =
       Seq.tabulate(500)(i => (b * 500L + i, (b * 500L + i) % 97, (i % 41).toLong))
         .toDF("event_id", "user_id", "vbucket")
@@ -162,31 +167,31 @@ class TrainingDataPipelineSpec extends SparkSuite {
     try {
       var sawCompacted = false
       var sawFragmented = false
-      // one drop == one micro-batch (4 files, maxFilesPerTrigger = 4), so
-      // maintenance fires deterministically after batches 1, 3, 5 — and
-      // every observation below happens between batches of a LIVE query
-      (1 until 6).foreach { b =>
+      // a drop is USUALLY one micro-batch (4 files, maxFilesPerTrigger =
+      // 4) but the file source may catch a drop mid-write and split it —
+      // so don't assume batch parity: keep landing drops and OBSERVING
+      // the quiescent state between them until both table shapes (the
+      // post-maintenance ≤2-file state and the appends-piled-up state)
+      // have been seen between batches of the LIVE query
+      var landed = 1
+      while (!(sawCompacted && sawFragmented) && landed < 14) {
         q.processAllAvailable()
         val files = listParquet().length
-        if (b % 2 == 0 && files <= 2) sawCompacted = true // post-maintenance state
-        if (b % 2 == 1 && files > 2) sawFragmented = true // appends piling up
-        landBatch(b)
+        val n = tableCount()
+        if (files <= 2 && n >= 1000) sawCompacted = true
+        if (files > 2) sawFragmented = true
+        landBatch(landed)
+        landed += 1
       }
-      q.processAllAvailable() // batch 5 + its maintenance pass
-      val filesAfter = listParquet()
-      assert(filesAfter.length <= 2,
-        s"table not compacted after the batch-5 maintenance: ${filesAfter.length} files")
-      assert(sawCompacted, "never observed a compacted state between live batches")
-      assert(sawFragmented, "fixture vacuity: appends never fragmented the table")
-      // the stream keeps ingesting AFTER a live rewrite swapped the table
-      landBatch(6)
       q.processAllAvailable()
       q.stop()
+      assert(sawCompacted, "never observed a compacted state between live batches")
+      assert(sawFragmented, "fixture vacuity: appends never fragmented the table")
       // nothing lost, nothing duplicated across all live rewrites
       val got = spark.read.parquet(outDir)
         .select("event_id").as[Long].collect().sorted.toSeq
-      assert(got == (0L until 7 * 500L).toSeq,
-        s"row set diverged: ${got.length} rows for ${7 * 500L} written")
+      assert(got == (0L until landed * 500L).toSeq,
+        s"row set diverged: ${got.length} rows for ${landed * 500L} written")
       // the re-layout really clustered the z key: run one more
       // maintenance rewrite at a small target (deterministic batch call,
       // the same code path the loop runs) and check the range-partitioned
@@ -206,5 +211,38 @@ class TrainingDataPipelineSpec extends SparkSuite {
       assert(spans.exists(sp => (sp._2 - sp._1) < (global._2 - global._1)),
         s"z-order layout left every file spanning the full key range: $spans")
     } finally q.stop()
+  }
+
+  test("maintenance append is exactly-once under foreachBatch crash-replay") {
+    // foreachBatch is at-least-once: a crash between the append and the
+    // micro-batch commit replays the same batchId. The marker protocol
+    // must make every replay shape a no-op or a clean redo — never a
+    // duplicate (the r9 review finding).
+    val outDir = java.nio.file.Files.createTempDirectory("graft_eo_out").toString + "/t"
+    val b0 = Seq.tabulate(100)(i => (i.toLong, s"v$i")).toDF("id", "v")
+
+    def rows() = spark.read.parquet(outDir).as[(Long, String)].collect().toSet
+    val want = (0 until 100).map(i => (i.toLong, s"v$i")).toSet
+
+    // normal append, then a FULL replay of the same batchId (crash after
+    // commit-to-table but before the streaming commit): must be a no-op
+    TrainingDataPipeline.appendBatchExactlyOnce(b0, outDir, 7L)
+    assert(rows() == want)
+    TrainingDataPipeline.appendBatchExactlyOnce(b0, outDir, 7L)
+    assert(rows() == want, "marker present: replay must not re-append")
+
+    // crash BEFORE the marker: simulate by deleting the marker (the
+    // append itself completed) — the replay must sweep the uncommitted
+    // b7- files and land exactly one copy
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(outDir + "__batches/7"), false)
+    TrainingDataPipeline.appendBatchExactlyOnce(b0, outDir, 7L)
+    assert(rows() == want, "marker absent: replay must replace, not duplicate")
+
+    // a different batch still appends alongside
+    TrainingDataPipeline.appendBatchExactlyOnce(
+      Seq((500L, "x")).toDF("id", "v"), outDir, 8L)
+    assert(rows() == want + ((500L, "x")))
   }
 }

@@ -58,19 +58,32 @@ class MaterializeSpec extends SparkSuite {
     }
   }
 
-  test("disk mode persists DISK_ONLY_2 with lineage intact; release frees it") {
+  test("disk mode persists DISK_ONLY_2 RDD blocks; release frees them; no CacheManager pin") {
     withConf(Materialize.ConfKey, "disk") {
       assert(Materialize.mode(spark) == "disk")
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val df = spark.range(100).toDF("id")
       val cut = Materialize.cut(df)
-      // replicated disk blocks: executor loss degrades to re-read/recompute
-      assert(cut.storageLevel == StorageLevel.DISK_ONLY_2, cut.storageLevel.toString)
-      // lineage NOT truncated — the logical plan is still the range, so a
-      // lost block has a recompute path (the whole point vs localCheckpoint)
-      assert(!cut.queryExecution.logical.isInstanceOf[LogicalRDD])
+      // the backing RDD (not the Dataset plan) is persisted at
+      // DISK_ONLY_2: replicated blocks, RDD recompute lineage intact,
+      // and — the r9 review finding — NOTHING in the session
+      // CacheManager, so an un-released cut is GC-collectable instead
+      // of pinned for the session lifetime
+      val added = spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before.contains(id) }
+      assert(added.values.exists(_.getStorageLevel == StorageLevel.DISK_ONLY_2),
+        s"no DISK_ONLY_2 RDD registered: ${added.values.map(_.getStorageLevel)}")
+      // Dataset.storageLevel consults the CacheManager — NONE means no
+      // plan-level cache entry exists for this cut
+      assert(cut.storageLevel == StorageLevel.NONE,
+        "disk cut must not pin the plan in the CacheManager")
       assert(cut.count() == 100)
       Materialize.release(cut)
-      assert(cut.storageLevel == StorageLevel.NONE)
+      val afterRelease = spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before.contains(id) }
+        .filter(_._2.getStorageLevel != StorageLevel.NONE)
+      assert(afterRelease.isEmpty,
+        s"release left persisted blocks: ${afterRelease.keys}")
     }
   }
 

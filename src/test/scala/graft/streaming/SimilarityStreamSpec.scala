@@ -87,4 +87,42 @@ class SimilarityStreamSpec extends SparkSuite {
       corpus.unpersist()
     }
   }
+
+  test("parity holds with planted zero-norm vectors (both paths exclude them)") {
+    withRocksDBState {
+      // a zero-norm corpus vector has no direction — cosine is 0/0 — and
+      // an unguarded NaN outranks every real hit under desc ordering.
+      // Both paths must EXCLUDE zero vectors (the r9 review finding:
+      // only the quantized path filtered them, silently breaking parity)
+      val dim = 8
+      def vec(seed: Int) = Array.tabulate(dim)(i => ((seed * 31 + i) % 7 - 3).toFloat)
+      val base = (0L until 20L).map(i => (i, vec(i.toInt)))
+      val rows = base :+ ((99L, Array.fill(dim)(0.0f))) // the planted zero
+      val corpus = rows.toDF("vec_id", "embedding").cache()
+      val queries = base.take(6) :+ ((98L, Array.fill(dim)(0.0f)))
+
+      def run(name: String,
+          f: org.apache.spark.sql.Dataset[(Long, Array[Float])] =>
+            org.apache.spark.sql.Dataset[(Long, Long, Double)]): Map[Long, Seq[(Long, Double)]] = {
+        val in = MemoryStream[(Long, Array[Float])]
+        val q = f(in.toDS()).toDF("query_id", "vec_id", "cos").writeStream
+          .format("memory").queryName(name).outputMode("append").start()
+        in.addData(queries); q.processAllAvailable(); q.stop()
+        spark.table(name).as[(Long, Long, Double)].collect()
+          .groupBy(_._1)
+          .map { case (qid, hits) =>
+            qid -> hits.sortBy { case (_, id, cos) => (-cos, id) }
+              .map(h => (h._2, h._3)).toSeq
+          }
+      }
+      val f = run("sim_knn_zf", ds => Similarity.streamKnn(ds, corpus, k = 3))
+      val qz = run("sim_knn_zq", ds => Similarity.streamKnnQuantized(ds, corpus, k = 3))
+      assert(f == qz, s"zero-norm parity broke:\nfloat=$f\nquant=$qz")
+      // neither path ranks the zero corpus vector or answers the zero query
+      assert(!f.values.flatten.exists(_._1 == 99L))
+      assert(!f.contains(98L))
+      assert(f.values.flatten.forall(h => !h._2.isNaN))
+      corpus.unpersist()
+    }
+  }
 }
