@@ -29,31 +29,36 @@ import org.apache.spark.sql.functions._
   * streaming pipeline's documented rule.
   */
 object DedupIndex {
-  // The shared Lsh.Small geometry (same constant as queries.DedupOps and
-  // streaming.Dedup) is what makes incremental == one-shot == streaming.
-  private val NumHashes = Lsh.Small.numHashes
-  private val BandSize = Lsh.Small.rows
-  private val NumBands = Lsh.Small.bands
+  // Default geometry = the shared Lsh.Small constant (same as
+  // queries.DedupOps and streaming.Dedup) so incremental == one-shot ==
+  // streaming out of the box; every entry point also takes an explicit
+  // Lsh.Geometry for production-scale indexes (Lsh.Production, k = 128)
+  // — an index is only probe-compatible with ITS OWN geometry, so
+  // callers pass the same value at build and probe time (the stored
+  // sigs length makes a mismatch loudly visible: est() would read past
+  // the array and null-poison the agreement fraction, never silently
+  // match).
   private val EstThreshold = 0.5
 
-  /** Fraction of the 8 signatures agreeing — the shared edge rule. */
-  private def est(a: Column, b: Column): Column =
+  /** Fraction of the k signatures agreeing — the shared edge rule. */
+  private def est(a: Column, b: Column, numHashes: Int): Column =
     size(filter(zip_with(a, b, (x, y) => x === y), m => m))
-      .cast("double") / lit(NumHashes.toDouble)
+      .cast("double") / lit(numHashes.toDouble)
 
   /** The signature index rows of `docs` (doc_id, text): one row per
     * (doc, band) with the doc's full signature vector inlined —
     * `(doc_id, sigs, band, band_hash)`. Persist this (e.g. parquet
     * partitioned or bucketed by `band_hash`) as the dedup index; docs
     * with no 3-shingle (under 3 tokens) index nothing and always keep. */
-  def indexRows(docs: DataFrame): DataFrame =
+  def indexRows(docs: DataFrame,
+      geom: Lsh.Geometry = Lsh.Small): DataFrame =
     docs
       .select(col("doc_id"), TextFunctions.shingles3(col("text")).as("sharr"))
       .filter(size(col("sharr")) >= 1)
       .select(col("doc_id"),
-        native.minhash_sigs(col("sharr"), NumHashes).as("sigs"))
+        native.minhash_sigs(col("sharr"), geom.numHashes).as("sigs"))
       .select(col("doc_id"), col("sigs"),
-        posexplode(Lsh.bandHashes(col("sigs"), NumBands, BandSize)))
+        posexplode(Lsh.bandHashes(col("sigs"), geom.bands, geom.rows)))
       .toDF("doc_id", "sigs", "band", "band_hash")
 
   /** Greedy verdicts for `newDocs` against the stored `index` (rows in
@@ -66,21 +71,22 @@ object DedupIndex {
     * matches — the streaming membership rule), so the caller appends
     * `indexRows(newDocs)` as the delta.
     */
-  def incrementalVerdicts(newDocs: DataFrame, index: DataFrame): DataFrame = {
-    val nb = indexRows(newDocs)
+  def incrementalVerdicts(newDocs: DataFrame, index: DataFrame,
+      geom: Lsh.Geometry = Lsh.Small): DataFrame = {
+    val nb = indexRows(newDocs, geom)
     val vsOld = nb.as("n")
       .join(index.as("o"),
         col("n.band") === col("o.band") &&
           col("n.band_hash") === col("o.band_hash") &&
           col("n.doc_id") =!= col("o.doc_id") &&
-          est(col("n.sigs"), col("o.sigs")) >= EstThreshold)
+          est(col("n.sigs"), col("o.sigs"), geom.numHashes) >= EstThreshold)
       .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("match_id"))
     val vsNew = nb.as("a")
       .join(nb.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") > col("b.doc_id") &&
-          est(col("a.sigs"), col("b.sigs")) >= EstThreshold)
+          est(col("a.sigs"), col("b.sigs"), geom.numHashes) >= EstThreshold)
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("match_id"))
     val roots = vsOld.unionByName(vsNew)
       .groupBy(col("doc_id")).agg(min(col("match_id")).as("match_id"))

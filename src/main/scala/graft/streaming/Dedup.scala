@@ -68,13 +68,12 @@ object Dedup {
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("content_hash")
 
-  // LSH parameters — the shared Lsh.Small geometry (k=8, 4 bands of 2,
-  // est_jaccard ≥ 0.5 = ≥ 4 of 8 signature agreements): ONE constant for
-  // batch, streaming, and the index, so a retune cannot fork them; the
-  // banding expression itself is shared via functions.Lsh too.
-  private val NumHashes = Lsh.Small.numHashes
-  private val BandSize = Lsh.Small.rows
-  private val NumBands = Lsh.Small.bands
+  // LSH geometry defaults to the shared Lsh.Small constant (k=8, 4 bands
+  // of 2, est_jaccard ≥ 0.5 = ≥ 4 of 8 agreements) — ONE constant for
+  // batch, streaming, and the index, so a retune cannot fork them; every
+  // minhash entry point also takes an explicit Lsh.Geometry for the
+  // production configuration (Lsh.Production, k=128 in 16 bands of 8).
+  // The banding expression itself is shared via functions.Lsh.
   private val EstThreshold = 0.5
 
   /** Default per-bucket member cap — see the missed-pair trade-off on
@@ -86,7 +85,7 @@ object Dedup {
     * is an existing member with signature agreement ≥ EstThreshold (the
     * batch pipeline's pair rule). Every doc also registers as a member
     * (append-only, capped at `cap`). */
-  private final class BucketMembers(cap: Int)
+  private final class BucketMembers(cap: Int, numHashes: Int)
       extends StatefulProcessor[String, (String, Long, Long, Seq[String]), (Long, Long, Long)] {
     @transient private var members: ListState[(Long, Seq[String])] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -95,8 +94,8 @@ object Dedup {
     private def est(a: Seq[String], b: Seq[String]): Double = {
       var agree = 0
       var i = 0
-      while (i < NumHashes) { if (a(i) == b(i)) agree += 1; i += 1 }
-      agree.toDouble / NumHashes
+      while (i < numHashes) { if (a(i) == b(i)) agree += 1; i += 1 }
+      agree.toDouble / numHashes
     }
     override def handleInputRows(key: String, rows: Iterator[(String, Long, Long, Seq[String])],
         timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
@@ -117,7 +116,7 @@ object Dedup {
     }
   }
 
-  /** Per-doc verdict fold: key = doc id; all NumBands rows of a doc are
+  /** Per-doc verdict fold: key = doc id; all of a doc's band rows are
     * emitted by stage 1 within the same micro-batch, so this registers no
     * state at all — it is a batch-local reduce expressed on the streaming
     * operator API. */
@@ -284,21 +283,23 @@ object Dedup {
     * reproduces the batch pairing exactly at the cost of unbounded
     * hot-bucket state. */
   def minhashVerdicts(ds: Dataset[(Long, String, Long)],
-      maxBucketMembers: Int = MaxBucketMembers): Dataset[(Long, Long, Long, Boolean)] = {
+      maxBucketMembers: Int = MaxBucketMembers,
+      geom: Lsh.Geometry = Lsh.Small): Dataset[(Long, Long, Long, Boolean)] = {
     val spark = ds.sparkSession
     import spark.implicits._
     val df = ds.toDF("doc_id", "text", "seq")
     val sigs = df.select($"doc_id", $"seq",
-      native.minhash_sigs(native.shingles3($"text"), NumHashes).as("sigs"))
+      native.minhash_sigs(native.shingles3($"text"), geom.numHashes).as("sigs"))
     // docs with no shingles have all-null signatures → no bands → keeper
     val banded = sigs
       .filter(element_at($"sigs", 1).isNotNull)
-      .select(explode(Lsh.bandHashes($"sigs", NumBands, BandSize)).as("band_hash"),
+      .select(explode(Lsh.bandHashes($"sigs", geom.bands, geom.rows)).as("band_hash"),
         $"doc_id", $"seq", $"sigs")
       .as[(String, Long, Long, Seq[String])]
     val verdicts = banded
       .groupByKey(_._1)
-      .transformWithState(new BucketMembers(maxBucketMembers), TimeMode.None(), OutputMode.Append())
+      .transformWithState(new BucketMembers(maxBucketMembers, geom.numHashes),
+        TimeMode.None(), OutputMode.Append())
       .groupByKey(_._1)
       .transformWithState(new DocVerdict, TimeMode.None(), OutputMode.Append())
     val singletons = sigs
@@ -322,21 +323,22 @@ object Dedup {
     * probe for yesterday's corpus, band-state for today's stream).
     * DedupIndexSpec pins verdict equality with the batch
     * `DedupIndex.incrementalVerdicts` cross-index component. */
-  def indexVerdicts(ds: Dataset[(Long, String, Long)], index: DataFrame)
+  def indexVerdicts(ds: Dataset[(Long, String, Long)], index: DataFrame,
+      geom: Lsh.Geometry = Lsh.Small)
       : Dataset[(Long, Long, Long, Boolean)] = {
     val spark = ds.sparkSession
     import spark.implicits._
     val df = ds.toDF("doc_id", "text", "seq")
     val sigs = df.select($"doc_id", $"seq",
-      native.minhash_sigs(native.shingles3($"text"), NumHashes).as("sigs"))
+      native.minhash_sigs(native.shingles3($"text"), geom.numHashes).as("sigs"))
     val banded = sigs
       .filter(element_at($"sigs", 1).isNotNull)
       .select($"doc_id", $"seq", $"sigs",
-        posexplode(Lsh.bandHashes($"sigs", NumBands, BandSize)))
+        posexplode(Lsh.bandHashes($"sigs", geom.bands, geom.rows)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
     val agree = size(filter(zip_with(col("n.sigs"), col("o.sigs"),
-      (x, y) => x === y), m => m)).cast("double") / lit(NumHashes.toDouble)
+      (x, y) => x === y), m => m)).cast("double") / lit(geom.numHashes.toDouble)
     val matched = banded.as("n")
       .join(index.as("o"),
         col("n.band") === col("o.band") &&

@@ -124,4 +124,44 @@ class DedupIndexSpec extends SparkSuite {
       tiny, DedupIndex.indexRows(docs)))
     assert(v == Set((1L, 1L, true), (2L, 2L, true)))
   }
+
+  test("production geometry (k=128): chunked == one-shot == streaming round trip") {
+    withRocksDBState {
+      // the whole contract re-run at Lsh.Production — the geometry every
+      // entry point now takes explicitly. The signature width (128 vs 8)
+      // changes every band hash, so this would fail instantly if any of
+      // the three paths hard-coded the toy geometry anywhere.
+      val g = Lsh.Production
+      val ids = docs.select($"doc_id").as[Long].collect().sorted
+      val mid = ids(ids.length / 2)
+      val (a, b) = (docs.filter($"doc_id" < mid), docs.filter($"doc_id" >= mid))
+
+      val oneShot = verdicts(DedupIndex.incrementalVerdicts(
+        docs, DedupIndex.indexRows(docs.limit(0), g), g))
+      val vA = verdicts(DedupIndex.incrementalVerdicts(
+        a, DedupIndex.indexRows(docs.limit(0), g), g))
+      val vB = verdicts(DedupIndex.incrementalVerdicts(
+        b, DedupIndex.indexRows(a, g), g))
+      assert(vA ++ vB == oneShot, "production-geometry chunking drifted from one-shot")
+      assert(oneShot.exists(!_._3),
+        "fixture vacuity: the corpus's near-dups must still pair at k=128")
+
+      // streaming parity in id order (the r8 minhashVerdicts contract)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+        .map { case (id, text) => (id, text, id) }
+      val in = MemoryStream[(Long, String, Long)]
+      val q = graft.streaming.Dedup
+        .minhashVerdicts(in.toDS(), maxBucketMembers = Int.MaxValue, geom = g)
+        .toDF("doc_id", "seq", "root_doc", "is_keeper")
+        .writeStream.format("memory").queryName("idx_prod_t")
+        .outputMode("append").start()
+      in.addData(rows.toSeq); q.processAllAvailable(); q.stop()
+      val streamed = spark.table("idx_prod_t")
+        .select($"doc_id", $"root_doc", $"is_keeper")
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(streamed == oneShot,
+        "production-geometry streaming verdicts drifted from the batch index")
+    }
+  }
 }
