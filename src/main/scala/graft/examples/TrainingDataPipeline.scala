@@ -185,11 +185,24 @@ object TrainingDataPipeline {
     * (`b<id>-…`), a marker in the sibling `<outDir>__batches` dir is the
     * commit point, and a replayed batchId either skips entirely (marker
     * present) or first deletes its own partial files (marker absent) —
-    * so every row of every batch appears exactly once no matter where a
-    * crash lands (spec: the crash-replay test re-invokes the batch
-    * function by hand). Compaction renames data files, but it runs
-    * strictly after the marker, so compacted rows always belong to
-    * committed batches.
+    * so the WRITER lands every row of every batch exactly once no
+    * matter where a crash lands (spec: the crash-replay test re-invokes
+    * the batch function by hand). Compaction renames data files, but it
+    * runs strictly after the marker, so compacted rows always belong to
+    * committed batches. Markers are pruned as the stream advances (only
+    * the latest batch can ever replay), so the marker dir stays O(1) —
+    * not one file per trigger forever. Start-up also sweeps any
+    * marker-less `b<id>-` files left by a crash, so a query restarted
+    * with a FRESH checkpoint (new batchId sequence) cannot strand them.
+    *
+    * Reader caveat, stated plainly: raw parquet directories have no
+    * transaction log, so between a crash and the restart's sweep a
+    * reader can observe the last UNCOMMITTED batch's rows (and readers
+    * racing the compaction swap can see a missing directory for the
+    * rename instant — Compaction's documented window). Exactly-once
+    * here is the writer/table steady-state contract; snapshot-isolated
+    * readers need a table format with a log (Delta/Iceberg), where this
+    * whole loop is `OPTIMIZE`.
     */
   def ingestWithMaintenance(input: DataFrame, outDir: String, ckptDir: String,
       targetBytes: Long, everyNBatches: Int,
@@ -199,6 +212,7 @@ object TrainingDataPipeline {
     val repaired = graft.functions.Compaction.recover(spark, outDir)
     if (repaired != "clean") // debris from a crash mid-swap — repaired
       System.err.println(s"[graft] maintenance recover on $outDir: $repaired")
+    sweepUncommitted(spark, outDir)
     input.writeStream
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -247,5 +261,45 @@ object TrainingDataPipeline {
     // commit point: marker creation is the atomic "this batch is in"
     fs.mkdirs(marker.getParent)
     fs.create(marker, false).close()
+    // prune markers no replay can ever consult again: foreachBatch
+    // replays at most the LAST uncommitted batchId, so everything older
+    // than a small tail is dead weight — without this, a month of
+    // 30-second triggers is ~10^5 empty marker files, the exact
+    // small-file rot this loop exists to prevent
+    val keepFrom = batchId - 16
+    fs.listStatus(marker.getParent).iterator
+      .filter { m =>
+        val n = m.getPath.getName
+        n.forall(_.isDigit) && n.toLong < keepFrom
+      }
+      .foreach(m => fs.delete(m.getPath, false))
+  }
+
+  /** Start-up sweep: delete any `b<id>-` data files whose batch has no
+    * commit marker — debris from a crash mid-append that a restart with
+    * a FRESH checkpoint (new batchId sequence) would otherwise strand
+    * forever. With the original checkpoint the per-batch debris sweep in
+    * [[appendBatchExactlyOnce]] covers the same case; this makes the
+    * guarantee checkpoint-independent. */
+  private def sweepUncommitted(spark: SparkSession, outDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(outDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(table)) return
+    val markerDir = new Path(outDir.stripSuffix("/") + "__batches")
+    val committed: Set[Long] =
+      if (!fs.exists(markerDir)) Set.empty
+      else fs.listStatus(markerDir).iterator
+        .map(_.getPath.getName).filter(_.forall(_.isDigit)).map(_.toLong).toSet
+    val BatchFile = "^b(\\d+)-.*".r
+    fs.listStatus(table).iterator.foreach { f =>
+      f.getPath.getName match {
+        case BatchFile(id) if !committed.contains(id.toLong) =>
+          System.err.println(
+            s"[graft] sweeping uncommitted batch-$id file ${f.getPath}")
+          fs.delete(f.getPath, false)
+        case _ =>
+      }
+    }
   }
 }

@@ -32,13 +32,28 @@ object DedupIndex {
   // Default geometry = the shared Lsh.Small constant (same as
   // queries.DedupOps and streaming.Dedup) so incremental == one-shot ==
   // streaming out of the box; every entry point also takes an explicit
-  // Lsh.Geometry for production-scale indexes (Lsh.Production, k = 128)
-  // — an index is only probe-compatible with ITS OWN geometry, so
-  // callers pass the same value at build and probe time (the stored
-  // sigs length makes a mismatch loudly visible: est() would read past
-  // the array and null-poison the agreement fraction, never silently
-  // match).
+  // Lsh.Geometry for production-scale indexes (Lsh.Production, k = 128).
+  // An index is only probe-compatible with ITS OWN geometry, and a
+  // mismatch would NOT fail on its own — mismatched band hashes simply
+  // never join, so every near-duplicate would silently verdict as a
+  // keeper. [[requireGeometry]] therefore checks the stored signature
+  // width against the requested geometry up front and throws a
+  // descriptive error (one tiny limit-1 job per probe call).
   private val EstThreshold = 0.5
+
+  /** Loud build/probe geometry-compatibility check (see object note);
+    * graft-visible so streaming.Dedup.indexVerdicts runs the same guard. */
+  private[graft] def requireGeometry(index: DataFrame, geom: Lsh.Geometry): Unit = {
+    val k = index.select(size(col("sigs")).as("k")).limit(1).collect()
+    if (k.nonEmpty) {
+      val stored = k.head.getInt(0)
+      require(stored == geom.numHashes,
+        s"dedup index geometry mismatch: stored signatures have $stored " +
+          s"hashes but the probe requested numHashes=${geom.numHashes} " +
+          s"(bands=${geom.bands}, rows=${geom.rows}) — pass the geometry " +
+          "the index was built with")
+    }
+  }
 
   /** Fraction of the k signatures agreeing — the shared edge rule. */
   private def est(a: Column, b: Column, numHashes: Int): Column =
@@ -73,6 +88,7 @@ object DedupIndex {
     */
   def incrementalVerdicts(newDocs: DataFrame, index: DataFrame,
       geom: Lsh.Geometry = Lsh.Small): DataFrame = {
+    requireGeometry(index, geom)
     val nb = indexRows(newDocs, geom)
     val vsOld = nb.as("n")
       .join(index.as("o"),

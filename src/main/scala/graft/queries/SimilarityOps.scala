@@ -51,12 +51,17 @@ object SimilarityOps extends QueryGroup {
     * RpDims md5 hyperplanes). */
   private val RpDims = 8
 
-  /** vec_id, embedding, nrm (L2 norm as double, exact decimal sum inside). */
+  /** vec_id, embedding, nrm (L2 norm as double, exact decimal sum
+    * inside). Zero-norm vectors are EXCLUDED: cosine against them is
+    * 0/0 = NaN, and NaN sorts above every real double — one zero vector
+    * in the corpus would otherwise poison every query's top-k (the same
+    * guard the streaming paths carry; the oracle CTEs mirror it). */
   private def withNorm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     spread(t(s, dir, "embeddings"))
       .select($"vec_id", $"embedding",
         sqrt(dotDec($"embedding", $"embedding").cast("double")).as("nrm"))
+      .filter($"nrm" > 0)
   }
 
   /** Filter-verify exact top-k. `scored` carries SLIM candidate rows
@@ -186,6 +191,7 @@ object SimilarityOps extends QueryGroup {
     "embed_knn" -> ((s, dir) => {
       import s.implicits._
       val emb = withNorm(s, dir)
+        .transform(graft.functions.Materialize.cut) // feeds scoring + join-back + q
       val q = emb.filter($"vec_id" < 100)
         .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"nrm".as("qn"))
       exactTopK(bruteScores(emb, q), emb, q, 1)
@@ -196,6 +202,7 @@ object SimilarityOps extends QueryGroup {
     "similarity_topk_fast" -> ((s, dir) => {
       import s.implicits._
       val emb = withNorm(s, dir)
+        .transform(graft.functions.Materialize.cut) // feeds scoring + join-back + q
       val q = emb.filter($"vec_id" < 100)
         .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"nrm".as("qn"))
       exactTopK(bruteScores(emb, q), emb, q, 5)
@@ -254,6 +261,8 @@ object SimilarityOps extends QueryGroup {
         .select($"vec_id", $"embedding",
           sqrt(dotDec($"embedding", $"embedding").cast("double")).as("nrm"),
           native.lsh_bucket($"embedding", 8).as("bucket"))
+        .filter($"nrm" > 0) // zero-norm exclusion, as withNorm
+        .transform(graft.functions.Materialize.cut) // feeds scoring + join-back + q
       val q = emb.filter($"vec_id" < 100)
         .select($"vec_id".as("qid"), $"embedding".as("qemb"),
           $"nrm".as("qn"), $"bucket")
@@ -283,8 +292,8 @@ object SimilarityOps extends QueryGroup {
        |cosines AS (
        |  SELECT qid, cid, ROUND(dot / (qn.nrm * cn.nrm), 9) AS cosine
        |  FROM dots
-       |  JOIN norms qn ON qn.vec_id = qid
-       |  JOIN norms cn ON cn.vec_id = cid)""".stripMargin
+       |  JOIN norms qn ON qn.vec_id = qid AND qn.nrm > 0
+       |  JOIN norms cn ON cn.vec_id = cid AND cn.nrm > 0)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
     "embed_norm" ->
@@ -393,8 +402,8 @@ object SimilarityOps extends QueryGroup {
          |cosines AS (
          |  SELECT qid, did, ROUND(dot / (qn.nrm * dn.nrm), 9) AS cosine
          |  FROM dots
-         |  JOIN norms qn ON qn.vec_id = qid
-         |  JOIN norms dn ON dn.vec_id = did)
+         |  JOIN norms qn ON qn.vec_id = qid AND qn.nrm > 0
+         |  JOIN norms dn ON dn.vec_id = did AND dn.nrm > 0)
          |SELECT qid, did AS nn_id, rk, cosine FROM (
          |  SELECT qid, did, cosine,
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, did) AS rk
@@ -436,8 +445,8 @@ object SimilarityOps extends QueryGroup {
          |cosines AS (
          |  SELECT qid, cid, ROUND(dot / (qn.nrm * cn.nrm), 9) AS cosine
          |  FROM dots
-         |  JOIN norms qn ON qn.vec_id = qid
-         |  JOIN norms cn ON cn.vec_id = cid)
+         |  JOIN norms qn ON qn.vec_id = qid AND qn.nrm > 0
+         |  JOIN norms cn ON cn.vec_id = cid AND cn.nrm > 0)
          |SELECT qid, cid AS nn_id, rk, cosine FROM (
          |  SELECT qid, cid, cosine,
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk

@@ -326,6 +326,10 @@ object Dedup {
   def indexVerdicts(ds: Dataset[(Long, String, Long)], index: DataFrame,
       geom: Lsh.Geometry = Lsh.Small)
       : Dataset[(Long, Long, Long, Boolean)] = {
+    // a geometry mismatch would silently never match (bands never join);
+    // fail loudly before the query starts — the index is static, so the
+    // check runs once at build time, not per micro-batch
+    graft.functions.DedupIndex.requireGeometry(index, geom)
     val spark = ds.sparkSession
     import spark.implicits._
     val df = ds.toDF("doc_id", "text", "seq")

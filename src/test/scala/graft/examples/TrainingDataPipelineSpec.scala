@@ -244,5 +244,17 @@ class TrainingDataPipelineSpec extends SparkSuite {
     TrainingDataPipeline.appendBatchExactlyOnce(
       Seq((500L, "x")).toDF("id", "v"), outDir, 8L)
     assert(rows() == want + ((500L, "x")))
+
+    // marker pruning: after a much later batch commits, markers older
+    // than the replayable tail are gone — the dir stays O(1), not one
+    // file per trigger forever
+    TrainingDataPipeline.appendBatchExactlyOnce(
+      Seq((501L, "y")).toDF("id", "v"), outDir, 40L)
+    val markers = new java.io.File(outDir + "__batches").listFiles().map(_.getName).toSet
+    assert(!markers.contains("7") && !markers.contains("8"),
+      s"old markers not pruned: $markers")
+    assert(markers.contains("40"))
+    // ...and pruning must NOT have dropped the committed batches' DATA
+    assert(rows() == want + ((500L, "x")) + ((501L, "y")))
   }
 }

@@ -125,6 +125,19 @@ class DedupIndexSpec extends SparkSuite {
     assert(v == Set((1L, 1L, true), (2L, 2L, true)))
   }
 
+  test("geometry mismatch between index build and probe fails loudly, not silently") {
+    // mismatched band hashes never join, so without the guard every
+    // near-dup would silently verdict as a keeper — the worst failure
+    // mode a dedup pipeline has
+    val idx = DedupIndex.indexRows(docs, Lsh.Production)
+    val e = intercept[IllegalArgumentException](
+      DedupIndex.incrementalVerdicts(docs, idx)) // default = Lsh.Small
+    assert(e.getMessage.contains("geometry mismatch"), e.getMessage)
+    // empty index: nothing stored to disagree with — any geometry is fine
+    DedupIndex.incrementalVerdicts(docs.limit(1),
+      DedupIndex.indexRows(docs.limit(0), Lsh.Production)).collect()
+  }
+
   test("production geometry (k=128): chunked == one-shot == streaming round trip") {
     withRocksDBState {
       // the whole contract re-run at Lsh.Production — the geometry every
