@@ -257,4 +257,34 @@ class TrainingDataPipelineSpec extends SparkSuite {
     // ...and pruning must NOT have dropped the committed batches' DATA
     assert(rows() == want + ((500L, "x")) + ((501L, "y")))
   }
+
+  test("maintenance loop survives a real stop/restart on the same checkpoint") {
+    // the crash-replay test drives appendBatchExactlyOnce by hand; this
+    // one drives the ENGINE's replay: stop the query, land more input,
+    // restart from the same checkpoint — batch ids resume, the sweep and
+    // marker protocol run through foreachBatch itself, and the row set
+    // stays exact across the restart boundary
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_mnt2_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_mnt2_out").toString + "/t"
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_mnt2_ckpt").toString
+    def landBatch(b: Int): Unit =
+      Seq.tabulate(200)(i => (b * 200L + i, s"r$b-$i")).toDF("id", "v")
+        .coalesce(2).write.mode("append").parquet(srcDir)
+    def start() = TrainingDataPipeline.ingestWithMaintenance(
+      spark.readStream.schema("id LONG, v STRING")
+        .option("maxFilesPerTrigger", 2).parquet(srcDir),
+      outDir, ckptDir, targetBytes = 65536L, everyNBatches = 2)
+
+    landBatch(0); landBatch(1)
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // input lands while the query is DOWN; restart picks it up
+    landBatch(2); landBatch(3)
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val got = spark.read.parquet(outDir).select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == (0L until 800L).toSeq,
+      s"restart lost or duplicated rows: ${got.length} of 800")
+  }
 }
