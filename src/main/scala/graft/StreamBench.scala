@@ -240,9 +240,16 @@ object StreamBench {
         (id, bucket, nrm, qb, s, l1)
       }).toDF("vec_id", "bucket", "nrm", "q", "scale", "l1")
     def sideBytes(df: org.apache.spark.sql.DataFrame): Long = {
-      val dir = Files.createTempDirectory("graft_sb_knn").toString + "/t"
+      val root = Files.createTempDirectory("graft_sb_knn")
+      val dir = root.toString + "/t"
       df.write.parquet(dir)
-      graft.functions.Compaction.dataBytes(spark, dir)
+      val bytes = graft.functions.Compaction.dataBytes(spark, dir)
+      // this is a measurement scratch dir, not a result — reclaim it
+      // (two full-corpus projections per bench run otherwise accumulate)
+      new org.apache.hadoop.fs.Path(root.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root.toString), true)
+      bytes
     }
     val knnFloatBytes = sideBytes(floatSide)
     val knnInt8Bytes = sideBytes(int8Side)

@@ -168,138 +168,52 @@ object TrainingDataPipeline {
     * stream) — re-layouts rows so footer min/max stats prune on them:
     * the foreachBatch-driven OPTIMIZE+ZORDER of open-format engines.
     *
-    * Why foreachBatch: `Compaction.compactParquet`'s contract is SINGLE
-    * WRITER, and the space between two micro-batches of the only writer
-    * is exactly that window — the maintenance runs inside the sink's own
-    * callback, so no coordination with the ingest is ever needed, and a
-    * crash mid-swap is repaired by `Compaction.recover` on restart
-    * (called here before the first batch touches the table). Readers see
-    * identical rows before and after each maintenance pass
+    * The table is a [[graft.functions.TableLog]] table: every append and
+    * every compaction commits by atomically publishing the next
+    * manifest, so readers going through `TableLog.read` get snapshot
+    * isolation (a reader racing a live compaction sees exactly the pre-
+    * or post-rewrite file set, never a mix and never an uncommitted
+    * batch), `dataBytes`-style stats come from manifest metadata instead
+    * of an O(files) recursive listing, and exactly-once holds across
+    * every crash/replay shape foreachBatch can produce: replays under
+    * the SAME checkpoint are deduplicated by the per-checkpoint runKey's
+    * committed-batch high-water mark in the manifest, while a restart
+    * with a FRESH checkpoint draws a fresh runKey, so its restarted
+    * batchId sequence can never collide with a prior generation's
+    * commits (both directions spec'd in TrainingDataPipelineSpec /
+    * TableLogSpec). Superseded and crash-orphaned files are reclaimed by
+    * `TableLog.vacuum` — on startup here, and after each compaction —
+    * once they outlive `vacuumGraceMs`, the window an in-flight reader
+    * has to finish against its resolved snapshot.
+    *
+    * Why foreachBatch: the table's contract is SINGLE WRITER, and the
+    * space between two micro-batches of the only writer is exactly that
+    * window — the maintenance runs inside the sink's own callback, so no
+    * coordination with the ingest is ever needed. Readers see identical
+    * rows before and after each maintenance pass
     * (TrainingDataPipelineSpec pins counts across live compactions).
-    *
-    * Exactly-once despite foreachBatch's at-least-once replay: a naive
-    * `mode("append")` would re-append the whole batch when a crash lands
-    * between the write and the micro-batch commit (the compaction
-    * rewrite is a long such window). Each batch therefore commits
-    * through a marker protocol: files land under batch-prefixed names
-    * (`b<id>-…`), a marker in the sibling `<outDir>__batches` dir is the
-    * commit point, and a replayed batchId either skips entirely (marker
-    * present) or first deletes its own partial files (marker absent) —
-    * so the WRITER lands every row of every batch exactly once no
-    * matter where a crash lands (spec: the crash-replay test re-invokes
-    * the batch function by hand). Compaction renames data files, but it
-    * runs strictly after the marker, so compacted rows always belong to
-    * committed batches. Markers are pruned as the stream advances (only
-    * the latest batch can ever replay), so the marker dir stays O(1) —
-    * not one file per trigger forever. Start-up also sweeps any
-    * marker-less `b<id>-` files left by a crash, so a query restarted
-    * with a FRESH checkpoint (new batchId sequence) cannot strand them.
-    *
-    * Reader caveat, stated plainly: raw parquet directories have no
-    * transaction log, so between a crash and the restart's sweep a
-    * reader can observe the last UNCOMMITTED batch's rows (and readers
-    * racing the compaction swap can see a missing directory for the
-    * rename instant — Compaction's documented window). Exactly-once
-    * here is the writer/table steady-state contract; snapshot-isolated
-    * readers need a table format with a log (Delta/Iceberg), where this
-    * whole loop is `OPTIMIZE`.
     */
   def ingestWithMaintenance(input: DataFrame, outDir: String, ckptDir: String,
-      targetBytes: Long, everyNBatches: Int,
-      layoutBy: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
+      targetBytes: Long, everyNBatches: Int, layoutBy: Seq[String] = Nil,
+      vacuumGraceMs: Long = 600000L): org.apache.spark.sql.streaming.StreamingQuery = {
     require(everyNBatches >= 1, s"everyNBatches must be >= 1: $everyNBatches")
+    require(vacuumGraceMs >= 0L, s"vacuumGraceMs must be >= 0: $vacuumGraceMs")
     val spark = input.sparkSession
-    val repaired = graft.functions.Compaction.recover(spark, outDir)
-    if (repaired != "clean") // debris from a crash mid-swap — repaired
-      System.err.println(s"[graft] maintenance recover on $outDir: $repaired")
-    sweepUncommitted(spark, outDir)
+    val runKey = graft.functions.TableLog.runKeyFor(spark, ckptDir)
+    // startup sweep: files stranded by a crash (never referenced by any
+    // manifest) and expired pre-compaction files go now, not at the
+    // first maintenance pass
+    graft.functions.TableLog.vacuum(spark, outDir, vacuumGraceMs)
     input.writeStream
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatchExactlyOnce(batch, outDir, batchId)
+        graft.functions.TableLog.appendBatch(batch, outDir, runKey, batchId)
         if ((batchId + 1) % everyNBatches == 0) {
-          graft.functions.Compaction.compactParquet(spark, outDir, targetBytes, layoutBy)
-          () // foreachBatch wants Unit, not the file count
+          graft.functions.TableLog.compact(spark, outDir, targetBytes, layoutBy)
+          graft.functions.TableLog.vacuum(spark, outDir, vacuumGraceMs)
+          () // foreachBatch wants Unit, not the vacuum count
         }
       }
       .start()
-  }
-
-  /** The idempotent append of [[ingestWithMaintenance]] (package-visible
-    * so the spec can replay a crashed attempt deterministically): write
-    * the batch to a staging dir, rename its data files into the table
-    * under `b<batchId>-` prefixes, then create the marker — the commit
-    * point. Marker present → the whole call is a no-op; marker absent →
-    * any `b<batchId>-` files are debris from a crashed attempt and are
-    * deleted before the re-append. */
-  private[examples] def appendBatchExactlyOnce(batch: DataFrame, outDir: String,
-      batchId: Long): Unit = {
-    import org.apache.hadoop.fs.Path
-    val spark = batch.sparkSession
-    val table = new Path(outDir)
-    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(outDir.stripSuffix("/") + "__batches", batchId.toString)
-    if (fs.exists(marker)) return // committed by a previous attempt
-    // debris sweep: a prior attempt of THIS batch may have crashed
-    // mid-rename; its files are identifiable by prefix and uncommitted
-    if (fs.exists(table)) {
-      val prefix = s"b$batchId-"
-      fs.listStatus(table).iterator.filter(_.getPath.getName.startsWith(prefix))
-        .foreach(f => fs.delete(f.getPath, false))
-    }
-    val staging = new Path(outDir.stripSuffix("/") + s"__ingest-$batchId")
-    batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging.toString)
-    fs.mkdirs(table)
-    fs.listStatus(staging).iterator
-      .filter { f => val n = f.getPath.getName; n.endsWith(".parquet") && !n.startsWith("_") }
-      .foreach { f =>
-        val dst = new Path(table, s"b$batchId-${f.getPath.getName}")
-        if (!fs.rename(f.getPath, dst))
-          throw new java.io.IOException(s"could not land ${f.getPath} as $dst")
-      }
-    fs.delete(staging, true)
-    // commit point: marker creation is the atomic "this batch is in"
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, false).close()
-    // prune markers no replay can ever consult again: foreachBatch
-    // replays at most the LAST uncommitted batchId, so everything older
-    // than a small tail is dead weight — without this, a month of
-    // 30-second triggers is ~10^5 empty marker files, the exact
-    // small-file rot this loop exists to prevent
-    val keepFrom = batchId - 16
-    fs.listStatus(marker.getParent).iterator
-      .filter { m =>
-        val n = m.getPath.getName
-        n.forall(_.isDigit) && n.toLong < keepFrom
-      }
-      .foreach(m => fs.delete(m.getPath, false))
-  }
-
-  /** Start-up sweep: delete any `b<id>-` data files whose batch has no
-    * commit marker — debris from a crash mid-append that a restart with
-    * a FRESH checkpoint (new batchId sequence) would otherwise strand
-    * forever. With the original checkpoint the per-batch debris sweep in
-    * [[appendBatchExactlyOnce]] covers the same case; this makes the
-    * guarantee checkpoint-independent. */
-  private def sweepUncommitted(spark: SparkSession, outDir: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val table = new Path(outDir)
-    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(table)) return
-    val markerDir = new Path(outDir.stripSuffix("/") + "__batches")
-    val committed: Set[Long] =
-      if (!fs.exists(markerDir)) Set.empty
-      else fs.listStatus(markerDir).iterator
-        .map(_.getPath.getName).filter(_.forall(_.isDigit)).map(_.toLong).toSet
-    val BatchFile = "^b(\\d+)-.*".r
-    fs.listStatus(table).iterator.foreach { f =>
-      f.getPath.getName match {
-        case BatchFile(id) if !committed.contains(id.toLong) =>
-          System.err.println(
-            s"[graft] sweeping uncommitted batch-$id file ${f.getPath}")
-          fs.delete(f.getPath, false)
-        case _ =>
-      }
-    }
   }
 }

@@ -1,0 +1,348 @@
+package graft.functions
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal manifest commit log for streaming-ingest parquet tables —
+  * the missing transaction layer the raw-directory maintenance loop
+  * documented itself around (and the reason its scaladoc used to end
+  * with "snapshot-isolated readers need Delta/Iceberg"). One directory
+  * holds flat data files plus a `_graft_log/` of immutable manifests:
+  *
+  * {{{
+  *   table/
+  *     c3-part-0000-<uuid>.snappy.parquet      data files (flat, unique)
+  *     _staging-<uuid>/                        in-flight writer scratch
+  *     _graft_log/manifest-00000000000000000003
+  * }}}
+  *
+  * A manifest is the COMPLETE table state at one version: the list of
+  * live data files with byte sizes, the row count, and the writer
+  * commit map. Readers never list the data directory — they read the
+  * newest manifest and open exactly the files it names. That buys, at
+  * 100 TB / 10⁶⁺ files:
+  *
+  *  - '''snapshot isolation''': a reader resolves one manifest and sees
+  *    exactly that version's file set. Compaction commits a NEW manifest
+  *    and leaves the old files on disk until [[vacuum]]'s grace expires,
+  *    so an in-flight reader finishes against its snapshot — there is no
+  *    rename window where the table is missing or mixed.
+  *  - '''O(1) listing''': `spark.read.parquet(dir)` pays a recursive
+  *    listing that at millions of files is itself the driver-side
+  *    bottleneck; [[read]] pays one small-directory listing (≤
+  *    [[KeepManifests]] entries) plus one manifest read, and
+  *    [[bytes]]/[[rows]] are served from manifest metadata without
+  *    touching the filesystem at all.
+  *  - '''atomic commit = compare-and-swap''': a manifest is written to a
+  *    temp name and RENAMED to `manifest-(v+1)` — rename to a fresh name
+  *    is atomic on HDFS and local filesystems alike, and because the
+  *    destination of version v+1 can exist only once, two racing writers
+  *    cannot both commit: the loser's rename fails and aborts. (A
+  *    mutable `_latest` pointer file would need overwrite-rename, whose
+  *    semantics are filesystem-dependent; max-version-wins needs neither
+  *    a pointer nor overwrites.)
+  *  - '''exactly-once streaming appends''': foreachBatch replays are
+  *    deduplicated by the `commits` map — `runKey → last committed
+  *    batchId` — carried inside every manifest, so the dedup decision
+  *    and the data it protects commit in the same atomic rename. The
+  *    runKey ([[runKeyFor]]) lives in the streaming checkpoint
+  *    directory: stable across restarts of the same checkpoint (where
+  *    batchIds resume and replays must skip) and fresh for a new
+  *    checkpoint (where batchIds restart at 0 and must all append) — a
+  *    bare-batchId protocol cannot distinguish those two worlds.
+  *
+  * Failure contract (single writer, many readers): every mutation is
+  * (write scratch) → (move data files in) → (rename manifest). A crash
+  * before the manifest rename leaves unreferenced files that [[vacuum]]
+  * sweeps once they outlive the grace; a crash after it is simply a
+  * committed version. No repair step exists because no state needs
+  * repairing — the newest manifest is always a complete, committed
+  * table.
+  *
+  * The reference has no analogue (streamz sinks append to plain files,
+  * sinks.py:61-117); this is the OPTIMIZE/commit-log layer a Spark
+  * deployment of the same pipeline needs. The format is deliberately a
+  * few dozen lines of tab-separated text, not a Delta clone.
+  */
+object TableLog {
+
+  /** One live data file: name relative to the table dir, plus its size
+    * (so [[bytes]] never lists the filesystem). */
+  final case class Entry(name: String, bytes: Long)
+
+  /** The complete table state at `version`. `commits` maps a streaming
+    * runKey to the last batchId committed under it. */
+  final case class Manifest(version: Long, files: Vector[Entry], rows: Long,
+                            commits: Map[String, Long], op: String) {
+    def bytes: Long = files.iterator.map(_.bytes).sum
+  }
+
+  /** Manifests retained per table: a reader may resolve a version up to
+    * this many commits stale and still find every file it names (files
+    * referenced by ANY retained manifest survive [[vacuum]]). */
+  val KeepManifests = 8
+
+  private val ManifestRe = "^manifest-(\\d{20})$".r
+  private def logDir(dir: String) = new Path(dir.stripSuffix("/"), "_graft_log")
+  private def manifestName(v: Long) = f"manifest-$v%020d"
+
+  private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val path = new Path(dir)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
+  // ---- manifest serialization: one key per line, fields tab-separated.
+  // Data-file names are parquet part names (no tabs/newlines) and run
+  // keys are UUIDs, so no escaping is needed — and none is attempted.
+  private def render(m: Manifest): String = {
+    val sb = new StringBuilder
+    sb ++= "graft-manifest-v1\n"
+    sb ++= s"version\t${m.version}\n"
+    sb ++= s"rows\t${m.rows}\n"
+    sb ++= s"op\t${m.op}\n"
+    m.commits.toSeq.sorted.foreach { case (k, b) => sb ++= s"commit\t$k\t$b\n" }
+    m.files.foreach { e => sb ++= s"file\t${e.bytes}\t${e.name}\n" }
+    sb.result()
+  }
+
+  private def parse(text: String): Manifest = {
+    var version = -1L; var rows = 0L; var op = ""
+    val files = Vector.newBuilder[Entry]
+    val commits = Map.newBuilder[String, Long]
+    val lines = text.split("\n")
+    require(lines.headOption.contains("graft-manifest-v1"),
+      s"not a graft manifest: ${lines.headOption.getOrElse("<empty>")}")
+    lines.iterator.drop(1).filter(_.nonEmpty).foreach { line =>
+      line.split("\t", -1) match {
+        case Array("version", v) => version = v.toLong
+        case Array("rows", r)    => rows = r.toLong
+        case Array("op", o)      => op = o
+        case Array("commit", k, b) => commits += (k -> b.toLong)
+        case Array("file", b, n)   => files += Entry(n, b.toLong)
+        case other => throw new IllegalArgumentException(
+          s"bad manifest line: ${other.mkString("\\t")}")
+      }
+    }
+    require(version >= 0, "manifest missing version")
+    Manifest(version, files.result(), rows, commits.result(), op)
+  }
+
+  /** The newest committed manifest, or None for a not-yet-created table.
+    * Cost: one listing of the (≤ [[KeepManifests]]-entry) log dir plus
+    * one small file read — independent of table size. */
+  def latest(spark: SparkSession, dir: String): Option[Manifest] = {
+    val (fs, _) = fsFor(spark, dir)
+    val log = logDir(dir)
+    if (!fs.exists(log)) return None
+    val versions = fs.listStatus(log).iterator.flatMap { f =>
+      f.getPath.getName match {
+        case ManifestRe(v) => Iterator.single(v.toLong)
+        case _             => Iterator.empty
+      }
+    }.toSeq
+    if (versions.isEmpty) None
+    else Some(parse(readFully(fs, new Path(log, manifestName(versions.max)))))
+  }
+
+  private def readFully(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Commit `m` as the next version: write to a temp name in the log
+    * dir, rename to `manifest-<version>`. The rename IS the commit and
+    * doubles as the single-writer guard — if the destination already
+    * exists (another writer committed this version first), the rename
+    * fails and the commit aborts instead of clobbering. Retains only the
+    * last [[KeepManifests]] manifests. */
+  private[functions] def commit(fs: FileSystem, dir: String, m: Manifest): Unit = {
+    val log = logDir(dir)
+    fs.mkdirs(log)
+    val tmp = new Path(log, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(render(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(log, manifestName(m.version))
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"version ${m.version} of $dir was committed by another writer — " +
+          "the table's contract is a single writer")
+    }
+    // prune the manifest tail (the data files old manifests reference
+    // stay until vacuum's grace passes, so pruning here never strands a
+    // reader inside the retention window)
+    val floor = m.version - KeepManifests + 1
+    fs.listStatus(log).iterator.foreach { f =>
+      f.getPath.getName match {
+        case ManifestRe(v) if v.toLong < floor => fs.delete(f.getPath, false)
+        case _ =>
+      }
+    }
+  }
+
+  /** Snapshot read: the table at its newest committed version — exactly
+    * the files that manifest names, no directory listing. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val m = latest(spark, dir).getOrElse(throw new IllegalStateException(
+      s"$dir has no committed manifest — not a TableLog table (or never written)"))
+    readVersion(spark, dir, m)
+  }
+
+  /** [[read]] pinned to a specific resolved manifest — the handle a
+    * reader holds to keep one snapshot across multiple actions. */
+  def readVersion(spark: SparkSession, dir: String, m: Manifest): DataFrame = {
+    if (m.files.isEmpty) throw new IllegalStateException(
+      s"$dir version ${m.version} has no data files (only empty batches committed)")
+    val base = dir.stripSuffix("/")
+    spark.read.parquet(m.files.map(e => s"$base/${e.name}"): _*)
+  }
+
+  /** Total data bytes — from the manifest, zero filesystem calls. */
+  def bytes(spark: SparkSession, dir: String): Long =
+    latest(spark, dir).map(_.bytes).getOrElse(0L)
+
+  /** Total rows — from the manifest, zero filesystem calls. */
+  def rows(spark: SparkSession, dir: String): Long =
+    latest(spark, dir).map(_.rows).getOrElse(0L)
+
+  /** The per-checkpoint writer identity for [[appendBatch]]'s dedup:
+    * created once in `ckptDir` and read back on every restart, so the
+    * same checkpoint (where Spark resumes batchIds and may replay the
+    * last one) keeps its runKey, while a FRESH checkpoint (batchIds
+    * restart at 0) draws a fresh one and can never collide with a prior
+    * generation's committed batches. */
+  def runKeyFor(spark: SparkSession, ckptDir: String): String = {
+    val p = new Path(ckptDir.stripSuffix("/"), "graft-run-key")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) readFully(fs, p).trim
+    else {
+      val key = java.util.UUID.randomUUID().toString
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, false)
+      try out.write(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      key
+    }
+  }
+
+  /** Exactly-once streaming append: a no-op when `(runKey, batchId)` is
+    * already in the newest manifest's commit map, else write → move →
+    * commit. Returns true when the batch landed, false on a deduped
+    * replay. A crash anywhere before the manifest rename leaves only
+    * unreferenced scratch that [[vacuum]] reclaims; the replay then
+    * lands the batch cleanly — every row commits exactly once. */
+  def appendBatch(batch: DataFrame, dir: String, runKey: String,
+                  batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val (fs, table) = fsFor(spark, dir)
+    val prev = latest(spark, dir)
+      .getOrElse(Manifest(-1L, Vector.empty, 0L, Map.empty, "init"))
+    if (prev.commits.get(runKey).exists(_ >= batchId)) return false
+    val v = prev.version + 1
+    val staging = new Path(dir.stripSuffix("/"), s"_staging-${java.util.UUID.randomUUID()}")
+    batch.write.parquet(staging.toString)
+    val staged = fs.listStatus(staging).iterator
+      .filter { f => val n = f.getPath.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") }
+      .toVector
+    // the batch's row count, read back from what was just staged — the
+    // batch plan itself is not recomputed. Explicit file paths, not the
+    // staging dir: its `_`-prefixed name trips DataSource's path filter.
+    val added =
+      if (staged.isEmpty) 0L
+      else spark.read.parquet(staged.map(_.getPath.toString): _*).count()
+    fs.mkdirs(table)
+    val entries = staged.map { f =>
+      val name = s"c$v-${f.getPath.getName}"
+      val dst = new Path(table, name)
+      if (!fs.rename(f.getPath, dst))
+        throw new java.io.IOException(s"could not land ${f.getPath} as $dst")
+      Entry(name, f.getLen)
+    }
+    commit(fs, dir, Manifest(v, prev.files ++ entries, prev.rows + added,
+      prev.commits + (runKey -> batchId), "append"))
+    fs.delete(staging, true)
+    true
+  }
+
+  /** Compact (and, with `layoutBy`, re-layout) the table to ~`targetBytes`
+    * files: read the current snapshot, rewrite, move the new files in,
+    * commit a manifest that references ONLY them. The swap is atomic for
+    * readers by construction — old files outlive the commit until
+    * [[vacuum]]'s grace passes, so any reader holding the old manifest
+    * finishes undisturbed. Returns the number of files written. */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long,
+              layoutBy: Seq[String] = Nil): Int = {
+    val (fs, table) = fsFor(spark, dir)
+    val m = latest(spark, dir).getOrElse(throw new IllegalStateException(
+      s"$dir has no committed manifest — nothing to compact"))
+    if (m.files.isEmpty) return 0
+    val n = Compaction.targetFiles(m.bytes, targetBytes)
+    val snapshot = readVersion(spark, dir, m)
+    val laidOut =
+      if (layoutBy.isEmpty) snapshot.repartition(n)
+      else {
+        val cols = layoutBy.map(org.apache.spark.sql.functions.col)
+        snapshot.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
+      }
+    val v = m.version + 1
+    val staging = new Path(dir.stripSuffix("/"), s"_staging-${java.util.UUID.randomUUID()}")
+    laidOut.write.parquet(staging.toString)
+    val entries = fs.listStatus(staging).iterator
+      .filter { f => val nm = f.getPath.getName
+        nm.endsWith(".parquet") && !nm.startsWith("_") && !nm.startsWith(".") }
+      .map { f =>
+        val name = s"c$v-${f.getPath.getName}"
+        val dst = new Path(table, name)
+        if (!fs.rename(f.getPath, dst))
+          throw new java.io.IOException(s"could not land ${f.getPath} as $dst")
+        Entry(name, f.getLen)
+      }.toVector
+    commit(fs, dir, Manifest(v, entries, m.rows, m.commits, "compact"))
+    fs.delete(staging, true)
+    entries.length
+  }
+
+  /** Reclaim everything no retained manifest references — data files
+    * superseded by compaction, debris from crashed appends, stranded
+    * `_staging-*` scratch — once it is older than `graceMs`. The grace
+    * is the snapshot-isolation window: a reader that resolved any
+    * retained manifest within the last `graceMs` still finds all its
+    * files. Returns the number of paths deleted. */
+  def vacuum(spark: SparkSession, dir: String, graceMs: Long): Int = {
+    val (fs, table) = fsFor(spark, dir)
+    if (!fs.exists(table)) return 0
+    val log = logDir(dir)
+    val live: Set[String] =
+      if (!fs.exists(log)) Set.empty
+      else fs.listStatus(log).iterator.flatMap { f =>
+        f.getPath.getName match {
+          case ManifestRe(_) => parse(readFully(fs, f.getPath)).files.iterator.map(_.name)
+          case _             => Iterator.empty
+        }
+      }.toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    var deleted = 0
+    fs.listStatus(table).iterator.foreach { f =>
+      val name = f.getPath.getName
+      // inclusive so graceMs=0 means "everything up to now" even when the
+      // filesystem's mtime granularity rounds a just-written file to the
+      // current instant
+      val expired = f.getModificationTime <= cutoff
+      if (name.startsWith("_staging-") && expired) {
+        fs.delete(f.getPath, true); deleted += 1
+      } else if (!f.isDirectory && !name.startsWith("_") && !name.startsWith(".")
+          && !live.contains(name) && expired) {
+        fs.delete(f.getPath, false); deleted += 1
+      }
+    }
+    deleted
+  }
+}

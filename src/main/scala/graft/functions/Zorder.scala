@@ -24,9 +24,13 @@ object Zorder {
     * ((y≫i)&1)≪(2i+1). */
   def interleave(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    // widen to long BEFORE shifting: shiftleft preserves the input type,
+    // so an IntegerType input with bits > 15 would overflow int32 and
+    // corrupt the Morton key — the long key is the contract either way
+    val (xl, yl) = (x.cast("long"), y.cast("long"))
     (0 until bits).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
   }
 }

@@ -131,20 +131,17 @@ class TrainingDataPipelineSpec extends SparkSuite {
   }
 
   test("maintenance loop: table compacts + z-orders WHILE the ingest streams; counts identical") {
+    import graft.functions.TableLog
     val srcDir = java.nio.file.Files.createTempDirectory("graft_mnt_src").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft_mnt_out").toString + "/t"
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_mnt_ckpt").toString
 
-    def listParquet() = {
-      val d = new java.io.File(outDir)
-      if (!d.exists()) Array.empty[java.io.File]
-      else d.listFiles().filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-    }
-    // observations run between batches of a live query, where a read can
-    // still race the table's creation instant — treat unreadable as 0
+    // the manifest IS the table shape now: readers never list the
+    // directory (superseded files linger there until vacuum's grace)
+    def manifestFiles(): Int =
+      TableLog.latest(spark, outDir).map(_.files.length).getOrElse(0)
     def tableCount(): Long =
-      try { if (listParquet().isEmpty) 0L else spark.read.parquet(outDir).count() }
-      catch { case scala.util.control.NonFatal(_) => 0L }
+      if (manifestFiles() == 0) 0L else TableLog.read(spark, outDir).count()
     def landBatch(b: Int): Unit =
       Seq.tabulate(500)(i => (b * 500L + i, (b * 500L + i) % 97, (i % 41).toLong))
         .toDF("event_id", "user_id", "vbucket")
@@ -176,7 +173,7 @@ class TrainingDataPipelineSpec extends SparkSuite {
       var landed = 1
       while (!(sawCompacted && sawFragmented) && landed < 14) {
         q.processAllAvailable()
-        val files = listParquet().length
+        val files = manifestFiles()
         val n = tableCount()
         if (files <= 2 && n >= 1000) sawCompacted = true
         if (files > 2) sawFragmented = true
@@ -188,7 +185,7 @@ class TrainingDataPipelineSpec extends SparkSuite {
       assert(sawCompacted, "never observed a compacted state between live batches")
       assert(sawFragmented, "fixture vacuity: appends never fragmented the table")
       // nothing lost, nothing duplicated across all live rewrites
-      val got = spark.read.parquet(outDir)
+      val got = graft.functions.TableLog.read(spark, outDir)
         .select("event_id").as[Long].collect().sorted.toSeq
       assert(got == (0L until landed * 500L).toSeq,
         s"row set diverged: ${got.length} rows for ${landed * 500L} written")
@@ -197,13 +194,13 @@ class TrainingDataPipelineSpec extends SparkSuite {
       // the same code path the loop runs) and check the range-partitioned
       // files each span less than the global z range — the footer-pruning
       // evidence a z-ordered table exists to provide
-      val written = graft.functions.Compaction.compactParquet(
+      val written = graft.functions.TableLog.compact(
         spark, outDir, targetBytes = 8192L, layoutBy = Seq("zkey"))
-      val files = listParquet()
+      val files = graft.functions.TableLog.latest(spark, outDir).get.files
       assert(files.length == written && files.length >= 2,
         s"want >= 2 z-ordered files for the span check: ${files.length}")
-      val spans = files.toSeq.map { f =>
-        val r = spark.read.parquet(f.toString)
+      val spans = files.map { e =>
+        val r = spark.read.parquet(outDir + "/" + e.name)
           .agg(min(col("zkey")), max(col("zkey"))).head()
         (r.getLong(0), r.getLong(1))
       }
@@ -213,57 +210,42 @@ class TrainingDataPipelineSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("maintenance append is exactly-once under foreachBatch crash-replay") {
-    // foreachBatch is at-least-once: a crash between the append and the
-    // micro-batch commit replays the same batchId. The marker protocol
-    // must make every replay shape a no-op or a clean redo — never a
-    // duplicate (the r9 review finding).
-    val outDir = java.nio.file.Files.createTempDirectory("graft_eo_out").toString + "/t"
-    val b0 = Seq.tabulate(100)(i => (i.toLong, s"v$i")).toDF("id", "v")
-
-    def rows() = spark.read.parquet(outDir).as[(Long, String)].collect().toSet
-    val want = (0 until 100).map(i => (i.toLong, s"v$i")).toSet
-
-    // normal append, then a FULL replay of the same batchId (crash after
-    // commit-to-table but before the streaming commit): must be a no-op
-    TrainingDataPipeline.appendBatchExactlyOnce(b0, outDir, 7L)
-    assert(rows() == want)
-    TrainingDataPipeline.appendBatchExactlyOnce(b0, outDir, 7L)
-    assert(rows() == want, "marker present: replay must not re-append")
-
-    // crash BEFORE the marker: simulate by deleting the marker (the
-    // append itself completed) — the replay must sweep the uncommitted
-    // b7- files and land exactly one copy
-    val fs = new org.apache.hadoop.fs.Path(outDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(outDir + "__batches/7"), false)
-    TrainingDataPipeline.appendBatchExactlyOnce(b0, outDir, 7L)
-    assert(rows() == want, "marker absent: replay must replace, not duplicate")
-
-    // a different batch still appends alongside
-    TrainingDataPipeline.appendBatchExactlyOnce(
-      Seq((500L, "x")).toDF("id", "v"), outDir, 8L)
-    assert(rows() == want + ((500L, "x")))
-
-    // marker pruning: after a much later batch commits, markers older
-    // than the replayable tail are gone — the dir stays O(1), not one
-    // file per trigger forever
-    TrainingDataPipeline.appendBatchExactlyOnce(
-      Seq((501L, "y")).toDF("id", "v"), outDir, 40L)
-    val markers = new java.io.File(outDir + "__batches").listFiles().map(_.getName).toSet
-    assert(!markers.contains("7") && !markers.contains("8"),
-      s"old markers not pruned: $markers")
-    assert(markers.contains("40"))
-    // ...and pruning must NOT have dropped the committed batches' DATA
-    assert(rows() == want + ((500L, "x")) + ((501L, "y")))
+  test("maintenance ingest under a FRESH checkpoint appends — restarted batchIds never collide") {
+    // the r9 ADVICE high finding: a protocol keyed on bare batchId turns
+    // a fresh-checkpoint restart (batchIds resume at 0) into silent
+    // no-op appends once ids collide with a prior generation's commits.
+    // TableLog keys commits by the per-checkpoint runKey, so a fresh
+    // checkpoint is a fresh generation end-to-end THROUGH the engine.
+    // (Replay dedup within one generation is pinned in TableLogSpec.)
+    import graft.functions.TableLog
+    val outDir = java.nio.file.Files.createTempDirectory("graft_gen_out").toString + "/t"
+    def runOnce(tag: Int): Unit = {
+      val srcDir = java.nio.file.Files.createTempDirectory(s"graft_gen_src$tag").toString + "/in"
+      val ckptDir = java.nio.file.Files.createTempDirectory(s"graft_gen_ck$tag").toString
+      Seq.tabulate(300)(i => (tag * 1000L + i, s"g$tag-$i")).toDF("id", "v")
+        .coalesce(3).write.parquet(srcDir)
+      val q = TrainingDataPipeline.ingestWithMaintenance(
+        spark.readStream.schema("id LONG, v STRING")
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        outDir, ckptDir, targetBytes = 65536L, everyNBatches = 2)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce(0)
+    assert(TableLog.rows(spark, outDir) == 300L)
+    runOnce(1) // fresh checkpoint, fresh source: batchIds restart at 0
+    val got = TableLog.read(spark, outDir).select("id").as[Long].collect().sorted.toSeq
+    assert(got == ((0L until 300L) ++ (1000L until 1300L)).toSeq,
+      s"fresh-generation batches were dropped or duplicated: ${got.length} of 600")
+    // two generations, two runKeys in the commit map
+    assert(TableLog.latest(spark, outDir).get.commits.size == 2)
   }
 
   test("maintenance loop survives a real stop/restart on the same checkpoint") {
-    // the crash-replay test drives appendBatchExactlyOnce by hand; this
-    // one drives the ENGINE's replay: stop the query, land more input,
-    // restart from the same checkpoint — batch ids resume, the sweep and
-    // marker protocol run through foreachBatch itself, and the row set
-    // stays exact across the restart boundary
+    // TableLogSpec drives appendBatch replays by hand; this one drives
+    // the ENGINE's replay: stop the query, land more input, restart from
+    // the same checkpoint — batch ids resume under the same runKey, the
+    // startup vacuum and commit-map dedup run through foreachBatch
+    // itself, and the row set stays exact across the restart boundary
     val srcDir = java.nio.file.Files.createTempDirectory("graft_mnt2_src").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft_mnt2_out").toString + "/t"
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_mnt2_ckpt").toString
@@ -282,7 +264,7 @@ class TrainingDataPipelineSpec extends SparkSuite {
     landBatch(2); landBatch(3)
     val q2 = start()
     try { q2.processAllAvailable() } finally q2.stop()
-    val got = spark.read.parquet(outDir).select("id")
+    val got = graft.functions.TableLog.read(spark, outDir).select("id")
       .as[Long].collect().sorted.toSeq
     assert(got == (0L until 800L).toSeq,
       s"restart lost or duplicated rows: ${got.length} of 800")
