@@ -222,6 +222,13 @@ object StreamBench {
     }
     val knnFloatQps = knnRun(ds => graft.streaming.Similarity.streamKnn(ds, corpus, 5))
     val knnQuantQps = knnRun(ds => graft.streaming.Similarity.streamKnnQuantized(ds, corpus, 5))
+    // persisted-index variants: the per-trigger norm/bucket/quantize
+    // recompute and the static-side shuffle both disappear (the probe
+    // table is bucketed on the join key at build time)
+    val annIdx = graft.functions.AnnIndex.build(corpus, "streambench_ann",
+      planes = 8, buckets = 16)
+    val knnIdxQps = knnRun(ds => graft.streaming.Similarity.streamKnn(ds, annIdx, 5, nprobe = 1))
+    val knnIdxQuantQps = knnRun(ds => graft.streaming.Similarity.streamKnnQuantized(ds, annIdx, 5, nprobe = 1))
     // byte width of the static relation each probe join ships: float
     // embeddings vs the int8 sidecar, measured by materializing both
     // projections (real serialized bytes, not a timing and not an
@@ -257,7 +264,7 @@ object StreamBench {
 
     val n = events.length
     val nd = docs.length - 100
-    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"stream_curate_docs_per_sec":${nd / curSec}%.0f,"stream_hll_rows_per_sec":${n / hllSec}%.0f,"stream_interval_join_rows_per_sec":${2 * ivRest.length / ivSec}%.0f,"stream_knn_float_q_per_sec":$knnFloatQps%.0f,"stream_knn_int8_q_per_sec":$knnQuantQps%.0f,"knn_probe_static_bytes_float":$knnFloatBytes,"knn_probe_static_bytes_int8":$knnInt8Bytes,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
+    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"stream_curate_docs_per_sec":${nd / curSec}%.0f,"stream_hll_rows_per_sec":${n / hllSec}%.0f,"stream_interval_join_rows_per_sec":${2 * ivRest.length / ivSec}%.0f,"stream_knn_float_q_per_sec":$knnFloatQps%.0f,"stream_knn_int8_q_per_sec":$knnQuantQps%.0f,"stream_knn_indexed_q_per_sec":$knnIdxQps%.0f,"stream_knn_indexed_int8_q_per_sec":$knnIdxQuantQps%.0f,"knn_probe_static_bytes_float":$knnFloatBytes,"knn_probe_static_bytes_int8":$knnInt8Bytes,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, bucket-partitioned ANN probe index — the "pay the shuffle
+  * once, at write time" posture ([[Bucketing]]) applied to streaming
+  * similarity search. Without it, every micro-batch of
+  * `streaming.Similarity.streamKnn*` recomputes norms, sign-LSH buckets
+  * and int8 sidecars for the WHOLE static corpus and re-shuffles it into
+  * the probe join — at a 10⁹-row corpus that per-trigger cost dwarfs the
+  * queries being answered. [[build]] computes all derived columns once
+  * and writes two bucketed tables:
+  *
+  *  - `<name>_probe`, bucketed+sorted by `bucket` (the sign-LSH key):
+  *    `(vec_id, bucket, nrm, q, scale, l1, embedding)`. The probe join
+  *    equi-joins on `bucket`, so the corpus side arrives pre-partitioned
+  *    — ZERO Exchange on the static side, every trigger (pinned by
+  *    SimilarityStreamSpec's plan assertion); Catalyst's column pruning
+  *    keeps the float `embedding` out of the int8 path's scan.
+  *  - `<name>_vec`, bucketed+sorted by `vec_id`: `(vec_id, embedding,
+  *    nrm)` — the exact-rerank join-back side, pre-partitioned on the id
+  *    so survivor lookups don't re-shuffle the corpus either.
+  *
+  * The quantization/bucketing geometry (`planes`, and the kernel
+  * versions behind `lsh_bucket`/`quantize`) is frozen into the tables at
+  * build time; [[Handle]] carries `planes` so a probe with a different
+  * plane count fails loudly instead of silently probing wrong buckets —
+  * the same loud-mismatch contract as [[DedupIndex]]'s minhash geometry
+  * guard.
+  */
+object AnnIndex {
+
+  /** Locator + geometry of a built index. */
+  final case class Handle(probeTable: String, vecTable: String,
+                          planes: Int, buckets: Int)
+
+  /** Compute norms + sign-LSH bucket + int8 sidecar for `corpus`
+    * (`vec_id`, `embedding`) and persist both bucketed tables. One job,
+    * two writes; each write pays the one shuffle its join key will
+    * forever skip. Zero-norm vectors (no direction, cosine undefined)
+    * are excluded here once, not per query. */
+  def build(corpus: DataFrame, name: String, planes: Int = 8,
+            buckets: Int = 64): Handle = {
+    require(planes >= 1 && planes <= 63, s"planes must be in [1, 63]: $planes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val enriched = corpus.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        var n = 0.0
+        var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+        val (q, s, l1) = Ivf.quantize(v)
+        (id, v, math.sqrt(n), q, s, l1)
+      })
+      .toDF("vec_id", "embedding", "nrm", "q", "scale", "l1")
+      .filter($"nrm" > 0)
+      .withColumn("bucket", native.lsh_bucket($"embedding", planes))
+    val h = Handle(s"${name}_probe", s"${name}_vec", planes, buckets)
+    // a rebuild must not trip over a previous life of the index: with an
+    // in-memory catalog (tests, fresh sessions) the table entry is gone
+    // but its warehouse directory survives, and saveAsTable refuses to
+    // reuse the location
+    Seq(h.probeTable, h.vecTable).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
+    }
+    Bucketing.writeBucketed(
+      enriched.select($"vec_id", $"bucket", $"nrm", $"q", $"scale", $"l1", $"embedding"),
+      h.probeTable, "bucket", buckets)
+    Bucketing.writeBucketed(
+      enriched.select($"vec_id", $"embedding", $"nrm"),
+      h.vecTable, "vec_id", buckets)
+    h
+  }
+
+  /** The probe-side relation: pre-bucketed on `bucket`, int8 sidecar and
+    * float embedding both available (project what the path needs). */
+  def probeSide(spark: SparkSession, h: Handle): DataFrame =
+    spark.table(h.probeTable)
+
+  /** The rerank-side relation: pre-bucketed on `vec_id`. */
+  def vecSide(spark: SparkSession, h: Handle): DataFrame =
+    spark.table(h.vecTable)
+
+  /** Multi-probe bucket selection (Lv et al.'s multi-probe LSH, the
+    * exhaustive variant): rank EVERY sign-LSH bucket by how far the
+    * query sits from the flipped hyperplanes — the perturbation score
+    * Σ_{flipped planes h} |projection_h| — and return the `nprobe`
+    * nearest buckets (the query's own bucket is always first, score 0).
+    * Uses the SAME md5 hyperplanes as `lsh_bucket` (via `rp_project`,
+    * whose sign-per-plane invariant NativeHashSpec pins), so probe
+    * buckets and stored buckets can never disagree.
+    *
+    * Recall is tunable per query without rebuilding the index: nprobe=1
+    * is the classic single-bucket probe; nprobe = 2^planes probes every
+    * bucket and is EXACTLY brute force (SimilarityStreamSpec pins that
+    * equality). Exhaustive ranking is 2^planes scored masks per query —
+    * trivial at the probe geometries this engine uses (planes ≤ 12
+    * enforced; 8 ⇒ 256 masks). */
+  def multiProbe(bucket: Long, projs: Array[Double], nprobe: Int): Array[Long] = {
+    val planes = projs.length
+    require(planes >= 1 && planes <= 12,
+      s"multiProbe ranks 2^planes masks; planes must be in [1, 12]: $planes")
+    val total = 1 << planes
+    val n = math.min(math.max(nprobe, 1), total)
+    if (n == 1) return Array(bucket)
+    val scored = new Array[(Double, Long)](total)
+    var mask = 0
+    while (mask < total) {
+      var s = 0.0
+      var h = 0
+      while (h < planes) {
+        if ((mask & (1 << h)) != 0) s += math.abs(projs(h))
+        h += 1
+      }
+      scored(mask) = (s, (bucket ^ mask.toLong))
+      mask += 1
+    }
+    // stable preference: nearer flip sets first, ties by bucket id
+    java.util.Arrays.sort(scored, Ordering.Tuple2[Double, Long])
+    scored.iterator.take(n).map(_._2).toArray
+  }
+}

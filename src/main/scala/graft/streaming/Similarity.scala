@@ -1,10 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues}
 
-import graft.functions.native
+import graft.functions.{native, AnnIndex}
 
 /** Streaming similarity search: a stream of query vectors against a
   * static corpus — the streaming face of `SimilarityOps.similarity_ann_lsh`
@@ -16,11 +16,20 @@ import graft.functions.native
   * candidates arrive in its own micro-batch, so the fold registers no
   * state — the DocVerdict pattern from [[Dedup]]).
   *
-  * At scale the static side is the bucketed corpus (bucket = partition
-  * key; see `functions.Bucketing` for paying that shuffle once at write
-  * time) and each micro-batch reads only the buckets its queries probe.
-  * ANN semantics: candidates share the query's bucket — same recall
-  * contract as the batch ANN path, which SimilaritySpec pins.
+  * Recall is tunable per query via multi-probe ([[AnnIndex.multiProbe]]):
+  * `nprobe` > 1 probes the buckets nearest the query's hyperplane margins
+  * too, and `nprobe = 2^planes` is exactly brute force
+  * (SimilarityStreamSpec pins the equality; SimilarityRecallSpec measures
+  * the recall-vs-nprobe curve that justifies the defaults).
+  *
+  * At scale the static side must be a PERSISTED index, not a per-trigger
+  * recompute: the overloads taking [[AnnIndex.Handle]] probe the
+  * bucketed-by-`bucket` table [[AnnIndex.build]] wrote, so every trigger
+  * reads pre-computed norms/buckets/int8 sidecars with ZERO Exchange on
+  * the corpus side of the probe join (plan-asserted), and the exact
+  * rerank joins the bucketed-by-`vec_id` table the same way. The
+  * corpus-DataFrame overloads remain for ad-hoc use and recompute per
+  * trigger — fine for small/cached corpora, wrong at 10⁹ rows.
   */
 object Similarity {
 
@@ -44,16 +53,55 @@ object Similarity {
     }
   }
 
+  /** One row per (query, probed bucket): `(query_id, qemb, qnrm, bucket)`.
+    * Zero-norm queries are excluded (cosine undefined — an unguarded 0/0
+    * NaN would outrank every real hit under desc ordering). nprobe = 1 is
+    * the plain own-bucket probe and pays no projection cost; nprobe > 1
+    * ranks buckets by [[AnnIndex.multiProbe]]'s perturbation score over
+    * the SAME hyperplanes `lsh_bucket` signs. */
+  private def probedQueries(queries: Dataset[(Long, Array[Float])],
+                            planes: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val projCol: Column =
+      if (nprobe > 1) native.rp_project($"qemb", planes)
+      else typedlit(Array.empty[Double])
+    val base = queries.toDF("query_id", "qemb")
+      .select($"query_id", $"qemb",
+        sqrt(native.double_dot($"qemb", $"qemb")).as("qnrm"),
+        native.lsh_bucket($"qemb", planes).as("bucket"),
+        projCol.as("projs"))
+      .filter($"qnrm" > 0)
+      .as[(Long, Array[Float], Double, Long, Array[Double])]
+    base.flatMap { case (id, v, qnrm, b, projs) =>
+      val probes = if (nprobe <= 1) Array(b) else AnnIndex.multiProbe(b, projs, nprobe)
+      probes.iterator.map(pb => (id, v, qnrm, pb))
+    }.toDF("query_id", "qemb", "qnrm", "bucket")
+  }
+
+  /** The probe join + exact cosine + top-k fold shared by every float
+    * path. `statics` needs (vec_id, embedding, nrm, bucket). */
+  private def knnCore(probed: DataFrame, statics: DataFrame,
+                      k: Int): Dataset[(Long, Long, Double)] = {
+    val spark = probed.sparkSession
+    import spark.implicits._
+    probed.join(statics, "bucket") // stream-static: stateless, no watermark
+      .select($"query_id", $"vec_id",
+        (native.double_dot($"qemb", $"embedding") / ($"qnrm" * $"nrm")).as("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new TopK(k), TimeMode.None(), OutputMode.Append())
+  }
+
   /** One row per (query, hit): `(query_id, vec_id, cosine)`, the top `k`
-    * same-bucket corpus vectors per query per micro-batch. `corpus` must
-    * have `vec_id` and `embedding` columns; it is bucketed once here and
-    * should be cached by the caller when many batches will probe it.
-    * Zero-norm vectors have no direction — cosine is 0/0 — so zero-norm
-    * corpus rows and queries are excluded up front, exactly as the batch
-    * paths and [[streamKnnQuantized]] do (an unguarded NaN would outrank
-    * every real hit under desc ordering). */
+    * probed-bucket corpus vectors per query per micro-batch. `corpus`
+    * must have `vec_id` and `embedding` columns; its norms and buckets
+    * are recomputed here per trigger — cache it, or use the
+    * [[AnnIndex.Handle]] overload for a corpus that outlives a demo.
+    * Zero-norm corpus rows are excluded like zero-norm queries. */
   def streamKnn(queries: Dataset[(Long, Array[Float])], corpus: DataFrame,
-                k: Int, planes: Int = 8): Dataset[(Long, Long, Double)] = {
+                k: Int, planes: Int = 8,
+                nprobe: Int = 1): Dataset[(Long, Long, Double)] = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = queries.sparkSession
     import spark.implicits._
@@ -62,17 +110,20 @@ object Similarity {
         sqrt(native.double_dot($"embedding", $"embedding")).as("nrm"),
         native.lsh_bucket($"embedding", planes).as("bucket"))
       .filter($"nrm" > 0)
-    val qs = queries.toDF("query_id", "qemb")
-      .select($"query_id", $"qemb",
-        sqrt(native.double_dot($"qemb", $"qemb")).as("qnrm"),
-        native.lsh_bucket($"qemb", planes).as("bucket"))
-      .filter($"qnrm" > 0)
-    qs.join(statics, "bucket") // stream-static: stateless, no watermark
-      .select($"query_id", $"vec_id",
-        (native.double_dot($"qemb", $"embedding") / ($"qnrm" * $"nrm")).as("cos"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .transformWithState(new TopK(k), TimeMode.None(), OutputMode.Append())
+    knnCore(probedQueries(queries, planes, nprobe), statics, k)
+  }
+
+  /** [[streamKnn]] against a persisted [[AnnIndex]]: the static side is
+    * the bucketed probe table — pre-computed columns, no per-trigger
+    * recompute, no Exchange on the corpus side of the join. */
+  def streamKnn(queries: Dataset[(Long, Array[Float])], index: AnnIndex.Handle,
+                k: Int, nprobe: Int): Dataset[(Long, Long, Double)] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val statics = AnnIndex.probeSide(spark, index)
+      .select($"vec_id", $"embedding", $"nrm", $"bucket")
+    knnCore(probedQueries(queries, index.planes, nprobe), statics, k)
   }
 
   /** Certified-survivor filter per query id (stateless per-batch groups,
@@ -80,13 +131,24 @@ object Similarity {
     * (isQuery = true, carrying qemb/qnrm) plus the int8-scored candidate
     * rows (approx ± err certified cosine intervals; the explicit boolean
     * tag rather than a sentinel id, because any Long is a legal corpus
-    * vec_id). Emits the survivor
-    * superset `(query_id, vec_id, qemb, qnrm)`: every candidate whose
-    * upper bound reaches the k-th largest lower bound — the same
-    * provable filter-verify margin as [[graft.functions.Ivf
-    * .searchQuantized]], so the exact rerank downstream cannot lose a
-    * true winner. Survivor rows are the only place a float query vector
-    * travels after the probe join, ≈ k + margin rows per query. */
+    * vec_id). Emits the survivor superset `(query_id, vec_id, qemb,
+    * qnrm)`: every candidate whose upper bound reaches the k-th largest
+    * lower bound — the same provable filter-verify margin as
+    * [[graft.functions.Ivf.searchQuantized]], so the exact rerank
+    * downstream cannot lose a true winner.
+    *
+    * Memory is OUTPUT-bounded, not occupancy-bounded (the r9 verdict's
+    * remaining heap risk): the threshold needs only the k largest
+    * certified lower bounds — a size-k min-heap — and the candidate
+    * buffer holds only rows still viable against the RUNNING threshold,
+    * compacted geometrically as it rises. A candidate whose upper bound
+    * is already below the running threshold can never reach the final
+    * one (the threshold only rises), so dropping it immediately is
+    * exact: the emitted set is bit-identical to the buffer-everything
+    * version. Worst case (all intervals overlapping) the buffer is the
+    * size of the emitted survivor set itself — memory proportional to
+    * what must be output, independent of how many corpus rows share the
+    * probed buckets. */
   private final class Survivors(k: Int)
       extends StatefulProcessor[Long, (Long, Boolean, Long, Double, Double, Array[Float], Double),
         (Long, Long, Array[Float], Double)] {
@@ -96,20 +158,90 @@ object Similarity {
         timerValues: TimerValues): Iterator[(Long, Long, Array[Float], Double)] = {
       var qemb: Array[Float] = null
       var qnrm = 0.0
-      val cand = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+      // k largest lower bounds seen so far; head = running threshold
+      val lbHeap = scala.collection.mutable.PriorityQueue.empty[Double](Ordering[Double].reverse)
+      def thresh: Double =
+        if (lbHeap.size < k) Double.NegativeInfinity else lbHeap.head
+      val viable = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+      var compactAt = math.max(2 * k, 64)
       rows.foreach {
         case (_, true, _, _, _, emb, nrm) => qemb = emb; qnrm = nrm
-        case (_, false, vid, approx, err, _, _) => cand += ((vid, approx, err))
+        case (_, false, vid, a, e, _, _) =>
+          if (a + e >= thresh) { // below the running threshold = provably out
+            viable += ((vid, a, e))
+            if (lbHeap.size < k) lbHeap.enqueue(a - e)
+            else if (a - e > lbHeap.head) { lbHeap.dequeue(); lbHeap.enqueue(a - e) }
+            if (viable.size >= compactAt) {
+              val t = thresh
+              val kept = viable.filter { case (_, a2, e2) => a2 + e2 >= t }
+              viable.clear()
+              viable ++= kept
+              compactAt = math.max(2 * viable.size, math.max(2 * k, 64))
+            }
+          }
       }
-      if (qemb == null || cand.isEmpty) Iterator.empty
+      if (qemb == null || viable.isEmpty) Iterator.empty
       else {
-        val lbs = cand.map { case (_, a, e) => a - e }.sorted(Ordering[Double].reverse)
-        val thresh = if (lbs.size < k) Double.NegativeInfinity else lbs(k - 1)
-        cand.iterator.collect {
-          case (vid, a, e) if a + e >= thresh => (key, vid, qemb, qnrm)
+        val t = thresh
+        val q = qemb
+        val n = qnrm
+        viable.iterator.collect {
+          case (vid, a, e) if a + e >= t => (key, vid, q, n)
         }
       }
     }
+  }
+
+  /** The int8 filter-verify pipeline shared by the quantized paths:
+    * probe join on the int8 sidecar, certified survivor filter, exact
+    * rerank by id, top-k fold. `taggedStatic` needs (vec_id, bucket,
+    * nrm, q, scale, l1); `floatStatic` needs (vec_id, embedding, nrm). */
+  private def knnQuantizedCore(queries: Dataset[(Long, Array[Float])],
+      taggedStatic: DataFrame, floatStatic: DataFrame, k: Int, planes: Int,
+      nprobe: Int): Dataset[(Long, Long, Double)] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // stream side: quantize once per query, then explode probe buckets
+    val projCol: Column =
+      if (nprobe > 1) native.rp_project($"qemb", planes)
+      else typedlit(Array.empty[Double])
+    val qbase = queries.toDF("query_id", "qemb")
+      .select($"query_id", $"qemb",
+        sqrt(native.double_dot($"qemb", $"qemb")).as("qnrm"),
+        native.lsh_bucket($"qemb", planes).as("bucket"),
+        projCol.as("projs"))
+      .filter($"qnrm" > 0)
+    val qz = qbase
+      .as[(Long, Array[Float], Double, Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (id, v, qnrm, b, projs) =>
+        val (qq, qs, ql1) = graft.functions.Ivf.quantize(v)
+        val probes = if (nprobe <= 1) Array(b) else AnnIndex.multiProbe(b, projs, nprobe)
+        probes.iterator.map(pb => (id, qnrm, pb, qq, qs, ql1))
+      })
+      .toDF("query_id", "qnrm", "bucket", "qq", "qs", "ql1")
+    // int8-scored candidates: approx cosine ± certified radius (the
+    // searchQuantized bound), all scalars — no arrays in these rows
+    val d = lit(0.25) * least(length($"qq"), length($"q")).cast("double")
+    val cands = qz.join(taggedStatic, "bucket")
+      .select($"query_id", lit(false).as("is_query"), $"vec_id",
+        (($"qs" * $"scale" * native.int8_dot($"qq", $"q")) / ($"qnrm" * $"nrm")).as("approx"),
+        (($"qs" * $"scale" * (($"ql1" + $"l1") / lit(2.0) + d)) / ($"qnrm" * $"nrm")).as("err"),
+        typedlit[Array[Float]](null).as("qemb"), lit(0.0).as("qnrm"))
+    // tagged union: one is_query row per query carries the float qemb
+    val qrows = qbase.select($"query_id", lit(true).as("is_query"), lit(0L).as("vec_id"),
+      lit(0.0).as("approx"), lit(0.0).as("err"), $"qemb", $"qnrm")
+    val survivors = qrows.unionByName(cands)
+      .as[(Long, Boolean, Long, Double, Double, Array[Float], Double)]
+      .groupByKey(_._1)
+      .transformWithState(new Survivors(k), TimeMode.None(), OutputMode.Append())
+      .toDF("query_id", "vec_id", "qemb", "qnrm")
+    // exact rerank of the certified superset: float arrays re-enter by id
+    survivors.join(floatStatic, "vec_id")
+      .select($"query_id", $"vec_id",
+        (native.double_dot($"qemb", $"embedding") / ($"qnrm" * $"nrm")).as("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new TopK(k), TimeMode.None(), OutputMode.Append())
   }
 
   /** [[streamKnn]] with the int8 candidate ranking of
@@ -127,12 +259,14 @@ object Similarity {
     * the batch path (cosine undefined).
     */
   def streamKnnQuantized(queries: Dataset[(Long, Array[Float])], corpus: DataFrame,
-                         k: Int, planes: Int = 8): Dataset[(Long, Long, Double)] = {
+                         k: Int, planes: Int = 8,
+                         nprobe: Int = 1): Dataset[(Long, Long, Double)] = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = queries.sparkSession
     import spark.implicits._
-    // static side, quantized once: (vec_id, bucket, nrm, q, scale, l1) —
-    // the float embedding column is NOT in the probe join's projection
+    // static side, quantized per trigger: (vec_id, bucket, nrm, q, scale,
+    // l1) — the float embedding column is NOT in the probe join's
+    // projection. The AnnIndex overload reads all of this precomputed.
     val taggedStatic = corpus
       .select($"vec_id", $"embedding",
         sqrt(native.double_dot($"embedding", $"embedding")).as("nrm"),
@@ -148,40 +282,21 @@ object Similarity {
       .select($"vec_id", $"embedding",
         sqrt(native.double_dot($"embedding", $"embedding")).as("nrm"))
       .filter($"nrm" > 0)
-    // stream side, quantized in-row
-    val qz = queries.toDF("query_id", "qemb")
-      .select($"query_id", $"qemb",
-        sqrt(native.double_dot($"qemb", $"qemb")).as("qnrm"),
-        native.lsh_bucket($"qemb", planes).as("bucket"))
-      .filter($"qnrm" > 0)
-      .as[(Long, Array[Float], Double, Long)]
-      .mapPartitions(_.map { case (id, v, qnrm, bucket) =>
-        val (qq, qs, ql1) = graft.functions.Ivf.quantize(v)
-        (id, v, qnrm, bucket, qq, qs, ql1)
-      })
-      .toDF("query_id", "qemb", "qnrm", "bucket", "qq", "qs", "ql1")
-    // int8-scored candidates: approx cosine ± certified radius (the
-    // searchQuantized bound), all scalars — no arrays in these rows
-    val d = lit(0.25) * least(length($"qq"), length($"q")).cast("double")
-    val cands = qz.drop("qemb").join(taggedStatic, "bucket")
-      .select($"query_id", lit(false).as("is_query"), $"vec_id",
-        (($"qs" * $"scale" * native.int8_dot($"qq", $"q")) / ($"qnrm" * $"nrm")).as("approx"),
-        (($"qs" * $"scale" * (($"ql1" + $"l1") / lit(2.0) + d)) / ($"qnrm" * $"nrm")).as("err"),
-        typedlit[Array[Float]](null).as("qemb"), lit(0.0).as("qnrm"))
-    // tagged union: one is_query row per query carries the float qemb
-    val qrows = qz.select($"query_id", lit(true).as("is_query"), lit(0L).as("vec_id"),
-      lit(0.0).as("approx"), lit(0.0).as("err"), $"qemb", $"qnrm")
-    val survivors = qrows.unionByName(cands)
-      .as[(Long, Boolean, Long, Double, Double, Array[Float], Double)]
-      .groupByKey(_._1)
-      .transformWithState(new Survivors(k), TimeMode.None(), OutputMode.Append())
-      .toDF("query_id", "vec_id", "qemb", "qnrm")
-    // exact rerank of the certified superset: float arrays re-enter by id
-    survivors.join(floatStatic, "vec_id")
-      .select($"query_id", $"vec_id",
-        (native.double_dot($"qemb", $"embedding") / ($"qnrm" * $"nrm")).as("cos"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .transformWithState(new TopK(k), TimeMode.None(), OutputMode.Append())
+    knnQuantizedCore(queries, taggedStatic, floatStatic, k, planes, nprobe)
+  }
+
+  /** [[streamKnnQuantized]] against a persisted [[AnnIndex]]: the probe
+    * join reads the bucketed int8 sidecar (no recompute, no re-quantize,
+    * no Exchange on the corpus side) and the exact rerank reads the
+    * bucketed-by-id float table. */
+  def streamKnnQuantized(queries: Dataset[(Long, Array[Float])],
+      index: AnnIndex.Handle, k: Int, nprobe: Int): Dataset[(Long, Long, Double)] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val taggedStatic = AnnIndex.probeSide(spark, index)
+      .select($"vec_id", $"bucket", $"nrm", $"q", $"scale", $"l1")
+    val floatStatic = AnnIndex.vecSide(spark, index)
+    knnQuantizedCore(queries, taggedStatic, floatStatic, k, index.planes, nprobe)
   }
 }

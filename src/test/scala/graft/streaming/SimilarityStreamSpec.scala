@@ -125,4 +125,133 @@ class SimilarityStreamSpec extends SparkSuite {
       corpus.unpersist()
     }
   }
+
+  private def runStream(name: String, queries: Seq[(Long, Array[Float])],
+      f: org.apache.spark.sql.Dataset[(Long, Array[Float])] =>
+        org.apache.spark.sql.Dataset[(Long, Long, Double)],
+      inspect: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ())
+      : Map[Long, Seq[Long]] = {
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = f(in.toDS()).toDF("query_id", "vec_id", "cos").writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    in.addData(queries); q.processAllAvailable()
+    inspect(q)
+    q.stop()
+    spark.table(name).as[(Long, Long, Double)].collect()
+      .groupBy(_._1)
+      .map { case (qid, hits) =>
+        qid -> hits.sortBy { case (_, id, cos) => (-cos, id) }.map(_._2).toSeq
+      }
+  }
+
+  test("persisted AnnIndex: parity with the per-trigger paths; zero Exchange on the probe join's static side") {
+    withRocksDBState {
+      import graft.functions.AnnIndex
+      val corpus = spark.read.parquet(sf() + "/embeddings.parquet")
+        .select($"vec_id", $"embedding").cache()
+      val queries = corpus.as[(Long, Array[Float])].collect().take(30).toSeq
+      val h = AnnIndex.build(corpus, "simspec_ann", planes = 8, buckets = 8)
+
+      // force the real join shape: at scale the corpus cannot broadcast,
+      // so the assertion must hold for the shuffle-join plan
+      val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+      val prevBc = spark.conf.get(bcKey)
+      spark.conf.set(bcKey, "-1")
+      try {
+        def staticSideClean(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+          import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+          import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+          val plan = q.asInstanceOf[StreamingQueryWrapper]
+            .streamingQuery.lastExecution.executedPlan
+          val probeJoins = plan.collect {
+            case j: SortMergeJoinExec
+              if j.leftKeys.exists(_.toString.contains("bucket")) => j
+            case j: ShuffledHashJoinExec
+              if j.leftKeys.exists(_.toString.contains("bucket")) => j
+          }
+          assert(probeJoins.nonEmpty, s"no shuffle join on bucket in:\n$plan")
+          // the static (corpus) side is whichever join child scans the
+          // bucketed probe table; it must contain NO shuffle at all
+          val staticSides = probeJoins.flatMap(_.children)
+            .filter(_.toString.contains(h.probeTable))
+          assert(staticSides.nonEmpty, s"probe table not under the join:\n$plan")
+          staticSides.foreach { side =>
+            val ex = side.collect { case e: ShuffleExchangeExec => e }
+            assert(ex.isEmpty, s"static side of the probe join shuffles:\n$side")
+          }
+        }
+        val base = runStream("sim_idx_base", queries,
+          ds => Similarity.streamKnn(ds, corpus, k = 5))
+        val viaIdx = runStream("sim_idx_f", queries,
+          ds => Similarity.streamKnn(ds, h, k = 5, nprobe = 1),
+          inspect = staticSideClean)
+        assert(viaIdx == base, "indexed float path diverged from the per-trigger path")
+        val baseQ = runStream("sim_idx_qbase", queries,
+          ds => Similarity.streamKnnQuantized(ds, corpus, k = 5))
+        val viaIdxQ = runStream("sim_idx_q", queries,
+          ds => Similarity.streamKnnQuantized(ds, h, k = 5, nprobe = 1),
+          inspect = staticSideClean)
+        assert(viaIdxQ == baseQ, "indexed quantized path diverged from the per-trigger path")
+      } finally spark.conf.set(bcKey, prevBc)
+      corpus.unpersist()
+    }
+  }
+
+  test("multi-probe: probe sets nest, recall rises with nprobe, nprobe = 2^planes IS brute force") {
+    withRocksDBState {
+      import org.apache.spark.sql.functions._
+      import graft.functions.native
+      val dim = 16
+      val planes = 4 // 16 buckets — exhaustive probing is reachable
+      def vec(seed: Int): Array[Float] = {
+        val r = new scala.util.Random(seed)
+        Array.fill(dim)((r.nextGaussian() * 0.5).toFloat)
+      }
+      val corpus = (0L until 300L).map(i => (i, vec(i.toInt)))
+        .toDF("vec_id", "embedding").cache()
+      val queries = (1000 until 1030).map(s => (s.toLong, vec(s)))
+
+      // ground truth: exact cosine top-5 per query over the whole corpus
+      val truth: Map[Long, Seq[Long]] = queries.map { case (qid, qemb) =>
+        val qn = math.sqrt(qemb.map(x => x.toDouble * x).sum)
+        qid -> corpus
+          .select($"vec_id",
+            sqrt(native.double_dot($"embedding", $"embedding")).as("nrm"),
+            native.double_dot(typedLit(qemb), $"embedding").as("dot"))
+          .filter($"nrm" > 0)
+          .select($"vec_id", ($"dot" / ($"nrm" * qn)).as("cos"))
+          .as[(Long, Double)].collect()
+          .sortBy { case (id, cos) => (-cos, id) }.take(5).map(_._1).toSeq
+      }.toMap
+
+      def recall(hits: Map[Long, Seq[Long]]): Double = {
+        val per = queries.map { case (qid, _) =>
+          val got = hits.getOrElse(qid, Nil).toSet
+          truth(qid).count(got.contains).toDouble / truth(qid).size
+        }
+        per.sum / per.size
+      }
+      val r1 = recall(runStream("mp_1", queries,
+        ds => Similarity.streamKnn(ds, corpus, k = 5, planes = planes, nprobe = 1)))
+      val r4 = recall(runStream("mp_4", queries,
+        ds => Similarity.streamKnn(ds, corpus, k = 5, planes = planes, nprobe = 4)))
+      val all = runStream("mp_all", queries,
+        ds => Similarity.streamKnn(ds, corpus, k = 5, planes = planes, nprobe = 16))
+      val rAll = recall(all)
+      // probe sets are nested (same perturbation ranking, take n), so
+      // recall is monotone per construction — and full probing is exact
+      assert(r1 <= r4 + 1e-12 && r4 <= rAll + 1e-12, s"recall not monotone: $r1 $r4 $rAll")
+      assert(rAll == 1.0, s"nprobe = 2^planes must equal brute force, recall $rAll")
+      assert(all == truth, "full multi-probe must return exactly the brute-force winners")
+      assert(r1 < 1.0, "fixture vacuity: single-bucket probe already exact — shrink buckets")
+      // quantized path honors nprobe identically
+      val q4 = runStream("mp_q4", queries,
+        ds => Similarity.streamKnnQuantized(ds, corpus, k = 5, planes = planes, nprobe = 4))
+      val f4 = runStream("mp_f4", queries,
+        ds => Similarity.streamKnn(ds, corpus, k = 5, planes = planes, nprobe = 4))
+      assert(q4 == f4, "quantized multi-probe diverged from float multi-probe")
+      corpus.unpersist()
+    }
+  }
 }
