@@ -72,7 +72,7 @@ object ConnectedComponents {
       // equality, since both sides are distinct. Runs once, at the final
       // round only, so the steady-state cost stays two aggregates/round.
       converged = fp == prev && next.except(e).isEmpty
-      Materialize.release(e) // superseded round (no-op for checkpoint cuts)
+      Materialize.release(e) // superseded round: blocks or checkpoint files freed NOW
       prev = fp
       e = next
       rounds += 1

@@ -45,8 +45,17 @@ class MaterializeSpec extends SparkSuite {
       assert(new java.io.File(dir).listFiles().nonEmpty,
         "no reliable checkpoint artifact found")
       assert(cut.as[Int].collect().sorted.toSeq == Seq(4, 5))
-      // release is a safe no-op for checkpoint cuts
+      // release DELETES the cut's private rdd-<id> checkpoint subdir
+      // (Spark never reclaims checkpoint data unless cleanCheckpoints is
+      // set) — the consumed cut above must leave no files behind
       Materialize.release(cut)
+      def dataFiles(): Seq[java.io.File] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(dir))
+      }
+      assert(dataFiles().isEmpty,
+        s"release left checkpoint data: ${dataFiles().map(_.getName)}")
     } finally {
       // SparkContext has no public unset (setCheckpointDir only writes);
       // clear the private var reflectively so the shared suite session
@@ -104,6 +113,37 @@ class MaterializeSpec extends SparkSuite {
       val got = labels.as[(Long, Long)].collect().toMap
       assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
       assert(rounds >= 1)
+    }
+  }
+
+  test("multi-round CC with a checkpoint dir does not accumulate per-round data") {
+    // a long-path graph forces several large-star/small-star rounds; the
+    // superseded rounds' checkpoints must be deleted as the loop advances
+    // — at 100 TB each round's edge set is the CORPUS-scale intermediate,
+    // and without per-round release the checkpoint dir holds all of them
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_cc").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      assert(Materialize.mode(spark) == "reliable")
+      val chain = (0L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+      val (labels, rounds) = ConnectedComponents.labelsAndRounds(chain)
+      val got = labels.as[(Long, Long)].collect().toMap
+      assert(got.values.toSet == Set(0L) && got.size == 65)
+      assert(rounds >= 2, s"fixture vacuity: want a multi-round run, got $rounds")
+      // only the LAST round's cut (the one labels was computed from) may
+      // still hold data — every superseded round must be gone
+      def rddDirs() = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) :+ f else Seq(f)
+        walk(new java.io.File(dir)).filter(_.getName.startsWith("rdd-"))
+      }
+      assert(rddDirs().size <= 1,
+        s"checkpoint dir grew with the rounds ($rounds rounds): " +
+          rddDirs().map(_.getName))
+    } finally {
+      classOf[org.apache.spark.SparkContext]
+        .getMethod("checkpointDir_$eq", classOf[Option[_]])
+        .invoke(spark.sparkContext, None)
     }
   }
 }
