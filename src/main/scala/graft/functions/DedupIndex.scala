@@ -112,4 +112,32 @@ object DedupIndex {
         coalesce(col("match_id"), col("doc_id")).as("root_doc"),
         col("match_id").isNull.as("is_keeper"))
   }
+
+  /** Maintenance pass for a parquet-persisted index directory: every
+    * ingested chunk appends its own delta files, so a year of daily
+    * batches is 365× the file count the probes deserve. Compacts the
+    * directory to ~`targetBytes` files RE-LAID-OUT by `(band,
+    * band_hash)` — the probe join's key — so each rewritten file covers
+    * a tight band-hash range and parquet footer stats prune probe scans
+    * to the buckets a batch actually hits.
+    *
+    * Runs the geometry guard first: compacting an index with the wrong
+    * geometry is the silent-keeper trap ([[requireGeometry]]) one step
+    * earlier, and the loud error here beats a clean-looking rewrite that
+    * later probes mismatch against. Same single-writer contract as
+    * [[Compaction.compactParquet]] (run it between ingests — the natural
+    * slot is right after appending a delta); crash debris from a prior
+    * attempt is repaired first, exactly like the streaming maintenance
+    * loop. Returns the number of files written; probe verdicts are
+    * IDENTICAL before and after (DedupIndexSpec pins it — compaction
+    * moves rows, never changes them). */
+  def maintain(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      targetBytes: Long, geom: Lsh.Geometry = Lsh.Small): Int = {
+    requireGeometry(spark.read.parquet(indexDir), geom)
+    val repaired = Compaction.recover(spark, indexDir)
+    if (repaired != "clean")
+      System.err.println(s"[graft] dedup-index recover on $indexDir: $repaired")
+    Compaction.compactParquet(spark, indexDir, targetBytes,
+      layoutBy = Seq("band", "band_hash"))
+  }
 }

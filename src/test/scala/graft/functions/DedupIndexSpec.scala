@@ -177,4 +177,52 @@ class DedupIndexSpec extends SparkSuite {
         "production-geometry streaming verdicts drifted from the batch index")
     }
   }
+
+  test("maintain compacts the delta tail; probe verdicts identical before and after") {
+    val ids = docs.select($"doc_id").as[Long].collect().sorted
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val (a, b, probe) = (docs.filter($"doc_id" < c1),
+      docs.filter($"doc_id" >= c1 && $"doc_id" < c2),
+      docs.filter($"doc_id" >= c2))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_idx_mnt").toString + "/idx"
+    // a deployment's delta tail: each ingested chunk appends fragmented
+    // files (repartition(8) exaggerates a micro-batch writer's spray)
+    DedupIndex.indexRows(a).repartition(8).write.mode("append").parquet(idxDir)
+    DedupIndex.indexRows(b).repartition(8).write.mode("append").parquet(idxDir)
+    def files() = new java.io.File(idxDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(files().length >= 16, s"fixture vacuity: tail not fragmented (${files().length})")
+
+    val before = verdicts(DedupIndex.incrementalVerdicts(
+      probe, spark.read.parquet(idxDir)))
+
+    // wrong-geometry maintenance fails loudly BEFORE rewriting anything
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.maintain(spark, idxDir, targetBytes = 1L << 20, geom = Lsh.Production)
+    }
+    assert(e.getMessage.contains("geometry mismatch"))
+    assert(files().length >= 16, "failed maintenance must not have touched the table")
+
+    val written = DedupIndex.maintain(spark, idxDir, targetBytes = 1L << 20)
+    assert(files().length == written && written < 16,
+      s"file count not bounded: ${files().length} files for $written written")
+    val after = verdicts(DedupIndex.incrementalVerdicts(
+      probe, spark.read.parquet(idxDir)))
+    assert(after == before, "maintenance changed probe verdicts")
+    assert(before.exists(!_._3), "fixture vacuity: probe chunk found no duplicates")
+
+    // the re-layout clustered the probe key: each rewritten file spans
+    // less than the global (band, band_hash) range when several exist,
+    // and band min/max per file are tight enough to prune on
+    if (written >= 2) {
+      val spans = files().toSeq.map { f =>
+        val r = spark.read.parquet(f.toString)
+          .agg(min($"band"), max($"band")).head()
+        (r.getInt(0), r.getInt(1))
+      }
+      val global = (spans.map(_._1).min, spans.map(_._2).max)
+      assert(spans.exists(sp => (sp._2 - sp._1) < (global._2 - global._1)),
+        s"layoutBy left every file spanning all bands: $spans")
+    }
+  }
 }
