@@ -83,18 +83,26 @@ object River {
     }
   }
 
-  /** river model contract at batch granularity: learn from a batch's
-    * statistics; predict for a feature vector; current parameters.
-    * `snapshot`/`restore` expose the accumulated Stats so [[train]] can
-    * persist the model across query restarts. */
+  /** river model contract at batch granularity: fold a micro-batch in,
+    * predict for a feature vector, and expose a whole-model `state` so
+    * [[train]] can persist/restore across query restarts. Two families
+    * implement it: exact-sufficient-statistics models
+    * ([[OnlineLinearRegression]], [[OnlineStandardScaler]]) reduce the
+    * batch to a constant-size [[Stats]] and fold that; gradient models
+    * ([[OnlineLogisticRegression]]) run their own distributed passes —
+    * the reference's river.py wraps arbitrary `learn_one` models, and
+    * this is the arbitrary-model face of the same shape. Either way the
+    * contract is: DISTRIBUTED work only inside `learnBatch`; nothing but
+    * O(d)-to-O(d²) aggregates reach the driver. */
   trait OnlineModel extends Serializable {
     def d: Int
-    def learn(stats: Stats): Unit
+    /** Fold one micro-batch into the model (distributed). */
+    def learnBatch(batch: Dataset[(Seq[Double], Double)]): Unit
     def predict(x: Seq[Double]): Double
-    /** Accumulated sufficient statistics — everything the model has seen. */
-    def snapshot: Stats
-    /** Replace the accumulated statistics (restart restore). */
-    def restore(s: Stats): Unit
+    /** Whole-model snapshot for atomic persistence (restart restore). */
+    def state: java.io.Serializable
+    /** Replace the model's state (restart restore). */
+    def restoreState(s: java.io.Serializable): Unit
   }
 
   /** Exact online least squares with intercept and ridge `lambda`:
@@ -115,19 +123,24 @@ object River {
     def weights: Array[Double] = w.clone()
     def intercept: Double = w(d)
 
-    override def learn(stats: Stats): Unit = synchronized {
+    def learn(stats: Stats): Unit = synchronized {
       acc = acc.merge(stats)
       if (acc.n > 0) w = solve()
     }
+    override def learnBatch(batch: Dataset[(Seq[Double], Double)]): Unit =
+      learn(computeStats(batch, d))
 
     // learn/merge never mutates acc's arrays in place, so handing out the
     // reference is safe
-    override def snapshot: Stats = synchronized(acc)
-    override def restore(s: Stats): Unit = synchronized {
+    def snapshot: Stats = synchronized(acc)
+    def restore(s: Stats): Unit = synchronized {
       require(s.sx.length == d, s"restored width ${s.sx.length} != $d")
       acc = s
       w = if (acc.n > 0) solve() else new Array[Double](aug)
     }
+    override def state: java.io.Serializable = snapshot
+    override def restoreState(s: java.io.Serializable): Unit =
+      restore(s.asInstanceOf[Stats])
 
     /** Normal equations over augmented features [x, 1]: the Gram matrix
       * blocks are Σxxᵀ (from sxx), Σx (from sx) and n; rhs is (Σy·x, Σy).
@@ -188,9 +201,14 @@ object River {
   final class OnlineStandardScaler(val features: Int) extends OnlineModel {
     val d: Int = features
     private var acc: Stats = Stats.zero(d)
-    override def learn(stats: Stats): Unit = synchronized { acc = acc.merge(stats) }
-    override def snapshot: Stats = synchronized(acc)
-    override def restore(s: Stats): Unit = synchronized { acc = s }
+    def learn(stats: Stats): Unit = synchronized { acc = acc.merge(stats) }
+    override def learnBatch(batch: Dataset[(Seq[Double], Double)]): Unit =
+      learn(computeStats(batch, d))
+    def snapshot: Stats = synchronized(acc)
+    def restore(s: Stats): Unit = synchronized { acc = s }
+    override def state: java.io.Serializable = snapshot
+    override def restoreState(s: java.io.Serializable): Unit =
+      restore(s.asInstanceOf[Stats])
     override def predict(x: Seq[Double]): Double =
       throw new UnsupportedOperationException("scaler transforms, not predicts")
     def meanVar: (Array[Double], Array[Double]) = synchronized {
@@ -212,9 +230,119 @@ object River {
     }
   }
 
+  /** Persistent state of [[OnlineLogisticRegression]]: the weight vector
+    * (w₁…w_d, intercept) plus the gradient-step count. */
+  final case class LogisticState(w: Array[Double], steps: Long)
+
+  /** Online binary logistic regression — the NON-exact member of the
+    * River family, proving the shape holds for models with no
+    * closed-form sufficient statistics (the reference's river.py wraps
+    * arbitrary `learn_one` models; here "arbitrary" means
+    * gradient-trained). Per micro-batch, `stepsPerBatch` full-batch
+    * gradient-descent steps: each step is one distributed aggregate of
+    * the (d+1)-dim logistic gradient Σ (σ(w·x+b) − y)·[x, 1] — a narrow
+    * mapPartitions + a ≤ numPartitions-row driver fold, exactly
+    * [[computeStats]]'s shape, except the aggregate depends on the
+    * CURRENT weights so it cannot be a static Stats reduction. The batch
+    * is pinned in storage across the steps (and released after), so the
+    * source is scanned once per batch, not once per step.
+    *
+    * `predict` returns the probability σ(w·x + b); classification is
+    * `>= 0.5`. The intercept is never L2-regularized (standard
+    * convention). Unlike [[OnlineLinearRegression]] the fit is
+    * order-dependent and approximate — prequential accuracy improving
+    * over batches, and the coefficient direction tracking a one-shot
+    * full-data fit, are what RiverSpec pins. */
+  final class OnlineLogisticRegression(val features: Int, lr: Double = 0.5,
+      l2: Double = 0.0, stepsPerBatch: Int = 5) extends OnlineModel {
+    require(features >= 1, s"features must be >= 1: $features")
+    require(lr > 0 && l2 >= 0 && stepsPerBatch >= 1,
+      s"need lr > 0, l2 >= 0, stepsPerBatch >= 1: $lr, $l2, $stepsPerBatch")
+    val d: Int = features
+    private val aug = features + 1
+    @volatile private var w: Array[Double] = new Array[Double](aug)
+    private var steps = 0L
+
+    /** (w₁…w_d, intercept). */
+    def weights: Array[Double] = w.clone()
+    def intercept: Double = w(d)
+
+    override def predict(x: Seq[Double]): Double = {
+      val wv = w
+      var z = wv(d)
+      var i = 0
+      while (i < d) { z += wv(i) * x(i); i += 1 }
+      1.0 / (1.0 + math.exp(-z))
+    }
+
+    override def learnBatch(batch: Dataset[(Seq[Double], Double)]): Unit = synchronized {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val pinned = if (stepsPerBatch > 1)
+        batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else batch
+      try {
+        var step = 0
+        var n = -1L
+        while (step < stepsPerBatch && n != 0L) {
+          val wv = w
+          val dd = d
+          val augW = aug
+          val partials = pinned.mapPartitions { it =>
+            val g = new Array[Double](augW)
+            var cnt = 0L
+            it.foreach { case (x, y) =>
+              require(x.length == dd, s"feature width ${x.length} != $dd")
+              var z = wv(dd)
+              var i = 0
+              while (i < dd) { z += wv(i) * x(i); i += 1 }
+              val e = 1.0 / (1.0 + math.exp(-z)) - y
+              i = 0
+              while (i < dd) { g(i) += e * x(i); i += 1 }
+              g(dd) += e
+              cnt += 1
+            }
+            if (cnt == 0) Iterator.empty else Iterator.single((g.toSeq, cnt))
+          }.collect()
+          n = partials.iterator.map(_._2).sum
+          if (n > 0) {
+            val g = new Array[Double](aug)
+            partials.foreach { case (pg, _) =>
+              var i = 0
+              while (i < aug) { g(i) += pg(i); i += 1 }
+            }
+            val nw = new Array[Double](aug)
+            var i = 0
+            while (i < aug) {
+              val reg = if (i < d) l2 * wv(i) else 0.0 // intercept unregularized
+              nw(i) = wv(i) - lr * (g(i) / n + reg)
+              i += 1
+            }
+            w = nw
+            steps += 1
+          }
+          step += 1
+        }
+      } finally if (stepsPerBatch > 1) pinned.unpersist(blocking = false)
+    }
+
+    override def state: java.io.Serializable =
+      synchronized(LogisticState(w.clone(), steps))
+    override def restoreState(s: java.io.Serializable): Unit = synchronized {
+      val st = s.asInstanceOf[LogisticState]
+      require(st.w.length == aug, s"restored width ${st.w.length} != $aug")
+      w = st.w.clone()
+      steps = st.steps
+    }
+  }
+
   /** One prequential metric row per micro-batch (river RiverTrain with a
-    * metric: predict before learn, then emit the running metric). */
-  final case class BatchMetric(batchId: Long, n: Long, mae: Double, rmse: Double)
+    * metric: predict before learn, then emit the running metric). `acc`
+    * is the within-half-a-unit rate — for {0,1} labels and probability
+    * predictions that is exactly classification accuracy; for regression
+    * it is a fixed-tolerance hit rate. */
+  final case class BatchMetric(batchId: Long, n: Long, mae: Double, rmse: Double,
+                               acc: Double)
 
   /** Handle on a running training stream: the live model plus the
     * per-batch prequential metrics (the reference's metric emission). */
@@ -230,20 +358,21 @@ object River {
   private object ModelStore {
     import java.io.{BufferedInputStream, BufferedOutputStream, ObjectInputStream, ObjectOutputStream}
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    def write(dir: String, batchId: Long, stats: Stats): Unit = {
+    def write(dir: String, batchId: Long, state: java.io.Serializable): Unit = {
       Files.createDirectories(Paths.get(dir))
       val tmp = Paths.get(dir, "model-stats.bin.tmp")
       val out = new ObjectOutputStream(new BufferedOutputStream(Files.newOutputStream(tmp)))
-      try { out.writeLong(batchId); out.writeObject(stats) } finally out.close()
+      try { out.writeLong(batchId); out.writeObject(state) } finally out.close()
       Files.move(tmp, Paths.get(dir, "model-stats.bin"),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
-    def read(dir: String): Option[(Long, Stats)] = {
+    def read(dir: String): Option[(Long, java.io.Serializable)] = {
       val p = Paths.get(dir, "model-stats.bin")
       if (!Files.exists(p)) None
       else {
         val in = new ObjectInputStream(new BufferedInputStream(Files.newInputStream(p)))
-        try Some((in.readLong(), in.readObject().asInstanceOf[Stats])) finally in.close()
+        try Some((in.readLong(), in.readObject().asInstanceOf[java.io.Serializable]))
+        finally in.close()
       }
     }
   }
@@ -265,16 +394,18 @@ object River {
     import spark.implicits._
     val m = model // serialized into the closure with current weights
     val err = batch.map { case (x, y) =>
-      val e = m.predict(x) - y; (math.abs(e), e * e, 1L)
-    }.toDF("sae", "sse", "n")
-      .agg(sum("sae"), sum("sse"), sum("n")).first()
-    if (!err.isNullAt(2) && err.getLong(2) > 0) {
-      val n = err.getLong(2)
+      val e = m.predict(x) - y
+      (math.abs(e), e * e, if (math.abs(e) < 0.5) 1L else 0L, 1L)
+    }.toDF("sae", "sse", "hit", "n")
+      .agg(sum("sae"), sum("sse"), sum("hit"), sum("n")).first()
+    if (!err.isNullAt(3) && err.getLong(3) > 0) {
+      val n = err.getLong(3)
       metricsRef.updateAndGet(_ :+ BatchMetric(
-        batchId, n, err.getDouble(0) / n, math.sqrt(err.getDouble(1) / n)))
+        batchId, n, err.getDouble(0) / n, math.sqrt(err.getDouble(1) / n),
+        err.getLong(2).toDouble / n))
     }
-    model.learn(computeStats(batch, model.d))
-    stateDir.foreach(d => ModelStore.write(d, batchId, model.snapshot))
+    model.learnBatch(batch)
+    stateDir.foreach(d => ModelStore.write(d, batchId, model.state))
     lastFolded.set(batchId)
   }
 
@@ -297,7 +428,7 @@ object River {
     val metricsRef = new AtomicReference[Vector[BatchMetric]](Vector.empty)
     val lastFolded = new java.util.concurrent.atomic.AtomicLong(
       stateDir.flatMap(ModelStore.read) match {
-        case Some((bid, st)) => model.restore(st); bid
+        case Some((bid, st)) => model.restoreState(st); bid
         case None => -1L
       })
     val writer = data.writeStream.queryName(queryName)

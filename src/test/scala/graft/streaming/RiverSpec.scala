@@ -149,4 +149,75 @@ class RiverSpec extends SparkSuite {
     assert(math.abs(m0) < 1e-12 && math.abs(m1) < 1e-12)
     assert(math.abs(out.map(r => r(0) * r(0)).sum / out.length - 1.0) < 1e-12)
   }
+
+  test("logistic regression: prequential accuracy climbs; direction tracks a one-shot fit") {
+    // planted separable stream: y = 1 iff w*·x + b* > 0
+    val wStar = Array(1.5, -2.0, 0.8, 1.0)
+    val bStar = 0.3
+    val rnd = new scala.util.Random(11)
+    def row(): (Seq[Double], Double) = {
+      val x = Seq.fill(4)(rnd.nextGaussian())
+      val z = (0 until 4).map(i => wStar(i) * x(i)).sum + bStar
+      (x, if (z > 0) 1.0 else 0.0)
+    }
+    val batches = Seq.fill(8)(Seq.fill(250)(row()))
+    val model = new River.OnlineLogisticRegression(features = 4,
+      lr = 0.5, l2 = 1e-3, stepsPerBatch = 5)
+    val in = MemoryStream[(Seq[Double], Double)]
+    val h = River.train(in.toDS(), model, queryName = "river_logreg_t")
+    batches.foreach { b => in.addData(b); h.query.processAllAvailable() }
+    h.query.stop()
+
+    // prequential: each batch scored BEFORE learning it. Batch 0 meets
+    // the zero model (p = 0.5 for everything — zero within-half hits);
+    // later batches meet a trained one. The non-exact model's metric
+    // CLIMBS instead of snapping to zero like the OLS spec's.
+    val ms = h.metrics
+    assert(ms.map(_.batchId) == (0L until 8L).toVector)
+    assert(ms.head.acc < 0.6, s"untrained model scored too well: ${ms.head.acc}")
+    assert(ms.last.acc > 0.9, s"trained prequential accuracy too low: ${ms.map(_.acc)}")
+    assert(ms.takeRight(3).map(_.acc).sum / 3 > ms.take(2).map(_.acc).sum / 2 + 0.2,
+      s"accuracy did not climb: ${ms.map(_.acc)}")
+
+    // the learned coefficient DIRECTION tracks (a) the generating
+    // hyperplane and (b) a one-shot full-data gradient fit (same loss,
+    // driver-side), within a cosine tolerance — on separable data the
+    // norm keeps growing, the direction is what converges
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(a.map(p => p * p).sum) * math.sqrt(b.map(p => p * p).sum))
+    }
+    val all = batches.flatten
+    val oneShot = {
+      val w = new Array[Double](5)
+      for (_ <- 0 until 40) { // 8 batches × 5 steps, full data each step
+        val g = new Array[Double](5)
+        all.foreach { case (x, y) =>
+          val z = (0 until 4).map(i => w(i) * x(i)).sum + w(4)
+          val e = 1.0 / (1.0 + math.exp(-z)) - y
+          (0 until 4).foreach(i => g(i) += e * x(i))
+          g(4) += e
+        }
+        (0 until 5).foreach { i =>
+          val reg = if (i < 4) 1e-3 * w(i) else 0.0
+          w(i) -= 0.5 * (g(i) / all.size + reg)
+        }
+      }
+      w
+    }
+    val learned = model.weights // (w1..w4, intercept)
+    assert(cosine(learned, oneShot) > 0.95,
+      s"online direction drifted from one-shot: ${learned.toSeq} vs ${oneShot.toSeq}")
+    assert(cosine(learned.take(4), wStar) > 0.95,
+      s"online direction drifted from the generator: ${learned.toSeq}")
+    // the fitted model separates the full stream it was trained on
+    val fullAcc = all.count { case (x, y) =>
+      (model.predict(x) >= 0.5) == (y == 1.0) }.toDouble / all.size
+    assert(fullAcc > 0.95, s"full-data accuracy $fullAcc")
+
+    // state round trip (the restart-restore path train() uses)
+    val clone = new River.OnlineLogisticRegression(features = 4)
+    clone.restoreState(model.state)
+    assert(clone.weights.toSeq == model.weights.toSeq)
+  }
 }
