@@ -200,6 +200,10 @@ object TrainingDataPipeline {
     require(vacuumGraceMs >= 0L, s"vacuumGraceMs must be >= 0: $vacuumGraceMs")
     val spark = input.sparkSession
     val runKey = graft.functions.TableLog.runKeyFor(spark, ckptDir)
+    // a pre-TableLog table (data files, no log) is adopted as manifest 0
+    // so its rows become a committed snapshot — NOT unreferenced debris
+    // the startup vacuum would reclaim (the upgrade-in-place case)
+    graft.functions.TableLog.adopt(spark, outDir)
     // startup sweep: files stranded by a crash (never referenced by any
     // manifest) and expired pre-compaction files go now, not at the
     // first maintenance pass

@@ -42,6 +42,9 @@ object AnnIndex {
     * are excluded here once, not per query. */
   def build(corpus: DataFrame, name: String, planes: Int = 8,
             buckets: Int = 64): Handle = {
+    // planes > 12 builds a valid single-probe index; multi-probe
+    // (nprobe > 1) ranks 2^planes masks and the streaming entry points
+    // reject such geometries driver-side before any stream starts
     require(planes >= 1 && planes <= 63, s"planes must be in [1, 63]: $planes")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -57,6 +60,10 @@ object AnnIndex {
       .toDF("vec_id", "embedding", "nrm", "q", "scale", "l1")
       .filter($"nrm" > 0)
       .withColumn("bucket", native.lsh_bucket($"embedding", planes))
+      // pinned across the two table writes: the exact-decimal sign-LSH
+      // and int8 quantization are the expensive derivations — one corpus
+      // pass, not one per output table
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val h = Handle(s"${name}_probe", s"${name}_vec", planes, buckets)
     // a rebuild must not trip over a previous life of the index: with an
     // in-memory catalog (tests, fresh sessions) the table entry is gone
@@ -69,12 +76,14 @@ object AnnIndex {
       val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(wh)) fs.delete(wh, true)
     }
-    Bucketing.writeBucketed(
-      enriched.select($"vec_id", $"bucket", $"nrm", $"q", $"scale", $"l1", $"embedding"),
-      h.probeTable, "bucket", buckets)
-    Bucketing.writeBucketed(
-      enriched.select($"vec_id", $"embedding", $"nrm"),
-      h.vecTable, "vec_id", buckets)
+    try {
+      Bucketing.writeBucketed(
+        enriched.select($"vec_id", $"bucket", $"nrm", $"q", $"scale", $"l1", $"embedding"),
+        h.probeTable, "bucket", buckets)
+      Bucketing.writeBucketed(
+        enriched.select($"vec_id", $"embedding", $"nrm"),
+        h.vecTable, "vec_id", buckets)
+    } finally enriched.unpersist(blocking = false)
     h
   }
 

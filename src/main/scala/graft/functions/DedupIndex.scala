@@ -133,10 +133,13 @@ object DedupIndex {
     * moves rows, never changes them). */
   def maintain(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       targetBytes: Long, geom: Lsh.Geometry = Lsh.Small): Int = {
-    requireGeometry(spark.read.parquet(indexDir), geom)
+    // repair BEFORE the geometry read: the crash state recover exists
+    // for (table renamed to __precompact, path missing) would make the
+    // geometry check itself throw path-not-found forever
     val repaired = Compaction.recover(spark, indexDir)
     if (repaired != "clean")
       System.err.println(s"[graft] dedup-index recover on $indexDir: $repaired")
+    requireGeometry(spark.read.parquet(indexDir), geom)
     Compaction.compactParquet(spark, indexDir, targetBytes,
       layoutBy = Seq("band", "band_hash"))
   }

@@ -175,16 +175,10 @@ object TableLog {
         s"version ${m.version} of $dir was committed by another writer — " +
           "the table's contract is a single writer")
     }
-    // prune the manifest tail (the data files old manifests reference
-    // stay until vacuum's grace passes, so pruning here never strands a
-    // reader inside the retention window)
-    val floor = m.version - KeepManifests + 1
-    fs.listStatus(log).iterator.foreach { f =>
-      f.getPath.getName match {
-        case ManifestRe(v) if v.toLong < floor => fs.delete(f.getPath, false)
-        case _ =>
-      }
-    }
+    // manifest-tail pruning happens in vacuum, NOT here: a manifest may
+    // only disappear once it is older than the snapshot grace, otherwise
+    // a fast-committing writer could prune the manifest a seconds-old
+    // reader resolved and then reclaim its files out from under it
   }
 
   /** Snapshot read: the table at its newest committed version — exactly
@@ -310,31 +304,48 @@ object TableLog {
     entries.length
   }
 
-  /** Reclaim everything no retained manifest references — data files
+  /** Reclaim everything this table's log no longer protects: first
+    * prune the manifest tail (beyond the last [[KeepManifests]], and
+    * ONLY once a manifest is older than `graceMs` — a reader inside the
+    * grace window resolved a manifest that is therefore still present),
+    * then delete what no surviving manifest references — data files
     * superseded by compaction, debris from crashed appends, stranded
-    * `_staging-*` scratch — once it is older than `graceMs`. The grace
-    * is the snapshot-isolation window: a reader that resolved any
-    * retained manifest within the last `graceMs` still finds all its
-    * files. Returns the number of paths deleted. */
+    * `_staging-*` scratch — once it too is older than `graceMs`. The
+    * grace is the snapshot-isolation window end to end: any reader that
+    * resolved the then-latest manifest within the last `graceMs` still
+    * finds both the manifest and every file it names.
+    *
+    * A directory with data files but NO manifest log is NOT a TableLog
+    * table — nothing in it is this module's to reclaim, so vacuum
+    * touches nothing and returns 0 (the upgrade-a-raw-parquet-dir case;
+    * see [[adopt]]). Returns the number of paths deleted. */
   def vacuum(spark: SparkSession, dir: String, graceMs: Long): Int = {
     val (fs, table) = fsFor(spark, dir)
     if (!fs.exists(table)) return 0
     val log = logDir(dir)
-    val live: Set[String] =
-      if (!fs.exists(log)) Set.empty
-      else fs.listStatus(log).iterator.flatMap { f =>
-        f.getPath.getName match {
-          case ManifestRe(_) => parse(readFully(fs, f.getPath)).files.iterator.map(_.name)
-          case _             => Iterator.empty
-        }
-      }.toSet
+    if (!fs.exists(log)) return 0 // not a TableLog table: nothing is ours
     val cutoff = System.currentTimeMillis() - graceMs
+    // inclusive comparisons so graceMs=0 means "everything up to now"
+    // even when the filesystem's mtime granularity rounds a just-written
+    // file to the current instant
+    val manifests = fs.listStatus(log).flatMap { f =>
+      f.getPath.getName match {
+        case ManifestRe(v) => Some((v.toLong, f))
+        case _             => None
+      }
+    }.sortBy(_._1)
+    if (manifests.isEmpty) return 0
     var deleted = 0
+    val floor = manifests.last._1 - KeepManifests + 1
+    val (prunable, retained) = manifests.partition { case (v, f) =>
+      v < floor && f.getModificationTime <= cutoff
+    }
+    prunable.foreach { case (_, f) => fs.delete(f.getPath, false); deleted += 1 }
+    val live: Set[String] = retained.iterator.flatMap { case (_, f) =>
+      parse(readFully(fs, f.getPath)).files.iterator.map(_.name)
+    }.toSet
     fs.listStatus(table).iterator.foreach { f =>
       val name = f.getPath.getName
-      // inclusive so graceMs=0 means "everything up to now" even when the
-      // filesystem's mtime granularity rounds a just-written file to the
-      // current instant
       val expired = f.getModificationTime <= cutoff
       if (name.startsWith("_staging-") && expired) {
         fs.delete(f.getPath, true); deleted += 1
@@ -344,5 +355,33 @@ object TableLog {
       }
     }
     deleted
+  }
+
+  /** Adopt a pre-TableLog parquet directory: commit manifest 0
+    * referencing every data file already present, so existing rows
+    * become a committed snapshot instead of unreferenced debris. The
+    * one-time migration step for tables written before the log existed
+    * (e.g. by the marker-protocol ingest loop this module replaced);
+    * [[graft.examples.TrainingDataPipeline.ingestWithMaintenance]] runs
+    * it automatically on startup when it finds data without a log.
+    * No-op (returning the existing manifest) if the dir already has one. */
+  def adopt(spark: SparkSession, dir: String): Manifest = {
+    latest(spark, dir).getOrElse {
+      val (fs, table) = fsFor(spark, dir)
+      val entries: Vector[Entry] =
+        if (!fs.exists(table)) Vector.empty
+        else fs.listStatus(table).iterator
+          .filter { f => val n = f.getPath.getName
+            !f.isDirectory && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") }
+          .map(f => Entry(f.getPath.getName, f.getLen))
+          .toVector
+      val rows =
+        if (entries.isEmpty) 0L
+        else spark.read.parquet(
+          entries.map(e => s"${dir.stripSuffix("/")}/${e.name}"): _*).count()
+      val m = Manifest(0L, entries, rows, Map.empty, "adopt")
+      commit(fs, dir, m)
+      m
+    }
   }
 }

@@ -61,6 +61,7 @@ object Similarity {
     * the SAME hyperplanes `lsh_bucket` signs. */
   private def probedQueries(queries: Dataset[(Long, Array[Float])],
                             planes: Int, nprobe: Int): DataFrame = {
+    requireProbeGeometry(planes, nprobe)
     val spark = queries.sparkSession
     import spark.implicits._
     val projCol: Column =
@@ -196,9 +197,19 @@ object Similarity {
     * probe join on the int8 sidecar, certified survivor filter, exact
     * rerank by id, top-k fold. `taggedStatic` needs (vec_id, bucket,
     * nrm, q, scale, l1); `floatStatic` needs (vec_id, embedding, nrm). */
+  /** Driver-side geometry check so an unsupported (planes, nprobe)
+    * combination fails at plan construction with a clear message, not
+    * per-task inside [[AnnIndex.multiProbe]] on the first micro-batch —
+    * an index legally built at planes > 12 is single-probe-only. */
+  private def requireProbeGeometry(planes: Int, nprobe: Int): Unit =
+    require(nprobe <= 1 || planes <= 12,
+      s"multi-probe ranks 2^planes buckets per query and supports planes <= 12; " +
+        s"got planes=$planes with nprobe=$nprobe — probe this geometry with nprobe=1")
+
   private def knnQuantizedCore(queries: Dataset[(Long, Array[Float])],
       taggedStatic: DataFrame, floatStatic: DataFrame, k: Int, planes: Int,
       nprobe: Int): Dataset[(Long, Long, Double)] = {
+    requireProbeGeometry(planes, nprobe)
     val spark = queries.sparkSession
     import spark.implicits._
     // stream side: quantize once per query, then explode probe buckets

@@ -240,6 +240,32 @@ class TrainingDataPipelineSpec extends SparkSuite {
     assert(TableLog.latest(spark, outDir).get.commits.size == 2)
   }
 
+  test("maintenance ingest on a pre-TableLog table adopts it — legacy rows survive the upgrade") {
+    // the r10 review finding: an r9-era table (raw parquet, no manifest
+    // log) restarted under the TableLog loop must not have its history
+    // vacuumed away as "unreferenced debris" — it is adopted as the
+    // version-0 snapshot and new batches append on top
+    import graft.functions.TableLog
+    val outDir = java.nio.file.Files.createTempDirectory("graft_legacy_out").toString + "/t"
+    Seq.tabulate(400)(i => (i.toLong, s"old-$i")).toDF("id", "v")
+      .coalesce(2).write.parquet(outDir)
+    // make the legacy files decidedly older than any grace rounding
+    new java.io.File(outDir).listFiles().foreach(f =>
+      f.setLastModified(System.currentTimeMillis() - 3600L * 1000))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_legacy_src").toString + "/in"
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_legacy_ck").toString
+    Seq.tabulate(200)(i => (1000L + i, s"new-$i")).toDF("id", "v")
+      .coalesce(2).write.parquet(srcDir)
+    val q = TrainingDataPipeline.ingestWithMaintenance(
+      spark.readStream.schema("id LONG, v STRING")
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      outDir, ckptDir, targetBytes = 65536L, everyNBatches = 2, vacuumGraceMs = 0L)
+    try q.processAllAvailable() finally q.stop()
+    val got = TableLog.read(spark, outDir).select("id").as[Long].collect().sorted.toSeq
+    assert(got == ((0L until 400L) ++ (1000L until 1200L)).toSeq,
+      s"legacy rows lost in the upgrade: ${got.length} of 600")
+  }
+
   test("maintenance loop survives a real stop/restart on the same checkpoint") {
     // TableLogSpec drives appendBatch replays by hand; this one drives
     // the ENGINE's replay: stop the query, land more input, restart from

@@ -211,10 +211,23 @@ class DedupIndexSpec extends SparkSuite {
     assert(after == before, "maintenance changed probe verdicts")
     assert(before.exists(!_._3), "fixture vacuity: probe chunk found no duplicates")
 
+    // a crash mid-compaction (table renamed away, swap unfinished) must
+    // be repaired by the NEXT maintain call, not wedge it forever on the
+    // geometry read (the r10 review finding: recover ran after the read)
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(idxDir),
+      new org.apache.hadoop.fs.Path(idxDir + "__precompact")))
+    val rewritten = DedupIndex.maintain(spark, idxDir, targetBytes = 1L << 20)
+    assert(rewritten >= 1, "maintain did not recover the crashed swap")
+    assert(verdicts(DedupIndex.incrementalVerdicts(
+      probe, spark.read.parquet(idxDir))) == before,
+      "post-recovery verdicts drifted")
+
     // the re-layout clustered the probe key: each rewritten file spans
     // less than the global (band, band_hash) range when several exist,
     // and band min/max per file are tight enough to prune on
-    if (written >= 2) {
+    if (files().length >= 2) {
       val spans = files().toSeq.map { f =>
         val r = spark.read.parquet(f.toString)
           .agg(min($"band"), max($"band")).head()

@@ -137,6 +137,65 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.runKeyFor(spark, ckpt2) != k1, "a fresh checkpoint must draw a fresh runKey")
   }
 
+  test("a pre-TableLog parquet dir is adopted, never vacuumed away") {
+    // the upgrade-in-place case: a table written before the log existed
+    // has data files and NO _graft_log. vacuum must treat it as not ours
+    // (return 0, touch nothing), and adopt must turn the existing files
+    // into committed manifest 0 so later vacuums protect them.
+    val dir = freshTable()
+    batchDf(0).repartition(3).write.parquet(dir)
+    val dataFiles = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(dataFiles.length >= 3)
+    assert(TableLog.vacuum(spark, dir, graceMs = 0L) == 0,
+      "vacuum deleted from a directory that has no manifest log")
+    dataFiles.foreach(f => assert(f.exists(), s"${f.getName} deleted pre-adoption"))
+    val m = TableLog.adopt(spark, dir)
+    assert(m.version == 0L && m.op == "adopt" && m.rows == 100L)
+    assert(TableLog.adopt(spark, dir).version == 0L, "re-adopt must be a no-op")
+    // post-adoption, the legacy files are referenced and survive vacuum
+    TableLog.vacuum(spark, dir, graceMs = 0L)
+    dataFiles.foreach(f => assert(f.exists(), s"${f.getName} lost after adoption"))
+    // and normal appends continue from the adopted snapshot
+    TableLog.appendBatch(batchDf(1), dir, "r", 0L)
+    assert(TableLog.read(spark, dir).count() == 200L)
+  }
+
+  test("fast-churn safety: pruning waits out the grace, so a recent reader's manifest survives") {
+    // the r10 review finding: files must not become reclaimable the
+    // instant their last referencing manifest falls past the count
+    // floor — a reader that resolved that manifest seconds ago is still
+    // inside the grace window. Manifest pruning is therefore part of
+    // vacuum and honors the same grace as file deletion.
+    val dir = freshTable()
+    (0 until 3).foreach(b => TableLog.appendBatch(batchDf(b), dir, "r", b.toLong))
+    val old = TableLog.latest(spark, dir).get // a "reader's" resolved snapshot
+    TableLog.compact(spark, dir, targetBytes = 1L << 20)
+    // churn: more than KeepManifests commits land within the grace
+    (0 until TableLog.KeepManifests + 2).foreach { i =>
+      TableLog.appendBatch(batchDf(10 + i, n = 1), dir, "r", 10L + i)
+    }
+    TableLog.vacuum(spark, dir, graceMs = 600000L)
+    // inside the grace: the reader's manifest AND its files are intact
+    val oldRows = TableLog.readVersion(spark, dir, old)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(oldRows.length == 300, "recent reader's snapshot broken by churny pruning")
+    val manifestCount = new java.io.File(dir + "/_graft_log").listFiles()
+      .count(_.getName.startsWith("manifest-"))
+    assert(manifestCount > TableLog.KeepManifests,
+      "young manifests beyond the count floor must wait out the grace")
+    // once the grace has passed (grace 0 here), the tail prunes and the
+    // superseded files go
+    TableLog.vacuum(spark, dir, graceMs = 0L)
+    val after = new java.io.File(dir + "/_graft_log").listFiles()
+      .count(_.getName.startsWith("manifest-"))
+    assert(after <= TableLog.KeepManifests, s"tail not pruned after grace: $after")
+    old.files.foreach { e =>
+      assert(!new java.io.File(dir + "/" + e.name).exists(),
+        s"${e.name} out of grace and retention but not reclaimed")
+    }
+  }
+
   test("empty micro-batches advance the commit map without fabricating files") {
     val dir = freshTable()
     TableLog.appendBatch(batchDf(0), dir, "r", 0L)
