@@ -255,6 +255,56 @@ object SimilarityOps extends QueryGroup {
     // candidate pairs by ~2^planes, and the bucketing itself is one
     // narrow scan — at 100 TB, bucket becomes the partition key and each
     // query touches one partition instead of the whole corpus.
+    // Multi-probe ANN (Lv et al.): each query probes its own sign-LSH
+    // bucket PLUS the nprobe-1 buckets nearest by perturbation score —
+    // the declarative face of AnnIndex.multiProbe (whose recall curves
+    // SimilarityRecallSpec measures), oracle-checked cross-engine. The
+    // probe RANKING must be engine-exact, so the score is integral:
+    // each plane's |projection| (an exact decimal sum rendered to an
+    // identical double in both engines — the embed_project invariant)
+    // becomes round(|p|·1e9) micro-units, and a mask's score is the
+    // LONG sum over its set bits — order-independent, no float-sum
+    // tie ambiguity. Ties break on the probed bucket id. Probe
+    // selection is per-query constant work (2^planes masks over the
+    // FIXED query set — corpus size never enters); candidates are one
+    // equi-join on the probed bucket, then the shared filter-verify
+    // exact top-k.
+    "similarity_ann_multiprobe" -> ((s, dir) => {
+      import s.implicits._
+      val planes = 8
+      val nprobe = 4
+      val emb = spread(t(s, dir, "embeddings"))
+        .select($"vec_id", $"embedding",
+          sqrt(dotDec($"embedding", $"embedding").cast("double")).as("nrm"),
+          native.lsh_bucket($"embedding", planes).as("bucket"))
+        .filter($"nrm" > 0)
+        .transform(graft.functions.Materialize.cut)
+      val q = emb.filter($"vec_id" < 100)
+        .select($"vec_id".as("qid"), $"embedding".as("qemb"),
+          $"nrm".as("qn"), $"bucket",
+          transform(native.rp_project($"embedding", planes),
+            p => round(abs(p) * lit(1e9)).cast("long")).as("micros"))
+      val probeW = Window.partitionBy($"qid").orderBy($"mscore".asc, $"pbucket".asc)
+      val probes = q
+        .select($"qid", $"bucket", $"micros",
+          explode(typedlit((0L until (1L << planes)).toVector)).as("mask"))
+        .withColumn("mscore", (0 until planes).map { h =>
+          when($"mask".bitwiseAND(lit(1L << h)) =!= 0L,
+            element_at($"micros", h + 1)).otherwise(0L)
+        }.reduce(_ + _))
+        .withColumn("pbucket", $"bucket".bitwiseXOR($"mask"))
+        .withColumn("prank", row_number().over(probeW))
+        .filter($"prank" <= nprobe)
+        .select($"qid", $"pbucket")
+      val probeSide = probes.join(q.select($"qid", $"qemb", $"qn"), Seq("qid"))
+      val scored = emb.join(broadcast(probeSide),
+          $"bucket" === $"pbucket" && $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          (native.double_dot($"embedding", $"qemb") / ($"qn" * $"nrm")).as("dcos"))
+      exactTopK(scored, emb, q.select($"qid", $"qemb", $"qn"), 3)
+        .select($"qid", $"vec_id".as("nn_id"), $"rk".cast("long").as("rk"), $"cosine")
+    }),
+
     "similarity_ann_lsh" -> ((s, dir) => {
       import s.implicits._
       val emb = spread(t(s, dir, "embeddings"))
@@ -407,6 +457,69 @@ object SimilarityOps extends QueryGroup {
          |SELECT qid, did AS nn_id, rk, cosine FROM (
          |  SELECT qid, did, cosine,
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, did) AS rk
+         |  FROM cosines) WHERE rk <= 3""".stripMargin,
+
+    // multi-probe: same hyperplanes/buckets as similarity_ann_lsh, plus
+    // per-plane micro-unit |projection|s (round(|p|·1e9) AS BIGINT — the
+    // same exact-decimal doubles both engines hold, so the integral mask
+    // scores are engine-identical), 2^8 masks ranked per query by
+    // (score, probed bucket), top-4 probed.
+    "similarity_ann_multiprobe" ->
+      s"""WITH c AS ($SQL_COMPS),
+         |r AS (
+         |  SELECT h, i,
+         |    ((('0x' || substr(md5(CAST(h AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 6))::BIGINT
+         |      % 1000) - 500) / 1000.0 AS rv
+         |  FROM UNNEST(generate_series(1, 8)) t1(h),
+         |    UNNEST(generate_series(1, (SELECT MAX(len(embedding)) FROM embeddings))) t2(i)),
+         |planedots AS (
+         |  SELECT c.vec_id, r.h,
+         |    CAST(SUM(CAST(c.x * r.rv AS DECIMAL(38,20))) AS DOUBLE) AS v
+         |  FROM c JOIN r ON c.i = r.i
+         |  GROUP BY c.vec_id, r.h),
+         |bits AS (
+         |  SELECT vec_id, h, CASE WHEN v >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM planedots),
+         |buckets AS (
+         |  SELECT vec_id, CAST(SUM(bit * CAST(POWER(2, h - 1) AS BIGINT)) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY vec_id),
+         |micros AS (
+         |  SELECT vec_id, h, CAST(round(abs(v) * 1e9) AS BIGINT) AS mv
+         |  FROM planedots WHERE vec_id < 100),
+         |masks AS (SELECT m FROM UNNEST(generate_series(0, 255)) t(m)),
+         |mscore AS (
+         |  SELECT micros.vec_id AS qid, masks.m,
+         |    SUM(CASE WHEN ((masks.m >> (micros.h - 1)) & 1) = 1 THEN micros.mv ELSE 0 END) AS mscore
+         |  FROM micros JOIN masks ON TRUE
+         |  GROUP BY micros.vec_id, masks.m),
+         |probes AS (
+         |  SELECT qid, pbucket FROM (
+         |    SELECT mscore.qid, xor(b.bucket, mscore.m) AS pbucket,
+         |      ROW_NUMBER() OVER (PARTITION BY mscore.qid
+         |        ORDER BY mscore.mscore, xor(b.bucket, mscore.m)) AS rn
+         |    FROM mscore JOIN buckets b ON b.vec_id = mscore.qid) WHERE rn <= 4),
+         |norms AS (
+         |  SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+         |  FROM c GROUP BY vec_id),
+         |cand AS (
+         |  SELECT DISTINCT probes.qid, d.vec_id AS cid
+         |  FROM probes JOIN buckets d ON d.bucket = probes.pbucket
+         |  WHERE d.vec_id <> probes.qid),
+         |dots AS (
+         |  SELECT cand.qid, cand.cid,
+         |    CAST(SUM(CAST(cq.x * cd.x AS DECIMAL(38,20))) AS DOUBLE) AS dot
+         |  FROM cand
+         |  JOIN c cq ON cq.vec_id = cand.qid
+         |  JOIN c cd ON cd.vec_id = cand.cid AND cd.i = cq.i
+         |  GROUP BY cand.qid, cand.cid),
+         |cosines AS (
+         |  SELECT qid, cid, ROUND(dot / (qn.nrm * cn.nrm), 9) AS cosine
+         |  FROM dots
+         |  JOIN norms qn ON qn.vec_id = qid AND qn.nrm > 0
+         |  JOIN norms cn ON cn.vec_id = cid AND cn.nrm > 0)
+         |SELECT qid, cid AS nn_id, rk, cosine FROM (
+         |  SELECT qid, cid, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
          |  FROM cosines) WHERE rk <= 3""".stripMargin,
 
     // hyperplane r(h,i) = ((int(md5("h|i")[1:6], 16) % 1000) - 500)/1000.0
