@@ -87,6 +87,39 @@ object AnnIndex {
     h
   }
 
+  /** Incremental maintenance: enrich `newVectors` (`vec_id`,
+    * `embedding`) with the index's OWN geometry and append to both
+    * tables — the daily-delta path, so a growing corpus never pays a
+    * full rebuild. `insertInto` honors the catalog bucket spec, so the
+    * appended files land bucketed like the originals and every
+    * Exchange-free probe-join property survives (AnnIndexSpec pins the
+    * enriched rows AND the plan shape equal to a from-scratch rebuild).
+    * Vec_id uniqueness is the caller's contract, exactly as at build
+    * time — appending an id twice indexes it twice. */
+  def append(spark: SparkSession, h: Handle, newVectors: DataFrame): Unit = {
+    import spark.implicits._
+    val enriched = newVectors.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        var n = 0.0
+        var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+        val (q, s, l1) = Ivf.quantize(v)
+        (id, v, math.sqrt(n), q, s, l1)
+      })
+      .toDF("vec_id", "embedding", "nrm", "q", "scale", "l1")
+      .filter($"nrm" > 0)
+      .withColumn("bucket", native.lsh_bucket($"embedding", h.planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      enriched
+        .select($"vec_id", $"bucket", $"nrm", $"q", $"scale", $"l1", $"embedding")
+        .write.insertInto(h.probeTable)
+      enriched.select($"vec_id", $"embedding", $"nrm")
+        .write.insertInto(h.vecTable)
+    } finally enriched.unpersist(blocking = false)
+  }
+
   /** The probe-side relation: pre-bucketed on `bucket`, int8 sidecar and
     * float embedding both available (project what the path needs). */
   def probeSide(spark: SparkSession, h: Handle): DataFrame =

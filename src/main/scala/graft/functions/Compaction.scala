@@ -56,19 +56,24 @@ object Compaction {
     b.result()
   }
 
-  /** Bytes of all data files under `dir` (filesystem metadata only) — a
-    * streaming sum, no per-file materialization: the target tables are
-    * exactly the ones with millions of files. */
-  def dataBytes(spark: SparkSession, dir: String): Long = {
-    val (fs, path) = fsFor(spark, dir)
-    val it = fs.listFiles(path, true)
-    var total = 0L
-    while (it.hasNext) {
-      val f = it.next()
-      if (!f.getPath.getName.startsWith("_")) total += f.getLen
+  /** Bytes of all data files under `dir`. For a [[TableLog]] table the
+    * answer comes from the newest manifest — one small-file read instead
+    * of the recursive listing that IS the driver-side bottleneck at
+    * 10⁶⁺ files (and the manifest also excludes superseded files still
+    * inside their vacuum grace, which a raw listing would double-count).
+    * Raw directories fall back to the streaming filesystem-metadata sum,
+    * no per-file materialization. */
+  def dataBytes(spark: SparkSession, dir: String): Long =
+    TableLog.latest(spark, dir).map(_.bytes).getOrElse {
+      val (fs, path) = fsFor(spark, dir)
+      val it = fs.listFiles(path, true)
+      var total = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_")) total += f.getLen
+      }
+      total
     }
-    total
-  }
 
   /** Target output file count for `bytes` of data: ceil(bytes/target),
     * min 1. Fails loudly when the count exceeds Int.MaxValue (a multi-TB

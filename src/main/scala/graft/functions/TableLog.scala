@@ -189,6 +189,36 @@ object TableLog {
     readVersion(spark, dir, m)
   }
 
+  /** Time travel: the table as of `version` — available while the
+    * manifest is retained ([[KeepManifests]] back, pruned only past the
+    * vacuum grace) and its files unvacuumed; a version outside retention
+    * fails loudly with the available range. */
+  def readAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val (fs, _) = fsFor(spark, dir)
+    val p = new Path(logDir(dir), manifestName(version))
+    if (!fs.exists(p)) {
+      val have = history(spark, dir).map(_.version)
+      throw new IllegalStateException(
+        s"$dir has no retained manifest for version $version — retained: " +
+          (if (have.isEmpty) "none" else s"${have.min}..${have.max}"))
+    }
+    readVersion(spark, dir, parse(readFully(fs, p)))
+  }
+
+  /** All retained manifests, oldest first — the table's recent history
+    * (version, op, rows, file count) at log-dir-listing cost. */
+  def history(spark: SparkSession, dir: String): Seq[Manifest] = {
+    val (fs, _) = fsFor(spark, dir)
+    val log = logDir(dir)
+    if (!fs.exists(log)) return Nil
+    fs.listStatus(log).iterator.flatMap { f =>
+      f.getPath.getName match {
+        case ManifestRe(_) => Iterator.single(parse(readFully(fs, f.getPath)))
+        case _             => Iterator.empty
+      }
+    }.toSeq.sortBy(_.version)
+  }
+
   /** [[read]] pinned to a specific resolved manifest — the handle a
     * reader holds to keep one snapshot across multiple actions. */
   def readVersion(spark: SparkSession, dir: String, m: Manifest): DataFrame = {

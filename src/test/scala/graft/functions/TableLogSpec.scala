@@ -196,6 +196,31 @@ class TableLogSpec extends SparkSuite {
     }
   }
 
+  test("time travel reads a retained version; history lists the tail; dataBytes is manifest-served") {
+    val dir = freshTable()
+    (0 until 3).foreach(b => TableLog.appendBatch(batchDf(b), dir, "r", b.toLong))
+    TableLog.compact(spark, dir, targetBytes = 1L << 20)
+    // readAt: the pre-compaction version is still retained and readable
+    assert(TableLog.readAt(spark, dir, 1L).count() == 200L)
+    assert(TableLog.readAt(spark, dir, 3L).count() == 300L)
+    val e = intercept[IllegalStateException](TableLog.readAt(spark, dir, 99L))
+    assert(e.getMessage.contains("0..3"), e.getMessage)
+    // history: oldest first, ops recorded
+    val h = TableLog.history(spark, dir)
+    assert(h.map(_.version) == Seq(0L, 1L, 2L, 3L))
+    assert(h.map(_.op) == Seq("append", "append", "append", "compact"))
+    assert(h.map(_.rows) == Seq(100L, 200L, 300L, 300L))
+    // Compaction.dataBytes on a TableLog table = the manifest's sum —
+    // NOT the raw listing, which still holds superseded in-grace files
+    val rawListing = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.length()).sum
+    val got = Compaction.dataBytes(spark, dir)
+    assert(got == TableLog.latest(spark, dir).get.bytes)
+    assert(got < rawListing,
+      "manifest-served bytes should exclude superseded in-grace files")
+  }
+
   test("empty micro-batches advance the commit map without fabricating files") {
     val dir = freshTable()
     TableLog.appendBatch(batchDf(0), dir, "r", 0L)
