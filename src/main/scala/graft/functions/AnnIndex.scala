@@ -48,18 +48,7 @@ object AnnIndex {
     require(planes >= 1 && planes <= 63, s"planes must be in [1, 63]: $planes")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val enriched = corpus.select($"vec_id", $"embedding")
-      .as[(Long, Array[Float])]
-      .mapPartitions(_.map { case (id, v) =>
-        var n = 0.0
-        var i = 0
-        while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
-        val (q, s, l1) = Ivf.quantize(v)
-        (id, v, math.sqrt(n), q, s, l1)
-      })
-      .toDF("vec_id", "embedding", "nrm", "q", "scale", "l1")
-      .filter($"nrm" > 0)
-      .withColumn("bucket", native.lsh_bucket($"embedding", planes))
+    val enriched = enrich(corpus, planes)
       // pinned across the two table writes: the exact-decimal sign-LSH
       // and int8 quantization are the expensive derivations — one corpus
       // pass, not one per output table
@@ -87,18 +76,14 @@ object AnnIndex {
     h
   }
 
-  /** Incremental maintenance: enrich `newVectors` (`vec_id`,
-    * `embedding`) with the index's OWN geometry and append to both
-    * tables — the daily-delta path, so a growing corpus never pays a
-    * full rebuild. `insertInto` honors the catalog bucket spec, so the
-    * appended files land bucketed like the originals and every
-    * Exchange-free probe-join property survives (AnnIndexSpec pins the
-    * enriched rows AND the plan shape equal to a from-scratch rebuild).
-    * Vec_id uniqueness is the caller's contract, exactly as at build
-    * time — appending an id twice indexes it twice. */
-  def append(spark: SparkSession, h: Handle, newVectors: DataFrame): Unit = {
+  /** The shared derivation both [[build]] and [[append]] write: norms,
+    * int8 sidecar, sign-LSH bucket; zero-norm rows excluded. ONE
+    * definition so the spec-pinned "append == rebuild" invariant cannot
+    * be broken by a drive-by change to only one path. */
+  private def enrich(vectors: DataFrame, planes: Int): DataFrame = {
+    val spark = vectors.sparkSession
     import spark.implicits._
-    val enriched = newVectors.select($"vec_id", $"embedding")
+    vectors.select($"vec_id", $"embedding")
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, v) =>
         var n = 0.0
@@ -109,14 +94,40 @@ object AnnIndex {
       })
       .toDF("vec_id", "embedding", "nrm", "q", "scale", "l1")
       .filter($"nrm" > 0)
-      .withColumn("bucket", native.lsh_bucket($"embedding", h.planes))
+      .withColumn("bucket", native.lsh_bucket($"embedding", planes))
+  }
+
+  /** Incremental maintenance: enrich `newVectors` (`vec_id`,
+    * `embedding`) with the index's OWN geometry and append to both
+    * tables — the daily-delta path, so a growing corpus never pays a
+    * full rebuild. `insertInto` honors the catalog bucket spec, so the
+    * appended files land bucketed like the originals and every
+    * Exchange-free probe-join property survives (AnnIndexSpec pins the
+    * enriched rows AND the plan shape equal to a from-scratch rebuild).
+    *
+    * Crash contract — idempotent PER TABLE, not atomic across the two:
+    * each side inserts only the delta ids it does not already hold (a
+    * column-pruned anti-join on `vec_id`), so a crash between the two
+    * inserts is repaired by simply re-running the same append — the
+    * completed side no-ops, the missing side fills in, and no retry can
+    * double-insert (AnnIndexSpec replays a partial crash). Between the
+    * crash and the retry the index is safe, merely incomplete: the
+    * probe side is written LAST, and candidate generation starts there,
+    * so a vec-side-only id is an orphan no query ever joins — it can
+    * reduce recall for the not-yet-visible delta, never corrupt a
+    * result. Vec_id uniqueness within `newVectors` itself remains the
+    * caller's contract, as at build time. */
+  def append(spark: SparkSession, h: Handle, newVectors: DataFrame): Unit = {
+    import spark.implicits._
+    val enriched = enrich(newVectors, h.planes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      enriched
+      enriched.join(vecSide(spark, h).select($"vec_id"), Seq("vec_id"), "left_anti")
+        .select($"vec_id", $"embedding", $"nrm")
+        .write.insertInto(h.vecTable)
+      enriched.join(probeSide(spark, h).select($"vec_id"), Seq("vec_id"), "left_anti")
         .select($"vec_id", $"bucket", $"nrm", $"q", $"scale", $"l1", $"embedding")
         .write.insertInto(h.probeTable)
-      enriched.select($"vec_id", $"embedding", $"nrm")
-        .write.insertInto(h.vecTable)
     } finally enriched.unpersist(blocking = false)
   }
 
@@ -151,7 +162,7 @@ object AnnIndex {
     val total = 1 << planes
     val n = math.min(math.max(nprobe, 1), total)
     if (n == 1) return Array(bucket)
-    val scored = new Array[(Double, Long)](total)
+    val scored = new Array[(Double, Int, Long)](total)
     var mask = 0
     while (mask < total) {
       var s = 0.0
@@ -160,11 +171,16 @@ object AnnIndex {
         if ((mask & (1 << h)) != 0) s += math.abs(projs(h))
         h += 1
       }
-      scored(mask) = (s, (bucket ^ mask.toLong))
+      // mask 0 (the query's own bucket) is pinned first EXPLICITLY, not
+      // just by its zero score: a query sitting on k hyperplanes has k
+      // zero projections, so 2^k masks tie at score 0 and a bucket-id
+      // tiebreak alone could push the own bucket — the highest-recall
+      // probe — out of a small nprobe entirely
+      scored(mask) = (s, if (mask == 0) 0 else 1, (bucket ^ mask.toLong))
       mask += 1
     }
-    // stable preference: nearer flip sets first, ties by bucket id
-    java.util.Arrays.sort(scored, Ordering.Tuple2[Double, Long])
-    scored.iterator.take(n).map(_._2).toArray
+    // nearer flip sets first, own bucket before other ties, then bucket id
+    java.util.Arrays.sort(scored, Ordering.Tuple3[Double, Int, Long])
+    scored.iterator.take(n).map(_._3).toArray
   }
 }

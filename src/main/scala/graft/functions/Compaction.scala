@@ -62,7 +62,11 @@ object Compaction {
     * 10⁶⁺ files (and the manifest also excludes superseded files still
     * inside their vacuum grace, which a raw listing would double-count).
     * Raw directories fall back to the streaming filesystem-metadata sum,
-    * no per-file materialization. */
+    * no per-file materialization. Precedence caveat: once a directory
+    * has a manifest log, the MANIFEST is the table — files appended by
+    * an out-of-band raw writer are uncommitted by definition and are
+    * deliberately not counted (they are what [[TableLog.vacuum]]
+    * reclaims); mixed-mode writing is outside both modules' contracts. */
   def dataBytes(spark: SparkSession, dir: String): Long =
     TableLog.latest(spark, dir).map(_.bytes).getOrElse {
       val (fs, path) = fsFor(spark, dir)

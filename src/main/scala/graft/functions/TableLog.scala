@@ -189,31 +189,57 @@ object TableLog {
     readVersion(spark, dir, m)
   }
 
+  /** Retained manifest versions, from file NAMES only — no manifest is
+    * opened, so this is safe and cheap at any manifest size. */
+  def retainedVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fs, _) = fsFor(spark, dir)
+    val log = logDir(dir)
+    if (!fs.exists(log)) return Nil
+    fs.listStatus(log).iterator.flatMap { f =>
+      f.getPath.getName match {
+        case ManifestRe(v) => Iterator.single(v.toLong)
+        case _             => Iterator.empty
+      }
+    }.toSeq.sorted
+  }
+
+  /** [[readFully]] tolerating a concurrent vacuum pruning the file
+    * between listing and open — the benign read-side race every
+    * beyond-retention manifest accessor must absorb. */
+  private def tryReadFully(fs: FileSystem, p: Path): Option[String] =
+    try Some(readFully(fs, p))
+    catch { case _: java.io.FileNotFoundException => None }
+
   /** Time travel: the table as of `version` — available while the
     * manifest is retained ([[KeepManifests]] back, pruned only past the
     * vacuum grace) and its files unvacuumed; a version outside retention
-    * fails loudly with the available range. */
+    * fails loudly with the available range (derived from manifest NAMES,
+    * so the error path never reads a manifest body). */
   def readAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val (fs, _) = fsFor(spark, dir)
     val p = new Path(logDir(dir), manifestName(version))
-    if (!fs.exists(p)) {
-      val have = history(spark, dir).map(_.version)
-      throw new IllegalStateException(
-        s"$dir has no retained manifest for version $version — retained: " +
-          (if (have.isEmpty) "none" else s"${have.min}..${have.max}"))
+    tryReadFully(fs, p) match {
+      case Some(text) => readVersion(spark, dir, parse(text))
+      case None =>
+        val have = retainedVersions(spark, dir)
+        throw new IllegalStateException(
+          s"$dir has no retained manifest for version $version — retained: " +
+            (if (have.isEmpty) "none" else s"${have.min}..${have.max}"))
     }
-    readVersion(spark, dir, parse(readFully(fs, p)))
   }
 
   /** All retained manifests, oldest first — the table's recent history
-    * (version, op, rows, file count) at log-dir-listing cost. */
+    * (version, op, rows, file count). A manifest pruned by a concurrent
+    * vacuum between the listing and its read is skipped, not an error
+    * (only beyond-retention manifests can disappear; [[latest]] opens
+    * the max version, which pruning never touches). */
   def history(spark: SparkSession, dir: String): Seq[Manifest] = {
     val (fs, _) = fsFor(spark, dir)
     val log = logDir(dir)
     if (!fs.exists(log)) return Nil
     fs.listStatus(log).iterator.flatMap { f =>
       f.getPath.getName match {
-        case ManifestRe(_) => Iterator.single(parse(readFully(fs, f.getPath)))
+        case ManifestRe(_) => tryReadFully(fs, f.getPath).map(parse).iterator
         case _             => Iterator.empty
       }
     }.toSeq.sortBy(_.version)

@@ -284,7 +284,11 @@ object SimilarityOps extends QueryGroup {
           $"nrm".as("qn"), $"bucket",
           transform(native.rp_project($"embedding", planes),
             p => round(abs(p) * lit(1e9)).cast("long")).as("micros"))
-      val probeW = Window.partitionBy($"qid").orderBy($"mscore".asc, $"pbucket".asc)
+      // own bucket (mask 0) pinned ahead of score ties — a query on k
+      // hyperplanes has 2^k masks tied at score 0, and a bucket-id
+      // tiebreak alone could push the own bucket out of the probe set
+      val probeW = Window.partitionBy($"qid")
+        .orderBy($"mscore".asc, ($"mask" =!= 0L).cast("int").asc, $"pbucket".asc)
       val probes = q
         .select($"qid", $"bucket", $"micros",
           explode(typedlit((0L until (1L << planes)).toVector)).as("mask"))
@@ -496,7 +500,8 @@ object SimilarityOps extends QueryGroup {
          |  SELECT qid, pbucket FROM (
          |    SELECT mscore.qid, xor(b.bucket, mscore.m) AS pbucket,
          |      ROW_NUMBER() OVER (PARTITION BY mscore.qid
-         |        ORDER BY mscore.mscore, xor(b.bucket, mscore.m)) AS rn
+         |        ORDER BY mscore.mscore, CASE WHEN mscore.m = 0 THEN 0 ELSE 1 END,
+         |          xor(b.bucket, mscore.m)) AS rn
          |    FROM mscore JOIN buckets b ON b.vec_id = mscore.qid) WHERE rn <= 4),
          |norms AS (
          |  SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
