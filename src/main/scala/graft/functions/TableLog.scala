@@ -309,8 +309,11 @@ object TableLog {
       if (staged.isEmpty) 0L
       else spark.read.parquet(staged.map(_.getPath.toString): _*).count()
     fs.mkdirs(table)
+    // `a<v>-` marks APPENDED data, `c<v>-` compaction rewrites: the
+    // prefix is what lets [[readTail]]'s glob-filtered file stream see
+    // each row exactly once — appends match, rewrites never do
     val entries = staged.map { f =>
-      val name = s"c$v-${f.getPath.getName}"
+      val name = s"a$v-${f.getPath.getName}"
       val dst = new Path(table, name)
       if (!fs.rename(f.getPath, dst))
         throw new java.io.IOException(s"could not land ${f.getPath} as $dst")
@@ -411,6 +414,65 @@ object TableLog {
       }
     }
     deleted
+  }
+
+  /** Tail the table as a stream: a Structured Streaming DataFrame over
+    * the directory restricted (by glob) to `a<v>-` APPEND files, so
+    * every committed append row arrives exactly once in steady state and
+    * compaction rewrites / adopted history never re-emit. Schema comes
+    * from the current snapshot. Two documented caveats, both standard
+    * CDC retention trades:
+    *  - a crash between landing a batch's files and its manifest commit
+    *    replays the batch under a NEW version; the orphaned first copy
+    *    is vacuumed, but a tailer that read it before the vacuum has
+    *    seen those rows twice — at-least-once across writer crashes,
+    *    exactly-once otherwise (use [[appendsSince]] when the consumer
+    *    needs manifest-transactional reads);
+    *  - a tailer lagging beyond the vacuum grace can lose appends whose
+    *    files a post-compaction vacuum reclaimed: size `vacuumGraceMs`
+    *    to the maximum consumer lag, exactly like changelog retention. */
+  def readTail(spark: SparkSession, dir: String): DataFrame = {
+    val schema = read(spark, dir).schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "a*-*.parquet")
+      .parquet(dir.stripSuffix("/"))
+  }
+
+  /** Manifest-transactional incremental read: every row appended AFTER
+    * `sinceVersion`, plus the latest version to checkpoint for the next
+    * call — the exactly-once tailing building block (persist the
+    * returned version with the processing results, the River/ModelStore
+    * pattern). Compaction/adopt versions contribute no rows (rewrites
+    * are not appends). Fails loudly when `sinceVersion` has already
+    * left retention — the delta cannot be reconstructed, so the caller
+    * must fall back to a full snapshot read. */
+  def appendsSince(spark: SparkSession, dir: String,
+                   sinceVersion: Long): (Option[DataFrame], Long) = {
+    val hist = history(spark, dir)
+    require(hist.nonEmpty, s"$dir has no committed manifest")
+    val latestV = hist.last.version
+    if (sinceVersion >= latestV) return (None, latestV)
+    // each delta v needs manifest v-1 too; sinceVersion = -1 (from the
+    // beginning) is only reconstructible while version 0 is retained
+    require(sinceVersion >= hist.head.version ||
+        (sinceVersion == -1L && hist.head.version == 0L),
+      s"version $sinceVersion has left retention (oldest retained: " +
+        s"${hist.head.version}) — re-read the full snapshot instead")
+    val byV = hist.map(m => m.version -> m).toMap
+    val newFiles = ((sinceVersion + 1) to latestV).flatMap { v =>
+      val m = byV(v)
+      if (m.op != "append") Nil
+      else {
+        val prev: Set[String] =
+          byV.get(v - 1).map(_.files.map(_.name).toSet).getOrElse(Set.empty)
+        m.files.filterNot(e => prev.contains(e.name))
+      }
+    }
+    if (newFiles.isEmpty) (None, latestV)
+    else {
+      val base = dir.stripSuffix("/")
+      (Some(spark.read.parquet(newFiles.map(e => s"$base/${e.name}"): _*)), latestV)
+    }
   }
 
   /** Adopt a pre-TableLog parquet directory: commit manifest 0

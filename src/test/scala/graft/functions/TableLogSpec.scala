@@ -221,6 +221,58 @@ class TableLogSpec extends SparkSuite {
       "manifest-served bytes should exclude superseded in-grace files")
   }
 
+  test("readTail streams appends; compaction + vacuum mid-stream never re-emit rows") {
+    val dir = freshTable()
+    TableLog.appendBatch(batchDf(0), dir, "r", 0L)
+    TableLog.appendBatch(batchDf(1), dir, "r", 1L)
+    val q = TableLog.readTail(spark, dir)
+      .writeStream.format("memory").queryName("tlog_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tlog_tail").count() == 200L)
+      // a full rewrite lands c<v>- files — invisible to the tail — and
+      // the vacuum then reclaims the consumed a<v>- files
+      TableLog.compact(spark, dir, targetBytes = 1L << 20)
+      TableLog.vacuum(spark, dir, graceMs = 600000L)
+      q.processAllAvailable()
+      assert(spark.table("tlog_tail").count() == 200L,
+        "compaction rewrites re-emitted through the tail")
+      TableLog.appendBatch(batchDf(2), dir, "r", 2L)
+      q.processAllAvailable()
+      val got = spark.table("tlog_tail").select("id").as[Long].collect().sorted.toSeq
+      assert(got == (0 to 2).flatMap(b => b * 1000L until b * 1000L + 100L),
+        s"tail diverged: ${got.length} rows")
+    } finally q.stop()
+  }
+
+  test("appendsSince: exact deltas, nothing from compaction versions, loud retention edge") {
+    val dir = freshTable()
+    TableLog.appendBatch(batchDf(0), dir, "r", 0L)
+    TableLog.appendBatch(batchDf(1), dir, "r", 1L)
+    val (d0, v0) = TableLog.appendsSince(spark, dir, -1L)
+    assert(v0 == 1L && d0.get.count() == 200L)
+    assert(TableLog.appendsSince(spark, dir, v0) == ((None, 1L)), "no new appends yet")
+    TableLog.compact(spark, dir, targetBytes = 1L << 20)
+    val (d1, v1) = TableLog.appendsSince(spark, dir, v0)
+    assert(d1.isEmpty && v1 == 2L, "a compaction rewrite is not an append")
+    TableLog.appendBatch(batchDf(2), dir, "r", 2L)
+    val (d2, v2) = TableLog.appendsSince(spark, dir, v1)
+    assert(v2 == 3L)
+    assert(d2.get.select("id").as[Long].collect().sorted.toSeq ==
+      (2000L until 2100L).toSeq, "delta must be exactly the new batch")
+    // deltas straddling a compaction version still work (diff per step)
+    val (d3, v3) = TableLog.appendsSince(spark, dir, v0)
+    assert(v3 == 3L && d3.get.count() == 100L)
+    // retention: push the early manifests out, then ask for their delta
+    (0 until TableLog.KeepManifests + 2).foreach { i =>
+      TableLog.appendBatch(batchDf(10 + i, n = 1), dir, "r", 10L + i)
+    }
+    TableLog.vacuum(spark, dir, graceMs = 0L)
+    val e = intercept[IllegalArgumentException](TableLog.appendsSince(spark, dir, 0L))
+    assert(e.getMessage.contains("left retention"), e.getMessage)
+  }
+
   test("empty micro-batches advance the commit map without fabricating files") {
     val dir = freshTable()
     TableLog.appendBatch(batchDf(0), dir, "r", 0L)
