@@ -24,6 +24,43 @@ object Ivf {
 
   final case class Index(model: Kmeans.Model, cells: DataFrame)
 
+  /** Persist a trained index: the tagged corpus lands in a
+    * bucketed+sorted-by-`cell` table — the scaladoc's "write the tagged
+    * corpus with Bucketing.writeBucketed on cell" promise as running
+    * code, so every [[search]]/[[searchQuantized]] cell equi-join over
+    * the loaded index reads the corpus pre-partitioned with ZERO
+    * Exchange (IvfSpec plan-asserts it) — plus a k-row centroid table
+    * carrying the trained model. Like [[AnnIndex.build]], a re-persist
+    * under the same name drops the previous life first. */
+  def persist(spark: org.apache.spark.sql.SparkSession, index: Index,
+              name: String, buckets: Int = 64): Unit = {
+    import spark.implicits._
+    Seq(s"${name}_cells", s"${name}_centroids").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
+    }
+    Bucketing.writeBucketed(index.cells, s"${name}_cells", "cell", buckets)
+    index.model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c, index.model.objective) }.toSeq
+      .toDF("cell", "cemb", "objective")
+      .write.format("parquet").saveAsTable(s"${name}_centroids")
+  }
+
+  /** Load a [[persist]]ed index. The returned Index drops into the
+    * existing search paths unchanged; its `cells` relation is the
+    * bucketed table, so the cell probe join is co-located by layout. */
+  def load(spark: org.apache.spark.sql.SparkSession, name: String): Index = {
+    import spark.implicits._
+    val cent = spark.table(s"${name}_centroids")
+      .select($"cell", $"cemb", $"objective")
+      .as[(Int, Array[Float], Double)].collect().sortBy(_._1)
+    require(cent.nonEmpty, s"$name has no persisted centroids")
+    Index(Kmeans.Model(cent.map(_._2), cent.head._3), spark.table(s"${name}_cells"))
+  }
+
   /** Symmetric int8 scalar quantization of one vector — the same scheme
     * as the oracle-checked `embed_quantize` query (scale = max|x|/127,
     * q_i = floor(x_i/scale + 0.5)): returns (q, scale, ‖q‖₁). The L1

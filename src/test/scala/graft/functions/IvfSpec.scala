@@ -175,4 +175,54 @@ class IvfSpec extends SparkSuite {
       .as[(Array[Float], Int)].collect()
     rows.foreach { case (v, cell) => assert(cell == index.model.assign(v)) }
   }
+
+  test("persisted index: load == in-memory search; cell join reads the corpus Exchange-free") {
+    val index = Ivf.build(corpus, k = 8, iters = 4)
+    Ivf.persist(spark, index, "ivfspec_store", buckets = 8)
+    val loaded = Ivf.load(spark, "ivfspec_store")
+    assert(loaded.model.centroids.map(_.toSeq).toSeq ==
+      index.model.centroids.map(_.toSeq).toSeq, "centroids drifted through persistence")
+    val queries = corpus.limit(15)
+      .select($"vec_id".as("query_id"), $"embedding".as("qemb"))
+    def results(ix: Ivf.Index) = Ivf.search(ix, queries, topK = 5, nprobe = 2)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(results(loaded) == results(index), "loaded-index search diverged")
+    // the at-scale property persistence exists for: with broadcast off
+    // (a 10^9-row corpus can't broadcast), the cell equi-join's corpus
+    // side comes out of the bucketed table with NO Exchange
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevBc = spark.conf.get(bcKey)
+    spark.conf.set(bcKey, "-1")
+    try {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      val df = Ivf.search(loaded, queries, topK = 5, nprobe = 2)
+      df.collect() // finalize the adaptive plan, THEN inspect it
+      // plain collect() stops at AQE query-stage boundaries — expand them
+      def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: expand(a.executedPlan)
+        case q: QueryStageExec        => p +: expand(q.plan)
+        case _                        => p +: p.children.flatMap(expand)
+      }
+      val all = expand(df.queryExecution.executedPlan)
+      val cellJoins = all.collect {
+        case j: SortMergeJoinExec
+          if j.leftKeys.exists(_.toString.contains("cell")) => j
+        case j: ShuffledHashJoinExec
+          if j.leftKeys.exists(_.toString.contains("cell")) => j
+      }
+      assert(cellJoins.nonEmpty,
+        s"no shuffle join on cell in:\n${df.queryExecution.executedPlan}")
+      val corpusSides = cellJoins.flatMap(_.children)
+        .filter(_.toString.contains("ivfspec_store_cells"))
+      assert(corpusSides.nonEmpty, "cells table not under the join")
+      corpusSides.foreach { side =>
+        val shuffles = expand(side).collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.isEmpty, s"corpus side of the cell join shuffles:\n$side")
+      }
+    } finally spark.conf.set(bcKey, prevBc)
+  }
 }
