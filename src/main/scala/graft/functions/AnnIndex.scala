@@ -48,23 +48,16 @@ object AnnIndex {
     require(planes >= 1 && planes <= 63, s"planes must be in [1, 63]: $planes")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val enriched = enrich(corpus, planes)
-      // pinned across the two table writes: the exact-decimal sign-LSH
-      // and int8 quantization are the expensive derivations — one corpus
-      // pass, not one per output table
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pinned across the two table writes (one corpus pass for the
+    // exact-decimal sign-LSH + int8 quantization, not one per output
+    // table) AND materialized before the previous life is dropped: a
+    // rebuild whose `corpus` reads this index's own tables must not
+    // have them deleted under a lazy scan, and a plain persist() would
+    // be uncached BY the drop — so the pin is a lineage cut
+    val enriched = Materialize.cut(enrich(corpus, planes))
     val h = Handle(s"${name}_probe", s"${name}_vec", planes, buckets)
-    // a rebuild must not trip over a previous life of the index: with an
-    // in-memory catalog (tests, fresh sessions) the table entry is gone
-    // but its warehouse directory survives, and saveAsTable refuses to
-    // reuse the location
-    Seq(h.probeTable, h.vecTable).foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS `$t`")
-      val wh = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(wh)) fs.delete(wh, true)
-    }
+    Seq(h.probeTable, h.vecTable)
+      .foreach(Bucketing.dropTableAndLocation(spark, _))
     try {
       Bucketing.writeBucketed(
         enriched.select($"vec_id", $"bucket", $"nrm", $"q", $"scale", $"l1", $"embedding"),
@@ -72,7 +65,7 @@ object AnnIndex {
       Bucketing.writeBucketed(
         enriched.select($"vec_id", $"embedding", $"nrm"),
         h.vecTable, "vec_id", buckets)
-    } finally enriched.unpersist(blocking = false)
+    } finally Materialize.release(enriched)
     h
   }
 

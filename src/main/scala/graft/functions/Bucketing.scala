@@ -16,6 +16,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
+  /** Drop `table` AND its warehouse directory. With an in-memory catalog
+    * (tests, fresh sessions) a previous life's catalog entry is gone but
+    * its directory survives, and saveAsTable refuses to reuse the
+    * location — every index builder needs this exact sweep, so it lives
+    * once here (assumes the default database, as the builders do). */
+  def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+  }
+
   /** Write `df` as a bucketed, per-bucket-sorted managed parquet table.
     * The one-time shuffle this write pays is the shuffle every subsequent
     * same-key join skips. */

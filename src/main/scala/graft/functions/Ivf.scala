@@ -35,18 +35,23 @@ object Ivf {
   def persist(spark: org.apache.spark.sql.SparkSession, index: Index,
               name: String, buckets: Int = 64): Unit = {
     import spark.implicits._
-    Seq(s"${name}_cells", s"${name}_centroids").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS `$t`")
-      val wh = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(wh)) fs.delete(wh, true)
-    }
-    Bucketing.writeBucketed(index.cells, s"${name}_cells", "cell", buckets)
-    index.model.centroids.zipWithIndex
-      .map { case (c, i) => (i, c, index.model.objective) }.toSeq
-      .toDF("cell", "cemb", "objective")
-      .write.format("parquet").saveAsTable(s"${name}_centroids")
+    // pin the cell rows BEFORE dropping the previous life: a load()-ed
+    // index's `cells` IS a lazy scan of the very table being replaced
+    // (the re-bucket-in-place call this scaladoc advertises). A plain
+    // persist() is NOT enough — DROP TABLE uncaches every cached plan
+    // that references the table — so the pin must be a lineage CUT
+    // (Materialize.cut: localCheckpoint / reliable checkpoint), whose
+    // LogicalRDD plan the catalog knows nothing about.
+    val pinned = Materialize.cut(index.cells)
+    try {
+      Seq(s"${name}_cells", s"${name}_centroids")
+        .foreach(Bucketing.dropTableAndLocation(spark, _))
+      Bucketing.writeBucketed(pinned, s"${name}_cells", "cell", buckets)
+      index.model.centroids.zipWithIndex
+        .map { case (c, i) => (i, c, index.model.objective) }.toSeq
+        .toDF("cell", "cemb", "objective")
+        .write.format("parquet").saveAsTable(s"${name}_centroids")
+    } finally Materialize.release(pinned)
   }
 
   /** Load a [[persist]]ed index. The returned Index drops into the
@@ -58,6 +63,12 @@ object Ivf {
       .select($"cell", $"cemb", $"objective")
       .as[(Int, Array[Float], Double)].collect().sortBy(_._1)
     require(cent.nonEmpty, s"$name has no persisted centroids")
+    // centroid POSITION is the cell id the stored tags reference: a gap
+    // or duplicate (partial/corrupt write) would silently probe wrong
+    // cells after the sort — fail loudly instead
+    require(cent.map(_._1).toSeq == cent.indices,
+      s"$name centroid cells are not contiguous 0..${cent.length - 1}: " +
+        cent.map(_._1).mkString(","))
     Index(Kmeans.Model(cent.map(_._2), cent.head._3), spark.table(s"${name}_cells"))
   }
 

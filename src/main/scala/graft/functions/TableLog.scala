@@ -430,13 +430,34 @@ object TableLog {
     *    needs manifest-transactional reads);
     *  - a tailer lagging beyond the vacuum grace can lose appends whose
     *    files a post-compaction vacuum reclaimed: size `vacuumGraceMs`
-    *    to the maximum consumer lag, exactly like changelog retention. */
+    *    to the maximum consumer lag, exactly like changelog retention.
+    *
+    * The tail starts at APPENDS: adopted pre-log history (renamed under
+    * `c0-` by [[adopt]]) never re-emits here — bootstrap a full replica
+    * with [[appendsSince]]`(-1)` (which does include the adopt snapshot)
+    * or a snapshot [[read]], then tail. The no-arg overload infers the
+    * schema from ONE file of the current snapshot (a manifest entry, not
+    * an O(live-files) listing); to start the tailer BEFORE the table's
+    * first commit — the normal consumer-first deployment order — pass
+    * the schema explicitly. */
   def readTail(spark: SparkSession, dir: String): DataFrame = {
-    val schema = read(spark, dir).schema
+    val m = latest(spark, dir).getOrElse(throw new IllegalStateException(
+      s"$dir has no committed manifest — pass the schema explicitly to tail " +
+        "a table that has not been written yet"))
+    val first = m.files.headOption.getOrElse(throw new IllegalStateException(
+      s"$dir has no data files to infer a schema from — pass it explicitly"))
+    val schema = spark.read
+      .parquet(s"${dir.stripSuffix("/")}/${first.name}").schema
+    readTail(spark, dir, schema)
+  }
+
+  /** [[readTail]] with an explicit schema — works before the table's
+    * first commit. */
+  def readTail(spark: SparkSession, dir: String,
+               schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "a*-*.parquet")
       .parquet(dir.stripSuffix("/"))
-  }
 
   /** Manifest-transactional incremental read: every row appended AFTER
     * `sinceVersion`, plus the latest version to checkpoint for the next
@@ -459,9 +480,14 @@ object TableLog {
       s"version $sinceVersion has left retention (oldest retained: " +
         s"${hist.head.version}) — re-read the full snapshot instead")
     val byV = hist.map(m => m.version -> m).toMap
+    // compaction rewrites contribute nothing (their rows already flowed
+    // through earlier versions); appends AND the adopt snapshot do — an
+    // adopted corpus exists nowhere else in the delta stream, so a
+    // from-the-beginning (-1) consumer must receive it or it would build
+    // a silently incomplete replica
     val newFiles = ((sinceVersion + 1) to latestV).flatMap { v =>
       val m = byV(v)
-      if (m.op != "append") Nil
+      if (m.op == "compact") Nil
       else {
         val prev: Set[String] =
           byV.get(v - 1).map(_.files.map(_.name).toSet).getOrElse(Set.empty)
@@ -486,12 +512,28 @@ object TableLog {
   def adopt(spark: SparkSession, dir: String): Manifest = {
     latest(spark, dir).getOrElse {
       val (fs, table) = fsFor(spark, dir)
+      // adopted files are renamed under `c0-` (never a legal append
+      // prefix: appends start at version 1, compactions at the version
+      // after some manifest exists) so [[readTail]]'s a*-glob can never
+      // match pre-existing history — not even a legacy file that
+      // happened to be named like an append. Idempotent: an already
+      // c0-prefixed file (a crashed earlier adopt got to it) is kept
+      // as-is, and the commit only happens once everything is renamed.
       val entries: Vector[Entry] =
         if (!fs.exists(table)) Vector.empty
         else fs.listStatus(table).iterator
           .filter { f => val n = f.getPath.getName
             !f.isDirectory && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") }
-          .map(f => Entry(f.getPath.getName, f.getLen))
+          .map { f =>
+            val n = f.getPath.getName
+            if (n.startsWith("c0-")) Entry(n, f.getLen)
+            else {
+              val dst = new Path(table, s"c0-$n")
+              if (!fs.rename(f.getPath, dst))
+                throw new java.io.IOException(s"could not adopt ${f.getPath} as $dst")
+              Entry(s"c0-$n", f.getLen)
+            }
+          }
           .toVector
       val rows =
         if (entries.isEmpty) 0L

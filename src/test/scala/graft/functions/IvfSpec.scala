@@ -224,5 +224,13 @@ class IvfSpec extends SparkSuite {
         assert(shuffles.isEmpty, s"corpus side of the cell join shuffles:\n$side")
       }
     } finally spark.conf.set(bcKey, prevBc)
+
+    // re-persist IN PLACE (re-bucket): the loaded index's cells ARE a
+    // lazy scan of the table being replaced — persist must pin them
+    // before dropping the previous life, or the only copy dies mid-write
+    Ivf.persist(spark, loaded, "ivfspec_store", buckets = 4)
+    val rebucketed = Ivf.load(spark, "ivfspec_store")
+    assert(results(rebucketed) == results(index),
+      "re-persist under the same name corrupted the index")
   }
 }

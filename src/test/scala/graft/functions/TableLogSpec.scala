@@ -152,13 +152,24 @@ class TableLogSpec extends SparkSuite {
     dataFiles.foreach(f => assert(f.exists(), s"${f.getName} deleted pre-adoption"))
     val m = TableLog.adopt(spark, dir)
     assert(m.version == 0L && m.op == "adopt" && m.rows == 100L)
+    // adoption renames history under c0- so the append-tail glob can
+    // never match it — even a legacy file named like an append
+    assert(m.files.forall(_.name.startsWith("c0-")), m.files.map(_.name))
     assert(TableLog.adopt(spark, dir).version == 0L, "re-adopt must be a no-op")
     // post-adoption, the legacy files are referenced and survive vacuum
     TableLog.vacuum(spark, dir, graceMs = 0L)
-    dataFiles.foreach(f => assert(f.exists(), s"${f.getName} lost after adoption"))
+    m.files.foreach { e =>
+      assert(new java.io.File(dir + "/" + e.name).exists(),
+        s"${e.name} lost after adoption")
+    }
     // and normal appends continue from the adopted snapshot
     TableLog.appendBatch(batchDf(1), dir, "r", 0L)
     assert(TableLog.read(spark, dir).count() == 200L)
+    // a from-the-beginning delta consumer receives the adopt snapshot
+    // too — the adopted corpus exists nowhere else in the delta stream
+    val (d, v) = TableLog.appendsSince(spark, dir, -1L)
+    assert(v == 1L && d.get.count() == 200L,
+      "appendsSince(-1) must include the adopted history")
   }
 
   test("fast-churn safety: pruning waits out the grace, so a recent reader's manifest survives") {
@@ -231,8 +242,7 @@ class TableLogSpec extends SparkSuite {
     try {
       q.processAllAvailable()
       assert(spark.table("tlog_tail").count() == 200L)
-      // a full rewrite lands c<v>- files — invisible to the tail — and
-      // the vacuum then reclaims the consumed a<v>- files
+      // a full rewrite lands c<v>- files — invisible to the tail
       TableLog.compact(spark, dir, targetBytes = 1L << 20)
       TableLog.vacuum(spark, dir, graceMs = 600000L)
       q.processAllAvailable()
@@ -243,6 +253,20 @@ class TableLogSpec extends SparkSuite {
       val got = spark.table("tlog_tail").select("id").as[Long].collect().sorted.toSeq
       assert(got == (0 to 2).flatMap(b => b * 1000L until b * 1000L + 100L),
         s"tail diverged: ${got.length} rows")
+      // now push the consumed a<v>- files out of retention AND grace so
+      // vacuum really reclaims them — the live tailer must not re-emit,
+      // error, or lose anything over the deletion
+      (0 until TableLog.KeepManifests + 2).foreach { i =>
+        TableLog.appendBatch(batchDf(10 + i, n = 1), dir, "r", 10L + i)
+      }
+      TableLog.vacuum(spark, dir, graceMs = 0L)
+      val a01 = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("a0-") || f.getName.startsWith("a1-"))
+      assert(a01.isEmpty, s"early append files not reclaimed: ${a01.map(_.getName).toSeq}")
+      q.processAllAvailable()
+      val total = spark.table("tlog_tail").count()
+      assert(total == 300L + TableLog.KeepManifests + 2,
+        s"tail diverged across file reclamation: $total")
     } finally q.stop()
   }
 
