@@ -202,8 +202,16 @@ object TrainingDataPipeline {
     val runKey = graft.functions.TableLog.runKeyFor(spark, ckptDir)
     // a pre-TableLog table (data files, no log) is adopted as manifest 0
     // so its rows become a committed snapshot — NOT unreferenced debris
-    // the startup vacuum would reclaim (the upgrade-in-place case)
+    // the startup vacuum would reclaim (the upgrade-in-place case).
+    // Before adopting, sweep the OLD marker protocol's uncommitted
+    // debris: adopt() commits EVERY data file present, so a `b<id>-`
+    // file whose batch never reached its marker (a crash mid-append
+    // under the pre-log protocol) would otherwise be adopted as
+    // committed rows AND re-appended by the same-checkpoint replay —
+    // duplicating the batch
+    sweepLegacyUncommitted(spark, outDir)
     graft.functions.TableLog.adopt(spark, outDir)
+    dropLegacyMarkerDir(spark, outDir)
     // startup sweep: files stranded by a crash (never referenced by any
     // manifest) and expired pre-compaction files go now, not at the
     // first maintenance pass
@@ -219,5 +227,50 @@ object TrainingDataPipeline {
         }
       }
       .start()
+  }
+
+  /** Pre-adopt sweep for tables written by the OLD marker protocol this
+    * loop used before [[graft.functions.TableLog]]: data files landed
+    * under `b<batchId>-` prefixes and a marker in the sibling
+    * `<outDir>__batches` dir was the commit point. A crash mid-append
+    * left marker-less `b<id>-` files — uncommitted debris the old
+    * startup sweep deleted. [[graft.functions.TableLog.adopt]] has no
+    * notion of markers and would commit that debris as real rows, so
+    * the sweep must run first. No-op unless the legacy marker dir
+    * exists AND the table has not been adopted yet (once a `_graft_log`
+    * exists, every surviving file is manifest-committed and the marker
+    * dir is mere residue for [[dropLegacyMarkerDir]]). */
+  private def sweepLegacyUncommitted(spark: SparkSession, outDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(outDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(table)) return
+    if (fs.exists(new Path(outDir.stripSuffix("/"), "_graft_log"))) return
+    val markerDir = new Path(outDir.stripSuffix("/") + "__batches")
+    if (!fs.exists(markerDir)) return // never a marker-protocol table
+    val committed: Set[Long] = fs.listStatus(markerDir).iterator
+      .map(_.getPath.getName).filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).toSet
+    val BatchFile = "^b(\\d+)-.*".r
+    fs.listStatus(table).iterator.foreach { f =>
+      f.getPath.getName match {
+        case BatchFile(id) if !committed.contains(id.toLong) =>
+          System.err.println(
+            s"[graft] sweeping legacy uncommitted batch-$id file ${f.getPath} before adopt")
+          fs.delete(f.getPath, false)
+        case _ => ()
+      }
+    }
+  }
+
+  /** Remove the legacy `<outDir>__batches` marker dir once the table is
+    * log-committed — the markers' dedup role is taken over by the
+    * manifest commit map, and a stale marker dir would make every later
+    * startup re-run the legacy-sweep scan for nothing. */
+  private def dropLegacyMarkerDir(spark: SparkSession, outDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val markerDir = new Path(outDir.stripSuffix("/") + "__batches")
+    val fs = markerDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(markerDir)) fs.delete(markerDir, true)
   }
 }

@@ -16,17 +16,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Drop `table` AND its warehouse directory. With an in-memory catalog
+  /** Drop `table` AND its storage directory. With an in-memory catalog
     * (tests, fresh sessions) a previous life's catalog entry is gone but
     * its directory survives, and saveAsTable refuses to reuse the
     * location — every index builder needs this exact sweep, so it lives
-    * once here (assumes the default database, as the builders do). */
+    * once here. The location is RESOLVED, not guessed: a cataloged table
+    * reports its actual location (any database), and a vanished one maps
+    * to the catalog's default managed path for its identifier. EXTERNAL
+    * tables are refused loudly — their data is not this helper's to
+    * delete. */
   def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val wh = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(wh)) fs.delete(wh, true)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val catalog = spark.sessionState.catalog
+    val location: java.net.URI =
+      if (catalog.tableExists(ident)) {
+        val meta = catalog.getTableMetadata(ident)
+        require(meta.tableType ==
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED,
+          s"refusing to delete data of non-managed table ${ident.quotedString} " +
+            s"(type ${meta.tableType.name}, location ${meta.location}) — " +
+            "drop external tables explicitly")
+        meta.location
+      } else catalog.defaultTablePath(ident)
+    spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
+    val dir = new org.apache.hadoop.fs.Path(location)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
   }
 
   /** Write `df` as a bucketed, per-bucket-sorted managed parquet table.

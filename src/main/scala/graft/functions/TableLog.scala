@@ -159,8 +159,10 @@ object TableLog {
     * dir, rename to `manifest-<version>`. The rename IS the commit and
     * doubles as the single-writer guard — if the destination already
     * exists (another writer committed this version first), the rename
-    * fails and the commit aborts instead of clobbering. Retains only the
-    * last [[KeepManifests]] manifests. */
+    * fails and the commit aborts instead of clobbering. Manifest-tail
+    * pruning is deliberately NOT done here — it is deferred to
+    * [[vacuum]]'s grace-gated pass, so a just-resolved manifest cannot
+    * vanish under a seconds-old reader. */
   private[functions] def commit(fs: FileSystem, dir: String, m: Manifest): Unit = {
     val log = logDir(dir)
     fs.mkdirs(log)

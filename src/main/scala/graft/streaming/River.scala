@@ -336,8 +336,12 @@ object River {
     }
   }
 
-  /** One prequential metric row per micro-batch (river RiverTrain with a
-    * metric: predict before learn, then emit the running metric). `acc`
+  /** One prequential metric row per micro-batch. Deliberate divergence
+    * from the reference: river.py's RiverTrain (river.py:45-47) calls
+    * `learn_one` FIRST and predicts after, so its metric scores a model
+    * that has already seen the example; this engine predicts before
+    * learning — the standard prequential (test-then-train) order, which
+    * measures true out-of-sample error. `acc`
     * is the within-half-a-unit rate — for {0,1} labels and probability
     * predictions that is exactly classification accuracy; for regression
     * it is a fixed-tolerance hit rate. */

@@ -266,6 +266,53 @@ class TrainingDataPipelineSpec extends SparkSuite {
       s"legacy rows lost in the upgrade: ${got.length} of 600")
   }
 
+  test("adopt after a legacy-protocol crash sweeps marker-less b<id>- debris first") {
+    // the r10 advice finding: the old marker protocol could crash
+    // between landing b<id>- files and creating the batch's marker;
+    // adopt() commits every file present, so without a pre-adopt sweep
+    // that uncommitted debris becomes committed rows AND the
+    // same-checkpoint replay re-appends the batch — duplicating it
+    import graft.functions.TableLog
+    import org.apache.hadoop.fs.Path
+    val outDir = java.nio.file.Files.createTempDirectory("graft_legacy2_out").toString + "/t"
+    val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // committed legacy history: b0- files WITH a marker
+    Seq.tabulate(100)(i => (i.toLong, s"old-$i")).toDF("id", "v")
+      .coalesce(1).write.parquet(outDir)
+    new java.io.File(outDir).listFiles().foreach { f =>
+      if (f.getName.endsWith(".parquet"))
+        fs.rename(new Path(f.toString), new Path(outDir, s"b0-${f.getName}"))
+    }
+    val markerDir = new Path(outDir + "__batches")
+    fs.mkdirs(markerDir)
+    fs.create(new Path(markerDir, "0"), false).close()
+    // crash debris: b1- files with NO marker — these rows must NOT survive
+    val debrisDir = java.nio.file.Files.createTempDirectory("graft_legacy2_dbr").toString + "/d"
+    Seq.tabulate(50)(i => (5000L + i, s"debris-$i")).toDF("id", "v")
+      .coalesce(1).write.parquet(debrisDir)
+    new java.io.File(debrisDir).listFiles().foreach { f =>
+      if (f.getName.endsWith(".parquet"))
+        fs.rename(new Path(f.toString), new Path(outDir, s"b1-${f.getName}"))
+    }
+    new java.io.File(outDir).listFiles().foreach(f =>
+      f.setLastModified(System.currentTimeMillis() - 3600L * 1000))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_legacy2_src").toString + "/in"
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_legacy2_ck").toString
+    Seq.tabulate(60)(i => (1000L + i, s"new-$i")).toDF("id", "v")
+      .coalesce(1).write.parquet(srcDir)
+    val q = TrainingDataPipeline.ingestWithMaintenance(
+      spark.readStream.schema("id LONG, v STRING")
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      outDir, ckptDir, targetBytes = 65536L, everyNBatches = 2, vacuumGraceMs = 0L)
+    try q.processAllAvailable() finally q.stop()
+    val got = TableLog.read(spark, outDir).select("id").as[Long].collect().sorted.toSeq
+    assert(got == ((0L until 100L) ++ (1000L until 1060L)).toSeq,
+      s"uncommitted legacy debris leaked into the adopted table (or committed " +
+        s"rows were lost): ${got.length} rows, debris present: ${got.exists(_ >= 5000L)}")
+    // the stale marker dir is gone — its dedup role now lives in the manifest
+    assert(!fs.exists(markerDir), "legacy marker dir not removed after adopt")
+  }
+
   test("maintenance loop survives a real stop/restart on the same checkpoint") {
     // TableLogSpec drives appendBatch replays by hand; this one drives
     // the ENGINE's replay: stop the query, land more input, restart from
