@@ -1,0 +1,186 @@
+package graft.functions
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.types._
+
+/** Driver-side parquet footer metadata reads — exact row counts and
+  * per-column min/max WITHOUT launching a Spark job or touching a data
+  * page. Parquet footers already carry both (every row group records
+  * its row count and per-chunk statistics); re-deriving them with a
+  * `spark.read.parquet(...).count()` per micro-batch is a whole scan
+  * job spent recomputing what 8 KB of footer states outright. At
+  * streaming-ingest rates that scan is the dominant per-trigger
+  * latency; at compaction time the same footers are what turn
+  * [[TableLog]] manifests into a pruning index (the Delta/Iceberg
+  * per-file-stats idea, reduced to a tab-separated line).
+  *
+  * Statistics are collected only for columns whose Spark type has a
+  * total order this module can serialize and re-compare faithfully
+  * (integral, floating, string); anything else — or a chunk a writer
+  * produced without statistics — yields no entry, and absent stats are
+  * always treated as "cannot prune" by consumers.
+  */
+object ParquetFooters {
+
+  /** Exact metadata of one parquet file: total rows, and for each
+    * requested column present with usable statistics, the inclusive
+    * (min, max) rendered as strings per [[render]]. */
+  final case class FileMeta(rows: Long, stats: Map[String, (String, String)])
+
+  /** Read `path`'s footer: exact row count plus (min, max) for the
+    * `statCols` that are top-level fields of `schema` with a supported
+    * type. A column missing statistics in ANY row group is dropped
+    * entirely — a partial range is not a bound. */
+  def read(conf: Configuration, path: Path, statCols: Set[String],
+           schema: StructType): FileMeta = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      var rows = 0L
+      // per column: (min, max) accumulated across row groups, or removed
+      // from the map the moment one group lacks usable statistics
+      val wanted: Map[String, DataType] = statCols.iterator.flatMap { c =>
+        schema.fields.find(_.name == c).map(f => c -> f.dataType)
+          .filter { case (_, dt) => comparable(dt) }
+      }.toMap
+      val acc = scala.collection.mutable.Map.empty[String, (Any, Any)]
+      val dead = scala.collection.mutable.Set.empty[String]
+      val it = blocks.iterator()
+      while (it.hasNext) {
+        val b = it.next()
+        rows += b.getRowCount
+        val cols = b.getColumns.iterator()
+        val seen = scala.collection.mutable.Set.empty[String]
+        while (cols.hasNext) {
+          val c = cols.next()
+          val name = c.getPath.toDotString
+          if (wanted.contains(name) && !dead.contains(name)) {
+            seen += name
+            val st = c.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) dead += name
+            else {
+              val dt = wanted(name)
+              val (mn, mx) = (value(st.genericGetMin, dt), value(st.genericGetMax, dt))
+              (mn, mx) match {
+                case (Some(lo), Some(hi)) =>
+                  acc.get(name) match {
+                    case Some((plo, phi)) =>
+                      acc(name) = (minOf(dt, plo, lo), maxOf(dt, phi, hi))
+                    case None => acc(name) = (lo, hi)
+                  }
+                case _ => dead += name
+              }
+            }
+          }
+        }
+        // a row group that lacks the chunk entirely (schema drift within
+        // a file cannot happen in parquet, but be safe) kills the column
+        wanted.keysIterator.foreach { w =>
+          if (!seen.contains(w)) dead += w
+        }
+      }
+      val stats = acc.iterator.collect {
+        case (name, (lo, hi)) if !dead.contains(name) =>
+          name -> (render(lo), render(hi))
+      }.toMap
+      FileMeta(rows, stats)
+    } finally reader.close()
+  }
+
+  /** Sum of exact footer row counts over `paths`. */
+  def rowCount(conf: Configuration, paths: Seq[Path]): Long =
+    paths.iterator.map { p =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try reader.getRecordCount finally reader.close()
+    }.sum
+
+  /** Types whose min/max this module serializes and re-compares. */
+  def comparable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType => true
+    case _ => false
+  }
+
+  // parquet statistics surface Integer/Long/Float/Double/Binary; map to
+  // the Spark column's comparison domain (long, double or string)
+  private def value(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+    case (i: java.lang.Integer, ByteType | ShortType | IntegerType | LongType) =>
+      Some(i.longValue())
+    case (l: java.lang.Long, ByteType | ShortType | IntegerType | LongType) =>
+      Some(l.longValue())
+    case (f: java.lang.Float, FloatType | DoubleType) => Some(f.doubleValue())
+    case (d: java.lang.Double, FloatType | DoubleType) => Some(d.doubleValue())
+    case (b: org.apache.parquet.io.api.Binary, StringType) =>
+      Some(b.toStringUsingUTF8)
+    case _ => None
+  }
+
+  private def minOf(dt: DataType, a: Any, b: Any): Any = dt match {
+    case StringType => if ((a.asInstanceOf[String]: String) <= b.asInstanceOf[String]) a else b
+    case FloatType | DoubleType =>
+      math.min(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case _ => math.min(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  }
+
+  private def maxOf(dt: DataType, a: Any, b: Any): Any = dt match {
+    case StringType => if ((a.asInstanceOf[String]: String) >= b.asInstanceOf[String]) a else b
+    case FloatType | DoubleType =>
+      math.max(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case _ => math.max(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  }
+
+  /** Serialize a bound for a manifest line: numbers verbatim (Long and
+    * Double round-trip through toString exactly), strings URL-encoded so
+    * arbitrary document keys can never smuggle a tab or newline into the
+    * line-oriented manifest. */
+  def render(v: Any): String = v match {
+    case s: String =>
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    case other => other.toString
+  }
+
+  /** Inverse of [[render]] into the comparison domain of `dt`. */
+  def parseBound(s: String, dt: DataType): Any = dt match {
+    case StringType =>
+      java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+    case FloatType | DoubleType => s.toDouble
+    case _ => s.toLong
+  }
+
+  /** True iff the inclusive stat range [min, max] intersects the
+    * inclusive query range [lo, hi] in `dt`'s comparison domain. */
+  def intersects(dt: DataType, min: Any, max: Any, lo: Any, hi: Any): Boolean =
+    dt match {
+      case StringType =>
+        !(max.asInstanceOf[String] < lo.asInstanceOf[String] ||
+          min.asInstanceOf[String] > hi.asInstanceOf[String])
+      case FloatType | DoubleType =>
+        !(max.asInstanceOf[Double] < lo.asInstanceOf[Double] ||
+          min.asInstanceOf[Double] > hi.asInstanceOf[Double])
+      case _ =>
+        !(max.asInstanceOf[Long] < lo.asInstanceOf[Long] ||
+          min.asInstanceOf[Long] > hi.asInstanceOf[Long])
+    }
+
+  /** Lift a caller-supplied bound (Int, Long, Double, String, …) into
+    * `dt`'s comparison domain, failing loudly on a type mismatch. */
+  def liftBound(v: Any, dt: DataType): Any = (v, dt) match {
+    case (s: String, StringType) => s
+    case (n: Byte, t) if !t.isInstanceOf[StringType.type] => widen(n.toLong, dt)
+    case (n: Short, t) if !t.isInstanceOf[StringType.type] => widen(n.toLong, dt)
+    case (n: Int, t) if !t.isInstanceOf[StringType.type] => widen(n.toLong, dt)
+    case (n: Long, t) if !t.isInstanceOf[StringType.type] => widen(n, dt)
+    case (n: Float, FloatType | DoubleType) => n.toDouble
+    case (n: Double, FloatType | DoubleType) => n
+    case _ => throw new IllegalArgumentException(
+      s"bound $v (${v.getClass.getSimpleName}) is not comparable to a $dt column")
+  }
+
+  private def widen(n: Long, dt: DataType): Any = dt match {
+    case FloatType | DoubleType => n.toDouble
+    case _ => n
+  }
+}

@@ -51,7 +51,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    checkpoint (where batchIds restart at 0 and must all append) — a
   *    bare-batchId protocol cannot distinguish those two worlds.
   *
-  * Failure contract (single writer, many readers): every mutation is
+  * Failure contract (one appending writer — beside which a maintenance
+  * compact/vacuum process may run, losing CAS races resolved by rebase
+  * retry — and many readers): every mutation is
   * (write scratch) → (move data files in) → (rename manifest). A crash
   * before the manifest rename leaves unreferenced files that [[vacuum]]
   * sweeps once they outlive the grace; a crash after it is simply a
@@ -66,15 +68,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TableLog {
 
-  /** One live data file: name relative to the table dir, plus its size
-    * (so [[bytes]] never lists the filesystem). */
-  final case class Entry(name: String, bytes: Long)
+  /** One live data file: name relative to the table dir, its size (so
+    * [[bytes]] never lists the filesystem), and per-column inclusive
+    * (min, max) bounds for the table's `layout` columns — harvested from
+    * the file's own parquet footer at commit time ([[ParquetFooters]]),
+    * rendered per [[ParquetFooters.render]]. An absent column means "no
+    * usable bound" and is never pruned on. */
+  final case class Entry(name: String, bytes: Long,
+                         stats: Map[String, (String, String)] = Map.empty)
 
   /** The complete table state at `version`. `commits` maps a streaming
-    * runKey to the last batchId committed under it. */
+    * runKey to the last batchId committed under it. `schemaJson` is the
+    * table schema every append must match ([[appendBatch]]'s loud
+    * evolution guard); `layout` names the columns the last re-layouting
+    * [[compact]] range-clustered by — the columns whose per-file stats
+    * make [[readWhere]] prune. */
   final case class Manifest(version: Long, files: Vector[Entry], rows: Long,
-                            commits: Map[String, Long], op: String) {
+                            commits: Map[String, Long], op: String,
+                            schemaJson: Option[String] = None,
+                            layout: Seq[String] = Nil) {
     def bytes: Long = files.iterator.map(_.bytes).sum
+    /** The recorded table schema, if this manifest (or its line of
+      * ancestry) was written by a schema-recording version. */
+    def schema: Option[org.apache.spark.sql.types.StructType] =
+      schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   /** Manifests retained per table: a reader may resolve a version up to
@@ -93,38 +111,67 @@ object TableLog {
 
   // ---- manifest serialization: one key per line, fields tab-separated.
   // Data-file names are parquet part names (no tabs/newlines) and run
-  // keys are UUIDs, so no escaping is needed — and none is attempted.
+  // keys are UUIDs, so no escaping is needed there; the schema line is
+  // JSON (whose string escaping never emits a literal tab or newline)
+  // and stats bounds / layout column names are URL-encoded by
+  // [[ParquetFooters.render]]. v2 adds the optional schema/layout/stats
+  // lines; v1 manifests (earlier tables) parse unchanged with no schema
+  // and no stats, which every consumer treats as "unknown — don't
+  // guard, don't prune".
   private def render(m: Manifest): String = {
     val sb = new StringBuilder
-    sb ++= "graft-manifest-v1\n"
+    sb ++= "graft-manifest-v2\n"
     sb ++= s"version\t${m.version}\n"
     sb ++= s"rows\t${m.rows}\n"
     sb ++= s"op\t${m.op}\n"
+    m.schemaJson.foreach { j => sb ++= s"schema\t$j\n" }
+    if (m.layout.nonEmpty)
+      sb ++= s"layout\t${m.layout.map(ParquetFooters.render).mkString(",")}\n"
     m.commits.toSeq.sorted.foreach { case (k, b) => sb ++= s"commit\t$k\t$b\n" }
     m.files.foreach { e => sb ++= s"file\t${e.bytes}\t${e.name}\n" }
+    m.files.foreach { e =>
+      e.stats.toSeq.sorted.foreach { case (c, (mn, mx)) =>
+        sb ++= s"stats\t${e.name}\t${ParquetFooters.render(c)}\t$mn\t$mx\n"
+      }
+    }
     sb.result()
   }
 
+  private def decodeName(s: String): String =
+    java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+
   private def parse(text: String): Manifest = {
     var version = -1L; var rows = 0L; var op = ""
+    var schemaJson: Option[String] = None
+    var layout: Seq[String] = Nil
     val files = Vector.newBuilder[Entry]
     val commits = Map.newBuilder[String, Long]
+    val stats = scala.collection.mutable.Map
+      .empty[String, Map[String, (String, String)]]
     val lines = text.split("\n")
-    require(lines.headOption.contains("graft-manifest-v1"),
+    require(lines.headOption.exists(h =>
+        h == "graft-manifest-v1" || h == "graft-manifest-v2"),
       s"not a graft manifest: ${lines.headOption.getOrElse("<empty>")}")
     lines.iterator.drop(1).filter(_.nonEmpty).foreach { line =>
       line.split("\t", -1) match {
         case Array("version", v) => version = v.toLong
         case Array("rows", r)    => rows = r.toLong
         case Array("op", o)      => op = o
+        case Array("schema", j)  => schemaJson = Some(j)
+        case Array("layout", cs) => layout = cs.split(",").toSeq.map(decodeName)
         case Array("commit", k, b) => commits += (k -> b.toLong)
         case Array("file", b, n)   => files += Entry(n, b.toLong)
+        case Array("stats", f, c, mn, mx) =>
+          stats(f) = stats.getOrElse(f, Map.empty) + (decodeName(c) -> (mn, mx))
         case other => throw new IllegalArgumentException(
           s"bad manifest line: ${other.mkString("\\t")}")
       }
     }
     require(version >= 0, "manifest missing version")
-    Manifest(version, files.result(), rows, commits.result(), op)
+    val withStats = files.result().map { e =>
+      stats.get(e.name).fold(e)(s => e.copy(stats = s))
+    }
+    Manifest(version, withStats, rows, commits.result(), op, schemaJson, layout)
   }
 
   /** The newest committed manifest, or None for a not-yet-created table.
@@ -264,6 +311,80 @@ object TableLog {
   def rows(spark: SparkSession, dir: String): Long =
     latest(spark, dir).map(_.rows).getOrElse(0L)
 
+  /** The live files whose manifest [min, max] stats for `column` can
+    * intersect the inclusive range [lower, upper] — manifest-level
+    * pruning, zero parquet footers opened. Files with no recorded stats
+    * for `column` (pre-stats manifests, unsupported types, writer gaps)
+    * are conservatively KEPT. This is what makes a time- or key-ranged
+    * query over a 10⁶-file compacted table open only the files whose
+    * range-layout span matches, instead of every footer. */
+  def prunedFiles(spark: SparkSession, dir: String, column: String,
+                  lower: Any, upper: Any): Seq[String] = {
+    val m = latest(spark, dir).getOrElse(throw new IllegalStateException(
+      s"$dir has no committed manifest — not a TableLog table (or never written)"))
+    prunedEntries(m, column, lower, upper).map(_.name)
+  }
+
+  private[functions] def prunedEntries(m: Manifest, column: String,
+      lower: Any, upper: Any): Vector[Entry] =
+    m.schema.flatMap(_.fields.find(_.name == column)).map(_.dataType) match {
+      case Some(dt) if ParquetFooters.comparable(dt) =>
+        val lo = ParquetFooters.liftBound(lower, dt)
+        val hi = ParquetFooters.liftBound(upper, dt)
+        m.files.filter { e =>
+          e.stats.get(column) match {
+            case Some((mn, mx)) => ParquetFooters.intersects(dt,
+              ParquetFooters.parseBound(mn, dt), ParquetFooters.parseBound(mx, dt),
+              lo, hi)
+            case None => true
+          }
+        }
+      case _ => m.files // unknown schema or incomparable type: no pruning
+    }
+
+  /** Snapshot read restricted to rows with `column` in the inclusive
+    * range [lower, upper]: prunes non-intersecting files at the MANIFEST
+    * level (their footers are never opened), then applies the exact
+    * predicate to the survivors — same rows as
+    * `read(dir).filter(col between)`, far fewer files touched on a
+    * [[compact]]-`layoutBy` table. */
+  def readWhere(spark: SparkSession, dir: String, column: String,
+                lower: Any, upper: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val m = latest(spark, dir).getOrElse(throw new IllegalStateException(
+      s"$dir has no committed manifest — not a TableLog table (or never written)"))
+    val keep = prunedEntries(m, column, lower, upper)
+    val base = dir.stripSuffix("/")
+    val df =
+      if (keep.nonEmpty) spark.read.parquet(keep.map(e => s"$base/${e.name}"): _*)
+      else m.schema match {
+        case Some(s) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        case None => readVersion(spark, dir, m) // cannot happen: no schema ⇒ no pruning
+      }
+    df.filter(col(column).between(lit(lower), lit(upper)))
+  }
+
+  /** The oldest still-readable point of the table: (version, commit
+    * mtime) of the oldest retained manifest. Operators size [[vacuum]]
+    * grace windows and [[readTail]]/[[appendsSince]] consumer lag
+    * against THIS — a consumer whose checkpoint falls behind
+    * `retention(dir)` must fall back to a full snapshot read rather
+    * than discover FileNotFound mid-query. None for a table with no
+    * log. */
+  def retention(spark: SparkSession, dir: String): Option[(Long, Long)] = {
+    val (fs, _) = fsFor(spark, dir)
+    val log = logDir(dir)
+    if (!fs.exists(log)) return None
+    val manifests = fs.listStatus(log).flatMap { f =>
+      f.getPath.getName match {
+        case ManifestRe(v) => Some((v.toLong, f.getModificationTime))
+        case _             => None
+      }
+    }
+    if (manifests.isEmpty) None else Some(manifests.minBy(_._1))
+  }
+
   /** The per-checkpoint writer identity for [[appendBatch]]'s dedup:
     * created once in `ckptDir` and read back on every restart, so the
     * same checkpoint (where Spark resumes batchIds and may replay the
@@ -284,12 +405,63 @@ object TableLog {
     }
   }
 
+  /** How many times a losing manifest CAS is re-resolved and re-tried
+    * before giving up. Each retry is one listing + one manifest read +
+    * one rename — conflicts are rare (one maintenance writer), so the
+    * bound exists only to turn a pathological livelock into an error. */
+  val CasRetries = 5
+
+  /** Test seam: invoked once per manifest-commit ATTEMPT inside the
+    * retrying paths ([[commitAppend]], [[compact]]), between resolving
+    * the base manifest and the CAS rename — exactly the race window.
+    * Specs install a one-shot conflicting commit here to exercise the
+    * retry deterministically; a no-op in production. */
+  private[functions] var casHook: () => Unit = () => ()
+
+  /** Structural schema equality ignoring nullability at every depth —
+    * the evolution guard's notion of "same schema" (parquet writers and
+    * streaming sources disagree freely about nullable flags). */
+  private[functions] def sameSchema(a: org.apache.spark.sql.types.StructType,
+                                    b: org.apache.spark.sql.types.StructType): Boolean =
+    normalizeType(a) == normalizeType(b)
+
+  private def normalizeType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, normalizeType(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(normalizeType(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(normalizeType(m.keyType), normalizeType(m.valueType),
+          valueContainsNull = true)
+      case other => other
+    }
+  }
+
   /** Exactly-once streaming append: a no-op when `(runKey, batchId)` is
     * already in the newest manifest's commit map, else write → move →
     * commit. Returns true when the batch landed, false on a deduped
     * replay. A crash anywhere before the manifest rename leaves only
     * unreferenced scratch that [[vacuum]] reclaims; the replay then
-    * lands the batch cleanly — every row commits exactly once. */
+    * lands the batch cleanly — every row commits exactly once.
+    *
+    * Schema guard: when the table's manifest records a schema, a batch
+    * whose columns or types differ fails HERE, loudly, before any file
+    * lands — not at some later read deep inside parquet resolution
+    * (nullability differences are tolerated; names and types are not).
+    *
+    * Row counts and per-file min/max stats for the table's `layout`
+    * columns come from the staged files' parquet FOOTERS — metadata
+    * reads, no extra Spark job per micro-batch.
+    *
+    * Concurrency: if the manifest CAS is lost to a concurrent
+    * [[compact]]/maintenance commit, the already-landed files are
+    * re-committed against the re-resolved latest manifest (up to
+    * [[CasRetries]] times) instead of failing the stream — an append's
+    * files are disjoint from any rewrite, so rebasing is always safe.
+    * The table's contract is thus ONE appending writer, beside which a
+    * maintenance process (compact/vacuum) may run. */
   def appendBatch(batch: DataFrame, dir: String, runKey: String,
                   batchId: Long): Boolean = {
     val spark = batch.sparkSession
@@ -297,6 +469,13 @@ object TableLog {
     val prev = latest(spark, dir)
       .getOrElse(Manifest(-1L, Vector.empty, 0L, Map.empty, "init"))
     if (prev.commits.get(runKey).exists(_ >= batchId)) return false
+    prev.schema.foreach { recorded =>
+      require(sameSchema(recorded, batch.schema),
+        s"schema drift rejected for $dir: the table's committed schema is\n  " +
+          s"${recorded.simpleString}\nbut this batch has\n  " +
+          s"${batch.schema.simpleString}\n(nullability differences are " +
+          "tolerated; column names and types must match)")
+    }
     val v = prev.version + 1
     val staging = new Path(dir.stripSuffix("/"), s"_staging-${java.util.UUID.randomUUID()}")
     batch.write.parquet(staging.toString)
@@ -304,27 +483,61 @@ object TableLog {
       .filter { f => val n = f.getPath.getName
         n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") }
       .toVector
-    // the batch's row count, read back from what was just staged — the
-    // batch plan itself is not recomputed. Explicit file paths, not the
-    // staging dir: its `_`-prefixed name trips DataSource's path filter.
-    val added =
-      if (staged.isEmpty) 0L
-      else spark.read.parquet(staged.map(_.getPath.toString): _*).count()
+    // row counts + layout-column min/max from the staged files' footers:
+    // exact (parquet footers carry both), and a metadata read — NOT a
+    // per-trigger Spark scan job over the batch just written
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metas = staged.map(f =>
+      ParquetFooters.read(conf, f.getPath, prev.layout.toSet, batch.schema))
+    val added = metas.iterator.map(_.rows).sum
     fs.mkdirs(table)
     // `a<v>-` marks APPENDED data, `c<v>-` compaction rewrites: the
     // prefix is what lets [[readTail]]'s glob-filtered file stream see
-    // each row exactly once — appends match, rewrites never do
-    val entries = staged.map { f =>
+    // each row exactly once — appends match, rewrites never do. (After
+    // a lost CAS the committed version may exceed the `v` baked into
+    // the name; the prefix is a tail-visibility tag, not a version.)
+    val entries = staged.zip(metas).map { case (f, meta) =>
       val name = s"a$v-${f.getPath.getName}"
       val dst = new Path(table, name)
       if (!fs.rename(f.getPath, dst))
         throw new java.io.IOException(s"could not land ${f.getPath} as $dst")
-      Entry(name, f.getLen)
+      Entry(name, f.getLen, meta.stats)
     }
-    commit(fs, dir, Manifest(v, prev.files ++ entries, prev.rows + added,
-      prev.commits + (runKey -> batchId), "append"))
+    commitAppend(spark, fs, dir, runKey, batchId, entries, added,
+      Some(batch.schema.json))
     fs.delete(staging, true)
     true
+  }
+
+  /** Commit already-landed append `entries` against the CURRENT latest
+    * manifest, re-resolving and retrying when the CAS rename loses to a
+    * concurrent maintenance commit. Safe because an append only ADDS
+    * files: whatever the winning committer did (compact rewrote the old
+    * snapshot, vacuum never commits), the union of its file list and
+    * these entries is exactly the table plus this batch. Package-visible
+    * so the spec can drive the conflict deterministically. */
+  private[functions] def commitAppend(spark: SparkSession, fs: FileSystem,
+      dir: String, runKey: String, batchId: Long, entries: Vector[Entry],
+      added: Long, schemaJson: Option[String]): Unit = {
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      val prev = latest(spark, dir)
+        .getOrElse(Manifest(-1L, Vector.empty, 0L, Map.empty, "init"))
+      val m = Manifest(prev.version + 1, prev.files ++ entries,
+        prev.rows + added, prev.commits + (runKey -> batchId), "append",
+        schemaJson.orElse(prev.schemaJson), prev.layout)
+      casHook()
+      try { commit(fs, dir, m); committed = true }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts > CasRetries) throw new java.util.ConcurrentModificationException(
+            s"append to $dir lost the manifest CAS $attempts times — more than " +
+              "one APPENDING writer? The contract is one appender plus " +
+              s"maintenance. Last conflict: ${e.getMessage}")
+      }
+    }
   }
 
   /** Compact (and, with `layoutBy`, re-layout) the table to ~`targetBytes`
@@ -347,20 +560,48 @@ object TableLog {
         val cols = layoutBy.map(org.apache.spark.sql.functions.col)
         snapshot.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
       }
+    // the layout this rewrite establishes (or, for a plain re-bin,
+    // whatever layout the table already declared): the columns whose
+    // per-file footer min/max become the manifest's pruning stats
+    val layout = if (layoutBy.nonEmpty) layoutBy else m.layout
+    val schemaJson = m.schemaJson.orElse(Some(snapshot.schema.json))
     val v = m.version + 1
     val staging = new Path(dir.stripSuffix("/"), s"_staging-${java.util.UUID.randomUUID()}")
     laidOut.write.parquet(staging.toString)
+    val conf = spark.sparkContext.hadoopConfiguration
     val entries = fs.listStatus(staging).iterator
       .filter { f => val nm = f.getPath.getName
         nm.endsWith(".parquet") && !nm.startsWith("_") && !nm.startsWith(".") }
       .map { f =>
+        val meta = ParquetFooters.read(conf, f.getPath, layout.toSet, snapshot.schema)
         val name = s"c$v-${f.getPath.getName}"
         val dst = new Path(table, name)
         if (!fs.rename(f.getPath, dst))
           throw new java.io.IOException(s"could not land ${f.getPath} as $dst")
-        Entry(name, f.getLen)
+        Entry(name, f.getLen, meta.stats)
       }.toVector
-    commit(fs, dir, Manifest(v, entries, m.rows, m.commits, "compact"))
+    // commit with rebase-on-conflict: if the appender committed while
+    // this rewrite ran, the rewrite still faithfully replaces exactly
+    // the files of the snapshot it read — re-resolve, keep every file
+    // added SINCE that snapshot, and swap only the rewritten ones
+    val snapshotNames = m.files.map(_.name).toSet
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      val cur = latest(spark, dir).getOrElse(m)
+      val addedSince = cur.files.filterNot(e => snapshotNames.contains(e.name))
+      val next = Manifest(cur.version + 1, entries ++ addedSince, cur.rows,
+        cur.commits, "compact", cur.schemaJson.orElse(schemaJson), layout)
+      casHook()
+      try { commit(fs, dir, next); committed = true }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts > CasRetries) throw new java.util.ConcurrentModificationException(
+            s"compact of $dir lost the manifest CAS $attempts times — more than " +
+              s"one maintenance writer? Last conflict: ${e.getMessage}")
+      }
+    }
     fs.delete(staging, true)
     entries.length
   }
@@ -432,7 +673,10 @@ object TableLog {
     *    needs manifest-transactional reads);
     *  - a tailer lagging beyond the vacuum grace can lose appends whose
     *    files a post-compaction vacuum reclaimed: size `vacuumGraceMs`
-    *    to the maximum consumer lag, exactly like changelog retention.
+    *    to the maximum consumer lag, exactly like changelog retention —
+    *    [[retention]] reports the oldest still-readable (version,
+    *    commit time) so lag can be measured against it instead of
+    *    discovered as a FileNotFound.
     *
     * The tail starts at APPENDS: adopted pre-log history (renamed under
     * `c0-` by [[adopt]]) never re-emits here — bootstrap a full replica
@@ -537,11 +781,17 @@ object TableLog {
             }
           }
           .toVector
+      val base = dir.stripSuffix("/")
+      // rows from the adopted files' footers (metadata, no scan job);
+      // schema from ONE file's footer — the snapshot every subsequent
+      // append is guarded against
+      val conf = spark.sparkContext.hadoopConfiguration
       val rows =
         if (entries.isEmpty) 0L
-        else spark.read.parquet(
-          entries.map(e => s"${dir.stripSuffix("/")}/${e.name}"): _*).count()
-      val m = Manifest(0L, entries, rows, Map.empty, "adopt")
+        else ParquetFooters.rowCount(conf, entries.map(e => new Path(s"$base/${e.name}")))
+      val schemaJson = entries.headOption.map(e =>
+        spark.read.parquet(s"$base/${e.name}").schema.json)
+      val m = Manifest(0L, entries, rows, Map.empty, "adopt", schemaJson)
       commit(fs, dir, m)
       m
     }

@@ -297,6 +297,167 @@ class TableLogSpec extends SparkSuite {
     assert(e.getMessage.contains("left retention"), e.getMessage)
   }
 
+  test("schema guard: a drifted batch is rejected loudly before any file lands") {
+    val dir = freshTable()
+    TableLog.appendBatch(batchDf(0), dir, "r", 0L)
+    // type drift: v becomes LONG
+    val typeDrift = Seq((1L, 7L)).toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException](
+      TableLog.appendBatch(typeDrift, dir, "r", 1L))
+    assert(e1.getMessage.contains("schema drift"), e1.getMessage)
+    // column drift: v renamed
+    val nameDrift = Seq((1L, "x")).toDF("id", "w")
+    val e2 = intercept[IllegalArgumentException](
+      TableLog.appendBatch(nameDrift, dir, "r", 1L))
+    assert(e2.getMessage.contains("schema drift"), e2.getMessage)
+    // the table is untouched: same version, same rows, no debris staged
+    val m = TableLog.latest(spark, dir).get
+    assert(m.version == 0L && m.rows == 100L)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_staging")),
+      "rejected batches must not leave staging debris")
+    // nullability-only differences are tolerated (parquet writers and
+    // streaming sources disagree freely about nullable flags)
+    import org.apache.spark.sql.types._
+    val nonNullable = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("v", StringType, nullable = false))))
+    assert(TableLog.appendBatch(nonNullable, dir, "r", 1L),
+      "nullability-only difference must not be rejected")
+  }
+
+  test("manifest stats prune reads: a range query opens only the matching files") {
+    val dir = freshTable()
+    // 10 batches, ids 0..999; compact with a range layout on id so each
+    // rewritten file covers a narrow contiguous id span
+    (0 until 10).foreach { b =>
+      val df = Seq.tabulate(100)(i => (b * 100L + i, s"s$b-$i")).toDF("id", "v")
+      TableLog.appendBatch(df, dir, "r", b.toLong)
+    }
+    TableLog.compact(spark, dir, targetBytes = 6L << 10, layoutBy = Seq("id"))
+    val m = TableLog.latest(spark, dir).get
+    assert(m.layout == Seq("id") && m.schema.isDefined)
+    assert(m.files.length >= 4, s"fixture vacuity: only ${m.files.length} files")
+    assert(m.files.forall(_.stats.contains("id")),
+      "every compacted file must carry id stats")
+    // the manifest's recorded bounds are the files' true bounds
+    m.files.foreach { e =>
+      val (mnS, mxS) = e.stats("id")
+      val Seq(mn, mx) = spark.read.parquet(s"$dir/${e.name}")
+        .agg(min($"id"), max($"id")).as[(Long, Long)].collect()
+        .flatMap(t => Seq(t._1, t._2)).toSeq
+      assert(mnS.toLong == mn && mxS.toLong == mx,
+        s"${e.name}: manifest says [$mnS,$mxS], footer data is [$mn,$mx]")
+    }
+    // a narrow range prunes at the MANIFEST level: far fewer files
+    val pruned = TableLog.prunedFiles(spark, dir, "id", 0L, 49L)
+    assert(pruned.nonEmpty && pruned.size < m.files.size,
+      s"no pruning happened: ${pruned.size} of ${m.files.size} files kept")
+    // and the pruned read returns exactly the full-scan-and-filter rows
+    val got = TableLog.readWhere(spark, dir, "id", 0L, 49L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == (0L to 49L).toSeq, s"readWhere diverged: ${got.length} rows")
+    // an append AFTER the layouting compact inherits the layout columns:
+    // its files carry id stats too, so pruning keeps working as the
+    // table grows between compactions
+    TableLog.appendBatch(Seq.tabulate(50)(i => (5000L + i, s"n$i")).toDF("id", "v"),
+      dir, "r", 10L)
+    val m2 = TableLog.latest(spark, dir).get
+    val appended = m2.files.filter(_.name.startsWith("a"))
+    assert(appended.nonEmpty && appended.forall(_.stats.contains("id")),
+      "post-compact appends must carry layout-column stats from their footers")
+    assert(TableLog.prunedFiles(spark, dir, "id", 5000L, 5049L).size < m2.files.size)
+    assert(TableLog.readWhere(spark, dir, "id", 5000L, 5010L).count() == 11L)
+    // a range matching nothing reads nothing — zero files opened
+    assert(TableLog.prunedFiles(spark, dir, "id", 100000L, 200000L).isEmpty)
+    assert(TableLog.readWhere(spark, dir, "id", 100000L, 200000L).count() == 0L)
+  }
+
+  test("append loses the manifest CAS to a live compaction and rebases — no lost batch, no dup rows") {
+    val dir = freshTable()
+    TableLog.appendBatch(batchDf(0), dir, "r", 0L)
+    TableLog.appendBatch(batchDf(1), dir, "r", 1L)
+    // one-shot conflicting committer in the CAS window: a maintenance
+    // compact commits first, the append's rename loses and must rebase
+    TableLog.casHook = () => {
+      TableLog.casHook = () => ()
+      TableLog.compact(spark, dir, targetBytes = 1L << 20)
+    }
+    try assert(TableLog.appendBatch(batchDf(2), dir, "r", 2L))
+    finally TableLog.casHook = () => ()
+    val m = TableLog.latest(spark, dir).get
+    // v0, v1 appends; v2 the racing compact; v3 the rebased append
+    assert(m.version == 3L && m.op == "append", s"v${m.version} op=${m.op}")
+    assert(m.rows == 300L)
+    assert(m.commits("r") == 2L, "the rebased append must still record its batchId")
+    val got = TableLog.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+    assert(got == (0 to 2).flatMap(b => b * 1000L until b * 1000L + 100L),
+      s"rebased append lost or duplicated rows: ${got.length}")
+    // the rebased manifest holds the compact's rewrite PLUS the append
+    assert(m.files.exists(_.name.startsWith("c2-")) &&
+      m.files.exists(_.name.startsWith("a2-")))
+  }
+
+  test("compact loses the manifest CAS to a live append and rebases — rewrite swaps only its snapshot") {
+    val dir = freshTable()
+    TableLog.appendBatch(batchDf(0), dir, "r", 0L)
+    TableLog.appendBatch(batchDf(1), dir, "r", 1L)
+    TableLog.casHook = () => {
+      TableLog.casHook = () => ()
+      TableLog.appendBatch(batchDf(2), dir, "r", 2L)
+    }
+    try TableLog.compact(spark, dir, targetBytes = 1L << 20)
+    finally TableLog.casHook = () => ()
+    val m = TableLog.latest(spark, dir).get
+    // v0, v1 appends; v2 the racing append; v3 the rebased compact
+    assert(m.version == 3L && m.op == "compact", s"v${m.version} op=${m.op}")
+    assert(m.rows == 300L, "rebased compact must count the raced-in append")
+    assert(m.commits("r") == 2L, "the raced append's commit record must survive")
+    val got = TableLog.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+    assert(got == (0 to 2).flatMap(b => b * 1000L until b * 1000L + 100L),
+      s"rebased compact lost or duplicated rows: ${got.length}")
+    // only the snapshot's files were swapped; the raced append survives as-is
+    assert(m.files.exists(_.name.startsWith("a2-")),
+      "the raced-in append's files must survive the rebased rewrite")
+    assert(!m.files.exists(e => e.name.startsWith("a0-") || e.name.startsWith("a1-")),
+      "the snapshot's files must be fully replaced by the rewrite")
+  }
+
+  test("retention reports the oldest readable version; v1 manifests still parse") {
+    val dir = freshTable()
+    assert(TableLog.retention(spark, dir).isEmpty, "no log yet")
+    (0 until 3).foreach(b => TableLog.appendBatch(batchDf(b), dir, "r", b.toLong))
+    val Some((v0, t0)) = TableLog.retention(spark, dir)
+    assert(v0 == 0L && t0 > 0L)
+    // push the early manifests out of retention
+    (0 until TableLog.KeepManifests + 2).foreach { i =>
+      TableLog.appendBatch(batchDf(10 + i, n = 1), dir, "r", 10L + i)
+    }
+    TableLog.vacuum(spark, dir, graceMs = 0L)
+    val Some((v1, _)) = TableLog.retention(spark, dir)
+    assert(v1 > 0L, "retention floor must advance as the tail prunes")
+    assert(TableLog.readAt(spark, dir, v1).columns.nonEmpty,
+      "the reported oldest version must actually be readable")
+    // back-compat: a v1-era manifest (no schema/layout/stats lines) parses
+    // and reads; the next append records the schema going forward
+    val dir2 = freshTable()
+    batchDf(0).coalesce(1).write.parquet(dir2)
+    val dataFile = new java.io.File(dir2).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+    val logDir = new java.io.File(dir2, "_graft_log"); logDir.mkdirs()
+    val body = "graft-manifest-v1\nversion\t0\nrows\t100\nop\tappend\n" +
+      s"commit\tlegacy\t0\nfile\t${dataFile.length()}\t${dataFile.getName}\n"
+    java.nio.file.Files.write(
+      new java.io.File(logDir, f"manifest-${0L}%020d").toPath,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val legacy = TableLog.latest(spark, dir2).get
+    assert(legacy.schemaJson.isEmpty && legacy.rows == 100L)
+    assert(TableLog.read(spark, dir2).count() == 100L)
+    TableLog.appendBatch(batchDf(1), dir2, "r", 0L)
+    assert(TableLog.latest(spark, dir2).get.schema.isDefined,
+      "the first post-upgrade append must start recording the schema")
+  }
+
   test("empty micro-batches advance the commit map without fabricating files") {
     val dir = freshTable()
     TableLog.appendBatch(batchDf(0), dir, "r", 0L)
