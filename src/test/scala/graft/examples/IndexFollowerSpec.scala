@@ -1,0 +1,146 @@
+package graft.examples
+
+import graft.SparkSuite
+import graft.functions.{AnnIndex, DedupIndex, TableLog}
+import org.apache.spark.sql.functions._
+
+/** The CDC→index wiring: a corpus table ingesting in batches, both
+  * indexes following through appendsSince, exactly once across the
+  * crash shapes the checkpoint protocol can see — and final index
+  * contents / verdicts equal from-scratch builds on the final corpus. */
+class IndexFollowerSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val pool = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "how vexingly quick daft zebras jump today",
+    "sphinx of black quartz judge my vow now",
+    "the five boxing wizards jump quickly tonight",
+    "jackdaws love my big sphinx of quartz stone",
+    "bright vixens jump while dozy fowl quack loud")
+
+  private def corpusDf() = {
+    val phrases = array(pool.map(lit): _*)
+    spark.read.parquet(sf() + "/embeddings.parquet")
+      .select($"vec_id".as("doc_id"),
+        element_at(phrases, (pmod($"vec_id", lit(7)) + 1).cast("int")).as("text"),
+        $"embedding")
+  }
+
+  test("corpus grows, indexes follow exactly once; crash replay is absorbed; parity with from-scratch builds") {
+    val corpus = corpusDf()
+    val ids = corpus.select($"doc_id").as[Long].collect().sorted
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val batches = Seq(
+      corpus.filter($"doc_id" < c1),
+      corpus.filter($"doc_id" >= c1 && $"doc_id" < c2),
+      corpus.filter($"doc_id" >= c2))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_fl_src").toString + "/t"
+    val dedupDir = java.nio.file.Files.createTempDirectory("graft_fl_ddx").toString + "/ix"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_fl_state").toString
+    // the ANN index starts empty and grows ONLY through the follower
+    import org.apache.spark.sql.types._
+    val emptyCorpus = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val ann = AnnIndex.build(emptyCorpus, "follower_ann", planes = 8, buckets = 8)
+
+    def apply(): Option[IndexFollower.Progress] =
+      IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
+
+    // batch 1 lands, follower applies it
+    TableLog.appendBatch(batches(0), srcDir, "src", 0L)
+    val p1 = apply().get
+    assert(p1.fromVersion == -1L && p1.rowsApplied == batches(0).count())
+    // already caught up: a second call is None and touches nothing
+    assert(apply().isEmpty)
+
+    // batch 2 + a source compaction (rewrites must contribute no delta)
+    TableLog.appendBatch(batches(1), srcDir, "src", 1L)
+    TableLog.compact(spark, srcDir, targetBytes = 1L << 20)
+    val p2 = apply().get
+    assert(p2.rowsApplied == batches(1).count(),
+      s"compaction rewrite leaked into the delta: ${p2.rowsApplied}")
+
+    // crash replay: reconstruct the exact pre-checkpoint state (both
+    // indexes applied, version marker NOT yet advanced) and catch up
+    // again — the replay must be a complete no-op on both indexes
+    val applied = IndexFollower.appliedVersion(spark, stateDir)
+    val markerDir = new java.io.File(stateDir, "applied")
+    new java.io.File(markerDir, s"version-${p2.fromVersion}").createNewFile()
+    new java.io.File(markerDir, s"version-$applied").delete()
+    val annRows = AnnIndex.probeSide(spark, ann).count()
+    val dedupRows = TableLog.rows(spark, dedupDir)
+    val replay = apply().get
+    assert(replay.toVersion == applied)
+    assert(AnnIndex.probeSide(spark, ann).count() == annRows,
+      "crash replay duplicated ANN rows")
+    assert(TableLog.rows(spark, dedupDir) == dedupRows,
+      "crash replay duplicated dedup index rows")
+
+    // batch 3, then final parity with from-scratch builds on the corpus
+    TableLog.appendBatch(batches(2), srcDir, "src", 2L)
+    apply().get
+
+    // ANN: follower-grown index equals a one-shot build (and no dups)
+    val full = AnnIndex.build(corpus.select($"doc_id".as("vec_id"), $"embedding"),
+      "follower_ann_full", planes = 8, buckets = 8)
+    def annSet(h: AnnIndex.Handle) = AnnIndex.probeSide(spark, h)
+      .select($"vec_id", $"bucket", round($"nrm" * 1e6).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(annSet(ann) == annSet(full),
+      "follower-grown ANN index diverged from a from-scratch build")
+    assert(AnnIndex.probeSide(spark, ann).groupBy($"vec_id").count()
+      .filter($"count" > 1).count() == 0L)
+
+    // dedup: follower-grown index rows equal one-shot indexRows
+    def dedupSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"band", $"band_hash",
+        concat_ws(",", $"sigs".cast("array<string>")).as("s"))
+      .as[(Long, Int, String, String)].collect().toSet
+    assert(dedupSet(TableLog.read(spark, dedupDir)) ==
+      dedupSet(DedupIndex.indexRows(corpus.select($"doc_id", $"text"))),
+      "follower-grown dedup index diverged from one-shot indexRows")
+
+    // and the READ side: verdicts for a fresh probe batch through the
+    // follower's index equal verdicts against the one-shot index
+    val probe = Seq(
+      (900001L, pool(0)), (900002L, pool(3)), (900003L, "utterly novel words never indexed anywhere")
+    ).toDF("doc_id", "text")
+    def verdicts(ix: org.apache.spark.sql.DataFrame) =
+      DedupIndex.incrementalVerdicts(probe, ix)
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val got = verdicts(TableLog.read(spark, dedupDir))
+    assert(got == verdicts(DedupIndex.indexRows(corpus.select($"doc_id", $"text"))),
+      s"verdict divergence: $got")
+    assert(got.count(!_._3) == 2 && got.last._3,
+      s"fixture vacuity: expected two dups and one keeper, got $got")
+  }
+
+  test("a follower lagging past source retention fails loudly with the readable floor") {
+    val corpus = corpusDf().limit(50).cache()
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_fl2_src").toString + "/t"
+    val dedupDir = java.nio.file.Files.createTempDirectory("graft_fl2_ddx").toString + "/ix"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_fl2_state").toString
+    import org.apache.spark.sql.types._
+    val emptyCorpus = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val ann = AnnIndex.build(emptyCorpus, "follower2_ann", planes = 8, buckets = 8)
+    TableLog.appendBatch(corpus, srcDir, "src", 0L)
+    IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
+    // push the follower's floor out of retention
+    (0 until TableLog.KeepManifests + 3).foreach { i =>
+      TableLog.appendBatch(corpus.limit(1), srcDir, "src", 1L + i)
+    }
+    TableLog.vacuum(spark, srcDir, graceMs = 0L)
+    val e = intercept[IllegalStateException](
+      IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir))
+    assert(e.getMessage.contains("retention") && e.getMessage.contains("rebuild"),
+      e.getMessage)
+    corpus.unpersist()
+  }
+}
