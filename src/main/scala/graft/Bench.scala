@@ -57,7 +57,35 @@ object Bench {
     if (load1 > 4.0 || otherJvms > 0)
       System.err.println(s"[bench] WARNING: contended machine (load1=$load1, " +
         s"other JVMs=$otherJvms) — numbers will be inflated; rerun idle")
-    f"""{"load1":$load1%.2f,"other_jvms":$otherJvms}"""
+    f"""{"load1":$load1%.2f,"other_jvms":$otherJvms,"cpu_probe_ms":${cpuProbeMs()}%.1f}"""
+  }
+
+  /** Fixed single-core CPU probe: best-of-3 wall time of a deterministic
+    * 60M-step integer-mix loop (a JIT warm-up pass first). Cross-round
+    * ABSOLUTE comparisons divide by this number's ratio between rounds:
+    * the r9→r10 suite drift (+9% on untouched queries) took a manual
+    * same-code worktree A/B to attribute to the environment — this
+    * carries that correction factor in-band with every bench line
+    * (BASELINE.md "environment normalization"). Best-of-N because the
+    * best case is the hardware's speed; means absorb scheduler noise. */
+  private def cpuProbeMs(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var acc = 0L
+      var i = 0
+      while (i < 60000000) {
+        x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+        x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+        x ^= x >>> 33
+        acc += x
+        i += 1
+      }
+      if (acc == 42L) System.err.println("improbable") // keep `acc` live
+      (System.nanoTime() - t0) / 1e6
+    }
+    once() // JIT warm-up, discarded
+    math.min(once(), math.min(once(), once()))
   }
 
   def main(args: Array[String]): Unit = {

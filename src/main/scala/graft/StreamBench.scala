@@ -262,9 +262,43 @@ object StreamBench {
     val knnInt8Bytes = sideBytes(int8Side)
     corpus.unpersist()
 
+    // 12) the LIVE ingest loop: appendBatch into a TableLog table while
+    //     a readTail stream consumes the appends and probes the dedup
+    //     signature index (streaming.Dedup.indexVerdicts) — end-to-end
+    //     commit → tail-pickup → verdict rate, the "corpus grows,
+    //     indexes follow" serving path at ingest cadence
+    val liveRoot = Files.createTempDirectory("graft_sb_live")
+    val liveDir = liveRoot.toString + "/t"
+    val liveIndex = graft.functions.DedupIndex.indexRows(
+      docs.take(100).map { case (id, text, _) => (id, text) }
+        .toSeq.toDF("doc_id", "text")).cache()
+    liveIndex.count() // build the static index before the clock starts
+    val liveSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING, seq LONG")
+    val liveQ = graft.streaming.Dedup.indexVerdicts(
+        graft.functions.TableLog.readTail(spark, liveDir, liveSchema)
+          .as[(Long, String, Long)], liveIndex)
+      .writeStream.format("noop").outputMode("append").start()
+    val liveDocs = docs.drop(100)
+    def liveAppend(b: Long, rows: Seq[(Long, String, Long)]): Unit =
+      graft.functions.TableLog.appendBatch(
+        rows.toDF("doc_id", "text", "seq"), liveDir, "bench", b)
+    liveAppend(0L, liveDocs.take(200).toSeq); liveQ.processAllAvailable() // warm
+    val t10 = System.nanoTime()
+    liveDocs.drop(200).grouped(2000).zipWithIndex.foreach { case (c, i) =>
+      liveAppend(1L + i, c.toSeq); liveQ.processAllAvailable()
+    }
+    val liveSec = (System.nanoTime() - t10) / 1e9
+    val liveN = liveDocs.length - 200
+    liveQ.stop()
+    liveIndex.unpersist()
+    new org.apache.hadoop.fs.Path(liveRoot.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(liveRoot.toString), true)
+
     val n = events.length
     val nd = docs.length - 100
-    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"stream_curate_docs_per_sec":${nd / curSec}%.0f,"stream_hll_rows_per_sec":${n / hllSec}%.0f,"stream_interval_join_rows_per_sec":${2 * ivRest.length / ivSec}%.0f,"stream_knn_float_q_per_sec":$knnFloatQps%.0f,"stream_knn_int8_q_per_sec":$knnQuantQps%.0f,"stream_knn_indexed_q_per_sec":$knnIdxQps%.0f,"stream_knn_indexed_int8_q_per_sec":$knnIdxQuantQps%.0f,"knn_probe_static_bytes_float":$knnFloatBytes,"knn_probe_static_bytes_int8":$knnInt8Bytes,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
+    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"stream_curate_docs_per_sec":${nd / curSec}%.0f,"stream_hll_rows_per_sec":${n / hllSec}%.0f,"stream_interval_join_rows_per_sec":${2 * ivRest.length / ivSec}%.0f,"stream_knn_float_q_per_sec":$knnFloatQps%.0f,"stream_knn_int8_q_per_sec":$knnQuantQps%.0f,"stream_knn_indexed_q_per_sec":$knnIdxQps%.0f,"stream_knn_indexed_int8_q_per_sec":$knnIdxQuantQps%.0f,"knn_probe_static_bytes_float":$knnFloatBytes,"knn_probe_static_bytes_int8":$knnInt8Bytes,"live_tail_dedup_docs_per_sec":${liveN / liveSec}%.0f,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -698,12 +698,16 @@ object TableLog {
   }
 
   /** [[readTail]] with an explicit schema — works before the table's
-    * first commit. */
+    * first commit (the table directory is created empty if missing, so
+    * the consumer really can start before the writer). */
   def readTail(spark: SparkSession, dir: String,
-               schema: org.apache.spark.sql.types.StructType): DataFrame =
+               schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val (fs, table) = fsFor(spark, dir)
+    fs.mkdirs(table)
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "a*-*.parquet")
       .parquet(dir.stripSuffix("/"))
+  }
 
   /** Manifest-transactional incremental read: every row appended AFTER
     * `sinceVersion`, plus the latest version to checkpoint for the next

@@ -254,4 +254,77 @@ class SimilarityStreamSpec extends SparkSuite {
       corpus.unpersist()
     }
   }
+
+  test("a growing AnnIndex: keyed appends become visible to a LIVE probe stream, still Exchange-free") {
+    withRocksDBState {
+      import graft.functions.AnnIndex
+      val dim = 16
+      def vec(seed: Int): Array[Float] = {
+        val r = new scala.util.Random(seed)
+        Array.fill(dim)((r.nextGaussian() * 0.5).toFloat)
+      }
+      val corpus0 = (0L until 200L).map(i => (i, vec(i.toInt)))
+        .toDF("vec_id", "embedding")
+      val h = AnnIndex.build(corpus0, "simspec_grow", planes = 8, buckets = 8)
+      val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+      val prevBc = spark.conf.get(bcKey)
+      spark.conf.set(bcKey, "-1")
+      try {
+        val in = MemoryStream[(Long, Array[Float])]
+        val q = Similarity.streamKnn(in.toDS(), h, k = 3, nprobe = 1)
+          .toDF("query_id", "vec_id", "cos").writeStream
+          .format("memory").queryName("grow_knn").outputMode("append").start()
+        try {
+          // trigger 1: probe vectors that are NOT yet in the index —
+          // nothing matches them exactly
+          in.addData((0 until 10).map(i => (2000L + i, vec(9000 + i))))
+          q.processAllAvailable()
+          val pre = spark.table("grow_knn").as[(Long, Long, Double)].collect()
+          assert(pre.forall(_._3 < 0.999),
+            "fixture vacuity: a pre-append query already had an exact match")
+          assert(!pre.exists(_._2 >= 5000L))
+          // grow the index through the keyed O(delta) path, mid-stream
+          AnnIndex.append(spark, h,
+            (0 until 10).map(i => (5000L + i, vec(9000 + i)))
+              .toDF("vec_id", "embedding"), "grow-1")
+          // trigger 2: the same vectors again — their appended copies
+          // must now win at cosine ~ 1 (stream-static re-plans the
+          // static side per trigger, so the new bucketed files count)
+          in.addData((0 until 10).map(i => (3000L + i, vec(9000 + i))))
+          q.processAllAvailable()
+          val post = spark.table("grow_knn").filter($"query_id" >= 3000L)
+            .as[(Long, Long, Double)].collect()
+            .groupBy(_._1).map { case (qid, hits) =>
+              qid -> hits.maxBy(t => (t._3, -t._2)) }
+          (0 until 10).foreach { i =>
+            val (_, vid, cos) = post(3000L + i)
+            assert(vid == 5000L + i && cos > 0.9999,
+              s"query ${3000 + i}: top hit $vid cos $cos — appended vector not visible to the live stream")
+          }
+          // and the zero-Exchange property survives the appended files:
+          // the post-append execution still bucket-joins the probe table
+          // with no shuffle on its side
+          import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+          import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+          val plan = q.asInstanceOf[StreamingQueryWrapper]
+            .streamingQuery.lastExecution.executedPlan
+          val probeJoins = plan.collect {
+            case j: SortMergeJoinExec
+              if j.leftKeys.exists(_.toString.contains("bucket")) => j
+            case j: ShuffledHashJoinExec
+              if j.leftKeys.exists(_.toString.contains("bucket")) => j
+          }
+          assert(probeJoins.nonEmpty, s"no shuffle join on bucket in:\n$plan")
+          val staticSides = probeJoins.flatMap(_.children)
+            .filter(_.toString.contains(h.probeTable))
+          assert(staticSides.nonEmpty, s"probe table not under the join:\n$plan")
+          staticSides.foreach { side =>
+            assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+              s"static side of the probe join shuffles after an append:\n$side")
+          }
+        } finally q.stop()
+      } finally spark.conf.set(bcKey, prevBc)
+    }
+  }
 }
