@@ -54,10 +54,21 @@ object IndexFollower {
   /** Apply every source append committed after the checkpointed
     * version to both indexes, exactly once; None when already caught
     * up. Run it after each ingest batch, or on a timer — replays and
-    * overlapping crash-retries are absorbed by construction. */
+    * overlapping crash-retries are absorbed by construction.
+    *
+    * With `maintainTargetBytes` set, a pass that applied a delta also
+    * compacts the dedup index table to ~that many bytes per file,
+    * re-laid-out by `(band, band_hash)` — the probe join's key, so
+    * footer stats prune probe scans — and vacuums files older than
+    * `vacuumGraceMs`. Maintenance runs AFTER the version checkpoint
+    * (it rewrites, never changes, rows — verdicts are identical before
+    * and after, spec-pinned) and shares the index table's CAS-rebase
+    * concurrency tolerance. */
   def catchUp(spark: SparkSession, tableDir: String, stateDir: String,
               ann: AnnIndex.Handle, dedupIndexDir: String,
-              geom: Lsh.Geometry = Lsh.Small): Option[Progress] = {
+              geom: Lsh.Geometry = Lsh.Small,
+              maintainTargetBytes: Option[Long] = None,
+              vacuumGraceMs: Long = 600000L): Option[Progress] = {
     val since = appliedVersion(spark, stateDir)
     val (deltaOpt, latestV) =
       try TableLog.appendsSince(spark, tableDir, since)
@@ -85,6 +96,11 @@ object IndexFollower {
       } finally d.unpersist(blocking = false)
     }
     checkpointVersion(spark, stateDir, latestV)
+    if (deltaOpt.isDefined) maintainTargetBytes.foreach { target =>
+      TableLog.compact(spark, dedupIndexDir, target,
+        layoutBy = Seq("band", "band_hash"))
+      TableLog.vacuum(spark, dedupIndexDir, vacuumGraceMs)
+    }
     Some(Progress(since, latestV, rows))
   }
 

@@ -48,7 +48,8 @@ class IndexFollowerSpec extends SparkSuite {
     val ann = AnnIndex.build(emptyCorpus, "follower_ann", planes = 8, buckets = 8)
 
     def apply(): Option[IndexFollower.Progress] =
-      IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
+      IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir,
+        maintainTargetBytes = Some(1L << 16), vacuumGraceMs = 600000L)
 
     // batch 1 lands, follower applies it
     TableLog.appendBatch(batches(0), srcDir, "src", 0L)
@@ -103,6 +104,13 @@ class IndexFollowerSpec extends SparkSuite {
     assert(dedupSet(TableLog.read(spark, dedupDir)) ==
       dedupSet(DedupIndex.indexRows(corpus.select($"doc_id", $"text"))),
       "follower-grown dedup index diverged from one-shot indexRows")
+    // maintenance really ran: the index table is compacted + re-laid-out
+    // by the probe key, and its manifest carries band_hash stats
+    val ixm = TableLog.latest(spark, dedupDir).get
+    assert(ixm.op == "compact" && ixm.layout == Seq("band", "band_hash"),
+      s"maintenance did not re-layout the index table: op=${ixm.op} layout=${ixm.layout}")
+    assert(ixm.files.forall(_.stats.contains("band_hash")),
+      "compacted index files must carry band_hash stats in the manifest")
 
     // and the READ side: verdicts for a fresh probe batch through the
     // follower's index equal verdicts against the one-shot index

@@ -207,6 +207,22 @@ class TrainingDataPipelineSpec extends SparkSuite {
       val global = (spans.map(_._1).min, spans.map(_._2).max)
       assert(spans.exists(sp => (sp._2 - sp._1) < (global._2 - global._1)),
         s"z-order layout left every file spanning the full key range: $spans")
+      // those spans live in the MANIFEST now (v2 per-file stats): a
+      // range read prunes files without opening a single footer, and
+      // returns exactly the full-scan-and-filter rows — the z-span
+      // narrowing measured above becomes actual skipped reads
+      assert(files.forall(_.stats.contains("zkey")),
+        "compacted manifest entries must carry zkey stats")
+      val lo = global._1
+      val pruned = graft.functions.TableLog.prunedFiles(spark, outDir, "zkey", lo, lo)
+      assert(pruned.size < files.length,
+        s"no manifest-level pruning on the z key: ${pruned.size} of ${files.length}")
+      val viaPruned = graft.functions.TableLog
+        .readWhere(spark, outDir, "zkey", lo, lo).count()
+      val viaFull = graft.functions.TableLog.read(spark, outDir)
+        .filter(col("zkey") === lo).count()
+      assert(viaPruned == viaFull && viaFull >= 1,
+        s"pruned read diverged: $viaPruned vs $viaFull")
     } finally q.stop()
   }
 
