@@ -14,21 +14,27 @@ import graft.functions.{AnnIndex, DedupIndex, Lsh, TableLog}
   * One [[catchUp]] call applies every append committed since the last
   * call, exactly once, no matter how the previous call crashed:
   *
-  *  - the DELTA is manifest-transactional: `appendsSince(v)` returns
-  *    precisely the rows of appends `v+1..latest` (compaction rewrites
-  *    contribute nothing), so a replay reads the identical delta;
-  *  - the DEDUP index is itself a [[TableLog]] table, and the delta's
-  *    band rows are appended through `appendBatch(runKey, batchId =
-  *    latestVersion)` — the index table's own commit map replays to a
-  *    no-op;
-  *  - the ANN index append is keyed by the version range
-  *    (`v<from>-<to>`), so [[AnnIndex]]'s per-delta markers replay to a
-  *    no-op (or repair a mid-append crash through its dedup path);
-  *  - only after BOTH indexes applied is the source version
-  *    checkpointed (a `version-<v>` marker in `stateDir`, max wins —
-  *    creation is atomic, so there is no torn-write window). A crash
-  *    before the checkpoint replays the whole delta; both index paths
-  *    absorb it.
+  *  - deltas are applied ONE SOURCE VERSION at a time, and each unit
+  *    of work is manifest-transactional: the bounded
+  *    `appendsSince(v, v+1)` returns precisely version v+1's appended
+  *    rows (compaction rewrites contribute nothing), so a replay reads
+  *    the identical delta no matter how far the source has advanced
+  *    since the crash;
+  *  - the DEDUP index is itself a [[TableLog]] table, and each
+  *    version's band rows are appended through `appendBatch(runKey,
+  *    batchId = version)` — the index table's own commit map replays
+  *    to a no-op;
+  *  - the ANN index append is keyed `v<version>`, so [[AnnIndex]]'s
+  *    per-delta markers replay to a no-op (or repair a mid-append
+  *    crash through its dedup path);
+  *  - only after BOTH indexes applied a version is it checkpointed
+  *    (a `version-<v>` marker in `stateDir`, max wins — creation is
+  *    atomic, so there is no torn-write window). A crash before the
+  *    checkpoint replays exactly that version's delta under exactly
+  *    its old keys; both index paths absorb it — even when new source
+  *    versions landed between the crash and the retry, because the
+  *    replay identity derives from the source version, not from the
+  *    catch-up call's span.
   *
   * Corpus contract: the source table carries `doc_id` (LONG), `text`
   * (STRING) and `embedding` (ARRAY<FLOAT>); the ANN index uses
@@ -56,52 +62,75 @@ object IndexFollower {
     * up. Run it after each ingest batch, or on a timer — replays and
     * overlapping crash-retries are absorbed by construction.
     *
-    * With `maintainTargetBytes` set, a pass that applied a delta also
-    * compacts the dedup index table to ~that many bytes per file,
-    * re-laid-out by `(band, band_hash)` — the probe join's key, so
-    * footer stats prune probe scans — and vacuums files older than
-    * `vacuumGraceMs`. Maintenance runs AFTER the version checkpoint
-    * (it rewrites, never changes, rows — verdicts are identical before
-    * and after, spec-pinned) and shares the index table's CAS-rebase
-    * concurrency tolerance. */
+    * Deltas are applied ONE SOURCE VERSION AT A TIME, each with the
+    * version number itself as its replay identity (ANN deltaKey
+    * `v<version>`, dedup batchId = version) and its own checkpoint
+    * advance. Per-version chunking is what makes the exactly-once
+    * claim hold when the source keeps ingesting: a crash after
+    * applying version 7 but before its checkpoint, followed by new
+    * source appends, retries with EXACTLY the old unit of work (key
+    * `v7` again — both index paths no-op) instead of a wider delta
+    * under a fresh key that would re-insert the already-applied rows.
+    * The unit of work is fixed by the source's own version numbering,
+    * never by when the follower happens to run.
+    *
+    * With `maintainTargetBytes` set, the dedup index table is
+    * periodically compacted to ~that many bytes per file — every
+    * `maintainEveryNVersions` source versions (a stateless gate on the
+    * version number, so replays cannot double-run it) — re-laid-out by
+    * `(band, band_hash)`, the probe join's key, so footer stats prune
+    * probe scans; then vacuumed past `vacuumGraceMs`. Maintenance runs
+    * AFTER the version checkpoint (it rewrites, never changes, rows —
+    * verdicts are identical before and after, spec-pinned) and shares
+    * the index table's CAS-rebase concurrency tolerance. */
   def catchUp(spark: SparkSession, tableDir: String, stateDir: String,
               ann: AnnIndex.Handle, dedupIndexDir: String,
               geom: Lsh.Geometry = Lsh.Small,
               maintainTargetBytes: Option[Long] = None,
+              maintainEveryNVersions: Int = 8,
               vacuumGraceMs: Long = 600000L): Option[Progress] = {
-    val since = appliedVersion(spark, stateDir)
-    val (deltaOpt, latestV) =
-      try TableLog.appendsSince(spark, tableDir, since)
-      catch {
-        case e: IllegalArgumentException if e.getMessage.contains("left retention") =>
-          throw new IllegalStateException(
-            s"index follower at version $since lags behind $tableDir's " +
-              s"retention (oldest readable: ${TableLog.retention(spark, tableDir)}) " +
-              "— rebuild both indexes from a full snapshot and reset the state dir", e)
-      }
-    if (latestV <= since) return None
-    val deltaKey = s"v${since + 1}-$latestV"
+    require(maintainEveryNVersions >= 1,
+      s"maintainEveryNVersions must be >= 1: $maintainEveryNVersions")
+    val first = appliedVersion(spark, stateDir)
+    var applied = first
     var rows = 0L
-    deltaOpt.foreach { delta =>
-      // pin the delta across its two consumers: one source read, and a
-      // stable row set even if maintenance commits land mid-apply
-      val d = delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        rows = d.count()
-        TableLog.appendBatch(
-          DedupIndex.indexRows(d.select(col("doc_id"), col("text")), geom),
-          dedupIndexDir, TableLog.runKeyFor(spark, stateDir), latestV)
-        AnnIndex.append(spark, ann,
-          d.select(col("doc_id").as("vec_id"), col("embedding")), deltaKey)
-      } finally d.unpersist(blocking = false)
+    var more = true
+    while (more) {
+      val (deltaOpt, to) =
+        try TableLog.appendsSince(spark, tableDir, applied, applied + 1)
+        catch {
+          case e: IllegalArgumentException if e.getMessage.contains("left retention") =>
+            throw new IllegalStateException(
+              s"index follower at version $applied lags behind $tableDir's " +
+                s"retention (oldest readable: ${TableLog.retention(spark, tableDir)}) " +
+                "— rebuild both indexes from a full snapshot and reset the state dir", e)
+        }
+      if (to <= applied) more = false
+      else {
+        deltaOpt.foreach { delta =>
+          // pin the delta across its two consumers: one source read, and
+          // a stable row set even if maintenance commits land mid-apply
+          val d = delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            rows += d.count()
+            TableLog.appendBatch(
+              DedupIndex.indexRows(d.select(col("doc_id"), col("text")), geom),
+              dedupIndexDir, TableLog.runKeyFor(spark, stateDir), to)
+            AnnIndex.append(spark, ann,
+              d.select(col("doc_id").as("vec_id"), col("embedding")), s"v$to")
+          } finally d.unpersist(blocking = false)
+        }
+        checkpointVersion(spark, stateDir, to)
+        if (deltaOpt.isDefined && (to / maintainEveryNVersions) > (applied / maintainEveryNVersions))
+          maintainTargetBytes.foreach { target =>
+            TableLog.compact(spark, dedupIndexDir, target,
+              layoutBy = Seq("band", "band_hash"))
+            TableLog.vacuum(spark, dedupIndexDir, vacuumGraceMs)
+          }
+        applied = to
+      }
     }
-    checkpointVersion(spark, stateDir, latestV)
-    if (deltaOpt.isDefined) maintainTargetBytes.foreach { target =>
-      TableLog.compact(spark, dedupIndexDir, target,
-        layoutBy = Seq("band", "band_hash"))
-      TableLog.vacuum(spark, dedupIndexDir, vacuumGraceMs)
-    }
-    Some(Progress(since, latestV, rows))
+    if (applied == first) None else Some(Progress(first, applied, rows))
   }
 
   /** Greedy dedup verdicts for `newDocs` against the follower-built

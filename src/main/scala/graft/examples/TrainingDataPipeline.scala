@@ -236,10 +236,20 @@ object TrainingDataPipeline {
     * left marker-less `b<id>-` files — uncommitted debris the old
     * startup sweep deleted. [[graft.functions.TableLog.adopt]] has no
     * notion of markers and would commit that debris as real rows, so
-    * the sweep must run first. No-op unless the legacy marker dir
-    * exists AND the table has not been adopted yet (once a `_graft_log`
-    * exists, every surviving file is manifest-committed and the marker
-    * dir is mere residue for [[dropLegacyMarkerDir]]). */
+    * the sweep must run first. No-op once a `_graft_log` exists (every
+    * surviving file is then manifest-committed; the marker dir is mere
+    * residue for [[dropLegacyMarkerDir]]).
+    *
+    * What counts as debris: only `b<id>-` files with id STRICTLY ABOVE
+    * the highest marker. The old writer replayed at most the LAST
+    * uncommitted batch, so only ids past the newest commit can be
+    * uncommitted — while ids at or below it may be committed files
+    * whose markers the old protocol's tail-pruning (markers older than
+    * lastBatch−16 were deleted) already removed; treating those as
+    * debris would destroy committed rows at the upgrade. A missing
+    * marker dir with `b<id>-` files present is the crash-during-batch-0
+    * shape (the old protocol created the dir only at its first commit
+    * point): nothing is committed, so every `b<id>-` file is debris. */
   private def sweepLegacyUncommitted(spark: SparkSession, outDir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val table = new Path(outDir)
@@ -247,14 +257,15 @@ object TrainingDataPipeline {
     if (!fs.exists(table)) return
     if (fs.exists(new Path(outDir.stripSuffix("/"), "_graft_log"))) return
     val markerDir = new Path(outDir.stripSuffix("/") + "__batches")
-    if (!fs.exists(markerDir)) return // never a marker-protocol table
-    val committed: Set[Long] = fs.listStatus(markerDir).iterator
-      .map(_.getPath.getName).filter(n => n.nonEmpty && n.forall(_.isDigit))
-      .map(_.toLong).toSet
+    val maxCommitted: Long =
+      if (!fs.exists(markerDir)) -1L
+      else fs.listStatus(markerDir).iterator
+        .map(_.getPath.getName).filter(n => n.nonEmpty && n.forall(_.isDigit))
+        .map(_.toLong).foldLeft(-1L)(math.max)
     val BatchFile = "^b(\\d+)-.*".r
     fs.listStatus(table).iterator.foreach { f =>
       f.getPath.getName match {
-        case BatchFile(id) if !committed.contains(id.toLong) =>
+        case BatchFile(id) if id.toLong > maxCommitted =>
           System.err.println(
             s"[graft] sweeping legacy uncommitted batch-$id file ${f.getPath} before adopt")
           fs.delete(f.getPath, false)

@@ -56,9 +56,12 @@ object AnnIndex {
     // be uncached BY the drop — so the pin is a lineage cut
     val enriched = Materialize.cut(enrich(corpus, planes))
     val h = Handle(s"${name}_probe", s"${name}_vec", planes, buckets)
+    // marker history first, WHILE the previous life is still cataloged
+    // (its location — and thus its sidecar dir — resolves through the
+    // catalog); a rebuild starts a fresh append-key history
+    dropDeltaLog(spark, h)
     Seq(h.probeTable, h.vecTable)
       .foreach(Bucketing.dropTableAndLocation(spark, _))
-    dropDeltaLog(spark, h) // a rebuild starts a fresh append-key history
     try {
       Bucketing.writeBucketed(
         enriched.select($"vec_id", $"bucket", $"nrm", $"q", $"scale", $"l1", $"embedding"),
@@ -195,14 +198,22 @@ object AnnIndex {
     } finally enriched.unpersist(blocking = false)
   }
 
-  // ---- keyed-append delta markers: a sidecar dir beside the index's
-  // tables in the warehouse; one empty file per (kind, key), created
-  // atomically (create-no-overwrite), re-creation tolerated
+  // ---- keyed-append delta markers: a sidecar dir SIBLING to the probe
+  // table's resolved storage location (`<probe-location>__deltalog`), so
+  // same-named indexes in different databases never share marker state
+  // and a warehouse-conf change cannot orphan it — the same
+  // resolve-don't-guess rule as Bucketing.dropTableAndLocation. One
+  // empty file per (kind, key), created atomically (create-no-
+  // overwrite), re-creation tolerated.
   private[functions] def deltaLog(spark: SparkSession, h: Handle)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(h.probeTable)
+    val catalog = spark.sessionState.catalog
+    val loc =
+      if (catalog.tableExists(ident)) catalog.getTableMetadata(ident).location
+      else catalog.defaultTablePath(ident) // pre-build sweep in build()
     val dir = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      h.probeTable.toLowerCase + "__deltalog")
+      new org.apache.hadoop.fs.Path(loc).toString + "__deltalog")
     (dir.getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
   }
 

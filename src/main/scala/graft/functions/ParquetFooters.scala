@@ -118,15 +118,37 @@ object ParquetFooters {
     case _ => None
   }
 
+  /** Unsigned lexicographic UTF-8 byte comparison — the collation
+    * parquet computes binary statistics in AND the one Spark's
+    * UTF8String filter comparisons use. Java's String.compareTo orders
+    * by UTF-16 code units, which DISAGREES for supplementary characters
+    * vs chars ≥ U+E000 (a surrogate pair sorts below '￿' in UTF-16
+    * but above it in UTF-8 bytes) — comparing bounds in the wrong
+    * domain would prune files that contain matching rows. */
+  private[functions] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   private def minOf(dt: DataType, a: Any, b: Any): Any = dt match {
-    case StringType => if ((a.asInstanceOf[String]: String) <= b.asInstanceOf[String]) a else b
+    case StringType =>
+      if (utf8Cmp(a.asInstanceOf[String], b.asInstanceOf[String]) <= 0) a else b
     case FloatType | DoubleType =>
       math.min(a.asInstanceOf[Double], b.asInstanceOf[Double])
     case _ => math.min(a.asInstanceOf[Long], b.asInstanceOf[Long])
   }
 
   private def maxOf(dt: DataType, a: Any, b: Any): Any = dt match {
-    case StringType => if ((a.asInstanceOf[String]: String) >= b.asInstanceOf[String]) a else b
+    case StringType =>
+      if (utf8Cmp(a.asInstanceOf[String], b.asInstanceOf[String]) >= 0) a else b
     case FloatType | DoubleType =>
       math.max(a.asInstanceOf[Double], b.asInstanceOf[Double])
     case _ => math.max(a.asInstanceOf[Long], b.asInstanceOf[Long])
@@ -155,8 +177,8 @@ object ParquetFooters {
   def intersects(dt: DataType, min: Any, max: Any, lo: Any, hi: Any): Boolean =
     dt match {
       case StringType =>
-        !(max.asInstanceOf[String] < lo.asInstanceOf[String] ||
-          min.asInstanceOf[String] > hi.asInstanceOf[String])
+        !(utf8Cmp(max.asInstanceOf[String], lo.asInstanceOf[String]) < 0 ||
+          utf8Cmp(min.asInstanceOf[String], hi.asInstanceOf[String]) > 0)
       case FloatType | DoubleType =>
         !(max.asInstanceOf[Double] < lo.asInstanceOf[Double] ||
           min.asInstanceOf[Double] > hi.asInstanceOf[Double])

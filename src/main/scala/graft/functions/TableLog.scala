@@ -718,10 +718,24 @@ object TableLog {
     * left retention — the delta cannot be reconstructed, so the caller
     * must fall back to a full snapshot read. */
   def appendsSince(spark: SparkSession, dir: String,
-                   sinceVersion: Long): (Option[DataFrame], Long) = {
+                   sinceVersion: Long): (Option[DataFrame], Long) =
+    appendsSince(spark, dir, sinceVersion, Long.MaxValue)
+
+  /** [[appendsSince]] bounded above: rows appended in versions
+    * `(sinceVersion, untilVersion]`, with the returned checkpoint never
+    * past `untilVersion`. The building block for consumers that apply
+    * deltas one version at a time so their unit of work — and any
+    * replay identity derived from it — is FIXED by the source's own
+    * version numbering rather than by when the consumer happens to run
+    * (a retry that raced new source appends must re-apply exactly the
+    * old delta, not a wider one; [[graft.examples.IndexFollower]]). */
+  def appendsSince(spark: SparkSession, dir: String, sinceVersion: Long,
+                   untilVersion: Long): (Option[DataFrame], Long) = {
+    require(untilVersion > sinceVersion,
+      s"untilVersion $untilVersion must exceed sinceVersion $sinceVersion")
     val hist = history(spark, dir)
     require(hist.nonEmpty, s"$dir has no committed manifest")
-    val latestV = hist.last.version
+    val latestV = math.min(hist.last.version, untilVersion)
     if (sinceVersion >= latestV) return (None, latestV)
     // each delta v needs manifest v-1 too; sinceVersion = -1 (from the
     // beginning) is only reconstructible while version 0 is retained

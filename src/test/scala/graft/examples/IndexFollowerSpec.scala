@@ -49,7 +49,8 @@ class IndexFollowerSpec extends SparkSuite {
 
     def apply(): Option[IndexFollower.Progress] =
       IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir,
-        maintainTargetBytes = Some(1L << 16), vacuumGraceMs = 600000L)
+        maintainTargetBytes = Some(1L << 16), maintainEveryNVersions = 1,
+        vacuumGraceMs = 600000L)
 
     // batch 1 lands, follower applies it
     TableLog.appendBatch(batches(0), srcDir, "src", 0L)
@@ -65,25 +66,29 @@ class IndexFollowerSpec extends SparkSuite {
     assert(p2.rowsApplied == batches(1).count(),
       s"compaction rewrite leaked into the delta: ${p2.rowsApplied}")
 
-    // crash replay: reconstruct the exact pre-checkpoint state (both
-    // indexes applied, version marker NOT yet advanced) and catch up
-    // again — the replay must be a complete no-op on both indexes
+    // crash replay WITH the source advancing before the retry — the
+    // hardest exactly-once shape (the r11 review finding): reconstruct
+    // the exact pre-checkpoint state (both indexes fully applied, the
+    // version marker NOT yet advanced), then land batch 3 BEFORE the
+    // retry. The retry must replay the already-applied versions under
+    // their OLD per-version keys (both index paths no-op) while the new
+    // version applies exactly once — a span-derived replay identity
+    // would re-insert everything under a fresh key here.
     val applied = IndexFollower.appliedVersion(spark, stateDir)
     val markerDir = new java.io.File(stateDir, "applied")
     new java.io.File(markerDir, s"version-${p2.fromVersion}").createNewFile()
     new java.io.File(markerDir, s"version-$applied").delete()
     val annRows = AnnIndex.probeSide(spark, ann).count()
     val dedupRows = TableLog.rows(spark, dedupDir)
-    val replay = apply().get
-    assert(replay.toVersion == applied)
-    assert(AnnIndex.probeSide(spark, ann).count() == annRows,
-      "crash replay duplicated ANN rows")
-    assert(TableLog.rows(spark, dedupDir) == dedupRows,
-      "crash replay duplicated dedup index rows")
-
-    // batch 3, then final parity with from-scratch builds on the corpus
     TableLog.appendBatch(batches(2), srcDir, "src", 2L)
-    apply().get
+    val b3Dedup = DedupIndex.indexRows(
+      batches(2).select($"doc_id", $"text")).count()
+    val replay = apply().get
+    assert(replay.fromVersion == p2.fromVersion && replay.toVersion > applied)
+    assert(TableLog.rows(spark, dedupDir) == dedupRows + b3Dedup,
+      "crash replay with a grown source duplicated (or dropped) dedup index rows")
+    assert(AnnIndex.probeSide(spark, ann).count() > annRows,
+      "the new batch did not reach the ANN index")
 
     // ANN: follower-grown index equals a one-shot build (and no dups)
     val full = AnnIndex.build(corpus.select($"doc_id".as("vec_id"), $"embedding"),

@@ -282,34 +282,36 @@ class TrainingDataPipelineSpec extends SparkSuite {
       s"legacy rows lost in the upgrade: ${got.length} of 600")
   }
 
-  test("adopt after a legacy-protocol crash sweeps marker-less b<id>- debris first") {
-    // the r10 advice finding: the old marker protocol could crash
-    // between landing b<id>- files and creating the batch's marker;
-    // adopt() commits every file present, so without a pre-adopt sweep
-    // that uncommitted debris becomes committed rows AND the
-    // same-checkpoint replay re-appends the batch — duplicating it
+  test("adopt after a legacy-protocol crash sweeps debris, keeps committed files with pruned markers") {
+    // the r10 advice finding (refined by the r11 review): the old marker
+    // protocol could crash between landing b<id>- files and creating the
+    // batch's marker — that debris must not be adopted as committed rows
+    // (the same-checkpoint replay would then duplicate it). But the old
+    // protocol ALSO pruned markers older than lastBatch-16, so a
+    // committed file may legitimately have no marker; only ids ABOVE the
+    // highest marker can be uncommitted (the writer replayed at most the
+    // last batch), and everything at or below it must survive.
     import graft.functions.TableLog
     import org.apache.hadoop.fs.Path
     val outDir = java.nio.file.Files.createTempDirectory("graft_legacy2_out").toString + "/t"
     val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // committed legacy history: b0- files WITH a marker
-    Seq.tabulate(100)(i => (i.toLong, s"old-$i")).toDF("id", "v")
-      .coalesce(1).write.parquet(outDir)
-    new java.io.File(outDir).listFiles().foreach { f =>
-      if (f.getName.endsWith(".parquet"))
-        fs.rename(new Path(f.toString), new Path(outDir, s"b0-${f.getName}"))
+    def landLegacy(dir: String, prefix: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_legacy2_tmp").toString + "/d"
+      rows.toDF("id", "v").coalesce(1).write.parquet(tmp)
+      new java.io.File(tmp).listFiles().foreach { f =>
+        if (f.getName.endsWith(".parquet"))
+          fs.rename(new Path(f.toString), new Path(dir, s"$prefix-${f.getName}"))
+      }
     }
+    fs.mkdirs(new Path(outDir))
+    landLegacy(outDir, "b0", Seq.tabulate(100)(i => (i.toLong, s"old-$i")))    // marker kept
+    landLegacy(outDir, "b3", Seq.tabulate(30)(i => (200L + i, s"pruned-$i")))  // marker PRUNED, committed
+    landLegacy(outDir, "b4", Seq.tabulate(20)(i => (300L + i, s"recent-$i")))  // marker kept
+    landLegacy(outDir, "b5", Seq.tabulate(50)(i => (5000L + i, s"debris-$i"))) // crashed: NO marker, id > max
     val markerDir = new Path(outDir + "__batches")
     fs.mkdirs(markerDir)
     fs.create(new Path(markerDir, "0"), false).close()
-    // crash debris: b1- files with NO marker — these rows must NOT survive
-    val debrisDir = java.nio.file.Files.createTempDirectory("graft_legacy2_dbr").toString + "/d"
-    Seq.tabulate(50)(i => (5000L + i, s"debris-$i")).toDF("id", "v")
-      .coalesce(1).write.parquet(debrisDir)
-    new java.io.File(debrisDir).listFiles().foreach { f =>
-      if (f.getName.endsWith(".parquet"))
-        fs.rename(new Path(f.toString), new Path(outDir, s"b1-${f.getName}"))
-    }
+    fs.create(new Path(markerDir, "4"), false).close()
     new java.io.File(outDir).listFiles().foreach(f =>
       f.setLastModified(System.currentTimeMillis() - 3600L * 1000))
     val srcDir = java.nio.file.Files.createTempDirectory("graft_legacy2_src").toString + "/in"
@@ -322,11 +324,35 @@ class TrainingDataPipelineSpec extends SparkSuite {
       outDir, ckptDir, targetBytes = 65536L, everyNBatches = 2, vacuumGraceMs = 0L)
     try q.processAllAvailable() finally q.stop()
     val got = TableLog.read(spark, outDir).select("id").as[Long].collect().sorted.toSeq
-    assert(got == ((0L until 100L) ++ (1000L until 1060L)).toSeq,
-      s"uncommitted legacy debris leaked into the adopted table (or committed " +
-        s"rows were lost): ${got.length} rows, debris present: ${got.exists(_ >= 5000L)}")
+    assert(got == ((0L until 100L) ++ (200L until 230L) ++ (300L until 320L) ++
+        (1000L until 1060L)).toSeq,
+      s"legacy upgrade diverged: ${got.length} rows; debris leaked: " +
+        s"${got.exists(_ >= 5000L)}; pruned-marker rows lost: ${!got.contains(200L)}")
     // the stale marker dir is gone — its dedup role now lives in the manifest
     assert(!fs.exists(markerDir), "legacy marker dir not removed after adopt")
+
+    // the crash-during-batch-0 shape: b<id>- files and NO marker dir at
+    // all (the old protocol created the dir only at its first commit
+    // point) — nothing is committed, so everything is debris and the
+    // checkpoint replay must be the only source of those rows
+    val outDir2 = java.nio.file.Files.createTempDirectory("graft_legacy3_out").toString + "/t"
+    fs.mkdirs(new Path(outDir2))
+    landLegacy(outDir2, "b0", Seq.tabulate(40)(i => (7000L + i, s"halfbatch-$i")))
+    new java.io.File(outDir2).listFiles().foreach(f =>
+      f.setLastModified(System.currentTimeMillis() - 3600L * 1000))
+    val srcDir2 = java.nio.file.Files.createTempDirectory("graft_legacy3_src").toString + "/in"
+    val ckptDir2 = java.nio.file.Files.createTempDirectory("graft_legacy3_ck").toString
+    // the replayed batch lands the SAME rows the crashed attempt held
+    Seq.tabulate(40)(i => (7000L + i, s"halfbatch-$i")).toDF("id", "v")
+      .coalesce(1).write.parquet(srcDir2)
+    val q2 = TrainingDataPipeline.ingestWithMaintenance(
+      spark.readStream.schema("id LONG, v STRING")
+        .option("maxFilesPerTrigger", 1).parquet(srcDir2),
+      outDir2, ckptDir2, targetBytes = 65536L, everyNBatches = 2, vacuumGraceMs = 0L)
+    try q2.processAllAvailable() finally q2.stop()
+    val got2 = TableLog.read(spark, outDir2).select("id").as[Long].collect().sorted.toSeq
+    assert(got2 == (7000L until 7040L).toSeq,
+      s"batch-0 crash debris adopted and duplicated by the replay: ${got2.length} rows")
   }
 
   test("maintenance loop survives a real stop/restart on the same checkpoint") {

@@ -373,6 +373,34 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.readWhere(spark, dir, "id", 100000L, 200000L).count() == 0L)
   }
 
+  test("string stats compare in UTF-8 byte order — supplementary chars vs U+FFFF never mis-prune") {
+    // parquet footers and Spark's UTF8String filters both order strings
+    // by unsigned UTF-8 bytes; Java's String.compareTo orders by UTF-16
+    // code units, which disagrees for supplementary characters (an
+    // emoji's surrogate pair sorts BELOW '￿' in UTF-16 but ABOVE
+    // it in UTF-8). Bounds compared in the wrong domain would prune a
+    // file that contains matching rows (the r11 review finding).
+    val dir = freshTable()
+    val emoji = new String(Character.toChars(0x1F600))
+    val rows = Seq.tabulate(2000)(i => (i.toLong, f"a$i%04d")) ++
+      Seq((9001L, "￿"), (9002L, emoji))
+    TableLog.appendBatch(rows.toDF("id", "s"), dir, "r", 0L)
+    TableLog.compact(spark, dir, targetBytes = 2048L, layoutBy = Seq("s"))
+    val m = TableLog.latest(spark, dir).get
+    assert(m.files.length >= 3, s"fixture vacuity: ${m.files.length} files")
+    // the point query at '￿' lands in the top range file, whose
+    // footer max is the emoji — UTF-16 comparison would prune it
+    val got = TableLog.readWhere(spark, dir, "s", "￿", "￿")
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(9001L), s"the \\uffff row was mis-pruned: $got")
+    assert(TableLog.readWhere(spark, dir, "s", emoji, emoji).count() == 1L)
+    // a range straddling the divergence agrees with the full filter
+    val viaFull = TableLog.read(spark, dir).filter($"s" >= "￿").count()
+    val viaPruned = TableLog.readWhere(spark, dir, "s", "￿", emoji).count()
+    assert(viaPruned == viaFull && viaFull == 2L,
+      s"straddling range diverged: pruned=$viaPruned full=$viaFull")
+  }
+
   test("append loses the manifest CAS to a live compaction and rebases — no lost batch, no dup rows") {
     val dir = freshTable()
     TableLog.appendBatch(batchDf(0), dir, "r", 0L)
