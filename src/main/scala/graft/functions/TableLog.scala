@@ -300,7 +300,12 @@ object TableLog {
     if (m.files.isEmpty) throw new IllegalStateException(
       s"$dir version ${m.version} has no data files (only empty batches committed)")
     val base = dir.stripSuffix("/")
-    spark.read.parquet(m.files.map(e => s"$base/${e.name}"): _*)
+    // pin the read to the manifest's RECORDED schema when it has one:
+    // no footer-sampling inference job, and files written before an
+    // [[evolve]] surface the added columns as nulls instead of the read
+    // resolving whatever schema the first-listed file happens to carry
+    val reader = m.schema.fold(spark.read)(s => spark.read.schema(s))
+    reader.parquet(m.files.map(e => s"$base/${e.name}"): _*)
   }
 
   /** Total data bytes — from the manifest, zero filesystem calls. */
@@ -356,7 +361,9 @@ object TableLog {
     val keep = prunedEntries(m, column, lower, upper)
     val base = dir.stripSuffix("/")
     val df =
-      if (keep.nonEmpty) spark.read.parquet(keep.map(e => s"$base/${e.name}"): _*)
+      if (keep.nonEmpty)
+        m.schema.fold(spark.read)(s => spark.read.schema(s))
+          .parquet(keep.map(e => s"$base/${e.name}"): _*)
       else m.schema match {
         case Some(s) => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
@@ -507,6 +514,65 @@ object TableLog {
       Some(batch.schema.json))
     fs.delete(staging, true)
     true
+  }
+
+  /** Explicit, operator-approved ADDITIVE schema evolution: commit a
+    * manifest that carries `newSchema` over the UNCHANGED file set.
+    * Every existing column must survive with its exact type (renames,
+    * removals and type changes are rejected — those are rewrites, not
+    * evolutions) and every added column must be nullable, because files
+    * written before this commit don't contain it: the schema-pinned
+    * readers ([[read]]/[[readAt]]/[[readWhere]]/[[appendsSince]])
+    * surface it as null for pre-evolution rows. Time travel stays
+    * honest — each retained manifest carries its own schema, so
+    * [[readAt]] an old version still reads the old shape.
+    *
+    * Ordering contract: run this when the WRITER is upgraded — from the
+    * next version on, [[appendBatch]]'s guard holds batches to the NEW
+    * schema (a straggler batch with the old shape fails loudly rather
+    * than silently committing a table whose newest column is
+    * sometimes-missing). A live [[readTail]] stream keeps its
+    * start-time schema; restart it with the new one to see added
+    * columns. Returns the committed manifest. */
+  def evolve(spark: SparkSession, dir: String,
+             newSchema: org.apache.spark.sql.types.StructType): Manifest = {
+    val (fs, _) = fsFor(spark, dir)
+    var attempts = 0
+    var out: Option[Manifest] = None
+    while (out.isEmpty) {
+      val prev = latest(spark, dir).getOrElse(throw new IllegalStateException(
+        s"$dir has no committed manifest — nothing to evolve"))
+      prev.schema.foreach { old =>
+        old.fields.foreach { f =>
+          val kept = newSchema.fields.find(_.name == f.name).getOrElse(
+            throw new IllegalArgumentException(
+              s"evolve rejected for $dir: column '${f.name}' is missing from " +
+                "the new schema — dropping or renaming a column is a rewrite, " +
+                "not an evolution"))
+          require(sameSchema(
+              org.apache.spark.sql.types.StructType(Seq(f)),
+              org.apache.spark.sql.types.StructType(Seq(kept.copy(name = f.name)))),
+            s"evolve rejected for $dir: column '${f.name}' changes type " +
+              s"${f.dataType.simpleString} → ${kept.dataType.simpleString}")
+        }
+        newSchema.fields.filterNot(f => old.fieldNames.contains(f.name)).foreach { f =>
+          require(f.nullable,
+            s"evolve rejected for $dir: added column '${f.name}' must be " +
+              "nullable — files written before the evolution don't contain it")
+        }
+      }
+      val m = Manifest(prev.version + 1, prev.files, prev.rows, prev.commits,
+        "evolve", Some(newSchema.json), prev.layout)
+      casHook()
+      try { commit(fs, dir, m); out = Some(m) }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts > CasRetries) throw new java.util.ConcurrentModificationException(
+            s"evolve of $dir lost the manifest CAS $attempts times: ${e.getMessage}")
+      }
+    }
+    out.get
   }
 
   /** Commit already-landed append `entries` against the CURRENT latest
@@ -761,7 +827,12 @@ object TableLog {
     if (newFiles.isEmpty) (None, latestV)
     else {
       val base = dir.stripSuffix("/")
-      (Some(spark.read.parquet(newFiles.map(e => s"$base/${e.name}"): _*)), latestV)
+      // pinned to the newest retained schema: a delta straddling an
+      // [[evolve]] boundary mixes pre- and post-evolution files, and
+      // inference would resolve whichever the listing happens to lead
+      // with — older files surface the added columns as nulls instead
+      val reader = hist.last.schema.fold(spark.read)(s => spark.read.schema(s))
+      (Some(reader.parquet(newFiles.map(e => s"$base/${e.name}"): _*)), latestV)
     }
   }
 

@@ -486,6 +486,49 @@ class TableLogSpec extends SparkSuite {
       "the first post-upgrade append must start recording the schema")
   }
 
+  test("additive schema evolution: old files read nulls, old versions keep their shape, guard flips to the new schema") {
+    import org.apache.spark.sql.types._
+    val dir = freshTable()
+    TableLog.appendBatch(batchDf(0), dir, "r", 0L)
+    val evolved = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("score", DoubleType, nullable = true)))
+    val m = TableLog.evolve(spark, dir, evolved)
+    assert(m.op == "evolve" && m.rows == 100L && m.files.nonEmpty)
+    // pre-evolution rows surface the added column as null
+    val r = TableLog.read(spark, dir)
+    assert(r.columns.toSeq == Seq("id", "v", "score"))
+    assert(r.filter($"score".isNull).count() == 100L)
+    // the append guard now holds batches to the NEW schema
+    val e1 = intercept[IllegalArgumentException](
+      TableLog.appendBatch(batchDf(1), dir, "r", 1L))
+    assert(e1.getMessage.contains("schema drift"), e1.getMessage)
+    val withScore = Seq.tabulate(50)(i => (2000L + i, s"n$i", i / 10.0))
+      .toDF("id", "v", "score")
+    assert(TableLog.appendBatch(withScore, dir, "r", 1L))
+    assert(TableLog.read(spark, dir).filter($"score".isNotNull).count() == 50L)
+    // a delta straddling the evolution reads in the NEW shape too
+    val (d, _) = TableLog.appendsSince(spark, dir, -1L)
+    assert(d.get.columns.toSeq == Seq("id", "v", "score") && d.get.count() == 150L)
+    // time travel keeps each version's own shape
+    assert(TableLog.readAt(spark, dir, 0L).columns.toSeq == Seq("id", "v"))
+    // rejected evolutions: type change, column removal, non-null addition
+    val typeChange = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType),
+      StructField("score", DoubleType)))
+    assert(intercept[IllegalArgumentException](
+      TableLog.evolve(spark, dir, typeChange)).getMessage.contains("changes type"))
+    val removal = StructType(Seq(StructField("id", LongType),
+      StructField("score", DoubleType)))
+    assert(intercept[IllegalArgumentException](
+      TableLog.evolve(spark, dir, removal)).getMessage.contains("missing from"))
+    val nonNull = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("score", DoubleType), StructField("rank", LongType, nullable = false)))
+    assert(intercept[IllegalArgumentException](
+      TableLog.evolve(spark, dir, nonNull)).getMessage.contains("must be nullable"))
+  }
+
   test("empty micro-batches advance the commit map without fabricating files") {
     val dir = freshTable()
     TableLog.appendBatch(batchDf(0), dir, "r", 0L)
