@@ -58,9 +58,12 @@ object IndexFollower {
   final case class Progress(fromVersion: Long, toVersion: Long, rowsApplied: Long)
 
   /** Apply every source append committed after the checkpointed
-    * version to both indexes, exactly once; None when already caught
-    * up. Run it after each ingest batch, or on a timer — replays and
-    * overlapping crash-retries are absorbed by construction.
+    * version AND before this call (the pass is bounded by the source's
+    * version at entry, so a source that keeps committing can't hold
+    * the call open forever) to both indexes, exactly once; None when
+    * already caught up. Run it after each ingest batch, or on a
+    * timer — replays and overlapping crash-retries are absorbed by
+    * construction.
     *
     * Deltas are applied ONE SOURCE VERSION AT A TIME, each with the
     * version number itself as its replay identity (ANN deltaKey
@@ -92,9 +95,14 @@ object IndexFollower {
     require(maintainEveryNVersions >= 1,
       s"maintainEveryNVersions must be >= 1: $maintainEveryNVersions")
     val first = appliedVersion(spark, stateDir)
+    // bound the pass by the versions that exist NOW: a source that keeps
+    // committing during the pass cannot keep this call alive forever —
+    // versions landing after this snapshot are the next call's work
+    val bound = TableLog.latest(spark, tableDir).map(_.version).getOrElse(-1L)
+    val runKey = TableLog.runKeyFor(spark, stateDir)
     var applied = first
     var rows = 0L
-    var more = true
+    var more = applied < bound
     while (more) {
       val (deltaOpt, to) =
         try TableLog.appendsSince(spark, tableDir, applied, applied + 1)
@@ -115,19 +123,25 @@ object IndexFollower {
             rows += d.count()
             TableLog.appendBatch(
               DedupIndex.indexRows(d.select(col("doc_id"), col("text")), geom),
-              dedupIndexDir, TableLog.runKeyFor(spark, stateDir), to)
+              dedupIndexDir, runKey, to)
             AnnIndex.append(spark, ann,
               d.select(col("doc_id").as("vec_id"), col("embedding")), s"v$to")
           } finally d.unpersist(blocking = false)
         }
         checkpointVersion(spark, stateDir, to)
-        if (deltaOpt.isDefined && (to / maintainEveryNVersions) > (applied / maintainEveryNVersions))
+        // the gate is on the version NUMBER alone — a boundary landing on
+        // a delta-less commit (source compaction/evolve) still fires, so
+        // the small-file bound the setting promises holds regardless of
+        // what kind of commits the source interleaves
+        if ((to / maintainEveryNVersions) > (applied / maintainEveryNVersions)
+            && TableLog.latest(spark, dedupIndexDir).isDefined)
           maintainTargetBytes.foreach { target =>
             TableLog.compact(spark, dedupIndexDir, target,
               layoutBy = Seq("band", "band_hash"))
             TableLog.vacuum(spark, dedupIndexDir, vacuumGraceMs)
           }
         applied = to
+        if (applied >= bound) more = false
       }
     }
     if (applied == first) None else Some(Progress(first, applied, rows))

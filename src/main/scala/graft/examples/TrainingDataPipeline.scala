@@ -249,7 +249,12 @@ object TrainingDataPipeline {
     * debris would destroy committed rows at the upgrade. A missing
     * marker dir with `b<id>-` files present is the crash-during-batch-0
     * shape (the old protocol created the dir only at its first commit
-    * point): nothing is committed, so every `b<id>-` file is debris. */
+    * point): nothing is committed, so every `b<id>-` file is debris —
+    * but ONLY when every data file in the dir matches the pattern.
+    * A dir holding `part-*` (or any other) data files was never the
+    * old protocol's (its writer named every file `b<id>-`); adopting a
+    * raw parquet dir that happens to contain a few `b<id>-`-named
+    * files must not destroy them. */
   private def sweepLegacyUncommitted(spark: SparkSession, outDir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val table = new Path(outDir)
@@ -257,12 +262,23 @@ object TrainingDataPipeline {
     if (!fs.exists(table)) return
     if (fs.exists(new Path(outDir.stripSuffix("/"), "_graft_log"))) return
     val markerDir = new Path(outDir.stripSuffix("/") + "__batches")
+    val BatchFile = "^b(\\d+)-.*".r
+    if (!fs.exists(markerDir)) {
+      // no commit point was ever reached: sweep only when the dir is a
+      // PURE old-protocol dir (every data file b<id>--named) — anything
+      // else is a raw dir being adopted, whose files are real data
+      val dataFiles = fs.listStatus(table).filter(f =>
+        f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+      val pureLegacy = dataFiles.nonEmpty &&
+        dataFiles.forall(f => BatchFile.findFirstIn(f.getPath.getName).isDefined)
+      if (!pureLegacy) return
+    }
     val maxCommitted: Long =
       if (!fs.exists(markerDir)) -1L
       else fs.listStatus(markerDir).iterator
         .map(_.getPath.getName).filter(n => n.nonEmpty && n.forall(_.isDigit))
         .map(_.toLong).foldLeft(-1L)(math.max)
-    val BatchFile = "^b(\\d+)-.*".r
     fs.listStatus(table).iterator.foreach { f =>
       f.getPath.getName match {
         case BatchFile(id) if id.toLong > maxCommitted =>

@@ -542,7 +542,14 @@ object TableLog {
     while (out.isEmpty) {
       val prev = latest(spark, dir).getOrElse(throw new IllegalStateException(
         s"$dir has no committed manifest — nothing to evolve"))
-      prev.schema.foreach { old =>
+      // v1 manifests carry no schema — derive the current shape from the
+      // live files' parquet footers so a pre-schema table gets the SAME
+      // additive-only validation (else a typo'd rename would silently
+      // null out a column for every schema-pinned reader)
+      val current = prev.schema.orElse(
+        if (prev.files.isEmpty) None
+        else Some(readVersion(spark, dir, prev).schema))
+      current.foreach { old =>
         old.fields.foreach { f =>
           val kept = newSchema.fields.find(_.name == f.name).getOrElse(
             throw new IllegalArgumentException(
@@ -585,14 +592,30 @@ object TableLog {
   private[functions] def commitAppend(spark: SparkSession, fs: FileSystem,
       dir: String, runKey: String, batchId: Long, entries: Vector[Entry],
       added: Long, schemaJson: Option[String]): Unit = {
+    val batchSchema = schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
     var attempts = 0
     var committed = false
     while (!committed) {
       val prev = latest(spark, dir)
         .getOrElse(Manifest(-1L, Vector.empty, 0L, Map.empty, "init"))
+      // re-check drift against the manifest we are ACTUALLY committing
+      // over: an [[evolve]] landing between appendBatch's entry guard
+      // and this commit (or between CAS retries) must reject the
+      // straggler batch loudly — committing `schemaJson` here would
+      // silently revert the evolution for every later reader. The
+      // landed a<v>- files stay orphaned and vacuum reclaims them
+      // after grace, same as a crash.
+      for (recorded <- prev.schema; batch <- batchSchema)
+        require(sameSchema(recorded, batch),
+          s"schema drift rejected for $dir: the table's committed schema is\n  " +
+            s"${recorded.simpleString}\nbut this batch has\n  " +
+            s"${batch.simpleString}\n(a concurrent evolve() may have " +
+            "upgraded the table — restart the writer with the new schema)")
       val m = Manifest(prev.version + 1, prev.files ++ entries,
         prev.rows + added, prev.commits + (runKey -> batchId), "append",
-        schemaJson.orElse(prev.schemaJson), prev.layout)
+        prev.schemaJson.orElse(schemaJson), prev.layout)
       casHook()
       try { commit(fs, dir, m); committed = true }
       catch {

@@ -48,9 +48,13 @@ object AnnAppendBench {
     }.reduce(_ unionByName _).cache()
     val nGrown = grown.count()
 
-    // the delta: a fixed 2k-vector slice with fresh ids, same for both
+    // the delta: a fixed 2k-vector slice with fresh ids, same for both.
+    // The offset must clear EVERY grown copy's id range (copy c shifts
+    // by c*1e7, so factor 256 reaches ~2.56e9): colliding ids would make
+    // the keyless path's anti-join dedup the delta away on the big
+    // corpus and the comparison would time different work.
     val delta = base.limit(2000)
-      .select(($"vec_id" + 900_000_000L).as("vec_id"), $"embedding").cache()
+      .select(($"vec_id" + 100_000_000_000L).as("vec_id"), $"embedding").cache()
     val nDelta = delta.count()
 
     def timed(f: => Unit): Double = {

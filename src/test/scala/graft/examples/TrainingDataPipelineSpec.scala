@@ -355,6 +355,38 @@ class TrainingDataPipelineSpec extends SparkSuite {
       s"batch-0 crash debris adopted and duplicated by the replay: ${got2.length} rows")
   }
 
+  test("adopting a raw parquet dir with coincidental b-named files destroys nothing") {
+    // the pure-legacy guard: a dir with part-* data files was never the
+    // old marker protocol's (its writer named EVERY file b<id>-), so a
+    // missing marker dir must not turn its b-named files into "debris" —
+    // that would delete committed rows at upgrade
+    import graft.functions.TableLog
+    import org.apache.hadoop.fs.Path
+    val outDir = java.nio.file.Files.createTempDirectory("graft_rawmix_out").toString + "/t"
+    val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq.tabulate(80)(i => (i.toLong, s"raw-$i")).toDF("id", "v")
+      .coalesce(1).write.parquet(outDir) // part-*.parquet + _SUCCESS
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rawmix_tmp").toString + "/d"
+    Seq.tabulate(20)(i => (500L + i, s"bnamed-$i")).toDF("id", "v")
+      .coalesce(1).write.parquet(tmp)
+    new java.io.File(tmp).listFiles().foreach { f =>
+      if (f.getName.endsWith(".parquet"))
+        fs.rename(new Path(f.toString), new Path(outDir, s"b1-${f.getName}"))
+    }
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_rawmix_src").toString + "/in"
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_rawmix_ck").toString
+    Seq.tabulate(10)(i => (900L + i, s"new-$i")).toDF("id", "v")
+      .coalesce(1).write.parquet(srcDir)
+    val q = TrainingDataPipeline.ingestWithMaintenance(
+      spark.readStream.schema("id LONG, v STRING")
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      outDir, ckptDir, targetBytes = 65536L, everyNBatches = 2, vacuumGraceMs = 0L)
+    try q.processAllAvailable() finally q.stop()
+    val got = TableLog.read(spark, outDir).select("id").as[Long].collect().sorted.toSeq
+    assert(got == ((0L until 80L) ++ (500L until 520L) ++ (900L until 910L)).toSeq,
+      s"raw-dir adopt lost rows: ${got.length} (b-named deleted: ${!got.contains(500L)})")
+  }
+
   test("maintenance loop survives a real stop/restart on the same checkpoint") {
     // TableLogSpec drives appendBatch replays by hand; this one drives
     // the ENGINE's replay: stop the query, land more input, restart from

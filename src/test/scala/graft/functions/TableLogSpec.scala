@@ -529,6 +529,70 @@ class TableLogSpec extends SparkSuite {
       TableLog.evolve(spark, dir, nonNull)).getMessage.contains("must be nullable"))
   }
 
+  test("a straggler append racing evolve is rejected — the evolution never silently reverts") {
+    import org.apache.spark.sql.types._
+    val dir = freshTable()
+    TableLog.appendBatch(batchDf(0), dir, "r", 0L)
+    val evolved = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("score", DoubleType, nullable = true)))
+    // the straggler passes the ENTRY drift guard (pre-evolve manifest),
+    // then evolve lands in its CAS window: the rebase must re-check and
+    // reject the old-shape batch instead of committing its schema over
+    // the evolution
+    TableLog.casHook = () => {
+      TableLog.casHook = () => ()
+      TableLog.evolve(spark, dir, evolved)
+    }
+    val e = try intercept[IllegalArgumentException](
+        TableLog.appendBatch(batchDf(1), dir, "r", 1L))
+      finally TableLog.casHook = () => ()
+    assert(e.getMessage.contains("schema drift"), e.getMessage)
+    val m = TableLog.latest(spark, dir).get
+    assert(m.op == "evolve" && m.schema.exists(_.fieldNames.contains("score")),
+      s"evolution reverted: v${m.version} op=${m.op} schema=${m.schema.map(_.simpleString)}")
+    assert(m.rows == 100L && TableLog.read(spark, dir).count() == 100L,
+      "the rejected straggler's rows must not be committed")
+    // the straggler's landed-but-uncommitted files are orphan debris:
+    // vacuum reclaims them after grace like any crash leftover
+    TableLog.vacuum(spark, dir, graceMs = 0L)
+    val onDisk = new java.io.File(dir).listFiles().count(f =>
+      f.isFile && f.getName.startsWith("a"))
+    assert(onDisk == m.files.length,
+      s"orphaned straggler files survived vacuum: $onDisk vs ${m.files.length}")
+  }
+
+  test("evolve on a pre-schema (v1) table validates against the files' actual footer schema") {
+    import org.apache.spark.sql.types._
+    // v1-era manifest: no schema line — evolve must still reject a
+    // rename/removal (the column would silently read all-null otherwise)
+    val dir = freshTable()
+    batchDf(0).coalesce(1).write.parquet(dir)
+    val dataFile = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+    val logDir = new java.io.File(dir, "_graft_log"); logDir.mkdirs()
+    val body = "graft-manifest-v1\nversion\t0\nrows\t100\nop\tappend\n" +
+      s"commit\tlegacy\t0\nfile\t${dataFile.length()}\t${dataFile.getName}\n"
+    java.nio.file.Files.write(
+      new java.io.File(logDir, f"manifest-${0L}%020d").toPath,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(TableLog.latest(spark, dir).get.schemaJson.isEmpty)
+    val renamed = StructType(Seq(
+      StructField("id", LongType), StructField("val", StringType)))
+    assert(intercept[IllegalArgumentException](
+      TableLog.evolve(spark, dir, renamed)).getMessage.contains("missing from"))
+    val typeChange = StructType(Seq(
+      StructField("id", StringType), StructField("v", StringType)))
+    assert(intercept[IllegalArgumentException](
+      TableLog.evolve(spark, dir, typeChange)).getMessage.contains("changes type"))
+    val ok = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("score", DoubleType, nullable = true)))
+    val m = TableLog.evolve(spark, dir, ok)
+    assert(m.schema.exists(_.fieldNames.sameElements(Array("id", "v", "score"))))
+    assert(TableLog.read(spark, dir).filter($"score".isNull).count() == 100L)
+  }
+
   test("empty micro-batches advance the commit map without fabricating files") {
     val dir = freshTable()
     TableLog.appendBatch(batchDf(0), dir, "r", 0L)
