@@ -147,6 +147,39 @@ object IndexFollower {
     if (applied == first) None else Some(Progress(first, applied, rows))
   }
 
+  /** What one takedown removed where. */
+  final case class Takedown(corpusRows: Long, dedupIndexRows: Long,
+                            annTombstoned: Int)
+
+  /** The TAKEDOWN path — remove a document set everywhere at once:
+    * [[graft.functions.TableLog.deleteIn]] on the corpus (stats-pruned
+    * copy-on-write rewrite of only the files holding the ids), the same
+    * delete on the dedup index's band rows (a removed document must stop
+    * matching future near-duplicates — its signatures go, not just its
+    * text), and [[graft.functions.AnnIndex.tombstone]] on the ANN index
+    * (deletion without touching the bucketed tables; a LIVE probe stream
+    * honors it at its next trigger). Deletions are invisible to the CDC
+    * surface by design (`appendsSince` skips delete versions), so this
+    * is the one coordinated write; [[catchUp]] keeps working unchanged
+    * around it. Each leg is independently idempotent — rerunning a
+    * crashed takedown re-deletes nothing and re-marks harmlessly — so
+    * at-least-once retry is the whole crash story. Physical-erasure
+    * timing on the two TableLog tables follows
+    * [[graft.functions.TableLog.delete]]'s retention honesty note. */
+  def takedown(spark: SparkSession, tableDir: String, dedupIndexDir: String,
+               ann: AnnIndex.Handle, docIds: Seq[Long]): Takedown = {
+    import spark.implicits._
+    val corpusDeleted = TableLog.deleteIn(spark, tableDir, "doc_id", docIds)
+    val indexDeleted =
+      if (TableLog.latest(spark, dedupIndexDir).isEmpty) 0L
+      else TableLog.deleteIn(spark, dedupIndexDir, "doc_id", docIds)
+    // keyless on purpose: tombstone appends are duplicate-tolerant, so
+    // a crashed takedown's retry re-marking the same ids is harmless —
+    // simpler than a derived key that could collide across lists
+    AnnIndex.tombstone(spark, ann, docIds.toDF("vec_id"))
+    Takedown(corpusDeleted, indexDeleted, docIds.length)
+  }
+
   /** Greedy dedup verdicts for `newDocs` against the follower-built
     * index — the read side of the loop, one equi-join on the band key. */
   def dedupVerdicts(spark: SparkSession, newDocs: org.apache.spark.sql.DataFrame,

@@ -58,8 +58,12 @@ object AnnIndex {
     val h = Handle(s"${name}_probe", s"${name}_vec", planes, buckets)
     // marker history first, WHILE the previous life is still cataloged
     // (its location — and thus its sidecar dir — resolves through the
-    // catalog); a rebuild starts a fresh append-key history
+    // catalog); a rebuild starts a fresh append-key history and a
+    // fresh EMPTY tombstone table — the rebuild's corpus is the truth,
+    // and the empty table's presence is what lets streams planned now
+    // observe future deletions live (see [[resetTombstones]])
     dropDeltaLog(spark, h)
+    resetTombstones(spark, h)
     Seq(h.probeTable, h.vecTable)
       .foreach(Bucketing.dropTableAndLocation(spark, _))
     try {
@@ -244,6 +248,114 @@ object AnnIndex {
   /** The rerank-side relation: pre-bucketed on `vec_id`. */
   def vecSide(spark: SparkSession, h: Handle): DataFrame =
     spark.table(h.vecTable)
+
+  // ---- tombstones: deletion without a rebuild. The corpus-side
+  // [[graft.functions.TableLog.delete]] removes rows from the TABLE;
+  // this is the INDEX-side mirror — rewriting two bucketed tables per
+  // takedown would be O(corpus), so deleted ids instead land in a small
+  // CATALOG table (`<probe>_tombs`, one vec_id column) that the query
+  // paths anti-join as a BROADCAST against the probe side: candidate
+  // generation never yields a deleted id, it cannot occupy a top-k
+  // slot, and the corpus side stays Exchange-free. A catalog table —
+  // not a raw parquet dir — because micro-batch planning re-lists a
+  // CatalogFileIndex per trigger while a path read freezes its file
+  // listing at plan time: this is exactly what makes a RUNNING probe
+  // stream honor new tombstones at its next micro-batch, the same
+  // mechanism that makes keyed appends visible live (spec'd both ways).
+
+  /** Record `ids` (a `vec_id` column) as deleted. Append-only and
+    * duplicate-tolerant (the read side is an anti-join — re-marking an
+    * id changes nothing), so at-least-once callers are safe; pass
+    * `deltaKey` for exactly-once marker dedup under replays (the
+    * [[append]] key discipline). A tombstoned id is DEAD until the next
+    * [[build]] rebuild or [[compactTombstones]]: re-appending it under
+    * a fresh key is dropped by the append dedup against the raw table,
+    * so vec_id reuse after deletion is unsupported by design — takedown
+    * means the id never comes back. */
+  def tombstone(spark: SparkSession, h: Handle, ids: DataFrame,
+                deltaKey: Option[String] = None): Unit = {
+    val (fs, log) = deltaLog(spark, h)
+    if (deltaKey.exists(k => fs.exists(marker(log, "tomb", k)))) return
+    import org.apache.spark.sql.functions.col
+    val rows = ids.select(col("vec_id").cast("long").as("vec_id"))
+    if (tombTableExists(spark, h)) rows.write.insertInto(tombstoneTable(h))
+    else rows.write.saveAsTable(tombstoneTable(h)) // index built pre-tombstones
+    deltaKey.foreach(k => mark(fs, log, "tomb", k))
+  }
+
+  /** The deleted-id set (possibly with duplicates); empty for an index
+    * with no deletions, including indexes built before tombstones
+    * existed. */
+  def tombstones(spark: SparkSession, h: Handle): DataFrame =
+    if (tombTableExists(spark, h)) spark.table(tombstoneTable(h))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType))))
+
+  /** `rel` minus tombstoned ids — the filter every Handle query path
+    * applies to its PROBE side (vec-side rerank joins back only probe
+    * survivors, so filtering once suffices). Broadcast by hint: the
+    * tombstone set is small by contract and must never push a shuffle
+    * onto the pre-bucketed corpus side. */
+  def withoutTombstoned(spark: SparkSession, h: Handle,
+                        rel: DataFrame): DataFrame =
+    rel.join(org.apache.spark.sql.functions.broadcast(tombstones(spark, h)),
+      Seq("vec_id"), "left_anti")
+
+  /** Fold the tombstones INTO the tables (rewrite both without the
+    * deleted ids) and clear the set — the amortized cleanup once the
+    * sidecar has grown past "small". Crash-ordered so a retry repairs:
+    * tables are rewritten FIRST (filtering an already-filtered table is
+    * a no-op) and the tombstone set is cleared LAST, so every
+    * intermediate state still answers queries correctly. Same
+    * single-maintainer contract as [[build]]. */
+  def compactTombstones(spark: SparkSession, h: Handle): Unit = {
+    if (!tombTableExists(spark, h) || tombstones(spark, h).isEmpty) return
+    // pin each filtered relation BEFORE dropping its source table — the
+    // same lineage-cut-or-die rule as build()'s rebuild path
+    Seq(h.probeTable -> Seq("vec_id", "bucket", "nrm", "q", "scale", "l1", "embedding"),
+        h.vecTable -> Seq("vec_id", "embedding", "nrm")).foreach {
+      case (tbl, cols) =>
+        val keyCol = if (tbl == h.probeTable) "bucket" else "vec_id"
+        val buckets = spark.sessionState.catalog
+          .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+          .bucketSpec.map(_.numBuckets).getOrElse(
+            throw new IllegalStateException(s"$tbl is not bucketed — not an AnnIndex table"))
+        val kept = Materialize.cut(
+          withoutTombstoned(spark, h, spark.table(tbl))
+            .select(cols.map(org.apache.spark.sql.functions.col): _*))
+        try {
+          Bucketing.dropTableAndLocation(spark, tbl)
+          Bucketing.writeBucketed(kept, tbl, keyCol, buckets)
+        } finally Materialize.release(kept)
+    }
+    resetTombstones(spark, h)
+  }
+
+  private[functions] def tombstoneTable(h: Handle): String =
+    h.probeTable + "_tombs"
+
+  private def tombTableExists(spark: SparkSession, h: Handle): Boolean =
+    spark.sessionState.catalog.tableExists(
+      spark.sessionState.sqlParser.parseTableIdentifier(tombstoneTable(h)))
+
+  /** Drop and recreate the tombstone table EMPTY. Recreation matters:
+    * a probe stream planned while the table exists re-lists it per
+    * trigger, so later [[tombstone]] appends reach running streams —
+    * which is why [[build]] always creates it, even with no deletions
+    * yet. (A stream started against a pre-tombstone-era index that
+    * lacks the table must restart to observe a first deletion.) */
+  private def resetTombstones(spark: SparkSession, h: Handle): Unit = {
+    Bucketing.dropTableAndLocation(spark, tombstoneTable(h))
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType))))
+      .write.saveAsTable(tombstoneTable(h))
+  }
 
   /** Multi-probe bucket selection (Lv et al.'s multi-probe LSH, the
     * exhaustive variant): rank EVERY sign-LSH bucket by how far the

@@ -678,6 +678,17 @@ object TableLog {
     var committed = false
     while (!committed) {
       val cur = latest(spark, dir).getOrElse(m)
+      // rebase absorbs ADDITIONS only: if a concurrent commit REMOVED a
+      // snapshot file (another maintenance writer's delete/compact),
+      // committing this rewrite would resurrect the removed rows — fail
+      // loudly instead; the single-maintenance-writer contract was broken
+      val curNames = cur.files.map(_.name).toSet
+      if (cur.version != m.version && !snapshotNames.subsetOf(curNames))
+        throw new java.util.ConcurrentModificationException(
+          s"compact of $dir raced a commit that removed snapshot files " +
+            s"(${(snapshotNames -- curNames).take(3).mkString(", ")}…) — a " +
+            "concurrent delete/compact violates the one-maintenance-writer " +
+            "contract; re-run this compact against the new snapshot")
       val addedSince = cur.files.filterNot(e => snapshotNames.contains(e.name))
       val next = Manifest(cur.version + 1, entries ++ addedSince, cur.rows,
         cur.commits, "compact", cur.schemaJson.orElse(schemaJson), layout)
@@ -693,6 +704,162 @@ object TableLog {
     }
     fs.delete(staging, true)
     entries.length
+  }
+
+  /** Row-level copy-on-write DELETE: remove every row matching
+    * `predicate`, rewriting ONLY the files that contain matching rows.
+    * Candidate files are read once (parquet row-group stats make
+    * non-matching candidates metadata-cheap to dismiss), the affected
+    * ones are rewritten without their matching rows, and one manifest
+    * commit atomically swaps exactly those files — readers see all
+    * matching rows or none, never a partial delete. Returns the number
+    * of rows removed; commits nothing when no row matches.
+    *
+    * This is the takedown/redaction primitive a training-data lake
+    * needs (remove a document set by id, purge a contaminated span)
+    * without rewriting the table. Honesty notes:
+    *  - `predicate` must be deterministic — it is evaluated twice
+    *    (locate, then rewrite) and a flapping predicate would desync
+    *    the two passes;
+    *  - deleted rows remain READABLE via [[readAt]] on older retained
+    *    manifests until those prune ([[KeepManifests]] commits) and
+    *    [[vacuum]]'s grace passes — PHYSICAL erasure completes at the
+    *    first vacuum after the last referencing manifest is pruned
+    *    ([[retention]] reports the horizon). Run `KeepManifests`
+    *    trivial commits + vacuum to force it for compliance deadlines;
+    *  - change consumers ([[readTail]]/[[appendsSince]]) do NOT see
+    *    deletions (the rewritten files carry the `c<v>-` rewrite
+    *    prefix and `appendsSince` skips delete versions): downstream
+    *    indexes keep serving removed ids until told — see
+    *    [[AnnIndex.tombstone]] and
+    *    [[graft.examples.IndexFollower.takedown]] for the index-side
+    *    wiring.
+    * Shares [[compact]]'s concurrency posture: rebases over concurrent
+    * APPENDS, fails loudly if another maintenance writer removed files
+    * under it. */
+  def delete(spark: SparkSession, dir: String,
+             predicate: org.apache.spark.sql.Column): Long =
+    deleteImpl(spark, dir, m => m.files, predicate)
+
+  /** [[delete]] of rows with `column` in the inclusive [lower, upper]
+    * range, with candidate files pruned at the MANIFEST level first
+    * (the [[readWhere]] stats path): on a table compacted `layoutBy`
+    * this column, a narrow range opens only the files whose recorded
+    * span intersects — the delete's cost tracks the range, not the
+    * table. */
+  def deleteRange(spark: SparkSession, dir: String, column: String,
+                  lower: Any, upper: Any): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    deleteImpl(spark, dir, m => prunedEntries(m, column, lower, upper),
+      col(column).between(lit(lower), lit(upper)))
+  }
+
+  /** [[delete]] of rows whose `column` is in `values` — the takedown-
+    * list shape. Candidates are manifest-pruned PER VALUE (point
+    * lookups, exact on a layout column — far tighter than one
+    * [min, max] envelope over a sparse id list); driver-side work is
+    * |values| × |files| stat comparisons, fine for takedown lists
+    * against bounded manifests. */
+  def deleteIn(spark: SparkSession, dir: String, column: String,
+               values: Seq[Any]): Long = {
+    require(values.nonEmpty, "deleteIn needs at least one value")
+    import org.apache.spark.sql.functions.col
+    deleteImpl(spark, dir,
+      m => {
+        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+        val out = Vector.newBuilder[Entry]
+        values.foreach { v =>
+          prunedEntries(m, column, v, v).foreach { e =>
+            if (seen.add(e.name)) out += e
+          }
+        }
+        out.result()
+      },
+      col(column).isin(values: _*))
+  }
+
+  private def deleteImpl(spark: SparkSession, dir: String,
+      candidates: Manifest => Vector[Entry],
+      predicate: org.apache.spark.sql.Column): Long = {
+    val (fs, table) = fsFor(spark, dir)
+    val m = latest(spark, dir).getOrElse(throw new IllegalStateException(
+      s"$dir has no committed manifest — nothing to delete from"))
+    if (m.files.isEmpty) return 0L
+    val cand = candidates(m)
+    if (cand.isEmpty) return 0L
+    val base = dir.stripSuffix("/")
+    def readFiles(entries: Seq[Entry]) =
+      m.schema.fold(spark.read)(s => spark.read.schema(s))
+        .parquet(entries.map(e => s"$base/${e.name}"): _*)
+    // locate the files that actually hold matching rows; bounded collect
+    // (≤ one row per candidate file)
+    val affectedPaths = readFiles(cand).filter(predicate)
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().collect().map(_.getString(0)).toSet
+    if (affectedPaths.isEmpty) return 0L
+    val affected = cand.filter(e =>
+      affectedPaths.exists(p => p.endsWith("/" + e.name)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val oldRows = ParquetFooters.rowCount(conf,
+      affected.map(e => new Path(s"$base/${e.name}")))
+    // rewrite the affected files without their matching rows, keeping
+    // the table's layout clustering (and thus its pruning stats) intact
+    val kept = readFiles(affected).filter(!predicate)
+    val n = affected.length
+    val laidOut =
+      if (m.layout.isEmpty) kept.coalesce(n)
+      else {
+        val cols = m.layout.map(org.apache.spark.sql.functions.col)
+        kept.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
+      }
+    val v = m.version + 1
+    val staging = new Path(base, s"_staging-${java.util.UUID.randomUUID()}")
+    laidOut.write.parquet(staging.toString)
+    val statSchema = m.schema.getOrElse(
+      org.apache.spark.sql.types.StructType(kept.schema.fields))
+    var newRows = 0L
+    val entries = fs.listStatus(staging).iterator
+      .filter { f => val nm = f.getPath.getName
+        nm.endsWith(".parquet") && !nm.startsWith("_") && !nm.startsWith(".") }
+      .map { f =>
+        val meta = ParquetFooters.read(conf, f.getPath, m.layout.toSet, statSchema)
+        newRows += meta.rows
+        // `c` prefix: a rewrite of surviving rows, silent to readTail's
+        // append glob exactly like a compaction rewrite
+        val name = s"c$v-${f.getPath.getName}"
+        val dst = new Path(table, name)
+        if (!fs.rename(f.getPath, dst))
+          throw new java.io.IOException(s"could not land ${f.getPath} as $dst")
+        Entry(name, f.getLen, meta.stats)
+      }.toVector
+    val deleted = oldRows - newRows
+    val affectedNames = affected.map(_.name).toSet
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      val cur = latest(spark, dir).getOrElse(m)
+      val curNames = cur.files.map(_.name).toSet
+      if (!affectedNames.subsetOf(curNames))
+        throw new java.util.ConcurrentModificationException(
+          s"delete in $dir raced a commit that removed the files it read " +
+            s"(${(affectedNames -- curNames).take(3).mkString(", ")}…) — a " +
+            "concurrent delete/compact violates the one-maintenance-writer " +
+            "contract; re-run this delete against the new snapshot")
+      val next = Manifest(cur.version + 1,
+        cur.files.filterNot(e => affectedNames.contains(e.name)) ++ entries,
+        cur.rows - deleted, cur.commits, "delete", cur.schemaJson, cur.layout)
+      casHook()
+      try { commit(fs, dir, next); committed = true }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts > CasRetries) throw new java.util.ConcurrentModificationException(
+            s"delete in $dir lost the manifest CAS $attempts times — more than " +
+              s"one maintenance writer? Last conflict: ${e.getMessage}")
+      }
+    }
+    fs.delete(staging, true)
+    deleted
   }
 
   /** Reclaim everything this table's log no longer protects: first
@@ -834,13 +1001,17 @@ object TableLog {
         s"${hist.head.version}) — re-read the full snapshot instead")
     val byV = hist.map(m => m.version -> m).toMap
     // compaction rewrites contribute nothing (their rows already flowed
-    // through earlier versions); appends AND the adopt snapshot do — an
-    // adopted corpus exists nowhere else in the delta stream, so a
-    // from-the-beginning (-1) consumer must receive it or it would build
-    // a silently incomplete replica
+    // through earlier versions), and a [[delete]]'s swapped-in files
+    // hold only SURVIVING old rows — emitting either would re-apply
+    // rows the consumer already holds. Appends AND the adopt snapshot
+    // do contribute — an adopted corpus exists nowhere else in the
+    // delta stream, so a from-the-beginning (-1) consumer must receive
+    // it or it would build a silently incomplete replica. (Deletions
+    // are thus INVISIBLE to this surface by design; index consumers
+    // handle them via tombstones — [[graft.examples.IndexFollower.takedown]].)
     val newFiles = ((sinceVersion + 1) to latestV).flatMap { v =>
       val m = byV(v)
-      if (m.op == "compact") Nil
+      if (m.op == "compact" || m.op == "delete") Nil
       else {
         val prev: Set[String] =
           byV.get(v - 1).map(_.files.map(_.name).toSet).getOrElse(Set.empty)

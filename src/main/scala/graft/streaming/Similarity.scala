@@ -122,8 +122,13 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = queries.sparkSession
     import spark.implicits._
-    val statics = AnnIndex.probeSide(spark, index)
-      .select($"vec_id", $"embedding", $"nrm", $"bucket")
+    // tombstoned (deleted) ids are filtered OUT of candidate generation
+    // — a broadcast anti-join, so the corpus side stays Exchange-free;
+    // re-resolved per trigger like the rest of the static side, so a
+    // live stream honors new deletions at its next micro-batch
+    val statics = AnnIndex.withoutTombstoned(spark, index,
+      AnnIndex.probeSide(spark, index)
+        .select($"vec_id", $"embedding", $"nrm", $"bucket"))
     knnCore(probedQueries(queries, index.planes, nprobe), statics, k)
   }
 
@@ -305,8 +310,11 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = queries.sparkSession
     import spark.implicits._
-    val taggedStatic = AnnIndex.probeSide(spark, index)
-      .select($"vec_id", $"bucket", $"nrm", $"q", $"scale", $"l1")
+    // tombstone filter on the CANDIDATE side only: the rerank joins
+    // back probe-side survivors, so a deleted id can never reach it
+    val taggedStatic = AnnIndex.withoutTombstoned(spark, index,
+      AnnIndex.probeSide(spark, index)
+        .select($"vec_id", $"bucket", $"nrm", $"q", $"scale", $"l1"))
     val floatStatic = AnnIndex.vecSide(spark, index)
     knnQuantizedCore(queries, taggedStatic, floatStatic, k, index.planes, nprobe)
   }

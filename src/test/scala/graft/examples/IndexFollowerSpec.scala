@@ -132,6 +132,67 @@ class IndexFollowerSpec extends SparkSuite {
       s"fixture vacuity: expected two dups and one keeper, got $got")
   }
 
+  test("takedown: one call removes a doc set from the corpus, the dedup index and the ANN serving path") {
+    val corpus = corpusDf().cache()
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_td_src").toString + "/t"
+    val dedupDir = java.nio.file.Files.createTempDirectory("graft_td_ddx").toString + "/ix"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_td_state").toString
+    import org.apache.spark.sql.types._
+    val emptyCorpus = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val ann = AnnIndex.build(emptyCorpus, "takedown_ann", planes = 8, buckets = 8)
+    TableLog.appendBatch(corpus, srcDir, "src", 0L)
+    IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
+
+    val ids = corpus.select($"doc_id").as[Long].collect().sorted
+    val victims = ids.take(5).toSeq
+    val nAll = ids.length.toLong
+    val td = IndexFollower.takedown(spark, srcDir, dedupDir, ann, victims)
+    assert(td.corpusRows == 5L && td.annTombstoned == 5)
+    assert(td.dedupIndexRows > 0L, "no signature rows removed from the dedup index")
+    // corpus: gone, atomically
+    assert(TableLog.rows(spark, srcDir) == nAll - 5L)
+    assert(TableLog.read(spark, srcDir)
+      .filter($"doc_id".isin(victims: _*)).count() == 0L)
+    // dedup index: no band row of a removed doc survives — a fresh doc
+    // IDENTICAL to a removed one must come back a keeper (its only
+    // possible match was taken down)
+    assert(TableLog.read(spark, dedupDir)
+      .filter($"doc_id".isin(victims: _*)).count() == 0L)
+    val victimText = corpus.filter($"doc_id" === victims.head)
+      .select($"text").as[String].head()
+    val reprobe = Seq((990001L, victimText)).toDF("doc_id", "text")
+    val v = DedupIndex.incrementalVerdicts(reprobe, TableLog.read(spark, dedupDir))
+      .as[(Long, Long, Boolean)].collect()
+    // the pool has 7 phrases over many docs — other docs share the text,
+    // so the verdict stays a dup UNLESS every holder was removed; what
+    // MUST hold is that the matched root is never a removed id
+    assert(v.forall(t => !victims.contains(t._2)),
+      s"a taken-down doc still owns dedup matches: ${v.toSeq}")
+    // ANN serving path: removed ids never surface from the live relation
+    // every Handle query path reads (the stream-level proof lives in
+    // SimilarityStreamSpec's tombstone test)
+    val live = AnnIndex.withoutTombstoned(spark, ann, AnnIndex.probeSide(spark, ann))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(victims.forall(v => !live.contains(v)),
+      "taken-down ids still in the ANN serving relation")
+    // a retried (crashed) takedown is harmless end to end
+    val td2 = IndexFollower.takedown(spark, srcDir, dedupDir, ann, victims)
+    assert(td2.corpusRows == 0L && td2.dedupIndexRows == 0L)
+    assert(TableLog.rows(spark, srcDir) == nAll - 5L)
+    // the follower keeps working around the takedown: new docs apply
+    val extra = Seq((990100L, pool(1), Array.fill(16)(0.25f)))
+      .toDF("doc_id", "text", "embedding")
+      .select($"doc_id", $"text", $"embedding".cast("array<float>"))
+    TableLog.appendBatch(extra, srcDir, "src", 1L)
+    val p = IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
+    assert(p.exists(_.rowsApplied == 1L),
+      s"catch-up after a takedown diverged: $p")
+    corpus.unpersist()
+  }
+
   test("a follower lagging past source retention fails loudly with the readable floor") {
     val corpus = corpusDf().limit(50).cache()
     val srcDir = java.nio.file.Files.createTempDirectory("graft_fl2_src").toString + "/t"

@@ -217,4 +217,47 @@ class AnnIndexSpec extends SparkSuite {
     AnnIndex.append(spark, h, delta, "d1")
     assert(AnnIndex.probeSide(spark, h).count() == vecAfterCrash)
   }
+
+  test("tombstones: keyed dedup, query-side filtering, compactTombstones folds to rebuild parity") {
+    val corpus = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val h = AnnIndex.build(corpus, "annspec_tomb", planes = 8, buckets = 8)
+    val victims = corpus.select($"vec_id").as[Long].collect().sorted.take(10).toSeq
+    def tombRows(): Long = AnnIndex.tombstones(spark, h).count()
+    assert(tombRows() == 0L, "build must create an EMPTY tombstone table")
+    AnnIndex.tombstone(spark, h, victims.toDF("vec_id"), deltaKey = Some("take-1"))
+    assert(tombRows() == 10L)
+    // keyed replay is a no-op; a fresh key appends (duplicates harmless)
+    AnnIndex.tombstone(spark, h, victims.toDF("vec_id"), deltaKey = Some("take-1"))
+    assert(tombRows() == 10L, "a keyed tombstone replay must not re-append")
+    AnnIndex.tombstone(spark, h, victims.take(3).toDF("vec_id"))
+    assert(tombRows() == 13L)
+    // the query-side relation hides the victims; the raw table keeps them
+    val live = AnnIndex.withoutTombstoned(spark, h, AnnIndex.probeSide(spark, h))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(victims.forall(v => !live.contains(v)), "tombstoned ids still served")
+    assert(AnnIndex.probeSide(spark, h)
+      .filter($"vec_id".isin(victims: _*)).count() == victims.length.toLong)
+    // fold: tables rewritten without the ids, sidecar cleared, and the
+    // result equals a from-scratch build on the reduced corpus — rows
+    // AND bucketed plan shape
+    AnnIndex.compactTombstones(spark, h)
+    assert(tombRows() == 0L, "compactTombstones left the tombstone set behind")
+    val ref = AnnIndex.build(corpus.filter(!$"vec_id".isin(victims: _*)),
+      "annspec_tomb_ref", planes = 8, buckets = 8)
+    assert(indexRows(h) == indexRows(ref),
+      "folded index diverged from a rebuild on the reduced corpus")
+    assert(AnnIndex.vecSide(spark, h).count() == AnnIndex.vecSide(spark, ref).count())
+    val agg = AnnIndex.probeSide(spark, h).groupBy($"bucket").count()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      s"compactTombstones broke the bucketed layout:\n${agg.queryExecution.executedPlan}")
+    // idempotent on an empty set
+    AnnIndex.compactTombstones(spark, h)
+    assert(indexRows(h) == indexRows(ref))
+    // a rebuild clears any tombstones — the new corpus is the truth
+    AnnIndex.tombstone(spark, h, victims.take(2).toDF("vec_id"))
+    assert(tombRows() == 2L)
+    AnnIndex.build(corpus, "annspec_tomb", planes = 8, buckets = 8)
+    assert(tombRows() == 0L, "build did not clear the tombstone set")
+  }
 }

@@ -529,6 +529,99 @@ class TableLogSpec extends SparkSuite {
       TableLog.evolve(spark, dir, nonNull)).getMessage.contains("must be nullable"))
   }
 
+  test("deleteIn: a takedown rewrites ONLY the files holding the ids; atomic, counted, time-travel honest") {
+    val dir = freshTable()
+    (0 until 10).foreach { b =>
+      val df = Seq.tabulate(100)(i => (b * 100L + i, s"s$b-$i")).toDF("id", "v")
+      TableLog.appendBatch(df, dir, "r", b.toLong)
+    }
+    TableLog.compact(spark, dir, targetBytes = 6L << 10, layoutBy = Seq("id"))
+    val before = TableLog.latest(spark, dir).get
+    assert(before.files.length >= 4, s"fixture vacuity: ${before.files.length} files")
+    // ids clustered in one narrow span → stats should confine the
+    // rewrite to the files whose recorded range holds them
+    val victims = Seq(10L, 11L, 12L, 37L)
+    val candNames = victims.flatMap(v =>
+      TableLog.prunedFiles(spark, dir, "id", v, v)).toSet
+    assert(candNames.size < before.files.size,
+      s"fixture vacuity: the victim ids span every file")
+    val removed = TableLog.deleteIn(spark, dir, "id", victims)
+    assert(removed == victims.length.toLong, s"removed $removed")
+    val after = TableLog.latest(spark, dir).get
+    assert(after.op == "delete" && after.rows == 1000L - victims.length)
+    // untouched files keep their EXACT manifest entries (same name,
+    // bytes, stats); only stat-candidate files were swapped
+    val beforeByName = before.files.map(e => e.name -> e).toMap
+    val untouched = after.files.filter(e => beforeByName.contains(e.name))
+    assert(untouched.map(e => beforeByName(e.name)) == untouched,
+      "an untouched file's manifest entry changed")
+    val swappedOut = before.files.map(_.name).toSet -- after.files.map(_.name).toSet
+    assert(swappedOut.nonEmpty && swappedOut.subsetOf(candNames),
+      s"delete rewrote non-candidate files: ${swappedOut -- candNames}")
+    // rewritten files carry the rewrite prefix and fresh layout stats
+    val fresh = after.files.filterNot(e => beforeByName.contains(e.name))
+    assert(fresh.forall(e => e.name.startsWith("c") && e.stats.contains("id")))
+    val got = TableLog.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+    assert(got == (0L until 1000L).filterNot(victims.contains).toSeq,
+      s"delete diverged: ${got.length} rows")
+    // rows metadata matches reality, readWhere agrees post-delete
+    assert(TableLog.rows(spark, dir) == 996L)
+    assert(TableLog.readWhere(spark, dir, "id", 10L, 12L).count() == 0L)
+    assert(TableLog.readWhere(spark, dir, "id", 13L, 36L).count() == 24L)
+    // time travel: the pre-delete version still shows the rows (honesty
+    // window until manifests prune + vacuum grace)
+    assert(TableLog.readAt(spark, dir, before.version)
+      .filter($"id".isin(victims: _*)).count() == victims.length.toLong)
+    // the CDC surface never re-emits the delete's swapped-in files
+    val (delta, ckpt) = TableLog.appendsSince(spark, dir, before.version)
+    assert(delta.isEmpty && ckpt == after.version,
+      "a delete version leaked kept-row files into the delta stream")
+    // deleting ids that don't exist commits NOTHING
+    val v0 = TableLog.latest(spark, dir).get.version
+    assert(TableLog.deleteIn(spark, dir, "id", Seq(999999L)) == 0L)
+    assert(TableLog.latest(spark, dir).get.version == v0,
+      "a no-match delete must not commit a version")
+    // general predicate delete: every remaining even id under 100
+    val removedEven = TableLog.delete(spark, dir, ($"id" < 100) && ($"id" % 2 === 0))
+    assert(removedEven == 48L, s"removed $removedEven") // 50 evens minus already-deleted 10, 12
+    assert(TableLog.read(spark, dir).filter($"id" < 100).count() == 100L - 4L - 48L)
+  }
+
+  test("delete rebases over a racing append; compact racing a delete fails loudly, never resurrects") {
+    val dir = freshTable()
+    (0 until 4).foreach(b => TableLog.appendBatch(batchDf(b), dir, "r", b.toLong))
+    // delete loses its CAS to an append landing in the window → rebase
+    // keeps the appended batch AND removes exactly the targeted rows
+    TableLog.casHook = () => {
+      TableLog.casHook = () => ()
+      TableLog.appendBatch(batchDf(9), dir, "r", 9L)
+    }
+    val removed = try TableLog.delete(spark, dir, $"id" < 10L)
+      finally TableLog.casHook = () => ()
+    assert(removed == 10L)
+    val m = TableLog.latest(spark, dir).get
+    assert(m.op == "delete" && m.rows == 500L - 10L)
+    val got = TableLog.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+    assert(got == ((10L until 100L) ++ (1 to 3).flatMap(b => b * 1000L until b * 1000L + 100L)
+      ++ (9000L until 9100L)).toSeq, s"rebase lost rows: ${got.length}")
+    // compact whose snapshot a delete guts mid-flight must fail loudly
+    // (continuing would commit the rewrite WITH the deleted rows back)
+    TableLog.casHook = () => {
+      TableLog.casHook = () => ()
+      TableLog.delete(spark, dir, $"id" >= 9000L)
+    }
+    val e = try intercept[java.util.ConcurrentModificationException](
+        TableLog.compact(spark, dir, targetBytes = 1L << 20))
+      finally TableLog.casHook = () => ()
+    assert(e.getMessage.contains("removed snapshot files"), e.getMessage)
+    assert(TableLog.read(spark, dir).filter($"id" >= 9000L).count() == 0L,
+      "the aborted compact resurrected deleted rows")
+    // the abandoned rewrite's staged-then-landed files are unreferenced
+    // debris; vacuum reclaims them and the table reads clean after
+    TableLog.vacuum(spark, dir, graceMs = 0L)
+    assert(TableLog.read(spark, dir).count() == 390L)
+  }
+
   test("a straggler append racing evolve is rejected — the evolution never silently reverts") {
     import org.apache.spark.sql.types._
     val dir = freshTable()

@@ -327,4 +327,94 @@ class SimilarityStreamSpec extends SparkSuite {
       } finally spark.conf.set(bcKey, prevBc)
     }
   }
+
+  test("tombstoned ids vanish from a LIVE probe stream mid-run; parity with a reduced rebuild; still Exchange-free") {
+    withRocksDBState {
+      import graft.functions.AnnIndex
+      val dim = 16
+      def vec(seed: Int): Array[Float] = {
+        val r = new scala.util.Random(seed)
+        Array.fill(dim)((r.nextGaussian() * 0.5).toFloat)
+      }
+      // plant exact twins: corpus id 1000+i matches query vector 9000+i
+      val rows = (0L until 200L).map(i => (i, vec(i.toInt))) ++
+        (0 until 10).map(i => (1000L + i, vec(9000 + i)))
+      val corpus = rows.toDF("vec_id", "embedding")
+      val victims = (1000L until 1010L).toSeq
+      val h = AnnIndex.build(corpus, "simspec_tomb", planes = 8, buckets = 8)
+      val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+      val prevBc = spark.conf.get(bcKey)
+      spark.conf.set(bcKey, "-1")
+      try {
+        val in = MemoryStream[(Long, Array[Float])]
+        val q = Similarity.streamKnn(in.toDS(), h, k = 3, nprobe = 1)
+          .toDF("query_id", "vec_id", "cos").writeStream
+          .format("memory").queryName("tomb_knn").outputMode("append").start()
+        try {
+          // trigger 1: the planted twins win at cosine ~ 1
+          in.addData((0 until 10).map(i => (2000L + i, vec(9000 + i))))
+          q.processAllAvailable()
+          val pre = spark.table("tomb_knn").as[(Long, Long, Double)].collect()
+          assert((0 until 10).forall(i => pre.exists(t =>
+              t._1 == 2000L + i && t._2 == 1000L + i && t._3 > 0.9999)),
+            "fixture vacuity: planted twin not winning pre-tombstone")
+          // takedown mid-stream — no restart
+          AnnIndex.tombstone(spark, h, victims.toDF("vec_id"))
+          // trigger 2: same vectors; the tombstoned twins must be gone
+          // from EVERY hit (not just the top slot — they may not occupy
+          // a k slot at all), and each query still gets k live hits
+          in.addData((0 until 10).map(i => (3000L + i, vec(9000 + i))))
+          q.processAllAvailable()
+          val post = spark.table("tomb_knn").filter($"query_id" >= 3000L)
+            .as[(Long, Long, Double)].collect()
+          assert(!post.exists(t => victims.contains(t._2)),
+            s"tombstoned ids still served to the live stream: ${post.filter(t => victims.contains(t._2)).toSeq}")
+          assert(post.nonEmpty, "live hits vanished entirely with the tombstones")
+          // (whether the freed top-k slots refill exactly like a reduced
+          // rebuild is pinned by the parity check below — a single-bucket
+          // probe may legitimately hold < k live vectors)
+          // the broadcast anti-join must not have pushed a shuffle onto
+          // the bucketed corpus side
+          import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+          import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+          val plan = q.asInstanceOf[StreamingQueryWrapper]
+            .streamingQuery.lastExecution.executedPlan
+          val probeJoins = plan.collect {
+            case j: SortMergeJoinExec
+              if j.leftKeys.exists(_.toString.contains("bucket")) => j
+            case j: ShuffledHashJoinExec
+              if j.leftKeys.exists(_.toString.contains("bucket")) => j
+          }
+          assert(probeJoins.nonEmpty, s"no shuffle join on bucket in:\n$plan")
+          val staticSides = probeJoins.flatMap(_.children)
+            .filter(_.toString.contains(h.probeTable))
+          assert(staticSides.nonEmpty, s"probe table not under the join:\n$plan")
+          staticSides.foreach { side =>
+            assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+              s"tombstone filter pushed a shuffle onto the corpus side:\n$side")
+          }
+        } finally q.stop()
+        // the filtered stream equals one probing an index REBUILT without
+        // the victims — tombstoning is semantically a rebuild, minus cost
+        val filtered = runStream("tomb_filtered", (0 until 10).map(i => (1L * i, vec(9000 + i))),
+          ds => Similarity.streamKnn(ds, h, k = 3, nprobe = 1))
+        val ref = AnnIndex.build(
+          corpus.filter(!$"vec_id".isin(victims: _*)), "simspec_tomb_ref",
+          planes = 8, buckets = 8)
+        val viaRef = runStream("tomb_ref", (0 until 10).map(i => (1L * i, vec(9000 + i))),
+          ds => Similarity.streamKnn(ds, ref, k = 3, nprobe = 1))
+        assert(filtered == viaRef, "tombstone filter diverged from a reduced rebuild")
+        // quantized path honors the same tombstones
+        val filteredQ = runStream("tomb_fq", (0 until 10).map(i => (1L * i, vec(9000 + i))),
+          ds => Similarity.streamKnnQuantized(ds, h, k = 3, nprobe = 1))
+        assert(filteredQ == viaRef, "quantized path diverged on tombstones")
+        // fold, then a fresh stream sees identical results with no sidecar
+        AnnIndex.compactTombstones(spark, h)
+        val folded = runStream("tomb_folded", (0 until 10).map(i => (1L * i, vec(9000 + i))),
+          ds => Similarity.streamKnn(ds, h, k = 3, nprobe = 1))
+        assert(folded == viaRef, "compactTombstones changed query results")
+      } finally spark.conf.set(bcKey, prevBc)
+    }
+  }
 }
