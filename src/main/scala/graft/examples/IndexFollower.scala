@@ -147,7 +147,10 @@ object IndexFollower {
     if (applied == first) None else Some(Progress(first, applied, rows))
   }
 
-  /** What one takedown removed where. */
+  /** What one takedown removed where. The two row counts are actual
+    * rows rewritten away; `annTombstoned` is the DISTINCT ids marked
+    * dead in the ANN index — a mark is a blind append (the id need not
+    * exist in the index), so it counts marks, not matched rows. */
   final case class Takedown(corpusRows: Long, dedupIndexRows: Long,
                             annTombstoned: Int)
 
@@ -176,8 +179,9 @@ object IndexFollower {
     // keyless on purpose: tombstone appends are duplicate-tolerant, so
     // a crashed takedown's retry re-marking the same ids is harmless —
     // simpler than a derived key that could collide across lists
-    AnnIndex.tombstone(spark, ann, docIds.toDF("vec_id"))
-    Takedown(corpusDeleted, indexDeleted, docIds.length)
+    val distinctIds = docIds.distinct
+    AnnIndex.tombstone(spark, ann, distinctIds.toDF("vec_id"))
+    Takedown(corpusDeleted, indexDeleted, distinctIds.length)
   }
 
   /** Greedy dedup verdicts for `newDocs` against the follower-built

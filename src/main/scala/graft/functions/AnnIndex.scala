@@ -35,6 +35,17 @@ object AnnIndex {
   final case class Handle(probeTable: String, vecTable: String,
                           planes: Int, buckets: Int)
 
+  // The two tables' column lists and bucket keys — ONE definition shared
+  // by build, keyed append, crash-repair, and compactTombstones, so a
+  // schema change cannot desync any write path from the others (the
+  // enrich() one-definition rule, extended to the table shape).
+  private val ProbeCols = Seq("vec_id", "bucket", "nrm", "q", "scale", "l1", "embedding")
+  private val VecCols   = Seq("vec_id", "embedding", "nrm")
+  private val ProbeKey  = "bucket"
+  private val VecKey    = "vec_id"
+  private def project(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*)
+
   /** Compute norms + sign-LSH bucket + int8 sidecar for `corpus`
     * (`vec_id`, `embedding`) and persist both bucketed tables. One job,
     * two writes; each write pays the one shuffle its join key will
@@ -68,11 +79,9 @@ object AnnIndex {
       .foreach(Bucketing.dropTableAndLocation(spark, _))
     try {
       Bucketing.writeBucketed(
-        enriched.select($"vec_id", $"bucket", $"nrm", $"q", $"scale", $"l1", $"embedding"),
-        h.probeTable, "bucket", buckets)
+        project(enriched, ProbeCols), h.probeTable, ProbeKey, buckets)
       Bucketing.writeBucketed(
-        enriched.select($"vec_id", $"embedding", $"nrm"),
-        h.vecTable, "vec_id", buckets)
+        project(enriched, VecCols), h.vecTable, VecKey, buckets)
     } finally Materialize.release(enriched)
     h
   }
@@ -165,11 +174,9 @@ object AnnIndex {
       val enriched = enrich(newVectors, h.planes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        enriched.select($"vec_id", $"embedding", $"nrm")
-          .write.insertInto(h.vecTable)
+        project(enriched, VecCols).write.insertInto(h.vecTable)
         mark(fs, log, "vec", deltaKey)
-        enriched.select($"vec_id", $"bucket", $"nrm", $"q", $"scale", $"l1", $"embedding")
-          .write.insertInto(h.probeTable)
+        project(enriched, ProbeCols).write.insertInto(h.probeTable)
         mark(fs, log, "probe", deltaKey)
       } finally enriched.unpersist(blocking = false)
     } else {
@@ -193,12 +200,12 @@ object AnnIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (!vecCommitted)
-        enriched.join(vecSide(spark, h).select($"vec_id"), Seq("vec_id"), "left_anti")
-          .select($"vec_id", $"embedding", $"nrm")
-          .write.insertInto(h.vecTable)
-      enriched.join(probeSide(spark, h).select($"vec_id"), Seq("vec_id"), "left_anti")
-        .select($"vec_id", $"bucket", $"nrm", $"q", $"scale", $"l1", $"embedding")
-        .write.insertInto(h.probeTable)
+        project(
+          enriched.join(vecSide(spark, h).select($"vec_id"), Seq("vec_id"), "left_anti"),
+          VecCols).write.insertInto(h.vecTable)
+      project(
+        enriched.join(probeSide(spark, h).select($"vec_id"), Seq("vec_id"), "left_anti"),
+        ProbeCols).write.insertInto(h.probeTable)
     } finally enriched.unpersist(blocking = false)
   }
 
@@ -267,11 +274,14 @@ object AnnIndex {
     * duplicate-tolerant (the read side is an anti-join — re-marking an
     * id changes nothing), so at-least-once callers are safe; pass
     * `deltaKey` for exactly-once marker dedup under replays (the
-    * [[append]] key discipline). A tombstoned id is DEAD until the next
-    * [[build]] rebuild or [[compactTombstones]]: re-appending it under
-    * a fresh key is dropped by the append dedup against the raw table,
-    * so vec_id reuse after deletion is unsupported by design — takedown
-    * means the id never comes back. */
+    * [[append]] key discipline). A tombstoned id is DEAD while its
+    * tombstone row lives, and id reuse is ORDER-SENSITIVE: the keyless
+    * [[append]]'s dedup drops a re-appended id, while a KEYED fresh
+    * append does insert its rows — but the anti-join mask keeps them
+    * invisible and the next [[compactTombstones]] erases them together
+    * with the old copy. The id returns only if re-ingested AFTER a
+    * compaction (or a [[build]] rebuild whose corpus includes it) has
+    * retired its tombstone — treat takedown as permanent otherwise. */
   def tombstone(spark: SparkSession, h: Handle, ids: DataFrame,
                 deltaKey: Option[String] = None): Unit = {
     val (fs, log) = deltaLog(spark, h)
@@ -288,7 +298,13 @@ object AnnIndex {
     * existed. */
   def tombstones(spark: SparkSession, h: Handle): DataFrame =
     if (tombTableExists(spark, h)) spark.table(tombstoneTable(h))
-    else spark.createDataFrame(
+    else emptyTombstones(spark)
+
+  /** The tombstone table's shape, in one place — the read path
+    * ([[tombstones]]) and the recreate path ([[resetTombstones]]) must
+    * never desync on it. */
+  private def emptyTombstones(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",
@@ -305,34 +321,53 @@ object AnnIndex {
       Seq("vec_id"), "left_anti")
 
   /** Fold the tombstones INTO the tables (rewrite both without the
-    * deleted ids) and clear the set — the amortized cleanup once the
-    * sidecar has grown past "small". Crash-ordered so a retry repairs:
-    * tables are rewritten FIRST (filtering an already-filtered table is
-    * a no-op) and the tombstone set is cleared LAST, so every
-    * intermediate state still answers queries correctly. Same
-    * single-maintainer contract as [[build]]. */
+    * deleted ids) and retire the folded ids from the sidecar — the
+    * amortized cleanup once the set has grown past "small". The folded
+    * set is SNAPSHOTTED first and only those ids are removed at the
+    * end: [[tombstone]] is a live takedown write path, not maintenance,
+    * so a mark landing while the rewrite runs must survive it and keep
+    * masking its id (spec-pinned with [[tombstoneFoldHook]]) — dropping
+    * the whole table here would silently resurrect that id.
+    * Crash-ordered so a retry repairs: tables are rewritten FIRST
+    * (filtering an already-filtered table is a no-op) and the sidecar
+    * is trimmed LAST, so every intermediate state still answers queries
+    * correctly. Same single-maintainer contract as [[build]] for the
+    * rewrites; the final trim is an INSERT OVERWRITE of the live
+    * sidecar whose commit instant is the one residual window where a
+    * racing mark fails loudly — never vanishes. */
   def compactTombstones(spark: SparkSession, h: Handle): Unit = {
-    if (!tombTableExists(spark, h) || tombstones(spark, h).isEmpty) return
-    // pin each filtered relation BEFORE dropping its source table — the
-    // same lineage-cut-or-die rule as build()'s rebuild path
-    Seq(h.probeTable -> Seq("vec_id", "bucket", "nrm", "q", "scale", "l1", "embedding"),
-        h.vecTable -> Seq("vec_id", "embedding", "nrm")).foreach {
-      case (tbl, cols) =>
-        val keyCol = if (tbl == h.probeTable) "bucket" else "vec_id"
+    if (!tombTableExists(spark, h)) return
+    val snap = Materialize.cut(tombstones(spark, h).select(col("vec_id")).distinct())
+    try {
+      if (snap.isEmpty) return
+      // pin each filtered relation BEFORE dropping its source table —
+      // the same lineage-cut-or-die rule as build()'s rebuild path
+      Seq((h.probeTable, ProbeCols, ProbeKey),
+          (h.vecTable, VecCols, VecKey)).foreach { case (tbl, cols, keyCol) =>
         val buckets = spark.sessionState.catalog
           .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(tbl))
           .bucketSpec.map(_.numBuckets).getOrElse(
             throw new IllegalStateException(s"$tbl is not bucketed — not an AnnIndex table"))
-        val kept = Materialize.cut(
-          withoutTombstoned(spark, h, spark.table(tbl))
-            .select(cols.map(org.apache.spark.sql.functions.col): _*))
+        val kept = Materialize.cut(project(
+          spark.table(tbl).join(broadcast(snap), Seq("vec_id"), "left_anti"), cols))
         try {
           Bucketing.dropTableAndLocation(spark, tbl)
           Bucketing.writeBucketed(kept, tbl, keyCol, buckets)
         } finally Materialize.release(kept)
-    }
-    resetTombstones(spark, h)
+      }
+      tombstoneFoldHook()
+      // trim ONLY the snapshot: marks that raced the rewrites stay live
+      val survivors = Materialize.cut(
+        tombstones(spark, h).join(broadcast(snap), Seq("vec_id"), "left_anti"))
+      try survivors.write.mode("overwrite").insertInto(tombstoneTable(h))
+      finally Materialize.release(survivors)
+    } finally Materialize.release(snap)
   }
+
+  /** Test seam: runs after [[compactTombstones]]' table rewrites and
+    * before its sidecar trim — the window a concurrent [[tombstone]]
+    * must survive. The [[TableLog.casHook]] pattern. */
+  private[graft] var tombstoneFoldHook: () => Unit = () => ()
 
   private[functions] def tombstoneTable(h: Handle): String =
     h.probeTable + "_tombs"
@@ -349,12 +384,7 @@ object AnnIndex {
     * lacks the table must restart to observe a first deletion.) */
   private def resetTombstones(spark: SparkSession, h: Handle): Unit = {
     Bucketing.dropTableAndLocation(spark, tombstoneTable(h))
-    spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType))))
-      .write.saveAsTable(tombstoneTable(h))
+    emptyTombstones(spark).write.saveAsTable(tombstoneTable(h))
   }
 
   /** Multi-probe bucket selection (Lv et al.'s multi-probe LSH, the

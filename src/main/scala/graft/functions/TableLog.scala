@@ -721,6 +721,9 @@ object TableLog {
     *  - `predicate` must be deterministic — it is evaluated twice
     *    (locate, then rewrite) and a flapping predicate would desync
     *    the two passes;
+    *  - SQL WHERE semantics: a row where the predicate evaluates to
+    *    NULL does NOT match — it is kept, not deleted (the rewrite
+    *    negation is NULL-safe to guarantee this);
     *  - deleted rows remain READABLE via [[readAt]] on older retained
     *    manifests until those prune ([[KeepManifests]] commits) and
     *    [[vacuum]]'s grace passes — PHYSICAL erasure completes at the
@@ -768,7 +771,12 @@ object TableLog {
       m => {
         val seen = scala.collection.mutable.LinkedHashSet.empty[String]
         val out = Vector.newBuilder[Entry]
-        values.foreach { v =>
+        // stop once every file is already a candidate — on a column
+        // with no recorded stats the FIRST value returns them all, and
+        // the remaining |values| × |files| comparisons can add nothing
+        val it = values.iterator
+        while (it.hasNext && seen.size < m.files.size) {
+          val v = it.next()
           prunedEntries(m, column, v, v).foreach { e =>
             if (seen.add(e.name)) out += e
           }
@@ -803,8 +811,16 @@ object TableLog {
     val oldRows = ParquetFooters.rowCount(conf,
       affected.map(e => new Path(s"$base/${e.name}")))
     // rewrite the affected files without their matching rows, keeping
-    // the table's layout clustering (and thus its pruning stats) intact
-    val kept = readFiles(affected).filter(!predicate)
+    // the table's layout clustering (and thus its pruning stats) intact.
+    // NULL-safe negation: a row where the predicate evaluates to NULL
+    // (nullable columns are first-class — evolve() REQUIRES added
+    // columns be nullable) did not match the locate pass above, so the
+    // rewrite must KEEP it — a bare !predicate is also NULL there and
+    // would silently drop every such row from the rewritten files
+    val keepCond = org.apache.spark.sql.functions.not(
+      org.apache.spark.sql.functions.coalesce(predicate,
+        org.apache.spark.sql.functions.lit(false)))
+    val kept = readFiles(affected).filter(keepCond)
     val n = affected.length
     val laidOut =
       if (m.layout.isEmpty) kept.coalesce(n)

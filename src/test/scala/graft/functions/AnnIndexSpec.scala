@@ -260,4 +260,38 @@ class AnnIndexSpec extends SparkSuite {
     AnnIndex.build(corpus, "annspec_tomb", planes = 8, buckets = 8)
     assert(tombRows() == 0L, "build did not clear the tombstone set")
   }
+
+  test("a tombstone landing DURING compactTombstones survives the fold — takedowns never silently resurrect") {
+    val corpus = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val h = AnnIndex.build(corpus, "annspec_tombrace", planes = 8, buckets = 8)
+    val ids = corpus.select($"vec_id").as[Long].collect().sorted
+    val a = ids.take(5).toSeq      // the set the fold snapshots
+    val b = ids.slice(5, 8).toSeq  // lands mid-fold (takedown is a live write path)
+    AnnIndex.tombstone(spark, h, a.toDF("vec_id"))
+    AnnIndex.tombstoneFoldHook = () => {
+      AnnIndex.tombstoneFoldHook = () => ()
+      AnnIndex.tombstone(spark, h, b.toDF("vec_id"))
+    }
+    try AnnIndex.compactTombstones(spark, h)
+    finally AnnIndex.tombstoneFoldHook = () => ()
+    // a folded out of the tables; b's rows remain until the NEXT fold,
+    // but its MARK must have survived the sidecar trim
+    val probeIds = AnnIndex.probeSide(spark, h)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(a.forall(v => !probeIds.contains(v)), "folded ids still in the probe table")
+    assert(b.forall(probeIds.contains), "mid-fold ids belong in the tables until the next fold")
+    val tombs = AnnIndex.tombstones(spark, h).as[Long].collect().toSet
+    assert(tombs == b.toSet, s"mid-fold tombstones lost or polluted by the trim: $tombs")
+    val live = AnnIndex.withoutTombstoned(spark, h, AnnIndex.probeSide(spark, h))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(b.forall(v => !live.contains(v)), "a takedown racing the fold was resurrected")
+    // the next fold retires b too, reaching rebuild parity on a ∪ b
+    AnnIndex.compactTombstones(spark, h)
+    assert(AnnIndex.tombstones(spark, h).count() == 0L)
+    val ref = AnnIndex.build(corpus.filter(!$"vec_id".isin((a ++ b): _*)),
+      "annspec_tombrace_ref", planes = 8, buckets = 8)
+    assert(indexRows(h) == indexRows(ref),
+      "two-step fold diverged from a rebuild without both victim sets")
+  }
 }

@@ -696,4 +696,33 @@ class TableLogSpec extends SparkSuite {
     assert(m.commits("r") == 1L && m.rows == 100L)
     assert(TableLog.read(spark, dir).count() == 100L)
   }
+
+  test("delete keeps rows where the predicate is NULL — SQL WHERE semantics, not boolean negation") {
+    import org.apache.spark.sql.types._
+    val dir = freshTable()
+    // pre-evolve rows lack `label` entirely → NULL after evolution; the
+    // evolve contract REQUIRES added columns be nullable, so these rows
+    // are first-class citizens of any later predicate delete
+    TableLog.appendBatch(
+      Seq.tabulate(50)(i => (i.toLong, s"s$i")).toDF("id", "v"), dir, "r", 0L)
+    TableLog.evolve(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("label", StringType))))
+    TableLog.appendBatch(
+      Seq.tabulate(50)(i => (100L + i, s"t$i", if (i < 5) "pii" else "clean"))
+        .toDF("id", "v", "label"), dir, "r", 1L)
+    // compact so NULL-label and "pii" rows share rewritten files — the
+    // delete's rewrite pass must KEEP the NULL rows it reads
+    TableLog.compact(spark, dir, targetBytes = Long.MaxValue)
+    val removed = TableLog.delete(spark, dir, col("label") === "pii")
+    assert(removed == 5L, s"removed $removed — NULL-label rows counted as matches")
+    val left = TableLog.read(spark, dir)
+    assert(left.count() == 95L,
+      "rows with a NULL predicate were silently dropped by the rewrite")
+    assert(left.filter(col("label").isNull).count() == 50L,
+      "the pre-evolve (NULL-label) rows did not survive the delete")
+    assert(left.filter(col("label") === "pii").count() == 0L)
+    assert(TableLog.latest(spark, dir).get.rows == 95L,
+      "manifest row count drifted from the NULL-safe rewrite")
+  }
 }
