@@ -51,9 +51,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    checkpoint (where batchIds restart at 0 and must all append) — a
   *    bare-batchId protocol cannot distinguish those two worlds.
   *
-  * Failure contract (one appending writer — beside which a maintenance
-  * compact/vacuum process may run, losing CAS races resolved by rebase
-  * retry — and many readers): every mutation is
+  * Failure contract (any number of appending writers with DISTINCT
+  * runKeys — losing CAS races resolved by rebase retry, same-runKey
+  * zombie replicas fenced at commit — beside which ONE maintenance
+  * compact/vacuum/delete process may run, and many readers): every
+  * mutation is
   * (write scratch) → (move data files in) → (rename manifest). A crash
   * before the manifest rename leaves unreferenced files that [[vacuum]]
   * sweeps once they outlive the grace; a crash after it is simply a
@@ -82,11 +84,16 @@ object TableLog {
     * table schema every append must match ([[appendBatch]]'s loud
     * evolution guard); `layout` names the columns the last re-layouting
     * [[compact]] range-clustered by — the columns whose per-file stats
-    * make [[readWhere]] prune. */
+    * make [[readWhere]] prune. `statsFor` names EXTRA columns
+    * ([[trackStats]]) whose per-file min/max every commit harvests
+    * without any clustering promise — useful when ingest order already
+    * clusters them (a monotone event time prunes from the first append,
+    * no compaction needed). */
   final case class Manifest(version: Long, files: Vector[Entry], rows: Long,
                             commits: Map[String, Long], op: String,
                             schemaJson: Option[String] = None,
-                            layout: Seq[String] = Nil) {
+                            layout: Seq[String] = Nil,
+                            statsFor: Seq[String] = Nil) {
     def bytes: Long = files.iterator.map(_.bytes).sum
     /** The recorded table schema, if this manifest (or its line of
       * ancestry) was written by a schema-recording version. */
@@ -127,6 +134,8 @@ object TableLog {
     m.schemaJson.foreach { j => sb ++= s"schema\t$j\n" }
     if (m.layout.nonEmpty)
       sb ++= s"layout\t${m.layout.map(ParquetFooters.render).mkString(",")}\n"
+    if (m.statsFor.nonEmpty)
+      sb ++= s"statsfor\t${m.statsFor.map(ParquetFooters.render).mkString(",")}\n"
     m.commits.toSeq.sorted.foreach { case (k, b) => sb ++= s"commit\t$k\t$b\n" }
     m.files.foreach { e => sb ++= s"file\t${e.bytes}\t${e.name}\n" }
     m.files.foreach { e =>
@@ -144,6 +153,7 @@ object TableLog {
     var version = -1L; var rows = 0L; var op = ""
     var schemaJson: Option[String] = None
     var layout: Seq[String] = Nil
+    var statsFor: Seq[String] = Nil
     val files = Vector.newBuilder[Entry]
     val commits = Map.newBuilder[String, Long]
     val stats = scala.collection.mutable.Map
@@ -159,6 +169,7 @@ object TableLog {
         case Array("op", o)      => op = o
         case Array("schema", j)  => schemaJson = Some(j)
         case Array("layout", cs) => layout = cs.split(",").toSeq.map(decodeName)
+        case Array("statsfor", cs) => statsFor = cs.split(",").toSeq.map(decodeName)
         case Array("commit", k, b) => commits += (k -> b.toLong)
         case Array("file", b, n)   => files += Entry(n, b.toLong)
         case Array("stats", f, c, mn, mx) =>
@@ -171,7 +182,8 @@ object TableLog {
     val withStats = files.result().map { e =>
       stats.get(e.name).fold(e)(s => e.copy(stats = s))
     }
-    Manifest(version, withStats, rows, commits.result(), op, schemaJson, layout)
+    Manifest(version, withStats, rows, commits.result(), op, schemaJson,
+      layout, statsFor)
   }
 
   /** The newest committed manifest, or None for a not-yet-created table.
@@ -204,9 +216,10 @@ object TableLog {
 
   /** Commit `m` as the next version: write to a temp name in the log
     * dir, rename to `manifest-<version>`. The rename IS the commit and
-    * doubles as the single-writer guard — if the destination already
-    * exists (another writer committed this version first), the rename
-    * fails and the commit aborts instead of clobbering. Manifest-tail
+    * doubles as the optimistic-concurrency CAS — if the destination
+    * already exists (another writer committed this version first), the
+    * rename fails and the caller rebases or aborts, never clobbers.
+    * Manifest-tail
     * pruning is deliberately NOT done here — it is deferred to
     * [[vacuum]]'s grace-gated pass, so a just-resolved manifest cannot
     * vanish under a seconds-old reader. */
@@ -221,8 +234,7 @@ object TableLog {
     if (!fs.rename(tmp, dst)) {
       fs.delete(tmp, false)
       throw new java.util.ConcurrentModificationException(
-        s"version ${m.version} of $dir was committed by another writer — " +
-          "the table's contract is a single writer")
+        s"version ${m.version} of $dir was committed by another writer first")
     }
     // manifest-tail pruning happens in vacuum, NOT here: a manifest may
     // only disappear once it is older than the snapshot grace, otherwise
@@ -459,16 +471,23 @@ object TableLog {
     * (nullability differences are tolerated; names and types are not).
     *
     * Row counts and per-file min/max stats for the table's `layout`
-    * columns come from the staged files' parquet FOOTERS — metadata
-    * reads, no extra Spark job per micro-batch.
+    * and [[trackStats]] columns come from the staged files' parquet
+    * FOOTERS — metadata reads, no extra Spark job per micro-batch.
     *
-    * Concurrency: if the manifest CAS is lost to a concurrent
-    * [[compact]]/maintenance commit, the already-landed files are
+    * Concurrency — MULTI-WRITER appends: if the manifest CAS is lost
+    * to any concurrent commit (another appender, a
+    * [[compact]]/maintenance writer), the already-landed files are
     * re-committed against the re-resolved latest manifest (up to
     * [[CasRetries]] times) instead of failing the stream — an append's
-    * files are disjoint from any rewrite, so rebasing is always safe.
-    * The table's contract is thus ONE appending writer, beside which a
-    * maintenance process (compact/vacuum) may run. */
+    * files are disjoint from any other commit's, commit maps merge per
+    * runKey, so rebasing is always safe. Any number of appending
+    * writers with DISTINCT runKeys may thus feed one table, each with
+    * its own exactly-once (runKey, batchId) ledger, beside a single
+    * maintenance process (compact/vacuum/delete stay one-at-a-time).
+    * Replicas of the SAME runKey are fenced at commit time: a rebase
+    * that reveals its (runKey, batchId) already committed abandons the
+    * landed files to vacuum and returns false — a zombie writer (stale
+    * retry after checkpoint handover) cannot double a batch's rows. */
   def appendBatch(batch: DataFrame, dir: String, runKey: String,
                   batchId: Long): Boolean = {
     val spark = batch.sparkSession
@@ -490,12 +509,12 @@ object TableLog {
       .filter { f => val n = f.getPath.getName
         n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") }
       .toVector
-    // row counts + layout-column min/max from the staged files' footers:
+    // row counts + stat-column min/max from the staged files' footers:
     // exact (parquet footers carry both), and a metadata read — NOT a
     // per-trigger Spark scan job over the batch just written
     val conf = spark.sparkContext.hadoopConfiguration
     val metas = staged.map(f =>
-      ParquetFooters.read(conf, f.getPath, prev.layout.toSet, batch.schema))
+      ParquetFooters.read(conf, f.getPath, statCols(prev), batch.schema))
     val added = metas.iterator.map(_.rows).sum
     fs.mkdirs(table)
     // `a<v>-` marks APPENDED data, `c<v>-` compaction rewrites: the
@@ -510,10 +529,10 @@ object TableLog {
         throw new java.io.IOException(s"could not land ${f.getPath} as $dst")
       Entry(name, f.getLen, meta.stats)
     }
-    commitAppend(spark, fs, dir, runKey, batchId, entries, added,
+    val landed = commitAppend(spark, fs, dir, runKey, batchId, entries, added,
       Some(batch.schema.json))
     fs.delete(staging, true)
-    true
+    landed
   }
 
   /** Explicit, operator-approved ADDITIVE schema evolution: commit a
@@ -569,7 +588,7 @@ object TableLog {
         }
       }
       val m = Manifest(prev.version + 1, prev.files, prev.rows, prev.commits,
-        "evolve", Some(newSchema.json), prev.layout)
+        "evolve", Some(newSchema.json), prev.layout, prev.statsFor)
       casHook()
       try { commit(fs, dir, m); out = Some(m) }
       catch {
@@ -582,6 +601,130 @@ object TableLog {
     out.get
   }
 
+  /** Register EXTRA per-file stat columns: from the next commit on,
+    * every append/compact/delete harvests footer min/max for `cols` in
+    * addition to the layout columns, and [[readWhere]]/[[prunedFiles]]/
+    * [[deleteRange]]/[[deleteIn]] prune on them. Unlike `layoutBy`,
+    * this promises NO clustering — it pays off when the WRITE ORDER
+    * already clusters the column (the canonical case: a monotone event
+    * time on an ingest table prunes time-ranged reads from the very
+    * first append, no compaction required; a uniformly-scattered column
+    * yields full-span stats that prune nothing, costing only manifest
+    * bytes). Files committed BEFORE the registration carry no stats for
+    * `cols` and are conservatively kept by every prune until a
+    * [[compact]] rewrites them. Columns must exist in the recorded
+    * schema (when one exists); the registration survives every later
+    * commit and is idempotent. */
+  def trackStats(spark: SparkSession, dir: String,
+                 cols: Seq[String]): Manifest = {
+    require(cols.nonEmpty, "trackStats needs at least one column")
+    val (fs, _) = fsFor(spark, dir)
+    var attempts = 0
+    var out: Option[Manifest] = None
+    while (out.isEmpty) {
+      val prev = latest(spark, dir).getOrElse(throw new IllegalStateException(
+        s"$dir has no committed manifest — create the table first"))
+      prev.schema.foreach { s =>
+        val missing = cols.filterNot(s.fieldNames.contains)
+        require(missing.isEmpty,
+          s"trackStats rejected for $dir: column(s) ${missing.mkString(", ")} " +
+            s"not in the table schema ${s.simpleString}")
+      }
+      val merged = (prev.statsFor ++ cols).distinct
+      if (merged == prev.statsFor) return prev // idempotent re-registration
+      val m = Manifest(prev.version + 1, prev.files, prev.rows, prev.commits,
+        "trackstats", prev.schemaJson, prev.layout, merged)
+      casHook()
+      try { commit(fs, dir, m); out = Some(m) }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts > CasRetries) throw new java.util.ConcurrentModificationException(
+            s"trackStats of $dir lost the manifest CAS $attempts times: ${e.getMessage}")
+      }
+    }
+    out.get
+  }
+
+  /** Roll the table's DATA back to retained `version` as a NEW commit —
+    * the undo for a bad append, compact re-layout, or [[delete]] within
+    * the retention window ([[retention]] reports the floor; an
+    * unretained target fails loudly, same as [[readAt]]). [[vacuum]]
+    * never reclaims a file referenced by any retained manifest, so the
+    * restored file list is guaranteed intact.
+    *
+    * What is restored vs kept:
+    *  - FILES and row count: the target version's, exactly;
+    *  - the COMMIT MAP: kept CURRENT — the exactly-once ledger is
+    *    writer history, not data; a replayed (runKey, batchId) must
+    *    still dedup after a restore, or undoing one bad batch would
+    *    readmit every batch's duplicate twin (rows dropped by restoring
+    *    past an append stay dropped — the stream moves on with new
+    *    batchIds);
+    *  - SCHEMA, layout, [[trackStats]] registrations: kept current —
+    *    evolution is additive, so older files read fine under the newer
+    *    schema, and restoring the schema would silently revert an
+    *    [[evolve]] for every later reader (the exact thing its guard
+    *    exists to prevent).
+    *
+    * Concurrency and CDC: rebases over appends landed while it ran
+    * (their files are kept) and fails loudly if a concurrent
+    * maintenance commit removed files — [[compact]]'s posture. Restore
+    * versions are INVISIBLE to [[appendsSince]] (the re-referenced
+    * files were already emitted when first appended; deletions are
+    * CDC-invisible by design and so is their undo — index followers
+    * handle both through [[graft.examples.IndexFollower.takedown]]'s
+    * tombstones). */
+  def restore(spark: SparkSession, dir: String, version: Long): Manifest = {
+    val (fs, _) = fsFor(spark, dir)
+    val target = tryReadFully(fs, new Path(logDir(dir), manifestName(version)))
+      .map(parse).getOrElse {
+        val have = retainedVersions(spark, dir)
+        throw new IllegalStateException(
+          s"$dir has no retained manifest for version $version — retained: " +
+            (if (have.isEmpty) "none" else s"${have.min}..${have.max}"))
+      }
+    val base = latest(spark, dir).getOrElse(throw new IllegalStateException(
+      s"$dir has no committed manifest — nothing to restore"))
+    val baseNames = base.files.map(_.name).toSet
+    val targetNames = target.files.map(_.name).toSet
+    var attempts = 0
+    var out: Option[Manifest] = None
+    while (out.isEmpty) {
+      val cur = latest(spark, dir).getOrElse(base)
+      // same rebase rule as compact: appends landed since this restore
+      // resolved `base` are kept; a concurrent commit that REMOVED any
+      // base file is another maintenance writer — fail loudly
+      val curNames = cur.files.map(_.name).toSet
+      if (cur.version != base.version && !baseNames.subsetOf(curNames))
+        throw new java.util.ConcurrentModificationException(
+          s"restore of $dir raced a commit that removed files " +
+            s"(${(baseNames -- curNames).take(3).mkString(", ")}…) — a " +
+            "concurrent delete/compact violates the one-maintenance-writer " +
+            "contract; re-run this restore against the new snapshot")
+      val addedSince = cur.files.filterNot(e => baseNames.contains(e.name))
+      val keptSince = addedSince.filterNot(e => targetNames.contains(e.name))
+      // row counts for rebased-in appends from their footers (metadata
+      // read, usually empty — only appends that raced this restore)
+      val keptRows =
+        if (keptSince.isEmpty) 0L
+        else ParquetFooters.rowCount(spark.sparkContext.hadoopConfiguration,
+          keptSince.map(e => new Path(s"${dir.stripSuffix("/")}/${e.name}")))
+      val m = Manifest(cur.version + 1, target.files ++ keptSince,
+        target.rows + keptRows, cur.commits,
+        "restore", cur.schemaJson, cur.layout, cur.statsFor)
+      casHook()
+      try { commit(fs, dir, m); out = Some(m) }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts > CasRetries) throw new java.util.ConcurrentModificationException(
+            s"restore of $dir lost the manifest CAS $attempts times: ${e.getMessage}")
+      }
+    }
+    out.get
+  }
+
   /** Commit already-landed append `entries` against the CURRENT latest
     * manifest, re-resolving and retrying when the CAS rename loses to a
     * concurrent maintenance commit. Safe because an append only ADDS
@@ -589,44 +732,58 @@ object TableLog {
     * snapshot, vacuum never commits), the union of its file list and
     * these entries is exactly the table plus this batch. Package-visible
     * so the spec can drive the conflict deterministically. */
+  /** The stat-harvest column set every commit records per file: the
+    * clustering layout plus any [[trackStats]] registrations. */
+  private def statCols(m: Manifest): Set[String] =
+    (m.layout ++ m.statsFor).toSet
+
   private[functions] def commitAppend(spark: SparkSession, fs: FileSystem,
       dir: String, runKey: String, batchId: Long, entries: Vector[Entry],
-      added: Long, schemaJson: Option[String]): Unit = {
+      added: Long, schemaJson: Option[String]): Boolean = {
     val batchSchema = schemaJson.map(j =>
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     var attempts = 0
-    var committed = false
-    while (!committed) {
+    var landed: Option[Boolean] = None
+    while (landed.isEmpty) {
       val prev = latest(spark, dir)
         .getOrElse(Manifest(-1L, Vector.empty, 0L, Map.empty, "init"))
-      // re-check drift against the manifest we are ACTUALLY committing
-      // over: an [[evolve]] landing between appendBatch's entry guard
-      // and this commit (or between CAS retries) must reject the
-      // straggler batch loudly — committing `schemaJson` here would
-      // silently revert the evolution for every later reader. The
-      // landed a<v>- files stay orphaned and vacuum reclaims them
+      // zombie fence: if a CAS loss reveals this (runKey, batchId) is
+      // ALREADY committed, another replica of the same writer won the
+      // race (a stale retry after checkpoint handover, a speculative
+      // duplicate) — committing again would double the batch's rows.
+      // The landed a<v>- files stay orphaned and vacuum reclaims them
       // after grace, same as a crash.
-      for (recorded <- prev.schema; batch <- batchSchema)
-        require(sameSchema(recorded, batch),
-          s"schema drift rejected for $dir: the table's committed schema is\n  " +
-            s"${recorded.simpleString}\nbut this batch has\n  " +
-            s"${batch.simpleString}\n(a concurrent evolve() may have " +
-            "upgraded the table — restart the writer with the new schema)")
-      val m = Manifest(prev.version + 1, prev.files ++ entries,
-        prev.rows + added, prev.commits + (runKey -> batchId), "append",
-        prev.schemaJson.orElse(schemaJson), prev.layout)
-      casHook()
-      try { commit(fs, dir, m); committed = true }
-      catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempts += 1
-          if (attempts > CasRetries) throw new java.util.ConcurrentModificationException(
-            s"append to $dir lost the manifest CAS $attempts times — more than " +
-              "one APPENDING writer? The contract is one appender plus " +
-              s"maintenance. Last conflict: ${e.getMessage}")
+      if (prev.commits.get(runKey).exists(_ >= batchId)) landed = Some(false)
+      else {
+        // re-check drift against the manifest we are ACTUALLY committing
+        // over: an [[evolve]] landing between appendBatch's entry guard
+        // and this commit (or between CAS retries) must reject the
+        // straggler batch loudly — committing `schemaJson` here would
+        // silently revert the evolution for every later reader. Orphaned
+        // files reclaimed as above.
+        for (recorded <- prev.schema; batch <- batchSchema)
+          require(sameSchema(recorded, batch),
+            s"schema drift rejected for $dir: the table's committed schema is\n  " +
+              s"${recorded.simpleString}\nbut this batch has\n  " +
+              s"${batch.simpleString}\n(a concurrent evolve() may have " +
+              "upgraded the table — restart the writer with the new schema)")
+        val m = Manifest(prev.version + 1, prev.files ++ entries,
+          prev.rows + added, prev.commits + (runKey -> batchId), "append",
+          prev.schemaJson.orElse(schemaJson), prev.layout, prev.statsFor)
+        casHook()
+        try { commit(fs, dir, m); landed = Some(true) }
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempts += 1
+            if (attempts > CasRetries) throw new java.util.ConcurrentModificationException(
+              s"append to $dir lost the manifest CAS $attempts times — the " +
+                "commit log is being hammered by concurrent writers faster " +
+                s"than this one can rebase. Last conflict: ${e.getMessage}")
+        }
       }
     }
+    landed.get
   }
 
   /** Compact (and, with `layoutBy`, re-layout) the table to ~`targetBytes`
@@ -662,7 +819,8 @@ object TableLog {
       .filter { f => val nm = f.getPath.getName
         nm.endsWith(".parquet") && !nm.startsWith("_") && !nm.startsWith(".") }
       .map { f =>
-        val meta = ParquetFooters.read(conf, f.getPath, layout.toSet, snapshot.schema)
+        val meta = ParquetFooters.read(conf, f.getPath,
+          (layout ++ m.statsFor).toSet, snapshot.schema)
         val name = s"c$v-${f.getPath.getName}"
         val dst = new Path(table, name)
         if (!fs.rename(f.getPath, dst))
@@ -691,7 +849,8 @@ object TableLog {
             "contract; re-run this compact against the new snapshot")
       val addedSince = cur.files.filterNot(e => snapshotNames.contains(e.name))
       val next = Manifest(cur.version + 1, entries ++ addedSince, cur.rows,
-        cur.commits, "compact", cur.schemaJson.orElse(schemaJson), layout)
+        cur.commits, "compact", cur.schemaJson.orElse(schemaJson), layout,
+        cur.statsFor)
       casHook()
       try { commit(fs, dir, next); committed = true }
       catch {
@@ -838,7 +997,7 @@ object TableLog {
       .filter { f => val nm = f.getPath.getName
         nm.endsWith(".parquet") && !nm.startsWith("_") && !nm.startsWith(".") }
       .map { f =>
-        val meta = ParquetFooters.read(conf, f.getPath, m.layout.toSet, statSchema)
+        val meta = ParquetFooters.read(conf, f.getPath, statCols(m), statSchema)
         newRows += meta.rows
         // `c` prefix: a rewrite of surviving rows, silent to readTail's
         // append glob exactly like a compaction rewrite
@@ -863,7 +1022,8 @@ object TableLog {
             "contract; re-run this delete against the new snapshot")
       val next = Manifest(cur.version + 1,
         cur.files.filterNot(e => affectedNames.contains(e.name)) ++ entries,
-        cur.rows - deleted, cur.commits, "delete", cur.schemaJson, cur.layout)
+        cur.rows - deleted, cur.commits, "delete", cur.schemaJson, cur.layout,
+        cur.statsFor)
       casHook()
       try { commit(fs, dir, next); committed = true }
       catch {
@@ -1017,9 +1177,11 @@ object TableLog {
         s"${hist.head.version}) — re-read the full snapshot instead")
     val byV = hist.map(m => m.version -> m).toMap
     // compaction rewrites contribute nothing (their rows already flowed
-    // through earlier versions), and a [[delete]]'s swapped-in files
-    // hold only SURVIVING old rows — emitting either would re-apply
-    // rows the consumer already holds. Appends AND the adopt snapshot
+    // through earlier versions), a [[delete]]'s swapped-in files hold
+    // only SURVIVING old rows, and a [[restore]] re-references files
+    // whose rows were emitted when first appended — emitting any of
+    // them would re-apply rows the consumer already holds. Appends AND
+    // the adopt snapshot
     // do contribute — an adopted corpus exists nowhere else in the
     // delta stream, so a from-the-beginning (-1) consumer must receive
     // it or it would build a silently incomplete replica. (Deletions
@@ -1027,7 +1189,7 @@ object TableLog {
     // handle them via tombstones — [[graft.examples.IndexFollower.takedown]].)
     val newFiles = ((sinceVersion + 1) to latestV).flatMap { v =>
       val m = byV(v)
-      if (m.op == "compact" || m.op == "delete") Nil
+      if (m.op == "compact" || m.op == "delete" || m.op == "restore") Nil
       else {
         val prev: Set[String] =
           byV.get(v - 1).map(_.files.map(_.name).toSet).getOrElse(Set.empty)

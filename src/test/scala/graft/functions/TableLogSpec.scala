@@ -725,4 +725,128 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.latest(spark, dir).get.rows == 95L,
       "manifest row count drifted from the NULL-safe rewrite")
   }
+
+  test("two appenders with distinct runKeys race one CAS — both batches commit, commit maps merge") {
+    val dir = freshTable()
+    assert(TableLog.appendBatch(batchDf(0), dir, "writer-x", 0L))
+    // while writer-x is in its commit window, writer-y lands a full
+    // append and wins the version; x must rebase and land too
+    TableLog.casHook = () => {
+      TableLog.casHook = () => ()
+      assert(TableLog.appendBatch(batchDf(10), dir, "writer-y", 0L))
+    }
+    try assert(TableLog.appendBatch(batchDf(1), dir, "writer-x", 1L))
+    finally TableLog.casHook = () => ()
+    val m = TableLog.latest(spark, dir).get
+    assert(m.commits == Map("writer-x" -> 1L, "writer-y" -> 0L),
+      s"commit maps did not merge: ${m.commits}")
+    assert(m.rows == 300L)
+    val read = TableLog.read(spark, dir)
+    assert(read.count() == 300L)
+    assert(read.select("id").distinct().count() == 300L,
+      "a racing append duplicated or lost rows")
+  }
+
+  test("a zombie replica of the same (runKey, batchId) is fenced at commit — rows never double") {
+    val dir = freshTable()
+    TableLog.appendBatch(batchDf(0), dir, "r", 0L)
+    // the healthy writer lands batch 1 while the zombie's copy of the
+    // SAME (runKey, batchId) sits in its commit window
+    TableLog.casHook = () => {
+      TableLog.casHook = () => ()
+      assert(TableLog.appendBatch(batchDf(1), dir, "r", 1L))
+    }
+    val zombieLanded =
+      try TableLog.appendBatch(batchDf(1), dir, "r", 1L)
+      finally TableLog.casHook = () => ()
+    assert(!zombieLanded, "the zombie's duplicate commit must be fenced, not committed")
+    val m = TableLog.latest(spark, dir).get
+    assert(m.rows == 200L && m.commits("r") == 1L)
+    assert(TableLog.read(spark, dir).count() == 200L,
+      "the fenced zombie still doubled the batch's rows")
+    // the zombie's landed files are unreferenced orphans: vacuum reclaims
+    // them, and the table reads identically afterwards
+    val reclaimed = TableLog.vacuum(spark, dir, graceMs = 0L)
+    assert(reclaimed > 0, "expected the zombie's orphaned files to be reclaimed")
+    assert(TableLog.read(spark, dir).count() == 200L)
+  }
+
+  test("trackStats: append-time stats prune reads on a write-clustered column, no compaction needed") {
+    val dir = freshTable()
+    def batch(b: Int) = Seq.tabulate(100)(i => (b * 100L + i, s"v$b-$i"))
+      .toDF("ts", "v").coalesce(1)
+    (0 until 2).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    val reg = TableLog.trackStats(spark, dir, Seq("ts"))
+    assert(reg.statsFor == Seq("ts") && reg.op == "trackstats")
+    assert(TableLog.trackStats(spark, dir, Seq("ts")).version == reg.version,
+      "re-registration must be an idempotent no-op, not a new commit")
+    (2 until 6).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    assert(TableLog.latest(spark, dir).get.statsFor == Seq("ts"),
+      "registration lost by a later append commit")
+    // one file per batch: 2 pre-registration (no ts stats — kept
+    // conservatively) + exactly the 1 post-registration file whose
+    // recorded span holds the range
+    val opened = TableLog.prunedFiles(spark, dir, "ts", 450L, 460L)
+    assert(opened.size == 3, s"expected 2 stat-less + 1 matching file, got $opened")
+    assert(TableLog.readWhere(spark, dir, "ts", 450L, 460L).count() == 11L)
+    // the registration survives maintenance commits and keeps pruning
+    TableLog.compact(spark, dir, targetBytes = 8L << 10, layoutBy = Seq("ts"))
+    val afterCompact = TableLog.latest(spark, dir).get
+    assert(afterCompact.statsFor == Seq("ts"))
+    assert(TableLog.readWhere(spark, dir, "ts", 450L, 460L).count() == 11L)
+    assert(TableLog.prunedFiles(spark, dir, "ts", 450L, 460L).size
+      < afterCompact.files.size, "compacted table stopped pruning on ts")
+    // unknown columns rejected loudly against the recorded schema
+    assert(intercept[IllegalArgumentException](
+      TableLog.trackStats(spark, dir, Seq("nope"))).getMessage.contains("nope"))
+  }
+
+  test("restore rolls the data back to a retained version as a new commit — ledger and CDC stay sane") {
+    val dir = freshTable()
+    (0 until 3).foreach(b => TableLog.appendBatch(batchDf(b), dir, "r", b.toLong))
+    val v2 = TableLog.latest(spark, dir).get.version
+    // the "bad" mutation: a delete that removed batch 0 entirely
+    assert(TableLog.delete(spark, dir, col("id") < 1000L) == 100L)
+    assert(TableLog.read(spark, dir).count() == 200L)
+    val m = TableLog.restore(spark, dir, v2)
+    assert(m.op == "restore" && m.rows == 300L)
+    assert(TableLog.read(spark, dir).count() == 300L,
+      "restore did not bring the deleted rows back")
+    // the exactly-once ledger is writer history, not data: a replayed
+    // (runKey, batchId) still dedups after the restore
+    assert(!TableLog.appendBatch(batchDf(2), dir, "r", 2L),
+      "restore must keep the CURRENT commit map — a replay re-appended")
+    // CDC-invisible, like the delete it undoes: nothing re-emits
+    val (delta, v) = TableLog.appendsSince(spark, dir, v2)
+    assert(delta.isEmpty && v == m.version,
+      "a restore version leaked re-referenced files into the delta stream")
+    // life goes on: a post-restore append flows to consumers normally
+    TableLog.appendBatch(batchDf(3), dir, "r", 3L)
+    val (d2, _) = TableLog.appendsSince(spark, dir, v)
+    assert(d2.get.count() == 100L)
+    // vacuum after the restore keeps every restored file readable
+    TableLog.vacuum(spark, dir, graceMs = 0L)
+    assert(TableLog.read(spark, dir).count() == 400L)
+    // an unretained target fails loudly with the retained range
+    assert(intercept[IllegalStateException](
+      TableLog.restore(spark, dir, 999L)).getMessage.contains("retained"))
+  }
+
+  test("restore rebases over a racing append — the new batch survives the rollback") {
+    val dir = freshTable()
+    (0 until 3).foreach(b => TableLog.appendBatch(batchDf(b), dir, "r", b.toLong))
+    val v2 = TableLog.latest(spark, dir).get.version
+    TableLog.delete(spark, dir, col("id") < 1000L)
+    // an append lands inside restore's commit window
+    TableLog.casHook = () => {
+      TableLog.casHook = () => ()
+      assert(TableLog.appendBatch(batchDf(3), dir, "r", 3L))
+    }
+    val m = try TableLog.restore(spark, dir, v2)
+      finally TableLog.casHook = () => ()
+    assert(m.rows == 400L, s"raced append lost by the restore: ${m.rows}")
+    assert(m.commits("r") == 3L)
+    assert(TableLog.read(spark, dir).count() == 400L)
+    assert(TableLog.read(spark, dir).select("id").distinct().count() == 400L)
+  }
 }
