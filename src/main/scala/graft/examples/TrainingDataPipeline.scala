@@ -186,16 +186,27 @@ object TrainingDataPipeline {
     * once they outlive `vacuumGraceMs`, the window an in-flight reader
     * has to finish against its resolved snapshot.
     *
-    * Why foreachBatch: the table's contract is SINGLE WRITER, and the
-    * space between two micro-batches of the only writer is exactly that
+    * Why foreachBatch: maintenance needs a single-writer window, and
+    * the space between two micro-batches of THIS writer is exactly that
     * window — the maintenance runs inside the sink's own callback, so no
-    * coordination with the ingest is ever needed. Readers see identical
-    * rows before and after each maintenance pass
-    * (TrainingDataPipelineSpec pins counts across live compactions).
+    * coordination with the ingest is ever needed. (TableLog itself now
+    * admits multiple appenders; it is the compact/vacuum leg that must
+    * stay one-at-a-time.) Readers see identical rows before and after
+    * each maintenance pass (TrainingDataPipelineSpec pins counts across
+    * live compactions).
+    *
+    * `trackStatsFor` registers [[graft.functions.TableLog.trackStats]]
+    * columns on the table so every appended file carries their footer
+    * min/max from the FIRST commit on (an ingest time the write order
+    * already clusters prunes time-ranged reads with no compaction);
+    * registration needs a first manifest, so on a brand-new table it
+    * lands right after batch 0 — whose files are then the only ones
+    * without stats, conservatively kept by every prune.
     */
   def ingestWithMaintenance(input: DataFrame, outDir: String, ckptDir: String,
       targetBytes: Long, everyNBatches: Int, layoutBy: Seq[String] = Nil,
-      vacuumGraceMs: Long = 600000L): org.apache.spark.sql.streaming.StreamingQuery = {
+      vacuumGraceMs: Long = 600000L, trackStatsFor: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     require(everyNBatches >= 1, s"everyNBatches must be >= 1: $everyNBatches")
     require(vacuumGraceMs >= 0L, s"vacuumGraceMs must be >= 0: $vacuumGraceMs")
     val spark = input.sparkSession
@@ -216,10 +227,21 @@ object TrainingDataPipeline {
     // manifest) and expired pre-compaction files go now, not at the
     // first maintenance pass
     graft.functions.TableLog.vacuum(spark, outDir, vacuumGraceMs)
+    // stat registration needs a committed manifest: adopted/resumed
+    // tables register now, a brand-new table right after its first batch
+    var statsRegistered = trackStatsFor.isEmpty
+    def ensureTracked(): Unit =
+      if (!statsRegistered &&
+          graft.functions.TableLog.latest(spark, outDir).isDefined) {
+        graft.functions.TableLog.trackStats(spark, outDir, trackStatsFor)
+        statsRegistered = true
+      }
+    ensureTracked()
     input.writeStream
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.functions.TableLog.appendBatch(batch, outDir, runKey, batchId)
+        ensureTracked()
         if ((batchId + 1) % everyNBatches == 0) {
           graft.functions.TableLog.compact(spark, outDir, targetBytes, layoutBy)
           graft.functions.TableLog.vacuum(spark, outDir, vacuumGraceMs)

@@ -416,4 +416,34 @@ class TrainingDataPipelineSpec extends SparkSuite {
     assert(got == (0L until 800L).toSeq,
       s"restart lost or duplicated rows: ${got.length} of 800")
   }
+
+  test("ingest with trackStatsFor: appended files prune time-ranged reads before any compaction") {
+    import graft.functions.TableLog
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ts_out").toString + "/t"
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ts_src").toString + "/in"
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ts_ck").toString
+    // 6 single-file drops with monotone ts — the ingest-time shape
+    (0 until 6).foreach { b =>
+      Seq.tabulate(100)(i => (b * 100L + i, s"d$b-$i")).toDF("ts", "v")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val q = TrainingDataPipeline.ingestWithMaintenance(
+      spark.readStream.schema("ts LONG, v STRING")
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      outDir, ckptDir, targetBytes = 65536L,
+      everyNBatches = 1000, // no compaction: the claim is append-time stats
+      trackStatsFor = Seq("ts"))
+    try q.processAllAvailable() finally q.stop()
+    val m = TableLog.latest(spark, outDir).get
+    assert(m.statsFor == Seq("ts"), s"registration missing: ${m.statsFor}")
+    assert(m.files.length >= 5, s"fixture vacuity: ${m.files.length} files")
+    // batch 0 predates the registration (a fresh table has no manifest
+    // to register on); everything after carries ts stats
+    assert(m.files.count(_.stats.contains("ts")) >= m.files.length - 1,
+      "appended files after registration lack ts stats")
+    val opened = TableLog.prunedFiles(spark, outDir, "ts", 450L, 460L)
+    assert(opened.size < m.files.length,
+      s"no manifest pruning on the ingest-time column: ${opened.size} of ${m.files.length}")
+    assert(TableLog.readWhere(spark, outDir, "ts", 450L, 460L).count() == 11L)
+  }
 }
