@@ -184,6 +184,74 @@ object IndexFollower {
     Takedown(corpusDeleted, indexDeleted, distinctIds.length)
   }
 
+  /** What one untakedown repaired where: docs found back in the corpus,
+    * dedup band rows re-appended (0 on a replay), ANN tombstone marks
+    * removed, and vectors re-appended because a fold had already erased
+    * them physically. */
+  final case class Untakedown(corpusDocs: Long, dedupIndexRows: Long,
+                              annUnmasked: Long, annReappended: Long)
+
+  /** The UNDO of a [[takedown]], for AFTER the corpus rows are back
+    * (a [[graft.functions.TableLog.restore]] of the corpus, or a
+    * re-ingest): [[takedown]] removed index state that nothing else
+    * puts back — restore versions are CDC-invisible, so the follower
+    * never re-indexes restored rows on its own. This call re-derives
+    * the docs' dedup band rows from the restored corpus and re-appends
+    * them, removes the ANN tombstone marks
+    * ([[graft.functions.AnnIndex.untombstone]]), and re-appends the
+    * embeddings of any id whose vectors a
+    * [[graft.functions.AnnIndex.compactTombstones]] fold already
+    * erased (presence probed on the PROBE side — written last, so a
+    * mid-crash vec-only orphan is repaired too, through the keyed
+    * append's crash path).
+    *
+    * `repairKey` is the exactly-once identity: a crashed untakedown is
+    * retried with the SAME key and every leg replays to a no-op or a
+    * repair through the same ledgers the write paths use (dedup
+    * appendBatch dedups on runKey `untakedown-<key>`; the ANN
+    * re-append dedups on its deltaKey). Assumes the index tables were
+    * NOT separately restored — this call re-adds their rows, so
+    * restoring them AND untaking-down would duplicate. Cost note: the
+    * missing-vector probe semi-joins the id list against the probe
+    * table's id column (one column-pruned scan) — fine for a rare
+    * compliance undo, not a steady-state path. */
+  def untakedown(spark: SparkSession, tableDir: String, dedupIndexDir: String,
+                 ann: AnnIndex.Handle, docIds: Seq[Long], repairKey: String,
+                 geom: Lsh.Geometry = Lsh.Small): Untakedown = {
+    import spark.implicits._
+    val distinctIds = docIds.distinct
+    val idsDf = distinctIds.toDF("doc_id")
+    val docs = TableLog.read(spark, tableDir)
+      .join(broadcast(idsDf), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val found = docs.count()
+      require(found > 0L,
+        s"untakedown of ${distinctIds.length} ids found none in $tableDir — " +
+          "restore the corpus (TableLog.restore) before repairing the indexes")
+      // dedup index: re-append the band rows, exactly once per repairKey
+      val bandRows = DedupIndex.indexRows(
+        docs.select(col("doc_id"), col("text")), geom)
+      val dedupRows =
+        if (TableLog.appendBatch(bandRows, dedupIndexDir,
+            s"untakedown-$repairKey", 0L)) bandRows.count()
+        else 0L
+      // ANN: drop the masks, then re-append ids the serving tables no
+      // longer hold (fold-erased, or a mid-crash partial append)
+      val unmasked = AnnIndex.untombstone(spark, ann, distinctIds.toDF("vec_id"))
+      val present = AnnIndex.probeSide(spark, ann)
+        .join(broadcast(distinctIds.toDF("vec_id")), Seq("vec_id"), "left_semi")
+        .select($"vec_id").as[Long].collect().toSet // bounded by |docIds|
+      val missing = distinctIds.filterNot(present)
+      if (missing.nonEmpty)
+        AnnIndex.append(spark, ann,
+          docs.join(broadcast(missing.toDF("doc_id")), Seq("doc_id"), "left_semi")
+            .select($"doc_id".as("vec_id"), $"embedding"),
+          s"untakedown-$repairKey")
+      Untakedown(found, dedupRows, unmasked, missing.length.toLong)
+    } finally docs.unpersist(blocking = false)
+  }
+
   /** Greedy dedup verdicts for `newDocs` against the follower-built
     * index — the read side of the loop, one equi-join on the band key. */
   def dedupVerdicts(spark: SparkSession, newDocs: org.apache.spark.sql.DataFrame,

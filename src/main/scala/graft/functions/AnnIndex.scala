@@ -320,6 +320,34 @@ object AnnIndex {
     rel.join(org.apache.spark.sql.functions.broadcast(tombstones(spark, h)),
       Seq("vec_id"), "left_anti")
 
+  /** Remove `ids` (a `vec_id` column) from the tombstone sidecar — the
+    * undo for a mistaken [[tombstone]]. Un-masks only rows still
+    * PRESENT in the raw tables: a mark already folded by
+    * [[compactTombstones]] (or retired by a [[build]] rebuild) erased
+    * its rows physically, so resurrecting after a fold means
+    * re-appending the vectors (keyed [[append]] under a fresh key) —
+    * [[graft.examples.IndexFollower.untakedown]] wires both legs.
+    * Returns the distinct marks removed; the sidecar trim is the same
+    * live INSERT OVERWRITE as the fold's, so running probe streams see
+    * the resurrection at their next micro-batch. */
+  def untombstone(spark: SparkSession, h: Handle, ids: DataFrame): Long = {
+    if (!tombTableExists(spark, h)) return 0L
+    val victims = Materialize.cut(
+      ids.select(col("vec_id").cast("long").as("vec_id")).distinct())
+    try {
+      val removed = tombstones(spark, h)
+        .join(broadcast(victims), Seq("vec_id"), "left_semi")
+        .select(col("vec_id")).distinct().count()
+      if (removed > 0L) {
+        val survivors = Materialize.cut(
+          tombstones(spark, h).join(broadcast(victims), Seq("vec_id"), "left_anti"))
+        try survivors.write.mode("overwrite").insertInto(tombstoneTable(h))
+        finally Materialize.release(survivors)
+      }
+      removed
+    } finally Materialize.release(victims)
+  }
+
   /** Fold the tombstones INTO the tables (rewrite both without the
     * deleted ids) and retire the folded ids from the sidecar — the
     * amortized cleanup once the set has grown past "small". The folded

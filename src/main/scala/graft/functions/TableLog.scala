@@ -122,12 +122,20 @@ object TableLog {
   // JSON (whose string escaping never emits a literal tab or newline)
   // and stats bounds / layout column names are URL-encoded by
   // [[ParquetFooters.render]]. v2 adds the optional schema/layout/stats
-  // lines; v1 manifests (earlier tables) parse unchanged with no schema
-  // and no stats, which every consumer treats as "unknown — don't
-  // guard, don't prune".
+  // lines; v3 adds the optional statsfor line ([[trackStats]]); older
+  // manifests (earlier tables) parse unchanged with no schema and no
+  // stats, which every consumer treats as "unknown — don't guard,
+  // don't prune".
   private def render(m: Manifest): String = {
     val sb = new StringBuilder
-    sb ++= "graft-manifest-v2\n"
+    // the header names the newest line type actually PRESENT, so a
+    // reader too old for this table's features fails on the headline
+    // version ("not a graft manifest: graft-manifest-v3" — an
+    // unambiguous upgrade signal), while tables that never used the
+    // feature keep parsing under older readers (a v2 writer beside a v3
+    // one is fine until someone registers stats)
+    sb ++= (if (m.statsFor.nonEmpty) "graft-manifest-v3\n"
+            else "graft-manifest-v2\n")
     sb ++= s"version\t${m.version}\n"
     sb ++= s"rows\t${m.rows}\n"
     sb ++= s"op\t${m.op}\n"
@@ -160,7 +168,8 @@ object TableLog {
       .empty[String, Map[String, (String, String)]]
     val lines = text.split("\n")
     require(lines.headOption.exists(h =>
-        h == "graft-manifest-v1" || h == "graft-manifest-v2"),
+        h == "graft-manifest-v1" || h == "graft-manifest-v2" ||
+        h == "graft-manifest-v3"),
       s"not a graft manifest: ${lines.headOption.getOrElse("<empty>")}")
     lines.iterator.drop(1).filter(_.nonEmpty).foreach { line =>
       line.split("\t", -1) match {
@@ -240,6 +249,40 @@ object TableLog {
     // only disappear once it is older than the snapshot grace, otherwise
     // a fast-committing writer could prune the manifest a seconds-old
     // reader resolved and then reclaim its files out from under it
+  }
+
+  /** The optimistic-concurrency loop every mutation shares: resolve the
+    * CURRENT latest manifest, let `attempt` either finish WITHOUT
+    * committing (Left — a fence or idempotent no-op decided the result)
+    * or produce the next manifest to CAS-commit (Right); a lost rename
+    * re-runs `attempt` against the re-resolved latest, up to
+    * [[CasRetries]] times before giving up loudly. `attempt` is
+    * re-evaluated per iteration, so it must hold only reads, checks and
+    * manifest construction — side effects (staging writes, file
+    * renames) belong BEFORE the loop. Op-specific conflict rules (a
+    * maintenance writer that must not rebase over removed files, a
+    * retention floor) throw from inside `attempt`. `committed` maps the
+    * manifest that actually landed to the caller's result. */
+  private def commitLoop[A](spark: SparkSession, fs: FileSystem, dir: String,
+      opName: String)(attempt: Option[Manifest] => Either[A, Manifest])
+      (committed: Manifest => A): A = {
+    var attempts = 0
+    var out: Option[A] = None
+    while (out.isEmpty) {
+      attempt(latest(spark, dir)) match {
+        case Left(a) => out = Some(a)
+        case Right(m) =>
+          casHook()
+          try { commit(fs, dir, m); out = Some(committed(m)) }
+          catch {
+            case e: java.util.ConcurrentModificationException =>
+              attempts += 1
+              if (attempts > CasRetries) throw new java.util.ConcurrentModificationException(
+                s"$opName of $dir lost the manifest CAS $attempts times: ${e.getMessage}")
+          }
+      }
+    }
+    out.get
   }
 
   /** Snapshot read: the table at its newest committed version — exactly
@@ -556,10 +599,8 @@ object TableLog {
   def evolve(spark: SparkSession, dir: String,
              newSchema: org.apache.spark.sql.types.StructType): Manifest = {
     val (fs, _) = fsFor(spark, dir)
-    var attempts = 0
-    var out: Option[Manifest] = None
-    while (out.isEmpty) {
-      val prev = latest(spark, dir).getOrElse(throw new IllegalStateException(
+    commitLoop(spark, fs, dir, "evolve") { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalStateException(
         s"$dir has no committed manifest — nothing to evolve"))
       // v1 manifests carry no schema — derive the current shape from the
       // live files' parquet footers so a pre-schema table gets the SAME
@@ -587,18 +628,9 @@ object TableLog {
               "nullable — files written before the evolution don't contain it")
         }
       }
-      val m = Manifest(prev.version + 1, prev.files, prev.rows, prev.commits,
-        "evolve", Some(newSchema.json), prev.layout, prev.statsFor)
-      casHook()
-      try { commit(fs, dir, m); out = Some(m) }
-      catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempts += 1
-          if (attempts > CasRetries) throw new java.util.ConcurrentModificationException(
-            s"evolve of $dir lost the manifest CAS $attempts times: ${e.getMessage}")
-      }
-    }
-    out.get
+      Right(Manifest(prev.version + 1, prev.files, prev.rows, prev.commits,
+        "evolve", Some(newSchema.json), prev.layout, prev.statsFor))
+    }(identity)
   }
 
   /** Register EXTRA per-file stat columns: from the next commit on,
@@ -619,31 +651,32 @@ object TableLog {
                  cols: Seq[String]): Manifest = {
     require(cols.nonEmpty, "trackStats needs at least one column")
     val (fs, _) = fsFor(spark, dir)
-    var attempts = 0
-    var out: Option[Manifest] = None
-    while (out.isEmpty) {
-      val prev = latest(spark, dir).getOrElse(throw new IllegalStateException(
+    commitLoop(spark, fs, dir, "trackStats") { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalStateException(
         s"$dir has no committed manifest — create the table first"))
       prev.schema.foreach { s =>
         val missing = cols.filterNot(s.fieldNames.contains)
         require(missing.isEmpty,
           s"trackStats rejected for $dir: column(s) ${missing.mkString(", ")} " +
             s"not in the table schema ${s.simpleString}")
+        // a type the footer harvest cannot serialize would commit a
+        // registration that silently never prunes — reject it loudly,
+        // same posture as unknown columns
+        val unusable = cols.flatMap(c => s.fields.find(_.name == c))
+          .filterNot(f => ParquetFooters.comparable(f.dataType))
+        require(unusable.isEmpty,
+          s"trackStats rejected for $dir: column(s) " +
+            unusable.map(f => s"${f.name} (${f.dataType.simpleString})")
+              .mkString(", ") +
+            " have no comparable footer stats — supported types are " +
+            "byte/short/int/long/float/double/string (cast an event " +
+            "time to epoch micros long before tracking it)")
       }
       val merged = (prev.statsFor ++ cols).distinct
-      if (merged == prev.statsFor) return prev // idempotent re-registration
-      val m = Manifest(prev.version + 1, prev.files, prev.rows, prev.commits,
-        "trackstats", prev.schemaJson, prev.layout, merged)
-      casHook()
-      try { commit(fs, dir, m); out = Some(m) }
-      catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempts += 1
-          if (attempts > CasRetries) throw new java.util.ConcurrentModificationException(
-            s"trackStats of $dir lost the manifest CAS $attempts times: ${e.getMessage}")
-      }
-    }
-    out.get
+      if (merged == prev.statsFor) Left(prev) // idempotent re-registration
+      else Right(Manifest(prev.version + 1, prev.files, prev.rows,
+        prev.commits, "trackstats", prev.schemaJson, prev.layout, merged))
+    }(identity)
   }
 
   /** Roll the table's DATA back to retained `version` as a NEW commit —
@@ -669,12 +702,23 @@ object TableLog {
     *
     * Concurrency and CDC: rebases over appends landed while it ran
     * (their files are kept) and fails loudly if a concurrent
-    * maintenance commit removed files — [[compact]]'s posture. Restore
-    * versions are INVISIBLE to [[appendsSince]] (the re-referenced
-    * files were already emitted when first appended; deletions are
-    * CDC-invisible by design and so is their undo — index followers
-    * handle both through [[graft.examples.IndexFollower.takedown]]'s
-    * tombstones). */
+    * maintenance commit removed files — [[compact]]'s posture. The
+    * target must sit ABOVE the [[KeepManifests]] prune floor (checked
+    * against the latest version on every CAS iteration): a manifest
+    * below the floor may still be readable only because vacuum's grace
+    * has not expired, and committing its file list while a concurrent
+    * vacuum reclaims them would be silent corruption — the one failure
+    * this module must never convert a loud error into.
+    *
+    * Restore versions are INVISIBLE to [[appendsSince]] (the
+    * re-referenced files were already emitted when first appended;
+    * deletions are CDC-invisible by design and so is their undo).
+    * CAVEAT — restore undoes the TABLE only: if the rows left through
+    * [[graft.examples.IndexFollower.takedown]], the downstream indexes
+    * hold tombstones/removed band rows that nothing here puts back —
+    * run [[graft.examples.IndexFollower.untakedown]] after the restore
+    * to repair them, or the indexes silently keep excluding the
+    * restored documents. */
   def restore(spark: SparkSession, dir: String, version: Long): Manifest = {
     val (fs, _) = fsFor(spark, dir)
     val target = tryReadFully(fs, new Path(logDir(dir), manifestName(version)))
@@ -688,10 +732,17 @@ object TableLog {
       s"$dir has no committed manifest — nothing to restore"))
     val baseNames = base.files.map(_.name).toSet
     val targetNames = target.files.map(_.name).toSet
-    var attempts = 0
-    var out: Option[Manifest] = None
-    while (out.isEmpty) {
-      val cur = latest(spark, dir).getOrElse(base)
+    commitLoop(spark, fs, dir, "restore") { curOpt =>
+      val cur = curOpt.getOrElse(base)
+      // the prune floor, against the CURRENT latest: below it the target
+      // manifest survives only on vacuum grace, and its data files may
+      // be reclaimed between this resolve and the commit
+      val floor = cur.version - KeepManifests + 1
+      if (version < floor) throw new IllegalStateException(
+        s"restore of $dir to version $version is below the retention " +
+          s"floor $floor (latest ${cur.version}, KeepManifests $KeepManifests)" +
+          " — its files may be vacuumed mid-restore; copy the data out via " +
+          "readAt while the grace window holds instead")
       // same rebase rule as compact: appends landed since this restore
       // resolved `base` are kept; a concurrent commit that REMOVED any
       // base file is another maintenance writer — fail loudly
@@ -710,51 +761,40 @@ object TableLog {
         if (keptSince.isEmpty) 0L
         else ParquetFooters.rowCount(spark.sparkContext.hadoopConfiguration,
           keptSince.map(e => new Path(s"${dir.stripSuffix("/")}/${e.name}")))
-      val m = Manifest(cur.version + 1, target.files ++ keptSince,
+      Right(Manifest(cur.version + 1, target.files ++ keptSince,
         target.rows + keptRows, cur.commits,
-        "restore", cur.schemaJson, cur.layout, cur.statsFor)
-      casHook()
-      try { commit(fs, dir, m); out = Some(m) }
-      catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempts += 1
-          if (attempts > CasRetries) throw new java.util.ConcurrentModificationException(
-            s"restore of $dir lost the manifest CAS $attempts times: ${e.getMessage}")
-      }
-    }
-    out.get
+        "restore", cur.schemaJson, cur.layout, cur.statsFor))
+    }(identity)
   }
 
-  /** Commit already-landed append `entries` against the CURRENT latest
-    * manifest, re-resolving and retrying when the CAS rename loses to a
-    * concurrent maintenance commit. Safe because an append only ADDS
-    * files: whatever the winning committer did (compact rewrote the old
-    * snapshot, vacuum never commits), the union of its file list and
-    * these entries is exactly the table plus this batch. Package-visible
-    * so the spec can drive the conflict deterministically. */
   /** The stat-harvest column set every commit records per file: the
     * clustering layout plus any [[trackStats]] registrations. */
   private def statCols(m: Manifest): Set[String] =
     (m.layout ++ m.statsFor).toSet
 
+  /** Commit already-landed append `entries` against the CURRENT latest
+    * manifest, re-resolving and retrying when the CAS rename loses to a
+    * concurrent commit. Safe because an append only ADDS files: whatever
+    * the winning committer did (another append added disjoint files,
+    * compact rewrote the old snapshot, vacuum never commits), the union
+    * of its file list and these entries is exactly the table plus this
+    * batch. Package-visible so the spec can drive the conflict
+    * deterministically. */
   private[functions] def commitAppend(spark: SparkSession, fs: FileSystem,
       dir: String, runKey: String, batchId: Long, entries: Vector[Entry],
       added: Long, schemaJson: Option[String]): Boolean = {
     val batchSchema = schemaJson.map(j =>
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-    var attempts = 0
-    var landed: Option[Boolean] = None
-    while (landed.isEmpty) {
-      val prev = latest(spark, dir)
-        .getOrElse(Manifest(-1L, Vector.empty, 0L, Map.empty, "init"))
+    commitLoop(spark, fs, dir, "append") { prevOpt =>
+      val prev = prevOpt.getOrElse(Manifest(-1L, Vector.empty, 0L, Map.empty, "init"))
       // zombie fence: if a CAS loss reveals this (runKey, batchId) is
       // ALREADY committed, another replica of the same writer won the
       // race (a stale retry after checkpoint handover, a speculative
       // duplicate) — committing again would double the batch's rows.
       // The landed a<v>- files stay orphaned and vacuum reclaims them
       // after grace, same as a crash.
-      if (prev.commits.get(runKey).exists(_ >= batchId)) landed = Some(false)
+      if (prev.commits.get(runKey).exists(_ >= batchId)) Left(false)
       else {
         // re-check drift against the manifest we are ACTUALLY committing
         // over: an [[evolve]] landing between appendBatch's entry guard
@@ -768,22 +808,11 @@ object TableLog {
               s"${recorded.simpleString}\nbut this batch has\n  " +
               s"${batch.simpleString}\n(a concurrent evolve() may have " +
               "upgraded the table — restart the writer with the new schema)")
-        val m = Manifest(prev.version + 1, prev.files ++ entries,
+        Right(Manifest(prev.version + 1, prev.files ++ entries,
           prev.rows + added, prev.commits + (runKey -> batchId), "append",
-          prev.schemaJson.orElse(schemaJson), prev.layout, prev.statsFor)
-        casHook()
-        try { commit(fs, dir, m); landed = Some(true) }
-        catch {
-          case e: java.util.ConcurrentModificationException =>
-            attempts += 1
-            if (attempts > CasRetries) throw new java.util.ConcurrentModificationException(
-              s"append to $dir lost the manifest CAS $attempts times — the " +
-                "commit log is being hammered by concurrent writers faster " +
-                s"than this one can rebase. Last conflict: ${e.getMessage}")
-        }
+          prev.schemaJson.orElse(schemaJson), prev.layout, prev.statsFor))
       }
-    }
-    landed.get
+    }(_ => true)
   }
 
   /** Compact (and, with `layoutBy`, re-layout) the table to ~`targetBytes`
@@ -832,10 +861,8 @@ object TableLog {
     // the files of the snapshot it read — re-resolve, keep every file
     // added SINCE that snapshot, and swap only the rewritten ones
     val snapshotNames = m.files.map(_.name).toSet
-    var attempts = 0
-    var committed = false
-    while (!committed) {
-      val cur = latest(spark, dir).getOrElse(m)
+    commitLoop(spark, fs, dir, "compact") { curOpt =>
+      val cur = curOpt.getOrElse(m)
       // rebase absorbs ADDITIONS only: if a concurrent commit REMOVED a
       // snapshot file (another maintenance writer's delete/compact),
       // committing this rewrite would resurrect the removed rows — fail
@@ -848,19 +875,10 @@ object TableLog {
             "concurrent delete/compact violates the one-maintenance-writer " +
             "contract; re-run this compact against the new snapshot")
       val addedSince = cur.files.filterNot(e => snapshotNames.contains(e.name))
-      val next = Manifest(cur.version + 1, entries ++ addedSince, cur.rows,
+      Right(Manifest(cur.version + 1, entries ++ addedSince, cur.rows,
         cur.commits, "compact", cur.schemaJson.orElse(schemaJson), layout,
-        cur.statsFor)
-      casHook()
-      try { commit(fs, dir, next); committed = true }
-      catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempts += 1
-          if (attempts > CasRetries) throw new java.util.ConcurrentModificationException(
-            s"compact of $dir lost the manifest CAS $attempts times — more than " +
-              s"one maintenance writer? Last conflict: ${e.getMessage}")
-      }
-    }
+        cur.statsFor))
+    }(_ => ())
     fs.delete(staging, true)
     entries.length
   }
@@ -1009,10 +1027,8 @@ object TableLog {
       }.toVector
     val deleted = oldRows - newRows
     val affectedNames = affected.map(_.name).toSet
-    var attempts = 0
-    var committed = false
-    while (!committed) {
-      val cur = latest(spark, dir).getOrElse(m)
+    commitLoop(spark, fs, dir, "delete") { curOpt =>
+      val cur = curOpt.getOrElse(m)
       val curNames = cur.files.map(_.name).toSet
       if (!affectedNames.subsetOf(curNames))
         throw new java.util.ConcurrentModificationException(
@@ -1020,20 +1036,11 @@ object TableLog {
             s"(${(affectedNames -- curNames).take(3).mkString(", ")}…) — a " +
             "concurrent delete/compact violates the one-maintenance-writer " +
             "contract; re-run this delete against the new snapshot")
-      val next = Manifest(cur.version + 1,
+      Right(Manifest(cur.version + 1,
         cur.files.filterNot(e => affectedNames.contains(e.name)) ++ entries,
         cur.rows - deleted, cur.commits, "delete", cur.schemaJson, cur.layout,
-        cur.statsFor)
-      casHook()
-      try { commit(fs, dir, next); committed = true }
-      catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempts += 1
-          if (attempts > CasRetries) throw new java.util.ConcurrentModificationException(
-            s"delete in $dir lost the manifest CAS $attempts times — more than " +
-              s"one maintenance writer? Last conflict: ${e.getMessage}")
-      }
-    }
+        cur.statsFor))
+    }(_ => ())
     fs.delete(staging, true)
     deleted
   }

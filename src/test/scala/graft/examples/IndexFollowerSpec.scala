@@ -193,6 +193,73 @@ class IndexFollowerSpec extends SparkSuite {
     corpus.unpersist()
   }
 
+  test("untakedown after a corpus restore repairs both indexes — including fold-erased ANN vectors") {
+    val corpus = corpusDf().cache()
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_utd_src").toString + "/t"
+    val dedupDir = java.nio.file.Files.createTempDirectory("graft_utd_ddx").toString + "/ix"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_utd_state").toString
+    import org.apache.spark.sql.types._
+    val emptyCorpus = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val ann = AnnIndex.build(emptyCorpus, "untakedown_ann", planes = 8, buckets = 8)
+    TableLog.appendBatch(corpus, srcDir, "src", 0L)
+    IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
+    val preTakedown = TableLog.latest(spark, srcDir).get.version
+    val ids = corpus.select($"doc_id").as[Long].collect().sorted
+    val victims = ids.take(5).toSeq
+    IndexFollower.takedown(spark, srcDir, dedupDir, ann, victims)
+    // the compliance decision is REVERSED: the fold has already erased
+    // victim vectors physically — the hardest repair shape
+    AnnIndex.compactTombstones(spark, ann)
+    assert(AnnIndex.probeSide(spark, ann)
+      .filter($"vec_id".isin(victims: _*)).count() == 0L, "fixture: fold did not erase")
+    TableLog.restore(spark, srcDir, preTakedown)
+    assert(TableLog.read(spark, srcDir)
+      .filter($"doc_id".isin(victims: _*)).count() == 5L)
+    val u = IndexFollower.untakedown(spark, srcDir, dedupDir, ann, victims, "undo-1")
+    assert(u.corpusDocs == 5L && u.dedupIndexRows > 0L && u.annReappended == 5L,
+      s"unexpected repair shape: $u")
+    // both indexes now equal from-scratch builds on the restored corpus
+    val refDedup = DedupIndex.indexRows(corpus.select($"doc_id", $"text"))
+      .select($"doc_id", $"band", $"band_hash")
+      .as[(Long, Int, String)].collect().toSet
+    val gotDedup = TableLog.read(spark, dedupDir)
+      .select($"doc_id", $"band", $"band_hash")
+      .as[(Long, Int, String)].collect().toSet
+    assert(gotDedup == refDedup, "dedup index diverged from a from-scratch build")
+    val refAnn = AnnIndex.build(
+      corpus.select($"doc_id".as("vec_id"), $"embedding"),
+      "untakedown_ref", planes = 8, buckets = 8)
+    def served(h: AnnIndex.Handle) =
+      AnnIndex.withoutTombstoned(spark, h, AnnIndex.probeSide(spark, h))
+        .select($"vec_id", $"bucket").as[(Long, Long)].collect().toSet
+    assert(served(ann) == served(refAnn),
+      "ANN serving relation diverged from a from-scratch build")
+    // a retried (crashed) untakedown with the same key is a no-op
+    val u2 = IndexFollower.untakedown(spark, srcDir, dedupDir, ann, victims, "undo-1")
+    assert(u2.dedupIndexRows == 0L && u2.annReappended == 0L,
+      s"untakedown replay was not absorbed: $u2")
+    assert(gotDedup == TableLog.read(spark, dedupDir)
+      .select($"doc_id", $"band", $"band_hash")
+      .as[(Long, Int, String)].collect().toSet, "replay duplicated band rows")
+    assert(served(ann) == served(refAnn), "replay duplicated ANN rows")
+    // the un-folded variant: takedown then immediate undo (marks only)
+    val preTakedown2 = TableLog.latest(spark, srcDir).get.version
+    IndexFollower.takedown(spark, srcDir, dedupDir, ann, victims)
+    TableLog.restore(spark, srcDir, preTakedown2)
+    val u3 = IndexFollower.untakedown(spark, srcDir, dedupDir, ann, victims, "undo-2")
+    assert(u3.annUnmasked == 5L && u3.annReappended == 0L,
+      s"mark-only undo should not re-append vectors: $u3")
+    assert(served(ann) == served(refAnn))
+    assert(TableLog.read(spark, dedupDir)
+      .select($"doc_id", $"band", $"band_hash")
+      .as[(Long, Int, String)].collect().toSet == refDedup,
+      "dedup index diverged after the second takedown/undo cycle")
+    corpus.unpersist()
+  }
+
   test("a follower lagging past source retention fails loudly with the readable floor") {
     val corpus = corpusDf().limit(50).cache()
     val srcDir = java.nio.file.Files.createTempDirectory("graft_fl2_src").toString + "/t"

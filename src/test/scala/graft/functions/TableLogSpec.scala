@@ -830,6 +830,13 @@ class TableLogSpec extends SparkSuite {
     // an unretained target fails loudly with the retained range
     assert(intercept[IllegalStateException](
       TableLog.restore(spark, dir, 999L)).getMessage.contains("retained"))
+    // a target BELOW the prune floor is rejected even while its manifest
+    // is still readable on vacuum grace — committing its file list could
+    // race a vacuum reclaiming the files mid-restore
+    (4 until 4 + TableLog.KeepManifests).foreach(b =>
+      TableLog.appendBatch(batchDf(b), dir, "r", b.toLong))
+    assert(intercept[IllegalStateException](
+      TableLog.restore(spark, dir, v2)).getMessage.contains("retention floor"))
   }
 
   test("restore rebases over a racing append — the new batch survives the rollback") {
