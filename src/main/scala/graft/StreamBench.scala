@@ -296,9 +296,40 @@ object StreamBench {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(liveRoot.toString), true)
 
+    // 13) MULTI-WRITER commit contention: two appenders with DISTINCT
+    //     runKeys interleave batches into ONE TableLog table from two
+    //     driver threads — every lost CAS rebases and re-commits, so
+    //     this measures the optimistic-concurrency overhead end to end
+    //     (the single-writer commit cost is row 12's baseline). The
+    //     final manifest must hold every batch of both writers; a
+    //     mismatch prints a negative rate so it can never pass silently.
+    val mwRoot = Files.createTempDirectory("graft_sb_mw")
+    val mwDir = mwRoot.toString + "/t"
+    val mwRows = 1000
+    val mwBatches = 8
+    def mwDf(w: Int, b: Int) =
+      Seq.tabulate(mwRows)(i => (w * 1000000000L + b * 10000L + i, s"w$w-b$b", 0L))
+        .toDF("doc_id", "text", "seq")
+    graft.functions.TableLog.appendBatch(mwDf(9, 0), mwDir, "warm", 0L) // schema + JIT
+    val mwThreads = (0 until 2).map { w =>
+      new Thread(() => (0 until mwBatches).foreach { b =>
+        graft.functions.TableLog.appendBatch(mwDf(w, b), mwDir, s"w$w", b.toLong)
+      })
+    }
+    val t11 = System.nanoTime()
+    mwThreads.foreach(_.start())
+    mwThreads.foreach(_.join())
+    val mwSec = (System.nanoTime() - t11) / 1e9
+    val mwOk = graft.functions.TableLog.rows(spark, mwDir) ==
+      (2 * mwBatches + 1).toLong * mwRows
+    val mwCommitsPerSec = (if (mwOk) 1 else -1) * 2 * mwBatches / mwSec
+    new org.apache.hadoop.fs.Path(mwRoot.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(mwRoot.toString), true)
+
     val n = events.length
     val nd = docs.length - 100
-    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"stream_curate_docs_per_sec":${nd / curSec}%.0f,"stream_hll_rows_per_sec":${n / hllSec}%.0f,"stream_interval_join_rows_per_sec":${2 * ivRest.length / ivSec}%.0f,"stream_knn_float_q_per_sec":$knnFloatQps%.0f,"stream_knn_int8_q_per_sec":$knnQuantQps%.0f,"stream_knn_indexed_q_per_sec":$knnIdxQps%.0f,"stream_knn_indexed_int8_q_per_sec":$knnIdxQuantQps%.0f,"knn_probe_static_bytes_float":$knnFloatBytes,"knn_probe_static_bytes_int8":$knnInt8Bytes,"live_tail_dedup_docs_per_sec":${liveN / liveSec}%.0f,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
+    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"stream_curate_docs_per_sec":${nd / curSec}%.0f,"stream_hll_rows_per_sec":${n / hllSec}%.0f,"stream_interval_join_rows_per_sec":${2 * ivRest.length / ivSec}%.0f,"stream_knn_float_q_per_sec":$knnFloatQps%.0f,"stream_knn_int8_q_per_sec":$knnQuantQps%.0f,"stream_knn_indexed_q_per_sec":$knnIdxQps%.0f,"stream_knn_indexed_int8_q_per_sec":$knnIdxQuantQps%.0f,"knn_probe_static_bytes_float":$knnFloatBytes,"knn_probe_static_bytes_int8":$knnInt8Bytes,"live_tail_dedup_docs_per_sec":${liveN / liveSec}%.0f,"multi_writer_commits_per_sec":$mwCommitsPerSec%.1f,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

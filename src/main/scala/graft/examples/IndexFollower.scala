@@ -209,9 +209,17 @@ object IndexFollower {
     * retried with the SAME key and every leg replays to a no-op or a
     * repair through the same ledgers the write paths use (dedup
     * appendBatch dedups on runKey `untakedown-<key>`; the ANN
-    * re-append dedups on its deltaKey). Assumes the index tables were
-    * NOT separately restored — this call re-adds their rows, so
-    * restoring them AND untaking-down would duplicate. Cost note: the
+    * re-append dedups on its deltaKey). Preconditions, all loud or
+    * documented: every id must be BACK in the corpus (a partial list is
+    * rejected outright — removing a still-deleted id's tombstone would
+    * resurrect it); the index tables must NOT have been separately
+    * restored (this call re-adds their rows, so both would duplicate);
+    * and the follower should be caught up past the docs' source
+    * versions first (band rows re-added here for a version catchUp has
+    * not applied yet would be appended again when it does — the normal
+    * takedown-then-undo flow satisfies this by construction, since
+    * takedown only removes rows an applied version put there). Cost
+    * note: the
     * missing-vector probe semi-joins the id list against the probe
     * table's id column (one column-pruned scan) — fine for a rare
     * compliance undo, not a steady-state path. */
@@ -225,17 +233,35 @@ object IndexFollower {
       .join(broadcast(idsDf), Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val found = docs.count()
-      require(found > 0L,
-        s"untakedown of ${distinctIds.length} ids found none in $tableDir — " +
-          "restore the corpus (TableLog.restore) before repairing the indexes")
-      // dedup index: re-append the band rows, exactly once per repairKey
-      val bandRows = DedupIndex.indexRows(
-        docs.select(col("doc_id"), col("text")), geom)
+      // ALL ids must be back in the corpus before any index repair: an
+      // un-restored id's mark removed here would resurrect a document
+      // that is still deleted — the compliance violation this whole
+      // machinery exists to prevent. Fail loudly, repair nothing.
+      val foundIds = docs.select($"doc_id").as[Long].collect().toSet
+      val absent = distinctIds.filterNot(foundIds)
+      require(absent.isEmpty,
+        s"untakedown rejected: ${absent.length} of ${distinctIds.length} ids " +
+          s"are not in $tableDir (${absent.take(5).mkString(", ")}…) — " +
+          "restore the corpus (TableLog.restore) first, or pass only " +
+          "restored ids; repairing the indexes for a still-deleted id " +
+          "would resurrect it")
+      val found = foundIds.size.toLong
+      // dedup index: re-append the band rows, exactly once per
+      // repairKey. Skip when the index was never built ([[takedown]]'s
+      // same guard) — seeding it with only the victims' rows would be
+      // double-applied by the follower's first catchUp.
       val dedupRows =
-        if (TableLog.appendBatch(bandRows, dedupIndexDir,
-            s"untakedown-$repairKey", 0L)) bandRows.count()
-        else 0L
+        if (TableLog.latest(spark, dedupIndexDir).isEmpty) 0L
+        else {
+          val before = TableLog.latest(spark, dedupIndexDir).get.rows
+          val bandRows = DedupIndex.indexRows(
+            docs.select(col("doc_id"), col("text")), geom)
+          if (TableLog.appendBatch(bandRows, dedupIndexDir,
+              s"untakedown-$repairKey", 0L))
+            // the committed delta, from the manifest — no second banding job
+            TableLog.latest(spark, dedupIndexDir).get.rows - before
+          else 0L
+        }
       // ANN: drop the masks, then re-append ids the serving tables no
       // longer hold (fold-erased, or a mid-crash partial append)
       val unmasked = AnnIndex.untombstone(spark, ann, distinctIds.toDF("vec_id"))

@@ -273,13 +273,19 @@ object TableLog {
         case Left(a) => out = Some(a)
         case Right(m) =>
           casHook()
-          try { commit(fs, dir, m); out = Some(committed(m)) }
-          catch {
-            case e: java.util.ConcurrentModificationException =>
-              attempts += 1
-              if (attempts > CasRetries) throw new java.util.ConcurrentModificationException(
-                s"$opName of $dir lost the manifest CAS $attempts times: ${e.getMessage}")
-          }
+          // the retry catch must wrap ONLY the commit: a CME escaping
+          // `committed` after the rename landed would otherwise re-run
+          // `attempt` against a table that already holds this change
+          val landed =
+            try { commit(fs, dir, m); true }
+            catch {
+              case e: java.util.ConcurrentModificationException =>
+                attempts += 1
+                if (attempts > CasRetries) throw new java.util.ConcurrentModificationException(
+                  s"$opName of $dir lost the manifest CAS $attempts times: ${e.getMessage}")
+                false
+            }
+          if (landed) out = Some(committed(m))
       }
     }
     out.get

@@ -257,6 +257,17 @@ class IndexFollowerSpec extends SparkSuite {
       .select($"doc_id", $"band", $"band_hash")
       .as[(Long, Int, String)].collect().toSet == refDedup,
       "dedup index diverged after the second takedown/undo cycle")
+    // ids still missing from the corpus are rejected outright (here: a
+    // takedown NOT followed by a restore) — repairing would resurrect
+    // the still-deleted ids index-side, the compliance violation
+    IndexFollower.takedown(spark, srcDir, dedupDir, ann, victims)
+    val stillMarked = AnnIndex.tombstones(spark, ann).as[Long].collect().toSet
+    assert(victims.forall(stillMarked.contains))
+    val err = intercept[IllegalArgumentException](
+      IndexFollower.untakedown(spark, srcDir, dedupDir, ann, victims, "undo-3"))
+    assert(err.getMessage.contains("not in"), err.getMessage)
+    assert(AnnIndex.tombstones(spark, ann).as[Long].collect().toSet == stillMarked,
+      "a rejected untakedown must repair NOTHING — marks were removed")
     corpus.unpersist()
   }
 
