@@ -246,16 +246,18 @@ object StreamBench {
         val (qb, s, l1) = graft.functions.Ivf.quantize(v)
         (id, bucket, nrm, qb, s, l1)
       }).toDF("vec_id", "bucket", "nrm", "q", "scale", "l1")
+    // measurement scratch dirs, not results — reclaim them (full-corpus
+    // projections and commit-log tables otherwise accumulate per run)
+    def rmTemp(root: java.nio.file.Path): Unit = {
+      val p = new org.apache.hadoop.fs.Path(root.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     def sideBytes(df: org.apache.spark.sql.DataFrame): Long = {
       val root = Files.createTempDirectory("graft_sb_knn")
       val dir = root.toString + "/t"
       df.write.parquet(dir)
       val bytes = graft.functions.Compaction.dataBytes(spark, dir)
-      // this is a measurement scratch dir, not a result — reclaim it
-      // (two full-corpus projections per bench run otherwise accumulate)
-      new org.apache.hadoop.fs.Path(root.toString)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(root.toString), true)
+      rmTemp(root)
       bytes
     }
     val knnFloatBytes = sideBytes(floatSide)
@@ -292,9 +294,7 @@ object StreamBench {
     val liveN = liveDocs.length - 200
     liveQ.stop()
     liveIndex.unpersist()
-    new org.apache.hadoop.fs.Path(liveRoot.toString)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(liveRoot.toString), true)
+    rmTemp(liveRoot)
 
     // 13) MULTI-WRITER commit contention: two appenders with DISTINCT
     //     runKeys interleave batches into ONE TableLog table from two
@@ -323,9 +323,7 @@ object StreamBench {
     val mwOk = graft.functions.TableLog.rows(spark, mwDir) ==
       (2 * mwBatches + 1).toLong * mwRows
     val mwCommitsPerSec = (if (mwOk) 1 else -1) * 2 * mwBatches / mwSec
-    new org.apache.hadoop.fs.Path(mwRoot.toString)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(mwRoot.toString), true)
+    rmTemp(mwRoot)
 
     val n = events.length
     val nd = docs.length - 100

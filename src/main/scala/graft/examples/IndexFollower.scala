@@ -245,23 +245,27 @@ object IndexFollower {
           "restore the corpus (TableLog.restore) first, or pass only " +
           "restored ids; repairing the indexes for a still-deleted id " +
           "would resurrect it")
-      val found = foundIds.size.toLong
+      // the guard above makes foundIds == distinctIds by construction
+      val found = distinctIds.length.toLong
       // dedup index: re-append the band rows, exactly once per
       // repairKey. Skip when the index was never built ([[takedown]]'s
       // same guard) — seeding it with only the victims' rows would be
       // double-applied by the follower's first catchUp.
-      val dedupRows =
-        if (TableLog.latest(spark, dedupIndexDir).isEmpty) 0L
-        else {
-          val before = TableLog.latest(spark, dedupIndexDir).get.rows
+      val dedupRows = TableLog.latest(spark, dedupIndexDir) match {
+        case None => 0L
+        case Some(_) =>
+          // pinned so the reported count does not re-run the banding job
+          // (and cannot absorb a concurrent commit's rows, as a manifest
+          // row-delta would under the multi-writer contract)
           val bandRows = DedupIndex.indexRows(
-            docs.select(col("doc_id"), col("text")), geom)
-          if (TableLog.appendBatch(bandRows, dedupIndexDir,
-              s"untakedown-$repairKey", 0L))
-            // the committed delta, from the manifest — no second banding job
-            TableLog.latest(spark, dedupIndexDir).get.rows - before
-          else 0L
-        }
+              docs.select(col("doc_id"), col("text")), geom)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (TableLog.appendBatch(bandRows, dedupIndexDir,
+                s"untakedown-$repairKey", 0L)) bandRows.count()
+            else 0L
+          } finally bandRows.unpersist(blocking = false)
+      }
       // ANN: drop the masks, then re-append ids the serving tables no
       // longer hold (fold-erased, or a mid-crash partial append)
       val unmasked = AnnIndex.untombstone(spark, ann, distinctIds.toDF("vec_id"))
