@@ -747,8 +747,8 @@ object TableLog {
       if (version < floor) throw new IllegalStateException(
         s"restore of $dir to version $version is below the retention " +
           s"floor $floor (latest ${cur.version}, KeepManifests $KeepManifests)" +
-          " — its files may be vacuumed mid-restore; copy the data out via " +
-          "readAt while the grace window holds instead")
+          " — its files may be vacuumed mid-restore; exportAt(version) " +
+          "while the grace window holds instead")
       // same rebase rule as compact: appends landed since this restore
       // resolved `base` are kept; a concurrent commit that REMOVED any
       // base file is another maintenance writer — fail loudly
@@ -777,6 +777,26 @@ object TableLog {
     * clustering layout plus any [[trackStats]] registrations. */
   private def statCols(m: Manifest): Set[String] =
     (m.layout ++ m.statsFor).toSet
+
+  /** Materialize retained `version` as a NEW TableLog table at
+    * `destDir` — the escape hatch [[restore]]'s retention-floor
+    * rejection points to, and the general snapshot-export primitive
+    * (ship a consistent corpus cut to a training run without holding
+    * the source's maintenance hostage). The copy is PHYSICAL: the new
+    * table owns its files, so the source may vacuum, delete, or retire
+    * the version freely afterwards. Commits as the destination's
+    * version-0 adopt snapshot, so every TableLog facility — appends,
+    * stats, compaction, its own retention — works on the copy from
+    * birth. Layout clustering is not preserved by the rewrite; run
+    * [[compact]] `layoutBy` on the copy to re-establish pruning stats.
+    * `destDir` must not already be a TableLog table. */
+  def exportAt(spark: SparkSession, dir: String, version: Long,
+               destDir: String): Manifest = {
+    require(latest(spark, destDir).isEmpty,
+      s"exportAt destination $destDir is already a TableLog table")
+    readAt(spark, dir, version).write.parquet(destDir.stripSuffix("/"))
+    adopt(spark, destDir)
+  }
 
   /** Commit already-landed append `entries` against the CURRENT latest
     * manifest, re-resolving and retrying when the CAS rename loses to a

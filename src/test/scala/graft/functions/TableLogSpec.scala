@@ -837,6 +837,21 @@ class TableLogSpec extends SparkSuite {
       TableLog.appendBatch(batchDf(b), dir, "r", b.toLong))
     assert(intercept[IllegalStateException](
       TableLog.restore(spark, dir, v2)).getMessage.contains("retention floor"))
+    // the escape hatch the rejection points to: exportAt materializes the
+    // grace-readable version as a NEW table that owns its files
+    val destDir = freshTable()
+    val exported = TableLog.exportAt(spark, dir, v2, destDir)
+    assert(exported.version == 0L && exported.op == "adopt" && exported.rows == 300L)
+    assert(TableLog.read(spark, destDir).count() == 300L)
+    // the copy is independent: the source vacuuming everything old does
+    // not touch it, and the copy takes appends like any table
+    TableLog.vacuum(spark, dir, graceMs = 0L)
+    assert(TableLog.read(spark, destDir).count() == 300L)
+    assert(TableLog.appendBatch(batchDf(50), destDir, "copy", 0L))
+    assert(TableLog.rows(spark, destDir) == 400L)
+    // refusing to clobber an existing table
+    assert(intercept[IllegalArgumentException](
+      TableLog.exportAt(spark, dir, v2, destDir)).getMessage.contains("already"))
   }
 
   test("restore rebases over a racing append — the new batch survives the rollback") {
