@@ -116,9 +116,19 @@ object IndexFollower {
       if (to <= applied) more = false
       else {
         deltaOpt.foreach { delta =>
-          // pin the delta across its two consumers: one source read, and
-          // a stable row set even if maintenance commits land mid-apply
-          val d = delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // taken-down ids must never (re-)enter either index — even when
+          // the takedown ran BEFORE this follower reached the docs' source
+          // version (corpus deletes are CDC-invisible, so the historical
+          // delta still carries the removed rows). The ANN tombstone
+          // sidecar IS the takedown registry: filter every delta through
+          // it (broadcast anti-join; small by contract). Pin the survivors
+          // across the two consumers: one source read, and a stable row
+          // set even if maintenance commits land mid-apply.
+          val d = delta.join(
+              broadcast(AnnIndex.tombstones(spark, ann)
+                .withColumnRenamed("vec_id", "doc_id")),
+              Seq("doc_id"), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             rows += d.count()
             TableLog.appendBatch(
@@ -161,10 +171,18 @@ object IndexFollower {
     * matching future near-duplicates — its signatures go, not just its
     * text), and [[graft.functions.AnnIndex.tombstone]] on the ANN index
     * (deletion without touching the bucketed tables; a LIVE probe stream
-    * honors it at its next trigger). Deletions are invisible to the CDC
-    * surface by design (`appendsSince` skips delete versions), so this
-    * is the one coordinated write; [[catchUp]] keeps working unchanged
-    * around it. Each leg is independently idempotent — rerunning a
+    * honors it at its next trigger — and the mark doubles as the
+    * takedown REGISTRY: [[catchUp]] anti-joins every delta against it,
+    * so a takedown landing BEFORE the follower reached the docs' source
+    * version still keeps them out of both indexes). Deletions are
+    * invisible to the CDC surface by design (`appendsSince` skips
+    * delete versions), so this is the one coordinated write;
+    * [[catchUp]]'s append legs keep working unchanged around it. One
+    * caveat: the dedup-index deleteIn here and catchUp's OPTIONAL
+    * compaction (`maintainTargetBytes`) are both maintenance writers on
+    * the same table — racing them fails LOUDLY with
+    * ConcurrentModificationException (never corrupts); retry whichever
+    * lost. Each leg is independently idempotent — rerunning a
     * crashed takedown re-deletes nothing and re-marks harmlessly — so
     * at-least-once retry is the whole crash story. Physical-erasure
     * timing on the two TableLog tables follows
@@ -197,32 +215,30 @@ object IndexFollower {
     * puts back — restore versions are CDC-invisible, so the follower
     * never re-indexes restored rows on its own. This call re-derives
     * the docs' dedup band rows from the restored corpus and re-appends
-    * them, removes the ANN tombstone marks
+    * them for docs the index holds NO rows for (doc-level presence —
+    * idempotent under replays and under the re-ingest path where
+    * catchUp already re-indexed them), removes the ANN tombstone marks
     * ([[graft.functions.AnnIndex.untombstone]]), and re-appends the
-    * embeddings of any id whose vectors a
-    * [[graft.functions.AnnIndex.compactTombstones]] fold already
-    * erased (presence probed on the PROBE side — written last, so a
-    * mid-crash vec-only orphan is repaired too, through the keyed
-    * append's crash path).
+    * embeddings of any id the probe side no longer holds (fold-erased,
+    * or a mid-crash partial append) through the KEYLESS dedup append,
+    * whose per-side anti-joins absorb replays and repair vec-only
+    * orphans alike.
     *
-    * `repairKey` is the exactly-once identity: a crashed untakedown is
-    * retried with the SAME key and every leg replays to a no-op or a
-    * repair through the same ledgers the write paths use (dedup
-    * appendBatch dedups on runKey `untakedown-<key>`; the ANN
-    * re-append dedups on its deltaKey). Preconditions, all loud or
-    * documented: every id must be BACK in the corpus (a partial list is
-    * rejected outright — removing a still-deleted id's tombstone would
-    * resurrect it); the index tables must NOT have been separately
-    * restored (this call re-adds their rows, so both would duplicate);
-    * and the follower should be caught up past the docs' source
-    * versions first (band rows re-added here for a version catchUp has
-    * not applied yet would be appended again when it does — the normal
-    * takedown-then-undo flow satisfies this by construction, since
-    * takedown only removes rows an applied version put there). Cost
-    * note: the
-    * missing-vector probe semi-joins the id list against the probe
-    * table's id column (one column-pruned scan) — fine for a rare
-    * compliance undo, not a steady-state path. */
+    * A crashed untakedown is retried as-is: both legs are
+    * presence-gated, and `repairKey` additionally pins the dedup
+    * append's exactly-once identity (runKey `untakedown-<key>`).
+    * Preconditions, all loud or documented: every id must be BACK in
+    * the corpus (a partial list is rejected outright — removing a
+    * still-deleted id's tombstone would resurrect it); the index
+    * tables must NOT have been separately restored (this call re-adds
+    * their rows, so both would duplicate); and the follower should be
+    * caught up past the docs' source versions first (untakedown
+    * retires the tombstones that make catchUp skip those docs, so a
+    * catchUp still BEHIND them would re-index what this call just
+    * re-added — the normal takedown-then-undo flow satisfies this by
+    * construction). Cost note: the presence probes semi-join the id
+    * list against one index column per leg (column-pruned scans) —
+    * fine for a rare compliance undo, not a steady-state path. */
   def untakedown(spark: SparkSession, tableDir: String, dedupIndexDir: String,
                  ann: AnnIndex.Handle, docIds: Seq[Long], repairKey: String,
                  geom: Lsh.Geometry = Lsh.Small): Untakedown = {
@@ -247,27 +263,41 @@ object IndexFollower {
           "would resurrect it")
       // the guard above makes foundIds == distinctIds by construction
       val found = distinctIds.length.toLong
-      // dedup index: re-append the band rows, exactly once per
-      // repairKey. Skip when the index was never built ([[takedown]]'s
-      // same guard) — seeding it with only the victims' rows would be
-      // double-applied by the follower's first catchUp.
+      // dedup index: re-append band rows ONLY for docs the index holds
+      // no rows for — a doc's band rows are inserted and deleted as a
+      // unit, so doc-level presence suffices. This makes the leg
+      // idempotent against BOTH a replayed untakedown and the re-ingest
+      // path where catchUp already re-indexed the restored docs. Skip
+      // entirely when the index was never built ([[takedown]]'s same
+      // guard) — seeding it would be double-applied by the first catchUp.
       val dedupRows = TableLog.latest(spark, dedupIndexDir) match {
         case None => 0L
         case Some(_) =>
-          // pinned so the reported count does not re-run the banding job
-          // (and cannot absorb a concurrent commit's rows, as a manifest
-          // row-delta would under the multi-writer contract)
-          val bandRows = DedupIndex.indexRows(
-              docs.select(col("doc_id"), col("text")), geom)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            if (TableLog.appendBatch(bandRows, dedupIndexDir,
-                s"untakedown-$repairKey", 0L)) bandRows.count()
-            else 0L
-          } finally bandRows.unpersist(blocking = false)
+          val already = TableLog.read(spark, dedupIndexDir)
+            .join(broadcast(idsDf), Seq("doc_id"), "left_semi")
+            .select($"doc_id").distinct().as[Long].collect().toSet
+          if (already.size == distinctIds.length) 0L
+          else {
+            // pinned so the reported count does not re-run the banding
+            // job (and cannot absorb a concurrent commit's rows, as a
+            // manifest row-delta would under the multi-writer contract)
+            val bandRows = DedupIndex.indexRows(
+                docs.filter(!col("doc_id").isin(already.toSeq: _*))
+                  .select(col("doc_id"), col("text")), geom)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              if (TableLog.appendBatch(bandRows, dedupIndexDir,
+                  s"untakedown-$repairKey", 0L)) bandRows.count()
+              else 0L
+            } finally bandRows.unpersist(blocking = false)
+          }
       }
-      // ANN: drop the masks, then re-append ids the serving tables no
-      // longer hold (fold-erased, or a mid-crash partial append)
+      // ANN: drop the masks, then re-append ids the PROBE side no longer
+      // holds (fold-erased, or a mid-crash partial append) through the
+      // KEYLESS dedup append: its per-side anti-joins both absorb a
+      // replay and REPAIR a vec-only orphan (a keyed fresh append would
+      // blindly double-insert the orphan's vec row). O(corpus id column)
+      // per call — the rare-repair cost class this path documents.
       val unmasked = AnnIndex.untombstone(spark, ann, distinctIds.toDF("vec_id"))
       val present = AnnIndex.probeSide(spark, ann)
         .join(broadcast(distinctIds.toDF("vec_id")), Seq("vec_id"), "left_semi")
@@ -276,8 +306,7 @@ object IndexFollower {
       if (missing.nonEmpty)
         AnnIndex.append(spark, ann,
           docs.join(broadcast(missing.toDF("doc_id")), Seq("doc_id"), "left_semi")
-            .select($"doc_id".as("vec_id"), $"embedding"),
-          s"untakedown-$repairKey")
+            .select($"doc_id".as("vec_id"), $"embedding"))
       Untakedown(found, dedupRows, unmasked, missing.length.toLong)
     } finally docs.unpersist(blocking = false)
   }

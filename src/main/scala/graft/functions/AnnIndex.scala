@@ -351,11 +351,14 @@ object AnnIndex {
   /** Fold the tombstones INTO the tables (rewrite both without the
     * deleted ids) and retire the folded ids from the sidecar — the
     * amortized cleanup once the set has grown past "small". The folded
-    * set is SNAPSHOTTED first and only those ids are removed at the
-    * end: [[tombstone]] is a live takedown write path, not maintenance,
-    * so a mark landing while the rewrite runs must survive it and keep
-    * masking its id (spec-pinned with [[tombstoneFoldHook]]) — dropping
-    * the whole table here would silently resurrect that id.
+    * set is SNAPSHOTTED first and only ids the tables ACTUALLY HELD are
+    * retired at the end: [[tombstone]] is a live takedown write path,
+    * not maintenance, so a mark landing while the rewrite runs must
+    * survive it (spec-pinned with [[tombstoneFoldHook]]), and a mark
+    * for an id never yet indexed (a lagging [[graft.examples.IndexFollower]]
+    * takedown) is PENDING — it must outlive every fold to mask the
+    * id's eventual append; dropping either would silently resurrect a
+    * taken-down document.
     * Crash-ordered so a retry repairs: tables are rewritten FIRST
     * (filtering an already-filtered table is a no-op) and the sidecar
     * is trimmed LAST, so every intermediate state still answers queries
@@ -368,6 +371,15 @@ object AnnIndex {
     val snap = Materialize.cut(tombstones(spark, h).select(col("vec_id")).distinct())
     try {
       if (snap.isEmpty) return
+      // retire ONLY marks whose rows this fold actually erases: a mark
+      // for an id the tables never held is PENDING — it masks a future
+      // append (a lagging IndexFollower has not applied the id's source
+      // version yet) — and trimming it would let that append serve the
+      // taken-down id. Pinned BEFORE the rewrites make everything absent.
+      val folded = Materialize.cut(
+        spark.table(h.probeTable).select(col("vec_id"))
+          .union(spark.table(h.vecTable).select(col("vec_id")))
+          .join(broadcast(snap), Seq("vec_id"), "left_semi").distinct())
       // pin each filtered relation BEFORE dropping its source table —
       // the same lineage-cut-or-die rule as build()'s rebuild path
       Seq((h.probeTable, ProbeCols, ProbeKey),
@@ -384,11 +396,14 @@ object AnnIndex {
         } finally Materialize.release(kept)
       }
       tombstoneFoldHook()
-      // trim ONLY the snapshot: marks that raced the rewrites stay live
+      // trim ONLY the folded ids: marks that raced the rewrites stay
+      // live, and so do pending marks for ids the tables never held
       val survivors = Materialize.cut(
-        tombstones(spark, h).join(broadcast(snap), Seq("vec_id"), "left_anti"))
-      try survivors.write.mode("overwrite").insertInto(tombstoneTable(h))
-      finally Materialize.release(survivors)
+        tombstones(spark, h).join(broadcast(folded), Seq("vec_id"), "left_anti"))
+      try {
+        try survivors.write.mode("overwrite").insertInto(tombstoneTable(h))
+        finally Materialize.release(survivors)
+      } finally Materialize.release(folded)
     } finally Materialize.release(snap)
   }
 

@@ -579,7 +579,7 @@ object TableLog {
       Entry(name, f.getLen, meta.stats)
     }
     val landed = commitAppend(spark, fs, dir, runKey, batchId, entries, added,
-      Some(batch.schema.json))
+      Some(batch.schema.json), harvestedCols = statCols(prev))
     fs.delete(staging, true)
     landed
   }
@@ -808,7 +808,8 @@ object TableLog {
     * deterministically. */
   private[functions] def commitAppend(spark: SparkSession, fs: FileSystem,
       dir: String, runKey: String, batchId: Long, entries: Vector[Entry],
-      added: Long, schemaJson: Option[String]): Boolean = {
+      added: Long, schemaJson: Option[String],
+      harvestedCols: Set[String] = Set.empty): Boolean = {
     val batchSchema = schemaJson.map(j =>
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -834,7 +835,25 @@ object TableLog {
               s"${recorded.simpleString}\nbut this batch has\n  " +
               s"${batch.simpleString}\n(a concurrent evolve() may have " +
               "upgraded the table — restart the writer with the new schema)")
-        Right(Manifest(prev.version + 1, prev.files ++ entries,
+        // a trackStats / compact(layoutBy) commit may have raced in
+        // since the caller harvested: its newly registered columns must
+        // appear on THESE files too, or they would be permanently
+        // stat-less (conservatively unprunable until a compaction
+        // rewrite) despite landing after the registration. Footer
+        // metadata re-reads, bounded by this batch's own file count.
+        val wanted = statCols(prev)
+        val entriesNow =
+          if ((wanted -- harvestedCols).isEmpty || batchSchema.isEmpty) entries
+          else {
+            val (_, table) = fsFor(spark, dir)
+            val conf = spark.sparkContext.hadoopConfiguration
+            entries.map { e =>
+              e.copy(stats = ParquetFooters
+                .read(conf, new Path(table, e.name), wanted, batchSchema.get)
+                .stats)
+            }
+          }
+        Right(Manifest(prev.version + 1, prev.files ++ entriesNow,
           prev.rows + added, prev.commits + (runKey -> batchId), "append",
           prev.schemaJson.orElse(schemaJson), prev.layout, prev.statsFor))
       }
@@ -1146,19 +1165,23 @@ object TableLog {
     * The tail starts at APPENDS: adopted pre-log history (renamed under
     * `c0-` by [[adopt]]) never re-emits here — bootstrap a full replica
     * with [[appendsSince]]`(-1)` (which does include the adopt snapshot)
-    * or a snapshot [[read]], then tail. The no-arg overload infers the
-    * schema from ONE file of the current snapshot (a manifest entry, not
-    * an O(live-files) listing); to start the tailer BEFORE the table's
-    * first commit — the normal consumer-first deployment order — pass
-    * the schema explicitly. */
+    * or a snapshot [[read]], then tail. The no-arg overload uses the
+    * manifest's RECORDED schema (same pinning as every other reader —
+    * after an [[evolve]] a restarted tailer must surface the added
+    * columns, which inference from the oldest file would silently
+    * drop), falling back to one file's footer only on a pre-schema v1
+    * table; to start the tailer BEFORE the table's first commit — the
+    * normal consumer-first deployment order — pass the schema
+    * explicitly. */
   def readTail(spark: SparkSession, dir: String): DataFrame = {
     val m = latest(spark, dir).getOrElse(throw new IllegalStateException(
       s"$dir has no committed manifest — pass the schema explicitly to tail " +
         "a table that has not been written yet"))
-    val first = m.files.headOption.getOrElse(throw new IllegalStateException(
-      s"$dir has no data files to infer a schema from — pass it explicitly"))
-    val schema = spark.read
-      .parquet(s"${dir.stripSuffix("/")}/${first.name}").schema
+    val schema = m.schema.getOrElse {
+      val first = m.files.headOption.getOrElse(throw new IllegalStateException(
+        s"$dir has no data files to infer a schema from — pass it explicitly"))
+      spark.read.parquet(s"${dir.stripSuffix("/")}/${first.name}").schema
+    }
     readTail(spark, dir, schema)
   }
 

@@ -271,6 +271,54 @@ class IndexFollowerSpec extends SparkSuite {
     corpus.unpersist()
   }
 
+  test("takedown BEFORE the follower indexed the docs: the tombstone registry keeps them out of both indexes") {
+    val corpus = corpusDf().cache()
+    val ids = corpus.select($"doc_id").as[Long].collect().sorted
+    val mid = ids(ids.length / 2)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_lag_src").toString + "/t"
+    val dedupDir = java.nio.file.Files.createTempDirectory("graft_lag_ddx").toString + "/ix"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_lag_state").toString
+    import org.apache.spark.sql.types._
+    val emptyCorpus = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val ann = AnnIndex.build(emptyCorpus, "lag_ann", planes = 8, buckets = 8)
+    // batch 0 applied; batch 1 lands but the follower LAGS behind it
+    TableLog.appendBatch(corpus.filter($"doc_id" < mid), srcDir, "src", 0L)
+    IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
+    TableLog.appendBatch(corpus.filter($"doc_id" >= mid), srcDir, "src", 1L)
+    // victims live ONLY in the not-yet-applied batch
+    val victims = ids.filter(_ >= mid).take(3).toSeq
+    IndexFollower.takedown(spark, srcDir, dedupDir, ann, victims)
+    // the fold must NOT retire the pending marks — the tables never
+    // held these ids, so the marks are what masks their future append
+    AnnIndex.compactTombstones(spark, ann)
+    assert(AnnIndex.tombstones(spark, ann).as[Long].collect().toSet == victims.toSet,
+      "the fold retired PENDING marks for never-indexed ids")
+    // the follower catches up THROUGH the victims' source version:
+    // the registry filter must keep them out of both indexes
+    IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
+    assert(TableLog.read(spark, dedupDir)
+      .filter($"doc_id".isin(victims: _*)).count() == 0L,
+      "a lagging takedown's docs were re-indexed into the dedup index")
+    val live = AnnIndex.withoutTombstoned(spark, ann, AnnIndex.probeSide(spark, ann))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(victims.forall(v => !live.contains(v)),
+      "a lagging takedown's docs are served by the ANN relation")
+    // and the raw ANN tables hold no victim rows either (the delta was
+    // filtered BEFORE the keyed append, not merely masked)
+    assert(AnnIndex.probeSide(spark, ann)
+      .filter($"vec_id".isin(victims: _*)).count() == 0L,
+      "victim vectors entered the raw tables despite the registry filter")
+    // every non-victim doc of the late batch is indexed normally
+    val expected = ids.filter(_ >= mid).toSet -- victims
+    val probeIds = AnnIndex.probeSide(spark, ann)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(expected.subsetOf(probeIds), "the registry filter over-dropped")
+    corpus.unpersist()
+  }
+
   test("a follower lagging past source retention fails loudly with the readable floor") {
     val corpus = corpusDf().limit(50).cache()
     val srcDir = java.nio.file.Files.createTempDirectory("graft_fl2_src").toString + "/t"

@@ -871,4 +871,28 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.read(spark, dir).count() == 400L)
     assert(TableLog.read(spark, dir).select("id").distinct().count() == 400L)
   }
+
+  test("an append rebasing over a racing trackStats registration re-harvests the new column's stats") {
+    val dir = freshTable()
+    TableLog.appendBatch(batchDf(0), dir, "r", 0L)
+    // the registration lands INSIDE the append's commit window: the
+    // append loses the CAS, rebases onto the statsFor-bearing manifest,
+    // and must commit its files WITH id stats — not permanently
+    // stat-less files that degrade every later prune
+    TableLog.casHook = () => {
+      TableLog.casHook = () => ()
+      TableLog.trackStats(spark, dir, Seq("id"))
+    }
+    try assert(TableLog.appendBatch(batchDf(1).coalesce(1), dir, "r", 1L))
+    finally TableLog.casHook = () => ()
+    val m = TableLog.latest(spark, dir).get
+    assert(m.statsFor == Seq("id"))
+    // the prefix bakes the ENTRY-time version (a1-) even though the
+    // rebase committed as version 2 — a tail-visibility tag, not a version
+    val raced = m.files.filter(_.name.startsWith("a1-"))
+    assert(raced.nonEmpty, "fixture vacuity: the raced append's files not found")
+    assert(raced.forall(_.stats.contains("id")),
+      "files of an append that rebased over trackStats carry no stats " +
+        "for the newly registered column")
+  }
 }
