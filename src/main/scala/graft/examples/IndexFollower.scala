@@ -100,6 +100,13 @@ object IndexFollower {
     // versions landing after this snapshot are the next call's work
     val bound = TableLog.latest(spark, tableDir).map(_.version).getOrElse(-1L)
     val runKey = TableLog.runKeyFor(spark, stateDir)
+    // the takedown registry, resolved ONCE per pass (re-resolving per
+    // version would re-broadcast an unchanged table N times after
+    // downtime); a takedown landing MID-PASS is covered by its own
+    // retry contract, not by per-version freshness here — see the
+    // concurrency note on [[takedown]]
+    val registry = AnnIndex.tombstones(spark, ann)
+      .withColumnRenamed("vec_id", "doc_id")
     var applied = first
     var rows = 0L
     var more = applied < bound
@@ -124,10 +131,7 @@ object IndexFollower {
           // it (broadcast anti-join; small by contract). Pin the survivors
           // across the two consumers: one source read, and a stable row
           // set even if maintenance commits land mid-apply.
-          val d = delta.join(
-              broadcast(AnnIndex.tombstones(spark, ann)
-                .withColumnRenamed("vec_id", "doc_id")),
-              Seq("doc_id"), "left_anti")
+          val d = delta.join(broadcast(registry), Seq("doc_id"), "left_anti")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             rows += d.count()
@@ -177,12 +181,21 @@ object IndexFollower {
     * version still keeps them out of both indexes). Deletions are
     * invisible to the CDC surface by design (`appendsSince` skips
     * delete versions), so this is the one coordinated write;
-    * [[catchUp]]'s append legs keep working unchanged around it. One
-    * caveat: the dedup-index deleteIn here and catchUp's OPTIONAL
+    * [[catchUp]]'s append legs keep working unchanged around it. Two
+    * caveats, both resolved by this call's own at-least-once retry
+    * contract: (a) the dedup-index deleteIn here and catchUp's OPTIONAL
     * compaction (`maintainTargetBytes`) are both maintenance writers on
     * the same table — racing them fails LOUDLY with
-    * ConcurrentModificationException (never corrupts); retry whichever
-    * lost. Each leg is independently idempotent — rerunning a
+    * ConcurrentModificationException (never corrupts), retry whichever
+    * lost; (b) a takedown completing while a catchUp pass is MID-FLIGHT
+    * can lose to that pass's already-pinned delta (the pass appends the
+    * victims' band rows after this deleteIn ran) — re-run the takedown
+    * once the pass completes and the rows are gone. Re-ingesting a
+    * taken-down doc_id is NOT supported while its tombstone lives: the
+    * registry filter drops it from both indexes (the id-reuse stance
+    * [[graft.functions.AnnIndex.tombstone]] documents) — re-ingest a
+    * cleaned document under a NEW id, or run [[untakedown]] FIRST and
+    * re-ingest after. Each leg is independently idempotent — rerunning a
     * crashed takedown re-deletes nothing and re-marks harmlessly — so
     * at-least-once retry is the whole crash story. Physical-erasure
     * timing on the two TableLog tables follows

@@ -368,42 +368,68 @@ object AnnIndex {
     * racing mark fails loudly — never vanishes. */
   def compactTombstones(spark: SparkSession, h: Handle): Unit = {
     if (!tombTableExists(spark, h)) return
+    val foldTbl = tombstoneTable(h) + "_fold"
+    def tableExists(t: String) = spark.sessionState.catalog.tableExists(
+      spark.sessionState.sqlParser.parseTableIdentifier(t))
+    val hasJournal = tableExists(foldTbl)
     val snap = Materialize.cut(tombstones(spark, h).select(col("vec_id")).distinct())
     try {
-      if (snap.isEmpty) return
-      // retire ONLY marks whose rows this fold actually erases: a mark
-      // for an id the tables never held is PENDING — it masks a future
+      if (snap.isEmpty && !hasJournal) return
+      // retire ONLY marks whose rows a fold actually erases: a mark for
+      // an id the tables never held is PENDING — it masks a future
       // append (a lagging IndexFollower has not applied the id's source
       // version yet) — and trimming it would let that append serve the
-      // taken-down id. Pinned BEFORE the rewrites make everything absent.
-      val folded = Materialize.cut(
+      // taken-down id. The erased set is JOURNALED to a sidecar table
+      // BEFORE the rewrites: after a crash between the rewrites and the
+      // trim, the tables no longer hold the ids, so only the journal
+      // can tell "erased by the crashed fold, retire the mark" apart
+      // from "never indexed, keep the mark" — without it a retry
+      // strands those marks forever (and the registry filter would then
+      // drop the ids' future re-ingest silently).
+      val preFolded =
         spark.table(h.probeTable).select(col("vec_id"))
           .union(spark.table(h.vecTable).select(col("vec_id")))
-          .join(broadcast(snap), Seq("vec_id"), "left_semi").distinct())
-      // pin each filtered relation BEFORE dropping its source table —
-      // the same lineage-cut-or-die rule as build()'s rebuild path
-      Seq((h.probeTable, ProbeCols, ProbeKey),
-          (h.vecTable, VecCols, VecKey)).foreach { case (tbl, cols, keyCol) =>
-        val buckets = spark.sessionState.catalog
-          .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(tbl))
-          .bucketSpec.map(_.numBuckets).getOrElse(
-            throw new IllegalStateException(s"$tbl is not bucketed — not an AnnIndex table"))
-        val kept = Materialize.cut(project(
-          spark.table(tbl).join(broadcast(snap), Seq("vec_id"), "left_anti"), cols))
-        try {
-          Bucketing.dropTableAndLocation(spark, tbl)
-          Bucketing.writeBucketed(kept, tbl, keyCol, buckets)
-        } finally Materialize.release(kept)
-      }
-      tombstoneFoldHook()
-      // trim ONLY the folded ids: marks that raced the rewrites stay
-      // live, and so do pending marks for ids the tables never held
-      val survivors = Materialize.cut(
-        tombstones(spark, h).join(broadcast(folded), Seq("vec_id"), "left_anti"))
+          .join(broadcast(snap), Seq("vec_id"), "left_semi")
+      val journal = Materialize.cut(
+        (if (hasJournal) preFolded.union(spark.table(foldTbl)) else preFolded)
+          .distinct())
       try {
-        try survivors.write.mode("overwrite").insertInto(tombstoneTable(h))
-        finally Materialize.release(survivors)
-      } finally Materialize.release(folded)
+        if (hasJournal)
+          journal.write.mode("overwrite").insertInto(foldTbl)
+        else journal.write.saveAsTable(foldTbl)
+        // pin each filtered relation BEFORE dropping its source table —
+        // the same lineage-cut-or-die rule as build()'s rebuild path
+        Seq((h.probeTable, ProbeCols, ProbeKey),
+            (h.vecTable, VecCols, VecKey)).foreach { case (tbl, cols, keyCol) =>
+          val buckets = spark.sessionState.catalog
+            .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+            .bucketSpec.map(_.numBuckets).getOrElse(
+              throw new IllegalStateException(s"$tbl is not bucketed — not an AnnIndex table"))
+          val kept = Materialize.cut(project(
+            spark.table(tbl).join(broadcast(snap), Seq("vec_id"), "left_anti"), cols))
+          try {
+            Bucketing.dropTableAndLocation(spark, tbl)
+            Bucketing.writeBucketed(kept, tbl, keyCol, buckets)
+          } finally Materialize.release(kept)
+        }
+        tombstoneFoldHook()
+        // trim the journaled (= erased) ids ONLY: marks that raced the
+        // rewrites stay live, pending marks for never-held ids stay
+        // live, and a journaled id a concurrent keyed append re-inserted
+        // mid-fold keeps its mark too (still present in the tables)
+        val stillPresent = spark.table(h.probeTable).select(col("vec_id"))
+          .union(spark.table(h.vecTable).select(col("vec_id")))
+          .join(broadcast(journal), Seq("vec_id"), "left_semi")
+        val trim = Materialize.cut(
+          journal.join(broadcast(stillPresent.distinct()), Seq("vec_id"), "left_anti"))
+        try {
+          val survivors = Materialize.cut(
+            tombstones(spark, h).join(broadcast(trim), Seq("vec_id"), "left_anti"))
+          try survivors.write.mode("overwrite").insertInto(tombstoneTable(h))
+          finally Materialize.release(survivors)
+        } finally Materialize.release(trim)
+        Bucketing.dropTableAndLocation(spark, foldTbl)
+      } finally Materialize.release(journal)
     } finally Materialize.release(snap)
   }
 
@@ -427,6 +453,9 @@ object AnnIndex {
     * lacks the table must restart to observe a first deletion.) */
   private def resetTombstones(spark: SparkSession, h: Handle): Unit = {
     Bucketing.dropTableAndLocation(spark, tombstoneTable(h))
+    // a rebuild also retires any crashed fold's journal — the new
+    // corpus is the truth, there is nothing left to repair
+    Bucketing.dropTableAndLocation(spark, tombstoneTable(h) + "_fold")
     emptyTombstones(spark).write.saveAsTable(tombstoneTable(h))
   }
 

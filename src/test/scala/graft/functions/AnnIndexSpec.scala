@@ -261,6 +261,40 @@ class AnnIndexSpec extends SparkSuite {
     assert(tombRows() == 0L, "build did not clear the tombstone set")
   }
 
+  test("a fold crashing between the rewrites and the trim repairs on retry — folded marks retire via the journal, pending marks survive") {
+    val corpus = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val h = AnnIndex.build(corpus, "annspec_tombcrash", planes = 8, buckets = 8)
+    val ids = corpus.select($"vec_id").as[Long].collect().sorted
+    val folded = ids.take(4).toSeq            // in the tables → erased by the fold
+    val pending = Seq(990001L, 990002L)       // never indexed → must outlive everything
+    AnnIndex.tombstone(spark, h, (folded ++ pending).toDF("vec_id"))
+    AnnIndex.tombstoneFoldHook = () => {
+      AnnIndex.tombstoneFoldHook = () => ()
+      throw new RuntimeException("simulated crash between rewrites and trim")
+    }
+    try intercept[RuntimeException](AnnIndex.compactTombstones(spark, h))
+    finally AnnIndex.tombstoneFoldHook = () => ()
+    // crashed state: rows erased, every mark still in the sidecar
+    assert(AnnIndex.probeSide(spark, h)
+      .filter($"vec_id".isin(folded: _*)).count() == 0L)
+    assert(AnnIndex.tombstones(spark, h).as[Long].collect().toSet
+      == (folded ++ pending).toSet)
+    // the retry repairs through the journal: without it the retry sees
+    // the folded ids absent from the tables — indistinguishable from
+    // pending — and would strand their marks forever
+    AnnIndex.compactTombstones(spark, h)
+    assert(AnnIndex.tombstones(spark, h).as[Long].collect().toSet == pending.toSet,
+      "retry did not retire the crashed fold's marks (or retired pending ones)")
+    val ref = AnnIndex.build(corpus.filter(!$"vec_id".isin(folded: _*)),
+      "annspec_tombcrash_ref", planes = 8, buckets = 8)
+    assert(indexRows(h) == indexRows(ref),
+      "crash-repaired fold diverged from a rebuild without the folded ids")
+    // idempotent once repaired: pending marks keep surviving later folds
+    AnnIndex.compactTombstones(spark, h)
+    assert(AnnIndex.tombstones(spark, h).as[Long].collect().toSet == pending.toSet)
+  }
+
   test("a tombstone landing DURING compactTombstones survives the fold — takedowns never silently resurrect") {
     val corpus = spark.read.parquet(sf() + "/embeddings.parquet")
       .select($"vec_id", $"embedding")
