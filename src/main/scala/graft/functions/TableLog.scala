@@ -79,6 +79,16 @@ object TableLog {
   final case class Entry(name: String, bytes: Long,
                          stats: Map[String, (String, String)] = Map.empty)
 
+  /** One immutable file-group segment referenced by a manifest head: its
+    * log-dir file name plus the entry count it holds (the merge policy's
+    * sizing input). A segment file is written ONCE, before the head that
+    * first references it, and never modified — heads come and go per
+    * commit, segments are shared structurally across versions, so an
+    * append's commit WRITES only its own delta segment plus a small head
+    * (the Iceberg manifest-list idea, reduced to the same tab-separated
+    * text as everything else here). */
+  final case class SegmentRef(name: String, count: Int)
+
   /** The complete table state at `version`. `commits` maps a streaming
     * runKey to the last batchId committed under it. `schemaJson` is the
     * table schema every append must match ([[appendBatch]]'s loud
@@ -93,7 +103,8 @@ object TableLog {
                             commits: Map[String, Long], op: String,
                             schemaJson: Option[String] = None,
                             layout: Seq[String] = Nil,
-                            statsFor: Seq[String] = Nil) {
+                            statsFor: Seq[String] = Nil,
+                            segments: Vector[SegmentRef] = Vector.empty) {
     def bytes: Long = files.iterator.map(_.bytes).sum
     /** The recorded table schema, if this manifest (or its line of
       * ancestry) was written by a schema-recording version. */
@@ -126,15 +137,18 @@ object TableLog {
   // manifests (earlier tables) parse unchanged with no schema and no
   // stats, which every consumer treats as "unknown — don't guard,
   // don't prune".
-  private def render(m: Manifest): String = {
+  private def render(m: Manifest, segments: Vector[SegmentRef]): String = {
     val sb = new StringBuilder
     // the header names the newest line type actually PRESENT, so a
     // reader too old for this table's features fails on the headline
-    // version ("not a graft manifest: graft-manifest-v3" — an
+    // version ("not a graft manifest: graft-manifest-v4" — an
     // unambiguous upgrade signal), while tables that never used the
     // feature keep parsing under older readers (a v2 writer beside a v3
-    // one is fine until someone registers stats)
-    sb ++= (if (m.statsFor.nonEmpty) "graft-manifest-v3\n"
+    // one is fine until someone registers stats). v4 adds segment lines:
+    // the head then carries NO inline file/stats lines at all — every
+    // entry lives in an immutable segment file.
+    sb ++= (if (segments.nonEmpty) "graft-manifest-v4\n"
+            else if (m.statsFor.nonEmpty) "graft-manifest-v3\n"
             else "graft-manifest-v2\n")
     sb ++= s"version\t${m.version}\n"
     sb ++= s"rows\t${m.rows}\n"
@@ -145,31 +159,54 @@ object TableLog {
     if (m.statsFor.nonEmpty)
       sb ++= s"statsfor\t${m.statsFor.map(ParquetFooters.render).mkString(",")}\n"
     m.commits.toSeq.sorted.foreach { case (k, b) => sb ++= s"commit\t$k\t$b\n" }
-    m.files.foreach { e => sb ++= s"file\t${e.bytes}\t${e.name}\n" }
-    m.files.foreach { e =>
+    segments.foreach { s => sb ++= s"segment\t${s.count}\t${s.name}\n" }
+    if (segments.isEmpty) renderEntries(sb, m.files)
+    sb.result()
+  }
+
+  private def renderEntries(sb: StringBuilder, files: Vector[Entry]): Unit = {
+    files.foreach { e => sb ++= s"file\t${e.bytes}\t${e.name}\n" }
+    files.foreach { e =>
       e.stats.toSeq.sorted.foreach { case (c, (mn, mx)) =>
         sb ++= s"stats\t${e.name}\t${ParquetFooters.render(c)}\t$mn\t$mx\n"
       }
     }
-    sb.result()
   }
 
   private def decodeName(s: String): String =
     java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+  private def parseEntryLines(lines: Iterator[String],
+      what: String): Vector[Entry] = {
+    val files = Vector.newBuilder[Entry]
+    val stats = scala.collection.mutable.Map
+      .empty[String, Map[String, (String, String)]]
+    lines.filter(_.nonEmpty).foreach { line =>
+      line.split("\t", -1) match {
+        case Array("file", b, n) => files += Entry(n, b.toLong)
+        case Array("stats", f, c, mn, mx) =>
+          stats(f) = stats.getOrElse(f, Map.empty) + (decodeName(c) -> (mn, mx))
+        case other => throw new IllegalArgumentException(
+          s"bad $what line: ${other.mkString("\\t")}")
+      }
+    }
+    files.result().map { e =>
+      stats.get(e.name).fold(e)(s => e.copy(stats = s))
+    }
+  }
 
   private def parse(text: String): Manifest = {
     var version = -1L; var rows = 0L; var op = ""
     var schemaJson: Option[String] = None
     var layout: Seq[String] = Nil
     var statsFor: Seq[String] = Nil
-    val files = Vector.newBuilder[Entry]
+    val segments = Vector.newBuilder[SegmentRef]
+    val inline = new StringBuilder
     val commits = Map.newBuilder[String, Long]
-    val stats = scala.collection.mutable.Map
-      .empty[String, Map[String, (String, String)]]
     val lines = text.split("\n")
     require(lines.headOption.exists(h =>
         h == "graft-manifest-v1" || h == "graft-manifest-v2" ||
-        h == "graft-manifest-v3"),
+        h == "graft-manifest-v3" || h == "graft-manifest-v4"),
       s"not a graft manifest: ${lines.headOption.getOrElse("<empty>")}")
     lines.iterator.drop(1).filter(_.nonEmpty).foreach { line =>
       line.split("\t", -1) match {
@@ -180,19 +217,76 @@ object TableLog {
         case Array("layout", cs) => layout = cs.split(",").toSeq.map(decodeName)
         case Array("statsfor", cs) => statsFor = cs.split(",").toSeq.map(decodeName)
         case Array("commit", k, b) => commits += (k -> b.toLong)
-        case Array("file", b, n)   => files += Entry(n, b.toLong)
-        case Array("stats", f, c, mn, mx) =>
-          stats(f) = stats.getOrElse(f, Map.empty) + (decodeName(c) -> (mn, mx))
+        case Array("segment", c, n) => segments += SegmentRef(n, c.toInt)
+        case Array("file", _, _) | Array("stats", _, _, _, _) =>
+          inline ++= line; inline += '\n'
         case other => throw new IllegalArgumentException(
           s"bad manifest line: ${other.mkString("\\t")}")
       }
     }
     require(version >= 0, "manifest missing version")
-    val withStats = files.result().map { e =>
-      stats.get(e.name).fold(e)(s => e.copy(stats = s))
-    }
-    Manifest(version, withStats, rows, commits.result(), op, schemaJson,
-      layout, statsFor)
+    Manifest(version, parseEntryLines(inline.result().linesIterator, "manifest"),
+      rows, commits.result(), op, schemaJson, layout, statsFor,
+      segments.result())
+  }
+
+  // ---- segment files: immutable `segment-<uuid>` blobs in the log dir
+  // holding file/stats lines in the manifest's own format. Immutability
+  // is what makes the in-process cache sound: a path's content can never
+  // change, only be vacuumed once unreferenced — and nothing reads a
+  // vacuumed segment (every retained head's segments are themselves
+  // retained by vacuum).
+  private val SegmentRe = "^segment-[0-9a-f-]+$".r
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[Entry]]()
+  /** Crude bound so a long-lived test/driver JVM touching many tables
+    * cannot grow the cache without limit; 512 segments ≈ the working set
+    * of a handful of live tables, and a clear only costs re-reads. */
+  private val SegCacheMax = 512
+
+  private def loadSegment(fs: FileSystem, dir: String,
+                          ref: SegmentRef): Vector[Entry] = {
+    val p = new Path(logDir(dir), ref.name)
+    val key = p.toString
+    val cached = segCache.get(key)
+    if (cached != null) return cached
+    val text = readFully(fs, p)
+    val lines = text.split("\n")
+    require(lines.headOption.contains("graft-segment-v1"),
+      s"not a graft segment: $key: ${lines.headOption.getOrElse("<empty>")}")
+    val entries = parseEntryLines(lines.iterator.drop(1), "segment")
+    require(entries.length == ref.count,
+      s"segment $key holds ${entries.length} entries but the head " +
+        s"recorded ${ref.count} — torn segment write (should be impossible: " +
+        "heads are committed only after their segments closed)")
+    if (segCache.size >= SegCacheMax) segCache.clear()
+    segCache.put(key, entries)
+    entries
+  }
+
+  private def writeSegment(fs: FileSystem, dir: String,
+                           entries: Vector[Entry]): SegmentRef = {
+    val name = s"segment-${java.util.UUID.randomUUID()}"
+    val log = logDir(dir)
+    fs.mkdirs(log)
+    val sb = new StringBuilder
+    sb ++= "graft-segment-v1\n"
+    renderEntries(sb, entries)
+    val out = fs.create(new Path(log, name), false)
+    try out.write(sb.result().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    SegmentRef(name, entries.length)
+  }
+
+  /** Parse a head and materialize its file list from its segments (plus
+    * any inline v1-v3 entries). The resolved manifest's `segments` field
+    * is the authoritative reuse set for the NEXT commit's diff. */
+  private def resolveManifest(fs: FileSystem, dir: String,
+                              text: String): Manifest = {
+    val head = parse(text)
+    if (head.segments.isEmpty) head
+    else head.copy(files =
+      head.segments.flatMap(loadSegment(fs, dir, _)) ++ head.files)
   }
 
   /** The newest committed manifest, or None for a not-yet-created table.
@@ -209,7 +303,8 @@ object TableLog {
       }
     }.toSeq
     if (versions.isEmpty) None
-    else Some(parse(readFully(fs, new Path(log, manifestName(versions.max)))))
+    else Some(resolveManifest(fs, dir,
+      readFully(fs, new Path(log, manifestName(versions.max)))))
   }
 
   private def readFully(fs: FileSystem, p: Path): String = {
@@ -223,21 +318,77 @@ object TableLog {
     } finally in.close()
   }
 
-  /** Commit `m` as the next version: write to a temp name in the log
-    * dir, rename to `manifest-<version>`. The rename IS the commit and
-    * doubles as the optimistic-concurrency CAS — if the destination
-    * already exists (another writer committed this version first), the
-    * rename fails and the caller rebases or aborts, never clobbers.
-    * Manifest-tail
-    * pruning is deliberately NOT done here — it is deferred to
-    * [[vacuum]]'s grace-gated pass, so a just-resolved manifest cannot
-    * vanish under a seconds-old reader. */
-  private[functions] def commit(fs: FileSystem, dir: String, m: Manifest): Unit = {
+  /** How many segments a head may reference before a commit folds the
+    * smallest ones into one merged segment. The bound keeps head
+    * render/parse O(MaxSegments), and size-tiered merging (smallest
+    * first, halving the count) keeps the amortized per-append write
+    * O(delta · log files) — the LSM trade, chosen over "merge all" whose
+    * every-Nth-commit O(live files) spike is exactly the ceiling this
+    * layer exists to remove. A var only as a test seam (the merge spec
+    * lowers it to fold within a handful of appends); production leaves
+    * the default. */
+  private[functions] var MaxSegments = 64
+
+  /** Commit `m` as the next version: place `m.files` into immutable
+    * segments — reusing every candidate segment whose entries all
+    * survive unchanged in `m`, writing ONE new segment for the rest —
+    * then write the small head to a temp name and rename it to
+    * `manifest-<version>`. The rename IS the commit and doubles as the
+    * optimistic-concurrency CAS — if the destination already exists
+    * (another writer committed this version first), the rename fails and
+    * the caller rebases or aborts, never clobbers. What a steady-state
+    * append WRITES is therefore O(delta + MaxSegments), independent of
+    * live-file count (spec-pinned); the first commit over a pre-segment
+    * v1-v3 table migrates every inline entry into one segment, an
+    * O(files) write paid once. Manifest-tail pruning is deliberately NOT
+    * done here — it is deferred to [[vacuum]]'s grace-gated pass, so a
+    * just-resolved manifest cannot vanish under a seconds-old reader. */
+  private[functions] def commit(fs: FileSystem, dir: String, m: Manifest,
+      candidates: Vector[SegmentRef]): Unit = {
+    val byName = new scala.collection.mutable.HashMap[String, Entry]()
+    m.files.foreach { e =>
+      if (byName.put(e.name, e).isDefined) throw new IllegalStateException(
+        s"duplicate file ${e.name} in manifest ${m.version} of $dir")
+    }
+    // reuse candidates greedily in order: a segment survives iff every
+    // entry is still present UNCHANGED and not already covered by an
+    // earlier taken segment (overlap can only arise from caller-supplied
+    // extra candidates, e.g. restore's target segments)
+    val covered = scala.collection.mutable.Set.empty[String]
+    val taken = Vector.newBuilder[(SegmentRef, Vector[Entry])]
+    candidates.distinct.foreach { ref =>
+      if (ref.count > 0) {
+        val entries = loadSegment(fs, dir, ref)
+        if (entries.forall(e =>
+            !covered.contains(e.name) && byName.get(e.name).contains(e))) {
+          covered ++= entries.iterator.map(_.name)
+          taken += ((ref, entries))
+        }
+      }
+    }
+    val remaining = m.files.filterNot(e => covered.contains(e.name))
+    var segs = taken.result()
+    if (remaining.nonEmpty)
+      segs = segs :+ ((writeSegment(fs, dir, remaining), remaining))
+    if (segs.length > MaxSegments) {
+      // size-tiered fold: merge the smallest segments down to half the
+      // bound, preserving the kept segments' relative order and placing
+      // the merged one last (entry ORDER across segments is not
+      // semantic — file names are unique and consumers treat the list
+      // as a set)
+      val target = MaxSegments / 2
+      val mergeSet = segs.sortBy(_._1.count)
+        .take(segs.length - target + 1).map(_._1.name).toSet
+      val (merge, keep) = segs.partition(s => mergeSet.contains(s._1.name))
+      val mergedEntries = merge.flatMap(_._2)
+      segs = keep :+ ((writeSegment(fs, dir, mergedEntries), mergedEntries))
+    }
     val log = logDir(dir)
     fs.mkdirs(log)
     val tmp = new Path(log, s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    try out.write(render(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(render(m, segs.map(_._1))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dst = new Path(log, manifestName(m.version))
     if (!fs.rename(tmp, dst)) {
@@ -250,6 +401,13 @@ object TableLog {
     // a fast-committing writer could prune the manifest a seconds-old
     // reader resolved and then reclaim its files out from under it
   }
+
+  /** [[commit]] reusing the manifest's own `segments` as candidates —
+    * for callers committing a resolved-then-tweaked manifest (specs, and
+    * [[adopt]]'s fresh version 0, whose empty candidate set makes every
+    * entry land in one new segment). */
+  private[functions] def commit(fs: FileSystem, dir: String, m: Manifest): Unit =
+    commit(fs, dir, m, m.segments)
 
   /** The optimistic-concurrency loop every mutation shares: resolve the
     * CURRENT latest manifest, let `attempt` either finish WITHOUT
@@ -264,20 +422,28 @@ object TableLog {
     * retention floor) throw from inside `attempt`. `committed` maps the
     * manifest that actually landed to the caller's result. */
   private def commitLoop[A](spark: SparkSession, fs: FileSystem, dir: String,
-      opName: String)(attempt: Option[Manifest] => Either[A, Manifest])
+      opName: String, extraSegments: Vector[SegmentRef] = Vector.empty)
+      (attempt: Option[Manifest] => Either[A, Manifest])
       (committed: Manifest => A): A = {
     var attempts = 0
     var out: Option[A] = None
     while (out.isEmpty) {
-      attempt(latest(spark, dir)) match {
+      val prevOpt = latest(spark, dir)
+      attempt(prevOpt) match {
         case Left(a) => out = Some(a)
         case Right(m) =>
           casHook()
+          // segment-reuse candidates come from the RESOLVED latest (the
+          // authoritative on-disk layout), not from whatever `segments`
+          // the attempt's hand-built manifest carries; extras let a
+          // restore reuse its retained target's segments too
+          val cands = prevOpt.map(_.segments).getOrElse(Vector.empty) ++
+            extraSegments
           // the retry catch must wrap ONLY the commit: a CME escaping
           // `committed` after the rename landed would otherwise re-run
           // `attempt` against a table that already holds this change
           val landed =
-            try { commit(fs, dir, m); true }
+            try { commit(fs, dir, m, cands); true }
             catch {
               case e: java.util.ConcurrentModificationException =>
                 attempts += 1
@@ -329,7 +495,7 @@ object TableLog {
     val (fs, _) = fsFor(spark, dir)
     val p = new Path(logDir(dir), manifestName(version))
     tryReadFully(fs, p) match {
-      case Some(text) => readVersion(spark, dir, parse(text))
+      case Some(text) => readVersion(spark, dir, resolveManifest(fs, dir, text))
       case None =>
         val have = retainedVersions(spark, dir)
         throw new IllegalStateException(
@@ -349,7 +515,8 @@ object TableLog {
     if (!fs.exists(log)) return Nil
     fs.listStatus(log).iterator.flatMap { f =>
       f.getPath.getName match {
-        case ManifestRe(_) => tryReadFully(fs, f.getPath).map(parse).iterator
+        case ManifestRe(_) =>
+          tryReadFully(fs, f.getPath).map(resolveManifest(fs, dir, _)).iterator
         case _             => Iterator.empty
       }
     }.toSeq.sortBy(_.version)
@@ -728,7 +895,7 @@ object TableLog {
   def restore(spark: SparkSession, dir: String, version: Long): Manifest = {
     val (fs, _) = fsFor(spark, dir)
     val target = tryReadFully(fs, new Path(logDir(dir), manifestName(version)))
-      .map(parse).getOrElse {
+      .map(resolveManifest(fs, dir, _)).getOrElse {
         val have = retainedVersions(spark, dir)
         throw new IllegalStateException(
           s"$dir has no retained manifest for version $version — retained: " +
@@ -738,7 +905,12 @@ object TableLog {
       s"$dir has no committed manifest — nothing to restore"))
     val baseNames = base.files.map(_.name).toSet
     val targetNames = target.files.map(_.name).toSet
-    commitLoop(spark, fs, dir, "restore") { curOpt =>
+    // the target is retained, so its segments are too (vacuum keeps every
+    // segment a retained head references) — offering them as reuse
+    // candidates keeps the restore commit's write O(delta) even though
+    // the restored files left the CURRENT head's segments long ago
+    commitLoop(spark, fs, dir, "restore",
+        extraSegments = target.segments) { curOpt =>
       val cur = curOpt.getOrElse(base)
       // the prune floor, against the CURRENT latest: below it the target
       // manifest survives only on vacuum grace, and its data files may
@@ -1127,9 +1299,28 @@ object TableLog {
       v < floor && f.getModificationTime <= cutoff
     }
     prunable.foreach { case (_, f) => fs.delete(f.getPath, false); deleted += 1 }
-    val live: Set[String] = retained.iterator.flatMap { case (_, f) =>
-      parse(readFully(fs, f.getPath)).files.iterator.map(_.name)
-    }.toSet
+    val retainedManifests = retained.map { case (_, f) =>
+      resolveManifest(fs, dir, readFully(fs, f.getPath))
+    }
+    val live: Set[String] =
+      retainedManifests.iterator.flatMap(_.files.iterator.map(_.name)).toSet
+    // segments referenced by ANY retained head survive; the rest —
+    // superseded by merges/compactions, or orphaned by a crashed or
+    // CAS-lost commit — are reclaimed once past the grace, exactly like
+    // data files. A just-written segment whose head has not renamed yet
+    // is inside the grace by construction. Stale `.tmp-` head scratch
+    // from crashed commits goes the same way.
+    val liveSegments: Set[String] =
+      retainedManifests.iterator.flatMap(_.segments.iterator.map(_.name)).toSet
+    fs.listStatus(log).iterator.foreach { f =>
+      val name = f.getPath.getName
+      val expired = f.getModificationTime <= cutoff
+      val reclaimable = name match {
+        case SegmentRe() => !liveSegments.contains(name)
+        case _           => name.startsWith(".tmp-")
+      }
+      if (reclaimable && expired) { fs.delete(f.getPath, false); deleted += 1 }
+    }
     fs.listStatus(table).iterator.foreach { f =>
       val name = f.getPath.getName
       val expired = f.getModificationTime <= cutoff
@@ -1232,6 +1423,20 @@ object TableLog {
       s"version $sinceVersion has left retention (oldest retained: " +
         s"${hist.head.version}) — re-read the full snapshot instead")
     val byV = hist.map(m => m.version -> m).toMap
+    // every version in (since, latest] AND its predecessor must have
+    // been resolved: history() tolerates a manifest pruned by a
+    // concurrent vacuum between listing and read, so a gap can appear
+    // here even after the head-version retention check above. Falling
+    // back to an empty predecessor would emit version v's ENTIRE file
+    // list as "newly appended" — silently duplicating the table into
+    // the consumer — so a gap gets the same loud left-retention error
+    // as a stale sinceVersion (the caller's documented fallback: re-read
+    // the full snapshot).
+    (math.max(sinceVersion, hist.head.version) to latestV).foreach { v =>
+      require(byV.contains(v),
+        s"version $v of $dir has left retention (pruned by a concurrent " +
+          "vacuum mid-read) — re-read the full snapshot instead")
+    }
     // compaction rewrites contribute nothing (their rows already flowed
     // through earlier versions), a [[delete]]'s swapped-in files hold
     // only SURVIVING old rows, and a [[restore]] re-references files

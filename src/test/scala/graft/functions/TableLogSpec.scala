@@ -895,4 +895,109 @@ class TableLogSpec extends SparkSuite {
       "files of an append that rebased over trackStats carry no stats " +
         "for the newly registered column")
   }
+
+  // ---- segmented manifests: what a commit WRITES is O(delta), not
+  // O(live files) — the r11 verdict's #1 storage ceiling.
+
+  /** Log-dir files (name → size) — the write-cost probe. */
+  private def logFiles(dir: String): Map[String, Long] =
+    new java.io.File(dir + "/_graft_log").listFiles()
+      .map(f => f.getName -> f.length()).toMap
+
+  test("segmented commits: append write bytes are independent of live-file count") {
+    // two tables whose live-file counts differ 10×, same delta appended
+    def mk(files: Int): String = {
+      val dir = freshTable()
+      val big = Seq.tabulate(20000)(i => (i.toLong, s"v$i")).toDF("id", "v")
+      assert(TableLog.appendBatch(big, dir, "seed", 0L))
+      val bytes = TableLog.bytes(spark, dir)
+      val written = TableLog.compact(spark, dir, targetBytes = math.max(1L, bytes / files))
+      assert(written >= files * 3 / 4, s"fixture vacuity: $written files for target $files")
+      dir
+    }
+    val small = mk(100)
+    val large = mk(1000)
+    def appendCost(dir: String): Long = {
+      val before = logFiles(dir)
+      assert(TableLog.appendBatch(batchDf(7).coalesce(1), dir, "probe", 0L))
+      val after = logFiles(dir)
+      (after.keySet -- before.keySet).iterator.map(after).sum
+    }
+    val costSmall = appendCost(small)
+    val costLarge = appendCost(large)
+    // the commit writes one delta segment + a head of O(#segments) lines;
+    // live-file count (100 vs 1000) must not leak into either
+    assert(costLarge <= costSmall * 3 / 2 + 512,
+      s"append commit wrote $costLarge bytes on the 1000-file table vs " +
+        s"$costSmall on the 100-file table — commit cost grew with table size")
+    // and the data still reads exactly right on both
+    assert(TableLog.read(spark, large).count() == 20100L)
+    // heads reference segments; the 1000 entries live in segment files
+    val m = TableLog.latest(spark, large).get
+    assert(m.segments.nonEmpty && m.files.length >= 1000,
+      s"resolved ${m.files.length} files over ${m.segments.length} segments")
+  }
+
+  test("segment merge bounds the head; reads and stats survive the fold") {
+    val dir = freshTable()
+    val saved = TableLog.MaxSegments
+    TableLog.MaxSegments = 6
+    try {
+      (0 until 10).foreach { b =>
+        assert(TableLog.appendBatch(batchDf(b, n = 50).coalesce(1), dir, "r", b.toLong))
+      }
+      val m = TableLog.latest(spark, dir).get
+      assert(m.segments.length <= 6,
+        s"head references ${m.segments.length} segments past the bound")
+      assert(m.files.length == 10 && m.rows == 500L)
+      val got = TableLog.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+      assert(got == (0 until 10).flatMap(b => b * 1000L until b * 1000L + 50L))
+      // merged segments preserve per-file stats verbatim (trackStats-less
+      // tables still record layout stats after a compact; here assert the
+      // entry identity survived: names and sizes match the disk files)
+      m.files.foreach { e =>
+        assert(new java.io.File(dir + "/" + e.name).length() == e.bytes)
+      }
+    } finally TableLog.MaxSegments = saved
+  }
+
+  test("vacuum reclaims superseded segments; retained heads keep theirs") {
+    val dir = freshTable()
+    (0 until 4).foreach(b => TableLog.appendBatch(batchDf(b).coalesce(1), dir, "r", b.toLong))
+    TableLog.compact(spark, dir, targetBytes = 1L << 20)
+    // age every pre-compact head out of retention
+    (0 until TableLog.KeepManifests).foreach { i =>
+      TableLog.appendBatch(batchDf(10 + i, n = 1).coalesce(1), dir, "r", 10L + i)
+    }
+    TableLog.vacuum(spark, dir, graceMs = 0L)
+    val log = new java.io.File(dir + "/_graft_log").listFiles().map(_.getName)
+    val onDisk = log.filter(_.startsWith("segment-")).toSet
+    // each retained head's segment list is exactly what vacuum must keep
+    val retainedSegs: Set[String] =
+      TableLog.history(spark, dir).flatMap(_.segments.map(_.name)).toSet
+    assert(onDisk.nonEmpty && onDisk.subsetOf(retainedSegs),
+      s"orphaned segments survived vacuum: ${(onDisk -- retainedSegs).take(3)}")
+    // and nothing a retained head needs was reclaimed
+    assert(retainedSegs.subsetOf(onDisk),
+      s"vacuum reclaimed referenced segments: ${(retainedSegs -- onDisk).take(3)}")
+    assert(TableLog.read(spark, dir).count() == 400L + TableLog.KeepManifests)
+  }
+
+  test("appendsSince fails loudly on a retention gap instead of duplicating the table") {
+    val dir = freshTable()
+    (0 until 6).foreach(b => TableLog.appendBatch(batchDf(b, n = 20).coalesce(1), dir, "r", b.toLong))
+    // simulate a concurrent vacuum pruning a mid-history manifest between
+    // history()'s listing and read: version 3's head vanishes while 0..2
+    // and 4..5 remain — the predecessor chain for version 4 is broken
+    val victim = new java.io.File(dir + "/_graft_log/manifest-" + "%020d".format(3))
+    assert(victim.delete(), "fixture vacuity: could not remove manifest-3")
+    val e = intercept[IllegalArgumentException] {
+      TableLog.appendsSince(spark, dir, 1L)
+    }
+    assert(e.getMessage.contains("left retention"),
+      s"gap must surface as the documented left-retention error: ${e.getMessage}")
+    // a consumer strictly ABOVE the gap still reads its delta fine
+    val (d, v) = TableLog.appendsSince(spark, dir, 4L)
+    assert(v == 5L && d.get.count() == 20L)
+  }
 }
