@@ -523,17 +523,34 @@ object TableLog {
   }
 
   /** [[read]] pinned to a specific resolved manifest — the handle a
-    * reader holds to keep one snapshot across multiple actions. */
+    * reader holds to keep one snapshot across multiple actions.
+    *
+    * Schema-carrying manifests read through a [[ManifestFileIndex]]
+    * relation: the scan's file list is answered from the manifest (no
+    * directory listing) and every pushed data filter prunes files
+    * against the recorded per-file stats — `read(dir).filter(multi-
+    * column conjunction)` opens only the files whose bounds intersect,
+    * with no bespoke API ([[readWhere]] remains as single-range sugar).
+    * Pre-schema v1 manifests keep the plain path read (no recorded
+    * schema to pin, no stats to prune on). */
   def readVersion(spark: SparkSession, dir: String, m: Manifest): DataFrame = {
     if (m.files.isEmpty) throw new IllegalStateException(
       s"$dir version ${m.version} has no data files (only empty batches committed)")
     val base = dir.stripSuffix("/")
-    // pin the read to the manifest's RECORDED schema when it has one:
-    // no footer-sampling inference job, and files written before an
-    // [[evolve]] surface the added columns as nulls instead of the read
-    // resolving whatever schema the first-listed file happens to carry
-    val reader = m.schema.fold(spark.read)(s => spark.read.schema(s))
-    reader.parquet(m.files.map(e => s"$base/${e.name}"): _*)
+    m.schema match {
+      case Some(s) =>
+        val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+          new ManifestFileIndex(spark, dir, m),
+          partitionSchema = org.apache.spark.sql.types.StructType(Nil),
+          dataSchema = s,
+          bucketSpec = None,
+          fileFormat =
+            new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+          options = Map.empty)(spark)
+        spark.baseRelationToDataFrame(rel)
+      case None =>
+        spark.read.parquet(m.files.map(e => s"$base/${e.name}"): _*)
+    }
   }
 
   /** Total data bytes — from the manifest, zero filesystem calls. */

@@ -1,0 +1,128 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Plain `TableLog.read(dir).filter(...)` prunes files through the
+  * manifest stats for ANY pushable predicate — the FileIndex face of
+  * the commit log (r11 verdict Missing #2). readWhere stays as sugar;
+  * these specs pin that the general path subsumes it without it. */
+class ManifestFileIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_mfi").toString + "/t"
+
+  /** A table clustered by `id` (layout stats) with `ts` tracked too —
+    * the two-column pruning fixture. 4000 rows, id 0..3999, ts = id*10,
+    * compacted into ~8 range-clustered files. */
+  private def clusteredTable(): (String, TableLog.Manifest) = {
+    val dir = freshTable()
+    val df = Seq.tabulate(4000)(i => (i.toLong, i * 10L, s"v$i")).toDF("id", "ts", "v")
+    assert(TableLog.appendBatch(df, dir, "seed", 0L))
+    TableLog.trackStats(spark, dir, Seq("ts"))
+    val bytes = TableLog.bytes(spark, dir)
+    TableLog.compact(spark, dir, targetBytes = math.max(1L, bytes / 8),
+      layoutBy = Seq("id"))
+    val m = TableLog.latest(spark, dir).get
+    assert(m.files.length >= 6, s"fixture vacuity: ${m.files.length} files")
+    assert(m.files.forall(e => e.stats.contains("id") && e.stats.contains("ts")),
+      "fixture vacuity: files lack recorded stats")
+    (dir, m)
+  }
+
+  test("a multi-column conjunction prunes to exactly the stats-intersecting files") {
+    val (dir, m) = clusteredTable()
+    val df = TableLog.read(spark, dir)
+      .filter($"id" >= 1000L && $"id" <= 1099L && $"ts" < 10500L)
+    val rows = df.select($"id").as[Long].collect().sorted.toSeq
+    assert(rows == (1000L to 1049L), s"wrong rows: ${rows.take(5)}…")
+    val listed = ManifestFileIndex.lastListed.toSet
+    // the scan's actual file list equals the manifest-level intersection
+    // of the two single-column prunes — and is a strict subset
+    val expected = TableLog.prunedFiles(spark, dir, "id", 1000L, 1099L).toSet
+      .intersect(TableLog.prunedFiles(spark, dir, "ts", Long.MinValue, 10499L).toSet)
+    assert(listed == expected, s"scan listed $listed, stats say $expected")
+    assert(listed.size < m.files.length,
+      s"no pruning: ${listed.size} of ${m.files.length}")
+  }
+
+  test("flipped literals, IN lists and OR unions prune; disjoint OR arms union their files") {
+    val (dir, m) = clusteredTable()
+    // literal-first comparison shape
+    TableLog.read(spark, dir).filter(lit(100L) > $"id").count()
+    val flipped = ManifestFileIndex.lastListed.toSet
+    assert(flipped == TableLog.prunedFiles(spark, dir, "id", Long.MinValue, 99L).toSet)
+    // IN list: two points far apart — only their two files' ranges
+    TableLog.read(spark, dir).filter($"id".isin(5L, 3995L)).count()
+    val inListed = ManifestFileIndex.lastListed.toSet
+    val inExpected = TableLog.prunedFiles(spark, dir, "id", 5L, 5L).toSet ++
+      TableLog.prunedFiles(spark, dir, "id", 3995L, 3995L).toSet
+    assert(inListed == inExpected && inListed.size < m.files.length)
+    // OR of two disjoint ranges = union of the arms' files
+    TableLog.read(spark, dir)
+      .filter(($"id" between (0L, 49L)) || ($"id" between (3900L, 3949L))).count()
+    val orListed = ManifestFileIndex.lastListed.toSet
+    val orExpected = TableLog.prunedFiles(spark, dir, "id", 0L, 49L).toSet ++
+      TableLog.prunedFiles(spark, dir, "id", 3900L, 3949L).toSet
+    assert(orListed == orExpected && orListed.size < m.files.length)
+  }
+
+  test("unpushable or unprunable predicates read every file — no false pruning") {
+    val (dir, m) = clusteredTable()
+    val all = m.files.map(_.name).toSet
+    // a function of a column: no attr-vs-literal shape to prune on
+    assert(TableLog.read(spark, dir).filter(length($"v") >= 2).count() == 4000L)
+    assert(ManifestFileIndex.lastListed.toSet == all, "false pruning on length()")
+    // a raw NOT that survives Catalyst normalization (Not(EqualTo) has
+    // no comparison rewrite): conservative keep-all, never an inverted
+    // prune. (NOT over a RANGE is rewritten by Catalyst into an OR of
+    // half-ranges and prunes through the Or arm — that path is covered
+    // by the OR test above.)
+    assert(TableLog.read(spark, dir).filter(!($"id" === 5L)).count() == 3999L)
+    assert(ManifestFileIndex.lastListed.toSet == all, "false pruning on NOT")
+  }
+
+  test("NULL-heavy columns never false-prune; IsNull reads conservatively") {
+    val dir = freshTable()
+    // file A: x entirely NULL (footer records no usable stats for it);
+    // file B: x in [100, 199]
+    val a = Seq.tabulate(50)(i => (i.toLong, None: Option[Long])).toDF("id", "x")
+    val b = Seq.tabulate(100)(i => (1000L + i, Some(100L + i): Option[Long])).toDF("id", "x")
+    assert(TableLog.appendBatch(a.coalesce(1), dir, "r", 0L))
+    TableLog.trackStats(spark, dir, Seq("x"))
+    assert(TableLog.appendBatch(b.coalesce(1), dir, "r", 1L))
+    val m = TableLog.latest(spark, dir).get
+    assert(m.files.length == 2)
+    // stats-less file A must survive ANY x-predicate: a range that
+    // excludes B's span still opens A (and correctly returns 0 rows)
+    assert(TableLog.read(spark, dir).filter($"x" > 10000L).count() == 0L)
+    val aName = m.files.find(!_.stats.contains("x")).map(_.name)
+    assert(aName.nonEmpty, "fixture vacuity: the all-null file recorded x stats")
+    assert(ManifestFileIndex.lastListed.contains(aName.get),
+      "stats-less (all-NULL) file was false-pruned")
+    // IsNull cannot prune on min/max at all
+    assert(TableLog.read(spark, dir).filter($"x".isNull).count() == 50L)
+    assert(ManifestFileIndex.lastListed.toSet == m.files.map(_.name).toSet)
+  }
+
+  test("string bounds prune in UTF-8 order; readWhere and the general path agree") {
+    val dir = freshTable()
+    val df = Seq.tabulate(2000)(i => (i.toLong, f"k$i%04d")).toDF("id", "k")
+    assert(TableLog.appendBatch(df, dir, "seed", 0L))
+    TableLog.compact(spark, dir,
+      targetBytes = math.max(1L, TableLog.bytes(spark, dir) / 6),
+      layoutBy = Seq("k"))
+    val m = TableLog.latest(spark, dir).get
+    assert(m.files.length >= 4, s"fixture vacuity: ${m.files.length}")
+    val viaFilter = TableLog.read(spark, dir)
+      .filter($"k" >= "k0100" && $"k" <= "k0199")
+      .select($"id").as[Long].collect().sorted.toSeq
+    val listed = ManifestFileIndex.lastListed.toSet
+    assert(viaFilter == (100L to 199L))
+    assert(listed.size < m.files.length, "no string pruning")
+    val viaWhere = TableLog.readWhere(spark, dir, "k", "k0100", "k0199")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(viaWhere == viaFilter)
+  }
+}
