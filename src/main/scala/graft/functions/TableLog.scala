@@ -104,6 +104,7 @@ object TableLog {
                             schemaJson: Option[String] = None,
                             layout: Seq[String] = Nil,
                             statsFor: Seq[String] = Nil,
+                            dropped: Seq[String] = Nil,
                             segments: Vector[SegmentRef] = Vector.empty) {
     def bytes: Long = files.iterator.map(_.bytes).sum
     /** The recorded table schema, if this manifest (or its line of
@@ -147,7 +148,7 @@ object TableLog {
     // one is fine until someone registers stats). v4 adds segment lines:
     // the head then carries NO inline file/stats lines at all — every
     // entry lives in an immutable segment file.
-    sb ++= (if (segments.nonEmpty) "graft-manifest-v4\n"
+    sb ++= (if (segments.nonEmpty || m.dropped.nonEmpty) "graft-manifest-v4\n"
             else if (m.statsFor.nonEmpty) "graft-manifest-v3\n"
             else "graft-manifest-v2\n")
     sb ++= s"version\t${m.version}\n"
@@ -158,6 +159,8 @@ object TableLog {
       sb ++= s"layout\t${m.layout.map(ParquetFooters.render).mkString(",")}\n"
     if (m.statsFor.nonEmpty)
       sb ++= s"statsfor\t${m.statsFor.map(ParquetFooters.render).mkString(",")}\n"
+    if (m.dropped.nonEmpty)
+      sb ++= s"dropped\t${m.dropped.map(ParquetFooters.render).mkString(",")}\n"
     m.commits.toSeq.sorted.foreach { case (k, b) => sb ++= s"commit\t$k\t$b\n" }
     segments.foreach { s => sb ++= s"segment\t${s.count}\t${s.name}\n" }
     if (segments.isEmpty) renderEntries(sb, m.files)
@@ -200,6 +203,7 @@ object TableLog {
     var schemaJson: Option[String] = None
     var layout: Seq[String] = Nil
     var statsFor: Seq[String] = Nil
+    var dropped: Seq[String] = Nil
     val segments = Vector.newBuilder[SegmentRef]
     val inline = new StringBuilder
     val commits = Map.newBuilder[String, Long]
@@ -216,6 +220,7 @@ object TableLog {
         case Array("schema", j)  => schemaJson = Some(j)
         case Array("layout", cs) => layout = cs.split(",").toSeq.map(decodeName)
         case Array("statsfor", cs) => statsFor = cs.split(",").toSeq.map(decodeName)
+        case Array("dropped", cs) => dropped = cs.split(",").toSeq.map(decodeName)
         case Array("commit", k, b) => commits += (k -> b.toLong)
         case Array("segment", c, n) => segments += SegmentRef(n, c.toInt)
         case Array("file", _, _) | Array("stats", _, _, _, _) =>
@@ -226,7 +231,7 @@ object TableLog {
     }
     require(version >= 0, "manifest missing version")
     Manifest(version, parseEntryLines(inline.result().linesIterator, "manifest"),
-      rows, commits.result(), op, schemaJson, layout, statsFor,
+      rows, commits.result(), op, schemaJson, layout, statsFor, dropped,
       segments.result())
   }
 
@@ -816,10 +821,70 @@ object TableLog {
           require(f.nullable,
             s"evolve rejected for $dir: added column '${f.name}' must be " +
               "nullable — files written before the evolution don't contain it")
+          // parquet resolves columns BY NAME: re-adding a dropped name
+          // while pre-drop files are still live would read the OLD
+          // column's values back for those rows instead of nulls —
+          // silent resurrection. compact() retires the name once its
+          // rewrite has physically purged every pre-drop file.
+          require(!prev.dropped.contains(f.name),
+            s"evolve rejected for $dir: column '${f.name}' was previously " +
+              "dropped and pre-drop files may still be live — old values " +
+              "would resurface under name-based parquet resolution; run " +
+              "compact() to purge them physically, then re-add")
         }
       }
       Right(Manifest(prev.version + 1, prev.files, prev.rows, prev.commits,
-        "evolve", Some(newSchema.json), prev.layout, prev.statsFor))
+        "evolve", Some(newSchema.json), prev.layout, prev.statsFor,
+        prev.dropped))
+    }(identity)
+  }
+
+  /** NON-additive schema evolution: DROP `column` from the table's
+    * schema as a metadata-only commit — the file set is untouched (and
+    * every segment reused, so the commit writes O(1)); schema-pinned
+    * readers simply stop selecting the column, which parquet readers
+    * skip physically. Time travel stays era-honest: [[readAt]] a
+    * pre-drop version reads that manifest's own schema, column present.
+    *
+    * What else the commit scrubs, and why:
+    *  - `layout`/[[trackStats]] registrations for the column go (a
+    *    pruning promise on a nonexistent column is meaningless; the
+    *    per-file stats lines stay in the immutable segments, harmlessly
+    *    ignored, until a rewrite retires them);
+    *  - the name is recorded in the manifest's DROPPED set: [[evolve]]
+    *    refuses to re-add it while pre-drop files are live, because
+    *    parquet's name-based resolution would resurface the old values
+    *    for old rows. A [[compact]] whose rewrite postdates the drop
+    *    purges the column physically and retires the name for reuse.
+    *
+    * [[appendBatch]] holds writers to the new schema from the next
+    * version on — a straggler batch still carrying the column fails the
+    * drift guard loudly (same ordering contract as [[evolve]]). The
+    * final column cannot be dropped. Returns the committed manifest. */
+  def dropColumn(spark: SparkSession, dir: String, column: String): Manifest = {
+    val (fs, _) = fsFor(spark, dir)
+    commitLoop(spark, fs, dir, "dropColumn") { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalStateException(
+        s"$dir has no committed manifest — nothing to drop from"))
+      // v1 tables: derive the current shape from the live files' footers,
+      // the same upgrade posture as evolve()
+      val current = prev.schema.orElse(
+        if (prev.files.isEmpty) None
+        else Some(readVersion(spark, dir, prev).schema)).getOrElse(
+        throw new IllegalStateException(
+          s"$dir has no schema to drop from (empty pre-schema table)"))
+      require(current.fieldNames.contains(column),
+        s"dropColumn rejected for $dir: no column '$column' in " +
+          current.simpleString)
+      require(current.fields.length > 1,
+        s"dropColumn rejected for $dir: '$column' is the only column")
+      val newSchema = org.apache.spark.sql.types.StructType(
+        current.fields.filterNot(_.name == column))
+      Right(Manifest(prev.version + 1, prev.files, prev.rows, prev.commits,
+        "dropcolumn", Some(newSchema.json),
+        prev.layout.filterNot(_ == column),
+        prev.statsFor.filterNot(_ == column),
+        (prev.dropped :+ column).distinct))
     }(identity)
   }
 
@@ -865,7 +930,8 @@ object TableLog {
       val merged = (prev.statsFor ++ cols).distinct
       if (merged == prev.statsFor) Left(prev) // idempotent re-registration
       else Right(Manifest(prev.version + 1, prev.files, prev.rows,
-        prev.commits, "trackstats", prev.schemaJson, prev.layout, merged))
+        prev.commits, "trackstats", prev.schemaJson, prev.layout, merged,
+        prev.dropped))
     }(identity)
   }
 
@@ -956,9 +1022,18 @@ object TableLog {
         if (keptSince.isEmpty) 0L
         else ParquetFooters.rowCount(spark.sparkContext.hadoopConfiguration,
           keptSince.map(e => new Path(s"${dir.stripSuffix("/")}/${e.name}")))
+      // a column dropped AFTER the target was committed exists physically
+      // in the restored files: if a compact has since cleared it from the
+      // dropped set, re-registering it here keeps the re-add guard alive
+      // while resurrection-capable files are back in the live set
+      val reDropped = (for {
+        t <- target.schema; c <- cur.schema
+      } yield t.fieldNames.toSeq.filterNot(c.fieldNames.contains))
+        .getOrElse(Nil)
       Right(Manifest(cur.version + 1, target.files ++ keptSince,
         target.rows + keptRows, cur.commits,
-        "restore", cur.schemaJson, cur.layout, cur.statsFor))
+        "restore", cur.schemaJson, cur.layout, cur.statsFor,
+        (cur.dropped ++ reDropped).distinct))
     }(identity)
   }
 
@@ -1044,7 +1119,8 @@ object TableLog {
           }
         Right(Manifest(prev.version + 1, prev.files ++ entriesNow,
           prev.rows + added, prev.commits + (runKey -> batchId), "append",
-          prev.schemaJson.orElse(schemaJson), prev.layout, prev.statsFor))
+          prev.schemaJson.orElse(schemaJson), prev.layout, prev.statsFor,
+          prev.dropped))
       }
     }(_ => true)
   }
@@ -1109,9 +1185,13 @@ object TableLog {
             "concurrent delete/compact violates the one-maintenance-writer " +
             "contract; re-run this compact against the new snapshot")
       val addedSince = cur.files.filterNot(e => snapshotNames.contains(e.name))
+      // this rewrite physically purged every column the SNAPSHOT knew as
+      // dropped (its files were all rewritten through the post-drop
+      // schema; rebased-in appends postdate the drop too) — those names
+      // may be reused; drops that raced in since the snapshot stay
       Right(Manifest(cur.version + 1, entries ++ addedSince, cur.rows,
         cur.commits, "compact", cur.schemaJson.orElse(schemaJson), layout,
-        cur.statsFor))
+        cur.statsFor, cur.dropped.filterNot(m.dropped.contains)))
     }(_ => ())
     fs.delete(staging, true)
     entries.length
@@ -1148,9 +1228,16 @@ object TableLog {
     *    [[AnnIndex.tombstone]] and
     *    [[graft.examples.IndexFollower.takedown]] for the index-side
     *    wiring.
-    * Shares [[compact]]'s concurrency posture: rebases over concurrent
-    * APPENDS, fails loudly if another maintenance writer removed files
-    * under it. */
+    * Concurrency: rebases over concurrent APPENDS like [[compact]];
+    * when a racing MAINTENANCE commit (a compact, another delete)
+    * removed files its plan was built on, the whole locate-and-rewrite
+    * is re-planned against the new snapshot (bounded by [[CasRetries]])
+    * — the predicate is deterministic, so the retry removes exactly the
+    * same rows from their new physical homes; takedowns and table
+    * maintenance can share a table without choreography. (Compact keeps
+    * its loud-failure posture when a delete guts ITS snapshot:
+    * re-planning a compact is just re-running it, and committing the
+    * stale rewrite would resurrect the deleted rows.) */
   def delete(spark: SparkSession, dir: String,
              predicate: org.apache.spark.sql.Column): Long =
     deleteImpl(spark, dir, m => m.files, predicate)
@@ -1197,7 +1284,39 @@ object TableLog {
       col(column).isin(values: _*))
   }
 
+  /** Internal signal: a racing maintenance commit (compact, another
+    * delete) removed files this delete's plan was built on — the plan
+    * is stale, not the data; re-resolve and re-plan. */
+  private final class StaleDeletePlan(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
+
   private def deleteImpl(spark: SparkSession, dir: String,
+      candidates: Manifest => Vector[Entry],
+      predicate: org.apache.spark.sql.Column): Long = {
+    // re-plan on a lost race instead of failing the takedown: the
+    // predicate is deterministic (the delete contract) and each attempt
+    // locates its victims fresh in the CURRENT snapshot, so a bounded
+    // retry after a racing compact/delete removes exactly the same rows
+    // from their new physical homes — no resurrect, no double-count.
+    // The failed attempt's staged rewrites are swept eagerly below (and
+    // by vacuum if we crash first). Takedowns and table maintenance may
+    // thus share a table without operator choreography; the retry bound
+    // only turns a pathological livelock into the old loud error.
+    var replans = 0
+    while (true) {
+      try return deleteAttempt(spark, dir, candidates, predicate)
+      catch {
+        case e: StaleDeletePlan =>
+          replans += 1
+          if (replans > CasRetries) throw new java.util.ConcurrentModificationException(
+            s"delete in $dir lost its snapshot to racing maintenance commits " +
+              s"$replans times: ${e.getMessage}")
+      }
+    }
+    0L // unreachable
+  }
+
+  private def deleteAttempt(spark: SparkSession, dir: String,
       candidates: Manifest => Vector[Entry],
       predicate: org.apache.spark.sql.Column): Long = {
     val (fs, table) = fsFor(spark, dir)
@@ -1261,20 +1380,27 @@ object TableLog {
       }.toVector
     val deleted = oldRows - newRows
     val affectedNames = affected.map(_.name).toSet
-    commitLoop(spark, fs, dir, "delete") { curOpt =>
-      val cur = curOpt.getOrElse(m)
-      val curNames = cur.files.map(_.name).toSet
-      if (!affectedNames.subsetOf(curNames))
-        throw new java.util.ConcurrentModificationException(
-          s"delete in $dir raced a commit that removed the files it read " +
-            s"(${(affectedNames -- curNames).take(3).mkString(", ")}…) — a " +
-            "concurrent delete/compact violates the one-maintenance-writer " +
-            "contract; re-run this delete against the new snapshot")
-      Right(Manifest(cur.version + 1,
-        cur.files.filterNot(e => affectedNames.contains(e.name)) ++ entries,
-        cur.rows - deleted, cur.commits, "delete", cur.schemaJson, cur.layout,
-        cur.statsFor))
-    }(_ => ())
+    try {
+      commitLoop(spark, fs, dir, "delete") { curOpt =>
+        val cur = curOpt.getOrElse(m)
+        val curNames = cur.files.map(_.name).toSet
+        if (!affectedNames.subsetOf(curNames))
+          throw new StaleDeletePlan(
+            s"delete in $dir raced a commit that removed the files it read " +
+              s"(${(affectedNames -- curNames).take(3).mkString(", ")}…)")
+        Right(Manifest(cur.version + 1,
+          cur.files.filterNot(e => affectedNames.contains(e.name)) ++ entries,
+          cur.rows - deleted, cur.commits, "delete", cur.schemaJson, cur.layout,
+          cur.statsFor, cur.dropped))
+      }(_ => ())
+    } catch {
+      case e: StaleDeletePlan =>
+        // this attempt's rewrites never committed — sweep them now so a
+        // long re-plan chain doesn't stack orphans until vacuum
+        entries.foreach(en => fs.delete(new Path(table, en.name), false))
+        fs.delete(staging, true)
+        throw e
+    }
     fs.delete(staging, true)
     deleted
   }

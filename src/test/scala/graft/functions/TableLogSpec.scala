@@ -622,6 +622,38 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.read(spark, dir).count() == 390L)
   }
 
+  test("delete racing a compact re-plans and both commit — rows-removed exact, no resurrect") {
+    val dir = freshTable()
+    (0 until 4).foreach(b => TableLog.appendBatch(batchDf(b), dir, "r", b.toLong))
+    // the compact lands INSIDE the delete's commit window: every file
+    // the delete read and rewrote is swapped out for c-files, so its
+    // plan is stale — it must re-locate its victims in the compacted
+    // files and still remove exactly them, not fail the takedown and
+    // not resurrect anything
+    TableLog.casHook = () => {
+      TableLog.casHook = () => ()
+      TableLog.compact(spark, dir, targetBytes = 1L << 20)
+    }
+    val removed = try TableLog.deleteIn(spark, dir, "id", (0L until 10L) ++ Seq(2005L))
+      finally TableLog.casHook = () => ()
+    assert(removed == 11L, s"re-planned delete removed $removed rows")
+    val m = TableLog.latest(spark, dir).get
+    assert(m.op == "delete" && m.rows == 400L - 11L)
+    val got = TableLog.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+    assert(got.length == 389 && !got.exists(id => id < 10L || id == 2005L),
+      "deleted rows resurrected or extra rows lost")
+    // the stale attempt's abandoned rewrites were swept eagerly: after a
+    // grace-0 vacuum the directory holds exactly what some RETAINED
+    // manifest references (snapshot protection), nothing else
+    TableLog.vacuum(spark, dir, graceMs = 0L)
+    val referenced = TableLog.history(spark, dir)
+      .flatMap(_.files.map(_.name)).toSet
+    val onDisk = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_")).toSet
+    assert(onDisk == referenced,
+      s"stale-attempt debris survived: ${(onDisk -- referenced).take(3)}")
+  }
+
   test("a straggler append racing evolve is rejected — the evolution never silently reverts") {
     import org.apache.spark.sql.types._
     val dir = freshTable()
@@ -894,6 +926,67 @@ class TableLogSpec extends SparkSuite {
     assert(raced.forall(_.stats.contains("id")),
       "files of an append that rebased over trackStats carry no stats " +
         "for the newly registered column")
+  }
+
+  test("dropColumn: era-honest time travel, loud straggler guard, compact-gated name reuse") {
+    import org.apache.spark.sql.types._
+    val dir = freshTable()
+    TableLog.appendBatch(batchDf(0), dir, "r", 0L) // era 1: (id, v)
+    val withScore = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("score", DoubleType, nullable = true)))
+    TableLog.evolve(spark, dir, withScore)         // era 2: + score
+    val scored = Seq.tabulate(100)(i => (1000L + i, s"s$i", i * 1.5))
+      .toDF("id", "v", "score")
+    TableLog.appendBatch(scored, dir, "r", 1L)
+    val vEra2 = TableLog.latest(spark, dir).get.version
+    val m3 = TableLog.dropColumn(spark, dir, "score") // era 3: − score
+    assert(m3.op == "dropcolumn" && m3.dropped == Seq("score"))
+    // era schemas: each retained version reads its own shape
+    assert(TableLog.readAt(spark, dir, 0L).schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(TableLog.readAt(spark, dir, vEra2).schema.fieldNames.toSeq
+      == Seq("id", "v", "score"))
+    assert(TableLog.read(spark, dir).schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(TableLog.read(spark, dir).count() == 200L)
+    // the era-2 read still sees the actual score values
+    assert(TableLog.readAt(spark, dir, vEra2)
+      .filter($"score".isNotNull).count() == 100L)
+    // a straggler writer still carrying the column fails loudly
+    val e = intercept[IllegalArgumentException](
+      TableLog.appendBatch(scored, dir, "r", 2L))
+    assert(e.getMessage.contains("schema drift"), e.getMessage)
+    // re-adding the dropped name is refused while pre-drop files live…
+    val reAdd = intercept[IllegalArgumentException](
+      TableLog.evolve(spark, dir, withScore))
+    assert(reAdd.getMessage.contains("previously"), reAdd.getMessage)
+    // …but a compact purges the column physically and retires the name
+    TableLog.compact(spark, dir, targetBytes = 1L << 20)
+    assert(TableLog.latest(spark, dir).get.dropped.isEmpty)
+    TableLog.evolve(spark, dir, withScore)
+    // the re-added column is NULL everywhere — the old values did NOT
+    // resurface through parquet's name-based resolution
+    assert(TableLog.read(spark, dir).filter($"score".isNotNull).count() == 0L)
+    assert(TableLog.appendBatch(scored, dir, "r", 3L))
+    assert(TableLog.read(spark, dir).filter($"score".isNotNull).count() == 100L)
+  }
+
+  test("dropColumn scrubs layout/trackStats registrations; other-column pruning survives") {
+    val dir = freshTable()
+    val df = Seq.tabulate(2000)(i => (i.toLong, i * 10L, s"v$i")).toDF("id", "ts", "v")
+    TableLog.appendBatch(df, dir, "seed", 0L)
+    TableLog.trackStats(spark, dir, Seq("ts"))
+    TableLog.compact(spark, dir,
+      targetBytes = math.max(1L, TableLog.bytes(spark, dir) / 6),
+      layoutBy = Seq("id", "ts"))
+    val before = TableLog.latest(spark, dir).get
+    assert(before.layout == Seq("id", "ts") && before.statsFor == Seq("ts"))
+    val m = TableLog.dropColumn(spark, dir, "ts")
+    assert(m.layout == Seq("id") && m.statsFor.isEmpty,
+      s"registrations not scrubbed: layout=${m.layout} statsFor=${m.statsFor}")
+    // id pruning still works through the untouched segments
+    val kept = TableLog.prunedFiles(spark, dir, "id", 0L, 99L)
+    assert(kept.nonEmpty && kept.size < m.files.size, "id pruning lost")
+    assert(TableLog.read(spark, dir).filter($"id" < 100L).count() == 100L)
   }
 
   // ---- segmented manifests: what a commit WRITES is O(delta), not
