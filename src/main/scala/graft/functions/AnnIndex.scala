@@ -242,6 +242,20 @@ object AnnIndex {
     catch { case _: java.io.IOException if fs.exists(p) => () } // already marked
   }
 
+  /** True when a keyed append under `deltaKey` ever BEGAN — whether it
+    * completed (its replay must no-op under the same key) or crashed
+    * partway (its replay must repair under the same key). Consumers
+    * that batch deltas under composite keys (the
+    * [[graft.examples.IndexFollower]] span catch-up) use this to detect
+    * a predecessor's single-version append and re-drive that version
+    * under its ORIGINAL key before spanning wider — a wider fresh key
+    * would not see the prior insert and would double its rows. */
+  private[graft] def touchedDelta(spark: SparkSession, h: Handle,
+                                  deltaKey: String): Boolean = {
+    val (fs, log) = deltaLog(spark, h)
+    fs.exists(marker(log, "begin", deltaKey))
+  }
+
   private def dropDeltaLog(spark: SparkSession, h: Handle): Unit = {
     val (fs, log) = deltaLog(spark, h)
     if (fs.exists(log)) fs.delete(log, true)
@@ -282,6 +296,14 @@ object AnnIndex {
     * with the old copy. The id returns only if re-ingested AFTER a
     * compaction (or a [[build]] rebuild whose corpus includes it) has
     * retired its tombstone — treat takedown as permanent otherwise. */
+  /** Tombstone-sidecar rows past which [[tombstone]] auto-runs
+    * [[compactTombstones]] — the enforcement of the "small by contract"
+    * broadcast every probe micro-batch pays ([[withoutTombstoned]]): a
+    * bulk redaction must fold into the tables, not ride every trigger
+    * as an ever-growing broadcast. 100k longs ≈ 800 KB broadcast,
+    * comfortably per-trigger; a var only as a test seam. */
+  private[graft] var MaxTombstoneRows = 100000L
+
   def tombstone(spark: SparkSession, h: Handle, ids: DataFrame,
                 deltaKey: Option[String] = None): Unit = {
     val (fs, log) = deltaLog(spark, h)
@@ -291,6 +313,25 @@ object AnnIndex {
     if (tombTableExists(spark, h)) rows.write.insertInto(tombstoneTable(h))
     else rows.write.saveAsTable(tombstoneTable(h)) // index built pre-tombstones
     deltaKey.foreach(k => mark(fs, log, "tomb", k))
+    // enforce the broadcast contract, don't assume it: past the bound,
+    // fold the marks into the tables (crash-safe; the sidecar shrinks to
+    // the still-pending marks). If the count is STILL over after the
+    // fold, the excess is PENDING marks — takedowns of ids no index ever
+    // held, which only a catch-up ([[graft.examples.IndexFollower]])
+    // can retire — so fail loudly: the marks are all safely recorded
+    // (a retry re-marks harmlessly), but every probe trigger is now
+    // paying an outsized broadcast and the operator must drain the
+    // follower lag rather than keep bulk-marking into it.
+    if (spark.table(tombstoneTable(h)).count() > MaxTombstoneRows) {
+      compactTombstones(spark, h)
+      val left = spark.table(tombstoneTable(h)).count()
+      if (left > MaxTombstoneRows) throw new IllegalStateException(
+        s"tombstone sidecar of ${h.probeTable} holds $left marks after a " +
+          s"fold (bound $MaxTombstoneRows) — the excess are PENDING marks " +
+          "for ids the index does not hold (a lagging follower's " +
+          "takedowns); run the follower's catchUp to drain them before " +
+          "bulk-marking further, or raise MaxTombstoneRows")
+    }
   }
 
   /** The deleted-id set (possibly with duplicates); empty for an index
@@ -313,8 +354,10 @@ object AnnIndex {
   /** `rel` minus tombstoned ids — the filter every Handle query path
     * applies to its PROBE side (vec-side rerank joins back only probe
     * survivors, so filtering once suffices). Broadcast by hint: the
-    * tombstone set is small by contract and must never push a shuffle
-    * onto the pre-bucketed corpus side. */
+    * tombstone set is small by ENFORCED contract — [[tombstone]]
+    * auto-folds past [[MaxTombstoneRows]] and fails loudly when pending
+    * marks keep it over — and must never push a shuffle onto the
+    * pre-bucketed corpus side. */
   def withoutTombstoned(spark: SparkSession, h: Handle,
                         rel: DataFrame): DataFrame =
     rel.join(org.apache.spark.sql.functions.broadcast(tombstones(spark, h)),

@@ -69,15 +69,20 @@ class IndexFollowerSpec extends SparkSuite {
     // crash replay WITH the source advancing before the retry — the
     // hardest exactly-once shape (the r11 review finding): reconstruct
     // the exact pre-checkpoint state (both indexes fully applied, the
-    // version marker NOT yet advanced), then land batch 3 BEFORE the
-    // retry. The retry must replay the already-applied versions under
-    // their OLD per-version keys (both index paths no-op) while the new
-    // version applies exactly once — a span-derived replay identity
-    // would re-insert everything under a fresh key here.
+    // version marker NOT yet advanced — which under the span protocol
+    // means the recorded INTENT is still on file), then land batch 3
+    // BEFORE the retry. The retry must replay the intent's exact span
+    // under its OLD key (both index paths no-op) while the new version
+    // applies exactly once under a fresh span — an identity derived
+    // from the current lag instead of the intent would re-insert
+    // everything here.
     val applied = IndexFollower.appliedVersion(spark, stateDir)
     val markerDir = new java.io.File(stateDir, "applied")
     new java.io.File(markerDir, s"version-${p2.fromVersion}").createNewFile()
     new java.io.File(markerDir, s"version-$applied").delete()
+    val intentDir = new java.io.File(stateDir, "intent")
+    intentDir.mkdirs()
+    new java.io.File(intentDir, s"span-${p2.fromVersion}-$applied").createNewFile()
     val annRows = AnnIndex.probeSide(spark, ann).count()
     val dedupRows = TableLog.rows(spark, dedupDir)
     TableLog.appendBatch(batches(2), srcDir, "src", 2L)
@@ -317,6 +322,131 @@ class IndexFollowerSpec extends SparkSuite {
       .select($"vec_id").as[Long].collect().toSet
     assert(expected.subsetOf(probeIds), "the registry filter over-dropped")
     corpus.unpersist()
+  }
+
+  test("span catch-up: a many-version lag drains in ONE apply with from-scratch parity") {
+    val corpus = corpusDf().cache()
+    val ids = corpus.select($"doc_id").as[Long].collect().sorted
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sp_src").toString + "/t"
+    val dedupDir = java.nio.file.Files.createTempDirectory("graft_sp_ddx").toString + "/ix"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_sp_state").toString
+    import org.apache.spark.sql.types._
+    val emptyCorpus = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val ann = AnnIndex.build(emptyCorpus, "span_ann", planes = 8, buckets = 8)
+    // the follower sees version 0, then goes DOWN while 12 more land
+    val chunks = ids.grouped(math.max(1, ids.length / 13)).toSeq
+    TableLog.appendBatch(corpus.filter($"doc_id".isin(chunks.head: _*)),
+      srcDir, "src", 0L)
+    IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
+    chunks.tail.zipWithIndex.foreach { case (c, i) =>
+      TableLog.appendBatch(corpus.filter($"doc_id".isin(c: _*)), srcDir, "src", 1L + i)
+    }
+    val lag = TableLog.latest(spark, srcDir).get.version -
+      IndexFollower.appliedVersion(spark, stateDir)
+    assert(lag >= 12, s"fixture vacuity: lag $lag")
+    // ONE catch-up pass, ONE apply: the dedup index advances by exactly
+    // one commit (one appendBatch per span), not one per lagged version
+    val ixVerBefore = TableLog.latest(spark, dedupDir).map(_.version).getOrElse(-1L)
+    val p = IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir).get
+    val ixVerAfter = TableLog.latest(spark, dedupDir).get.version
+    assert(ixVerAfter - ixVerBefore == 1,
+      s"span catch-up paid ${ixVerAfter - ixVerBefore} applies for a $lag-version lag")
+    assert(p.toVersion - p.fromVersion == lag)
+    // parity: the span-built indexes equal from-scratch builds
+    val full = AnnIndex.build(corpus.select($"doc_id".as("vec_id"), $"embedding"),
+      "span_ann_full", planes = 8, buckets = 8)
+    def annSet(h: AnnIndex.Handle) = AnnIndex.probeSide(spark, h)
+      .select($"vec_id", $"bucket").as[(Long, Long)].collect().toSet
+    assert(annSet(ann) == annSet(full), "span catch-up diverged from a rebuild")
+    assert(AnnIndex.probeSide(spark, ann).groupBy($"vec_id").count()
+      .filter($"count" > 1).count() == 0L, "span catch-up duplicated vectors")
+    val refDedup = DedupIndex.indexRows(corpus.select($"doc_id", $"text"))
+      .select($"doc_id", $"band", $"band_hash").as[(Long, Int, String)].collect().toSet
+    assert(TableLog.read(spark, dedupDir)
+      .select($"doc_id", $"band", $"band_hash").as[(Long, Int, String)].collect().toSet
+      == refDedup, "span catch-up dedup rows diverged")
+    corpus.unpersist()
+  }
+
+  test("a crashed span replays VERBATIM even when the source advanced; legacy per-version state repairs under its own key") {
+    val corpus = corpusDf().cache()
+    val ids = corpus.select($"doc_id").as[Long].collect().sorted
+    val quarters = ids.grouped(math.max(1, ids.length / 4 + 1)).toSeq
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cr_src").toString + "/t"
+    val dedupDir = java.nio.file.Files.createTempDirectory("graft_cr_ddx").toString + "/ix"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_cr_state").toString
+    import org.apache.spark.sql.types._
+    val emptyCorpus = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val ann = AnnIndex.build(emptyCorpus, "crash_ann", planes = 8, buckets = 8)
+    def land(i: Int): Unit = TableLog.appendBatch(
+      corpus.filter($"doc_id".isin(quarters(i): _*)), srcDir, "src", i.toLong)
+    land(0)
+    IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
+
+    // LEGACY state: a pre-span follower fully applied version 1 (both
+    // indexes, legacy key v1) but crashed before its checkpoint. The
+    // new code must re-drive version 1 under the LEGACY key (both legs
+    // no-op) and only span from there — a wide fresh key would
+    // re-insert version 1's vectors.
+    land(1)
+    val runKey = TableLog.runKeyFor(spark, stateDir)
+    val (d1, _) = TableLog.appendsSince(spark, srcDir, 0L, 1L)
+    TableLog.appendBatch(
+      DedupIndex.indexRows(d1.get.select($"doc_id", $"text")),
+      dedupDir, runKey, 1L)
+    AnnIndex.append(spark, ann,
+      d1.get.select($"doc_id".as("vec_id"), $"embedding"), "v1")
+    land(2); land(3) // the source advances past the crash
+    val p = IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir).get
+    assert(p.fromVersion == 0L && p.toVersion == 3L)
+    assert(AnnIndex.probeSide(spark, ann).groupBy($"vec_id").count()
+      .filter($"count" > 1).count() == 0L,
+      "legacy uncheckpointed state was double-inserted by a span key")
+
+    // CRASH MID-SPAN: reconstruct the instant after both index applies
+    // of a span but before its checkpoint — intent on file, marker
+    // behind — then advance the source again. The retry must replay
+    // exactly the intent's span (no-ops) and take the new version as
+    // its own fresh span.
+    corpus.unpersist()
+    val extraA = Seq.tabulate(20)(i => (500000L + i, "fresh span doc " + i,
+      Array.fill(16)((i % 7).toFloat / 7f + 0.01f)))
+      .toDF("doc_id", "text", "embedding")
+      .select($"doc_id", $"text", $"embedding".cast("array<float>"))
+    val extraB = Seq.tabulate(20)(i => (600000L + i, "later span doc " + i,
+      Array.fill(16)((i % 5).toFloat / 5f + 0.02f)))
+      .toDF("doc_id", "text", "embedding")
+      .select($"doc_id", $"text", $"embedding".cast("array<float>"))
+    TableLog.appendBatch(extraA, srcDir, "src", 10L)
+    IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
+    val applied = IndexFollower.appliedVersion(spark, stateDir)
+    assert(applied >= 4L)
+    // roll the marker back to simulate the crash-before-checkpoint of
+    // the span that applied extraA, and restore its intent
+    val markerDir = new java.io.File(stateDir, "applied")
+    new java.io.File(markerDir, "version-3").createNewFile()
+    new java.io.File(markerDir, s"version-$applied").delete()
+    val intentDir = new java.io.File(stateDir, "intent")
+    intentDir.mkdirs()
+    new java.io.File(intentDir, s"span-3-$applied").createNewFile()
+    TableLog.appendBatch(extraB, srcDir, "src", 11L)
+    val annBefore = AnnIndex.probeSide(spark, ann).count()
+    val dedupBefore = TableLog.rows(spark, dedupDir)
+    val b = DedupIndex.indexRows(extraB.select($"doc_id", $"text")).count()
+    val replay = IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir).get
+    assert(replay.fromVersion == 3L)
+    assert(AnnIndex.probeSide(spark, ann).count() == annBefore + 20L,
+      "the replayed span re-inserted its vectors (or lost the new batch)")
+    assert(TableLog.rows(spark, dedupDir) == dedupBefore + b,
+      "the replayed span duplicated dedup rows (or lost the new batch)")
+    assert(AnnIndex.probeSide(spark, ann).groupBy($"vec_id").count()
+      .filter($"count" > 1).count() == 0L)
   }
 
   test("a follower lagging past source retention fails loudly with the readable floor") {

@@ -328,4 +328,38 @@ class AnnIndexSpec extends SparkSuite {
     assert(indexRows(h) == indexRows(ref),
       "two-step fold diverged from a rebuild without both victim sets")
   }
+
+  test("tombstone size guard: bulk marks past the bound auto-fold; pending marks fail loudly") {
+    val corpus = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val ids = corpus.select($"vec_id").as[Long].collect().sorted
+    val h = AnnIndex.build(corpus, "annspec_tombguard", planes = 8, buckets = 8)
+    val saved = AnnIndex.MaxTombstoneRows
+    AnnIndex.MaxTombstoneRows = 10L
+    try {
+      // a bulk redaction of 20 INDEXED ids blows the bound → the guard
+      // folds them into the tables instead of letting every probe
+      // trigger broadcast the growing set; the sidecar drains to 0
+      val bulk = ids.take(20)
+      AnnIndex.tombstone(spark, h, bulk.toSeq.toDF("vec_id"))
+      assert(AnnIndex.tombstones(spark, h).count() == 0L,
+        "bulk tombstone past the bound did not auto-fold")
+      val live = AnnIndex.probeSide(spark, h).select($"vec_id")
+        .as[Long].collect().toSet
+      assert(bulk.forall(v => !live.contains(v)),
+        "auto-fold left tombstoned ids in the probe side")
+      assert(live.size == ids.length - 20, "auto-fold erased non-victims")
+      // PENDING marks — ids the index never held — cannot fold away: the
+      // guard must fail LOUDLY (the broadcast stays outsized until a
+      // follower catch-up drains them) while keeping every mark recorded
+      val pending = (1000000L until 1000015L).toSeq
+      val e = intercept[IllegalStateException](
+        AnnIndex.tombstone(spark, h, pending.toDF("vec_id")))
+      assert(e.getMessage.contains("PENDING"), e.getMessage)
+      val marks = AnnIndex.tombstones(spark, h).select($"vec_id")
+        .as[Long].collect().toSet
+      assert(pending.forall(marks.contains),
+        "the loud guard lost the pending takedown marks")
+    } finally AnnIndex.MaxTombstoneRows = saved
+  }
 }
