@@ -1531,6 +1531,61 @@ object TableLog {
       .parquet(dir.stripSuffix("/"))
   }
 
+  /** Manifest-transactional streaming tail: a Structured Streaming
+    * DataFrame whose OFFSETS are table versions — each micro-batch is
+    * exactly the appends of the versions committed since the last
+    * batch, planned as a file-source relation over a
+    * [[ManifestFileIndex]] restricted to that delta
+    * ([[graft.sources.TableLogTailSource]]). Going through the manifest
+    * buys two things [[readTail]]'s glob-filtered file stream cannot
+    * give:
+    *  - EXACTLY-ONCE across writer crashes: an orphaned file of a
+    *    failed commit is in no manifest, so it is never served (the
+    *    glob tail's documented at-least-once caveat disappears);
+    *  - stats pruning per micro-batch: every filter the consumer puts
+    *    on the stream pushes into each batch's scan as ordinary
+    *    dataFilters, and files whose recorded min/max cannot match are
+    *    never opened — with [[trackStats]] on an ingest-time column, a
+    *    time-ranged live consumer skips out-of-range historical appends
+    *    at the FILE level ([[readTailWhere]] is the range sugar).
+    *
+    * `since` picks the start: the head version at source creation by
+    * default (live appends only — bootstrap a replica with
+    * [[appendsSince]] or [[read]] first, the same guidance as
+    * [[readTail]]), an explicit version within retention, or `-1` to
+    * tail from the beginning (requires version 0 retained —
+    * [[KeepManifests]]). A start that has left retention — or a version
+    * vacuumed away mid-stream while the consumer lags — fails LOUDLY
+    * with the documented "left retention" error instead of silently
+    * losing appends. Schema is pinned at source creation (the contract
+    * every reader has; restart the stream to surface an [[evolve]]d
+    * column). Requires a schema-recording table (any table written by
+    * the current appendBatch). */
+  def readTailVersions(spark: SparkSession, dir: String,
+                       since: Option[Long] = None,
+                       schema: Option[org.apache.spark.sql.types.StructType] =
+                         None): DataFrame = {
+    var r = spark.readStream
+      .format(classOf[graft.sources.TableLogTailProvider].getName)
+      .option("dir", dir)
+    since.foreach(v => r = r.option("since", v.toString))
+    schema.foreach(s => r = r.schema(s))
+    r.load()
+  }
+
+  /** [[readTailVersions]] restricted to rows with `column` in the
+    * inclusive range [lower, upper] — the streaming face of
+    * [[readWhere]]: the range predicate pushes into every micro-batch's
+    * scan, so files whose recorded stats cannot intersect are pruned at
+    * the manifest level, never opened. */
+  def readTailWhere(spark: SparkSession, dir: String, column: String,
+                    lower: Any, upper: Any,
+                    since: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    readTailVersions(spark, dir, since)
+      .filter(col(column).between(lit(lower), lit(upper)))
+  }
+
   /** Manifest-transactional incremental read: every row appended AFTER
     * `sinceVersion`, plus the latest version to checkpoint for the next
     * call — the exactly-once tailing building block (persist the
@@ -1555,51 +1610,11 @@ object TableLog {
                    untilVersion: Long): (Option[DataFrame], Long) = {
     require(untilVersion > sinceVersion,
       s"untilVersion $untilVersion must exceed sinceVersion $sinceVersion")
-    val hist = history(spark, dir)
-    require(hist.nonEmpty, s"$dir has no committed manifest")
-    val latestV = math.min(hist.last.version, untilVersion)
+    val head = latest(spark, dir)
+    require(head.nonEmpty, s"$dir has no committed manifest")
+    val latestV = math.min(head.get.version, untilVersion)
     if (sinceVersion >= latestV) return (None, latestV)
-    // each delta v needs manifest v-1 too; sinceVersion = -1 (from the
-    // beginning) is only reconstructible while version 0 is retained
-    require(sinceVersion >= hist.head.version ||
-        (sinceVersion == -1L && hist.head.version == 0L),
-      s"version $sinceVersion has left retention (oldest retained: " +
-        s"${hist.head.version}) — re-read the full snapshot instead")
-    val byV = hist.map(m => m.version -> m).toMap
-    // every version in (since, latest] AND its predecessor must have
-    // been resolved: history() tolerates a manifest pruned by a
-    // concurrent vacuum between listing and read, so a gap can appear
-    // here even after the head-version retention check above. Falling
-    // back to an empty predecessor would emit version v's ENTIRE file
-    // list as "newly appended" — silently duplicating the table into
-    // the consumer — so a gap gets the same loud left-retention error
-    // as a stale sinceVersion (the caller's documented fallback: re-read
-    // the full snapshot).
-    (math.max(sinceVersion, hist.head.version) to latestV).foreach { v =>
-      require(byV.contains(v),
-        s"version $v of $dir has left retention (pruned by a concurrent " +
-          "vacuum mid-read) — re-read the full snapshot instead")
-    }
-    // compaction rewrites contribute nothing (their rows already flowed
-    // through earlier versions), a [[delete]]'s swapped-in files hold
-    // only SURVIVING old rows, and a [[restore]] re-references files
-    // whose rows were emitted when first appended — emitting any of
-    // them would re-apply rows the consumer already holds. Appends AND
-    // the adopt snapshot
-    // do contribute — an adopted corpus exists nowhere else in the
-    // delta stream, so a from-the-beginning (-1) consumer must receive
-    // it or it would build a silently incomplete replica. (Deletions
-    // are thus INVISIBLE to this surface by design; index consumers
-    // handle them via tombstones — [[graft.examples.IndexFollower.takedown]].)
-    val newFiles = ((sinceVersion + 1) to latestV).flatMap { v =>
-      val m = byV(v)
-      if (m.op == "compact" || m.op == "delete" || m.op == "restore") Nil
-      else {
-        val prev: Set[String] =
-          byV.get(v - 1).map(_.files.map(_.name).toSet).getOrElse(Set.empty)
-        m.files.filterNot(e => prev.contains(e.name))
-      }
-    }
+    val newFiles = appendedEntries(spark, dir, sinceVersion, latestV)
     if (newFiles.isEmpty) (None, latestV)
     else {
       val base = dir.stripSuffix("/")
@@ -1607,9 +1622,79 @@ object TableLog {
       // [[evolve]] boundary mixes pre- and post-evolution files, and
       // inference would resolve whichever the listing happens to lead
       // with — older files surface the added columns as nulls instead
-      val reader = hist.last.schema.fold(spark.read)(s => spark.read.schema(s))
+      val reader = head.get.schema.fold(spark.read)(s => spark.read.schema(s))
       (Some(reader.parquet(newFiles.map(e => s"$base/${e.name}"): _*)), latestV)
     }
+  }
+
+  /** The append-contributed [[Entry]]s of versions `(sinceVersion,
+    * untilVersion]`, resolved from ONLY the manifests the delta needs —
+    * each version plus its predecessor, so the per-call manifest-read
+    * cost is O(delta), not O(retained history). The shared spine of
+    * [[appendsSince]] and the [[readTailVersions]] streaming source's
+    * per-micro-batch planning.
+    *
+    * Compaction rewrites contribute nothing (their rows already flowed
+    * through earlier versions), a [[delete]]'s swapped-in files hold
+    * only SURVIVING old rows, and a [[restore]] re-references files
+    * whose rows were emitted when first appended — emitting any of them
+    * would re-apply rows the consumer already holds. Appends AND the
+    * adopt snapshot do contribute — an adopted corpus exists nowhere
+    * else in the delta stream, so a from-the-beginning (-1) consumer
+    * must receive it or it would build a silently incomplete replica.
+    * (Deletions are thus INVISIBLE to this surface by design; index
+    * consumers handle them via tombstones —
+    * [[graft.examples.IndexFollower.takedown]].)
+    *
+    * Every version in the delta AND its predecessor must resolve: a
+    * manifest pruned by a concurrent vacuum between the listing and its
+    * read gets the same loud left-retention error as a stale
+    * `sinceVersion` (falling back to an empty predecessor would emit a
+    * version's ENTIRE file list as "newly appended", silently
+    * duplicating the table into the consumer; the caller's documented
+    * fallback is a full snapshot re-read). */
+  private[graft] def appendedEntries(spark: SparkSession, dir: String,
+      sinceVersion: Long, untilVersion: Long): Vector[Entry] = {
+    val (fs, _) = fsFor(spark, dir)
+    val log = logDir(dir)
+    require(fs.exists(log), s"$dir has no committed manifest")
+    val retained = fs.listStatus(log).iterator.flatMap { f =>
+      f.getPath.getName match {
+        case ManifestRe(v) => Iterator.single(v.toLong)
+        case _             => Iterator.empty
+      }
+    }.toVector.sorted
+    require(retained.nonEmpty, s"$dir has no committed manifest")
+    val latestV = math.min(retained.last, untilVersion)
+    if (sinceVersion >= latestV) return Vector.empty
+    // each delta v needs manifest v-1 too; sinceVersion = -1 (from the
+    // beginning) is only reconstructible while version 0 is retained
+    require(sinceVersion >= retained.head ||
+        (sinceVersion == -1L && retained.head == 0L),
+      s"version $sinceVersion has left retention (oldest retained: " +
+        s"${retained.head}) — re-read the full snapshot instead")
+    val present = retained.toSet
+    val byV: Map[Long, Manifest] =
+      (math.max(sinceVersion, retained.head) to latestV).iterator.map { v =>
+        def gone = new IllegalArgumentException(
+          s"version $v of $dir has left retention (pruned by a concurrent " +
+            "vacuum mid-read) — re-read the full snapshot instead")
+        if (!present(v)) throw gone
+        val text = tryReadFully(fs, new Path(log, manifestName(v)))
+          .getOrElse(throw gone)
+        v -> resolveManifest(fs, dir, text)
+      }.toMap
+    ((sinceVersion + 1) to latestV).iterator.flatMap { v =>
+      val m = byV(v)
+      if (m.op == "compact" || m.op == "delete" || m.op == "restore") Nil
+      else {
+        // predecessor absent only for v = 0 tailed from -1 (nothing
+        // precedes version 0); every other gap threw above
+        val prev: Set[String] =
+          byV.get(v - 1).map(_.files.map(_.name).toSet).getOrElse(Set.empty)
+        m.files.filterNot(e => prev.contains(e.name))
+      }
+    }.toVector
   }
 
   /** Adopt a pre-TableLog parquet directory: commit manifest 0

@@ -1,0 +1,129 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession, graftbridge}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.{ManifestFileIndex, TableLog}
+
+/** Streaming offset = TableLog version. Monotone by construction (the
+  * commit log's rename-CAS hands out strictly increasing versions). */
+final case class TableVersionOffset(v: Long) extends V1Offset {
+  override def json: String = v.toString
+}
+
+/** The DSv1 streaming source behind
+  * [[graft.functions.TableLog.readTailVersions]]: offsets are table
+  * VERSIONS, and each micro-batch `(start, end]` is planned as a
+  * file-source relation over exactly the append-contributed files of
+  * those versions — resolved through the manifests
+  * ([[graft.functions.TableLog.appendedEntries]], O(delta) manifest
+  * reads), served by a [[graft.functions.ManifestFileIndex]] so the
+  * consumer's pushed dataFilters prune the batch's files against the
+  * recorded per-file stats before any of them is opened.
+  *
+  * DSv1 (`execution.streaming.Source`) rather than DSv2 is deliberate
+  * and is the same choice Spark's own `FileStreamSource` makes: the
+  * per-batch data lives in parquet files best read by Spark's native
+  * scan (column pruning, footer pushdown, vectorized decode, whole-
+  * stage codegen), and only the v1 interface lets a source hand the
+  * engine a PLAN (`getBatch`) instead of row-shipping partitions.
+  *
+  * Delivery: exactly-once. The batch is derived purely from committed
+  * manifests, so a writer crash can never leak an orphaned file into a
+  * batch (unlike the glob tail), and a version is emitted in exactly
+  * one batch — offsets are checkpointed by the engine and the manifest
+  * diff for a replayed `(start, end]` is deterministic while retention
+  * holds. A consumer lagging past [[graft.functions.TableLog.vacuum]]'s
+  * manifest retention fails loudly ("left retention") instead of
+  * silently skipping appends — size the vacuum grace to the maximum
+  * consumer lag, exactly like changelog retention. */
+final class TableLogTailSource(spark: SparkSession, dir: String,
+                               pinned: StructType, since: Long)
+    extends Source {
+
+  override def schema: StructType = pinned
+
+  override def getOffset: Option[V1Offset] =
+    TableLog.latest(spark, dir).map(m => TableVersionOffset(m.version))
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val fromV = start.map(_.json.toLong).getOrElse(since)
+    val toV = end.json.toLong
+    val delta =
+      if (toV <= fromV) Vector.empty
+      else TableLog.appendedEntries(spark, dir, fromV, toV)
+    if (delta.isEmpty)
+      // streaming-tagged empty relation: the engine asserts isStreaming
+      // on every substituted batch plan, empty deltas included
+      graftbridge.streamingDataFrame(spark,
+        LocalRelation(DataTypeUtils.toAttributes(pinned), Nil, isStreaming = true))
+    else {
+      val m = TableLog.Manifest(version = toV, files = delta, rows = 0L,
+        commits = Map.empty, op = "tail", schemaJson = Some(pinned.json))
+      val rel = HadoopFsRelation(
+        new ManifestFileIndex(spark, dir, m),
+        partitionSchema = StructType(Nil),
+        dataSchema = pinned,
+        bucketSpec = None,
+        fileFormat = new ParquetFileFormat(),
+        options = Map.empty)(spark)
+      graftbridge.streamingDataFrame(spark,
+        LogicalRelation(rel, isStreaming = true))
+    }
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** `spark.readStream.format(classOf[TableLogTailProvider].getName)`
+  * provider. Options: `dir` (the TableLog table directory, required);
+  * `since` (start version: emit appends of versions AFTER this one;
+  * default = the head version at source creation, i.e. live appends
+  * only; `-1` = from the beginning while version 0 is retained). An
+  * explicit `.schema(...)` starts the tailer before the table's first
+  * commit (the consumer-first deployment order readTail supports);
+  * otherwise the schema is the table's recorded one. */
+final class TableLogTailProvider extends StreamSourceProvider {
+
+  private def dirOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("dir", throw new IllegalArgumentException(
+      "TableLogTailProvider requires a 'dir' option naming the table directory"))
+
+  private def resolveSchema(spark: SparkSession,
+      schema: Option[StructType], parameters: Map[String, String]): StructType =
+    schema.getOrElse {
+      val dir = dirOf(parameters)
+      TableLog.latest(spark, dir).flatMap(_.schema).getOrElse(
+        throw new IllegalStateException(
+          s"$dir has no schema-recording manifest — pass the schema " +
+            "explicitly to tail a table that has not been written yet"))
+    }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("graft-tablelog-tail",
+      resolveSchema(sqlContext.sparkSession, schema, parameters))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val dir = dirOf(parameters)
+    val pinned = resolveSchema(spark, schema, parameters)
+    // resolved ONCE: on a checkpoint restart the engine hands getBatch
+    // the recovered offset and `since` is never consulted again
+    val since = parameters.get("since").map(_.toLong).getOrElse(
+      TableLog.latest(spark, dir).map(_.version).getOrElse(-1L))
+    new TableLogTailSource(spark, dir, pinned, since)
+  }
+}

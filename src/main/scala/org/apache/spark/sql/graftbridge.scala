@@ -12,4 +12,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object graftbridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a logical plan as a DataFrame without losing its streaming
+    * flag — what a DSv1 streaming `Source.getBatch` must return (the
+    * engine asserts `isStreaming` on the substituted plan, and the
+    * public `baseRelationToDataFrame` tags relations as batch). The
+    * graft.sources.TableLogTailSource micro-batch path uses this to
+    * plan each delta as a real file-source relation, keeping column
+    * pruning and filter pushdown inside the streaming plan. */
+  def streamingDataFrame(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

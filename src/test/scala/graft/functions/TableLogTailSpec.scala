@@ -1,0 +1,171 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** The version-offset streaming tail ([[TableLog.readTailVersions]] /
+  * [[TableLog.readTailWhere]]): manifest-transactional micro-batches,
+  * per-batch stats pruning through the [[ManifestFileIndex]], loud
+  * retention edges, and checkpointed exactly-once restarts — the
+  * guarantees the glob-filtered [[TableLog.readTail]] cannot give. */
+class TableLogTailSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_vtail").toString + "/t"
+
+  private def ckpt(): String =
+    java.nio.file.Files.createTempDirectory("graft_vtail_ck").toString
+
+  /** One single-file batch with `ts` spanning [b*100, b*100+99]. */
+  private def batch(b: Int) = Seq.tabulate(100)(i => (b * 100L + i, s"v$b-$i"))
+    .toDF("ts", "v").coalesce(1)
+
+  test("version tail streams the backlog and live appends exactly once; rewrites and orphans never emit") {
+    val dir = freshTable()
+    TableLog.appendBatch(batch(0), dir, "r", 0L)
+    TableLog.appendBatch(batch(1), dir, "r", 1L)
+    // an orphaned append-named file NOT in any manifest (a writer that
+    // crashed between landing files and committing): the glob tail's
+    // documented at-least-once leak, which the manifest path must not have
+    val orphanSrc = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("a1-")).head
+    java.nio.file.Files.copy(orphanSrc.toPath,
+      new java.io.File(dir, "a9-orphan-of-a-crashed-commit.parquet").toPath)
+    val q = TableLog.readTailVersions(spark, dir, since = Some(-1L))
+      .writeStream.format("memory").queryName("vtail_basic")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("vtail_basic").count() == 200L,
+        "backlog must be the manifests' appends only — orphan leaked or rows lost")
+      // maintenance rewrites are CDC-invisible
+      TableLog.compact(spark, dir, targetBytes = 1L << 20)
+      TableLog.vacuum(spark, dir, graceMs = 600000L)
+      q.processAllAvailable()
+      assert(spark.table("vtail_basic").count() == 200L,
+        "compaction rewrites re-emitted through the version tail")
+      TableLog.appendBatch(batch(2), dir, "r", 2L)
+      q.processAllAvailable()
+      val got = spark.table("vtail_basic").select("ts").as[Long].collect().sorted.toSeq
+      assert(got == (0L until 300L), s"tail diverged: ${got.length} rows")
+      // a delete commits a new version but emits nothing
+      assert(TableLog.delete(spark, dir, col("ts") < 100L) == 100L)
+      q.processAllAvailable()
+      assert(spark.table("vtail_basic").count() == 300L,
+        "a delete version leaked rows into the tail")
+    } finally q.stop()
+  }
+
+  test("readTailWhere prunes each micro-batch's files through the manifest stats — file-list asserted") {
+    val dir = freshTable()
+    TableLog.appendBatch(batch(0), dir, "boot", 0L)
+    TableLog.trackStats(spark, dir, Seq("ts"))
+    // stat-carrying backlog: ts spans [100,199], [200,299], [300,399]
+    (1 to 3).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    val q = TableLog.readTailWhere(spark, dir, "ts", 250L, 320L, since = Some(-1L))
+      .writeStream.format("memory").queryName("vtail_where")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("vtail_where").select("ts").as[Long].collect().sorted.toSeq
+        == (250L to 320L), "range rows wrong")
+      // the first batch's scan: the stat-less boot file (version 0,
+      // pre-registration) survives conservatively; of the stat-carrying
+      // files (versions 2-4) only the two whose recorded spans intersect
+      // [250,320] are opened
+      val opened = ManifestFileIndex.lastListed.toSet
+      assert(opened.exists(_.startsWith("a0-")) && opened.size == 3 &&
+        opened.exists(_.startsWith("a3-")) && opened.exists(_.startsWith("a4-")),
+        s"backlog scan opened the wrong files: $opened")
+      // a live append entirely OUTSIDE the range: its version becomes a
+      // batch whose scan prunes the file at the manifest level
+      ManifestFileIndex.lastListed = Seq("sentinel")
+      TableLog.appendBatch(batch(9), dir, "r", 9L) // ts [900,999]
+      q.processAllAvailable()
+      assert(ManifestFileIndex.lastListed.isEmpty,
+        s"out-of-range append file was opened: ${ManifestFileIndex.lastListed}")
+      assert(spark.table("vtail_where").count() == 71L)
+      // a live append INSIDE the range flows through
+      TableLog.appendBatch(
+        Seq.tabulate(10)(i => (300L + i, s"late-$i")).toDF("ts", "v").coalesce(1),
+        dir, "r", 10L)
+      q.processAllAvailable()
+      assert(spark.table("vtail_where").count() == 81L,
+        "in-range live append rows lost")
+    } finally q.stop()
+  }
+
+  test("no false pruning: a filter on a stats-less column opens every delta file") {
+    val dir = freshTable()
+    (0 until 2).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    // no trackStats, no layout: `v` has no recorded bounds anywhere
+    val q = TableLog.readTailVersions(spark, dir, since = Some(-1L))
+      .filter(col("v") === "v1-7")
+      .writeStream.format("memory").queryName("vtail_conservative")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("vtail_conservative").count() == 1L)
+      assert(ManifestFileIndex.lastListed.size == 2,
+        s"stats-less columns must keep every file: ${ManifestFileIndex.lastListed}")
+    } finally q.stop()
+  }
+
+  test("checkpointed restart resumes at the committed version offset — no re-emission, no loss") {
+    val dir = freshTable()
+    val ck = ckpt()
+    val out = ckpt() + "/out"
+    (0 until 2).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    // the file sink both supports checkpoint recovery and is itself
+    // exactly-once, so the output row multiset IS the delivery record
+    def start() = TableLog.readTailVersions(spark, dir, since = Some(-1L))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).outputMode("append").start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(out).count() == 200L)
+    // offline appends while the consumer is down
+    (2 until 4).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).select("ts").as[Long].collect().sorted.toSeq
+      assert(got == (0L until 400L),
+        s"restart re-emitted or lost rows: ${got.length} rows")
+    } finally q2.stop()
+  }
+
+  test("consumer-first: an explicit schema tails a table that does not exist yet") {
+    val dir = freshTable()
+    val q = TableLog.readTailVersions(spark, dir,
+        schema = Some(batch(0).schema))
+      .writeStream.format("memory").queryName("vtail_first")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("vtail_first").isEmpty)
+      TableLog.appendBatch(batch(0), dir, "r", 0L)
+      q.processAllAvailable()
+      assert(spark.table("vtail_first").count() == 100L)
+    } finally q.stop()
+  }
+
+  test("a start version beyond retention fails loudly, not silently empty") {
+    val dir = freshTable()
+    (0 until TableLog.KeepManifests + 4).foreach(b =>
+      TableLog.appendBatch(batch(b).limit(1), dir, "r", b.toLong))
+    // grace 0 prunes the manifest tail past KeepManifests immediately
+    // (the data files all stay referenced by the surviving manifests)
+    TableLog.vacuum(spark, dir, graceMs = 0L)
+    val q = TableLog.readTailVersions(spark, dir, since = Some(0L))
+      .writeStream.format("memory").queryName("vtail_retention")
+      .outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e.getMessage.contains("left retention") ||
+      Option(e.getCause).exists(_.getMessage.contains("left retention")),
+      s"wrong failure: ${e.getMessage}")
+  }
+}
