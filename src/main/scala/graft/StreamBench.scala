@@ -325,9 +325,47 @@ object StreamBench {
     val mwCommitsPerSec = (if (mwOk) 1 else -1) * 2 * mwBatches / mwSec
     rmTemp(mwRoot)
 
+    // 14) follower recovery from downtime: the SAME 12-version source
+    //     lag cleared by the span-keyed catch-up (one wide apply — one
+    //     dedup-index commit + one keyed ANN append for the whole span)
+    //     vs the per-version loop (12 applies, each paying the fixed
+    //     catalog/commit overhead regardless of data volume). The span
+    //     protocol exists for exactly this contrast: a day of 1-minute
+    //     ingest batches is 1,440 versions of pure fixed cost without it.
+    val cuBatches = 12
+    val cuCorpus = spark.read.parquet(sfDir + "/embeddings.parquet")
+      .limit(cuBatches * 100)
+      .select($"vec_id".as("doc_id"),
+        concat(lit("document body text "), $"vec_id".cast("string")).as("text"),
+        $"embedding")
+      .as[(Long, String, Array[Float])].collect()
+    val cuEmpty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id LONG, embedding ARRAY<FLOAT>"))
+    def cuRun(annName: String, spanWidth: Int): Double = {
+      val root = Files.createTempDirectory("graft_sb_cu")
+      val src = root.toString + "/src"
+      cuCorpus.grouped(100).zipWithIndex.foreach { case (c, i) =>
+        graft.functions.TableLog.appendBatch(
+          c.toSeq.toDF("doc_id", "text", "embedding"), src, "src", i.toLong)
+      }
+      val ann = graft.functions.AnnIndex.build(cuEmpty, annName,
+        planes = 8, buckets = 8)
+      val t = System.nanoTime()
+      graft.examples.IndexFollower.catchUp(spark, src,
+        root.toString + "/state", ann, root.toString + "/ddx",
+        maxSpanVersions = spanWidth)
+      val sec = (System.nanoTime() - t) / 1e9
+      rmTemp(root)
+      sec
+    }
+    val cuSpanSec = cuRun("sb_cu_span", Int.MaxValue)
+    val cuPerVersionSec = cuRun("sb_cu_pv", 1)
+
     val n = events.length
     val nd = docs.length - 100
-    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"stream_curate_docs_per_sec":${nd / curSec}%.0f,"stream_hll_rows_per_sec":${n / hllSec}%.0f,"stream_interval_join_rows_per_sec":${2 * ivRest.length / ivSec}%.0f,"stream_knn_float_q_per_sec":$knnFloatQps%.0f,"stream_knn_int8_q_per_sec":$knnQuantQps%.0f,"stream_knn_indexed_q_per_sec":$knnIdxQps%.0f,"stream_knn_indexed_int8_q_per_sec":$knnIdxQuantQps%.0f,"knn_probe_static_bytes_float":$knnFloatBytes,"knn_probe_static_bytes_int8":$knnInt8Bytes,"live_tail_dedup_docs_per_sec":${liveN / liveSec}%.0f,"multi_writer_commits_per_sec":$mwCommitsPerSec%.1f,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
+    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"stream_curate_docs_per_sec":${nd / curSec}%.0f,"stream_hll_rows_per_sec":${n / hllSec}%.0f,"stream_interval_join_rows_per_sec":${2 * ivRest.length / ivSec}%.0f,"stream_knn_float_q_per_sec":$knnFloatQps%.0f,"stream_knn_int8_q_per_sec":$knnQuantQps%.0f,"stream_knn_indexed_q_per_sec":$knnIdxQps%.0f,"stream_knn_indexed_int8_q_per_sec":$knnIdxQuantQps%.0f,"knn_probe_static_bytes_float":$knnFloatBytes,"knn_probe_static_bytes_int8":$knnInt8Bytes,"live_tail_dedup_docs_per_sec":${liveN / liveSec}%.0f,"multi_writer_commits_per_sec":$mwCommitsPerSec%.1f,"follower_catchup_span_sec":$cuSpanSec%.2f,"follower_catchup_per_version_sec":$cuPerVersionSec%.2f,"follower_catchup_lag_versions":$cuBatches,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
