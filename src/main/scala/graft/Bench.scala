@@ -28,7 +28,7 @@ object Bench {
     * the bench line now carries the evidence: a reader comparing rounds
     * checks `env` before reading `queries`. Warn loudly on stderr too.
     */
-  private def contentionEnv(): String = {
+  private[graft] def contentionEnv(): String = {
     val load1 =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
