@@ -1564,12 +1564,15 @@ object TableLog {
   def readTailVersions(spark: SparkSession, dir: String,
                        since: Option[Long] = None,
                        schema: Option[org.apache.spark.sql.types.StructType] =
-                         None): DataFrame = {
+                         None,
+                       maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
     var r = spark.readStream
       .format(classOf[graft.sources.TableLogTailProvider].getName)
       .option("dir", dir)
     since.foreach(v => r = r.option("since", v.toString))
     schema.foreach(s => r = r.schema(s))
+    maxVersionsPerTrigger.foreach(n =>
+      r = r.option("maxVersionsPerTrigger", n.toString))
     r.load()
   }
 

@@ -46,17 +46,33 @@ final case class TableVersionOffset(v: Long) extends V1Offset {
   * silently skipping appends — size the vacuum grace to the maximum
   * consumer lag, exactly like changelog retention. */
 final class TableLogTailSource(spark: SparkSession, dir: String,
-                               pinned: StructType, since: Long)
+                               pinned: StructType, since: Long,
+                               maxVersionsPerTrigger: Option[Int])
     extends Source {
 
   override def schema: StructType = pinned
 
+  /** Admission-control floor: the highest version already offered or
+    * observed. Advances in [[getOffset]] even when no batch fires, so a
+    * restart whose checkpoint is far ahead of `since` can never stall —
+    * capped offers ≤ the committed offset just produce empty triggers
+    * until the floor walks past it (v1 sources are not told the
+    * recovered offset until a batch runs; this is the FileStreamSource-
+    * style cap without a seen-log). */
+  @volatile private var offeredFloor: Long = since
+
   override def getOffset: Option[V1Offset] =
-    TableLog.latest(spark, dir).map(m => TableVersionOffset(m.version))
+    TableLog.latest(spark, dir).map { m =>
+      val capped = maxVersionsPerTrigger
+        .fold(m.version)(n => math.min(m.version, offeredFloor + n))
+      offeredFloor = math.max(offeredFloor, capped)
+      TableVersionOffset(capped)
+    }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val fromV = start.map(_.json.toLong).getOrElse(since)
     val toV = end.json.toLong
+    offeredFloor = math.max(offeredFloor, toV)
     val delta =
       if (toV <= fromV) Vector.empty
       else TableLog.appendedEntries(spark, dir, fromV, toV)
@@ -88,10 +104,14 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
   * provider. Options: `dir` (the TableLog table directory, required);
   * `since` (start version: emit appends of versions AFTER this one;
   * default = the head version at source creation, i.e. live appends
-  * only; `-1` = from the beginning while version 0 is retained). An
-  * explicit `.schema(...)` starts the tailer before the table's first
-  * commit (the consumer-first deployment order readTail supports);
-  * otherwise the schema is the table's recorded one. */
+  * only; `-1` = from the beginning while version 0 is retained);
+  * `maxVersionsPerTrigger` (bound each micro-batch to at most this many
+  * source versions — without it, a consumer starting deep in the
+  * backlog plans the ENTIRE history as one batch, the
+  * maxFilesPerTrigger concern at version granularity). An explicit
+  * `.schema(...)` starts the tailer before the table's first commit
+  * (the consumer-first deployment order readTail supports); otherwise
+  * the schema is the table's recorded one. */
 final class TableLogTailProvider extends StreamSourceProvider {
 
   private def dirOf(parameters: Map[String, String]): String =
@@ -124,6 +144,8 @@ final class TableLogTailProvider extends StreamSourceProvider {
     // the recovered offset and `since` is never consulted again
     val since = parameters.get("since").map(_.toLong).getOrElse(
       TableLog.latest(spark, dir).map(_.version).getOrElse(-1L))
-    new TableLogTailSource(spark, dir, pinned, since)
+    val maxV = parameters.get("maxVersionsPerTrigger").map(_.toInt)
+    maxV.foreach(n => require(n >= 1, s"maxVersionsPerTrigger must be >= 1: $n"))
+    new TableLogTailSource(spark, dir, pinned, since, maxV)
   }
 }

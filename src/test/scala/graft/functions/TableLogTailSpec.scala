@@ -151,6 +151,24 @@ class TableLogTailSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch to a version window over a deep backlog") {
+    val dir = freshTable()
+    (0 until 10).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = TableLog.readTailVersions(spark, dir, since = Some(-1L),
+        maxVersionsPerTrigger = Some(3))
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count(); sizes.synchronized { sizes += n }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val got = sizes.synchronized(sizes.filter(_ > 0).toList)
+      assert(got == List(300L, 300L, 300L, 100L),
+        s"backlog was not admitted in 3-version windows: $got")
+    } finally q.stop()
+  }
+
   test("a start version beyond retention fails loudly, not silently empty") {
     val dir = freshTable()
     (0 until TableLog.KeepManifests + 4).foreach(b =>
