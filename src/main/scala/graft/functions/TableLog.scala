@@ -249,8 +249,15 @@ object TableLog {
     * of a handful of live tables, and a clear only costs re-reads. */
   private val SegCacheMax = 512
 
+  /** Test seam: total [[loadSegment]] CALLS (cache hits included) — what
+    * the O(delta) CDC fast-path specs assert on, since the content cache
+    * hides filesystem reads but not algorithmic touches. */
+  private[functions] val segmentTouches =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def loadSegment(fs: FileSystem, dir: String,
                           ref: SegmentRef): Vector[Entry] = {
+    segmentTouches.incrementAndGet()
     val p = new Path(logDir(dir), ref.name)
     val key = p.toString
     val cached = segCache.get(key)
@@ -310,6 +317,35 @@ object TableLog {
     if (versions.isEmpty) None
     else Some(resolveManifest(fs, dir,
       readFully(fs, new Path(log, manifestName(versions.max)))))
+  }
+
+  /** The newest committed version NUMBER — one log-dir listing, zero
+    * manifest or segment reads. The per-trigger availability probe of
+    * the [[readTailVersions]] source ([[graft.sources.TableLogTailSource]]
+    * `getOffset` fires every trigger; resolving the head there would
+    * re-touch O(segments) per trigger for a number the file NAME
+    * already carries). */
+  private[graft] def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val (fs, _) = fsFor(spark, dir)
+    val log = logDir(dir)
+    if (!fs.exists(log)) return None
+    val versions = fs.listStatus(log).iterator.flatMap { f =>
+      f.getPath.getName match {
+        case ManifestRe(v) => Iterator.single(v.toLong)
+        case _             => Iterator.empty
+      }
+    }.toSeq
+    if (versions.isEmpty) None else Some(versions.max)
+  }
+
+  /** The newest head, parsed but NOT resolved: segment refs stay refs
+    * and `files` holds only inline entries. For consumers that need
+    * head-line fields (version, schema, op, commit map) without paying
+    * the O(live files) segment materialization [[latest]] does. */
+  private[functions] def latestHead(spark: SparkSession, dir: String): Option[Manifest] = {
+    val (fs, _) = fsFor(spark, dir)
+    latestVersion(spark, dir).map(v =>
+      parse(readFully(fs, new Path(logDir(dir), manifestName(v)))))
   }
 
   private def readFully(fs: FileSystem, p: Path): String = {
@@ -1613,7 +1649,10 @@ object TableLog {
                    untilVersion: Long): (Option[DataFrame], Long) = {
     require(untilVersion > sinceVersion,
       s"untilVersion $untilVersion must exceed sinceVersion $sinceVersion")
-    val head = latest(spark, dir)
+    // head lines only (version + pinned schema) — resolving the head's
+    // segments here would make every CDC call O(live files) before the
+    // O(delta) resolution below even starts
+    val head = latestHead(spark, dir)
     require(head.nonEmpty, s"$dir has no committed manifest")
     val latestV = math.min(head.get.version, untilVersion)
     if (sinceVersion >= latestV) return (None, latestV)
@@ -1677,7 +1716,9 @@ object TableLog {
       s"version $sinceVersion has left retention (oldest retained: " +
         s"${retained.head}) — re-read the full snapshot instead")
     val present = retained.toSet
-    val byV: Map[Long, Manifest] =
+    // heads parsed but NOT resolved: segment refs stay refs, so the
+    // common case below never materializes the full file list
+    val heads: Map[Long, Manifest] =
       (math.max(sinceVersion, retained.head) to latestV).iterator.map { v =>
         def gone = new IllegalArgumentException(
           s"version $v of $dir has left retention (pruned by a concurrent " +
@@ -1685,17 +1726,36 @@ object TableLog {
         if (!present(v)) throw gone
         val text = tryReadFully(fs, new Path(log, manifestName(v)))
           .getOrElse(throw gone)
-        v -> resolveManifest(fs, dir, text)
+        v -> parse(text)
       }.toMap
+    def resolved(m: Manifest): Vector[Entry] =
+      if (m.segments.isEmpty) m.files
+      else m.segments.flatMap(loadSegment(fs, dir, _)) ++ m.files
     ((sinceVersion + 1) to latestV).iterator.flatMap { v =>
-      val m = byV(v)
+      val m = heads(v)
       if (m.op == "compact" || m.op == "delete" || m.op == "restore") Nil
-      else {
+      else heads.get(v - 1) match {
         // predecessor absent only for v = 0 tailed from -1 (nothing
         // precedes version 0); every other gap threw above
-        val prev: Set[String] =
-          byV.get(v - 1).map(_.files.map(_.name).toSet).getOrElse(Set.empty)
-        m.files.filterNot(e => prev.contains(e.name))
+        case None => resolved(m)
+        case Some(p) =>
+          val prevRefs = p.segments.iterator.map(_.name).toSet
+          val refsIntact = m.segments.count(s => prevRefs(s.name)) == prevRefs.size
+          if (refsIntact && p.files.isEmpty && m.files.isEmpty)
+            // STRUCTURAL fast path — the steady append shape: every prior
+            // segment ref survives and entries live only in segments, so
+            // the delta is exactly the NEW segments' entries. Appends
+            // stage fresh UUID-named files (a name can never recur) and
+            // any commit that rewrote or folded segments (compaction,
+            // delete, a size-tiered merge) fails `refsIntact` into the
+            // full diff below — per-trigger CDC work is O(delta), not
+            // O(live files), ~31 of every 32 appends at MaxSegments=64.
+            m.segments.filterNot(s => prevRefs(s.name))
+              .flatMap(loadSegment(fs, dir, _))
+          else {
+            val prevNames = resolved(p).iterator.map(_.name).toSet
+            resolved(m).filterNot(e => prevNames(e.name))
+          }
       }
     }.toVector
   }

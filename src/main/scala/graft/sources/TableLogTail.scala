@@ -62,9 +62,11 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
   @volatile private var offeredFloor: Long = since
 
   override def getOffset: Option[V1Offset] =
-    TableLog.latest(spark, dir).map { m =>
+    // version-number peek: one log listing per trigger, no manifest or
+    // segment reads — the availability probe must stay O(1) in table size
+    TableLog.latestVersion(spark, dir).map { head =>
       val capped = maxVersionsPerTrigger
-        .fold(m.version)(n => math.min(m.version, offeredFloor + n))
+        .fold(head)(n => math.min(head, offeredFloor + n))
       offeredFloor = math.max(offeredFloor, capped)
       TableVersionOffset(capped)
     }

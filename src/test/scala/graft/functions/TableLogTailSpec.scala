@@ -169,6 +169,30 @@ class TableLogTailSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("steady-state CDC deltas touch only the NEW segments, and survive a mid-span segment fold") {
+    val dir = freshTable()
+    (0 until 24).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    // a 2-version delta over a 24-segment table: the structural fast
+    // path loads exactly the two delta segments, never the other 22
+    val before = TableLog.segmentTouches.get()
+    val (d, _) = TableLog.appendsSince(spark, dir, 21L, 23L)
+    assert(d.get.count() == 200L)
+    val touched = TableLog.segmentTouches.get() - before
+    assert(touched <= 2L,
+      s"a 2-append delta touched $touched segments — O(live) resolution is back")
+    // force a size-tiered fold mid-span: the merge commit fails the
+    // structural check and the full diff must still yield exactly the
+    // appended rows (nothing from the folded segments re-emits)
+    val saved = TableLog.MaxSegments
+    TableLog.MaxSegments = 4
+    try {
+      (24 until 28).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+      val (d2, _) = TableLog.appendsSince(spark, dir, 23L, 27L)
+      assert(d2.get.select("ts").as[Long].collect().sorted.toSeq
+        == (2400L until 2800L), "delta wrong across a segment fold")
+    } finally TableLog.MaxSegments = saved
+  }
+
   test("a start version beyond retention fails loudly, not silently empty") {
     val dir = freshTable()
     (0 until TableLog.KeepManifests + 4).foreach(b =>
