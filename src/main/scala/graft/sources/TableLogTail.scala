@@ -46,20 +46,52 @@ final case class TableVersionOffset(v: Long) extends V1Offset {
   * silently skipping appends — size the vacuum grace to the maximum
   * consumer lag, exactly like changelog retention. */
 final class TableLogTailSource(spark: SparkSession, dir: String,
-                               pinned: StructType, since: Long,
-                               maxVersionsPerTrigger: Option[Int])
+                               metadataPath: String, pinned: StructType,
+                               since: Long, maxVersionsPerTrigger: Option[Int])
     extends Source {
 
   override def schema: StructType = pinned
 
   /** Admission-control floor: the highest version already offered or
-    * observed. Advances in [[getOffset]] even when no batch fires, so a
-    * restart whose checkpoint is far ahead of `since` can never stall —
-    * capped offers ≤ the committed offset just produce empty triggers
-    * until the floor walks past it (v1 sources are not told the
-    * recovered offset until a batch runs; this is the FileStreamSource-
-    * style cap without a seen-log). */
-  @volatile private var offeredFloor: Long = since
+    * observed, persisted under the source's own checkpoint metadata
+    * path. The persistence is what keeps capped offers MONOTONE across
+    * restarts: a v1 source is not told the recovered WAL offset before
+    * its first post-restart `getOffset`, so a floor re-seeded from a
+    * `since` BELOW the checkpoint would offer an offset behind the
+    * committed one — the engine would run (and log) that rewound batch
+    * as empty, and a later batch starting from it would re-emit
+    * versions the pre-restart stream already delivered. The floor file
+    * is written BEFORE the offer is returned (so it is ≥ every offset
+    * the engine ever logs); a floor that over-states after a crashed
+    * trigger only widens the next window, never skips — `getBatch`
+    * always reads from the engine-supplied start. Unparseable/absent
+    * floor (first start, torn write) falls back to `since`. */
+  @volatile private var offeredFloor: Long = {
+    val (fs, p) = floorFile
+    val persisted =
+      try {
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try Some(new String(
+            in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+          finally in.close()
+        }
+      } catch { case _: Exception => None }
+    math.max(since, persisted.getOrElse(Long.MinValue))
+  }
+
+  private def floorFile = {
+    val p = new Path(metadataPath.stripSuffix("/"), "offered-floor")
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def persistFloor(v: Long): Unit = {
+    val (fs, p) = floorFile
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   override def getOffset: Option[V1Offset] =
     // version-number peek: one log listing per trigger, no manifest or
@@ -67,7 +99,13 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
     TableLog.latestVersion(spark, dir).map { head =>
       val capped = maxVersionsPerTrigger
         .fold(head)(n => math.min(head, offeredFloor + n))
-      offeredFloor = math.max(offeredFloor, capped)
+      if (capped > offeredFloor) {
+        // persist BEFORE offering: the floor on disk must never lag an
+        // offset the engine could have logged (uncapped offers equal the
+        // head and need no floor at all — skip the write on that path)
+        if (maxVersionsPerTrigger.isDefined) persistFloor(capped)
+        offeredFloor = capped
+      }
       TableVersionOffset(capped)
     }
 
@@ -148,6 +186,6 @@ final class TableLogTailProvider extends StreamSourceProvider {
       TableLog.latest(spark, dir).map(_.version).getOrElse(-1L))
     val maxV = parameters.get("maxVersionsPerTrigger").map(_.toInt)
     maxV.foreach(n => require(n >= 1, s"maxVersionsPerTrigger must be >= 1: $n"))
-    new TableLogTailSource(spark, dir, pinned, since, maxV)
+    new TableLogTailSource(spark, dir, metadataPath, pinned, since, maxV)
   }
 }

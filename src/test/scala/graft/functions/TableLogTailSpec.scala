@@ -169,6 +169,34 @@ class TableLogTailSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("maxVersionsPerTrigger survives a restart: capped offers stay monotone, nothing re-emits") {
+    val dir = freshTable()
+    val ck = ckpt()
+    val out = ckpt() + "/out"
+    (0 until 8).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    // since = -1 with a cap: after the first run commits version 7, a
+    // restart re-seeds a NAIVE floor back at -1 — its capped offers
+    // would sit behind the checkpoint and a later window starting from
+    // one of them would re-deliver versions 3..7 (the rewind this spec
+    // pins out); the persisted floor keeps offers at >= 7
+    def start() = TableLog.readTailVersions(spark, dir, since = Some(-1L),
+        maxVersionsPerTrigger = Some(3))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).outputMode("append").start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(out).count() == 800L)
+    (8 until 10).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).select("ts").as[Long].collect().sorted.toSeq
+      assert(got == (0L until 1000L),
+        s"rewound offers re-emitted or lost rows: ${got.length} rows, " +
+          s"dups=${got.groupBy(identity).count(_._2.length > 1)}")
+    } finally q2.stop()
+  }
+
   test("steady-state CDC deltas touch only the NEW segments, and survive a mid-span segment fold") {
     val dir = freshTable()
     (0 until 24).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
