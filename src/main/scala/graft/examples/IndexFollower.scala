@@ -119,7 +119,7 @@ object IndexFollower {
     // bound the pass by the versions that exist NOW: a source that keeps
     // committing during the pass cannot keep this call alive forever —
     // versions landing after this snapshot are the next call's work
-    val bound = TableLog.latest(spark, tableDir).map(_.version).getOrElse(-1L)
+    val bound = TableLog.latestVersion(spark, tableDir).getOrElse(-1L)
     val runKey = TableLog.runKeyFor(spark, stateDir)
     // the takedown registry, PINNED once per pass (a lazy plan would
     // re-scan and re-broadcast the tombstone table per apply — and let
@@ -174,7 +174,7 @@ object IndexFollower {
             // the small-file bound the setting promises holds regardless
             // of what kind of commits the source interleaves
             if ((to / maintainEveryNVersions) > (applied / maintainEveryNVersions)
-                && TableLog.latest(spark, dedupIndexDir).isDefined)
+                && TableLog.latestVersion(spark, dedupIndexDir).isDefined)
               maintainTargetBytes.foreach { target =>
                 TableLog.compact(spark, dedupIndexDir, target,
                   layoutBy = Seq("band", "band_hash"))
@@ -261,7 +261,7 @@ object IndexFollower {
     import spark.implicits._
     val corpusDeleted = TableLog.deleteIn(spark, tableDir, "doc_id", docIds)
     val indexDeleted =
-      if (TableLog.latest(spark, dedupIndexDir).isEmpty) 0L
+      if (TableLog.latestVersion(spark, dedupIndexDir).isEmpty) 0L
       else TableLog.deleteIn(spark, dedupIndexDir, "doc_id", docIds)
     // keyless on purpose: tombstone appends are duplicate-tolerant, so
     // a crashed takedown's retry re-marking the same ids is harmless —
@@ -403,7 +403,12 @@ object IndexFollower {
   // `<stateDir>/intent`, created atomically BEFORE a span is applied and
   // removed after its checkpoint. Its presence across a crash is what
   // pins the replay to the identical unit of work.
-  private val SpanRe = "^span-(\\d+)-(\\d+)$".r
+  // `from` may be -1: the bootstrap span of a fresh follower starts at
+  // appliedVersion = -1, and its intent file (`span--1-<to>`) must match
+  // or a crash during the FIRST catch-up would be invisible to
+  // pendingSpan — the retry would draw a fresh, wider span under a new
+  // key and double-apply everything the crashed span already inserted
+  private val SpanRe = "^span-(-?\\d+)-(\\d+)$".r
 
   private def intentFs(spark: SparkSession, stateDir: String) = {
     val p = new org.apache.hadoop.fs.Path(stateDir.stripSuffix("/"), "intent")

@@ -112,12 +112,21 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
   }
 
   /** Widenings under which the recorded bounds compare faithfully in
-    * the CAST's target domain: integral→integral and float→double map
-    * into the same comparison domain ParquetFooters stores (long /
-    * double); anything else (notably integral→floating) may round. */
+    * the CAST's target domain: strictly WIDENING integral casts and
+    * float→double map into the same comparison domain ParquetFooters
+    * stores (long / double). A NARROWING integral cast wraps — a long
+    * column holding 2³²+5 satisfies `cast(id as int) = 5` while the
+    * recorded [2³², 2³²+100] bounds exclude the literal, so looking
+    * through it would falsely prune the file and silently drop rows;
+    * integral→floating may round a 2⁶⁰-magnitude bound past the
+    * literal. Both stay opaque (no pruning). */
+  private def intRank(dt: DataType): Int = dt match {
+    case ByteType => 1; case ShortType => 2; case IntegerType => 3
+    case LongType => 4; case _ => 0
+  }
   private def domainSafe(from: DataType, to: DataType): Boolean = (from, to) match {
-    case (ByteType | ShortType | IntegerType | LongType,
-          ByteType | ShortType | IntegerType | LongType) => true
+    case _ if intRank(from) > 0 && intRank(to) > 0 =>
+      intRank(from) <= intRank(to)
     case (FloatType, DoubleType) => true
     case _ => false
   }

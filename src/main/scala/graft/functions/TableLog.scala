@@ -1066,6 +1066,31 @@ object TableLog {
         t <- target.schema; c <- cur.schema
       } yield t.fieldNames.toSeq.filterNot(c.fieldNames.contains))
         .getOrElse(Nil)
+      // …but a name that was dropped and then RE-ADDED (evolve after a
+      // compact retired it) is invisible to that schema diff, and
+      // committing the restore would serve the pre-drop files' OLD
+      // values under the re-added name — resurrection of removed data,
+      // the exact hazard dropColumn's guard exists for. The drop is
+      // findable: every head between the target and now is retained
+      // (the floor check above), and a head's `dropped` set holds the
+      // name from the drop commit until a compact purges the files —
+      // so union those sets (plus the target's own, for pre-target
+      // drops whose files were still unpurged at the target) and refuse
+      // loudly on any overlap with the current schema.
+      val droppedSince = ((version + 1) to cur.version).iterator.flatMap { v =>
+        tryReadFully(fs, new Path(logDir(dir), manifestName(v)))
+          .map(parse(_).dropped).getOrElse(throw new IllegalStateException(
+            s"manifest $v of $dir vanished mid-restore — re-run"))
+      }.toSet ++ target.dropped
+      val resurrected = cur.schema
+        .map(_.fieldNames.toSeq.filter(droppedSince)).getOrElse(Nil)
+      if (resurrected.nonEmpty) throw new IllegalStateException(
+        s"restore of $dir to version $version would resurrect dropped " +
+          s"column(s) ${resurrected.mkString(", ")}: dropped after (or " +
+          "unpurged at) the target and since re-added by evolve, so the " +
+          "restored pre-drop files would serve the OLD values under the " +
+          "re-added name. dropColumn it again before restoring, or " +
+          s"exportAt($version) and reconcile the column by hand")
       Right(Manifest(cur.version + 1, target.files ++ keptSince,
         target.rows + keptRows, cur.commits,
         "restore", cur.schemaJson, cur.layout, cur.statsFor,

@@ -66,7 +66,15 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
     * trigger only widens the next window, never skips — `getBatch`
     * always reads from the engine-supplied start. Unparseable/absent
     * floor (first start, torn write) falls back to `since`. */
-  @volatile private var offeredFloor: Long = {
+  /** None = floor UNKNOWN: a restart found no readable floor file (a
+    * torn write, or the cap newly enabled over a previously-uncapped
+    * checkpoint). The one safe move is a single UNCAPPED offer — the
+    * head can never sit below the committed offset — after which the
+    * persisted floor re-anchors and capping resumes. A fresh query
+    * (its checkpoint has no offsets WAL yet) seeds at `since` instead,
+    * so the cap applies from the very first backlog batch, where it
+    * matters most. */
+  @volatile private var offeredFloor: Option[Long] = {
     val (fs, p) = floorFile
     val persisted =
       try {
@@ -78,7 +86,20 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
           finally in.close()
         }
       } catch { case _: Exception => None }
-    math.max(since, persisted.getOrElse(Long.MinValue))
+    persisted match {
+      case Some(v) => Some(math.max(since, v))
+      case None if maxVersionsPerTrigger.isEmpty => Some(since) // floor unused
+      case None =>
+        // metadataPath is `<checkpoint>/sources/<i>`; the engine's offset
+        // WAL at `<checkpoint>/offsets` is non-empty iff some batch was
+        // ever logged — i.e. this is a restart, not a first start
+        val offsets = new Path(
+          new Path(metadataPath.stripSuffix("/")).getParent.getParent, "offsets")
+        val restarted =
+          try fs.exists(offsets) && fs.listStatus(offsets).nonEmpty
+          catch { case _: Exception => true } // unsure ⇒ the safe (uncapped) path
+        if (restarted) None else Some(since)
+    }
   }
 
   private def floorFile = {
@@ -86,25 +107,37 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** Write-temp-then-rename so a crash can only lose the update, never
+    * leave a torn file (an unreadable floor costs a restart one
+    * uncapped batch — see [[offeredFloor]]). */
   private def persistFloor(v: Long): Unit = {
     val (fs, p) = floorFile
-    val out = fs.create(p, true)
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s"${p.getName}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"could not persist admission floor $p")
+    }
   }
 
   override def getOffset: Option[V1Offset] =
     // version-number peek: one log listing per trigger, no manifest or
     // segment reads — the availability probe must stay O(1) in table size
     TableLog.latestVersion(spark, dir).map { head =>
-      val capped = maxVersionsPerTrigger
-        .fold(head)(n => math.min(head, offeredFloor + n))
-      if (capped > offeredFloor) {
+      val capped = (offeredFloor, maxVersionsPerTrigger) match {
+        case (Some(f), Some(n)) => math.min(head, f + n)
+        case _ => head // uncapped, or unknown floor: re-anchor at the head
+      }
+      if (!offeredFloor.exists(_ >= capped)) {
         // persist BEFORE offering: the floor on disk must never lag an
-        // offset the engine could have logged (uncapped offers equal the
-        // head and need no floor at all — skip the write on that path)
+        // offset the engine could have logged (the uncapped path never
+        // consults it, so it skips the write)
         if (maxVersionsPerTrigger.isDefined) persistFloor(capped)
-        offeredFloor = capped
+        offeredFloor = Some(capped)
       }
       TableVersionOffset(capped)
     }
@@ -112,7 +145,7 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val fromV = start.map(_.json.toLong).getOrElse(since)
     val toV = end.json.toLong
-    offeredFloor = math.max(offeredFloor, toV)
+    offeredFloor = Some(math.max(offeredFloor.getOrElse(Long.MinValue), toV))
     val delta =
       if (toV <= fromV) Vector.empty
       else TableLog.appendedEntries(spark, dir, fromV, toV)

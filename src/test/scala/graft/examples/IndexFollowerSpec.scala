@@ -28,6 +28,18 @@ class IndexFollowerSpec extends SparkSuite {
         $"embedding")
   }
 
+  test("a BOOTSTRAP span intent (from = -1) survives the crash round-trip — the replay can see it") {
+    // the first-ever catch-up records span (-1, to]; its intent file name
+    // carries the negative from, which the span regex must accept or a
+    // crashed bootstrap replays under a fresh wider key and double-inserts
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_fl_boot").toString
+    val intentDir = new java.io.File(stateDir, "intent")
+    intentDir.mkdirs()
+    new java.io.File(intentDir, "span--1-3").createNewFile()
+    assert(IndexFollower.pendingSpan(spark, stateDir) == Some((-1L, 3L)),
+      "bootstrap intent invisible — span--1-3 did not match")
+  }
+
   test("corpus grows, indexes follow exactly once; crash replay is absorbed; parity with from-scratch builds") {
     val corpus = corpusDf()
     val ids = corpus.select($"doc_id").as[Long].collect().sorted

@@ -83,6 +83,35 @@ class ManifestFileIndexSpec extends SparkSuite {
     assert(ManifestFileIndex.lastListed.toSet == all, "false pruning on NOT")
   }
 
+  test("a NARROWING cast is opaque to pruning — wrapped matches are never lost") {
+    val dir = freshTable()
+    // two id clusters: one low, one past 2^32 so an int cast wraps
+    TableLog.appendBatch(
+      Seq.tabulate(10)(i => (i.toLong, s"lo$i")).toDF("id", "v"), dir, "r", 0L)
+    TableLog.appendBatch(
+      Seq.tabulate(10)(i => ((1L << 32) + i, s"hi$i")).toDF("id", "v"), dir, "r", 1L)
+    TableLog.compact(spark, dir, targetBytes = 1L << 10, layoutBy = Seq("id"))
+    val files = TableLog.latest(spark, dir).get.files.size
+    assert(files >= 2, "fixture vacuity: one file cannot test pruning")
+    // id = 2^32 + 5 satisfies cast(id as int) = 5 by wrap-around under
+    // legacy cast semantics, but the high file's recorded [2^32, 2^32+9]
+    // bounds exclude the literal 5 — looking through the narrowing cast
+    // would prune that file and silently drop the matching row. (Under
+    // ANSI casts the same pruning is still wrong differently: it
+    // suppresses the overflow ERROR the query is required to raise.)
+    val ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val got = TableLog.read(spark, dir)
+        .filter(col("id").cast("int") === 5)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got == Seq(5L, (1L << 32) + 5L),
+        s"narrowing cast lost the wrapped match: $got")
+      assert(ManifestFileIndex.lastListed.size == files,
+        "a narrowing cast must be opaque: no file may be pruned through it")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansi)
+  }
+
   test("NULL-heavy columns never false-prune; IsNull reads conservatively") {
     val dir = freshTable()
     // file A: x entirely NULL (footer records no usable stats for it);

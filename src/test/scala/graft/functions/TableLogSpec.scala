@@ -968,6 +968,14 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.read(spark, dir).filter($"score".isNotNull).count() == 0L)
     assert(TableLog.appendBatch(scored, dir, "r", 3L))
     assert(TableLog.read(spark, dir).filter($"score".isNotNull).count() == 100L)
+    // restoring to a PRE-drop version now would swap the old files —
+    // whose parquet physically holds the dropped-era score values — back
+    // under the re-added name: name-based resolution would serve the
+    // supposedly-removed data. Refused loudly; the schema-diff guard
+    // alone cannot see it (score is in both schemas).
+    val res = intercept[IllegalStateException](
+      TableLog.restore(spark, dir, vEra2))
+    assert(res.getMessage.contains("resurrect"), res.getMessage)
   }
 
   test("dropColumn scrubs layout/trackStats registrations; other-column pruning survives") {

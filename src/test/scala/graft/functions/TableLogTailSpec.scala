@@ -195,6 +195,20 @@ class TableLogTailSpec extends SparkSuite {
         s"rewound offers re-emitted or lost rows: ${got.length} rows, " +
           s"dups=${got.groupBy(identity).count(_._2.length > 1)}")
     } finally q2.stop()
+    // floor file lost (torn write / cap enabled over an old checkpoint):
+    // the floor is UNKNOWN, and the only safe offer is one uncapped
+    // re-anchor at the head — still exactly-once, never a rewind
+    val floorF = new java.io.File(s"$ck/sources/0/offered-floor")
+    assert(floorF.exists, "fixture vacuity: no floor file was persisted")
+    assert(floorF.delete())
+    (10 until 12).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    val q3 = start()
+    try {
+      q3.processAllAvailable()
+      val got = spark.read.parquet(out).select("ts").as[Long].collect().sorted.toSeq
+      assert(got == (0L until 1200L),
+        s"unknown-floor recovery re-emitted or lost rows: ${got.length} rows")
+    } finally q3.stop()
   }
 
   test("steady-state CDC deltas touch only the NEW segments, and survive a mid-span segment fold") {
