@@ -134,7 +134,8 @@ object IndexFollower {
       var rows = 0L
       var more = true
       while (more) {
-        nextSpan(spark, stateDir, applied, bound, ann, maxSpanVersions) match {
+        nextSpan(spark, stateDir, applied, bound, ann, dedupIndexDir,
+            runKey, maxSpanVersions) match {
           case None => more = false
           case Some((from, to)) =>
             val key = if (to == from + 1) s"v$to" else s"v$from-$to"
@@ -191,17 +192,26 @@ object IndexFollower {
     * VERBATIM (stale intents — span already checkpointed, crash hit the
     * clear — are discarded); otherwise a fresh span up to
     * `maxSpanVersions` wide is recorded before any apply. The one
-    * narrowing: any keyed ANN append state under the legacy
-    * single-version key (a pre-span-era crash, complete or partial)
-    * forces a width-1 span under that key so the replay happens under
-    * the identity the state was written with. None ⇒ caught up. */
+    * narrowing: a pre-span-era crash can have left version `applied+1`
+    * state under the legacy single-version identities in EITHER index —
+    * an ANN keyed append that began (complete or partial, the `begin`
+    * marker), or a dedup-index appendBatch that COMMITTED under
+    * `batchId = applied+1` before the ANN append ever started (the
+    * dedup leg runs first; its commit map is the only trace). Either
+    * trace forces a width-1 span under the legacy key, so the dedup
+    * replay no-ops against its committed batchId and the ANN leg
+    * applies (or repairs) under the identity the state was written
+    * with — a wide span's batchId `to > applied+1` would pass the
+    * dedup dedup-guard and append that version's band rows a second
+    * time. None ⇒ caught up. */
   private def nextSpan(spark: SparkSession, stateDir: String, applied: Long,
-      bound: Long, ann: AnnIndex.Handle,
-      maxSpanVersions: Int): Option[(Long, Long)] = {
+      bound: Long, ann: AnnIndex.Handle, dedupIndexDir: String,
+      runKey: String, maxSpanVersions: Int): Option[(Long, Long)] = {
     pendingSpan(spark, stateDir) match {
       case Some((f, t)) if t <= applied =>
         clearSpan(spark, stateDir) // stale: checkpoint landed, clear raced
-        nextSpan(spark, stateDir, applied, bound, ann, maxSpanVersions)
+        nextSpan(spark, stateDir, applied, bound, ann, dedupIndexDir,
+          runKey, maxSpanVersions)
       case Some((f, t)) =>
         require(f == applied,
           s"intent span ($f, $t] does not resume at applied version $applied " +
@@ -209,8 +219,12 @@ object IndexFollower {
         Some((f, t))
       case None if applied >= bound => None
       case None =>
+        val legacyState =
+          AnnIndex.touchedDelta(spark, ann, s"v${applied + 1}") ||
+            TableLog.latestHead(spark, dedupIndexDir)
+              .exists(_.commits.get(runKey).contains(applied + 1))
         val to =
-          if (AnnIndex.touchedDelta(spark, ann, s"v${applied + 1}")) applied + 1
+          if (legacyState) applied + 1
           else math.min(bound, applied + maxSpanVersions.toLong)
         recordSpan(spark, stateDir, applied, to)
         Some((applied, to))

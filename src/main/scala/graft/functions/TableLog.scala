@@ -342,7 +342,7 @@ object TableLog {
     * and `files` holds only inline entries. For consumers that need
     * head-line fields (version, schema, op, commit map) without paying
     * the O(live files) segment materialization [[latest]] does. */
-  private[functions] def latestHead(spark: SparkSession, dir: String): Option[Manifest] = {
+  private[graft] def latestHead(spark: SparkSession, dir: String): Option[Manifest] = {
     val (fs, _) = fsFor(spark, dir)
     latestVersion(spark, dir).map(v =>
       parse(readFully(fs, new Path(logDir(dir), manifestName(v)))))
@@ -1082,8 +1082,22 @@ object TableLog {
           .map(parse(_).dropped).getOrElse(throw new IllegalStateException(
             s"manifest $v of $dir vanished mid-restore — re-run"))
       }.toSet ++ target.dropped
+      // only a column the TARGET-era files can physically carry is
+      // resurrection-capable: its schema's fields plus its own
+      // still-unpurged dropped names. A column first ADDED after the
+      // target (evolve → drop → purge → re-add, all post-target) reads
+      // as nulls from the restored files — refusing that restore would
+      // block a perfectly safe rollback. Pre-schema targets (no recorded
+      // schema to consult) stay conservative.
+      val targetEra: String => Boolean = target.schema match {
+        case Some(s) =>
+          val names = s.fieldNames.toSet ++ target.dropped
+          names.contains _
+        case None => _ => true
+      }
       val resurrected = cur.schema
-        .map(_.fieldNames.toSeq.filter(droppedSince)).getOrElse(Nil)
+        .map(_.fieldNames.toSeq.filter(c => droppedSince(c) && targetEra(c)))
+        .getOrElse(Nil)
       if (resurrected.nonEmpty) throw new IllegalStateException(
         s"restore of $dir to version $version would resurrect dropped " +
           s"column(s) ${resurrected.mkString(", ")}: dropped after (or " +

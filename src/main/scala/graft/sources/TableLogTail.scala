@@ -126,8 +126,12 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
 
   override def getOffset: Option[V1Offset] =
     // version-number peek: one log listing per trigger, no manifest or
-    // segment reads — the availability probe must stay O(1) in table size
-    TableLog.latestVersion(spark, dir).map { head =>
+    // segment reads — the availability probe must stay O(1) in table size.
+    // A head at or below `since` is NO data (the contract is "versions
+    // AFTER since") — offering it would commit an offset ≤ since and
+    // make later batches start below since, delivering the versions the
+    // caller asked to skip
+    TableLog.latestVersion(spark, dir).filter(_ > since).map { head =>
       val capped = (offeredFloor, maxVersionsPerTrigger) match {
         case (Some(f), Some(n)) => math.min(head, f + n)
         case _ => head // uncapped, or unknown floor: re-anchor at the head
@@ -195,7 +199,9 @@ final class TableLogTailProvider extends StreamSourceProvider {
       schema: Option[StructType], parameters: Map[String, String]): StructType =
     schema.getOrElse {
       val dir = dirOf(parameters)
-      TableLog.latest(spark, dir).flatMap(_.schema).getOrElse(
+      // head lines only — materializing the full file list to read one
+      // schema line would cost O(segments) per query (re)start
+      TableLog.latestHead(spark, dir).flatMap(_.schema).getOrElse(
         throw new IllegalStateException(
           s"$dir has no schema-recording manifest — pass the schema " +
             "explicitly to tail a table that has not been written yet"))
@@ -213,10 +219,39 @@ final class TableLogTailProvider extends StreamSourceProvider {
     val spark = sqlContext.sparkSession
     val dir = dirOf(parameters)
     val pinned = resolveSchema(spark, schema, parameters)
-    // resolved ONCE: on a checkpoint restart the engine hands getBatch
-    // the recovered offset and `since` is never consulted again
-    val since = parameters.get("since").map(_.toLong).getOrElse(
-      TableLog.latest(spark, dir).map(_.version).getOrElse(-1L))
+    // `since` must resolve to the SAME value on every re-creation of
+    // this source under one checkpoint: the engine can log an offset
+    // and crash before the batch commits, then replay
+    // getBatch(start = None, end) on restart — a default since
+    // re-resolved to the NEW head (which includes the logged versions)
+    // would make that replay empty and silently skip them. The first
+    // creation resolves (the option, else the current head) and
+    // persists under metadataPath; every later creation reads it back
+    // (so changing the option on an existing checkpoint is a no-op —
+    // the documented "consulted only before the first batch" contract).
+    val sincePath = new Path(metadataPath.stripSuffix("/"), "since-resolved")
+    val fs = sincePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val since =
+      if (fs.exists(sincePath)) {
+        val in = fs.open(sincePath)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      } else {
+        val v = parameters.get("since").map(_.toLong).getOrElse(
+          TableLog.latestVersion(spark, dir).getOrElse(-1L))
+        fs.mkdirs(sincePath.getParent)
+        val tmp = new Path(sincePath.getParent, "since-resolved.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (!fs.rename(tmp, sincePath)) {
+          fs.delete(sincePath, false)
+          if (!fs.rename(tmp, sincePath)) throw new java.io.IOException(
+            s"could not persist the resolved start version at $sincePath")
+        }
+        v
+      }
     val maxV = parameters.get("maxVersionsPerTrigger").map(_.toInt)
     maxV.foreach(n => require(n >= 1, s"maxVersionsPerTrigger must be >= 1: $n"))
     new TableLogTailSource(spark, dir, metadataPath, pinned, since, maxV)

@@ -40,6 +40,49 @@ class IndexFollowerSpec extends SparkSuite {
       "bootstrap intent invisible — span--1-3 did not match")
   }
 
+  test("a pre-span crash that committed ONLY the dedup leg forces a width-1 replay — no doubled band rows") {
+    val corpus = corpusDf()
+    val ids = corpus.select($"doc_id").as[Long].collect().sorted
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val batches = Seq(
+      corpus.filter($"doc_id" < c1),
+      corpus.filter($"doc_id" >= c1 && $"doc_id" < c2),
+      corpus.filter($"doc_id" >= c2))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_fl2_src").toString + "/t"
+    val dedupDir = java.nio.file.Files.createTempDirectory("graft_fl2_ddx").toString + "/ix"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_fl2_state").toString
+    import org.apache.spark.sql.types._
+    val emptyCorpus = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val ann = AnnIndex.build(emptyCorpus, "fl2_legacy_ann", planes = 8, buckets = 8)
+    def apply() = IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
+    TableLog.appendBatch(batches(0), srcDir, "src", 0L) // source v0
+    apply()
+    TableLog.appendBatch(batches(1), srcDir, "src", 1L) // source v1
+    // the pre-intent-era crash shape the ANN markers cannot see: the
+    // dedup leg COMMITTED version 1 under the follower's runKey, then
+    // the process died before the ANN append wrote its first marker —
+    // no intent file, no checkpoint advance. The only trace is the
+    // dedup table's commit map.
+    val runKey = TableLog.runKeyFor(spark, stateDir)
+    TableLog.appendBatch(
+      DedupIndex.indexRows(batches(1).select($"doc_id", $"text")),
+      dedupDir, runKey, 1L)
+    // the source advances before the retry — a wide span would carry
+    // version 1's rows under batchId 2 and slip past the dedup guard
+    TableLog.appendBatch(batches(2), srcDir, "src", 2L)
+    apply()
+    val expected = graft.functions.DedupIndex.indexRows(
+      corpus.select($"doc_id", $"text")).count()
+    assert(TableLog.rows(spark, dedupDir) == expected,
+      s"dedup band rows diverged from a from-scratch build: " +
+        s"${TableLog.rows(spark, dedupDir)} vs $expected — version 1 doubled")
+    assert(AnnIndex.probeSide(spark, ann).count() == corpus.count(),
+      "ANN probe side diverged after the legacy-shape replay")
+  }
+
   test("corpus grows, indexes follow exactly once; crash replay is absorbed; parity with from-scratch builds") {
     val corpus = corpusDf()
     val ids = corpus.select($"doc_id").as[Long].collect().sorted

@@ -976,6 +976,13 @@ class TableLogSpec extends SparkSuite {
     val res = intercept[IllegalStateException](
       TableLog.restore(spark, dir, vEra2))
     assert(res.getMessage.contains("resurrect"), res.getMessage)
+    // …but a restore to BEFORE the column ever existed is safe — the
+    // era-1 files cannot hold score values, they just read as nulls
+    // under the current schema — and must not be false-refused
+    val m0 = TableLog.restore(spark, dir, 0L)
+    assert(m0.op == "restore" && m0.rows == 100L)
+    assert(TableLog.read(spark, dir).filter($"score".isNotNull).count() == 0L,
+      "a pre-add restore must serve nulls for the later-added column")
   }
 
   test("dropColumn scrubs layout/trackStats registrations; other-column pruning survives") {

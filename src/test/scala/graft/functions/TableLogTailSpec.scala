@@ -169,6 +169,72 @@ class TableLogTailSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("the resolved default `since` is pinned in the checkpoint — a crash-replayed first batch still carries its rows") {
+    val dir = freshTable()
+    val ck = ckpt()
+    (0 until 2).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    val counts = scala.collection.mutable.Map.empty[Long, Long]
+    def start() = TableLog.readTailVersions(spark, dir) // default since = head NOW
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val n = df.count(); counts.synchronized { counts(id) = n }; ()
+      }.start()
+    val q1 = start()
+    try {
+      (2 until 4).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val firstRun = counts.synchronized(counts.toMap)
+    assert(firstRun.values.sum == 200L)
+    assert(firstRun.getOrElse(0L, 0L) > 0L,
+      s"fixture vacuity: batch 0 carried no rows in run 1 ($firstRun)")
+    // reconstruct "crashed right after logging offsets/0": batch 0 is in
+    // the offset WAL, nothing is committed. The engine then replays
+    // batch 0 with start = None — the one replay shape that consults
+    // `since`. A default re-resolved to the CURRENT head (which includes
+    // the logged versions) would make the replay silently EMPTY; the
+    // persisted resolution must re-deliver the identical rows. (.crc
+    // sidecars go too, or the local FS flags the re-write as tampering.)
+    def scrub(dir: java.io.File, keep: String => Boolean): Unit =
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+        val base = f.getName.stripPrefix(".").stripSuffix(".crc")
+        if (!keep(base)) f.delete()
+      }
+    scrub(new java.io.File(s"$ck/commits"), _ => false)
+    scrub(new java.io.File(s"$ck/offsets"), _ == "0")
+    counts.synchronized(counts.clear())
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(counts.synchronized(counts.get(0L)) == Some(firstRun(0L)),
+        s"the None-start replay of batch 0 lost rows: " +
+          s"${counts.synchronized(counts.toMap)} vs first run $firstRun")
+    } finally q2.stop()
+  }
+
+  test("an explicit since above the head emits nothing until the head passes it") {
+    val dir = freshTable()
+    (0 until 3).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    val q = TableLog.readTailVersions(spark, dir, since = Some(5L))
+      .writeStream.format("memory").queryName("vtail_future")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("vtail_future").isEmpty,
+        "versions at or below `since` leaked")
+      TableLog.appendBatch(batch(3), dir, "r", 3L) // head 3, still <= 5
+      q.processAllAvailable()
+      assert(spark.table("vtail_future").isEmpty,
+        "a head below `since` must offer nothing — offering it rewinds " +
+          "later batches below the requested start")
+      (4 until 7).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+      q.processAllAvailable()
+      val got = spark.table("vtail_future").select("ts").as[Long].collect().sorted.toSeq
+      assert(got == (600L until 700L), s"expected exactly version 6's rows: ${got.take(5)}")
+    } finally q.stop()
+  }
+
   test("maxVersionsPerTrigger survives a restart: capped offers stay monotone, nothing re-emits") {
     val dir = freshTable()
     val ck = ckpt()
