@@ -231,6 +231,51 @@ object IndexFollower {
     }
   }
 
+  /** [[catchUp]] as a STANDING job: a lightweight streaming query tails
+    * the source table's versions
+    * ([[graft.functions.TableLog.readTailVersions]], starting at the
+    * follower's own checkpointed version) purely as a CHANGE SIGNAL,
+    * and each micro-batch drives one catch-up pass. The batch DataFrame
+    * is never acted on, so no parquet is re-read for signaling — each
+    * trigger costs one log-dir listing plus O(delta) manifest reads at
+    * planning time; the DATA is read exactly once, inside catchUp.
+    *
+    * Delivery composes, it is not re-derived: catchUp is exactly-once
+    * by construction (span intents, keyed appends, checkpointed
+    * versions), so the signal may be lossy, duplicated, or replayed
+    * after any crash — a spurious trigger is a no-op pass. The signal
+    * stream checkpoints under `<stateDir>/signal_ck` (the state dir
+    * lives and dies with the indexes, same as the follower's own
+    * markers). The explicit signal schema matches the corpus contract,
+    * so the follower can start BEFORE the table's first commit —
+    * consumer-first deployment. A follower lagging past source
+    * retention fails the query loudly (catchUp's own error), same as
+    * the pull path. Stop via the returned query handle; takedowns and
+    * maintenance interleave exactly as with pull-mode catchUp. */
+  def follow(spark: SparkSession, tableDir: String, stateDir: String,
+             ann: AnnIndex.Handle, dedupIndexDir: String,
+             geom: Lsh.Geometry = Lsh.Small,
+             maintainTargetBytes: Option[Long] = None,
+             maintainEveryNVersions: Int = 8,
+             vacuumGraceMs: Long = 600000L,
+             maxSpanVersions: Int = Int.MaxValue)
+            : org.apache.spark.sql.streaming.StreamingQuery = {
+    val contract = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING, embedding ARRAY<FLOAT>")
+    TableLog.readTailVersions(spark, tableDir,
+        since = Some(appliedVersion(spark, stateDir)), schema = Some(contract))
+      .writeStream
+      .option("checkpointLocation", stateDir.stripSuffix("/") + "/signal_ck")
+      .outputMode("append")
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        catchUp(spark, tableDir, stateDir, ann, dedupIndexDir, geom,
+          maintainTargetBytes, maintainEveryNVersions, vacuumGraceMs,
+          maxSpanVersions)
+        ()
+      }
+      .start()
+  }
+
   /** What one takedown removed where. The two row counts are actual
     * rows rewritten away; `annTombstoned` is the DISTINCT ids marked
     * dead in the ANN index — a mark is a blind append (the id need not

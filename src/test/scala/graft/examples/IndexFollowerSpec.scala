@@ -40,6 +40,41 @@ class IndexFollowerSpec extends SparkSuite {
       "bootstrap intent invisible — span--1-3 did not match")
   }
 
+  test("follow(): a standing follower applies appends as they land, consumer-first, no explicit calls") {
+    val corpus = corpusDf()
+    val ids = corpus.select($"doc_id").as[Long].collect().sorted
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val batches = Seq(
+      corpus.filter($"doc_id" < c1),
+      corpus.filter($"doc_id" >= c1 && $"doc_id" < c2),
+      corpus.filter($"doc_id" >= c2))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_fl3_src").toString + "/t"
+    val dedupDir = java.nio.file.Files.createTempDirectory("graft_fl3_ddx").toString + "/ix"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_fl3_state").toString
+    import org.apache.spark.sql.types._
+    val emptyCorpus = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val ann = AnnIndex.build(emptyCorpus, "fl3_follow_ann", planes = 8, buckets = 8)
+    // consumer-first: the standing follower starts before the table exists
+    val q = IndexFollower.follow(spark, srcDir, stateDir, ann, dedupDir)
+    try {
+      TableLog.appendBatch(batches(0), srcDir, "src", 0L)
+      q.processAllAvailable()
+      assert(AnnIndex.probeSide(spark, ann).count() == batches(0).count(),
+        "first append did not reach the ANN index through the signal stream")
+      TableLog.appendBatch(batches(1), srcDir, "src", 1L)
+      TableLog.appendBatch(batches(2), srcDir, "src", 2L)
+      q.processAllAvailable()
+      assert(AnnIndex.probeSide(spark, ann).count() == corpus.count())
+      val expected = DedupIndex.indexRows(corpus.select($"doc_id", $"text")).count()
+      assert(TableLog.rows(spark, dedupDir) == expected,
+        "dedup index diverged from a from-scratch build under follow()")
+      assert(IndexFollower.appliedVersion(spark, stateDir) == 2L)
+    } finally q.stop()
+  }
+
   test("a pre-span crash that committed ONLY the dedup leg forces a width-1 replay — no doubled band rows") {
     val corpus = corpusDf()
     val ids = corpus.select($"doc_id").as[Long].collect().sorted
