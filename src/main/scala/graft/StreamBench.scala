@@ -363,9 +363,35 @@ object StreamBench {
     val cuSpanSec = cuRun("sb_cu_span", Int.MaxValue)
     val cuPerVersionSec = cuRun("sb_cu_pv", 1)
 
+    // 15) the STANDING follower at ingest cadence: appendBatch → the
+    //     version-tail change signal → one catch-up per batch, BOTH
+    //     indexes maintained (signature rows + keyed ANN append +
+    //     checkpoint). Row 12 is the probe-only serving loop; this is
+    //     the full write-side maintenance rate a live corpus pays.
+    val foRoot = Files.createTempDirectory("graft_sb_follow")
+    val foSrc = foRoot.toString + "/src"
+    val foAnn = graft.functions.AnnIndex.build(cuEmpty, "sb_follow_ann",
+      planes = 8, buckets = 16)
+    val foQ = graft.examples.IndexFollower.follow(spark, foSrc,
+      foRoot.toString + "/state", foAnn, foRoot.toString + "/ddx")
+    val foBatches = cuCorpus.grouped(100).toVector
+    graft.functions.TableLog.appendBatch(
+      foBatches.head.toSeq.toDF("doc_id", "text", "embedding"), foSrc, "src", 0L)
+    foQ.processAllAvailable() // warm: first apply pays table creation
+    val t12 = System.nanoTime()
+    foBatches.tail.zipWithIndex.foreach { case (c, i) =>
+      graft.functions.TableLog.appendBatch(
+        c.toSeq.toDF("doc_id", "text", "embedding"), foSrc, "src", 1L + i)
+      foQ.processAllAvailable()
+    }
+    val foSec = (System.nanoTime() - t12) / 1e9
+    val foDocs = cuCorpus.length - foBatches.head.length
+    foQ.stop()
+    rmTemp(foRoot)
+
     val n = events.length
     val nd = docs.length - 100
-    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"stream_curate_docs_per_sec":${nd / curSec}%.0f,"stream_hll_rows_per_sec":${n / hllSec}%.0f,"stream_interval_join_rows_per_sec":${2 * ivRest.length / ivSec}%.0f,"stream_knn_float_q_per_sec":$knnFloatQps%.0f,"stream_knn_int8_q_per_sec":$knnQuantQps%.0f,"stream_knn_indexed_q_per_sec":$knnIdxQps%.0f,"stream_knn_indexed_int8_q_per_sec":$knnIdxQuantQps%.0f,"knn_probe_static_bytes_float":$knnFloatBytes,"knn_probe_static_bytes_int8":$knnInt8Bytes,"live_tail_dedup_docs_per_sec":${liveN / liveSec}%.0f,"multi_writer_commits_per_sec":$mwCommitsPerSec%.1f,"follower_catchup_span_sec":$cuSpanSec%.2f,"follower_catchup_per_version_sec":$cuPerVersionSec%.2f,"follower_catchup_lag_versions":$cuBatches,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
+    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"stream_curate_docs_per_sec":${nd / curSec}%.0f,"stream_hll_rows_per_sec":${n / hllSec}%.0f,"stream_interval_join_rows_per_sec":${2 * ivRest.length / ivSec}%.0f,"stream_knn_float_q_per_sec":$knnFloatQps%.0f,"stream_knn_int8_q_per_sec":$knnQuantQps%.0f,"stream_knn_indexed_q_per_sec":$knnIdxQps%.0f,"stream_knn_indexed_int8_q_per_sec":$knnIdxQuantQps%.0f,"knn_probe_static_bytes_float":$knnFloatBytes,"knn_probe_static_bytes_int8":$knnInt8Bytes,"live_tail_dedup_docs_per_sec":${liveN / liveSec}%.0f,"multi_writer_commits_per_sec":$mwCommitsPerSec%.1f,"follower_catchup_span_sec":$cuSpanSec%.2f,"follower_catchup_per_version_sec":$cuPerVersionSec%.2f,"follower_catchup_lag_versions":$cuBatches,"follower_live_docs_per_sec":${foDocs / foSec}%.0f,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
