@@ -354,7 +354,14 @@ object IndexFollower {
     *
     * A crashed untakedown is retried as-is: both legs are
     * presence-gated, and `repairKey` additionally pins the dedup
-    * append's exactly-once identity (runKey `untakedown-<key>`).
+    * append's exactly-once identity (runKey
+    * `untakedown-<key>-<idSetHash>`; the hash keeps a key reused for a
+    * DIFFERENT id list from silently deduping to a no-op). The ledger
+    * entry of a pre-hash release (`untakedown-<key>` exactly) is
+    * honored too, so a retry crossing that upgrade still dedups. One
+    * repairKey = ONE logical repair, replayed at most once — a new
+    * repair of the same ids (say after a later takedown) needs a fresh
+    * key, or its dedup leg dedups against the old ledger entry.
     * Preconditions, all loud or documented: every id must be BACK in
     * the corpus (a partial list is rejected outright — removing a
     * still-deleted id's tombstone would resurrect it); the index
@@ -400,6 +407,11 @@ object IndexFollower {
       // guard) — seeding it would be double-applied by the first catchUp.
       val dedupRows = TableLog.latest(spark, dedupIndexDir) match {
         case None => 0L
+        // upgrade compat: releases before the id-set-hashed replay key
+        // committed this leg under plain `untakedown-<repairKey>` — a
+        // retry crossing the upgrade must still dedup against that
+        // ledger entry, not re-append the band rows under the new key
+        case Some(idx) if idx.commits.contains(s"untakedown-$repairKey") => 0L
         case Some(_) =>
           val already = TableLog.read(spark, dedupIndexDir)
             .join(broadcast(idsDf), Seq("doc_id"), "left_semi")

@@ -348,6 +348,17 @@ object TableLog {
       parse(readFully(fs, new Path(logDir(dir), manifestName(v)))))
   }
 
+  /** One retained version's head, parsed but NOT resolved — the
+    * per-micro-batch schema-drift probe of the streaming tail
+    * ([[graft.sources.TableLogTailSource.getBatch]]): one small file
+    * read, no segment materialization. None when the manifest has left
+    * retention (the caller's delta resolution raises the loud error). */
+  private[graft] def headAt(spark: SparkSession, dir: String,
+                            version: Long): Option[Manifest] = {
+    val (fs, _) = fsFor(spark, dir)
+    tryReadFully(fs, new Path(logDir(dir), manifestName(version))).map(parse)
+  }
+
   private def readFully(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try {
@@ -714,8 +725,8 @@ object TableLog {
   /** Structural schema equality ignoring nullability at every depth —
     * the evolution guard's notion of "same schema" (parquet writers and
     * streaming sources disagree freely about nullable flags). */
-  private[functions] def sameSchema(a: org.apache.spark.sql.types.StructType,
-                                    b: org.apache.spark.sql.types.StructType): Boolean =
+  private[graft] def sameSchema(a: org.apache.spark.sql.types.StructType,
+                                b: org.apache.spark.sql.types.StructType): Boolean =
     normalizeType(a) == normalizeType(b)
 
   private def normalizeType(dt: org.apache.spark.sql.types.DataType)
@@ -731,6 +742,18 @@ object TableLog {
       case other => other
     }
   }
+
+  /** Column-name identity under the session's resolution rules: when
+    * `spark.sql.caseSensitive` is false (the default), parquet resolves
+    * columns case-INSENSITIVELY, so every guard that reasons about
+    * "the same column" — the dropped-name resurrection guards in
+    * [[evolve]]/[[restore]], [[dropColumn]]'s layout/stats scrubs —
+    * must compare names the way the reader will, or `ID` slips past a
+    * guard protecting `id` and pre-drop files serve the old values
+    * under the re-added name. */
+  private def nameKey(spark: SparkSession)(name: String): String =
+    if (spark.sessionState.conf.caseSensitiveAnalysis) name
+    else name.toLowerCase(java.util.Locale.ROOT)
 
   /** Exactly-once streaming append: a no-op when `(runKey, batchId)` is
     * already in the newest manifest's commit map, else write → move →
@@ -861,8 +884,12 @@ object TableLog {
           // while pre-drop files are still live would read the OLD
           // column's values back for those rows instead of nulls —
           // silent resurrection. compact() retires the name once its
-          // rewrite has physically purged every pre-drop file.
-          require(!prev.dropped.contains(f.name),
+          // rewrite has physically purged every pre-drop file. Matched
+          // under the session's resolution rules ([[nameKey]]): with
+          // caseSensitive=false, adding `ID` after dropColumn("id")
+          // resurrects just the same.
+          require(!prev.dropped.exists(d =>
+              nameKey(spark)(d) == nameKey(spark)(f.name)),
             s"evolve rejected for $dir: column '${f.name}' was previously " +
               "dropped and pre-drop files may still be live — old values " +
               "would resurface under name-based parquet resolution; run " +
@@ -909,18 +936,24 @@ object TableLog {
         else Some(readVersion(spark, dir, prev).schema)).getOrElse(
         throw new IllegalStateException(
           s"$dir has no schema to drop from (empty pre-schema table)"))
-      require(current.fieldNames.contains(column),
-        s"dropColumn rejected for $dir: no column '$column' in " +
-          current.simpleString)
+      // resolve the argument under the session's rules and use the
+      // schema's CANONICAL spelling from here on: with
+      // caseSensitive=false, dropColumn("ID") must drop (and record as
+      // dropped, and scrub from layout/stats) the field spelled `id`
+      val key = nameKey(spark) _
+      val canonical = current.fields.find(f => key(f.name) == key(column))
+        .getOrElse(throw new IllegalArgumentException(
+          s"dropColumn rejected for $dir: no column '$column' in " +
+            current.simpleString)).name
       require(current.fields.length > 1,
-        s"dropColumn rejected for $dir: '$column' is the only column")
+        s"dropColumn rejected for $dir: '$canonical' is the only column")
       val newSchema = org.apache.spark.sql.types.StructType(
-        current.fields.filterNot(_.name == column))
+        current.fields.filterNot(f => key(f.name) == key(canonical)))
       Right(Manifest(prev.version + 1, prev.files, prev.rows, prev.commits,
         "dropcolumn", Some(newSchema.json),
-        prev.layout.filterNot(_ == column),
-        prev.statsFor.filterNot(_ == column),
-        (prev.dropped :+ column).distinct))
+        prev.layout.filterNot(c => key(c) == key(canonical)),
+        prev.statsFor.filterNot(c => key(c) == key(canonical)),
+        (prev.dropped :+ canonical).distinct))
     }(identity)
   }
 
@@ -1062,10 +1095,13 @@ object TableLog {
       // in the restored files: if a compact has since cleared it from the
       // dropped set, re-registering it here keeps the re-add guard alive
       // while resurrection-capable files are back in the live set
+      val key = nameKey(spark) _
       val reDropped = (for {
         t <- target.schema; c <- cur.schema
-      } yield t.fieldNames.toSeq.filterNot(c.fieldNames.contains))
-        .getOrElse(Nil)
+      } yield {
+        val curKeys = c.fieldNames.iterator.map(key).toSet
+        t.fieldNames.toSeq.filterNot(n => curKeys(key(n)))
+      }).getOrElse(Nil)
       // …but a name that was dropped and then RE-ADDED (evolve after a
       // compact retired it) is invisible to that schema diff, and
       // committing the restore would serve the pre-drop files' OLD
@@ -1077,11 +1113,13 @@ object TableLog {
       // so union those sets (plus the target's own, for pre-target
       // drops whose files were still unpurged at the target) and refuse
       // loudly on any overlap with the current schema.
-      val droppedSince = ((version + 1) to cur.version).iterator.flatMap { v =>
+      // all name sets below compare under [[nameKey]]: the reader that
+      // would resurrect the values resolves case-insensitively too
+      val droppedSince = (((version + 1) to cur.version).iterator.flatMap { v =>
         tryReadFully(fs, new Path(logDir(dir), manifestName(v)))
           .map(parse(_).dropped).getOrElse(throw new IllegalStateException(
             s"manifest $v of $dir vanished mid-restore — re-run"))
-      }.toSet ++ target.dropped
+      } ++ target.dropped.iterator).map(key).toSet
       // only a column the TARGET-era files can physically carry is
       // resurrection-capable: its schema's fields plus its own
       // still-unpurged dropped names. A column first ADDED after the
@@ -1091,12 +1129,14 @@ object TableLog {
       // schema to consult) stay conservative.
       val targetEra: String => Boolean = target.schema match {
         case Some(s) =>
-          val names = s.fieldNames.toSet ++ target.dropped
+          val names = (s.fieldNames.iterator ++ target.dropped.iterator)
+            .map(key).toSet
           names.contains _
         case None => _ => true
       }
       val resurrected = cur.schema
-        .map(_.fieldNames.toSeq.filter(c => droppedSince(c) && targetEra(c)))
+        .map(_.fieldNames.toSeq.filter(c =>
+          droppedSince(key(c)) && targetEra(key(c))))
         .getOrElse(Nil)
       if (resurrected.nonEmpty) throw new IllegalStateException(
         s"restore of $dir to version $version would resurrect dropped " +
@@ -1655,12 +1695,19 @@ object TableLog {
     * inclusive range [lower, upper] — the streaming face of
     * [[readWhere]]: the range predicate pushes into every micro-batch's
     * scan, so files whose recorded stats cannot intersect are pruned at
-    * the manifest level, never opened. */
+    * the manifest level, never opened. `schema` and
+    * `maxVersionsPerTrigger` pass straight through — a stats-pruned
+    * consumer starting deep in the backlog needs the same admission
+    * control (and the same consumer-first explicit schema) as the
+    * unfiltered tail. */
   def readTailWhere(spark: SparkSession, dir: String, column: String,
                     lower: Any, upper: Any,
-                    since: Option[Long] = None): DataFrame = {
+                    since: Option[Long] = None,
+                    schema: Option[org.apache.spark.sql.types.StructType] =
+                      None,
+                    maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    readTailVersions(spark, dir, since)
+    readTailVersions(spark, dir, since, schema, maxVersionsPerTrigger)
       .filter(col(column).between(lit(lower), lit(upper)))
   }
 

@@ -47,7 +47,8 @@ final case class TableVersionOffset(v: Long) extends V1Offset {
   * consumer lag, exactly like changelog retention. */
 final class TableLogTailSource(spark: SparkSession, dir: String,
                                metadataPath: String, pinned: StructType,
-                               since: Long, maxVersionsPerTrigger: Option[Int])
+                               pinnedAt: Long, since: Long,
+                               maxVersionsPerTrigger: Option[Int])
     extends Source {
 
   override def schema: StructType = pinned
@@ -137,10 +138,15 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
         case _ => head // uncapped, or unknown floor: re-anchor at the head
       }
       if (!offeredFloor.exists(_ >= capped)) {
-        // persist BEFORE offering: the floor on disk must never lag an
-        // offset the engine could have logged (the uncapped path never
-        // consults it, so it skips the write)
-        if (maxVersionsPerTrigger.isDefined) persistFloor(capped)
+        // persist BEFORE offering, capped or NOT: the floor on disk must
+        // never lag an offset the engine could have logged. An uncapped
+        // run that skipped the write would leave a stale floor from an
+        // earlier capped era, and re-enabling the cap after a restart
+        // would seed from it — offering (and, once the engine logs the
+        // rewound offset, re-emitting) versions the stream already
+        // delivered. One small-file write per ADVANCING trigger, nothing
+        // on idle ones.
+        persistFloor(capped)
         offeredFloor = Some(capped)
       }
       TableVersionOffset(capped)
@@ -149,7 +155,36 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val fromV = start.map(_.json.toLong).getOrElse(since)
     val toV = end.json.toLong
-    offeredFloor = Some(math.max(offeredFloor.getOrElse(Long.MinValue), toV))
+    if (!offeredFloor.exists(_ >= toV)) {
+      // a replayed engine-logged offset above the in-memory floor means
+      // the floor file is stale or lost (legacy uncapped checkpoint,
+      // torn write) — refresh it so a later capped restart re-anchors
+      // at an offset the engine has actually logged, never below it
+      persistFloor(toV)
+      offeredFloor = Some(toV)
+    }
+    if (toV > fromV && toV > pinnedAt) {
+      // schema-drift guard: every batch is planned with the schema
+      // pinned at source creation, so an evolve/dropColumn committed
+      // AFTER the pin would otherwise be silently invisible (added
+      // column absent) or silently null-filled (dropped column) from
+      // this batch on. The newest version of the window carries the
+      // era's recorded schema in its head (one small file read); any
+      // mismatch fails the query loudly — restart the stream to re-pin
+      // (COMPATIBILITY.md documents the procedure; on restart, windows
+      // at or below the new pin read pre-drift files under the newest
+      // schema, the same straddling semantics as appendsSince).
+      TableLog.headAt(spark, dir, toV).flatMap(_.schema).foreach { recorded =>
+        if (!TableLog.sameSchema(recorded, pinned))
+          throw new IllegalStateException(
+            s"schema drift under a live tail of $dir: version $toV records\n" +
+              s"  ${recorded.simpleString}\nbut this stream pinned\n" +
+              s"  ${pinned.simpleString}\nat creation (version $pinnedAt). " +
+              "An evolve/dropColumn was committed mid-stream; restart the " +
+              "streaming query to re-pin the table's current schema — no " +
+              "rows of this batch were delivered")
+      }
+    }
     val delta =
       if (toV <= fromV) Vector.empty
       else TableLog.appendedEntries(spark, dir, fromV, toV)
@@ -218,7 +253,17 @@ final class TableLogTailProvider extends StreamSourceProvider {
       parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val dir = dirOf(parameters)
-    val pinned = resolveSchema(spark, schema, parameters)
+    // one head read resolves BOTH the pinned schema and the version it
+    // was pinned at (the drift guard's boundary): resolving them from
+    // separate listings could straddle a racing evolve — a pin-version
+    // NEWER than the pinned schema would skip the guard for exactly the
+    // drifted window
+    val head = TableLog.latestHead(spark, dir)
+    val pinned = schema.getOrElse(head.flatMap(_.schema).getOrElse(
+      throw new IllegalStateException(
+        s"$dir has no schema-recording manifest — pass the schema " +
+          "explicitly to tail a table that has not been written yet")))
+    val pinnedAt = head.map(_.version).getOrElse(-1L)
     // `since` must resolve to the SAME value on every re-creation of
     // this source under one checkpoint: the engine can log an offset
     // and crash before the batch commits, then replay
@@ -254,6 +299,7 @@ final class TableLogTailProvider extends StreamSourceProvider {
       }
     val maxV = parameters.get("maxVersionsPerTrigger").map(_.toInt)
     maxV.foreach(n => require(n >= 1, s"maxVersionsPerTrigger must be >= 1: $n"))
-    new TableLogTailSource(spark, dir, metadataPath, pinned, since, maxV)
+    new TableLogTailSource(spark, dir, metadataPath, pinned, pinnedAt, since,
+      maxV)
   }
 }

@@ -366,6 +366,62 @@ class IndexFollowerSpec extends SparkSuite {
     corpus.unpersist()
   }
 
+  test("untakedown dedups against a pre-upgrade LEGACY replay key; a fresh key repairs") {
+    val corpus = corpusDf().cache()
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_utdl_src").toString + "/t"
+    val dedupDir = java.nio.file.Files.createTempDirectory("graft_utdl_ddx").toString + "/ix"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_utdl_state").toString
+    import org.apache.spark.sql.types._
+    val emptyCorpus = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val ann = AnnIndex.build(emptyCorpus, "utdl_ann", planes = 8, buckets = 8)
+    TableLog.appendBatch(corpus, srcDir, "src", 0L)
+    IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
+    val victims = corpus.select($"doc_id").as[Long].collect().sorted.take(4).toSeq
+    val pre1 = TableLog.latest(spark, srcDir).get.version
+    IndexFollower.takedown(spark, srcDir, dedupDir, ann, victims)
+    TableLog.restore(spark, srcDir, pre1)
+    // a PRE-UPGRADE untakedown committed its dedup leg under the plain
+    // `untakedown-<repairKey>` ledger key (no id-set hash) and crashed
+    // before the ANN leg — reproduce its exact commit
+    val victimDocs = TableLog.read(spark, srcDir)
+      .filter($"doc_id".isin(victims: _*)).select($"doc_id", $"text")
+    assert(TableLog.appendBatch(DedupIndex.indexRows(victimDocs),
+      dedupDir, "untakedown-undo-legacy", 0L))
+    // …the ids are then taken down AGAIN (rows removed; the ledger entry
+    // survives — commit maps are writer history) and the corpus restored
+    val pre2 = TableLog.latest(spark, srcDir).get.version
+    IndexFollower.takedown(spark, srcDir, dedupDir, ann, victims)
+    TableLog.restore(spark, srcDir, pre2)
+    assert(TableLog.read(spark, dedupDir)
+      .filter($"doc_id".isin(victims: _*)).count() == 0L, "fixture: rows present")
+    // a retry under the SAME repairKey must honor the legacy ledger entry
+    // (one key = one logical repair, replayed at most once) — not append
+    // band rows a second time under the new hashed key
+    val u = IndexFollower.untakedown(spark, srcDir, dedupDir, ann, victims,
+      "undo-legacy")
+    assert(u.dedupIndexRows == 0L,
+      s"legacy-keyed repair re-applied under the hashed key: $u")
+    assert(TableLog.read(spark, dedupDir)
+      .filter($"doc_id".isin(victims: _*)).count() == 0L,
+      "the deduped retry still appended band rows")
+    // a FRESH key is a new logical repair and restores the band rows
+    val u2 = IndexFollower.untakedown(spark, srcDir, dedupDir, ann, victims,
+      "undo-fresh")
+    assert(u2.dedupIndexRows > 0L, s"fresh-key repair was a no-op: $u2")
+    val refRows = DedupIndex.indexRows(victimDocs)
+      .select($"doc_id", $"band", $"band_hash")
+      .as[(Long, Int, String)].collect().toSet
+    assert(TableLog.read(spark, dedupDir)
+      .filter($"doc_id".isin(victims: _*))
+      .select($"doc_id", $"band", $"band_hash")
+      .as[(Long, Int, String)].collect().toSet == refRows,
+      "fresh-key repair diverged from a from-scratch banding")
+    corpus.unpersist()
+  }
+
   test("takedown BEFORE the follower indexed the docs: the tombstone registry keeps them out of both indexes") {
     val corpus = corpusDf().cache()
     val ids = corpus.select($"doc_id").as[Long].collect().sorted

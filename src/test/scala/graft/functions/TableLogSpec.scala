@@ -985,6 +985,41 @@ class TableLogSpec extends SparkSuite {
       "a pre-add restore must serve nulls for the later-added column")
   }
 
+  test("resurrection guards resolve names the way the reader will: case-insensitively by default") {
+    import org.apache.spark.sql.types._
+    assert(!spark.sessionState.conf.caseSensitiveAnalysis,
+      "fixture assumption: default Spark resolution is case-insensitive")
+    val dir = freshTable()
+    val scored = Seq.tabulate(50)(i => (i.toLong, s"s$i", i * 1.5))
+      .toDF("id", "v", "score")
+    TableLog.appendBatch(scored, dir, "r", 0L)
+    // dropColumn resolves its argument under the session's rules and
+    // records the schema's CANONICAL spelling in the dropped set
+    val m = TableLog.dropColumn(spark, dir, "SCORE")
+    assert(m.dropped == Seq("score") &&
+      m.schema.get.fieldNames.toSeq == Seq("id", "v"),
+      s"dropped=${m.dropped} schema=${m.schema.get.simpleString}")
+    // re-adding the dropped name under a DIFFERENT case is the same
+    // resurrection: parquet resolves case-insensitively, so the pre-drop
+    // files would serve the old score values under `SCORE`
+    val reAdd = StructType(m.schema.get.fields :+
+      StructField("SCORE", DoubleType, nullable = true))
+    val e = intercept[IllegalArgumentException](
+      TableLog.evolve(spark, dir, reAdd))
+    assert(e.getMessage.contains("previously"), e.getMessage)
+    // compact purges the files and retires the name; the case-variant
+    // re-add is then legal…
+    TableLog.compact(spark, dir, targetBytes = 1L << 20)
+    TableLog.evolve(spark, dir, reAdd)
+    assert(TableLog.read(spark, dir).filter($"SCORE".isNotNull).count() == 0L)
+    // …but restoring to the PRE-drop version would swap files physically
+    // holding `score` values back under the re-added `SCORE` — the same
+    // case-blind resolution serves them, so the guard must refuse
+    val res = intercept[IllegalStateException](
+      TableLog.restore(spark, dir, 0L))
+    assert(res.getMessage.contains("resurrect"), res.getMessage)
+  }
+
   test("dropColumn scrubs layout/trackStats registrations; other-column pruning survives") {
     val dir = freshTable()
     val df = Seq.tabulate(2000)(i => (i.toLong, i * 10L, s"v$i")).toDF("id", "ts", "v")

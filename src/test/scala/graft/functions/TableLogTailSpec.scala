@@ -277,6 +277,128 @@ class TableLogTailSpec extends SparkSuite {
     } finally q3.stop()
   }
 
+  test("a capped→uncapped→capped option sequence never rewinds offers below the committed offset") {
+    val dir = freshTable()
+    val ck = ckpt()
+    val out = ckpt() + "/out"
+    (0 until 4).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    def start(cap: Option[Int]) = TableLog.readTailVersions(spark, dir,
+        since = Some(-1L), maxVersionsPerTrigger = cap)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).outputMode("append").start()
+    val q1 = start(Some(2))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 400L)
+    // a long UNCAPPED leg: if its advancing offers skip the floor file,
+    // the persisted floor stays at the capped leg's last offer (3) while
+    // the checkpoint commits through 11 — and the re-capped leg below
+    // would seed from it, offering 3+2=5, an offset BEHIND the committed
+    // one, re-emitting versions 4..11 after the engine logs the rewind
+    (4 until 12).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    val q2 = start(None)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(out).count() == 1200L)
+    (12 until 14).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    val q3 = start(Some(2))
+    try {
+      q3.processAllAvailable()
+      val got = spark.read.parquet(out).select("ts").as[Long].collect().sorted.toSeq
+      assert(got == (0L until 1400L),
+        s"re-enabled cap rewound below the committed offset: ${got.length} " +
+          s"rows, dups=${got.groupBy(identity).count(_._2.length > 1)}")
+    } finally q3.stop()
+  }
+
+  test("a mid-stream evolve fails the tail loudly — restart re-pins and the added column flows") {
+    val dir = freshTable()
+    val ck = ckpt()
+    (0 until 2).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Long)]
+    def start() = TableLog.readTailVersions(spark, dir, since = Some(-1L))
+      .writeStream.outputMode("append").option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count()
+        if (n > 0) seen.synchronized { seen += ((df.columns.toSeq, n)) }; ()
+      }.start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(seen.synchronized(seen.map(_._2).sum) == 200L)
+      // legal additive evolution + a new-shape append while the tail runs:
+      // the pinned plan would silently DROP the added column from here on
+      val evolved = batch(0).schema.add("extra",
+        org.apache.spark.sql.types.StringType, nullable = true)
+      TableLog.evolve(spark, dir, evolved)
+      TableLog.appendBatch(batch(2).withColumn("extra", lit("x")), dir, "r2", 0L)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      assert(e.getMessage.contains("schema drift under a live tail") ||
+        Option(e.getCause).exists(_.getMessage.contains("schema drift under a live tail")),
+        s"wrong failure: ${e.getMessage}")
+      assert(seen.synchronized(seen.map(_._2).sum) == 200L,
+        "rows of the drifted batch were delivered before the failure")
+    } finally q1.stop()
+    // the documented recovery: restart the query — the source re-pins the
+    // table's CURRENT schema and the un-delivered versions replay with
+    // the added column present
+    seen.synchronized(seen.clear())
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // only the failed (uncommitted) window replays — the 200 rows the
+      // first leg committed must NOT re-emit
+      val rows = seen.synchronized(seen.toList)
+      assert(rows.map(_._2).sum == 100L,
+        s"restart lost or re-emitted rows: $rows")
+      assert(rows.forall(_._1 == Seq("ts", "v", "extra")),
+        s"re-pinned batches must carry the evolved schema: ${rows.map(_._1)}")
+    } finally q2.stop()
+  }
+
+  test("a mid-stream dropColumn fails the tail loudly before any silently null-filled row") {
+    val dir = freshTable()
+    (0 until 2).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    val q = TableLog.readTailVersions(spark, dir, since = Some(-1L))
+      .writeStream.format("memory").queryName("vtail_drop_drift")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("vtail_drop_drift").count() == 200L)
+      TableLog.dropColumn(spark, dir, "v")
+      TableLog.appendBatch(Seq.tabulate(5)(i => 900L + i).toDF("ts"),
+        dir, "r2", 0L)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("schema drift under a live tail") ||
+        Option(e.getCause).exists(_.getMessage.contains("schema drift under a live tail")),
+        s"wrong failure: ${e.getMessage}")
+      assert(spark.table("vtail_drop_drift").count() == 200L,
+        "null-filled rows of the dropped-column era were delivered")
+    } finally q.stop()
+  }
+
+  test("consumer-first drift: a first commit that disagrees with the explicit schema fails the tail") {
+    val dir = freshTable()
+    val q = TableLog.readTailVersions(spark, dir, schema = Some(batch(0).schema))
+      .writeStream.format("memory").queryName("vtail_first_drift")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the writer arrives with a DIFFERENT shape than the consumer pinned
+      TableLog.appendBatch(batch(0).withColumn("extra", lit(1)), dir, "w", 0L)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("schema drift under a live tail") ||
+        Option(e.getCause).exists(_.getMessage.contains("schema drift under a live tail")),
+        s"wrong failure: ${e.getMessage}")
+      assert(spark.table("vtail_first_drift").isEmpty,
+        "rows were delivered under a schema the table never committed")
+    } finally q.stop()
+  }
+
   test("steady-state CDC deltas touch only the NEW segments, and survive a mid-span segment fold") {
     val dir = freshTable()
     (0 until 24).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
