@@ -543,18 +543,8 @@ object TableLog {
     * vacuum grace) and its files unvacuumed; a version outside retention
     * fails loudly with the available range (derived from manifest NAMES,
     * so the error path never reads a manifest body). */
-  def readAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
-    val (fs, _) = fsFor(spark, dir)
-    val p = new Path(logDir(dir), manifestName(version))
-    tryReadFully(fs, p) match {
-      case Some(text) => readVersion(spark, dir, resolveManifest(fs, dir, text))
-      case None =>
-        val have = retainedVersions(spark, dir)
-        throw new IllegalStateException(
-          s"$dir has no retained manifest for version $version — retained: " +
-            (if (have.isEmpty) "none" else s"${have.min}..${have.max}"))
-    }
-  }
+  def readAt(spark: SparkSession, dir: String, version: Long): DataFrame =
+    readVersion(spark, dir, manifestAt(spark, dir, version))
 
   /** All retained manifests, oldest first — the table's recent history
     * (version, op, rows, file count). A manifest pruned by a concurrent
@@ -590,19 +580,44 @@ object TableLog {
       s"$dir version ${m.version} has no data files (only empty batches committed)")
     val base = dir.stripSuffix("/")
     m.schema match {
-      case Some(s) =>
-        val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-          new ManifestFileIndex(spark, dir, m),
-          partitionSchema = org.apache.spark.sql.types.StructType(Nil),
-          dataSchema = s,
-          bucketSpec = None,
-          fileFormat =
-            new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
-          options = Map.empty)(spark)
-        spark.baseRelationToDataFrame(rel)
+      case Some(s) => spark.baseRelationToDataFrame(hadoopRelation(spark, dir, m, s))
       case None =>
         spark.read.parquet(m.files.map(e => s"$base/${e.name}"): _*)
     }
+  }
+
+  /** The file-source relation every manifest-pinned reader plans: a
+    * parquet `HadoopFsRelation` whose file list is answered by a
+    * [[ManifestFileIndex]] over `m` — zero directory listings, pushed
+    * data filters pruned against the recorded per-file stats. Shared by
+    * [[readVersion]], the streaming tail's per-batch planning, and the
+    * `format("tablelog")` batch provider
+    * ([[graft.sources.TableLogProvider]]). */
+  private[graft] def hadoopRelation(spark: SparkSession, dir: String,
+      m: Manifest, dataSchema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.execution.datasources.HadoopFsRelation =
+    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      new ManifestFileIndex(spark, dir, m),
+      partitionSchema = org.apache.spark.sql.types.StructType(Nil),
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      options = Map.empty)(spark)
+
+  /** The RESOLVED manifest of retained `version` — [[readAt]]'s lookup
+    * without the DataFrame: the same loud beyond-retention error, full
+    * file list materialized. */
+  private[graft] def manifestAt(spark: SparkSession, dir: String,
+                                version: Long): Manifest = {
+    val (fs, _) = fsFor(spark, dir)
+    tryReadFully(fs, new Path(logDir(dir), manifestName(version)))
+      .map(resolveManifest(fs, dir, _)).getOrElse {
+        val have = retainedVersions(spark, dir)
+        throw new IllegalStateException(
+          s"$dir has no retained manifest for version $version — retained: " +
+            (if (have.isEmpty) "none" else s"${have.min}..${have.max}"))
+      }
   }
 
   /** Total data bytes — from the manifest, zero filesystem calls. */

@@ -1,0 +1,105 @@
+package graft.sources
+
+import graft.SparkSuite
+import graft.functions.{ManifestFileIndex, TableLog}
+import org.apache.spark.sql.functions._
+
+/** The `format("tablelog")` batch face: committed snapshots readable
+  * from plain SQL/DataFrame sessions — manifest-pinned file lists,
+  * automatic stats pruning, `versionAsOf` time travel — plus the same
+  * short name as the streaming tail. */
+class TableLogProviderSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_dsv1").toString + "/t"
+
+  private def batch(b: Int) = Seq.tabulate(100)(i => (b * 100L + i, s"v$b-$i"))
+    .toDF("ts", "v").coalesce(1)
+
+  test("load() reads the committed snapshot and prunes files on pushed filters") {
+    val dir = freshTable()
+    TableLog.appendBatch(batch(0), dir, "r", 0L)
+    TableLog.trackStats(spark, dir, Seq("ts"))
+    (1 to 3).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    val df = spark.read.format("tablelog").load(dir)
+    assert(df.count() == 400L)
+    assert(df.schema.fieldNames.toSeq == Seq("ts", "v"))
+    // a plain filter prunes at the MANIFEST level: of the stat-carrying
+    // files only the matching span opens (the pre-registration version-0
+    // file is conservatively kept)
+    ManifestFileIndex.lastListed = Seq("sentinel")
+    assert(df.filter($"ts".between(210L, 290L)).count() == 81L)
+    val opened = ManifestFileIndex.lastListed.toSet
+    assert(opened.size == 2 && opened.exists(_.startsWith("a0-")) &&
+      opened.exists(_.startsWith("a3-")),
+      s"wrong files opened for a pushed range: $opened")
+    // an orphan of a crashed commit (present on disk, in no manifest)
+    // is never served
+    val orphanSrc = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("a2-")).head
+    java.nio.file.Files.copy(orphanSrc.toPath,
+      new java.io.File(dir, "a9-orphan.parquet").toPath)
+    assert(spark.read.format("tablelog").load(dir).count() == 400L,
+      "an unreferenced file leaked into the snapshot")
+  }
+
+  test("the relation pins its manifest at load(); a re-load follows the head") {
+    val dir = freshTable()
+    TableLog.appendBatch(batch(0), dir, "r", 0L)
+    val pinned = spark.read.format("tablelog").load(dir)
+    assert(pinned.count() == 100L)
+    TableLog.appendBatch(batch(1), dir, "r", 1L)
+    assert(pinned.count() == 100L,
+      "a resolved relation must be a snapshot, not follow the head")
+    assert(spark.read.format("tablelog").load(dir).count() == 200L)
+  }
+
+  test("versionAsOf time travel matches readAt, era schema included; beyond retention fails loudly") {
+    val dir = freshTable()
+    TableLog.appendBatch(batch(0), dir, "r", 0L)
+    TableLog.appendBatch(batch(1), dir, "r", 1L)
+    val v0 = spark.read.format("tablelog").option("versionAsOf", "0")
+      .load(dir)
+    assert(v0.select($"ts").as[Long].collect().sorted.toSeq == (0L until 100L))
+    // era-correct schema: a later dropColumn does not reshape the past
+    TableLog.dropColumn(spark, dir, "v")
+    val v1 = spark.read.format("tablelog").option("versionAsOf", "1").load(dir)
+    assert(v1.schema.fieldNames.toSeq == Seq("ts", "v"))
+    assert(spark.read.format("tablelog").load(dir)
+      .schema.fieldNames.toSeq == Seq("ts"))
+    val e = intercept[IllegalStateException] {
+      spark.read.format("tablelog").option("versionAsOf", "99").load(dir)
+    }
+    assert(e.getMessage.contains("no retained manifest"), e.getMessage)
+  }
+
+  test("SQL sessions consume the lake: CREATE TABLE ... USING tablelog") {
+    val dir = freshTable()
+    TableLog.appendBatch(batch(0), dir, "r", 0L)
+    spark.sql("DROP TABLE IF EXISTS dsv1_sql")
+    spark.sql(s"CREATE TABLE dsv1_sql USING tablelog OPTIONS (path '$dir')")
+    try {
+      assert(spark.sql("SELECT count(*) AS n FROM dsv1_sql")
+        .as[Long].head() == 100L)
+      assert(spark.sql("SELECT sum(ts) AS s FROM dsv1_sql WHERE ts < 10")
+        .as[Long].head() == 45L)
+    } finally spark.sql("DROP TABLE IF EXISTS dsv1_sql")
+  }
+
+  test("the same short name streams: readStream.format(\"tablelog\") is the version tail") {
+    val dir = freshTable()
+    TableLog.appendBatch(batch(0), dir, "r", 0L)
+    val q = spark.readStream.format("tablelog").option("since", "-1")
+      .load(dir)
+      .writeStream.format("memory").queryName("dsv1_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dsv1_tail").count() == 100L)
+      TableLog.appendBatch(batch(1), dir, "r", 1L)
+      q.processAllAvailable()
+      assert(spark.table("dsv1_tail").count() == 200L)
+    } finally q.stop()
+  }
+}
