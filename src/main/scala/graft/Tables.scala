@@ -48,6 +48,14 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NOTE on parquet timestamps: the session keeps Spark's INT96
+      // output default (the driver's DuckDB/pandas oracle reads INT64
+      // isAdjustedToUTC micros as tz-AWARE and would flag every dumped
+      // timestamp column's dtype). INT96 carries no parquet statistics,
+      // so TableLog.trackStats on a TimestampType column rejects loudly
+      // under this session and tells the caller to set
+      // spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS (a
+      // runtime conf — settable right before the ingest writes).
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

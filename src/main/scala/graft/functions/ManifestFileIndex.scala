@@ -89,6 +89,21 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
         }
         case None => true
       }
+    // prefix predicates — the common string filter of web-corpus work
+    // (URL/domain scoping): a file can hold a row starting with `p` only
+    // if its recorded [min, max] intersects the prefix's value range
+    case StartsWith(attr, l: Literal) if l.value != null =>
+      column(attr) match {
+        case Some((name, StringType)) => stats.get(name) match {
+          case Some((mn, mx)) =>
+            ParquetFooters.prefixIntersects(
+              ParquetFooters.parseBound(mn, StringType).asInstanceOf[String],
+              ParquetFooters.parseBound(mx, StringType).asInstanceOf[String],
+              l.value.toString)
+          case None => true
+        }
+        case _ => true
+      }
     case _ => true // IsNull/IsNotNull/Not/functions/…: cannot prune safely
   }
 
@@ -155,6 +170,9 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
 
   private def num(n: Long, dt: DataType): Option[Any] = dt match {
     case ByteType | ShortType | IntegerType | LongType => Some(n)
+    // Catalyst temporal literals are already in the harvest's domain:
+    // epoch micros (timestamps) / epoch days (dates), both Long-backed
+    case TimestampType | TimestampNTZType | DateType => Some(n)
     case FloatType | DoubleType => Some(n.toDouble)
     case _ => None
   }

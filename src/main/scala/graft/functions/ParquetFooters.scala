@@ -63,7 +63,9 @@ object ParquetFooters {
             if (st == null || st.isEmpty || !st.hasNonNullValue) dead += name
             else {
               val dt = wanted(name)
-              val (mn, mx) = (value(st.genericGetMin, dt), value(st.genericGetMax, dt))
+              val ann = c.getPrimitiveType.getLogicalTypeAnnotation
+              val (mn, mx) = (value(st.genericGetMin, dt, ann),
+                value(st.genericGetMax, dt, ann))
               (mn, mx) match {
                 case (Some(lo), Some(hi)) =>
                   acc.get(name) match {
@@ -97,25 +99,60 @@ object ParquetFooters {
       try reader.getRecordCount finally reader.close()
     }.sum
 
-  /** Types whose min/max this module serializes and re-compares. */
+  /** Types whose min/max this module serializes and re-compares.
+    * Timestamps compare as epoch MICROS and dates as epoch DAYS (both
+    * long domain) — matching the values Catalyst puts in filter
+    * literals, so the pruning comparison is unit-exact. INT96
+    * timestamps (the legacy Spark default output type) carry NO usable
+    * parquet statistics and simply never yield an entry — conservative,
+    * and [[TableLog.trackStats]] rejects the registration loudly up
+    * front when the session still writes INT96. */
   def comparable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType |
-         FloatType | DoubleType | StringType => true
+         FloatType | DoubleType | StringType |
+         TimestampType | TimestampNTZType | DateType => true
     case _ => false
   }
 
   // parquet statistics surface Integer/Long/Float/Double/Binary; map to
-  // the Spark column's comparison domain (long, double or string)
-  private def value(v: Any, dt: DataType): Option[Any] = (v, dt) match {
-    case (i: java.lang.Integer, ByteType | ShortType | IntegerType | LongType) =>
-      Some(i.longValue())
-    case (l: java.lang.Long, ByteType | ShortType | IntegerType | LongType) =>
-      Some(l.longValue())
-    case (f: java.lang.Float, FloatType | DoubleType) => Some(f.doubleValue())
-    case (d: java.lang.Double, FloatType | DoubleType) => Some(d.doubleValue())
-    case (b: org.apache.parquet.io.api.Binary, StringType) =>
-      Some(b.toStringUsingUTF8)
-    case _ => None
+  // the Spark column's comparison domain (long, double or string). For
+  // temporal columns the parquet LOGICAL annotation fixes the unit and
+  // zone semantics — an INT64 whose annotation disagrees with the Spark
+  // type (wrong unit source, isAdjustedToUTC mismatch) yields None
+  // (conservative), never a bound in the wrong domain.
+  private def value(v: Any, dt: DataType,
+      ann: org.apache.parquet.schema.LogicalTypeAnnotation): Option[Any] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{
+      DateLogicalTypeAnnotation, TimeUnit, TimestampLogicalTypeAnnotation}
+    (v, dt) match {
+      case (i: java.lang.Integer, ByteType | ShortType | IntegerType | LongType) =>
+        Some(i.longValue())
+      case (l: java.lang.Long, ByteType | ShortType | IntegerType | LongType) =>
+        Some(l.longValue())
+      case (f: java.lang.Float, FloatType | DoubleType) => Some(f.doubleValue())
+      case (d: java.lang.Double, FloatType | DoubleType) => Some(d.doubleValue())
+      case (b: org.apache.parquet.io.api.Binary, StringType) =>
+        Some(b.toStringUsingUTF8)
+      case (l: java.lang.Long, TimestampType | TimestampNTZType) => ann match {
+        case t: TimestampLogicalTypeAnnotation
+            if t.isAdjustedToUTC == (dt == TimestampType) =>
+          t.getUnit match {
+            case TimeUnit.MICROS => Some(l.longValue())
+            case TimeUnit.MILLIS => Some(l.longValue() * 1000L)
+            // floor-truncating nanos is exact for MIN; for MAX it can
+            // only UNDER-state by <1µs, and micro-domain literals cannot
+            // fall inside that gap — the bound stays sound
+            case TimeUnit.NANOS => Some(Math.floorDiv(l.longValue(), 1000L))
+            case _ => None
+          }
+        case _ => None
+      }
+      case (i: java.lang.Integer, DateType) => ann match {
+        case _: DateLogicalTypeAnnotation => Some(i.longValue())
+        case _ => None
+      }
+      case _ => None
+    }
   }
 
   /** Unsigned lexicographic UTF-8 byte comparison — the collation
@@ -125,18 +162,9 @@ object ParquetFooters {
     * vs chars ≥ U+E000 (a surrogate pair sorts below '￿' in UTF-16
     * but above it in UTF-8 bytes) — comparing bounds in the wrong
     * domain would prune files that contain matching rows. */
-  private[functions] def utf8Cmp(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
+  private[functions] def utf8Cmp(a: String, b: String): Int =
+    bytesCmp(a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   private def minOf(dt: DataType, a: Any, b: Any): Any = dt match {
     case StringType =>
@@ -172,6 +200,39 @@ object ParquetFooters {
     case _ => s.toLong
   }
 
+  /** True iff the inclusive string range [min, max] can contain a value
+    * starting with `prefix`, in the same UTF-8 byte collation as
+    * [[utf8Cmp]]. Two sound exclusions, both byte-wise:
+    *  - every match is ≥ `prefix` (it IS the prefix, possibly followed
+    *    by more bytes), so `max < prefix` excludes the file — including
+    *    the bounds-equal-a-SHORTER-string edge (range ["ab","ab"]
+    *    cannot hold anything starting with "abc");
+    *  - every match's first |prefix| bytes EQUAL the prefix, so a `min`
+    *    whose |prefix|-byte truncation already exceeds it excludes the
+    *    file. A `min` shorter than the prefix compares by its own
+    *    length (no padding — a truncation that merely EQUALS the
+    *    prefix, e.g. min "ab" vs prefix "ab", must keep).
+    * Anything else keeps the file (may-match). Writer-truncated parquet
+    * bounds stay sound: truncation only ever widens [min, max]. */
+  def prefixIntersects(min: String, max: String, prefix: String): Boolean = {
+    val pb = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val mxb = max.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (bytesCmp(mxb, pb) < 0) return false
+    val mnb = min.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    bytesCmp(mnb.take(math.min(mnb.length, pb.length)), pb) <= 0
+  }
+
+  private def bytesCmp(x: Array[Byte], y: Array[Byte]): Int = {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** True iff the inclusive stat range [min, max] intersects the
     * inclusive query range [lo, hi] in `dt`'s comparison domain. */
   def intersects(dt: DataType, min: Any, max: Any, lo: Any, hi: Any): Boolean =
@@ -191,6 +252,19 @@ object ParquetFooters {
     * `dt`'s comparison domain, failing loudly on a type mismatch. */
   def liftBound(v: Any, dt: DataType): Any = (v, dt) match {
     case (s: String, StringType) => s
+    // temporal bounds lift into the same domains the harvest stores:
+    // epoch micros for timestamps, epoch days for dates (raw Long/Int
+    // bounds pass through the numeric cases below unchanged)
+    case (t: java.sql.Timestamp, TimestampType | TimestampNTZType) =>
+      // getTime's millis already include the integral-millis part of
+      // getNanos — rebuild micros from whole seconds + the nano field
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    case (i: java.time.Instant, TimestampType | TimestampNTZType) =>
+      i.getEpochSecond * 1000000L + i.getNano / 1000
+    case (d: java.time.LocalDateTime, TimestampNTZType) =>
+      d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000
+    case (d: java.sql.Date, DateType) => d.toLocalDate.toEpochDay
+    case (d: java.time.LocalDate, DateType) => d.toEpochDay
     case (n: Byte, t) if !t.isInstanceOf[StringType.type] => widen(n.toLong, dt)
     case (n: Short, t) if !t.isInstanceOf[StringType.type] => widen(n.toLong, dt)
     case (n: Int, t) if !t.isInstanceOf[StringType.type] => widen(n.toLong, dt)

@@ -1008,8 +1008,25 @@ object TableLog {
             unusable.map(f => s"${f.name} (${f.dataType.simpleString})")
               .mkString(", ") +
             " have no comparable footer stats — supported types are " +
-            "byte/short/int/long/float/double/string (cast an event " +
-            "time to epoch micros long before tracking it)")
+            "byte/short/int/long/float/double/string/timestamp/date")
+        // same silent-never-prunes hazard for timestamps specifically: a
+        // session still writing the legacy INT96 physical type produces
+        // files with NO usable parquet statistics, so the registration
+        // would never prune anything this writer appends
+        val tsCols = cols.flatMap(c => s.fields.find(_.name == c))
+          .filter(f =>
+            f.dataType == org.apache.spark.sql.types.TimestampType)
+        if (tsCols.nonEmpty) {
+          val out = spark.conf.get(
+            "spark.sql.parquet.outputTimestampType", "INT96")
+          require(out != "INT96",
+            s"trackStats rejected for $dir: column(s) " +
+              tsCols.map(_.name).mkString(", ") +
+              " are timestamps but this session writes parquet INT96 " +
+              "(the legacy default), which records no usable statistics " +
+              "— set spark.sql.parquet.outputTimestampType=" +
+              "TIMESTAMP_MICROS (a runtime conf) and retry")
+        }
       }
       val merged = (prev.statsFor ++ cols).distinct
       if (merged == prev.statsFor) Left(prev) // idempotent re-registration

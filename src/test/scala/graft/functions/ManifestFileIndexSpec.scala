@@ -154,4 +154,116 @@ class ManifestFileIndexSpec extends SparkSuite {
       .select($"id").as[Long].collect().sorted.toSeq
     assert(viaWhere == viaFilter)
   }
+
+  test("startsWith prunes on string bounds; negation and stat-less columns stay conservative") {
+    val dir = freshTable()
+    val df = Seq.tabulate(2000)(i => (i.toLong, f"k$i%04d")).toDF("id", "k")
+    assert(TableLog.appendBatch(df, dir, "seed", 0L))
+    TableLog.compact(spark, dir,
+      targetBytes = math.max(1L, TableLog.bytes(spark, dir) / 6),
+      layoutBy = Seq("k"))
+    val m = TableLog.latest(spark, dir).get
+    assert(m.files.length >= 4, s"fixture vacuity: ${m.files.length}")
+    val rows = TableLog.read(spark, dir).filter($"k".startsWith("k01"))
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(rows == (100L to 199L), s"wrong rows: ${rows.take(5)}…")
+    val listed = ManifestFileIndex.lastListed.toSet
+    // the prefix's value range is exactly ["k01", "k02"): the same files
+    // a bounds query for that range keeps
+    val expected = TableLog.prunedFiles(spark, dir, "k", "k01", "k01￿").toSet
+    assert(listed == expected && listed.size < m.files.length,
+      s"scan listed $listed, stats say $expected of ${m.files.length}")
+    // NOT startsWith cannot prune (conservative)
+    TableLog.read(spark, dir).filter(!$"k".startsWith("k01")).count()
+    assert(ManifestFileIndex.lastListed.size == m.files.length,
+      "a negated prefix must keep every file")
+  }
+
+  test("TIMESTAMP/DATE stats harvest natively — time-ranged filters prune files, no epoch-micros cast") {
+    val dir = freshTable()
+    val base = java.time.Instant.parse("2026-01-01T00:00:00Z")
+      .getEpochSecond * 1000000L
+    // one file per hourly ingest batch — the canonical ingest-time
+    // clustering trackStats exists for (write order IS the clustering)
+    def batch(b: Int) = spark.range(100).select(
+      timestamp_micros(lit(base + b * 3600L * 1000000L) + $"id" * 1000000L)
+        .as("ts"),
+      (timestamp_micros(lit(base + b * 3600L * 1000000L) + $"id" * 1000000L))
+        .cast("timestamp_ntz").as("tsn"),
+      date_add(lit(java.sql.Date.valueOf("2026-01-01")), lit(b * 10)).as("d"),
+      $"id".as("n")).coalesce(1)
+    // stats need INT64 timestamps (INT96, the session default kept for
+    // oracle parity, records no statistics — trackStats' guard pins that)
+    val key = "spark.sql.parquet.outputTimestampType"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try {
+      TableLog.appendBatch(batch(0), dir, "r", 0L)
+      TableLog.trackStats(spark, dir, Seq("ts", "tsn", "d"))
+      (1 to 3).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    } finally spark.conf.set(key, saved)
+    val m = TableLog.latest(spark, dir).get
+    assert(m.files.count(_.stats.contains("ts")) == 3,
+      s"fixture vacuity: timestamp stats not harvested: ${m.files.map(_.stats.keySet)}")
+    // a plain time-ranged filter (typed literal, no manual micros cast)
+    // opens only hour 2's file plus the conservatively-kept stat-less
+    // boot file
+    val got = TableLog.read(spark, dir)
+      .filter($"ts".between(
+        lit("2026-01-01 02:00:30").cast("timestamp"),
+        lit("2026-01-01 02:01:09").cast("timestamp")))
+      .count()
+    assert(got == 40L, s"wrong rows: $got")
+    val opened = ManifestFileIndex.lastListed.toSet
+    assert(opened.size == 2 && opened.exists(_.startsWith("a0-")) &&
+      opened.exists(_.startsWith("a3-")),
+      s"time range opened the wrong files: $opened")
+    // NTZ columns prune too (isAdjustedToUTC=false annotation honored)
+    TableLog.read(spark, dir)
+      .filter($"tsn" >= lit("2026-01-01 03:00:00").cast("timestamp_ntz"))
+      .count()
+    assert(ManifestFileIndex.lastListed.toSet
+      .count(_.startsWith("a4-")) == 1 &&
+      ManifestFileIndex.lastListed.size == 2,
+      s"NTZ range opened the wrong files: ${ManifestFileIndex.lastListed}")
+    // DATE equality: one ingest day (batch 1 → version 2), one file
+    // plus the stat-less boot file
+    TableLog.read(spark, dir)
+      .filter($"d" === lit(java.sql.Date.valueOf("2026-01-11"))).count()
+    val dateOpened = ManifestFileIndex.lastListed.toSet
+    assert(dateOpened.size == 2 && dateOpened.exists(_.startsWith("a0-")) &&
+      dateOpened.exists(_.startsWith("a2-")),
+      s"date filter opened the wrong files: $dateOpened")
+    // readWhere takes typed temporal bounds directly (Timestamp built
+    // from an Instant so the fixture is timezone-independent)
+    val viaWhere = TableLog.readWhere(spark, dir, "ts",
+      java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T02:00:30Z")),
+      java.time.Instant.parse("2026-01-01T02:01:09Z")).count()
+    assert(viaWhere == 40L, s"readWhere with temporal bounds: $viaWhere")
+  }
+
+  test("prefixIntersects: the truncated-bound edges never false-prune") {
+    import ParquetFooters.prefixIntersects
+    // bounds EQUAL the prefix: "ab" itself starts with "ab" — keep
+    assert(prefixIntersects("ab", "ab", "ab"))
+    // prefix LONGER than the equal bounds: the only value is "ab",
+    // which cannot start with "abc" — sound prune
+    assert(!prefixIntersects("ab", "ab", "abc"))
+    // min shorter than the prefix but below it — range straddles
+    assert(prefixIntersects("a", "az", "ab"))
+    // min's truncation equals the prefix (min itself is a match) — keep
+    assert(prefixIntersects("abz", "ac", "ab"))
+    // max equals the prefix exactly — max itself is a match
+    assert(prefixIntersects("aa", "ab", "ab"))
+    // whole range above the prefix's block
+    assert(!prefixIntersects("b", "c", "ab"))
+    // whole range below the prefix
+    assert(!prefixIntersects("aa", "aaz", "ab"))
+    // multi-byte UTF-8: BYTE order, not UTF-16 order — U+FFFF sorts
+    // BELOW a supplementary character in UTF-8 bytes (EF.. < F0..), so a
+    // [U+FFFF, U+FFFF] range prunes for an emoji prefix even though
+    // UTF-16 comparison would order them the other way around
+    assert(prefixIntersects("😀", "🙏", "😀"))
+    assert(!prefixIntersects("￿", "￿", "😀"))
+  }
 }

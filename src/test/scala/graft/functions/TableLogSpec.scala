@@ -985,6 +985,26 @@ class TableLogSpec extends SparkSuite {
       "a pre-add restore must serve nulls for the later-added column")
   }
 
+  test("trackStats on a timestamp column is rejected while the session writes INT96") {
+    val dir = freshTable()
+    val df = spark.range(10).select($"id",
+      org.apache.spark.sql.functions.timestamp_micros($"id" * 1000000L).as("ts"))
+    TableLog.appendBatch(df, dir, "r", 0L)
+    val key = "spark.sql.parquet.outputTimestampType"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "INT96")
+    try {
+      // INT96 files carry no usable statistics: the registration would
+      // silently never prune anything this writer appends — reject loudly
+      val e = intercept[IllegalArgumentException](
+        TableLog.trackStats(spark, dir, Seq("ts")))
+      assert(e.getMessage.contains("INT96"), e.getMessage)
+      // with a stats-capable output type the registration lands
+      spark.conf.set(key, "TIMESTAMP_MICROS")
+      assert(TableLog.trackStats(spark, dir, Seq("ts")).statsFor == Seq("ts"))
+    } finally spark.conf.set(key, saved)
+  }
+
   test("resurrection guards resolve names the way the reader will: case-insensitively by default") {
     import org.apache.spark.sql.types._
     assert(!spark.sessionState.conf.caseSensitiveAnalysis,
