@@ -170,6 +170,12 @@ object IndexFollower {
             }
             checkpointVersion(spark, stateDir, to)
             clearSpan(spark, stateDir)
+            // retention lease on the SOURCE table: vacuum keeps the
+            // manifests this follower's next delta needs, however far it
+            // lags (advisory — a failed renewal only risks the usual
+            // loud left-retention error, never correctness)
+            try TableLog.renewLease(spark, tableDir, s"follower-$runKey", to)
+            catch { case scala.util.control.NonFatal(_) => () }
             // the gate is on the version NUMBER alone — a boundary inside
             // a delta-less span (source compaction/evolve) still fires, so
             // the small-file bound the setting promises holds regardless

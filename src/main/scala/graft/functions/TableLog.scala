@@ -1552,6 +1552,94 @@ object TableLog {
     deleted
   }
 
+  /** How long a consumer lease protects manifests after its last
+    * renewal. Standing consumers (the version tail, [[graft.examples
+    * .IndexFollower]]) renew per committed batch/span, so a LIVE
+    * consumer's lease is always fresh; an abandoned one (deleted
+    * checkpoint, decommissioned follower) stops binding retention a day
+    * later without operator action. */
+  val DefaultLeaseTtlMs: Long = 24L * 60 * 60 * 1000
+
+  private def leasesDir(dir: String): Path = new Path(logDir(dir), "leases")
+
+  private def leasePath(dir: String, consumerId: String): Path = {
+    require(consumerId.nonEmpty && consumerId.forall(c =>
+        c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"consumer id must be [A-Za-z0-9._-]+: '$consumerId'")
+    new Path(leasesDir(dir), consumerId)
+  }
+
+  /** Record that consumer `consumerId` has durably consumed THROUGH
+    * `committedVersion` of `dir` — an advisory registration under
+    * `_graft_log/leases/` that [[vacuum]] honors: manifests at or above
+    * the lowest live lease's version are never pruned (the lease-holder
+    * needs manifest V as the predecessor of its next delta), so a
+    * lagging registered consumer can no longer be strangled by an
+    * aggressive vacuum between its triggers. Leases EXPIRE
+    * ([[DefaultLeaseTtlMs]] after their last renewal) rather than being
+    * released on shutdown — a stopped stream usually resumes from its
+    * checkpoint and still needs its floor; delete a decommissioned
+    * consumer's lease with [[releaseLease]] (or let it age out).
+    * Renewal is a write-temp-then-rename of one small file — a crash
+    * loses at most the latest renewal, which only ever WIDENS what
+    * vacuum keeps. The version tail renews on every engine-committed
+    * batch and [[graft.examples.IndexFollower.catchUp]] per applied
+    * span; any external consumer of [[appendsSince]] can register the
+    * same way. */
+  def renewLease(spark: SparkSession, dir: String, consumerId: String,
+                 committedVersion: Long): Unit = {
+    val (fs, _) = fsFor(spark, dir)
+    val p = leasePath(dir, consumerId)
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".tmp-lease-${p.getName}")
+    val out = fs.create(tmp, true)
+    try out.write(committedVersion.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"could not renew lease $p")
+    }
+  }
+
+  /** Drop `consumerId`'s lease — for decommissioned consumers; a
+    * no-op when absent. */
+  def releaseLease(spark: SparkSession, dir: String,
+                   consumerId: String): Unit = {
+    val (fs, _) = fsFor(spark, dir)
+    fs.delete(leasePath(dir, consumerId), false)
+  }
+
+  /** All recorded leases: consumerId → (committed version, last-renewal
+    * mtime ms). Unreadable/torn entries are skipped (a torn lease can
+    * only under-protect its own consumer for one renewal interval). */
+  def leases(spark: SparkSession, dir: String): Map[String, (Long, Long)] = {
+    val (fs, _) = fsFor(spark, dir)
+    val ld = leasesDir(dir)
+    if (!fs.exists(ld)) return Map.empty
+    fs.listStatus(ld).iterator.flatMap { f =>
+      val name = f.getPath.getName
+      if (name.startsWith(".")) Iterator.empty
+      else tryReadFully(fs, f.getPath).flatMap(s => s.trim.toLongOption)
+        .map(v => name -> (v, f.getModificationTime)).iterator
+    }.toMap
+  }
+
+  /** The lease that currently BINDS retention — the live (unexpired)
+    * lease with the lowest committed version, if any. This is the
+    * constraint to read alongside [[retention]]: vacuum will not prune
+    * manifests at or above this version until the lease renews past
+    * them or expires. */
+  def bindingLease(spark: SparkSession, dir: String,
+                   leaseTtlMs: Long = DefaultLeaseTtlMs)
+      : Option[(String, Long)] = {
+    val now = System.currentTimeMillis()
+    leases(spark, dir).collect {
+      case (id, (v, mt)) if now - mt <= leaseTtlMs => (id, v)
+    }.minByOption(_._2)
+  }
+
   /** Reclaim everything this table's log no longer protects: first
     * prune the manifest tail (beyond the last [[KeepManifests]], and
     * ONLY once a manifest is older than `graceMs` — a reader inside the
@@ -1563,15 +1651,29 @@ object TableLog {
     * resolved the then-latest manifest within the last `graceMs` still
     * finds both the manifest and every file it names.
     *
+    * CONSUMER LEASES bound the manifest prune additionally: a live
+    * lease ([[renewLease]], unexpired within `leaseTtlMs`) at version V
+    * keeps every manifest ≥ V — and, transitively, every data file and
+    * segment those manifests reference — so a registered lagging
+    * consumer survives any grace setting. `ignoreLeases = true` is the
+    * explicit operator override (reclaim space NOW, accepting that
+    * lagging registered consumers fail loudly with their usual
+    * left-retention error). Expired leases never bind.
+    *
     * A directory with data files but NO manifest log is NOT a TableLog
     * table — nothing in it is this module's to reclaim, so vacuum
     * touches nothing and returns 0 (the upgrade-a-raw-parquet-dir case;
     * see [[adopt]]). Returns the number of paths deleted. */
-  def vacuum(spark: SparkSession, dir: String, graceMs: Long): Int = {
+  def vacuum(spark: SparkSession, dir: String, graceMs: Long,
+             ignoreLeases: Boolean = false,
+             leaseTtlMs: Long = DefaultLeaseTtlMs): Int = {
     val (fs, table) = fsFor(spark, dir)
     if (!fs.exists(table)) return 0
     val log = logDir(dir)
     if (!fs.exists(log)) return 0 // not a TableLog table: nothing is ours
+    val leaseFloor: Option[Long] =
+      if (ignoreLeases) None
+      else bindingLease(spark, dir, leaseTtlMs).map(_._2)
     val cutoff = System.currentTimeMillis() - graceMs
     // inclusive comparisons so graceMs=0 means "everything up to now"
     // even when the filesystem's mtime granularity rounds a just-written
@@ -1586,7 +1688,8 @@ object TableLog {
     var deleted = 0
     val floor = manifests.last._1 - KeepManifests + 1
     val (prunable, retained) = manifests.partition { case (v, f) =>
-      v < floor && f.getModificationTime <= cutoff
+      v < floor && f.getModificationTime <= cutoff &&
+        leaseFloor.forall(v < _)
     }
     prunable.foreach { case (_, f) => fs.delete(f.getPath, false); deleted += 1 }
     val retainedManifests = retained.map { case (_, f) =>

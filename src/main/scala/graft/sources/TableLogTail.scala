@@ -48,7 +48,8 @@ final case class TableVersionOffset(v: Long) extends V1Offset {
 final class TableLogTailSource(spark: SparkSession, dir: String,
                                metadataPath: String, pinned: StructType,
                                pinnedAt: Long, since: Long,
-                               maxVersionsPerTrigger: Option[Int])
+                               maxVersionsPerTrigger: Option[Int],
+                               consumerId: String)
     extends Source {
 
   override def schema: StructType = pinned
@@ -208,7 +209,20 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
     }
   }
 
-  override def commit(end: V1Offset): Unit = ()
+  /** The engine committed everything through `end`: renew this
+    * consumer's retention lease so vacuum keeps the manifests the NEXT
+    * delta needs ([[graft.functions.TableLog.renewLease]] — a lagging
+    * registered tail survives aggressive vacuums). Advisory by design:
+    * a failed renewal must never fail a batch the engine already
+    * committed — worst case the lease goes stale and retention reverts
+    * to the grace-window contract. */
+  override def commit(end: V1Offset): Unit =
+    try TableLog.renewLease(spark, dir, consumerId, end.json.toLong)
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  // no lease release on stop: a stopped stream usually RESUMES from its
+  // checkpoint and still needs its floor — expiry (or an explicit
+  // releaseLease on decommission) retires it
   override def stop(): Unit = ()
 }
 
@@ -299,7 +313,17 @@ final class TableLogTailProvider extends StreamSourceProvider {
       }
     val maxV = parameters.get("maxVersionsPerTrigger").map(_.toInt)
     maxV.foreach(n => require(n >= 1, s"maxVersionsPerTrigger must be >= 1: $n"))
+    // the lease identity defaults to a stable digest of the checkpoint's
+    // source path — the same checkpoint keeps one lease across restarts,
+    // a fresh checkpoint draws a fresh one; `consumerId` names it
+    // explicitly (and is what releaseLease takes at decommission time)
+    val consumerId = parameters.getOrElse("consumerId", {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val d = md.digest(metadataPath.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      "tail-" + d.take(8).map("%02x".format(_)).mkString
+    })
     new TableLogTailSource(spark, dir, metadataPath, pinned, pinnedAt, since,
-      maxV)
+      maxV, consumerId)
   }
 }

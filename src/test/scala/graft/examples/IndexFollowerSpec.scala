@@ -595,6 +595,39 @@ class IndexFollowerSpec extends SparkSuite {
       .filter($"count" > 1).count() == 0L)
   }
 
+  test("catchUp leases the source table: a deep-lag follower survives an aggressive vacuum") {
+    val corpus = corpusDf().cache()
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_lease_src").toString + "/t"
+    val dedupDir = java.nio.file.Files.createTempDirectory("graft_lease_ddx").toString + "/ix"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_lease_state").toString
+    import org.apache.spark.sql.types._
+    val emptyCorpus = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val ann = AnnIndex.build(emptyCorpus, "lease_ann", planes = 8, buckets = 8)
+    TableLog.appendBatch(corpus.limit(4), srcDir, "src", 0L)
+    IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
+    val lease = TableLog.leases(spark, srcDir).find(_._1.startsWith("follower-"))
+    assert(lease.exists(_._2._1 == 0L), s"no follower lease: " +
+      s"${TableLog.leases(spark, srcDir)}")
+    // the source runs far past KeepManifests while the follower sleeps;
+    // an aggressive vacuum must keep the follower's delta alive
+    (1 to TableLog.KeepManifests + 4).foreach(b =>
+      TableLog.appendBatch(corpus.limit(2), srcDir, "src", b.toLong))
+    TableLog.vacuum(spark, srcDir, graceMs = 0L)
+    assert(TableLog.retainedVersions(spark, srcDir).min == 0L,
+      s"vacuum pruned the leased floor: ${TableLog.retainedVersions(spark, srcDir)}")
+    val p = IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
+    assert(p.exists(_.toVersion == (TableLog.KeepManifests + 4).toLong),
+      s"deep-lag catch-up failed: $p")
+    assert(TableLog.leases(spark, srcDir)
+      .find(_._1.startsWith("follower-"))
+      .exists(_._2._1 == (TableLog.KeepManifests + 4).toLong),
+      "the lease did not advance with the applied span")
+    corpus.unpersist()
+  }
+
   test("a follower lagging past source retention fails loudly with the readable floor") {
     val corpus = corpusDf().limit(50).cache()
     val srcDir = java.nio.file.Files.createTempDirectory("graft_fl2_src").toString + "/t"
@@ -608,11 +641,13 @@ class IndexFollowerSpec extends SparkSuite {
     val ann = AnnIndex.build(emptyCorpus, "follower2_ann", planes = 8, buckets = 8)
     TableLog.appendBatch(corpus, srcDir, "src", 0L)
     IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
-    // push the follower's floor out of retention
+    // push the follower's floor out of retention — catchUp leases the
+    // source now, so strangling a lagging follower takes the explicit
+    // ignoreLeases override (the operator's documented reclaim-now path)
     (0 until TableLog.KeepManifests + 3).foreach { i =>
       TableLog.appendBatch(corpus.limit(1), srcDir, "src", 1L + i)
     }
-    TableLog.vacuum(spark, srcDir, graceMs = 0L)
+    TableLog.vacuum(spark, srcDir, graceMs = 0L, ignoreLeases = true)
     val e = intercept[IllegalStateException](
       IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir))
     assert(e.getMessage.contains("retention") && e.getMessage.contains("rebuild"),

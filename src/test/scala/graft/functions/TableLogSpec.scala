@@ -985,6 +985,43 @@ class TableLogSpec extends SparkSuite {
       "a pre-add restore must serve nulls for the later-added column")
   }
 
+  test("consumer leases gate vacuum's manifest prune; expiry, release and the override reclaim") {
+    val dir = freshTable()
+    (0 until TableLog.KeepManifests + 6).foreach(b =>
+      TableLog.appendBatch(batchDf(b, 10), dir, "r", b.toLong))
+    val floor = TableLog.KeepManifests + 6 - TableLog.KeepManifests // = 6
+    // a lagging consumer registered at version 2: everything it still
+    // needs (manifests >= 2) survives an aggressive vacuum
+    TableLog.renewLease(spark, dir, "lagger", 2L)
+    assert(TableLog.bindingLease(spark, dir) == Some(("lagger", 2L)))
+    TableLog.vacuum(spark, dir, graceMs = 0L)
+    assert(TableLog.retainedVersions(spark, dir).min == 2L,
+      s"lease did not bind: ${TableLog.retainedVersions(spark, dir)}")
+    // the protected delta is actually reconstructible
+    val (d, _) = TableLog.appendsSince(spark, dir, 2L)
+    assert(d.get.count() == (TableLog.KeepManifests + 3) * 10L)
+    // a SECOND, fresher lease does not bind (the lowest live one does)
+    TableLog.renewLease(spark, dir, "fresh", 10L)
+    assert(TableLog.bindingLease(spark, dir) == Some(("lagger", 2L)))
+    // the explicit operator override reclaims past live leases
+    TableLog.vacuum(spark, dir, graceMs = 0L, ignoreLeases = true)
+    assert(TableLog.retainedVersions(spark, dir).min == floor.toLong,
+      s"override did not reclaim: ${TableLog.retainedVersions(spark, dir)}")
+    // an EXPIRED lease never binds: renew low again, age it past the TTL
+    (0 until 4).foreach(b => TableLog.appendBatch(batchDf(b, 10), dir, "l2",
+      b.toLong))
+    TableLog.renewLease(spark, dir, "lagger", floor.toLong)
+    Thread.sleep(60)
+    TableLog.vacuum(spark, dir, graceMs = 0L, leaseTtlMs = 10L)
+    val newFloor = TableLog.retainedVersions(spark, dir).min
+    assert(newFloor > floor.toLong,
+      s"an expired lease still bound the prune: min retained $newFloor")
+    // releaseLease retires a decommissioned consumer outright
+    TableLog.renewLease(spark, dir, "lagger", newFloor)
+    TableLog.releaseLease(spark, dir, "lagger")
+    assert(!TableLog.leases(spark, dir).contains("lagger"))
+  }
+
   test("trackStats on a timestamp column is rejected while the session writes INT96") {
     val dir = freshTable()
     val df = spark.range(10).select($"id",

@@ -423,6 +423,45 @@ class TableLogTailSpec extends SparkSuite {
     } finally TableLog.MaxSegments = saved
   }
 
+  test("a lagging REGISTERED tail survives an aggressive vacuum through its lease") {
+    val dir = freshTable()
+    val ck = ckpt()
+    val out = ckpt() + "/out"
+    val total = TableLog.KeepManifests + 8
+    (0 until 2).foreach(b => TableLog.appendBatch(batch(b).limit(2), dir, "r", b.toLong))
+    def start() = TableLog.readTailVersions(spark, dir, since = Some(-1L))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).outputMode("append").start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      // commit() — the lease hook — runs at the NEXT trigger's cleanup
+      // (DSv1 contract); a second batch forces it deterministically
+      TableLog.appendBatch(batch(2).limit(2), dir, "r", 2L)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val leaseV = TableLog.leases(spark, dir)
+      .collectFirst { case (id, (v, _)) if id.startsWith("tail-") => v }
+    assert(leaseV.exists(_ >= 1L), s"no tail lease renewed: " +
+      s"${TableLog.leases(spark, dir)}")
+    // the consumer goes away while the writer runs far ahead — an
+    // unregistered consumer at this lag would lose its delta to vacuum
+    // (the beyond-retention spec below pins that failure)
+    (3 until total).foreach(b =>
+      TableLog.appendBatch(batch(b).limit(2), dir, "r", b.toLong))
+    TableLog.vacuum(spark, dir, graceMs = 0L)
+    assert(TableLog.retainedVersions(spark, dir).min == leaseV.get,
+      s"lease at $leaseV did not hold the floor: " +
+        s"${TableLog.retainedVersions(spark, dir)}")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).select("ts").as[Long].collect()
+      assert(got.length == total * 2 && got.distinct.length == got.length,
+        s"the registered lagging tail lost or re-emitted rows: ${got.length}")
+    } finally q2.stop()
+  }
+
   test("a start version beyond retention fails loudly, not silently empty") {
     val dir = freshTable()
     (0 until TableLog.KeepManifests + 4).foreach(b =>
