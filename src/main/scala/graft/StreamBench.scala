@@ -348,7 +348,7 @@ object StreamBench {
       val src = root.toString + "/src"
       cuCorpus.grouped(100).zipWithIndex.foreach { case (c, i) =>
         graft.functions.TableLog.appendBatch(
-          c.toSeq.toDF("doc_id", "text", "embedding"), src, "src", i.toLong)
+          c.toSeq.toDF("doc_id", "text", "embedding").coalesce(1), src, "src", i.toLong)
       }
       val ann = graft.functions.AnnIndex.build(cuEmpty, annName,
         planes = 8, buckets = 8)
@@ -376,12 +376,12 @@ object StreamBench {
       foRoot.toString + "/state", foAnn, foRoot.toString + "/ddx")
     val foBatches = cuCorpus.grouped(100).toVector
     graft.functions.TableLog.appendBatch(
-      foBatches.head.toSeq.toDF("doc_id", "text", "embedding"), foSrc, "src", 0L)
+      foBatches.head.toSeq.toDF("doc_id", "text", "embedding").coalesce(1), foSrc, "src", 0L)
     foQ.processAllAvailable() // warm: first apply pays table creation
     val t12 = System.nanoTime()
     foBatches.tail.zipWithIndex.foreach { case (c, i) =>
       graft.functions.TableLog.appendBatch(
-        c.toSeq.toDF("doc_id", "text", "embedding"), foSrc, "src", 1L + i)
+        c.toSeq.toDF("doc_id", "text", "embedding").coalesce(1), foSrc, "src", 1L + i)
       foQ.processAllAvailable()
     }
     val foSec = (System.nanoTime() - t12) / 1e9

@@ -127,8 +127,16 @@ object IndexFollower {
     // bounded by AnnIndex.MaxTombstoneRows' enforcement. A takedown
     // landing MID-PASS is covered by its own retry contract — see the
     // concurrency note on [[takedown]]
-    val registry = Materialize.cut(AnnIndex.tombstones(spark, ann)
-      .withColumnRenamed("vec_id", "doc_id").distinct())
+    // fast path for the common no-takedowns table: skip the cut job and
+    // the per-apply anti-join entirely (an EMPTY registry filters
+    // nothing; the per-apply fixed cost is what bounds a live follower).
+    // The emptiness probe is a driver-side file check, and a takedown
+    // landing between it and the pass is the same mid-pass race the
+    // takedown retry contract already covers.
+    val registry =
+      if (!AnnIndex.hasTombstones(spark, ann)) None
+      else Some(Materialize.cut(AnnIndex.tombstones(spark, ann)
+        .withColumnRenamed("vec_id", "doc_id").distinct()))
     try {
       var applied = first
       var rows = 0L
@@ -157,15 +165,34 @@ object IndexFollower {
               // every delta through it (broadcast anti-join). Pin the
               // survivors across the two consumers: one source read, and a
               // stable row set even if maintenance commits land mid-apply.
-              val d = delta.join(broadcast(registry), Seq("doc_id"), "left_anti")
+              val d = registry.fold(delta)(r =>
+                  delta.join(broadcast(r), Seq("doc_id"), "left_anti"))
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               try {
-                rows += d.count()
-                TableLog.appendBatch(
-                  DedupIndex.indexRows(d.select(col("doc_id"), col("text")), geom),
-                  dedupIndexDir, runKey, to)
-                AnnIndex.append(spark, ann,
-                  d.select(col("doc_id").as("vec_id"), col("embedding")), key)
+                val n = d.count()
+                rows += n
+                // a pinned delta the registry filtered to NOTHING commits
+                // nothing: an empty dedup appendBatch would still bump a
+                // manifest version and the ANN append would still pay two
+                // insert jobs — and a replay recomputes the same empty
+                // set, so skipping is exactly as idempotent
+                if (n > 0)
+                  // the two index legs are independent stores keyed by
+                  // the same span identity; run them CONCURRENTLY — each
+                  // leg's replay contract is per-leg (dedup: the commit
+                  // map; ANN: the delta markers), so a crash with either,
+                  // both, or neither leg committed replays the identical
+                  // span and each leg no-ops or repairs independently.
+                  // Their fixed costs (staging writes, commit protocol,
+                  // catalog refresh) dominate at ingest-size deltas.
+                  graft.functions.Materialize.inParallel(
+                    TableLog.appendBatch(
+                      DedupIndex.indexRows(
+                        d.select(col("doc_id"), col("text")), geom),
+                      dedupIndexDir, runKey, to),
+                    AnnIndex.append(spark, ann,
+                      d.select(col("doc_id").as("vec_id"), col("embedding")),
+                      key))
               } finally d.unpersist(blocking = false)
             }
             checkpointVersion(spark, stateDir, to)
@@ -191,7 +218,7 @@ object IndexFollower {
         }
       }
       if (applied == first) None else Some(Progress(first, applied, rows))
-    } finally Materialize.release(registry)
+    } finally registry.foreach(Materialize.release)
   }
 
   /** The next unit of work: a crashed pass's recorded intent replays

@@ -90,7 +90,7 @@ object AnnIndex {
     * int8 sidecar, sign-LSH bucket; zero-norm rows excluded. ONE
     * definition so the spec-pinned "append == rebuild" invariant cannot
     * be broken by a drive-by change to only one path. */
-  private def enrich(vectors: DataFrame, planes: Int): DataFrame = {
+  private[graft] def enrich(vectors: DataFrame, planes: Int): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     vectors.select($"vec_id", $"embedding")
@@ -160,10 +160,14 @@ object AnnIndex {
     *
     * Same single-maintainer contract as [[build]]: one appender at a
     * time (concurrent appends of DIFFERENT deltas would interleave
-    * inserts; the markers serialize replays, not writers). The insert
-    * order (vec first, probe last) keeps the mid-crash index safe as
-    * in the keyless path. A [[build]] rebuild clears the marker
-    * history along with the tables. */
+    * inserts; the markers serialize replays, not writers). The two
+    * sides insert CONCURRENTLY (their fixed costs dominate ingest-size
+    * deltas); every resulting mid-crash shape is safe — a vec-only id
+    * is an orphan no probe ever surfaces, a probe-only id drops at the
+    * rerank's inner join against the vec side — and the replay's
+    * per-side anti-join repairs whichever sides lack their marker. A
+    * [[build]] rebuild clears the marker history along with the
+    * tables. */
   def append(spark: SparkSession, h: Handle, newVectors: DataFrame,
              deltaKey: String): Unit = {
     import spark.implicits._
@@ -174,9 +178,22 @@ object AnnIndex {
       val enriched = enrich(newVectors, h.planes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        project(enriched, VecCols).write.insertInto(h.vecTable)
-        mark(fs, log, "vec", deltaKey)
-        project(enriched, ProbeCols).write.insertInto(h.probeTable)
+        // the two sides insert CONCURRENTLY: per-insert cost at ingest
+        // deltas is fixed overhead (commit protocol + catalog refresh),
+        // not rows, so overlapping them halves the follower's per-apply
+        // constant. Safe because every mid-crash shape this can leave —
+        // including the new probe-landed-vec-missing one — is repaired
+        // by the same per-side anti-join replay below; transiently, a
+        // probe candidate without its vec row drops at the rerank's
+        // inner join (incomplete for the in-flight delta, never wrong).
+        // The `probe` marker keeps its meaning of FULLY COMMITTED: it is
+        // written only after BOTH inserts returned.
+        Materialize.inParallel(
+          {
+            project(enriched, VecCols).write.insertInto(h.vecTable)
+            mark(fs, log, "vec", deltaKey)
+          },
+          project(enriched, ProbeCols).write.insertInto(h.probeTable))
         mark(fs, log, "probe", deltaKey)
       } finally enriched.unpersist(blocking = false)
     } else {
@@ -484,9 +501,20 @@ object AnnIndex {
   private[functions] def tombstoneTable(h: Handle): String =
     h.probeTable + "_tombs"
 
-  private def tombTableExists(spark: SparkSession, h: Handle): Boolean =
+  private[graft] def tombTableExists(spark: SparkSession, h: Handle): Boolean =
     spark.sessionState.catalog.tableExists(
       spark.sessionState.sqlParser.parseTableIdentifier(tombstoneTable(h)))
+
+  /** True iff any tombstone mark is recorded — a driver-side FILE check
+    * (no Spark job): marks land via insertInto, which writes no files
+    * for empty inputs, so "no data files" ⇔ "no marks ever, or all
+    * folded away". The registry fast path of
+    * [[graft.examples.IndexFollower.catchUp]] — a follower on a table
+    * with no takedowns skips the per-pass registry cut and the
+    * per-apply anti-join outright. */
+  private[graft] def hasTombstones(spark: SparkSession, h: Handle): Boolean =
+    tombTableExists(spark, h) &&
+      spark.table(tombstoneTable(h)).inputFiles.nonEmpty
 
   /** Drop and recreate the tombstone table EMPTY. Recreation matters:
     * a probe stream planned while the table exists re-lists it per

@@ -121,4 +121,25 @@ object Materialize {
     }
     if (df.storageLevel != StorageLevel.NONE) df.unpersist(blocking = false)
   }
+
+  /** Run two INDEPENDENT actions concurrently and propagate the first
+    * failure after both finish — for pairs of small writes whose cost
+    * is fixed overhead (job submission, commit protocol, catalog
+    * refresh) rather than data volume, where overlapping the two halves
+    * the wall clock ([[graft.functions.AnnIndex.append]]'s two table
+    * inserts, [[graft.examples.IndexFollower.catchUp]]'s two index
+    * legs). `b` runs on the calling thread; Spark job submission is
+    * thread-safe and each action's DataFrame carries its own session. */
+  private[graft] def inParallel(a: => Unit, b: => Unit): Unit = {
+    @volatile var ea: Throwable = null
+    val t = new Thread(() => try a catch { case x: Throwable => ea = x })
+    t.setName("graft-parallel-leg")
+    t.setDaemon(true)
+    t.start()
+    var eb: Throwable = null
+    try b catch { case x: Throwable => eb = x }
+    t.join()
+    if (ea != null) throw ea
+    if (eb != null) throw eb
+  }
 }

@@ -823,10 +823,12 @@ object TableLog {
       .toVector
     // row counts + stat-column min/max from the staged files' footers:
     // exact (parquet footers carry both), and a metadata read — NOT a
-    // per-trigger Spark scan job over the batch just written
+    // per-trigger Spark scan job over the batch just written (read
+    // concurrently: a many-partition micro-batch stages many small
+    // files, and serial ~8 ms footer opens would dominate the commit)
     val conf = spark.sparkContext.hadoopConfiguration
-    val metas = staged.map(f =>
-      ParquetFooters.read(conf, f.getPath, statCols(prev), batch.schema))
+    val metas = ParquetFooters.readAll(conf, staged.map(_.getPath),
+      statCols(prev), batch.schema)
     val added = metas.iterator.map(_.rows).sum
     fs.mkdirs(table)
     // `a<v>-` marks APPENDED data, `c<v>-` compaction rewrites: the
@@ -1301,18 +1303,19 @@ object TableLog {
     val staging = new Path(dir.stripSuffix("/"), s"_staging-${java.util.UUID.randomUUID()}")
     laidOut.write.parquet(staging.toString)
     val conf = spark.sparkContext.hadoopConfiguration
-    val entries = fs.listStatus(staging).iterator
+    val stagedC = fs.listStatus(staging).iterator
       .filter { f => val nm = f.getPath.getName
         nm.endsWith(".parquet") && !nm.startsWith("_") && !nm.startsWith(".") }
-      .map { f =>
-        val meta = ParquetFooters.read(conf, f.getPath,
-          (layout ++ m.statsFor).toSet, snapshot.schema)
-        val name = s"c$v-${f.getPath.getName}"
-        val dst = new Path(table, name)
-        if (!fs.rename(f.getPath, dst))
-          throw new java.io.IOException(s"could not land ${f.getPath} as $dst")
-        Entry(name, f.getLen, meta.stats)
-      }.toVector
+      .toVector
+    val metasC = ParquetFooters.readAll(conf, stagedC.map(_.getPath),
+      (layout ++ m.statsFor).toSet, snapshot.schema)
+    val entries = stagedC.zip(metasC).map { case (f, meta) =>
+      val name = s"c$v-${f.getPath.getName}"
+      val dst = new Path(table, name)
+      if (!fs.rename(f.getPath, dst))
+        throw new java.io.IOException(s"could not land ${f.getPath} as $dst")
+      Entry(name, f.getLen, meta.stats)
+    }
     // commit with rebase-on-conflict: if the appender committed while
     // this rewrite ran, the rewrite still faithfully replaces exactly
     // the files of the snapshot it read — re-resolve, keep every file
@@ -1511,11 +1514,14 @@ object TableLog {
     val statSchema = m.schema.getOrElse(
       org.apache.spark.sql.types.StructType(kept.schema.fields))
     var newRows = 0L
-    val entries = fs.listStatus(staging).iterator
+    val stagedD = fs.listStatus(staging).iterator
       .filter { f => val nm = f.getPath.getName
         nm.endsWith(".parquet") && !nm.startsWith("_") && !nm.startsWith(".") }
-      .map { f =>
-        val meta = ParquetFooters.read(conf, f.getPath, statCols(m), statSchema)
+      .toVector
+    val metasD = ParquetFooters.readAll(conf, stagedD.map(_.getPath),
+      statCols(m), statSchema)
+    val entries = stagedD.zip(metasD).iterator
+      .map { case (f, meta) =>
         newRows += meta.rows
         // `c` prefix: a rewrite of surviving rows, silent to readTail's
         // append glob exactly like a compaction rewrite
