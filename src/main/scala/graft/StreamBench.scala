@@ -303,27 +303,36 @@ object StreamBench {
     //     (the single-writer commit cost is row 12's baseline). The
     //     final manifest must hold every batch of both writers; a
     //     mismatch prints a negative rate so it can never pass silently.
-    val mwRoot = Files.createTempDirectory("graft_sb_mw")
-    val mwDir = mwRoot.toString + "/t"
+    //     Measured at 2, 4 and 8 writers: the rename-CAS serializes
+    //     commits, so the per-table ceiling is ~constant commits/s and
+    //     the per-writer rate divides — the fleet-of-ingest-streams
+    //     sizing number (r12 verdict Next #7).
     val mwRows = 1000
     val mwBatches = 8
-    def mwDf(w: Int, b: Int) =
-      Seq.tabulate(mwRows)(i => (w * 1000000000L + b * 10000L + i, s"w$w-b$b", 0L))
-        .toDF("doc_id", "text", "seq")
-    graft.functions.TableLog.appendBatch(mwDf(9, 0), mwDir, "warm", 0L) // schema + JIT
-    val mwThreads = (0 until 2).map { w =>
-      new Thread(() => (0 until mwBatches).foreach { b =>
-        graft.functions.TableLog.appendBatch(mwDf(w, b), mwDir, s"w$w", b.toLong)
-      })
+    def mwRun(writers: Int): Double = {
+      val mwRoot = Files.createTempDirectory("graft_sb_mw")
+      val mwDir = mwRoot.toString + "/t"
+      def mwDf(w: Int, b: Int) =
+        Seq.tabulate(mwRows)(i => (w * 1000000000L + b * 10000L + i, s"w$w-b$b", 0L))
+          .toDF("doc_id", "text", "seq").coalesce(1)
+      graft.functions.TableLog.appendBatch(mwDf(99, 0), mwDir, "warm", 0L) // schema + JIT
+      val threads = (0 until writers).map { w =>
+        new Thread(() => (0 until mwBatches).foreach { b =>
+          graft.functions.TableLog.appendBatch(mwDf(w, b), mwDir, s"w$w", b.toLong)
+        })
+      }
+      val t = System.nanoTime()
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      val sec = (System.nanoTime() - t) / 1e9
+      val ok = graft.functions.TableLog.rows(spark, mwDir) ==
+        (writers * mwBatches + 1).toLong * mwRows
+      rmTemp(mwRoot)
+      (if (ok) 1 else -1) * writers * mwBatches / sec
     }
-    val t11 = System.nanoTime()
-    mwThreads.foreach(_.start())
-    mwThreads.foreach(_.join())
-    val mwSec = (System.nanoTime() - t11) / 1e9
-    val mwOk = graft.functions.TableLog.rows(spark, mwDir) ==
-      (2 * mwBatches + 1).toLong * mwRows
-    val mwCommitsPerSec = (if (mwOk) 1 else -1) * 2 * mwBatches / mwSec
-    rmTemp(mwRoot)
+    val mwCommitsPerSec = mwRun(2)
+    val mw4CommitsPerSec = mwRun(4)
+    val mw8CommitsPerSec = mwRun(8)
 
     // 14) follower recovery from downtime: the SAME 12-version source
     //     lag cleared by the span-keyed catch-up (one wide apply — one
@@ -391,7 +400,7 @@ object StreamBench {
 
     val n = events.length
     val nd = docs.length - 100
-    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"stream_curate_docs_per_sec":${nd / curSec}%.0f,"stream_hll_rows_per_sec":${n / hllSec}%.0f,"stream_interval_join_rows_per_sec":${2 * ivRest.length / ivSec}%.0f,"stream_knn_float_q_per_sec":$knnFloatQps%.0f,"stream_knn_int8_q_per_sec":$knnQuantQps%.0f,"stream_knn_indexed_q_per_sec":$knnIdxQps%.0f,"stream_knn_indexed_int8_q_per_sec":$knnIdxQuantQps%.0f,"knn_probe_static_bytes_float":$knnFloatBytes,"knn_probe_static_bytes_int8":$knnInt8Bytes,"live_tail_dedup_docs_per_sec":${liveN / liveSec}%.0f,"multi_writer_commits_per_sec":$mwCommitsPerSec%.1f,"follower_catchup_span_sec":$cuSpanSec%.2f,"follower_catchup_per_version_sec":$cuPerVersionSec%.2f,"follower_catchup_lag_versions":$cuBatches,"follower_live_docs_per_sec":${foDocs / foSec}%.0f,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
+    println(f"""{"streaming_agg_rows_per_sec":${n / aggSec}%.0f,"stateful_scan_rows_per_sec":${n / scanSec}%.0f,"agg_one_batch_rows_per_sec":${n / bigAggSec}%.0f,"stateless_rows_per_sec":${n / mapSec}%.0f,"stream_dedup_docs_per_sec":${nd / dedupSec}%.0f,"stream_pack_rows_per_sec":${n / packSec}%.0f,"stream_curate_docs_per_sec":${nd / curSec}%.0f,"stream_hll_rows_per_sec":${n / hllSec}%.0f,"stream_interval_join_rows_per_sec":${2 * ivRest.length / ivSec}%.0f,"stream_knn_float_q_per_sec":$knnFloatQps%.0f,"stream_knn_int8_q_per_sec":$knnQuantQps%.0f,"stream_knn_indexed_q_per_sec":$knnIdxQps%.0f,"stream_knn_indexed_int8_q_per_sec":$knnIdxQuantQps%.0f,"knn_probe_static_bytes_float":$knnFloatBytes,"knn_probe_static_bytes_int8":$knnInt8Bytes,"live_tail_dedup_docs_per_sec":${liveN / liveSec}%.0f,"multi_writer_commits_per_sec":$mwCommitsPerSec%.1f,"multi_writer4_commits_per_sec":$mw4CommitsPerSec%.1f,"multi_writer8_commits_per_sec":$mw8CommitsPerSec%.1f,"follower_catchup_span_sec":$cuSpanSec%.2f,"follower_catchup_per_version_sec":$cuPerVersionSec%.2f,"follower_catchup_lag_versions":$cuBatches,"follower_live_docs_per_sec":${foDocs / foSec}%.0f,"recovery_sec":$recoverSec%.2f,"rows":$n,"dedup_docs":$nd,"batches":${chunks.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -169,22 +169,15 @@ object IndexFollower {
                   delta.join(broadcast(r), Seq("doc_id"), "left_anti"))
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               try {
-                val n = d.count()
-                rows += n
-                // a pinned delta the registry filtered to NOTHING commits
-                // nothing: an empty dedup appendBatch would still bump a
-                // manifest version and the ANN append would still pay two
-                // insert jobs — and a replay recomputes the same empty
-                // set, so skipping is exactly as idempotent
-                if (n > 0)
-                  // the two index legs are independent stores keyed by
-                  // the same span identity; run them CONCURRENTLY — each
-                  // leg's replay contract is per-leg (dedup: the commit
-                  // map; ANN: the delta markers), so a crash with either,
-                  // both, or neither leg committed replays the identical
-                  // span and each leg no-ops or repairs independently.
-                  // Their fixed costs (staging writes, commit protocol,
-                  // catalog refresh) dominate at ingest-size deltas.
+                // the two index legs are independent stores keyed by the
+                // same span identity; run them CONCURRENTLY — each leg's
+                // replay contract is per-leg (dedup: the commit map; ANN:
+                // the delta markers), so a crash with either, both, or
+                // neither leg committed replays the identical span and
+                // each leg no-ops or repairs independently. Their fixed
+                // costs (staging writes, commit protocol, catalog
+                // refresh) dominate at ingest-size deltas.
+                def applyLegs(): Unit =
                   graft.functions.Materialize.inParallel(
                     TableLog.appendBatch(
                       DedupIndex.indexRows(
@@ -193,6 +186,26 @@ object IndexFollower {
                     AnnIndex.append(spark, ann,
                       d.select(col("doc_id").as("vec_id"), col("embedding")),
                       key))
+                registry match {
+                  case Some(_) =>
+                    // a pinned delta the registry filtered to NOTHING
+                    // commits nothing: an empty dedup appendBatch would
+                    // still bump a manifest version and the ANN append
+                    // would still pay two insert jobs — and a replay
+                    // recomputes the same empty set, so skipping is
+                    // exactly as idempotent
+                    val n = d.count()
+                    rows += n
+                    if (n > 0) applyLegs()
+                  case None =>
+                    // no registry ⇒ the delta passes through unfiltered
+                    // and appendsSince never returns an empty file set —
+                    // skip the up-front count job (one fewer fixed cost
+                    // on the live path; the first leg action materializes
+                    // the cache, the post-legs count reads it)
+                    applyLegs()
+                    rows += d.count()
+                }
               } finally d.unpersist(blocking = false)
             }
             checkpointVersion(spark, stateDir, to)
@@ -295,8 +308,14 @@ object IndexFollower {
             : org.apache.spark.sql.streaming.StreamingQuery = {
     val contract = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id LONG, text STRING, embedding ARRAY<FLOAT>")
+    // failOnSchemaDrift OFF: this stream never acts on its rows (pure
+    // change signal), and a LEGAL corpus evolve (adding a column beside
+    // the contract's three) must not wedge a standing follower — the
+    // data path (appendsSince inside catchUp) reads the table's newest
+    // schema and selects the contract columns explicitly
     TableLog.readTailVersions(spark, tableDir,
-        since = Some(appliedVersion(spark, stateDir)), schema = Some(contract))
+        since = Some(appliedVersion(spark, stateDir)), schema = Some(contract),
+        failOnSchemaDrift = false)
       .writeStream
       .option("checkpointLocation", stateDir.stripSuffix("/") + "/signal_ck")
       .outputMode("append")

@@ -160,14 +160,14 @@ object AnnIndex {
     *
     * Same single-maintainer contract as [[build]]: one appender at a
     * time (concurrent appends of DIFFERENT deltas would interleave
-    * inserts; the markers serialize replays, not writers). The two
-    * sides insert CONCURRENTLY (their fixed costs dominate ingest-size
-    * deltas); every resulting mid-crash shape is safe — a vec-only id
-    * is an orphan no probe ever surfaces, a probe-only id drops at the
-    * rerank's inner join against the vec side — and the replay's
-    * per-side anti-join repairs whichever sides lack their marker. A
-    * [[build]] rebuild clears the marker history along with the
-    * tables. */
+    * inserts; the markers serialize replays, not writers). The insert
+    * order (vec first, probe last) keeps the mid-crash index safe as
+    * in the keyless path — and is load-bearing: a probe row visible
+    * before its vec row would score into the certified top-k superset
+    * and then vanish at the rerank, displacing a committed vector
+    * (wrong, not just incomplete), so the two inserts must NOT be
+    * parallelized. A [[build]] rebuild clears the marker history along
+    * with the tables. */
   def append(spark: SparkSession, h: Handle, newVectors: DataFrame,
              deltaKey: String): Unit = {
     import spark.implicits._
@@ -178,22 +178,18 @@ object AnnIndex {
       val enriched = enrich(newVectors, h.planes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // the two sides insert CONCURRENTLY: per-insert cost at ingest
-        // deltas is fixed overhead (commit protocol + catalog refresh),
-        // not rows, so overlapping them halves the follower's per-apply
-        // constant. Safe because every mid-crash shape this can leave —
-        // including the new probe-landed-vec-missing one — is repaired
-        // by the same per-side anti-join replay below; transiently, a
-        // probe candidate without its vec row drops at the rerank's
-        // inner join (incomplete for the in-flight delta, never wrong).
-        // The `probe` marker keeps its meaning of FULLY COMMITTED: it is
-        // written only after BOTH inserts returned.
-        Materialize.inParallel(
-          {
-            project(enriched, VecCols).write.insertInto(h.vecTable)
-            mark(fs, log, "vec", deltaKey)
-          },
-          project(enriched, ProbeCols).write.insertInto(h.probeTable))
+        // vec STRICTLY BEFORE probe — deliberately sequential, not
+        // concurrent: a visible probe row whose vec row has not landed
+        // is not merely invisible — it enters candidate generation with
+        // a valid int8 score, can occupy a slot in the certified top-k
+        // superset and tighten the k-th bound (pruning a COMMITTED
+        // vector's candidacy), then vanish at the rerank's vec join:
+        // a transiently WRONG result, not an incomplete one. Writing
+        // vec first keeps the only reachable partial state the
+        // vec-only orphan no probe ever surfaces.
+        project(enriched, VecCols).write.insertInto(h.vecTable)
+        mark(fs, log, "vec", deltaKey)
+        project(enriched, ProbeCols).write.insertInto(h.probeTable)
         mark(fs, log, "probe", deltaKey)
       } finally enriched.unpersist(blocking = false)
     } else {

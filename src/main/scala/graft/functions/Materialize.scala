@@ -122,14 +122,18 @@ object Materialize {
     if (df.storageLevel != StorageLevel.NONE) df.unpersist(blocking = false)
   }
 
-  /** Run two INDEPENDENT actions concurrently and propagate the first
-    * failure after both finish — for pairs of small writes whose cost
-    * is fixed overhead (job submission, commit protocol, catalog
-    * refresh) rather than data volume, where overlapping the two halves
-    * the wall clock ([[graft.functions.AnnIndex.append]]'s two table
-    * inserts, [[graft.examples.IndexFollower.catchUp]]'s two index
-    * legs). `b` runs on the calling thread; Spark job submission is
-    * thread-safe and each action's DataFrame carries its own session. */
+  /** Run two INDEPENDENT actions concurrently and propagate failure
+    * after both finish (the other leg's failure rides along as a
+    * suppressed exception — dropping it would point an operator at the
+    * wrong root cause) — for pairs of small writes whose cost is fixed
+    * overhead (job submission, commit protocol, catalog refresh) rather
+    * than data volume, where overlapping the two halves the wall clock
+    * ([[graft.examples.IndexFollower.catchUp]]'s two index legs). `b`
+    * runs on the calling thread; Spark job submission is thread-safe
+    * and each action's DataFrame carries its own session. Only for
+    * actions with NO ordering contract between them — see
+    * [[graft.functions.AnnIndex.append]]'s keyed path for a pair whose
+    * order is load-bearing. */
   private[graft] def inParallel(a: => Unit, b: => Unit): Unit = {
     @volatile var ea: Throwable = null
     val t = new Thread(() => try a catch { case x: Throwable => ea = x })
@@ -139,6 +143,7 @@ object Materialize {
     var eb: Throwable = null
     try b catch { case x: Throwable => eb = x }
     t.join()
+    if (ea != null && eb != null) ea.addSuppressed(eb)
     if (ea != null) throw ea
     if (eb != null) throw eb
   }

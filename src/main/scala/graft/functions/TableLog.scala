@@ -1575,6 +1575,27 @@ object TableLog {
     new Path(leasesDir(dir), consumerId)
   }
 
+  /** Write-temp-then-rename of one small file — the shared atomic
+    * update primitive for sidecar state (the tail's admission floor and
+    * resolved-since files): a crash can only lose the update, never
+    * leave a torn file. NOT suitable for state whose ABSENCE breaks a
+    * guarantee (filesystems whose rename refuses to overwrite take the
+    * delete-then-rename fallback, which has a brief no-file window —
+    * leases use create-new-then-sweep instead, [[renewLease]]). */
+  private[graft] def atomicWriteSmall(fs: FileSystem, p: Path,
+                                      content: String): Unit = {
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".tmp-${p.getName}-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"could not atomically write $p")
+    }
+  }
+
   /** Record that consumer `consumerId` has durably consumed THROUGH
     * `committedVersion` of `dir` — an advisory registration under
     * `_graft_log/leases/` that [[vacuum]] honors: manifests at or above
@@ -1586,50 +1607,73 @@ object TableLog {
     * released on shutdown — a stopped stream usually resumes from its
     * checkpoint and still needs its floor; delete a decommissioned
     * consumer's lease with [[releaseLease]] (or let it age out).
-    * Renewal is a write-temp-then-rename of one small file — a crash
-    * loses at most the latest renewal, which only ever WIDENS what
-    * vacuum keeps. The version tail renews on every engine-committed
-    * batch and [[graft.examples.IndexFollower.catchUp]] per applied
-    * span; any external consumer of [[appendsSince]] can register the
-    * same way. */
+    *
+    * Crash posture: each renewal is the atomic CREATE of a NEW
+    * `<id>@<version>` file (empty — the name carries the version, the
+    * mtime the freshness), after which older renewals of the same id
+    * are swept best-effort. Never update-in-place: a delete-then-rename
+    * of one shared file has a window with NO lease on filesystems whose
+    * rename refuses to overwrite — a vacuum listing in that window
+    * would prune the very manifests the lease protects. Here a crash
+    * leaves EXTRA renewal files (readers take the max per id; vacuum's
+    * floor takes the min across ids, so a stale leftover only ever
+    * WIDENS what is kept until the next renewal sweeps it).
+    *
+    * The version tail renews on every engine-committed batch and
+    * [[graft.examples.IndexFollower.catchUp]] per applied span; any
+    * external consumer of [[appendsSince]] can register the same
+    * way. */
   def renewLease(spark: SparkSession, dir: String, consumerId: String,
                  committedVersion: Long): Unit = {
     val (fs, _) = fsFor(spark, dir)
-    val p = leasePath(dir, consumerId)
-    fs.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, s".tmp-lease-${p.getName}")
-    val out = fs.create(tmp, true)
-    try out.write(committedVersion.toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, p)) {
-      fs.delete(p, false)
-      if (!fs.rename(tmp, p))
-        throw new java.io.IOException(s"could not renew lease $p")
-    }
+    val base = leasePath(dir, consumerId)
+    fs.mkdirs(base.getParent)
+    val p = new Path(base.getParent, s"${base.getName}@$committedVersion")
+    try fs.create(p, false).close()
+    catch { case _: java.io.IOException if fs.exists(p) => () } // re-renewal
+    // opportunistic sweep of superseded renewals — failure harmless
+    try {
+      fs.listStatus(base.getParent).foreach { f =>
+        val n = f.getPath.getName
+        if (n.startsWith(base.getName + "@") && n != p.getName &&
+            n.stripPrefix(base.getName + "@").toLongOption
+              .exists(_ < committedVersion))
+          fs.delete(f.getPath, false)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
-  /** Drop `consumerId`'s lease — for decommissioned consumers; a
-    * no-op when absent. */
+  /** Drop `consumerId`'s lease (every recorded renewal) — for
+    * decommissioned consumers; a no-op when absent. */
   def releaseLease(spark: SparkSession, dir: String,
                    consumerId: String): Unit = {
     val (fs, _) = fsFor(spark, dir)
-    fs.delete(leasePath(dir, consumerId), false)
+    val base = leasePath(dir, consumerId)
+    if (!fs.exists(base.getParent)) return
+    fs.listStatus(base.getParent).foreach { f =>
+      if (f.getPath.getName.startsWith(base.getName + "@"))
+        fs.delete(f.getPath, false)
+    }
   }
 
   /** All recorded leases: consumerId → (committed version, last-renewal
-    * mtime ms). Unreadable/torn entries are skipped (a torn lease can
-    * only under-protect its own consumer for one renewal interval). */
+    * mtime ms). Multiple renewal files per id (crash leftovers) resolve
+    * to the highest version; unparsable names are skipped (a torn or
+    * foreign entry can only under-protect its own consumer). */
   def leases(spark: SparkSession, dir: String): Map[String, (Long, Long)] = {
     val (fs, _) = fsFor(spark, dir)
     val ld = leasesDir(dir)
     if (!fs.exists(ld)) return Map.empty
     fs.listStatus(ld).iterator.flatMap { f =>
       val name = f.getPath.getName
-      if (name.startsWith(".")) Iterator.empty
-      else tryReadFully(fs, f.getPath).flatMap(s => s.trim.toLongOption)
-        .map(v => name -> (v, f.getModificationTime)).iterator
-    }.toMap
+      name.split('@') match {
+        case Array(id, v) if !name.startsWith(".") && v.toLongOption.isDefined =>
+          Iterator.single((id, (v.toLong, f.getModificationTime)))
+        case _ => Iterator.empty
+      }
+    }.toVector.groupBy(_._1).map { case (id, renewals) =>
+      id -> renewals.map(_._2).maxBy(_._1)
+    }
   }
 
   /** The lease that currently BINDS retention — the live (unexpired)
@@ -1767,13 +1811,20 @@ object TableLog {
     val m = latest(spark, dir).getOrElse(throw new IllegalStateException(
       s"$dir has no committed manifest — pass the schema explicitly to tail " +
         "a table that has not been written yet"))
-    val schema = m.schema.getOrElse {
+    readTail(spark, dir, schemaOf(spark, dir, m))
+  }
+
+  /** `m`'s recorded schema, or (pre-schema v1 manifests) one inferred
+    * from a single live file's footer — the shared fallback of
+    * [[readTail]] and the `format("tablelog")` batch provider, so the
+    * two can never drift on the inference rule. */
+  private[graft] def schemaOf(spark: SparkSession, dir: String,
+      m: Manifest): org.apache.spark.sql.types.StructType =
+    m.schema.getOrElse {
       val first = m.files.headOption.getOrElse(throw new IllegalStateException(
         s"$dir has no data files to infer a schema from — pass it explicitly"))
       spark.read.parquet(s"${dir.stripSuffix("/")}/${first.name}").schema
     }
-    readTail(spark, dir, schema)
-  }
 
   /** [[readTail]] with an explicit schema — works before the table's
     * first commit (the table directory is created empty if missing, so
@@ -1821,7 +1872,8 @@ object TableLog {
                        since: Option[Long] = None,
                        schema: Option[org.apache.spark.sql.types.StructType] =
                          None,
-                       maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
+                       maxVersionsPerTrigger: Option[Int] = None,
+                       failOnSchemaDrift: Boolean = true): DataFrame = {
     var r = spark.readStream
       .format(classOf[graft.sources.TableLogTailProvider].getName)
       .option("dir", dir)
@@ -1829,6 +1881,7 @@ object TableLog {
     schema.foreach(s => r = r.schema(s))
     maxVersionsPerTrigger.foreach(n =>
       r = r.option("maxVersionsPerTrigger", n.toString))
+    if (!failOnSchemaDrift) r = r.option("failOnSchemaDrift", "false")
     r.load()
   }
 

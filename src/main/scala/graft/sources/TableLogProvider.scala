@@ -22,8 +22,11 @@ import graft.functions.TableLog
   *    `.option("versionAsOf", v)`, exactly
   *    [[graft.functions.TableLog.readAt]] (era-correct schema, loud
   *    beyond-retention error). SQL: `CREATE TABLE t USING tablelog
-  *    OPTIONS (path '<dir>')` then query `t` — each query re-resolves
-  *    the relation, so it follows the table's commits.
+  *    OPTIONS (path '<dir>')` then query `t` — note Spark CACHES the
+  *    resolved relation per session, so `t` serves the snapshot pinned
+  *    at first use until `REFRESH TABLE t` (or a new session) re-runs
+  *    `createRelation` — the standard external-commit contract of
+  *    every DSv1 path-based table.
   *  - stream: `spark.readStream.format("tablelog")` is the
   *    version-offset tail ([[TableLogTailProvider]] — exactly-once,
   *    per-batch stats pruning, `since` / `maxVersionsPerTrigger`
@@ -56,15 +59,10 @@ final class TableLogProvider extends RelationProvider
           s"$dir has no committed manifest — not a TableLog table (or " +
             "never written)"))
     }
-    val dataSchema = m.schema.getOrElse {
-      // pre-schema v1 manifests: infer the shape from one file's footer;
-      // those files carry no recorded stats, so pruning is conservative
-      // (every file kept) either way
-      val first = m.files.headOption.getOrElse(throw new IllegalStateException(
-        s"$dir version ${m.version} has no data files to infer a schema from"))
-      spark.read.parquet(s"${dir.stripSuffix("/")}/${first.name}").schema
-    }
-    TableLog.hadoopRelation(spark, dir, m, dataSchema)
+    // pre-schema v1 manifests fall back to single-file footer inference
+    // (shared with readTail); those files carry no recorded stats, so
+    // pruning is conservative (every file kept) either way
+    TableLog.hadoopRelation(spark, dir, m, TableLog.schemaOf(spark, dir, m))
   }
 
   // the streaming face under the same short name: the version-offset

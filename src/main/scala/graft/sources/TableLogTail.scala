@@ -49,7 +49,8 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
                                metadataPath: String, pinned: StructType,
                                pinnedAt: Long, since: Long,
                                maxVersionsPerTrigger: Option[Int],
-                               consumerId: String)
+                               consumerId: String,
+                               failOnSchemaDrift: Boolean)
     extends Source {
 
   override def schema: StructType = pinned
@@ -109,21 +110,13 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Write-temp-then-rename so a crash can only lose the update, never
-    * leave a torn file (an unreadable floor costs a restart one
-    * uncapped batch — see [[offeredFloor]]). */
+  /** Atomic small-file update ([[TableLog.atomicWriteSmall]]) — a crash
+    * can only lose the update, never leave a torn file; a briefly
+    * MISSING floor costs a restart one uncapped batch, the documented
+    * safe fallback (see [[offeredFloor]]). */
   private def persistFloor(v: Long): Unit = {
     val (fs, p) = floorFile
-    fs.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, s"${p.getName}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, p)) {
-      fs.delete(p, false)
-      if (!fs.rename(tmp, p))
-        throw new java.io.IOException(s"could not persist admission floor $p")
-    }
+    TableLog.atomicWriteSmall(fs, p, v.toString)
   }
 
   override def getOffset: Option[V1Offset] =
@@ -164,7 +157,7 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
       persistFloor(toV)
       offeredFloor = Some(toV)
     }
-    if (toV > fromV && toV > pinnedAt) {
+    if (failOnSchemaDrift && toV > fromV && toV > pinnedAt) {
       // schema-drift guard: every batch is planned with the schema
       // pinned at source creation, so an evolve/dropColumn committed
       // AFTER the pin would otherwise be silently invisible (added
@@ -175,6 +168,17 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
       // (COMPATIBILITY.md documents the procedure; on restart, windows
       // at or below the new pin read pre-drift files under the newest
       // schema, the same straddling semantics as appendsSince).
+      // Deliberately only the window HEAD is compared: a drift that is
+      // already REVERTED by toV (evolve-add then dropColumn within one
+      // window) means recorded == pinned == the table's CURRENT schema,
+      // and delivering the window under it is exactly what a fresh
+      // consumer re-pinned today would read — checking every head in
+      // the window would cost O(window) reads to reject a benign case.
+      // `failOnSchemaDrift=false` (the `failOnSchemaDrift` option) is
+      // for signal-only consumers that never act on the rows
+      // ([[graft.examples.IndexFollower.follow]] uses the tail purely
+      // as a change signal) — a legal corpus evolve must not wedge
+      // them.
       TableLog.headAt(spark, dir, toV).flatMap(_.schema).foreach { recorded =>
         if (!TableLog.sameSchema(recorded, pinned))
           throw new IllegalStateException(
@@ -299,16 +303,7 @@ final class TableLogTailProvider extends StreamSourceProvider {
       } else {
         val v = parameters.get("since").map(_.toLong).getOrElse(
           TableLog.latestVersion(spark, dir).getOrElse(-1L))
-        fs.mkdirs(sincePath.getParent)
-        val tmp = new Path(sincePath.getParent, "since-resolved.tmp")
-        val out = fs.create(tmp, true)
-        try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        if (!fs.rename(tmp, sincePath)) {
-          fs.delete(sincePath, false)
-          if (!fs.rename(tmp, sincePath)) throw new java.io.IOException(
-            s"could not persist the resolved start version at $sincePath")
-        }
+        TableLog.atomicWriteSmall(fs, sincePath, v.toString)
         v
       }
     val maxV = parameters.get("maxVersionsPerTrigger").map(_.toInt)
@@ -323,7 +318,9 @@ final class TableLogTailProvider extends StreamSourceProvider {
         java.nio.charset.StandardCharsets.UTF_8))
       "tail-" + d.take(8).map("%02x".format(_)).mkString
     })
+    val failOnDrift =
+      parameters.get("failOnSchemaDrift").forall(_.toBoolean)
     new TableLogTailSource(spark, dir, metadataPath, pinned, pinnedAt, since,
-      maxV, consumerId)
+      maxV, consumerId, failOnDrift)
   }
 }

@@ -595,6 +595,42 @@ class IndexFollowerSpec extends SparkSuite {
       .filter($"count" > 1).count() == 0L)
   }
 
+  test("follow() survives a legal corpus evolve — the signal stream must not wedge") {
+    val corpus = corpusDf().limit(30).cache()
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_fev_src").toString + "/t"
+    val dedupDir = java.nio.file.Files.createTempDirectory("graft_fev_ddx").toString + "/ix"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_fev_state").toString
+    import org.apache.spark.sql.types._
+    val emptyCorpus = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val ann = AnnIndex.build(emptyCorpus, "fev_ann", planes = 8, buckets = 8)
+    val ids = corpus.select($"doc_id").as[Long].collect().sorted
+    val q = IndexFollower.follow(spark, srcDir, stateDir, ann, dedupDir)
+    try {
+      TableLog.appendBatch(corpus.filter($"doc_id".isin(ids.take(10): _*)),
+        srcDir, "src", 0L)
+      q.processAllAvailable()
+      assert(TableLog.read(spark, dedupDir).select($"doc_id").distinct().count() == 10L)
+      // a LEGAL evolution beside the contract columns: the pinned signal
+      // schema no longer matches the table's — the signal-only stream
+      // must keep driving catch-up, not fail with the drift error
+      val evolved = TableLog.latest(spark, srcDir).get.schema.get
+        .add("lang", StringType, nullable = true)
+      TableLog.evolve(spark, srcDir, evolved)
+      TableLog.appendBatch(
+        corpus.filter($"doc_id".isin(ids.slice(10, 20): _*))
+          .withColumn("lang", lit("en")),
+        srcDir, "src2", 0L)
+      q.processAllAvailable()
+      assert(q.isActive, "the standing follower wedged on a legal evolve")
+      val indexed = TableLog.read(spark, dedupDir).select($"doc_id").distinct().count()
+      assert(indexed == 20L, s"post-evolve appends were not indexed: $indexed docs")
+    } finally q.stop()
+    corpus.unpersist()
+  }
+
   test("catchUp leases the source table: a deep-lag follower survives an aggressive vacuum") {
     val corpus = corpusDf().cache()
     val srcDir = java.nio.file.Files.createTempDirectory("graft_lease_src").toString + "/t"

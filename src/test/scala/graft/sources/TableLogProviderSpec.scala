@@ -84,6 +84,18 @@ class TableLogProviderSpec extends SparkSuite {
         .as[Long].head() == 100L)
       assert(spark.sql("SELECT sum(ts) AS s FROM dsv1_sql WHERE ts < 10")
         .as[Long].head() == 45L)
+      // the session CACHES the resolved relation: an external commit is
+      // invisible until REFRESH TABLE re-runs createRelation (the
+      // standard DSv1 external-commit contract, pinned here so the doc
+      // cannot drift from reality)
+      TableLog.appendBatch(batch(1), dir, "r", 1L)
+      assert(spark.sql("SELECT count(*) AS n FROM dsv1_sql")
+        .as[Long].head() == 100L,
+        "cached relation unexpectedly followed an external commit")
+      spark.sql("REFRESH TABLE dsv1_sql")
+      assert(spark.sql("SELECT count(*) AS n FROM dsv1_sql")
+        .as[Long].head() == 200L,
+        "REFRESH TABLE did not re-resolve the snapshot")
     } finally spark.sql("DROP TABLE IF EXISTS dsv1_sql")
   }
 
