@@ -121,6 +121,16 @@ object TableLog {
 
   private val ManifestRe = "^manifest-(\\d{20})$".r
   private def logDir(dir: String) = new Path(dir.stripSuffix("/"), "_graft_log")
+
+  /** Per-manifest-destination commit mutexes: local filesystems check
+    * "destination exists" NON-atomically before an overwriting POSIX
+    * rename, so same-JVM committers of one version must serialize the
+    * exists+rename pair or the CAS silently loses a commit (see the
+    * commit() comment). Never cleaned — one small entry per committed
+    * manifest path ever touched by this JVM, bounded by retention ×
+    * tables in practice. */
+  private val commitMutexes =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def manifestName(v: Long) = f"manifest-$v%020d"
 
   private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
@@ -443,7 +453,24 @@ object TableLog {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dst = new Path(log, manifestName(m.version))
-    if (!fs.rename(tmp, dst)) {
+    // The rename IS the CAS — on HDFS atomically (rename fails on an
+    // existing destination as one namenode op). Local filesystems
+    // implement "fail on existing" as a non-atomic exists-check before a
+    // POSIX rename that OVERWRITES: two same-version committers can both
+    // pass the check, the second silently replacing the first's manifest
+    // (a lost commit) and leaving the first's .crc sidecar beside the
+    // second's data (every later read fails with ChecksumException —
+    // the 8-writer contention bench caught exactly this). Same-JVM
+    // committers — the supported local multi-writer topology; local[*]
+    // IS one JVM — therefore serialize the exists+rename pair on a
+    // per-destination mutex. Cross-JVM writers on a local filesystem
+    // remain unsupported (use HDFS/an atomic-rename store, where this
+    // mutex is a no-op correctness-wise and one exists() of overhead).
+    val mutex = commitMutexes.computeIfAbsent(dst.toString, _ => new Object)
+    val renamed = mutex.synchronized {
+      !fs.exists(dst) && fs.rename(tmp, dst)
+    }
+    if (!renamed) {
       fs.delete(tmp, false)
       throw new java.util.ConcurrentModificationException(
         s"version ${m.version} of $dir was committed by another writer first")

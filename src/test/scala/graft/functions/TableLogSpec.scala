@@ -985,6 +985,36 @@ class TableLogSpec extends SparkSuite {
       "a pre-add restore must serve nulls for the later-added column")
   }
 
+  test("8-writer commit storm: no lost batches, no torn manifest/crc pairs") {
+    // regression for the local-FS CAS TOCTOU: the exists-check before an
+    // overwriting POSIX rename let two same-version committers both
+    // "win" — one commit silently lost, and its .crc sidecar left beside
+    // the other's data (every later read a ChecksumException). 8 threads
+    // hit the window reliably where 2 ran for rounds without tripping it.
+    val dir = freshTable()
+    val writers = 8
+    val batches = 6
+    TableLog.appendBatch(batchDf(99, 10), dir, "warm", 0L)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until writers).map { w =>
+      new Thread(() => try {
+        (0 until batches).foreach { b =>
+          TableLog.appendBatch(batchDf(w * 100 + b, 10), dir, s"w$w", b.toLong)
+        }
+      } catch { case t: Throwable => failures.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(failures.isEmpty, s"writer failed: ${Option(failures.peek())}")
+    assert(TableLog.rows(spark, dir) == (writers * batches + 1) * 10L,
+      "a commit was lost under contention")
+    assert(TableLog.read(spark, dir).count() == (writers * batches + 1) * 10L)
+    // every retained manifest must be cleanly readable (a torn data/crc
+    // pair throws ChecksumException here)
+    TableLog.retainedVersions(spark, dir).foreach(v =>
+      TableLog.readAt(spark, dir, v).schema)
+  }
+
   test("consumer leases gate vacuum's manifest prune; expiry, release and the override reclaim") {
     val dir = freshTable()
     (0 until TableLog.KeepManifests + 6).foreach(b =>
