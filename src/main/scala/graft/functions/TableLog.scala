@@ -528,6 +528,7 @@ object TableLog {
                 attempts += 1
                 if (attempts > CasRetries) throw new java.util.ConcurrentModificationException(
                   s"$opName of $dir lost the manifest CAS $attempts times: ${e.getMessage}")
+                casBackoff(attempts)
                 false
             }
           if (landed) out = Some(committed(m))
@@ -753,9 +754,23 @@ object TableLog {
 
   /** How many times a losing manifest CAS is re-resolved and re-tried
     * before giving up. Each retry is one listing + one manifest read +
-    * one rename — conflicts are rare (one maintenance writer), so the
-    * bound exists only to turn a pathological livelock into an error. */
-  val CasRetries = 5
+    * one rename, and losers back off with jitter ([[casBackoff]]), so
+    * the bound exists only to turn a pathological livelock into an
+    * error. Sized for a FLEET of appenders: one commit round has up to
+    * writers−1 losers, so an unlucky writer among 8 can lose several
+    * consecutive rounds legitimately (the 8-writer contention bench
+    * exhausted the old bound of 5). */
+  val CasRetries = 32
+
+  /** Jittered backoff before a lost CAS retries: losers that re-resolve
+    * and re-rename in lockstep mostly re-collide — a random few-ms sleep
+    * (growing with the attempt, capped well under a commit's own cost)
+    * spreads the next round instead. */
+  private def casBackoff(attempt: Int): Unit = {
+    val cap = math.min(4 << math.min(attempt, 4), 50)
+    Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+      .nextInt(1, cap + 1).toLong)
+  }
 
   /** Test seam: invoked once per manifest-commit ATTEMPT inside the
     * retrying paths ([[commitAppend]], [[compact]]), between resolving
