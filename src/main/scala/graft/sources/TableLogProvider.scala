@@ -1,9 +1,11 @@
 package graft.sources
 
-import org.apache.spark.sql.SQLContext
-import org.apache.spark.sql.execution.streaming.Source
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
-  RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, graftbridge}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
+  DataSourceRegister, RelationProvider, StreamSinkProvider,
+  StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.TableLog
@@ -27,10 +29,26 @@ import graft.functions.TableLog
   *    at first use until `REFRESH TABLE t` (or a new session) re-runs
   *    `createRelation` — the standard external-commit contract of
   *    every DSv1 path-based table.
-  *  - stream: `spark.readStream.format("tablelog")` is the
+  *  - stream read: `spark.readStream.format("tablelog")` is the
   *    version-offset tail ([[TableLogTailProvider]] — exactly-once,
   *    per-batch stats pruning, `since` / `maxVersionsPerTrigger`
   *    options).
+  *  - stream write: `df.writeStream.format("tablelog")` commits each
+  *    micro-batch through [[graft.functions.TableLog.appendBatch]] —
+  *    exactly-once per checkpoint (the writer identity comes from
+  *    `checkpointLocation` via
+  *    [[graft.functions.TableLog.runKeyFor]], so same-checkpoint
+  *    replays dedup against the table's commit map while a fresh
+  *    checkpoint appends under a fresh key). Append mode only; schema
+  *    drift against the table's recorded schema fails loudly at the
+  *    first batch, before any file lands.
+  *  - batch write: `df.write.format("tablelog").mode("append")
+  *    .save(dir)` is a one-shot committed append (each call its own
+  *    writer identity — no replay ledger to honor); `ErrorIfExists`
+  *    and `Ignore` carry their usual meaning against "the table
+  *    exists"; `Overwrite` is rejected loudly (destructive replacement
+  *    of a versioned log is `restore`/`exportAt` territory, not a save
+  *    mode).
   *
   * The relation pins the manifest resolved at `load()` time — the
   * snapshot-isolation contract every TableLog reader has; re-`load()`
@@ -38,7 +56,8 @@ import graft.functions.TableLog
   * service file, so the short name works with only the graft jar on
   * the classpath. */
 final class TableLogProvider extends RelationProvider
-    with StreamSourceProvider with DataSourceRegister {
+    with StreamSourceProvider with StreamSinkProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "tablelog"
 
@@ -83,4 +102,61 @@ final class TableLogProvider extends RelationProvider
       parameters: Map[String, String]): Source =
     tail.createSource(sqlContext, metadataPath, schema, providerName,
       withDir(parameters))
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val spark = sqlContext.sparkSession
+    val dir = dirOf(parameters)
+    require(outputMode == OutputMode.Append(),
+      s"the tablelog sink is an append-only commit log: output mode " +
+        s"$outputMode is not expressible as appends (aggregate first, " +
+        "or land updates through foreachBatch + delete/appendBatch)")
+    require(partitionColumns.isEmpty,
+      "the tablelog sink does not partition by directory — clustering " +
+        "is compact(layoutBy)/trackStats territory")
+    // the per-checkpoint writer identity: same checkpoint ⇒ same runKey
+    // ⇒ a replayed batchId dedups against the table's commit map; a
+    // temp (unrecoverable) checkpoint draws a per-sink key, which still
+    // dedups in-run retries
+    val runKey = parameters.get("checkpointLocation")
+      .map(ck => TableLog.runKeyFor(spark, ck))
+      .getOrElse(java.util.UUID.randomUUID().toString)
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // re-root the micro-batch as a plain batch frame (the v1 sink
+        // contract hands a streaming-tagged plan; appendBatch writes
+        // through the batch writer)
+        TableLog.appendBatch(graftbridge.asBatchDataFrame(data), dir,
+          runKey, batchId)
+      }
+      override def toString: String = s"TableLogSink[$dir]"
+    }
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val dir = dirOf(parameters)
+    val exists = TableLog.latest(spark, dir).isDefined
+    mode match {
+      case SaveMode.Append => ()
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"$dir is already a TableLog table (SaveMode.ErrorIfExists)")
+      case SaveMode.Ignore =>
+        if (exists) return createRelation(sqlContext, parameters)
+      case SaveMode.Overwrite =>
+        throw new UnsupportedOperationException(
+          s"SaveMode.Overwrite would destroy $dir's committed history — " +
+            "a versioned log is rolled back with TableLog.restore or " +
+            "replaced via exportAt to a fresh directory, never by a " +
+            "silent save-mode overwrite")
+    }
+    // one-shot committed append: each call is its own writer identity
+    // (there is no replay ledger to honor for ad-hoc batch writes)
+    TableLog.appendBatch(data, dir,
+      s"batchwrite-${java.util.UUID.randomUUID()}", 0L)
+    createRelation(sqlContext, parameters)
+  }
 }

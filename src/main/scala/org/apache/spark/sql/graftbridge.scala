@@ -24,4 +24,16 @@ object graftbridge {
       spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-root a DSv1 `Sink.addBatch` DataFrame as a plain BATCH frame
+    * over its already-planned physical rows — the standard v1-sink move
+    * (FileStreamSink does the same through FileFormatWriter): the
+    * incoming frame's logical plan still carries the streaming flag, so
+    * feeding it to a batch writer (`df.write`) would be rejected, while
+    * its `toRdd` is exactly this micro-batch's data. */
+  def asBatchDataFrame(data: DataFrame): DataFrame = {
+    val spark = data.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+  }
 }

@@ -99,6 +99,76 @@ class TableLogProviderSpec extends SparkSuite {
     } finally spark.sql("DROP TABLE IF EXISTS dsv1_sql")
   }
 
+  test("batch write: mode(\"append\").save() commits; ErrorIfExists/Ignore/Overwrite honest") {
+    val dir = freshTable()
+    batch(0).write.format("tablelog").mode("append").save(dir)
+    batch(1).write.format("tablelog").mode("append").save(dir)
+    assert(TableLog.read(spark, dir).count() == 200L)
+    assert(TableLog.latest(spark, dir).get.version == 1L)
+    // schema drift lands on appendBatch's loud guard
+    val drift = intercept[IllegalArgumentException] {
+      batch(2).withColumn("extra", lit(1)).write.format("tablelog")
+        .mode("append").save(dir)
+    }
+    assert(drift.getMessage.contains("schema drift"), drift.getMessage)
+    val e = intercept[IllegalStateException] {
+      batch(2).write.format("tablelog").mode("errorifexists").save(dir)
+    }
+    assert(e.getMessage.contains("already"), e.getMessage)
+    batch(2).write.format("tablelog").mode("ignore").save(dir) // no-op
+    assert(TableLog.read(spark, dir).count() == 200L)
+    val o = intercept[UnsupportedOperationException] {
+      batch(2).write.format("tablelog").mode("overwrite").save(dir)
+    }
+    assert(o.getMessage.contains("restore"), o.getMessage)
+    // a fresh dir through ErrorIfExists works
+    val dir2 = freshTable()
+    batch(0).write.format("tablelog").mode("errorifexists").save(dir2)
+    assert(TableLog.read(spark, dir2).count() == 100L)
+  }
+
+  test("streaming sink: writeStream.format(\"tablelog\") commits exactly once across restarts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = freshTable()
+    val ck = java.nio.file.Files.createTempDirectory("graft_dsv1_sink_ck").toString
+    val input = MemoryStream[(Long, String)]
+    def start() = input.toDF().toDF("ts", "v")
+      .writeStream.format("tablelog").option("path", dir)
+      .option("checkpointLocation", ck).outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData((0L, "a"), (1L, "b"))
+      q1.processAllAvailable()
+      input.addData((2L, "c"))
+      q1.processAllAvailable()
+      assert(TableLog.read(spark, dir).count() == 3L)
+      // the committed appends are ordinary TableLog versions: the
+      // version tail and time travel see them
+      assert(TableLog.latest(spark, dir).get.version >= 1L)
+    } finally q1.stop()
+    // restart from the same checkpoint: resumed batchIds never re-commit
+    val q2 = start()
+    try {
+      input.addData((3L, "d"))
+      q2.processAllAvailable()
+      val got = spark.read.format("tablelog").load(dir)
+        .select($"ts").as[Long].collect().sorted.toSeq
+      assert(got == Seq(0L, 1L, 2L, 3L),
+        s"restart re-committed or lost a batch: $got")
+    } finally q2.stop()
+    // update mode is not expressible as appends — rejected at start
+    val u = intercept[Exception] {
+      spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .groupBy($"value" % 2).count()
+        .writeStream.format("tablelog").option("path", freshTable())
+        .outputMode("update").start()
+    }
+    assert(u.getMessage.contains("append-only") ||
+      Option(u.getCause).exists(_.getMessage.contains("append-only")),
+      s"wrong failure: ${u.getMessage}")
+  }
+
   test("the same short name streams: readStream.format(\"tablelog\") is the version tail") {
     val dir = freshTable()
     TableLog.appendBatch(batch(0), dir, "r", 0L)
