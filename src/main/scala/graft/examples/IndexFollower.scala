@@ -186,26 +186,18 @@ object IndexFollower {
                     AnnIndex.append(spark, ann,
                       d.select(col("doc_id").as("vec_id"), col("embedding")),
                       key))
-                registry match {
-                  case Some(_) =>
-                    // a pinned delta the registry filtered to NOTHING
-                    // commits nothing: an empty dedup appendBatch would
-                    // still bump a manifest version and the ANN append
-                    // would still pay two insert jobs — and a replay
-                    // recomputes the same empty set, so skipping is
-                    // exactly as idempotent
-                    val n = d.count()
-                    rows += n
-                    if (n > 0) applyLegs()
-                  case None =>
-                    // no registry ⇒ the delta passes through unfiltered
-                    // and appendsSince never returns an empty file set —
-                    // skip the up-front count job (one fewer fixed cost
-                    // on the live path; the first leg action materializes
-                    // the cache, the post-legs count reads it)
-                    applyLegs()
-                    rows += d.count()
-                }
+                // a pinned delta with NO rows commits nothing: an empty
+                // dedup appendBatch would still bump a manifest version
+                // and the ANN append would still pay two insert jobs —
+                // and a replay recomputes the same empty set, so
+                // skipping is exactly as idempotent. Zero-row deltas are
+                // real even without a registry filter (a zero-row
+                // source append stages a schema-preserving empty file),
+                // so the count gates BOTH branches — its job also
+                // materializes the cache both legs share.
+                val n = d.count()
+                rows += n
+                if (n > 0) applyLegs()
               } finally d.unpersist(blocking = false)
             }
             checkpointVersion(spark, stateDir, to)

@@ -122,13 +122,17 @@ object TableLog {
   private val ManifestRe = "^manifest-(\\d{20})$".r
   private def logDir(dir: String) = new Path(dir.stripSuffix("/"), "_graft_log")
 
-  /** Per-manifest-destination commit mutexes: local filesystems check
-    * "destination exists" NON-atomically before an overwriting POSIX
-    * rename, so same-JVM committers of one version must serialize the
-    * exists+rename pair or the CAS silently loses a commit (see the
-    * commit() comment). Never cleaned — one small entry per committed
-    * manifest path ever touched by this JVM, bounded by retention ×
-    * tables in practice. */
+  /** Per-TABLE commit mutexes (keyed by the fs-QUALIFIED log dir, so
+    * `/t` and `file:/t` — one table, two spellings — share one lock):
+    * local filesystems check "destination exists" NON-atomically before
+    * an overwriting POSIX rename, so same-JVM committers of one version
+    * must serialize the exists+rename pair or the CAS silently loses a
+    * commit (see the commit() comment). Keyed per table, not per
+    * manifest version: same-table commits of different versions are
+    * already CAS-serialized, the held section is one exists + one
+    * rename (~ms), and a per-version key would grow the map forever on
+    * a standing ingest driver. Bounded by tables ever touched by this
+    * JVM. */
   private val commitMutexes =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def manifestName(v: Long) = f"manifest-$v%020d"
@@ -466,7 +470,8 @@ object TableLog {
     // per-destination mutex. Cross-JVM writers on a local filesystem
     // remain unsupported (use HDFS/an atomic-rename store, where this
     // mutex is a no-op correctness-wise and one exists() of overhead).
-    val mutex = commitMutexes.computeIfAbsent(dst.toString, _ => new Object)
+    val mutex = commitMutexes.computeIfAbsent(
+      fs.makeQualified(log).toString, _ => new Object)
     val renamed = mutex.synchronized {
       !fs.exists(dst) && fs.rename(tmp, dst)
     }
@@ -1673,27 +1678,32 @@ object TableLog {
     val p = new Path(base.getParent, s"${base.getName}@$committedVersion")
     try fs.create(p, false).close()
     catch { case _: java.io.IOException if fs.exists(p) => () } // re-renewal
-    // opportunistic sweep of superseded renewals — failure harmless
+    // opportunistic sweep of superseded renewals (and this consumer's
+    // legacy single-file lease, if an upgrade left one) — failure
+    // harmless
     try {
       fs.listStatus(base.getParent).foreach { f =>
         val n = f.getPath.getName
-        if (n.startsWith(base.getName + "@") && n != p.getName &&
+        val superseded =
+          (n.startsWith(base.getName + "@") && n != p.getName &&
             n.stripPrefix(base.getName + "@").toLongOption
-              .exists(_ < committedVersion))
-          fs.delete(f.getPath, false)
+              .exists(_ < committedVersion)) || n == base.getName
+        if (superseded) fs.delete(f.getPath, false)
       }
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 
-  /** Drop `consumerId`'s lease (every recorded renewal) — for
-    * decommissioned consumers; a no-op when absent. */
+  /** Drop `consumerId`'s lease (every recorded renewal, legacy
+    * single-file layout included) — for decommissioned consumers; a
+    * no-op when absent. */
   def releaseLease(spark: SparkSession, dir: String,
                    consumerId: String): Unit = {
     val (fs, _) = fsFor(spark, dir)
     val base = leasePath(dir, consumerId)
     if (!fs.exists(base.getParent)) return
     fs.listStatus(base.getParent).foreach { f =>
-      if (f.getPath.getName.startsWith(base.getName + "@"))
+      val n = f.getPath.getName
+      if (n.startsWith(base.getName + "@") || n == base.getName)
         fs.delete(f.getPath, false)
     }
   }
@@ -1701,16 +1711,23 @@ object TableLog {
   /** All recorded leases: consumerId → (committed version, last-renewal
     * mtime ms). Multiple renewal files per id (crash leftovers) resolve
     * to the highest version; unparsable names are skipped (a torn or
-    * foreign entry can only under-protect its own consumer). */
+    * foreign entry can only under-protect its own consumer). Legacy
+    * single-file `<id>` leases (version in the CONTENT — the first
+    * release of this feature) still parse, so an upgrade cannot orphan
+    * a deep-lagging consumer's floor between its renewals. */
   def leases(spark: SparkSession, dir: String): Map[String, (Long, Long)] = {
     val (fs, _) = fsFor(spark, dir)
     val ld = leasesDir(dir)
     if (!fs.exists(ld)) return Map.empty
     fs.listStatus(ld).iterator.flatMap { f =>
       val name = f.getPath.getName
-      name.split('@') match {
-        case Array(id, v) if !name.startsWith(".") && v.toLongOption.isDefined =>
+      if (name.startsWith(".")) Iterator.empty
+      else name.split('@') match {
+        case Array(id, v) if v.toLongOption.isDefined =>
           Iterator.single((id, (v.toLong, f.getModificationTime)))
+        case Array(_) => // legacy one-file-per-consumer layout
+          tryReadFully(fs, f.getPath).flatMap(_.trim.toLongOption)
+            .map(v => (name, (v, f.getModificationTime))).iterator
         case _ => Iterator.empty
       }
     }.toVector.groupBy(_._1).map { case (id, renewals) =>

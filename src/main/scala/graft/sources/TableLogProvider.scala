@@ -116,12 +116,27 @@ final class TableLogProvider extends RelationProvider
       "the tablelog sink does not partition by directory — clustering " +
         "is compact(layoutBy)/trackStats territory")
     // the per-checkpoint writer identity: same checkpoint ⇒ same runKey
-    // ⇒ a replayed batchId dedups against the table's commit map; a
-    // temp (unrecoverable) checkpoint draws a per-sink key, which still
-    // dedups in-run retries
+    // ⇒ a replayed batchId dedups against the table's commit map. The
+    // sink only SEES the checkpoint when it arrives as a writer OPTION;
+    // a checkpoint resolved from the session conf
+    // (spark.sql.streaming.checkpointLocation + queryName) is invisible
+    // here, and a per-start random key under a durable checkpoint would
+    // re-commit the engine's replayed batch after every crash — fail
+    // loudly instead of silently weakening exactly-once to
+    // at-least-once. (No checkpoint at all fails in the engine's own
+    // validation before a batch ever runs.)
     val runKey = parameters.get("checkpointLocation")
       .map(ck => TableLog.runKeyFor(spark, ck))
-      .getOrElse(java.util.UUID.randomUUID().toString)
+      .getOrElse {
+        if (spark.conf.getOption(
+            "spark.sql.streaming.checkpointLocation").isDefined)
+          throw new IllegalArgumentException(
+            "the tablelog sink derives its exactly-once writer identity " +
+              "from the checkpoint, which it can only see as a writer " +
+              "option — pass .option(\"checkpointLocation\", ...) " +
+              "explicitly instead of relying on the session-conf default")
+        java.util.UUID.randomUUID().toString
+      }
     new Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         // re-root the micro-batch as a plain batch frame (the v1 sink

@@ -1050,6 +1050,18 @@ class TableLogSpec extends SparkSuite {
     TableLog.renewLease(spark, dir, "lagger", newFloor)
     TableLog.releaseLease(spark, dir, "lagger")
     assert(!TableLog.leases(spark, dir).contains("lagger"))
+    // LEGACY single-file leases (version in the content, the feature's
+    // first layout) still parse, still bind, release cleanly, and a
+    // renewal sweeps them into the current layout
+    val legacy = new java.io.File(s"$dir/_graft_log/leases/oldstyle")
+    java.nio.file.Files.write(legacy.toPath, "3".getBytes)
+    assert(TableLog.leases(spark, dir).get("oldstyle").exists(_._1 == 3L))
+    assert(TableLog.bindingLease(spark, dir).contains(("oldstyle", 3L)))
+    TableLog.renewLease(spark, dir, "oldstyle", 12L)
+    assert(!legacy.exists, "renewal must sweep the legacy file")
+    assert(TableLog.leases(spark, dir).get("oldstyle").exists(_._1 == 12L))
+    TableLog.releaseLease(spark, dir, "oldstyle")
+    assert(!TableLog.leases(spark, dir).contains("oldstyle"))
   }
 
   test("trackStats on a timestamp column is rejected while the session writes INT96") {
