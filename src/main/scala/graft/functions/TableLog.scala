@@ -1823,6 +1823,21 @@ object TableLog {
       }
       if (reclaimable && expired) { fs.delete(f.getPath, false); deleted += 1 }
     }
+    // housekeeping for ABANDONED lease files: an expired lease stopped
+    // binding retention long ago, but its file lingers (renewals sweep
+    // only the renewing consumer's own). Reclaim at double the TTL —
+    // far outside any clock skew that could race a live consumer's next
+    // renewal, and a mistaken delete costs nothing (the next renewal
+    // recreates the file; the lease was already non-binding).
+    val ld = leasesDir(dir)
+    if (!ignoreLeases && fs.exists(ld)) {
+      val abandoned = System.currentTimeMillis() - 2 * math.max(leaseTtlMs, 0L)
+      fs.listStatus(ld).iterator.foreach { f =>
+        if (f.getModificationTime <= abandoned) {
+          fs.delete(f.getPath, false); deleted += 1
+        }
+      }
+    }
     fs.listStatus(table).iterator.foreach { f =>
       val name = f.getPath.getName
       val expired = f.getModificationTime <= cutoff

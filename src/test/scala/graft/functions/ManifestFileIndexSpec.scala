@@ -240,6 +240,24 @@ class ManifestFileIndexSpec extends SparkSuite {
       java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T02:00:30Z")),
       java.time.Instant.parse("2026-01-01T02:01:09Z")).count()
     assert(viaWhere == 40L, s"readWhere with temporal bounds: $viaWhere")
+    // the full ingest-time clustering path: compact layoutBy the
+    // TIMESTAMP itself — range re-layout + per-file stats harvested for
+    // the rewritten c-files, so time-ranged filters prune post-compact
+    // too (the rewrite must also run under an INT64 output type)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try TableLog.compact(spark, dir,
+      targetBytes = math.max(1L, TableLog.bytes(spark, dir) / 4),
+      layoutBy = Seq("ts"))
+    finally spark.conf.set(key, saved)
+    val mc = TableLog.latest(spark, dir).get
+    assert(mc.files.length >= 3 && mc.files.forall(_.stats.contains("ts")),
+      s"compact did not harvest timestamp layout stats: ${mc.files.length}")
+    val post = TableLog.read(spark, dir)
+      .filter($"ts" >= lit("2026-01-01 03:00:00").cast("timestamp")).count()
+    assert(post == 100L)
+    assert(ManifestFileIndex.lastListed.size < mc.files.length,
+      s"post-compact time filter opened every file: " +
+        s"${ManifestFileIndex.lastListed.size} of ${mc.files.length}")
   }
 
   test("prefixIntersects: the truncated-bound edges never false-prune") {

@@ -1062,6 +1062,14 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.leases(spark, dir).get("oldstyle").exists(_._1 == 12L))
     TableLog.releaseLease(spark, dir, "oldstyle")
     assert(!TableLog.leases(spark, dir).contains("oldstyle"))
+    // vacuum housekeeping: a lease abandoned past DOUBLE the TTL is
+    // swept outright (it stopped binding at one TTL; the file must not
+    // linger forever)
+    TableLog.renewLease(spark, dir, "abandoned", 0L)
+    Thread.sleep(50)
+    TableLog.vacuum(spark, dir, graceMs = 0L, leaseTtlMs = 10L)
+    assert(!TableLog.leases(spark, dir).contains("abandoned"),
+      "an abandoned lease file survived vacuum housekeeping")
   }
 
   test("trackStats on a timestamp column is rejected while the session writes INT96") {
