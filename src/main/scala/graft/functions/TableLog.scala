@@ -1613,6 +1613,13 @@ object TableLog {
     * later without operator action. */
   val DefaultLeaseTtlMs: Long = 24L * 60 * 60 * 1000
 
+  /** The STANDING policy TTL vacuum's abandoned-lease housekeeping
+    * sweeps against (at 2×) — independent of any one call's
+    * `leaseTtlMs`, which only scopes that prune's binding judgment. A
+    * var only as a test seam (aging a file two days in a spec is not
+    * practical). */
+  private[graft] var LeaseHousekeepTtlMs: Long = DefaultLeaseTtlMs
+
   private def leasesDir(dir: String): Path = new Path(logDir(dir), "leases")
 
   private def leasePath(dir: String, consumerId: String): Path = {
@@ -1825,15 +1832,33 @@ object TableLog {
     }
     // housekeeping for ABANDONED lease files: an expired lease stopped
     // binding retention long ago, but its file lingers (renewals sweep
-    // only the renewing consumer's own). Reclaim at double the TTL —
-    // far outside any clock skew that could race a live consumer's next
-    // renewal, and a mistaken delete costs nothing (the next renewal
-    // recreates the file; the lease was already non-binding).
+    // only the renewing consumer's own). Swept at double the STANDING
+    // policy's TTL ([[LeaseHousekeepTtlMs]] — deliberately NOT this
+    // call's `leaseTtlMs`, which only scopes how the CURRENT prune
+    // judges binding: a one-off tight-TTL vacuum must not destroy
+    // registrations a default-policy vacuum would still honor), in
+    // EVERY mode including ignoreLeases (an abandoned file is equally
+    // dead either way). Only entries that PARSE as lease files are
+    // touched — the same tolerate-foreign-entries posture as
+    // [[leases]]; a mistaken sweep costs nothing (the next renewal
+    // recreates the file; at 2× the standing TTL the lease was long
+    // non-binding).
     val ld = leasesDir(dir)
-    if (!ignoreLeases && fs.exists(ld)) {
-      val abandoned = System.currentTimeMillis() - 2 * math.max(leaseTtlMs, 0L)
+    if (fs.exists(ld)) {
+      val horizon =
+        if (LeaseHousekeepTtlMs > Long.MaxValue / 2) Long.MaxValue
+        else 2 * math.max(LeaseHousekeepTtlMs, 0L)
+      val abandoned = System.currentTimeMillis() - horizon
       fs.listStatus(ld).iterator.foreach { f =>
-        if (f.getModificationTime <= abandoned) {
+        val name = f.getPath.getName
+        val isLease = !f.isDirectory && !name.startsWith(".") &&
+          (name.split('@') match {
+            case Array(_, v) => v.toLongOption.isDefined
+            case Array(_) => // legacy layout: version in the content
+              tryReadFully(fs, f.getPath).exists(_.trim.toLongOption.isDefined)
+            case _ => false
+          })
+        if (isLease && f.getModificationTime <= abandoned) {
           fs.delete(f.getPath, false); deleted += 1
         }
       }

@@ -1062,14 +1062,27 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.leases(spark, dir).get("oldstyle").exists(_._1 == 12L))
     TableLog.releaseLease(spark, dir, "oldstyle")
     assert(!TableLog.leases(spark, dir).contains("oldstyle"))
-    // vacuum housekeeping: a lease abandoned past DOUBLE the TTL is
-    // swept outright (it stopped binding at one TTL; the file must not
-    // linger forever)
+    // vacuum housekeeping: a lease abandoned past DOUBLE the STANDING
+    // TTL is swept outright (it stopped binding at one TTL; the file
+    // must not linger forever). A foreign entry in the leases dir —
+    // which leases() refuses to parse — is never touched, and the sweep
+    // follows the standing policy, NOT the per-call leaseTtlMs (a
+    // one-off tight-TTL vacuum must not destroy registrations).
     TableLog.renewLease(spark, dir, "abandoned", 0L)
+    val foreign = new java.io.File(s"$dir/_graft_log/leases/notes.txt")
+    java.nio.file.Files.write(foreign.toPath, "not a lease".getBytes)
     Thread.sleep(50)
-    TableLog.vacuum(spark, dir, graceMs = 0L, leaseTtlMs = 10L)
+    TableLog.vacuum(spark, dir, graceMs = 0L, leaseTtlMs = 1L)
+    assert(TableLog.leases(spark, dir).contains("abandoned"),
+      "a tight per-call leaseTtlMs must not destroy a registration the " +
+        "standing policy still honors")
+    val saved2 = TableLog.LeaseHousekeepTtlMs
+    TableLog.LeaseHousekeepTtlMs = 10L
+    try TableLog.vacuum(spark, dir, graceMs = 0L)
+    finally TableLog.LeaseHousekeepTtlMs = saved2
     assert(!TableLog.leases(spark, dir).contains("abandoned"),
       "an abandoned lease file survived vacuum housekeeping")
+    assert(foreign.exists, "vacuum deleted a foreign leases-dir entry")
   }
 
   test("trackStats on a timestamp column is rejected while the session writes INT96") {
