@@ -111,6 +111,11 @@ object ParquetFooters {
       }.toVector.map { f =>
         try f.get()
         catch { case e: java.util.concurrent.ExecutionException =>
+          // cancel what hasn't run yet: shutdown() alone would drain
+          // every queued footer read to completion before the failure
+          // propagates — wasted I/O and a delayed error on a large
+          // staging batch
+          pool.shutdownNow()
           throw e.getCause }
       }
     } finally pool.shutdown()

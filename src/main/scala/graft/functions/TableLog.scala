@@ -1613,12 +1613,6 @@ object TableLog {
     * later without operator action. */
   val DefaultLeaseTtlMs: Long = 24L * 60 * 60 * 1000
 
-  /** The STANDING policy TTL vacuum's abandoned-lease housekeeping
-    * sweeps against (at 2×) — independent of any one call's
-    * `leaseTtlMs`, which only scopes that prune's binding judgment. A
-    * var only as a test seam (aging a file two days in a spec is not
-    * practical). */
-  private[graft] var LeaseHousekeepTtlMs: Long = DefaultLeaseTtlMs
 
   private def leasesDir(dir: String): Path = new Path(logDir(dir), "leases")
 
@@ -1684,7 +1678,25 @@ object TableLog {
     fs.mkdirs(base.getParent)
     val p = new Path(base.getParent, s"${base.getName}@$committedVersion")
     try fs.create(p, false).close()
-    catch { case _: java.io.IOException if fs.exists(p) => () } // re-renewal
+    catch {
+      case _: java.io.IOException if fs.exists(p) =>
+        // re-renewal of the SAME committed version (a consumer
+        // crash-looping on one batch, an idle follower confirming its
+        // position): the name already carries the version but freshness
+        // lives in the file's mtime — refresh it, or the lease expires
+        // (and housekeeping sweeps it) despite active renewals. Fall
+        // back to delete+recreate where setTimes is unsupported: a
+        // momentary absence of THIS renewal file is safe (readers take
+        // the per-id max, vacuum's floor the min across ids, so a gap
+        // only ever widens what is kept).
+        try fs.setTimes(p, System.currentTimeMillis(), -1L)
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            fs.delete(p, false)
+            try fs.create(p, false).close()
+            catch { case _: java.io.IOException if fs.exists(p) => () }
+        }
+    }
     // opportunistic sweep of superseded renewals (and this consumer's
     // legacy single-file lease, if an upgrade left one) — failure
     // harmless
@@ -1782,7 +1794,8 @@ object TableLog {
     * see [[adopt]]). Returns the number of paths deleted. */
   def vacuum(spark: SparkSession, dir: String, graceMs: Long,
              ignoreLeases: Boolean = false,
-             leaseTtlMs: Long = DefaultLeaseTtlMs): Int = {
+             leaseTtlMs: Long = DefaultLeaseTtlMs,
+             leaseHousekeepTtlMs: Long = DefaultLeaseTtlMs): Int = {
     val (fs, table) = fsFor(spark, dir)
     if (!fs.exists(table)) return 0
     val log = logDir(dir)
@@ -1808,11 +1821,24 @@ object TableLog {
         leaseFloor.forall(v < _)
     }
     prunable.foreach { case (_, f) => fs.delete(f.getPath, false); deleted += 1 }
-    val retainedManifests = retained.map { case (_, f) =>
-      resolveManifest(fs, dir, readFully(fs, f.getPath))
+    // heads parsed but NOT resolved, then each DISTINCT segment
+    // materialized exactly once: segments are structurally shared across
+    // versions (an append reuses every predecessor ref), so resolving
+    // every retained manifest in full would cost O(retained × live
+    // files) — and a deep-lagging LEASE makes the retained set
+    // unbounded, turning one vacuum call into a lag-proportional scan.
+    // The live-file set only needs the UNION, which is O(heads +
+    // distinct segments).
+    val retainedHeads = retained.map { case (_, f) =>
+      parse(readFully(fs, f.getPath))
     }
-    val live: Set[String] =
-      retainedManifests.iterator.flatMap(_.files.iterator.map(_.name)).toSet
+    val live = scala.collection.mutable.Set.empty[String]
+    retainedHeads.foreach(_.files.foreach(e => live += e.name))
+    retainedHeads.iterator.flatMap(_.segments.iterator)
+      .map(r => r.name -> r).toMap // dedupe by name: segments are immutable
+      .valuesIterator.foreach { ref =>
+        loadSegment(fs, dir, ref).foreach(e => live += e.name)
+      }
     // segments referenced by ANY retained head survive; the rest —
     // superseded by merges/compactions, or orphaned by a crashed or
     // CAS-lost commit — are reclaimed once past the grace, exactly like
@@ -1820,7 +1846,7 @@ object TableLog {
     // is inside the grace by construction. Stale `.tmp-` head scratch
     // from crashed commits goes the same way.
     val liveSegments: Set[String] =
-      retainedManifests.iterator.flatMap(_.segments.iterator.map(_.name)).toSet
+      retainedHeads.iterator.flatMap(_.segments.iterator.map(_.name)).toSet
     fs.listStatus(log).iterator.foreach { f =>
       val name = f.getPath.getName
       val expired = f.getModificationTime <= cutoff
@@ -1833,21 +1859,21 @@ object TableLog {
     // housekeeping for ABANDONED lease files: an expired lease stopped
     // binding retention long ago, but its file lingers (renewals sweep
     // only the renewing consumer's own). Swept at double the STANDING
-    // policy's TTL ([[LeaseHousekeepTtlMs]] — deliberately NOT this
-    // call's `leaseTtlMs`, which only scopes how the CURRENT prune
-    // judges binding: a one-off tight-TTL vacuum must not destroy
-    // registrations a default-policy vacuum would still honor), in
-    // EVERY mode including ignoreLeases (an abandoned file is equally
-    // dead either way). Only entries that PARSE as lease files are
-    // touched — the same tolerate-foreign-entries posture as
+    // policy's TTL (the explicit `leaseHousekeepTtlMs` parameter —
+    // deliberately NOT this call's `leaseTtlMs`, which only scopes how
+    // the CURRENT prune judges binding: a one-off tight-TTL vacuum must
+    // not destroy registrations a default-policy vacuum would still
+    // honor), in EVERY mode including ignoreLeases (an abandoned file
+    // is equally dead either way). Only entries that PARSE as lease
+    // files are touched — the same tolerate-foreign-entries posture as
     // [[leases]]; a mistaken sweep costs nothing (the next renewal
     // recreates the file; at 2× the standing TTL the lease was long
     // non-binding).
     val ld = leasesDir(dir)
     if (fs.exists(ld)) {
       val horizon =
-        if (LeaseHousekeepTtlMs > Long.MaxValue / 2) Long.MaxValue
-        else 2 * math.max(LeaseHousekeepTtlMs, 0L)
+        if (leaseHousekeepTtlMs > Long.MaxValue / 2) Long.MaxValue
+        else 2 * math.max(leaseHousekeepTtlMs, 0L)
       val abandoned = System.currentTimeMillis() - horizon
       fs.listStatus(ld).iterator.foreach { f =>
         val name = f.getPath.getName

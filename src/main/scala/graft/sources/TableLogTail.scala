@@ -50,7 +50,8 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
                                pinnedAt: Long, since: Long,
                                maxVersionsPerTrigger: Option[Int],
                                consumerId: String,
-                               failOnSchemaDrift: Boolean)
+                               failOnSchemaDrift: Boolean,
+                               pinnedExplicitly: Boolean)
     extends Source {
 
   override def schema: StructType = pinned
@@ -180,14 +181,37 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
       // as a change signal) — a legal corpus evolve must not wedge
       // them.
       TableLog.headAt(spark, dir, toV).flatMap(_.schema).foreach { recorded =>
-        if (!TableLog.sameSchema(recorded, pinned))
-          throw new IllegalStateException(
-            s"schema drift under a live tail of $dir: version $toV records\n" +
-              s"  ${recorded.simpleString}\nbut this stream pinned\n" +
-              s"  ${pinned.simpleString}\nat creation (version $pinnedAt). " +
-              "An evolve/dropColumn was committed mid-stream; restart the " +
-              "streaming query to re-pin the table's current schema — no " +
-              "rows of this batch were delivered")
+        if (!TableLog.sameSchema(recorded, pinned)) {
+          val header = s"schema drift under a live tail of $dir: version " +
+            s"$toV records\n  ${recorded.simpleString}\nbut this stream " +
+            s"pinned\n  ${pinned.simpleString}\nat creation (version " +
+            s"$pinnedAt). "
+          // name the likely CAUSE: an explicit .schema(...) that simply
+          // disagrees with the table (the compare is order-sensitive, so
+          // a mere field-order difference lands here too) is an operator
+          // mistake at stream creation, not a mid-stream evolution —
+          // pointing that operator at "an evolve was committed" sends
+          // them hunting a commit that never happened
+          val orderOnly = TableLog.sameSchema(
+            StructType(recorded.fields.sortBy(_.name)),
+            StructType(pinned.fields.sortBy(_.name)))
+          val cause =
+            if (pinnedExplicitly)
+              "The schema passed at stream creation disagrees with the " +
+                "table's recorded schema" +
+                (if (orderOnly) " in FIELD ORDER only — pass the fields " +
+                  "in the table's order" else "") +
+                "; fix the explicit schema (or drop it to pin the " +
+                "table's own), or pass failOnSchemaDrift=false for a " +
+                "signal-only consumer. "
+            else
+              "An evolve/dropColumn was committed mid-stream; restart " +
+                "the streaming query to re-pin the table's current " +
+                "schema (failOnSchemaDrift=false opts a signal-only " +
+                "consumer out). "
+          throw new IllegalStateException(header + cause +
+            "No rows of this batch were delivered")
+        }
       }
     }
     val delta =
@@ -321,6 +345,6 @@ final class TableLogTailProvider extends StreamSourceProvider {
     val failOnDrift =
       parameters.get("failOnSchemaDrift").forall(_.toBoolean)
     new TableLogTailSource(spark, dir, metadataPath, pinned, pinnedAt, since,
-      maxV, consumerId, failOnDrift)
+      maxV, consumerId, failOnDrift, pinnedExplicitly = schema.isDefined)
   }
 }

@@ -1076,13 +1076,45 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.leases(spark, dir).contains("abandoned"),
       "a tight per-call leaseTtlMs must not destroy a registration the " +
         "standing policy still honors")
-    val saved2 = TableLog.LeaseHousekeepTtlMs
-    TableLog.LeaseHousekeepTtlMs = 10L
-    try TableLog.vacuum(spark, dir, graceMs = 0L)
-    finally TableLog.LeaseHousekeepTtlMs = saved2
+    TableLog.vacuum(spark, dir, graceMs = 0L, leaseHousekeepTtlMs = 10L)
     assert(!TableLog.leases(spark, dir).contains("abandoned"),
       "an abandoned lease file survived vacuum housekeeping")
     assert(foreign.exists, "vacuum deleted a foreign leases-dir entry")
+  }
+
+  test("vacuum materializes each distinct segment once, not per retained manifest") {
+    val dir = freshTable()
+    (0 until 8).foreach(b => TableLog.appendBatch(batchDf(b, 10), dir, "r", b.toLong))
+    val before = TableLog.segmentTouches.get()
+    TableLog.vacuum(spark, dir, graceMs = Long.MaxValue / 4)
+    val touched = TableLog.segmentTouches.get() - before
+    // the 8 retained heads reference the same segments structurally
+    // (head v carries v+1 refs): per-head full resolution would touch
+    // 1+2+…+8 = 36; the live-set union must touch each distinct segment
+    // once — the bound a deep-lagging lease turns from "slow" into
+    // "O(lag × live files) per vacuum call"
+    assert(touched <= 8L,
+      s"vacuum touched $touched segments — per-manifest resolution is back")
+  }
+
+  test("re-renewing the SAME committed version refreshes lease freshness") {
+    val dir = freshTable()
+    TableLog.appendBatch(batchDf(0, 10), dir, "r", 0L)
+    // a consumer confirming one committed version repeatedly (an idle
+    // follower, a crash-loop replaying one batch): the <id>@version file
+    // already exists, so the renewal must refresh its MTIME or the lease
+    // expires — and housekeeping sweeps it — despite active renewals
+    TableLog.renewLease(spark, dir, "steady", 1L)
+    Thread.sleep(80)
+    TableLog.renewLease(spark, dir, "steady", 1L) // same version again
+    assert(TableLog.bindingLease(spark, dir, leaseTtlMs = 60L)
+      .contains(("steady", 1L)),
+      "a same-version re-renewal did not extend the TTL")
+    // and the refreshed file survives a housekeeping sweep scoped just
+    // past the refresh age
+    TableLog.vacuum(spark, dir, graceMs = 0L, leaseHousekeepTtlMs = 30L)
+    assert(TableLog.leases(spark, dir).contains("steady"),
+      "housekeeping swept an actively-renewed lease")
   }
 
   test("trackStats on a timestamp column is rejected while the session writes INT96") {

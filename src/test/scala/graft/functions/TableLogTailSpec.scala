@@ -394,8 +394,39 @@ class TableLogTailSpec extends SparkSuite {
       assert(e.getMessage.contains("schema drift under a live tail") ||
         Option(e.getCause).exists(_.getMessage.contains("schema drift under a live tail")),
         s"wrong failure: ${e.getMessage}")
+      // the error must name the actual cause — a pinned-vs-recorded
+      // mismatch of the EXPLICIT schema, not a phantom mid-stream evolve
+      val full = e.getMessage +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(full.contains("schema passed at stream creation"),
+        s"explicit-schema drift blamed on a mid-stream evolve: $full")
       assert(spark.table("vtail_first_drift").isEmpty,
         "rows were delivered under a schema the table never committed")
+    } finally q.stop()
+  }
+
+  test("an explicit schema differing in FIELD ORDER only gets the order-specific error") {
+    val dir = freshTable()
+    (0 until 1).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    // same fields, reversed order: sameSchema is order-sensitive (the
+    // scan binds columns positionally against the pinned schema), so
+    // this must fail — but the error has to say ORDER, not "evolve"
+    val reversed = org.apache.spark.sql.types.StructType(
+      batch(0).schema.fields.reverse)
+    val q = TableLog.readTailVersions(spark, dir, schema = Some(reversed))
+      .writeStream.format("memory").queryName("vtail_order_drift")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      TableLog.appendBatch(batch(1), dir, "r", 1L)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val full = e.getMessage +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(full.contains("FIELD ORDER only"),
+        s"order-only mismatch not named as such: $full")
+      assert(spark.table("vtail_order_drift").isEmpty)
     } finally q.stop()
   }
 
