@@ -33,14 +33,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    [[KeepManifests]] entries) plus one manifest read, and
   *    [[bytes]]/[[rows]] are served from manifest metadata without
   *    touching the filesystem at all.
-  *  - '''atomic commit = compare-and-swap''': a manifest is written to a
-  *    temp name and RENAMED to `manifest-(v+1)` — rename to a fresh name
-  *    is atomic on HDFS and local filesystems alike, and because the
-  *    destination of version v+1 can exist only once, two racing writers
-  *    cannot both commit: the loser's rename fails and aborts. (A
-  *    mutable `_latest` pointer file would need overwrite-rename, whose
-  *    semantics are filesystem-dependent; max-version-wins needs neither
-  *    a pointer nor overwrites.)
+  *  - '''atomic commit = compare-and-swap''': a manifest is PUBLISHED at
+  *    `manifest-(v+1)` through the filesystem's [[CommitStore]] —
+  *    temp-write + atomic rename on HDFS/local, a conditional
+  *    create-exclusive (the S3 conditional-PUT shape) on object stores
+  *    — and because the destination of version v+1 can exist only once,
+  *    two racing writers cannot both commit: the loser's publish fails
+  *    and aborts. (A mutable `_latest` pointer file would need
+  *    overwrite-rename, whose semantics are filesystem-dependent;
+  *    max-version-wins needs neither a pointer nor overwrites.)
   *  - '''exactly-once streaming appends''': foreachBatch replays are
   *    deduplicated by the `commits` map — `runKey → last committed
   *    batchId` — carried inside every manifest, so the dedup decision
@@ -122,19 +123,6 @@ object TableLog {
   private val ManifestRe = "^manifest-(\\d{20})$".r
   private def logDir(dir: String) = new Path(dir.stripSuffix("/"), "_graft_log")
 
-  /** Per-TABLE commit mutexes (keyed by the fs-QUALIFIED log dir, so
-    * `/t` and `file:/t` — one table, two spellings — share one lock):
-    * local filesystems check "destination exists" NON-atomically before
-    * an overwriting POSIX rename, so same-JVM committers of one version
-    * must serialize the exists+rename pair or the CAS silently loses a
-    * commit (see the commit() comment). Keyed per table, not per
-    * manifest version: same-table commits of different versions are
-    * already CAS-serialized, the held section is one exists + one
-    * rename (~ms), and a per-version key would grow the map forever on
-    * a standing ingest driver. Bounded by tables ever touched by this
-    * JVM. */
-  private val commitMutexes =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def manifestName(v: Long) = f"manifest-$v%020d"
 
   private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
@@ -398,11 +386,13 @@ object TableLog {
   /** Commit `m` as the next version: place `m.files` into immutable
     * segments — reusing every candidate segment whose entries all
     * survive unchanged in `m`, writing ONE new segment for the rest —
-    * then write the small head to a temp name and rename it to
-    * `manifest-<version>`. The rename IS the commit and doubles as the
-    * optimistic-concurrency CAS — if the destination already exists
-    * (another writer committed this version first), the rename fails and
-    * the caller rebases or aborts, never clobbers. What a steady-state
+    * then publish the small head at `manifest-<version>` through the
+    * filesystem's [[CommitStore]] (HDFS/local: temp+atomic-rename;
+    * object stores: conditional create). The publish IS the commit and
+    * doubles as the optimistic-concurrency CAS — if the destination
+    * already exists (another writer committed this version first), the
+    * publish fails and the caller rebases or aborts, never clobbers.
+    * What a steady-state
     * append WRITES is therefore O(delta + MaxSegments), independent of
     * live-file count (spec-pinned); the first commit over a pre-segment
     * v1-v3 table migrates every inline entry into one segment, an
@@ -451,32 +441,16 @@ object TableLog {
     }
     val log = logDir(dir)
     fs.mkdirs(log)
-    val tmp = new Path(log, s".tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, false)
-    try out.write(render(m, segs.map(_._1))
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
     val dst = new Path(log, manifestName(m.version))
-    // The rename IS the CAS — on HDFS atomically (rename fails on an
-    // existing destination as one namenode op). Local filesystems
-    // implement "fail on existing" as a non-atomic exists-check before a
-    // POSIX rename that OVERWRITES: two same-version committers can both
-    // pass the check, the second silently replacing the first's manifest
-    // (a lost commit) and leaving the first's .crc sidecar beside the
-    // second's data (every later read fails with ChecksumException —
-    // the 8-writer contention bench caught exactly this). Same-JVM
-    // committers — the supported local multi-writer topology; local[*]
-    // IS one JVM — therefore serialize the exists+rename pair on a
-    // per-destination mutex. Cross-JVM writers on a local filesystem
-    // remain unsupported (use HDFS/an atomic-rename store, where this
-    // mutex is a no-op correctness-wise and one exists() of overhead).
-    val mutex = commitMutexes.computeIfAbsent(
-      fs.makeQualified(log).toString, _ => new Object)
-    val renamed = mutex.synchronized {
-      !fs.exists(dst) && fs.rename(tmp, dst)
-    }
-    if (!renamed) {
-      fs.delete(tmp, false)
+    // the publish-if-absent IS the CAS — HOW it is made atomic is the
+    // [[CommitStore]]'s per-backend business (HDFS/local: mutexed
+    // temp+rename; S3-class object stores: a conditional create with no
+    // rename anywhere). Everything above this line wrote only fresh
+    // UUID names; this is the single contended operation of a commit.
+    val won = CommitStore.forFs(fs).putIfAbsent(fs, dst,
+      render(m, segs.map(_._1))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (!won) {
       throw new java.util.ConcurrentModificationException(
         s"version ${m.version} of $dir was committed by another writer first")
     }
