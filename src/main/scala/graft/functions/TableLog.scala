@@ -940,6 +940,67 @@ object TableLog {
     }(identity)
   }
 
+  /** Align `batch` to the table's recorded schema for a
+    * `mergeSchema = true` write surface: ADD-ONLY drift (the batch
+    * carries top-level columns the table lacks) is mapped to an
+    * [[evolve]] committing the union schema, and the batch is returned
+    * reordered/respelled to it, so the following [[appendBatch]] passes
+    * the drift guard. A batch MISSING a table column stays a loud error
+    * (that is a drop, [[dropColumn]] territory), as does a type change
+    * on any shared column (a rewrite, not an evolution) — mergeSchema
+    * widens tables, it never narrows or retypes them. A column-ORDER-
+    * only difference is aligned without committing anything. The
+    * write-surface half of the evolution story: a SQL/Python-only
+    * writer whose upstream added a column opts in through
+    * `option("mergeSchema", "true")` on the tablelog sink or batch
+    * save instead of being wedged until a Scala operator runs
+    * [[evolve]]. No-op when the table records no schema yet (the
+    * append itself records the batch's shape). */
+  private[graft] def alignMerging(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    latest(spark, dir).flatMap(_.schema) match {
+      case None => batch
+      case Some(recorded) if sameSchema(recorded, batch.schema) => batch
+      case Some(recorded) =>
+        import org.apache.spark.sql.types.StructType
+        val key = nameKey(spark) _
+        val byKey = batch.schema.fields.map(f => key(f.name) -> f).toMap
+        recorded.fields.foreach { f =>
+          val got = byKey.getOrElse(key(f.name),
+            throw new IllegalArgumentException(
+              s"mergeSchema rejected for $dir: the batch is missing column " +
+                s"'${f.name}' — mergeSchema only ADDS columns; removing one " +
+                "is a dropColumn, not a write option"))
+          require(sameSchema(StructType(Seq(f)),
+              StructType(Seq(got.copy(name = f.name)))),
+            s"mergeSchema rejected for $dir: column '${f.name}' changes " +
+              s"type ${f.dataType.simpleString} → " +
+              s"${got.dataType.simpleString} — mergeSchema only ADDS " +
+              "columns, it never retypes them (nested additions are type " +
+              "changes too: files already written cannot serve them)")
+        }
+        val recordedKeys = recorded.fields.map(f => key(f.name)).toSet
+        val added = batch.schema.fields
+          .filterNot(f => recordedKeys(key(f.name)))
+        val merged =
+          if (added.isEmpty) recorded // order- or spelling-only mismatch
+          else {
+            // added columns are forced nullable: every file already
+            // committed lacks them, and evolve() rejects anything else
+            val m = StructType(recorded.fields ++
+              added.map(_.copy(nullable = true)))
+            evolve(spark, dir, m)
+            m
+          }
+        // select by the MERGED spelling and alias it back on: under
+        // case-insensitive resolution col("TS") finds the batch's `ts`
+        // but would keep the batch's spelling, and the drift guard
+        // compares names exactly
+        batch.select(merged.fields.toIndexedSeq.map(f =>
+          org.apache.spark.sql.functions.col(f.name).as(f.name)): _*)
+    }
+  }
+
   /** NON-additive schema evolution: DROP `column` from the table's
     * schema as a metadata-only commit — the file set is untouched (and
     * every segment reused, so the commit writes O(1)); schema-pinned
@@ -2077,6 +2138,29 @@ object TableLog {
   private[graft] def appendedEntries(spark: SparkSession, dir: String,
       sinceVersion: Long, untilVersion: Long): Vector[Entry] = {
     val (fs, _) = fsFor(spark, dir)
+    val (heads, latestV) = deltaHeads(spark, dir, sinceVersion, untilVersion)
+    if (heads.isEmpty) Vector.empty
+    else ((sinceVersion + 1) to latestV).iterator.flatMap { v =>
+      val m = heads(v)
+      if (m.op == "compact" || m.op == "delete" || m.op == "restore") Nil
+      else appendedIn(fs, dir, m, heads.get(v - 1))
+    }.toVector
+  }
+
+  /** Parsed — NOT resolved — heads for the versions `(sinceVersion,
+    * untilVersion]` plus each version's retained predecessor, behind the
+    * retention checks every delta consumer shares: `sinceVersion` must
+    * still be reconstructible (`-1`, from the beginning, only while
+    * version 0 is retained), and a manifest pruned by a concurrent
+    * vacuum between the listing and its read fails loudly (a missing
+    * predecessor must never masquerade as "every file is new").
+    * Segment refs stay refs, so nothing here is O(live files). Returns
+    * the heads plus the effective latest version; empty heads = nothing
+    * after `sinceVersion`. The shared spine of [[appendedEntries]] and
+    * [[readChanges]]. */
+  private def deltaHeads(spark: SparkSession, dir: String,
+      sinceVersion: Long, untilVersion: Long): (Map[Long, Manifest], Long) = {
+    val (fs, _) = fsFor(spark, dir)
     val log = logDir(dir)
     require(fs.exists(log), s"$dir has no committed manifest")
     val retained = fs.listStatus(log).iterator.flatMap { f =>
@@ -2087,16 +2171,12 @@ object TableLog {
     }.toVector.sorted
     require(retained.nonEmpty, s"$dir has no committed manifest")
     val latestV = math.min(retained.last, untilVersion)
-    if (sinceVersion >= latestV) return Vector.empty
-    // each delta v needs manifest v-1 too; sinceVersion = -1 (from the
-    // beginning) is only reconstructible while version 0 is retained
+    if (sinceVersion >= latestV) return (Map.empty, latestV)
     require(sinceVersion >= retained.head ||
         (sinceVersion == -1L && retained.head == 0L),
       s"version $sinceVersion has left retention (oldest retained: " +
         s"${retained.head}) — re-read the full snapshot instead")
     val present = retained.toSet
-    // heads parsed but NOT resolved: segment refs stay refs, so the
-    // common case below never materializes the full file list
     val heads: Map[Long, Manifest] =
       (math.max(sinceVersion, retained.head) to latestV).iterator.map { v =>
         def gone = new IllegalArgumentException(
@@ -2107,36 +2187,153 @@ object TableLog {
           .getOrElse(throw gone)
         v -> parse(text)
       }.toMap
-    def resolved(m: Manifest): Vector[Entry] =
-      if (m.segments.isEmpty) m.files
-      else m.segments.flatMap(loadSegment(fs, dir, _)) ++ m.files
-    ((sinceVersion + 1) to latestV).iterator.flatMap { v =>
+    (heads, latestV)
+  }
+
+  /** The entries version `m` ADDED over its predecessor `p` (None only
+    * for version 0 read from the beginning — nothing precedes it).
+    * STRUCTURAL fast path — the steady append shape: every prior
+    * segment ref survives and entries live only in segments, so the
+    * delta is exactly the NEW segments' entries. Appends stage fresh
+    * UUID-named files (a name can never recur) and any commit that
+    * rewrote or folded segments (compaction, delete, a size-tiered
+    * merge) fails `refsIntact` into the full name-diff below — per-call
+    * work is O(delta), not O(live files), ~31 of every 32 appends at
+    * MaxSegments=64. */
+  private def appendedIn(fs: FileSystem, dir: String, m: Manifest,
+      p: Option[Manifest]): Vector[Entry] = {
+    p match {
+      case None => resolvedEntries(fs, dir, m)
+      case Some(prev) =>
+        val prevRefs = prev.segments.iterator.map(_.name).toSet
+        val refsIntact = m.segments.count(s => prevRefs(s.name)) == prevRefs.size
+        if (refsIntact && prev.files.isEmpty && m.files.isEmpty)
+          m.segments.filterNot(s => prevRefs(s.name))
+            .flatMap(loadSegment(fs, dir, _))
+        else {
+          val prevNames = resolvedEntries(fs, dir, prev).iterator.map(_.name).toSet
+          resolvedEntries(fs, dir, m).filterNot(e => prevNames(e.name))
+        }
+    }
+  }
+
+  private def resolvedEntries(fs: FileSystem, dir: String,
+      m: Manifest): Vector[Entry] =
+    if (m.segments.isEmpty) m.files
+    else m.segments.flatMap(loadSegment(fs, dir, _)) ++ m.files
+
+  /** Row-level CHANGE FEED: every row change committed in versions
+    * `(sinceVersion, untilVersion]`, as the table's columns (pinned to
+    * the newest retained schema, like [[appendsSince]]) plus
+    * `_change_type` ∈ {append, delete} and `_commit_version`. Folding
+    * the feed into a mirror — union the appends, remove ONE instance
+    * per delete row (`exceptAll`) — reproduces the table at every
+    * version in the range exactly (multiset semantics, spec-pinned
+    * through delete, restore and compact). That is what makes
+    * downstream REPLICAS generic: a feature store or serving copy
+    * learns about deletes from the feed itself instead of reinventing
+    * [[graft.examples.IndexFollower]]'s tombstone-registry pattern
+    * ([[appendsSince]] stays the appends-only surface for consumers
+    * that handle deletes out of band).
+    *
+    * Where changes come from, per commit kind:
+    *  - '''append/adopt''': the delta files' rows, as appends —
+    *    O(delta) planning (the [[appendedIn]] fast path), no diffing.
+    *  - '''delete''': the swapped-OUT files' rows minus the swapped-IN
+    *    survivors (`exceptAll` — multiset-exact even with duplicate
+    *    rows) — reads only the files the delete touched, never the
+    *    table.
+    *  - '''restore''': both directions of the file-set diff — rows the
+    *    rollback removed are deletes, rows it re-referenced are
+    *    appends.
+    *  - '''compact / evolve / dropColumn / trackStats''': nothing
+    *    (row-preserving rewrites or metadata-only commits by contract).
+    *
+    * Cost model: append versions never resolve a full manifest;
+    * delete/restore versions resolve two and read only their diffed
+    * files — maintenance commits are rare, and the work tracks what
+    * they touched, not table size. Retention rules are
+    * [[appendsSince]]'s: a `sinceVersion` older than the oldest
+    * retained manifest fails loudly (re-read the full snapshot).
+    * Returns (None, latest) when nothing changed. SQL/Python reach the
+    * same feed through `format("tablelog").option("readChangeFeed",
+    * "true").option("since", v)`. */
+  def readChanges(spark: SparkSession, dir: String, sinceVersion: Long,
+      untilVersion: Long = Long.MaxValue): (Option[DataFrame], Long) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(untilVersion > sinceVersion,
+      s"untilVersion $untilVersion must exceed sinceVersion $sinceVersion")
+    val (fs, _) = fsFor(spark, dir)
+    val (heads, latestV) = deltaHeads(spark, dir, sinceVersion, untilVersion)
+    if (heads.isEmpty) return (None, latestV)
+    val base = dir.stripSuffix("/")
+    val pinned = heads(latestV).schema
+    pinned.foreach { s =>
+      Seq("_change_type", "_commit_version").foreach(c =>
+        require(!s.fieldNames.contains(c),
+          s"readChanges cannot tag $dir: the table already has a '$c' column"))
+    }
+    def read(entries: Seq[Entry],
+        era: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+      era.fold(spark.read)(s => spark.read.schema(s))
+        .parquet(entries.map(e => s"$base/${e.name}"): _*)
+    // align an era-schema frame to the pinned shape (columns added
+    // later null-fill, columns dropped later project away), then tag
+    def tag(df: DataFrame, changeType: String, v: Long): DataFrame = {
+      val out = pinned.fold(df) { s =>
+        val have = df.schema.fieldNames.toSet
+        df.select(s.fields.toIndexedSeq.map { f =>
+          if (have.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+      }
+      out.withColumn("_change_type", lit(changeType))
+        .withColumn("_commit_version", lit(v))
+    }
+    val frames = ((sinceVersion + 1) to latestV).iterator.flatMap { v =>
       val m = heads(v)
-      if (m.op == "compact" || m.op == "delete" || m.op == "restore") Nil
-      else heads.get(v - 1) match {
-        // predecessor absent only for v = 0 tailed from -1 (nothing
-        // precedes version 0); every other gap threw above
-        case None => resolved(m)
-        case Some(p) =>
-          val prevRefs = p.segments.iterator.map(_.name).toSet
-          val refsIntact = m.segments.count(s => prevRefs(s.name)) == prevRefs.size
-          if (refsIntact && p.files.isEmpty && m.files.isEmpty)
-            // STRUCTURAL fast path — the steady append shape: every prior
-            // segment ref survives and entries live only in segments, so
-            // the delta is exactly the NEW segments' entries. Appends
-            // stage fresh UUID-named files (a name can never recur) and
-            // any commit that rewrote or folded segments (compaction,
-            // delete, a size-tiered merge) fails `refsIntact` into the
-            // full diff below — per-trigger CDC work is O(delta), not
-            // O(live files), ~31 of every 32 appends at MaxSegments=64.
-            m.segments.filterNot(s => prevRefs(s.name))
-              .flatMap(loadSegment(fs, dir, _))
-          else {
-            val prevNames = resolved(p).iterator.map(_.name).toSet
-            resolved(m).filterNot(e => prevNames(e.name))
+      val p = heads.get(v - 1)
+      m.op match {
+        case "compact" | "evolve" | "dropcolumn" | "trackstats" =>
+          Iterator.empty
+        case "append" | "adopt" =>
+          val added = appendedIn(fs, dir, m, p)
+          if (added.isEmpty) Iterator.empty
+          else Iterator.single(tag(read(added, m.schema), "append", v))
+        case _ => // delete, restore — and, conservatively, any future op
+          val prevEntries = p.map(resolvedEntries(fs, dir, _))
+            .getOrElse(Vector.empty)
+          val curEntries = resolvedEntries(fs, dir, m)
+          val curNames = curEntries.iterator.map(_.name).toSet
+          val prevNames = prevEntries.iterator.map(_.name).toSet
+          val removed = prevEntries.filterNot(e => curNames(e.name))
+          val added = curEntries.filterNot(e => prevNames(e.name))
+          // both sides read under the SAME era schema so exceptAll
+          // compares like with like
+          val rm = if (removed.isEmpty) None else Some(read(removed, m.schema))
+          val ad = if (added.isEmpty) None else Some(read(added, m.schema))
+          val dels = (rm, ad) match {
+            case (Some(r), Some(a)) => Some(r.exceptAll(a))
+            case (Some(r), None)    => Some(r)
+            case _                  => None
           }
+          // a delete's swapped-in files hold ONLY surviving old rows —
+          // the append direction is empty by the delete contract, so
+          // skip its exceptAll (and its second read of the touched
+          // files) instead of computing a provably empty frame
+          val apps =
+            if (m.op == "delete") None
+            else (rm, ad) match {
+              case (Some(r), Some(a)) => Some(a.exceptAll(r))
+              case (None, Some(a))    => Some(a)
+              case _                  => None
+            }
+          dels.map(tag(_, "delete", v)).iterator ++
+            apps.map(tag(_, "append", v)).iterator
       }
     }.toVector
+    if (frames.isEmpty) (None, latestV)
+    else (Some(frames.reduce(_ unionByName _)), latestV)
   }
 
   /** Adopt a pre-TableLog parquet directory: commit manifest 0

@@ -41,7 +41,10 @@ import graft.functions.TableLog
   *    replays dedup against the table's commit map while a fresh
   *    checkpoint appends under a fresh key). Append mode only; schema
   *    drift against the table's recorded schema fails loudly at the
-  *    first batch, before any file lands.
+  *    first batch, before any file lands — unless
+  *    `.option("mergeSchema", "true")` opts ADD-ONLY drift into an
+  *    automatic evolve (drops/type changes stay loud; see
+  *    [[graft.functions.TableLog.alignMerging]]).
   *  - batch write: `df.write.format("tablelog").mode("append")
   *    .save(dir)` is a one-shot committed append (each call its own
   *    writer identity — no replay ledger to honor); `ErrorIfExists`
@@ -71,6 +74,8 @@ final class TableLogProvider extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val dir = dirOf(parameters)
+    if (parameters.get("readChangeFeed").exists(_.trim.toBoolean))
+      return changeFeedRelation(sqlContext, dir, parameters)
     val m = parameters.get("versionAsOf") match {
       case Some(v) => TableLog.manifestAt(spark, dir, v.toLong)
       case None => TableLog.latest(spark, dir).getOrElse(
@@ -82,6 +87,41 @@ final class TableLogProvider extends RelationProvider
     // (shared with readTail); those files carry no recorded stats, so
     // pruning is conservative (every file kept) either way
     TableLog.hadoopRelation(spark, dir, m, TableLog.schemaOf(spark, dir, m))
+  }
+
+  /** The row-level change feed as a batch relation:
+    * `option("readChangeFeed", "true")` + `option("since", v)` (the
+    * version to read changes AFTER — exclusive, `-1` = from the
+    * beginning) + optional `option("until", v)`. Rows are
+    * [[graft.functions.TableLog.readChanges]]'s: the table's columns
+    * plus `_change_type` ∈ {append, delete} and `_commit_version`,
+    * multiset-exact for folding a mirror. A plain TableScan with no
+    * pushdown — the feed is already a delta, pruned to the files the
+    * commits touched. */
+  private def changeFeedRelation(ctx: SQLContext, dir: String,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = ctx.sparkSession
+    val since = parameters.getOrElse("since", throw new IllegalArgumentException(
+      "readChangeFeed needs .option(\"since\", <version>) — the version " +
+        "to read changes AFTER (exclusive); -1 reads from the beginning"))
+      .toLong
+    val until = parameters.get("until").map(_.toLong).getOrElse(Long.MaxValue)
+    val df = TableLog.readChanges(spark, dir, since, until)._1.getOrElse {
+      // empty feed: still the pinned table shape plus the tag columns
+      val m = TableLog.latest(spark, dir).getOrElse(
+        throw new IllegalStateException(s"$dir has no committed manifest"))
+      val s = m.schema.getOrElse(TableLog.read(spark, dir).schema)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        s.add("_change_type", "string").add("_commit_version", "long"))
+    }
+    new BaseRelation with org.apache.spark.sql.sources.TableScan {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = df.schema
+      override def buildScan(): org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.Row] = df.rdd
+      override def toString: String = s"TableLogChangeFeed[$dir]"
+    }
   }
 
   // the streaming face under the same short name: the version-offset
@@ -137,17 +177,29 @@ final class TableLogProvider extends RelationProvider
               "explicitly instead of relying on the session-conf default")
         java.util.UUID.randomUUID().toString
       }
+    val merge = mergeSchemaOpt(parameters)
     new Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         // re-root the micro-batch as a plain batch frame (the v1 sink
         // contract hands a streaming-tagged plan; appendBatch writes
         // through the batch writer)
-        TableLog.appendBatch(graftbridge.asBatchDataFrame(data), dir,
-          runKey, batchId)
+        val batch = graftbridge.asBatchDataFrame(data)
+        val aligned =
+          if (merge) TableLog.alignMerging(spark, dir, batch) else batch
+        TableLog.appendBatch(aligned, dir, runKey, batchId)
       }
       override def toString: String = s"TableLogSink[$dir]"
     }
   }
+
+  /** `mergeSchema = true` on either write surface maps ADD-ONLY schema
+    * drift to [[graft.functions.TableLog.evolve]] before the append —
+    * drops and type changes stay loud ([[graft.functions.TableLog
+    * .alignMerging]]) — so a SQL/Python-only writer survives an
+    * upstream column add without a Scala operator evolving the table
+    * for it. Off by default: silent widening is an opt-in. */
+  private def mergeSchemaOpt(parameters: Map[String, String]): Boolean =
+    parameters.get("mergeSchema").exists(_.trim.toBoolean)
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
@@ -170,7 +222,10 @@ final class TableLogProvider extends RelationProvider
     }
     // one-shot committed append: each call is its own writer identity
     // (there is no replay ledger to honor for ad-hoc batch writes)
-    TableLog.appendBatch(data, dir,
+    val aligned =
+      if (mergeSchemaOpt(parameters)) TableLog.alignMerging(spark, dir, data)
+      else data
+    TableLog.appendBatch(aligned, dir,
       s"batchwrite-${java.util.UUID.randomUUID()}", 0L)
     createRelation(sqlContext, parameters)
   }

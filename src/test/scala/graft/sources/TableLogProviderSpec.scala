@@ -127,6 +127,80 @@ class TableLogProviderSpec extends SparkSuite {
     assert(TableLog.read(spark, dir2).count() == 100L)
   }
 
+  test("mergeSchema batch save: add-only drift evolves the table; drops and retypes stay loud") {
+    val dir = freshTable()
+    batch(0).write.format("tablelog").mode("append").save(dir)
+    // an added column evolves the schema and commits; pre-evolution
+    // rows surface it as null
+    batch(1).withColumn("extra", lit(7)).write.format("tablelog")
+      .option("mergeSchema", "true").mode("append").save(dir)
+    val df = TableLog.read(spark, dir)
+    assert(df.schema.fieldNames.toSeq == Seq("ts", "v", "extra"))
+    assert(df.count() == 200L)
+    assert(df.filter($"extra".isNull).count() == 100L)
+    assert(df.filter($"extra" === 7).count() == 100L)
+    // a column-ORDER-only difference is aligned, committing nothing new
+    val vBefore = TableLog.latest(spark, dir).get.version
+    batch(2).withColumn("extra", lit(8)).select($"extra", $"v", $"ts")
+      .write.format("tablelog").option("mergeSchema", "true")
+      .mode("append").save(dir)
+    assert(TableLog.read(spark, dir).count() == 300L)
+    assert(TableLog.latest(spark, dir).get.version == vBefore + 1,
+      "an order-only merge must not commit an evolve")
+    // a batch MISSING a table column is a drop — loud even with the option
+    val d = intercept[IllegalArgumentException] {
+      batch(3).write.format("tablelog").option("mergeSchema", "true")
+        .mode("append").save(dir)
+    }
+    assert(d.getMessage.contains("missing column"), d.getMessage)
+    // a type change is a rewrite — loud even with the option
+    val t = intercept[IllegalArgumentException] {
+      batch(3).withColumn("extra", lit("not-an-int")).write
+        .format("tablelog").option("mergeSchema", "true")
+        .mode("append").save(dir)
+    }
+    assert(t.getMessage.contains("changes type"), t.getMessage)
+    // without the option, add-only drift stays the loud default
+    val s = intercept[IllegalArgumentException] {
+      batch(3).withColumn("extra", lit(7)).withColumn("more", lit(1L))
+        .write.format("tablelog").mode("append").save(dir)
+    }
+    assert(s.getMessage.contains("schema drift"), s.getMessage)
+    assert(TableLog.read(spark, dir).count() == 300L,
+      "a rejected merge must commit nothing")
+  }
+
+  test("mergeSchema streaming sink: a writer restarted with an added column evolves instead of wedging") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = freshTable()
+    val ck1 = java.nio.file.Files.createTempDirectory("graft_ms_ck1").toString
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = in1.toDF().toDF("ts", "v")
+      .writeStream.format("tablelog").option("path", dir)
+      .option("checkpointLocation", ck1).outputMode("append").start()
+    try {
+      in1.addData((0L, "a")); q1.processAllAvailable()
+    } finally q1.stop()
+    // the upgraded writer (new checkpoint = new writer identity) carries
+    // an extra column: with mergeSchema the first batch evolves the
+    // table and every batch lands
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_ms_ck2").toString
+    val in2 = MemoryStream[(Long, String, Long)]
+    val q2 = in2.toDF().toDF("ts", "v", "n")
+      .writeStream.format("tablelog").option("path", dir)
+      .option("checkpointLocation", ck2).option("mergeSchema", "true")
+      .outputMode("append").start()
+    try {
+      in2.addData((1L, "b", 10L)); q2.processAllAvailable()
+      in2.addData((2L, "c", 20L)); q2.processAllAvailable()
+    } finally q2.stop()
+    val got = TableLog.read(spark, dir)
+    assert(got.schema.fieldNames.toSeq == Seq("ts", "v", "n"))
+    assert(got.orderBy($"ts").select($"n").as[Option[Long]]
+      .collect().toSeq == Seq(None, Some(10L), Some(20L)))
+  }
+
   test("streaming sink: writeStream.format(\"tablelog\") commits exactly once across restarts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
