@@ -1293,67 +1293,190 @@ object TableLog {
     adopt(spark, destDir)
   }
 
-  /** Commit already-landed append `entries` against the CURRENT latest
-    * manifest, re-resolving and retrying when the CAS rename loses to a
-    * concurrent commit. Safe because an append only ADDS files: whatever
-    * the winning committer did (another append added disjoint files,
-    * compact rewrote the old snapshot, vacuum never commits), the union
-    * of its file list and these entries is exactly the table plus this
-    * batch. Package-visible so the spec can drive the conflict
-    * deterministically. */
+  /** One staged append awaiting the group committer: the caller's
+    * already-landed files plus everything the fold needs to validate
+    * and account for it. The future resolves to the caller's result —
+    * true (committed), false (zombie-fenced) — or the per-intent
+    * validation failure. */
+  private final class AppendIntent(
+      val runKey: String, val batchId: Long, val entries: Vector[Entry],
+      val added: Long, val schemaJson: Option[String],
+      val harvestedCols: Set[String]) {
+    val schema: Option[org.apache.spark.sql.types.StructType] =
+      schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val result = new java.util.concurrent.CompletableFuture[java.lang.Boolean]()
+  }
+
+  /** How many queued appends one GROUP COMMIT may fold into a single
+    * manifest. Bounds the per-commit manifest-build work and keeps a
+    * pathological backlog from committing one giant version; at the
+    * local[32] writer counts that matter the queue never nears it. */
+  private val GroupCommitMax = 64
+
+  // per-table (fs-qualified dir) append queues and leader locks for
+  // group commit — see commitAppend
+  private val appendQueues = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[AppendIntent]]()
+  private val appendLeaders = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantLock]()
+
+  /** The version-bump half of [[appendBatch]], split so a lost race
+    * retries only the cheap commit — an append NEVER has to redo its
+    * staging writes to rebase over a concurrent commit. Safe because an
+    * append only ADDS files: whatever the winning committer did
+    * (another append added disjoint files, compact rewrote the old
+    * snapshot, vacuum never commits), the union of its file list and
+    * these entries is exactly the table plus this batch.
+    *
+    * GROUP COMMIT: same-JVM appenders of one table fold through a
+    * per-table queue instead of each fighting the manifest CAS — the
+    * caller enqueues its intent, and whoever holds the table's leader
+    * lock drains the queue, folding every queued intent into ONE
+    * manifest commit (each intent's runKey→batchId entry recorded,
+    * zombie fences and drift checks applied PER INTENT against the
+    * manifest actually committed over). This removes the convoy that
+    * made 8 writers commit SLOWER than 4 (every CAS round had up to
+    * writers−1 losers re-resolving and re-renaming in lockstep): one
+    * writer commits for the group while the rest wait on their
+    * futures, so the per-table commit rate scales with batches folded
+    * per CAS, not rounds lost. Cross-JVM contention is untouched —
+    * losses against OTHER processes' commits still rebase through
+    * [[commitLoop]] exactly as before. Package-visible so the spec can
+    * drive the conflict deterministically. */
   private[functions] def commitAppend(spark: SparkSession, fs: FileSystem,
       dir: String, runKey: String, batchId: Long, entries: Vector[Entry],
       added: Long, schemaJson: Option[String],
       harvestedCols: Set[String] = Set.empty): Boolean = {
-    val batchSchema = schemaJson.map(j =>
-      org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val key = fs.makeQualified(new Path(dir.stripSuffix("/"))).toString
+    val q = appendQueues.computeIfAbsent(key,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[AppendIntent]())
+    val lock = appendLeaders.computeIfAbsent(key,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    val intent = new AppendIntent(runKey, batchId, entries, added,
+      schemaJson, harvestedCols)
+    q.add(intent)
+    // drive or wait: the uncontended single-writer path takes the lock
+    // immediately and drains just its own intent (one commitLoop, as
+    // before). A waiter whose intent is still queued when the leader
+    // exits (the leader folds only what it polled) retries leadership.
+    while (!intent.result.isDone) {
+      if (lock.tryLock()) {
+        try { if (!intent.result.isDone) drainAppends(spark, fs, dir, q) }
+        finally lock.unlock()
+      } else {
+        try intent.result.get(20, java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch { case _: java.util.concurrent.TimeoutException => () }
+      }
+    }
+    try intent.result.get().booleanValue()
+    catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    }
+  }
+
+  /** Drain the table's append queue in bounded groups, one manifest
+    * commit per group. MUST resolve every polled intent's future —
+    * a commit failure (CAS retries exhausted, an IO error) completes
+    * the whole group exceptionally and is NOT rethrown here: each
+    * waiter (the leader included — its own intent is in some group)
+    * rethrows from its future, so the leader can keep draining intents
+    * other writers queued behind the failure. */
+  private def drainAppends(spark: SparkSession, fs: FileSystem, dir: String,
+      q: java.util.concurrent.ConcurrentLinkedQueue[AppendIntent]): Unit = {
+    while (!q.isEmpty) {
+      var group = Vector.empty[AppendIntent]
+      var next = q.poll()
+      while (next != null) {
+        group :+= next
+        next = if (group.size < GroupCommitMax) q.poll() else null
+      }
+      if (group.nonEmpty) {
+        try commitGroup(spark, fs, dir, group)
+        catch {
+          case e: Throwable =>
+            group.foreach(_.result.completeExceptionally(e))
+        }
+      }
+    }
+  }
+
+  /** Fold `group` into one manifest commit. Per-intent decisions are
+    * re-evaluated on every CAS attempt against the re-resolved latest
+    * manifest — exactly the semantics each intent had when it committed
+    * alone:
+    *  - zombie fence: an intent whose (runKey, batchId) is already in
+    *    the commit map — committed by a same-runKey replica, or by an
+    *    EARLIER INTENT IN THIS GROUP (two replicas can queue in one
+    *    round) — resolves false; its landed a<v>- files stay orphaned
+    *    for vacuum, same as a crash.
+    *  - drift: an intent whose schema disagrees with the manifest
+    *    actually committed over (an evolve may have raced in) fails
+    *    ALONE, loudly, without poisoning the group.
+    *  - stat re-harvest: a trackStats/compact(layoutBy) registration
+    *    that raced in re-reads this intent's footers for the newly
+    *    wanted columns, bounded by the intent's own file count.
+    * A fence/failure decided on attempt k stays valid on attempt k+1
+    * (commit maps only grow; a completed future ignores later
+    * completes), so early resolution never lies. */
+  private def commitGroup(spark: SparkSession, fs: FileSystem, dir: String,
+      group: Vector[AppendIntent]): Unit = {
     commitLoop(spark, fs, dir, "append") { prevOpt =>
-      val prev = prevOpt.getOrElse(Manifest(-1L, Vector.empty, 0L, Map.empty, "init"))
-      // zombie fence: if a CAS loss reveals this (runKey, batchId) is
-      // ALREADY committed, another replica of the same writer won the
-      // race (a stale retry after checkpoint handover, a speculative
-      // duplicate) — committing again would double the batch's rows.
-      // The landed a<v>- files stay orphaned and vacuum reclaims them
-      // after grace, same as a crash.
-      if (prev.commits.get(runKey).exists(_ >= batchId)) Left(false)
-      else {
-        // re-check drift against the manifest we are ACTUALLY committing
-        // over: an [[evolve]] landing between appendBatch's entry guard
-        // and this commit (or between CAS retries) must reject the
-        // straggler batch loudly — committing `schemaJson` here would
-        // silently revert the evolution for every later reader. Orphaned
-        // files reclaimed as above.
-        for (recorded <- prev.schema; batch <- batchSchema)
-          require(sameSchema(recorded, batch),
-            s"schema drift rejected for $dir: the table's committed schema is\n  " +
-              s"${recorded.simpleString}\nbut this batch has\n  " +
-              s"${batch.simpleString}\n(a concurrent evolve() may have " +
-              "upgraded the table — restart the writer with the new schema)")
-        // a trackStats / compact(layoutBy) commit may have raced in
-        // since the caller harvested: its newly registered columns must
-        // appear on THESE files too, or they would be permanently
-        // stat-less (conservatively unprunable until a compaction
-        // rewrite) despite landing after the registration. Footer
-        // metadata re-reads, bounded by this batch's own file count.
-        val wanted = statCols(prev)
-        val entriesNow =
-          if ((wanted -- harvestedCols).isEmpty || batchSchema.isEmpty) entries
-          else {
-            val (_, table) = fsFor(spark, dir)
-            val conf = spark.sparkContext.hadoopConfiguration
-            entries.map { e =>
-              e.copy(stats = ParquetFooters
-                .read(conf, new Path(table, e.name), wanted, batchSchema.get)
-                .stats)
+      val prev = prevOpt.getOrElse(
+        Manifest(-1L, Vector.empty, 0L, Map.empty, "init"))
+      var files = prev.files
+      var rows = prev.rows
+      var commits = prev.commits
+      var schemaJson = prev.schemaJson
+      var any = false
+      group.foreach { in =>
+        if (!in.result.isDone) {
+          if (commits.get(in.runKey).exists(_ >= in.batchId)) {
+            in.result.complete(false)
+          } else {
+            val ok =
+              try {
+                for (recorded <- prev.schema; batch <- in.schema)
+                  require(sameSchema(recorded, batch),
+                    s"schema drift rejected for $dir: the table's committed schema is\n  " +
+                      s"${recorded.simpleString}\nbut this batch has\n  " +
+                      s"${batch.simpleString}\n(a concurrent evolve() may have " +
+                      "upgraded the table — restart the writer with the new schema)")
+                true
+              } catch {
+                case e: IllegalArgumentException =>
+                  in.result.completeExceptionally(e); false
+              }
+            if (ok) {
+              val wanted = statCols(prev)
+              val entriesNow =
+                if ((wanted -- in.harvestedCols).isEmpty || in.schema.isEmpty)
+                  in.entries
+                else {
+                  val (_, table) = fsFor(spark, dir)
+                  val conf = spark.sparkContext.hadoopConfiguration
+                  in.entries.map { e =>
+                    e.copy(stats = ParquetFooters
+                      .read(conf, new Path(table, e.name), wanted, in.schema.get)
+                      .stats)
+                  }
+                }
+              files = files ++ entriesNow
+              rows += in.added
+              commits = commits + (in.runKey -> in.batchId)
+              if (schemaJson.isEmpty) schemaJson = in.schemaJson
+              any = true
             }
           }
-        Right(Manifest(prev.version + 1, prev.files ++ entriesNow,
-          prev.rows + added, prev.commits + (runKey -> batchId), "append",
-          prev.schemaJson.orElse(schemaJson), prev.layout, prev.statsFor,
-          prev.dropped))
+        }
       }
-    }(_ => true)
+      if (!any) Left(()) // every intent fenced or failed — nothing to commit
+      else Right(Manifest(prev.version + 1, files, rows, commits, "append",
+        schemaJson, prev.layout, prev.statsFor, prev.dropped))
+    }(_ => ())
+    // the group landed (or resolved member-by-member): every intent not
+    // already fenced/failed committed — complete is a no-op on the done
+    group.foreach(_.result.complete(true))
   }
 
   /** Compact (and, with `layoutBy`, re-layout) the table to ~`targetBytes`
