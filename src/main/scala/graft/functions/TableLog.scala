@@ -2168,6 +2168,31 @@ object TableLog {
     r.load()
   }
 
+  /** The STREAMING face of [[readChanges]]: a version-offset tail
+    * (same offsets, admission control, lease renewal and loud
+    * left-retention error as [[readTailVersions]]) whose micro-batches
+    * carry the row-level change feed — the table's columns plus
+    * `_change_type` ∈ {append, delete} and `_commit_version` — so a
+    * standing mirror (a feature store, a replicated serving copy) folds
+    * deletes and restores without reinventing the follower's tombstone
+    * registry. Exactly-once: offsets are checkpointed and a replayed
+    * window's diff is deterministic while retention holds. Schema drift
+    * mid-stream always fails loudly (a mirror must re-pin; the
+    * `failOnSchemaDrift=false` escape is plain-tail-only). SQL face:
+    * `readStream.format("tablelog").option("readChangeFeed", "true")`. */
+  def readTailChanges(spark: SparkSession, dir: String,
+                      since: Option[Long] = None,
+                      maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
+    var r = spark.readStream
+      .format(classOf[graft.sources.TableLogTailProvider].getName)
+      .option("dir", dir)
+      .option("readChangeFeed", "true")
+    since.foreach(v => r = r.option("since", v.toString))
+    maxVersionsPerTrigger.foreach(n =>
+      r = r.option("maxVersionsPerTrigger", n.toString))
+    r.load()
+  }
+
   /** [[readTailVersions]] restricted to rows with `column` in the
     * inclusive range [lower, upper] — the streaming face of
     * [[readWhere]]: the range predicate pushes into every micro-batch's

@@ -32,7 +32,11 @@ import graft.functions.TableLog
   *  - stream read: `spark.readStream.format("tablelog")` is the
   *    version-offset tail ([[TableLogTailProvider]] — exactly-once,
   *    per-batch stats pruning, `since` / `maxVersionsPerTrigger`
-  *    options).
+  *    options). With `.option("readChangeFeed", "true")` the same
+  *    offsets deliver the row-level change feed (`_change_type` ∈
+  *    {append, delete} + `_commit_version` —
+  *    [[graft.functions.TableLog.readTailChanges]]), the standing-
+  *    mirror shape; drift opt-out is rejected for it.
   *  - stream write: `df.writeStream.format("tablelog")` commits each
   *    micro-batch through [[graft.functions.TableLog.appendBatch]] —
   *    exactly-once per checkpoint (the writer identity comes from

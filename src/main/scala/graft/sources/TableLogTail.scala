@@ -51,10 +51,22 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
                                maxVersionsPerTrigger: Option[Int],
                                consumerId: String,
                                failOnSchemaDrift: Boolean,
-                               pinnedExplicitly: Boolean)
+                               pinnedExplicitly: Boolean,
+                               changeFeed: Boolean = false)
     extends Source {
 
-  override def schema: StructType = pinned
+  /** In change-feed mode the emitted rows carry the two tag columns on
+    * top of the pinned table schema ([[graft.functions.TableLog
+    * .readChanges]]'s shape). */
+  private val emitted: StructType =
+    if (!changeFeed) pinned
+    else StructType(pinned.fields)
+      .add("_change_type", org.apache.spark.sql.types.StringType,
+        nullable = false)
+      .add("_commit_version", org.apache.spark.sql.types.LongType,
+        nullable = false)
+
+  override def schema: StructType = emitted
 
   /** Admission-control floor: the highest version already offered or
     * observed, persisted under the source's own checkpoint metadata
@@ -214,6 +226,7 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
         }
       }
     }
+    if (changeFeed) return changeBatch(fromV, toV)
     val delta =
       if (toV <= fromV) Vector.empty
       else TableLog.appendedEntries(spark, dir, fromV, toV)
@@ -234,6 +247,29 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
         options = Map.empty)(spark)
       graftbridge.streamingDataFrame(spark,
         LogicalRelation(rel, isStreaming = true))
+    }
+  }
+
+  /** The change-feed window `(fromV, toV]`: [[graft.functions.TableLog
+    * .readChanges]]'s rows — appends from append commits, delete rows
+    * diffed from a delete/restore commit's swapped files — re-rooted as
+    * a streaming-tagged plan over the batch diff
+    * ([[graftbridge.asStreamingDataFrame]]): tagging the diff's LEAVES
+    * streaming would hand the incremental planner its `exceptAll` as a
+    * stateful streaming join. Deterministic for a replayed window while
+    * retention holds (the same exactly-once argument as the append
+    * tail); a consumer lagging past manifest retention fails loudly
+    * inside readChanges. The drift guard has already passed when this
+    * runs, so the window head's recorded schema IS this stream's pinned
+    * schema and the emitted shape is stable. */
+  private def changeBatch(fromV: Long, toV: Long): DataFrame = {
+    def empty = graftbridge.streamingDataFrame(spark,
+      LocalRelation(DataTypeUtils.toAttributes(emitted), Nil,
+        isStreaming = true))
+    if (toV <= fromV) empty
+    else TableLog.readChanges(spark, dir, fromV, toV)._1 match {
+      case Some(df) => graftbridge.asStreamingDataFrame(df, emitted)
+      case None     => empty
     }
   }
 
@@ -284,11 +320,40 @@ final class TableLogTailProvider extends StreamSourceProvider {
             "explicitly to tail a table that has not been written yet"))
     }
 
+  private def changeFeedOf(parameters: Map[String, String]): Boolean = {
+    val cf = parameters.get("readChangeFeed").exists(_.trim.toBoolean)
+    // a change-feed consumer acts on every row by definition — letting
+    // it run past a drift would fold mis-shaped rows into a mirror.
+    // Signal-only consumers use the plain tail. Checked here (called
+    // from sourceSchema) so the rejection surfaces at load(), not on
+    // the stream thread.
+    require(!cf || parameters.get("failOnSchemaDrift").forall(_.toBoolean),
+      "readChangeFeed cannot be combined with failOnSchemaDrift=false: " +
+        "a mirror consumer must re-pin on schema drift (restart the " +
+        "stream); use the plain tail for signal-only consumption")
+    cf
+  }
+
+  /** The change feed's emitted shape: the table schema plus the two tag
+    * columns ([[graft.functions.TableLog.readChanges]]'s contract). */
+  private def tagged(base: StructType): StructType = {
+    Seq("_change_type", "_commit_version").foreach(c =>
+      require(!base.fieldNames.contains(c),
+        s"the change feed cannot tag this table: it already has a '$c' column"))
+    StructType(base.fields)
+      .add("_change_type", org.apache.spark.sql.types.StringType,
+        nullable = false)
+      .add("_commit_version", org.apache.spark.sql.types.LongType,
+        nullable = false)
+  }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
+      parameters: Map[String, String]): (String, StructType) = {
+    val base = resolveSchema(sqlContext.sparkSession, schema, parameters)
     ("graft-tablelog-tail",
-      resolveSchema(sqlContext.sparkSession, schema, parameters))
+      if (changeFeedOf(parameters)) tagged(base) else base)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -344,7 +409,9 @@ final class TableLogTailProvider extends StreamSourceProvider {
     })
     val failOnDrift =
       parameters.get("failOnSchemaDrift").forall(_.toBoolean)
+    val changeFeed = changeFeedOf(parameters) // re-validates the opt-out
     new TableLogTailSource(spark, dir, metadataPath, pinned, pinnedAt, since,
-      maxV, consumerId, failOnDrift, pinnedExplicitly = schema.isDefined)
+      maxV, consumerId, failOnDrift, pinnedExplicitly = schema.isDefined,
+      changeFeed = changeFeed)
   }
 }

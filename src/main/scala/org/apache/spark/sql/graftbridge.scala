@@ -25,6 +25,24 @@ object graftbridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Re-root a BATCH DataFrame as a streaming-tagged plan over its
+    * (lazily) planned rows — the inverse of [[asBatchDataFrame]], for a
+    * DSv1 `Source.getBatch` whose batch is a COMPOSED plan rather than
+    * one relation. The tablelog change feed needs this: its delete rows
+    * are an `exceptAll` diff of two file reads, and tagging that plan's
+    * LEAVES streaming would hand the incremental planner an Except over
+    * "streaming" children — a stateful streaming join it must not
+    * become. Planning the diff as a batch query and re-rooting only the
+    * RESULT keeps the engine's isStreaming assertion satisfied while the
+    * diff itself stays a plain batch join. `schema` is the declared
+    * source schema (the data's schema must match it structurally). */
+  def asStreamingDataFrame(data: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val spark = data.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      data.queryExecution.toRdd, schema, isStreaming = true)
+  }
+
   /** Re-root a DSv1 `Sink.addBatch` DataFrame as a plain BATCH frame
     * over its already-planned physical rows — the standard v1-sink move
     * (FileStreamSink does the same through FileFormatWriter): the
