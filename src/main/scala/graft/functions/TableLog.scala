@@ -1365,8 +1365,14 @@ object TableLog {
         try { if (!intent.result.isDone) drainAppends(spark, fs, dir, q) }
         finally lock.unlock()
       } else {
+        // a timed-out wait retries leadership; an exceptional completion
+        // is swallowed HERE so the final get below rethrows the CAUSE
+        // unwrapped (the loop exits — the future is done)
         try intent.result.get(20, java.util.concurrent.TimeUnit.MILLISECONDS)
-        catch { case _: java.util.concurrent.TimeoutException => () }
+        catch {
+          case _: java.util.concurrent.TimeoutException => ()
+          case _: java.util.concurrent.ExecutionException => ()
+        }
       }
     }
     try intent.result.get().booleanValue()
@@ -1428,6 +1434,13 @@ object TableLog {
       var rows = prev.rows
       var commits = prev.commits
       var schemaJson = prev.schemaJson
+      // drift is checked against the RUNNING schema, not prev's: two
+      // first-ever appends with disagreeing schemas queued in one group
+      // over an empty table must reject the second exactly as the
+      // serial path's CAS-retry recheck would — prev.schema is None for
+      // both, but once the first intent folds, its schema is the one
+      // every later intent in the group commits under
+      var curSchema = prev.schema
       var any = false
       group.foreach { in =>
         if (!in.result.isDone) {
@@ -1436,7 +1449,7 @@ object TableLog {
           } else {
             val ok =
               try {
-                for (recorded <- prev.schema; batch <- in.schema)
+                for (recorded <- curSchema; batch <- in.schema)
                   require(sameSchema(recorded, batch),
                     s"schema drift rejected for $dir: the table's committed schema is\n  " +
                       s"${recorded.simpleString}\nbut this batch has\n  " +
@@ -1464,7 +1477,8 @@ object TableLog {
               files = files ++ entriesNow
               rows += in.added
               commits = commits + (in.runKey -> in.batchId)
-              if (schemaJson.isEmpty) schemaJson = in.schemaJson
+              if (schemaJson.isEmpty) { schemaJson = in.schemaJson
+                curSchema = in.schema }
               any = true
             }
           }
@@ -2191,6 +2205,94 @@ object TableLog {
     maxVersionsPerTrigger.foreach(n =>
       r = r.option("maxVersionsPerTrigger", n.toString))
     r.load()
+  }
+
+  /** A standing MIRROR: fold the streaming change feed of `srcDir`
+    * into a second TableLog table — the generic "replicated serving
+    * copy / downstream feature store" consumer the change feed exists
+    * for, with none of the follower's bespoke tombstone machinery.
+    * Returns the started query; the mirror converges to the source
+    * after every processed micro-batch.
+    *
+    * Exactly-once without a marker file: source versions apply in
+    * ascending order, each as `delete-by-key, then ledger-fenced
+    * append` against the mirror's own commit map —
+    *  - a version at or below the mirror's ledger entry is skipped
+    *    whole (its append committed, so its deletes already ran);
+    *  - a replayed version ABOVE the ledger re-runs its deletes
+    *    (idempotent: no later re-add can be committed without
+    *    advancing the ledger past it, which the skip rule would have
+    *    caught) and its append fences through the ledger.
+    *
+    * Contract: `keyColumn` uniquely identifies source rows (the
+    * standard CDC primary-key assumption — the feed's delete rows are
+    * applied AS key deletes so they stats-prune on a layout/tracked
+    * key instead of shipping full-row predicates). Per-version delete
+    * lists are collected to the driver, bounded by
+    * [[MirrorMaxDeleteKeys]] with a loud error — mirrors consume
+    * ingest-cadence deltas; a table-scale redaction should be applied
+    * to the mirror directly, like the takedown path does. A mirror
+    * must start from the feed's beginning (`since = -1`, the default
+    * here) or from a bootstrap copy ([[exportAt]]) — starting
+    * mid-history would silently miss the prefix. */
+  def mirror(spark: SparkSession, srcDir: String, dstDir: String,
+             keyColumn: String, checkpointLocation: String,
+             maxVersionsPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val runKey = "mirror-" + runKeyFor(spark, checkpointLocation)
+    readTailChanges(spark, srcDir, since = Some(-1L),
+        maxVersionsPerTrigger = maxVersionsPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyChanges(spark, dstDir, keyColumn, runKey, batch)
+      }
+      .start()
+  }
+
+  /** Driver-side bound on one version's delete-key list in [[mirror]]
+    * (see its scaladoc for why a bound is the right failure mode). */
+  val MirrorMaxDeleteKeys: Int = 1000000
+
+  /** One micro-batch of [[mirror]]'s fold — package-visible so the
+    * spec can drive the at-least-once replay (`foreachBatch` may
+    * re-deliver a batch after a crash) deterministically: applying the
+    * same batch twice must be a no-op. */
+  private[functions] def applyChanges(spark: SparkSession, dstDir: String,
+      keyColumn: String, runKey: String, batch: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cached = batch.persist()
+    try {
+      val versions = cached.select("_commit_version").distinct()
+        .collect().map(_.getLong(0)).sorted
+      versions.foreach { v =>
+        // one head line per version: the mirror's ledger is the replay
+        // authority, so it must be re-read against the table actually
+        // being committed to, not a value captured before the batch
+        val ledger = latestHead(spark, dstDir)
+          .map(_.commits).getOrElse(Map.empty)
+        if (!ledger.get(runKey).exists(_ >= v)) {
+          val ofV = cached.filter(col("_commit_version") === v)
+          val delKeys = ofV.filter(col("_change_type") === "delete")
+            .select(keyColumn).distinct()
+            .limit(MirrorMaxDeleteKeys + 1).collect().map(_.get(0)).toSeq
+          require(delKeys.size <= MirrorMaxDeleteKeys,
+            s"mirror of version $v carries more than $MirrorMaxDeleteKeys " +
+              "delete keys — apply table-scale redactions to the mirror " +
+              "directly (deleteIn/deleteRange), then resume")
+          if (delKeys.nonEmpty) {
+            require(latestHead(spark, dstDir).isDefined,
+              s"the mirror $dstDir saw deletes before any append — it is " +
+                "not following the feed from the beginning; bootstrap with " +
+                "exportAt and a matching `since`, or start at since = -1")
+            deleteIn(spark, dstDir, keyColumn, delKeys)
+          }
+          val apps = ofV.filter(col("_change_type") === "append")
+            .drop("_change_type", "_commit_version")
+          if (!apps.isEmpty) appendBatch(apps, dstDir, runKey, v)
+        }
+      }
+    } finally cached.unpersist()
   }
 
   /** [[readTailVersions]] restricted to rows with `column` in the

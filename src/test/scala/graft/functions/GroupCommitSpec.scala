@@ -69,6 +69,37 @@ class GroupCommitSpec extends SparkSuite {
       s"no fold happened: ${m.version} versions for 4 queued appends")
   }
 
+  test("first-ever appends with disagreeing schemas: one wins, the other drifts loudly — even folded into one group") {
+    val dir = fresh()
+    // stall the CAS so both intents land in ONE drain: the fold must
+    // check the second against the FIRST's schema (the running value),
+    // not against the empty table's None — the serial path's CAS-retry
+    // recheck, preserved under folding
+    TableLog.casHook = () => Thread.sleep(300)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    try {
+      val a = new Thread(() =>
+        try { TableLog.appendBatch(df(1, 0), dir, "wa", 0L); outcomes.add("ok") }
+        catch { case e: IllegalArgumentException =>
+          outcomes.add("drift:" + e.getMessage.contains("schema drift")) })
+      val b = new Thread(() =>
+        try {
+          TableLog.appendBatch(
+            Seq.tabulate(50)(i => (i.toLong, i * 1.5))
+              .toDF("id", "score").coalesce(1), dir, "wb", 0L)
+          outcomes.add("ok")
+        } catch { case e: IllegalArgumentException =>
+          outcomes.add("drift:" + e.getMessage.contains("schema drift")) })
+      a.start(); b.start(); a.join(); b.join()
+    } finally TableLog.casHook = () => ()
+    assert(outcomes.asScala.toSeq.sorted == Seq("drift:true", "ok"),
+      s"a mis-shaped batch folded into a brand-new table: $outcomes")
+    // the winner's schema is the recorded one and the table reads clean
+    val m = TableLog.latest(spark, dir).get
+    assert(m.rows == 50L && m.commits.size == 1)
+    assert(TableLog.read(spark, dir).count() == 50L)
+  }
+
   test("same-runKey replicas racing in one burst: exactly one commits, the rest fence") {
     val dir = fresh()
     TableLog.appendBatch(df(9, 0), dir, "warm", 0L)
