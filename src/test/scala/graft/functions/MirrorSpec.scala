@@ -1,0 +1,88 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[TableLog.mirror]]: the generic change-feed consumer — a second
+  * TableLog table that converges to the source through appends,
+  * deletes, restores and compactions, exactly-once across restarts and
+  * idempotent under foreachBatch's at-least-once replay. */
+class MirrorSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fresh(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_mir_$tag").toString + "/t"
+
+  private def rows(ids: Range, tag: String): DataFrame =
+    ids.map(i => (i.toLong, tag)).toDF("id", "v").coalesce(1)
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.select($"id", $"v").collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  test("the mirror converges to the source through delete/restore/compact, across a restart") {
+    val src = fresh("src")
+    val dst = fresh("dst")
+    val ck = java.nio.file.Files.createTempDirectory("graft_mir_ck").toString
+    TableLog.appendBatch(rows(0 until 100, "b0"), src, "r", 0L)   // v0
+    TableLog.appendBatch(rows(100 until 200, "b1"), src, "r", 1L) // v1
+    TableLog.delete(spark, src, col("id") < 30)                   // v2
+    val q1 = TableLog.mirror(spark, src, dst, "id", ck)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(canon(TableLog.read(spark, dst)) == canon(TableLog.read(spark, src)))
+    // offline source churn while the mirror is down: restore re-adds
+    // the deleted rows, compact rewrites files without changing rows,
+    // and fresh appends + another delete land on top
+    TableLog.restore(spark, src, 1L)                              // v3
+    TableLog.compact(spark, src, 1L << 20)                        // v4
+    TableLog.appendBatch(rows(200 until 250, "b2"), src, "r", 2L) // v5
+    TableLog.delete(spark, src, col("id") >= 240)                 // v6
+    val q2 = TableLog.mirror(spark, src, dst, "id", ck)
+    try {
+      q2.processAllAvailable()
+      val got = canon(TableLog.read(spark, dst))
+      assert(got == canon(TableLog.read(spark, src)),
+        s"mirror diverged after restart: ${got.length} rows")
+      // exactly-once: no row committed twice across the two runs
+      assert(TableLog.read(spark, dst).select($"id").distinct().count() ==
+        TableLog.read(spark, dst).count())
+    } finally q2.stop()
+  }
+
+  test("replaying a micro-batch is a no-op — update-shaped changes included") {
+    val src = fresh("rsrc")
+    val dst = fresh("rdst")
+    TableLog.appendBatch(rows(0 until 50, "old"), src, "r", 0L)    // v0
+    // an update shaped as delete-then-re-add of the SAME keys across
+    // versions: the replay hazard is the re-run delete killing the
+    // already-fenced re-add
+    TableLog.delete(spark, src, col("id") < 10)                    // v1
+    TableLog.appendBatch(rows(0 until 10, "new"), src, "r", 1L)    // v2
+    val batch = TableLog.readChanges(spark, src, -1L)._1.get
+    TableLog.applyChanges(spark, dst, "id", "mk", batch)
+    val once = canon(TableLog.read(spark, dst))
+    assert(once == canon(TableLog.read(spark, src)))
+    assert(once.count(_.endsWith("|new")) == 10)
+    // foreachBatch redelivers the identical batch after a crash
+    TableLog.applyChanges(spark, dst, "id", "mk", batch)
+    assert(canon(TableLog.read(spark, dst)) == once,
+      "a replayed batch changed the mirror")
+    assert(TableLog.latest(spark, dst).get.commits("mk") == 2L)
+  }
+
+  test("a mirror that would apply deletes before any append fails loudly") {
+    val src = fresh("dsrc")
+    val dst = fresh("ddst")
+    TableLog.appendBatch(rows(0 until 20, "b0"), src, "r", 0L)
+    TableLog.delete(spark, src, col("id") < 5)
+    // only the delete slice of the feed — the shape a mid-history
+    // start would deliver first
+    val delsOnly = TableLog.readChanges(spark, src, -1L)._1.get
+      .filter($"_change_type" === "delete")
+    val e = intercept[IllegalArgumentException] {
+      TableLog.applyChanges(spark, dst, "id", "mk", delsOnly)
+    }
+    assert(e.getMessage.contains("before any append"), e.getMessage)
+  }
+}
