@@ -958,7 +958,10 @@ object TableLog {
     * append itself records the batch's shape). */
   private[graft] def alignMerging(spark: SparkSession, dir: String,
       batch: DataFrame): DataFrame = {
-    latest(spark, dir).flatMap(_.schema) match {
+    // head lines only: this runs once per micro-batch on the sink's hot
+    // write path and needs just the recorded schema — materializing the
+    // full segment list here would double appendBatch's resolution cost
+    latestHead(spark, dir).flatMap(_.schema) match {
       case None => batch
       case Some(recorded) if sameSchema(recorded, batch.schema) => batch
       case Some(recorded) =>
@@ -1447,7 +1450,11 @@ object TableLog {
           if (commits.get(in.runKey).exists(_ >= in.batchId)) {
             in.result.complete(false)
           } else {
-            val ok =
+            // drift AND the stat re-harvest fail the INTENT alone
+            // (NonFatal — an unreadable footer of one writer's staged
+            // file must not poison the other writers' group), exactly
+            // the serial path's blast radius
+            val folded =
               try {
                 for (recorded <- curSchema; batch <- in.schema)
                   require(sameSchema(recorded, batch),
@@ -1455,25 +1462,24 @@ object TableLog {
                       s"${recorded.simpleString}\nbut this batch has\n  " +
                       s"${batch.simpleString}\n(a concurrent evolve() may have " +
                       "upgraded the table — restart the writer with the new schema)")
-                true
+                val wanted = statCols(prev)
+                Some(
+                  if ((wanted -- in.harvestedCols).isEmpty || in.schema.isEmpty)
+                    in.entries
+                  else {
+                    val (_, table) = fsFor(spark, dir)
+                    val conf = spark.sparkContext.hadoopConfiguration
+                    in.entries.map { e =>
+                      e.copy(stats = ParquetFooters
+                        .read(conf, new Path(table, e.name), wanted, in.schema.get)
+                        .stats)
+                    }
+                  })
               } catch {
-                case e: IllegalArgumentException =>
-                  in.result.completeExceptionally(e); false
+                case scala.util.control.NonFatal(e) =>
+                  in.result.completeExceptionally(e); None
               }
-            if (ok) {
-              val wanted = statCols(prev)
-              val entriesNow =
-                if ((wanted -- in.harvestedCols).isEmpty || in.schema.isEmpty)
-                  in.entries
-                else {
-                  val (_, table) = fsFor(spark, dir)
-                  val conf = spark.sparkContext.hadoopConfiguration
-                  in.entries.map { e =>
-                    e.copy(stats = ParquetFooters
-                      .read(conf, new Path(table, e.name), wanted, in.schema.get)
-                      .stats)
-                  }
-                }
+            folded.foreach { entriesNow =>
               files = files ++ entriesNow
               rows += in.added
               commits = commits + (in.runKey -> in.batchId)
@@ -1857,16 +1863,20 @@ object TableLog {
         // position): the name already carries the version but freshness
         // lives in the file's mtime — refresh it, or the lease expires
         // (and housekeeping sweeps it) despite active renewals. Fall
-        // back to delete+recreate where setTimes is unsupported: a
-        // momentary absence of THIS renewal file is safe (readers take
-        // the per-id max, vacuum's floor the min across ids, so a gap
-        // only ever widens what is kept).
+        // back to an OVERWRITE-in-place where setTimes is unsupported
+        // (create(p, true) truncates, which refreshes mtime, and the
+        // NAME never disappears). Never delete+recreate here: the
+        // opportunistic sweep below keeps exactly ONE file per id, so
+        // a vacuum listing the leases dir in a delete→create gap would
+        // see NO lease for this consumer and compute its floor without
+        // it — the floor must never blink out. A failed overwrite
+        // leaves the old file with its stale mtime: worst case the
+        // lease expires, the safe direction.
         try fs.setTimes(p, System.currentTimeMillis(), -1L)
         catch {
           case scala.util.control.NonFatal(_) =>
-            fs.delete(p, false)
-            try fs.create(p, false).close()
-            catch { case _: java.io.IOException if fs.exists(p) => () }
+            try fs.create(p, true).close()
+            catch { case _: java.io.IOException => () }
         }
     }
     // opportunistic sweep of superseded renewals (and this consumer's
@@ -2289,7 +2299,14 @@ object TableLog {
           }
           val apps = ofV.filter(col("_change_type") === "append")
             .drop("_change_type", "_commit_version")
-          if (!apps.isEmpty) appendBatch(apps, dstDir, runKey, v)
+          // a source evolve widens the feed (after the loud drift
+          // restart re-pins it): align add-only drift into the mirror
+          // as its own evolve, or every post-restart batch would be
+          // rejected against the mirror's old schema forever — the
+          // mergeSchema path, applied where the drift actually lands.
+          // Drops/type changes stay loud (mirror them manually first).
+          if (!apps.isEmpty)
+            appendBatch(alignMerging(spark, dstDir, apps), dstDir, runKey, v)
         }
       }
     } finally cached.unpersist()

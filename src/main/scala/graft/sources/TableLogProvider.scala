@@ -115,9 +115,11 @@ final class TableLogProvider extends RelationProvider
       val m = TableLog.latest(spark, dir).getOrElse(
         throw new IllegalStateException(s"$dir has no committed manifest"))
       val s = m.schema.getOrElse(TableLog.read(spark, dir).schema)
+      // non-nullable tags, matching the data path's lit() columns and
+      // the streaming face — the schema must not flip with emptiness
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        s.add("_change_type", "string").add("_commit_version", "long"))
+        TableLogTailProvider.tagged(s))
     }
     new BaseRelation with org.apache.spark.sql.sources.TableScan {
       override def sqlContext: SQLContext = ctx

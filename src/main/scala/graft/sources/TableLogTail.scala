@@ -57,14 +57,10 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
 
   /** In change-feed mode the emitted rows carry the two tag columns on
     * top of the pinned table schema ([[graft.functions.TableLog
-    * .readChanges]]'s shape). */
+    * .readChanges]]'s shape — ONE construction, shared with the
+    * provider so `sourceSchema` and `Source.schema` can never drift). */
   private val emitted: StructType =
-    if (!changeFeed) pinned
-    else StructType(pinned.fields)
-      .add("_change_type", org.apache.spark.sql.types.StringType,
-        nullable = false)
-      .add("_commit_version", org.apache.spark.sql.types.LongType,
-        nullable = false)
+    if (!changeFeed) pinned else TableLogTailProvider.tagged(pinned)
 
   override def schema: StructType = emitted
 
@@ -268,8 +264,26 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
         isStreaming = true))
     if (toV <= fromV) empty
     else TableLog.readChanges(spark, dir, fromV, toV)._1 match {
-      case Some(df) => graftbridge.asStreamingDataFrame(df, emitted)
-      case None     => empty
+      case Some(df) =>
+        // align to THIS stream's pinned schema: readChanges pins each
+        // window to the WINDOW HEAD's era schema, so a window lying
+        // entirely before an evolve/dropColumn in the table's history
+        // (toV <= pinnedAt — the drift guard is correctly silent)
+        // arrives era-shaped: fewer or extra columns than this stream
+        // declares. Wrapping that frame in `emitted` unaligned would
+        // bind the tag columns positionally into the wrong ordinals —
+        // corrupted rows, not an error. Null-fill/project to the
+        // pinned shape instead, the same straddling semantics as the
+        // append tail (pre-drift files read under the newest schema;
+        // null-filled fields are evolve-added and therefore nullable).
+        import org.apache.spark.sql.functions.{col, lit}
+        val have = df.schema.fieldNames.toSet
+        val aligned = df.select(pinned.fields.toIndexedSeq.map { f =>
+          if (have.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        } ++ Seq(col("_change_type"), col("_commit_version")): _*)
+        graftbridge.asStreamingDataFrame(aligned, emitted)
+      case None => empty
     }
   }
 
@@ -334,25 +348,13 @@ final class TableLogTailProvider extends StreamSourceProvider {
     cf
   }
 
-  /** The change feed's emitted shape: the table schema plus the two tag
-    * columns ([[graft.functions.TableLog.readChanges]]'s contract). */
-  private def tagged(base: StructType): StructType = {
-    Seq("_change_type", "_commit_version").foreach(c =>
-      require(!base.fieldNames.contains(c),
-        s"the change feed cannot tag this table: it already has a '$c' column"))
-    StructType(base.fields)
-      .add("_change_type", org.apache.spark.sql.types.StringType,
-        nullable = false)
-      .add("_commit_version", org.apache.spark.sql.types.LongType,
-        nullable = false)
-  }
-
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val base = resolveSchema(sqlContext.sparkSession, schema, parameters)
     ("graft-tablelog-tail",
-      if (changeFeedOf(parameters)) tagged(base) else base)
+      if (changeFeedOf(parameters)) TableLogTailProvider.tagged(base)
+      else base)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -413,5 +415,22 @@ final class TableLogTailProvider extends StreamSourceProvider {
     new TableLogTailSource(spark, dir, metadataPath, pinned, pinnedAt, since,
       maxV, consumerId, failOnDrift, pinnedExplicitly = schema.isDefined,
       changeFeed = changeFeed)
+  }
+}
+
+object TableLogTailProvider {
+  /** The change feed's emitted shape: the table schema plus the two
+    * NON-NULLABLE tag columns ([[graft.functions.TableLog.readChanges]]'s
+    * contract) — the single construction behind the streaming source,
+    * its provider, and the batch relation's empty-feed path. */
+  private[sources] def tagged(base: StructType): StructType = {
+    Seq("_change_type", "_commit_version").foreach(c =>
+      require(!base.fieldNames.contains(c),
+        s"the change feed cannot tag this table: it already has a '$c' column"))
+    StructType(base.fields)
+      .add("_change_type", org.apache.spark.sql.types.StringType,
+        nullable = false)
+      .add("_commit_version", org.apache.spark.sql.types.LongType,
+        nullable = false)
   }
 }

@@ -53,17 +53,28 @@ final class TableLogV2 extends TableProvider with DataSourceRegister {
           "or .option(\"dir\", <dir>)"))
   }
 
+  // resolved ONCE per provider instance and (dir, versionAsOf): the
+  // engine calls inferSchema and then getTable separately, and
+  // resolving the manifest independently in each would let a racing
+  // commit pin the FILE LIST to a different version than the SCHEMA —
+  // e.g. a concurrent dropColumn between the two calls would serve the
+  // new files under the old schema, resurrecting the dropped column.
+  // One resolution per load() is also what the v1 path does.
+  private val resolved = new java.util.concurrent.ConcurrentHashMap[
+    (String, Option[String]), TableLog.Manifest]()
+
   private def manifestOf(options: util.Map[String, String]): TableLog.Manifest = {
     val spark = SparkSession.active
     val dir = dirOf(options)
     val ci = new CaseInsensitiveStringMap(options)
-    Option(ci.get("versionAsOf")) match {
+    val asOf = Option(ci.get("versionAsOf"))
+    resolved.computeIfAbsent((dir, asOf), _ => asOf match {
       case Some(v) => TableLog.manifestAt(spark, dir, v.toLong)
       case None => TableLog.latest(spark, dir).getOrElse(
         throw new IllegalStateException(
           s"$dir has no committed manifest — not a TableLog table (or " +
             "never written)"))
-    }
+    })
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

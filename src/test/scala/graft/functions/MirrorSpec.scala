@@ -71,6 +71,40 @@ class MirrorSpec extends SparkSuite {
     assert(TableLog.latest(spark, dst).get.commits("mk") == 2L)
   }
 
+  test("a source evolve fails the mirror loudly; the restart re-pins AND widens the mirror table") {
+    val src = fresh("esrc")
+    val dst = fresh("edst")
+    val ck = java.nio.file.Files.createTempDirectory("graft_mir_eck").toString
+    TableLog.appendBatch(rows(0 until 40, "b0"), src, "r", 0L)
+    val q1 = TableLog.mirror(spark, src, dst, "id", ck)
+    try {
+      q1.processAllAvailable()
+      val cur = TableLog.latest(spark, src).get.schema.get
+      TableLog.evolve(spark, src, cur.add(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      TableLog.appendBatch(
+        (40 until 50).map(i => (i.toLong, "b1", i.toLong)).toDF("id", "v", "w")
+          .coalesce(1), src, "r2", 0L)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      assert(e.getCause.getMessage.contains("schema drift"), e.getCause.getMessage)
+    } finally q1.stop()
+    // the documented recovery — a plain restart — must WORK: the feed
+    // re-pins (id, v, w) and the mirror's append path aligns the
+    // add-only drift into dst as its own evolve instead of rejecting
+    // every batch forever
+    val q2 = TableLog.mirror(spark, src, dst, "id", ck)
+    try {
+      q2.processAllAvailable()
+      val dstDf = TableLog.read(spark, dst)
+      assert(dstDf.schema.fieldNames.toSeq == Seq("id", "v", "w"))
+      assert(dstDf.count() == 50L)
+      assert(dstDf.filter($"w".isNotNull).count() == 10L)
+    } finally q2.stop()
+  }
+
   test("a mirror that would apply deletes before any append fails loudly") {
     val src = fresh("dsrc")
     val dst = fresh("ddst")

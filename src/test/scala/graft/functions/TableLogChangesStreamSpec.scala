@@ -93,6 +93,43 @@ class TableLogChangesStreamSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("pre-evolve windows align to the stream's pinned schema — never era-shaped rows under the wrong ordinals") {
+    val dir = fresh()
+    val out = ckpt() + "/out"
+    val ck = ckpt()
+    TableLog.appendBatch(rows(0 until 50, "b0"), dir, "r", 0L)  // v0 (id, v)
+    TableLog.appendBatch(rows(50 until 90, "b1"), dir, "r", 1L) // v1 (id, v)
+    val cur = TableLog.latest(spark, dir).get.schema.get
+    TableLog.evolve(spark, dir, cur.add(                        // v2
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    TableLog.appendBatch(                                       // v3
+      (90 until 100).map(i => (i.toLong, "b2", i.toLong * 2))
+        .toDF("id", "v", "w").coalesce(1), dir, "r2", 0L)
+    // a FRESH stream pins (id, v, w); maxVersionsPerTrigger=1 forces
+    // windows that lie ENTIRELY before the evolve (toV <= pinnedAt, so
+    // the drift guard is correctly silent) — their readChanges frames
+    // are era-shaped (id, v) and must be null-filled to the pin, not
+    // bound positionally under it
+    val q = TableLog.readTailChanges(spark, dir, since = Some(-1L),
+        maxVersionsPerTrigger = Some(1))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val feed = spark.read.parquet(out)
+    assert(feed.schema.fieldNames.toSeq ==
+      Seq("id", "v", "w", "_change_type", "_commit_version"))
+    assert(feed.count() == 100L)
+    assert(feed.filter($"_commit_version" <= 1L && $"w".isNull).count() == 90L,
+      "pre-evolve rows must null-fill the added column")
+    assert(feed.filter($"_commit_version" === 3L)
+      .select($"w").as[Long].collect().sorted.toSeq ==
+      (90L until 100L).map(_ * 2),
+      "post-evolve rows lost their real column values")
+    assert(feed.select($"_change_type").distinct().as[String].collect()
+      .toSeq == Seq("append"), "tag columns bound to wrong ordinals")
+  }
+
   test("mid-stream evolve fails the change feed loudly; drift opt-out is rejected up front") {
     val dir = fresh()
     val ck = ckpt()
