@@ -2224,21 +2224,34 @@ object TableLog {
     * Returns the started query; the mirror converges to the source
     * after every processed micro-batch.
     *
-    * Exactly-once without a marker file: source versions apply in
-    * ascending order, each as `delete-by-key, then ledger-fenced
-    * append` against the mirror's own commit map —
-    *  - a version at or below the mirror's ledger entry is skipped
-    *    whole (its append committed, so its deletes already ran);
-    *  - a replayed version ABOVE the ledger re-runs its deletes
-    *    (idempotent: no later re-add can be committed without
-    *    advancing the ledger past it, which the skip rule would have
-    *    caught) and its append fences through the ledger.
+    * Each feed micro-batch applies as ONE fold, not one commit per
+    * source version: the window's net effect — `appends ⊖ deletes` to
+    * add, `deletes ⊖ appends` to remove (multiset except, so a row
+    * deleted and restored within the window cancels) — lands as a
+    * single delete-by-key plus a single ledger-fenced append at the
+    * window's max version. A 1,440-version overnight backlog is one
+    * delete and one append, not 1,440 commits (the follower's span
+    * lesson, measured in MirrorBench).
+    *
+    * Exactly-once without a marker file, against the mirror's own
+    * commit map:
+    *  - a window at or below the ledger entry is skipped whole (its
+    *    append committed, so its deletes already ran; windows are
+    *    disjoint and ascending, and the engine replays a crashed
+    *    window with the same bounds);
+    *  - a replayed window ABOVE the ledger re-runs its net deletes
+    *    (idempotent: the keys are gone, and no later re-add can be
+    *    committed without advancing the ledger past this window,
+    *    which the skip rule would have caught) and its append fences
+    *    through the ledger. Deletes always apply BEFORE the append,
+    *    so an update-shaped key (net-delete + net-re-add of one key)
+    *    survives any crash point.
     *
     * Contract: `keyColumn` uniquely identifies source rows (the
     * standard CDC primary-key assumption — the feed's delete rows are
     * applied AS key deletes so they stats-prune on a layout/tracked
-    * key instead of shipping full-row predicates). Per-version delete
-    * lists are collected to the driver, bounded by
+    * key instead of shipping full-row predicates). A window's net
+    * delete-key list is collected to the driver, bounded by
     * [[MirrorMaxDeleteKeys]] with a loud error — mirrors consume
     * ingest-cadence deltas; a table-scale redaction should be applied
     * to the mirror directly, like the takedown path does. A mirror
@@ -2270,45 +2283,51 @@ object TableLog {
     * same batch twice must be a no-op. */
   private[functions] def applyChanges(spark: SparkSession, dstDir: String,
       keyColumn: String, runKey: String, batch: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, max}
     val cached = batch.persist()
     try {
-      val versions = cached.select("_commit_version").distinct()
-        .collect().map(_.getLong(0)).sorted
-      versions.foreach { v =>
-        // one head line per version: the mirror's ledger is the replay
-        // authority, so it must be re-read against the table actually
-        // being committed to, not a value captured before the batch
-        val ledger = latestHead(spark, dstDir)
-          .map(_.commits).getOrElse(Map.empty)
-        if (!ledger.get(runKey).exists(_ >= v)) {
-          val ofV = cached.filter(col("_commit_version") === v)
-          val delKeys = ofV.filter(col("_change_type") === "delete")
-            .select(keyColumn).distinct()
-            .limit(MirrorMaxDeleteKeys + 1).collect().map(_.get(0)).toSeq
-          require(delKeys.size <= MirrorMaxDeleteKeys,
-            s"mirror of version $v carries more than $MirrorMaxDeleteKeys " +
-              "delete keys — apply table-scale redactions to the mirror " +
-              "directly (deleteIn/deleteRange), then resume")
-          if (delKeys.nonEmpty) {
-            require(latestHead(spark, dstDir).isDefined,
-              s"the mirror $dstDir saw deletes before any append — it is " +
-                "not following the feed from the beginning; bootstrap with " +
-                "exportAt and a matching `since`, or start at since = -1")
-            deleteIn(spark, dstDir, keyColumn, delKeys)
-          }
-          val apps = ofV.filter(col("_change_type") === "append")
-            .drop("_change_type", "_commit_version")
-          // a source evolve widens the feed (after the loud drift
-          // restart re-pins it): align add-only drift into the mirror
-          // as its own evolve, or every post-restart batch would be
-          // rejected against the mirror's old schema forever — the
-          // mergeSchema path, applied where the drift actually lands.
-          // Drops/type changes stay loud (mirror them manually first).
-          if (!apps.isEmpty)
-            appendBatch(alignMerging(spark, dstDir, apps), dstDir, runKey, v)
-        }
+      val maxVRow = cached.agg(max(col("_commit_version"))).head()
+      if (maxVRow.isNullAt(0)) return // empty window
+      val maxV = maxVRow.getLong(0)
+      // the mirror's ledger is the replay authority, re-read against
+      // the table actually being committed to, not a value captured
+      // before the batch
+      val ledger = latestHead(spark, dstDir)
+        .map(_.commits).getOrElse(Map.empty)
+      if (ledger.get(runKey).exists(_ >= maxV)) return // replayed window
+      val tags = Seq("_change_type", "_commit_version")
+      val apps = cached.filter(col("_change_type") === "append")
+        .drop(tags: _*)
+      val dels = cached.filter(col("_change_type") === "delete")
+        .drop(tags: _*)
+      // the window's NET effect (delete-then-restore cancels; an
+      // append deleted later in the same window never lands)
+      val netDels = dels.exceptAll(apps)
+      val netApps = apps.exceptAll(dels)
+      val delKeys = netDels.select(keyColumn).distinct()
+        .limit(MirrorMaxDeleteKeys + 1).collect().map(_.get(0)).toSeq
+      require(delKeys.size <= MirrorMaxDeleteKeys,
+        s"mirror window through version $maxV carries more than " +
+          s"$MirrorMaxDeleteKeys net delete keys — apply table-scale " +
+          "redactions to the mirror directly (deleteIn/deleteRange), " +
+          "then resume")
+      if (delKeys.nonEmpty) {
+        require(latestHead(spark, dstDir).isDefined,
+          s"the mirror $dstDir saw deletes before any append — it is " +
+            "not following the feed from the beginning; bootstrap with " +
+            "exportAt and a matching `since`, or start at since = -1")
+        deleteIn(spark, dstDir, keyColumn, delKeys)
       }
+      // a source evolve widens the feed (after the loud drift restart
+      // re-pins it): align add-only drift into the mirror as its own
+      // evolve, or every post-restart batch would be rejected against
+      // the mirror's old schema forever — the mergeSchema path, applied
+      // where the drift actually lands. Drops/type changes stay loud
+      // (mirror them manually first). A pure-delete window commits no
+      // append and leaves the ledger in place — its replay is covered
+      // by the idempotency argument above.
+      if (!netApps.isEmpty)
+        appendBatch(alignMerging(spark, dstDir, netApps), dstDir, runKey, maxV)
     } finally cached.unpersist()
   }
 
