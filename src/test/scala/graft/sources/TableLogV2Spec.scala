@@ -72,6 +72,18 @@ class TableLogV2Spec extends SparkSuite {
     assert(e.getMessage.contains("no retained manifest"), e.getMessage)
   }
 
+  test("SQL sessions read through the v2 face: CREATE TABLE ... USING tablelogv2") {
+    val dir = freshTable()
+    (0 to 1).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    spark.sql("DROP TABLE IF EXISTS dsv2_sql")
+    spark.sql(s"CREATE TABLE dsv2_sql USING tablelogv2 OPTIONS (path '$dir')")
+    try {
+      assert(spark.sql("SELECT count(*) FROM dsv2_sql").head().getLong(0) == 200L)
+      assert(spark.sql("SELECT sum(ts) FROM dsv2_sql WHERE ts < 100")
+        .head().getLong(0) == (0L until 100L).sum)
+    } finally spark.sql("DROP TABLE dsv2_sql")
+  }
+
   test("orphans of crashed commits are never served; the table pins its manifest") {
     val dir = freshTable()
     TableLog.appendBatch(batch(0), dir, "r", 0L)
