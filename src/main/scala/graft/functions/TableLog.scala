@@ -1640,23 +1640,203 @@ object TableLog {
                values: Seq[Any]): Long = {
     require(values.nonEmpty, "deleteIn needs at least one value")
     import org.apache.spark.sql.functions.col
-    deleteImpl(spark, dir,
-      m => {
-        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-        val out = Vector.newBuilder[Entry]
-        // stop once every file is already a candidate — on a column
-        // with no recorded stats the FIRST value returns them all, and
-        // the remaining |values| × |files| comparisons can add nothing
-        val it = values.iterator
-        while (it.hasNext && seen.size < m.files.size) {
-          val v = it.next()
-          prunedEntries(m, column, v, v).foreach { e =>
-            if (seen.add(e.name)) out += e
-          }
-        }
-        out.result()
-      },
+    deleteImpl(spark, dir, m => candidatesIn(m, column, values),
       col(column).isin(values: _*))
+  }
+
+  /** The files whose recorded stats may hold any of `values` in
+    * `column` — per-value point pruning with an early stop. Shared by
+    * [[deleteIn]] and [[applyDelta]]. */
+  private def candidatesIn(m: Manifest, column: String,
+      values: Seq[Any]): Vector[Entry] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    val out = Vector.newBuilder[Entry]
+    // stop once every file is already a candidate — on a column
+    // with no recorded stats the FIRST value returns them all, and
+    // the remaining |values| × |files| comparisons can add nothing
+    val it = values.iterator
+    while (it.hasNext && seen.size < m.files.size) {
+      val v = it.next()
+      prunedEntries(m, column, v, v).foreach { e =>
+        if (seen.add(e.name)) out += e
+      }
+    }
+    out.result()
+  }
+
+  /** ONE-COMMIT CDC apply — the upsert/merge primitive: remove every
+    * row whose `keyColumn` is in `deleteKeys`, add `adds`, and record
+    * `(runKey, batchId)` in the commit map, all in a SINGLE manifest
+    * version. Readers see the old state or the new one, never the
+    * half-applied middle a separate delete-then-append exposes, and a
+    * lagging mirror pays one commit per applied window instead of two
+    * ([[mirror]] folds through this).
+    *
+    * Semantics compose from the parts it fuses:
+    *  - the delete side is [[deleteIn]]: candidates manifest-pruned per
+    *    key value, only files actually holding matches rewritten
+    *    (layout preserved, `c<v>-` names silent to the tail glob), a
+    *    racing compact/delete re-plans against the fresh snapshot;
+    *  - the add side is [[appendBatch]]: staged once (`a<v>-` names the
+    *    version tail and glob tail deliver), footer-harvested stats,
+    *    loud schema-drift guard, zombie fencing on the `(runKey,
+    *    batchId)` ledger — a replayed delta is a no-op returning false,
+    *    which covers the delete side too (its keys were removed when
+    *    the ledger entry committed);
+    *  - CDC: the version tail and [[appendsSince]] deliver ONLY the
+    *    `a`-files (new rows — overwritten rows are CDC-invisible like
+    *    [[delete]]'s); [[readChanges]] emits the overwritten rows as
+    *    deletes and the new rows as appends (the swapped survivors
+    *    cancel in its diff), so a change-feed mirror reproduces the
+    *    upsert exactly.
+    *
+    * On a table with no committed manifest the delta must be pure adds
+    * (`deleteKeys` empty) and degrades to [[appendBatch]]. Returns true
+    * if committed, false if fenced as a replay. */
+  def applyDelta(spark: SparkSession, dir: String, adds: DataFrame,
+                 keyColumn: String, deleteKeys: Seq[Any],
+                 runKey: String, batchId: Long): Boolean = {
+    val (fs, table) = fsFor(spark, dir)
+    val prev = latest(spark, dir).getOrElse {
+      require(deleteKeys.isEmpty,
+        s"$dir has no committed manifest — applyDelta cannot delete from " +
+          "a table that does not exist (bootstrap it first)")
+      return appendBatch(adds, dir, runKey, batchId)
+    }
+    if (prev.commits.get(runKey).exists(_ >= batchId)) return false
+    prev.schema.foreach { recorded =>
+      require(sameSchema(recorded, adds.schema),
+        s"schema drift rejected for $dir: the table's committed schema is\n  " +
+          s"${recorded.simpleString}\nbut this delta adds\n  " +
+          s"${adds.schema.simpleString}")
+    }
+    // stage the adds ONCE — a<v>- names are tail-visibility tags, not
+    // versions, so the staged files survive any number of re-plans; the
+    // survivor rewrites below are per-attempt (they depend on the
+    // snapshot) and are swept on every lost plan
+    val v = prev.version + 1
+    val staging = new Path(dir.stripSuffix("/"),
+      s"_staging-${java.util.UUID.randomUUID()}")
+    adds.write.parquet(staging.toString)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val staged = fs.listStatus(staging).iterator
+      .filter { f => val n = f.getPath.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") }
+      .toVector
+    val metas = ParquetFooters.readAll(conf, staged.map(_.getPath),
+      statCols(prev), adds.schema)
+    fs.mkdirs(table)
+    // 0-row partitions are dropped rather than landed: an empty-adds
+    // delta (a pure-delete mirror window) must not salt the manifest
+    // with empty files
+    val addEntries = staged.zip(metas).iterator
+      .filter { case (_, meta) => meta.rows > 0L }
+      .map { case (f, meta) =>
+        val name = s"a$v-${f.getPath.getName}"
+        val dst = new Path(table, name)
+        if (!fs.rename(f.getPath, dst))
+          throw new java.io.IOException(s"could not land ${f.getPath} as $dst")
+        Entry(name, f.getLen, meta.stats)
+      }.toVector
+    fs.delete(staging, true)
+    val addedRows = metas.iterator.map(_.rows).sum
+    if (addEntries.isEmpty && deleteKeys.isEmpty) return false // empty delta
+    var replans = 0
+    while (true) {
+      try return applyDeltaAttempt(spark, fs, dir, keyColumn, deleteKeys,
+        runKey, batchId, addEntries, addedRows, Some(adds.schema.json))
+      catch {
+        case e: StaleDeletePlan =>
+          replans += 1
+          if (replans > CasRetries)
+            throw new java.util.ConcurrentModificationException(
+              s"applyDelta in $dir lost its snapshot to racing maintenance " +
+                s"commits $replans times: ${e.getMessage}")
+      }
+    }
+    false // unreachable
+  }
+
+  /** [[applyDelta]] with the delete keys taken from the batch itself:
+    * replace-by-key semantics — every key present in `batch` holds
+    * exactly `batch`'s rows afterwards, keys absent from the table are
+    * plain inserts. The key list is collected to the driver, bounded by
+    * [[MirrorMaxDeleteKeys]] (upserts are delta-shaped by contract;
+    * rewrite table-scale key sets with delete + append directly). */
+  def upsertByKey(spark: SparkSession, dir: String, batch: DataFrame,
+                  keyColumn: String, runKey: String, batchId: Long): Boolean = {
+    val keys = batch.select(keyColumn).distinct()
+      .limit(MirrorMaxDeleteKeys + 1).collect().map(_.get(0)).toSeq
+    require(keys.size <= MirrorMaxDeleteKeys,
+      s"upsertByKey batch carries more than $MirrorMaxDeleteKeys distinct " +
+        "keys — apply table-scale rewrites as delete + append directly")
+    applyDelta(spark, dir, batch, keyColumn, keys, runKey, batchId)
+  }
+
+  private def applyDeltaAttempt(spark: SparkSession, fs: FileSystem,
+      dir: String, keyColumn: String, deleteKeys: Seq[Any], runKey: String,
+      batchId: Long, addEntries: Vector[Entry], addedRows: Long,
+      addSchemaJson: Option[String]): Boolean = {
+    import org.apache.spark.sql.functions.col
+    val table = new Path(dir.stripSuffix("/"))
+    val m = latest(spark, dir).getOrElse(throw new IllegalStateException(
+      s"$dir lost its manifest mid-applyDelta"))
+    if (m.commits.get(runKey).exists(_ >= batchId)) {
+      // fenced between staging and commit (a replica landed the same
+      // delta): the landed a-files stay orphaned for vacuum, exactly
+      // appendBatch's fence story
+      return false
+    }
+    val rewrite =
+      if (deleteKeys.isEmpty) None
+      else {
+        val cand = candidatesIn(m, keyColumn, deleteKeys)
+        if (cand.isEmpty) None
+        else stageSurvivorRewrite(spark, fs, dir, m, cand,
+          col(keyColumn).isin(deleteKeys: _*))
+      }
+    val (affectedNames, swapEntries, deleted) = rewrite match {
+      case Some((names, entries, d, _)) => (names, entries, d)
+      case None => (Set.empty[String], Vector.empty[Entry], 0L)
+    }
+    try {
+      val landed = commitLoop(spark, fs, dir, "upsert") { curOpt =>
+        val cur = curOpt.getOrElse(m)
+        if (cur.commits.get(runKey).exists(_ >= batchId)) Left(false)
+        else {
+          for (recordedJson <- cur.schemaJson; batchJson <- addSchemaJson)
+            require(sameSchema(
+                org.apache.spark.sql.types.DataType.fromJson(recordedJson)
+                  .asInstanceOf[org.apache.spark.sql.types.StructType],
+                org.apache.spark.sql.types.DataType.fromJson(batchJson)
+                  .asInstanceOf[org.apache.spark.sql.types.StructType]),
+              s"schema drift rejected for $dir: a concurrent evolve() " +
+                "upgraded the table under this delta — restart the writer " +
+                "with the new schema")
+          val curNames = cur.files.map(_.name).toSet
+          if (!affectedNames.subsetOf(curNames))
+            throw new StaleDeletePlan(
+              s"applyDelta in $dir raced a commit that removed the files " +
+                s"it read (${(affectedNames -- curNames).take(3).mkString(", ")}…)")
+          Right(Manifest(cur.version + 1,
+            cur.files.filterNot(e => affectedNames.contains(e.name)) ++
+              swapEntries ++ addEntries,
+            cur.rows - deleted + addedRows,
+            cur.commits + (runKey -> batchId), "upsert",
+            cur.schemaJson.orElse(addSchemaJson), cur.layout, cur.statsFor,
+            cur.dropped))
+        }
+      }(_ => true)
+      rewrite.foreach { case (_, _, _, staging) => fs.delete(staging, true) }
+      landed
+    } catch {
+      case e: StaleDeletePlan =>
+        // this attempt's rewrites never committed; the a-files are
+        // version-agnostic and survive for the re-plan
+        swapEntries.foreach(en => fs.delete(new Path(table, en.name), false))
+        rewrite.foreach { case (_, _, _, staging) => fs.delete(staging, true) }
+        throw e
+    }
   }
 
   /** Internal signal: a racing maintenance commit (compact, another
@@ -1691,15 +1871,20 @@ object TableLog {
     0L // unreachable
   }
 
-  private def deleteAttempt(spark: SparkSession, dir: String,
-      candidates: Manifest => Vector[Entry],
-      predicate: org.apache.spark.sql.Column): Long = {
-    val (fs, table) = fsFor(spark, dir)
-    val m = latest(spark, dir).getOrElse(throw new IllegalStateException(
-      s"$dir has no committed manifest — nothing to delete from"))
-    if (m.files.isEmpty) return 0L
-    val cand = candidates(m)
-    if (cand.isEmpty) return 0L
+  /** Locate the files of `cand` that actually hold `predicate` rows
+    * and stage rewrites of them WITHOUT those rows (layout clustering
+    * preserved, NULL-safe negation, c<v>- names silent to the tail
+    * glob). Returns None when no candidate holds a match; otherwise
+    * (affected file names, landed rewrite entries, rows removed,
+    * staging dir) — the CALLER owns the output: reference the entries
+    * in its commit and delete the staging dir, or sweep both on a lost
+    * plan. The shared rewrite stage of the delete family and
+    * [[applyDelta]]. */
+  private def stageSurvivorRewrite(spark: SparkSession, fs: FileSystem,
+      dir: String, m: Manifest, cand: Vector[Entry],
+      predicate: org.apache.spark.sql.Column)
+      : Option[(Set[String], Vector[Entry], Long, Path)] = {
+    val table = new Path(dir.stripSuffix("/"))
     val base = dir.stripSuffix("/")
     def readFiles(entries: Seq[Entry]) =
       m.schema.fold(spark.read)(s => spark.read.schema(s))
@@ -1709,7 +1894,7 @@ object TableLog {
     val affectedPaths = readFiles(cand).filter(predicate)
       .select(org.apache.spark.sql.functions.input_file_name())
       .distinct().collect().map(_.getString(0)).toSet
-    if (affectedPaths.isEmpty) return 0L
+    if (affectedPaths.isEmpty) return None
     val affected = cand.filter(e =>
       affectedPaths.exists(p => p.endsWith("/" + e.name)))
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1757,7 +1942,21 @@ object TableLog {
         Entry(name, f.getLen, meta.stats)
       }.toVector
     val deleted = oldRows - newRows
-    val affectedNames = affected.map(_.name).toSet
+    Some((affected.map(_.name).toSet, entries, deleted, staging))
+  }
+
+  private def deleteAttempt(spark: SparkSession, dir: String,
+      candidates: Manifest => Vector[Entry],
+      predicate: org.apache.spark.sql.Column): Long = {
+    val (fs, table) = fsFor(spark, dir)
+    val m = latest(spark, dir).getOrElse(throw new IllegalStateException(
+      s"$dir has no committed manifest — nothing to delete from"))
+    if (m.files.isEmpty) return 0L
+    val cand = candidates(m)
+    if (cand.isEmpty) return 0L
+    val (affectedNames, entries, deleted, staging) =
+      stageSurvivorRewrite(spark, fs, dir, m, cand, predicate)
+        .getOrElse(return 0L)
     try {
       commitLoop(spark, fs, dir, "delete") { curOpt =>
         val cur = curOpt.getOrElse(m)
@@ -2311,23 +2510,22 @@ object TableLog {
           s"$MirrorMaxDeleteKeys net delete keys — apply table-scale " +
           "redactions to the mirror directly (deleteIn/deleteRange), " +
           "then resume")
-      if (delKeys.nonEmpty) {
+      if (delKeys.nonEmpty)
         require(latestHead(spark, dstDir).isDefined,
           s"the mirror $dstDir saw deletes before any append — it is " +
             "not following the feed from the beginning; bootstrap with " +
             "exportAt and a matching `since`, or start at since = -1")
-        deleteIn(spark, dstDir, keyColumn, delKeys)
-      }
-      // a source evolve widens the feed (after the loud drift restart
-      // re-pins it): align add-only drift into the mirror as its own
-      // evolve, or every post-restart batch would be rejected against
-      // the mirror's old schema forever — the mergeSchema path, applied
-      // where the drift actually lands. Drops/type changes stay loud
-      // (mirror them manually first). A pure-delete window commits no
-      // append and leaves the ledger in place — its replay is covered
-      // by the idempotency argument above.
-      if (!netApps.isEmpty)
-        appendBatch(alignMerging(spark, dstDir, netApps), dstDir, runKey, maxV)
+      // ONE commit per window ([[applyDelta]]): the net deletes and net
+      // appends land atomically with the ledger entry, so the mirror is
+      // never readable in the half-applied middle and pure-delete
+      // windows advance the ledger too (their replay short-circuits at
+      // the skip rule instead of re-running the delete). A source
+      // evolve widens the feed (after the loud drift restart re-pins
+      // it): alignMerging maps the add-only drift into the mirror as
+      // its own evolve — drops/type changes stay loud (mirror them
+      // manually first).
+      applyDelta(spark, dstDir, alignMerging(spark, dstDir, netApps),
+        keyColumn, delKeys, runKey, maxV)
     } finally cached.unpersist()
   }
 
@@ -2429,6 +2627,13 @@ object TableLog {
     else ((sinceVersion + 1) to latestV).iterator.flatMap { v =>
       val m = heads(v)
       if (m.op == "compact" || m.op == "delete" || m.op == "restore") Nil
+      else if (m.op == "upsert")
+        // an upsert's added files are its NEW rows (`a`-prefixed) plus
+        // survivor rewrites (`c`-prefixed — old rows the delete side
+        // did not touch): appends-only consumers get the new rows and
+        // must never be re-fed the survivors. The prefix is the same
+        // tail-visibility tag the glob tail keys on.
+        appendedIn(fs, dir, m, heads.get(v - 1)).filter(_.name.startsWith("a"))
       else appendedIn(fs, dir, m, heads.get(v - 1))
     }.toVector
   }
