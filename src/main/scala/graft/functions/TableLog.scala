@@ -1696,6 +1696,11 @@ object TableLog {
   def applyDelta(spark: SparkSession, dir: String, adds: DataFrame,
                  keyColumn: String, deleteKeys: Seq[Any],
                  runKey: String, batchId: Long): Boolean = {
+    require(!deleteKeys.contains(null),
+      s"applyDelta: delete key for '$keyColumn' is null — a null key " +
+        "cannot identify rows (stats pruning and isin both pass it " +
+        "through as no-match); delete null-keyed rows with " +
+        "delete(col.isNull) directly")
     val (fs, table) = fsFor(spark, dir)
     val prev = latest(spark, dir).getOrElse {
       require(deleteKeys.isEmpty,
@@ -1742,12 +1747,17 @@ object TableLog {
     val addedRows = metas.iterator.map(_.rows).sum
     if (addEntries.isEmpty && deleteKeys.isEmpty) return false // empty delta
     var replans = 0
+    // the first attempt reuses the manifest resolved above (staleness
+    // is guarded by the affected-files subset check and commitLoop's
+    // own re-resolution); only re-plans pay a fresh resolution
+    var hint: Option[Manifest] = Some(prev)
     while (true) {
       try return applyDeltaAttempt(spark, fs, dir, keyColumn, deleteKeys,
-        runKey, batchId, addEntries, addedRows, Some(adds.schema.json))
+        runKey, batchId, addEntries, addedRows, Some(adds.schema.json), hint)
       catch {
         case e: StaleDeletePlan =>
           replans += 1
+          hint = None
           if (replans > CasRetries)
             throw new java.util.ConcurrentModificationException(
               s"applyDelta in $dir lost its snapshot to racing maintenance " +
@@ -1776,11 +1786,13 @@ object TableLog {
   private def applyDeltaAttempt(spark: SparkSession, fs: FileSystem,
       dir: String, keyColumn: String, deleteKeys: Seq[Any], runKey: String,
       batchId: Long, addEntries: Vector[Entry], addedRows: Long,
-      addSchemaJson: Option[String]): Boolean = {
+      addSchemaJson: Option[String],
+      resolvedHint: Option[Manifest]): Boolean = {
     import org.apache.spark.sql.functions.col
     val table = new Path(dir.stripSuffix("/"))
-    val m = latest(spark, dir).getOrElse(throw new IllegalStateException(
-      s"$dir lost its manifest mid-applyDelta"))
+    val m = resolvedHint.orElse(latest(spark, dir)).getOrElse(
+      throw new IllegalStateException(
+        s"$dir lost its manifest mid-applyDelta"))
     if (m.commits.get(runKey).exists(_ >= batchId)) {
       // fenced between staging and commit (a replica landed the same
       // delta): the landed a-files stay orphaned for vacuum, exactly
@@ -1818,11 +1830,18 @@ object TableLog {
             throw new StaleDeletePlan(
               s"applyDelta in $dir raced a commit that removed the files " +
                 s"it read (${(affectedNames -- curNames).take(3).mkString(", ")}…)")
+          // a delta that swapped NO files (keys absent from the table,
+          // or a pure insert) is a plain append and commits as one: the
+          // "append" op keeps O(delta) planning on every CDC surface
+          // (readChanges' diff branch and its resolvedEntries-of-both-
+          // manifests cost are only paid when files were actually
+          // swapped)
+          val op = if (affectedNames.isEmpty) "append" else "upsert"
           Right(Manifest(cur.version + 1,
             cur.files.filterNot(e => affectedNames.contains(e.name)) ++
               swapEntries ++ addEntries,
             cur.rows - deleted + addedRows,
-            cur.commits + (runKey -> batchId), "upsert",
+            cur.commits + (runKey -> batchId), op,
             cur.schemaJson.orElse(addSchemaJson), cur.layout, cur.statsFor,
             cur.dropped))
         }
@@ -2490,43 +2509,84 @@ object TableLog {
       val maxV = maxVRow.getLong(0)
       // the mirror's ledger is the replay authority, re-read against
       // the table actually being committed to, not a value captured
-      // before the batch
-      val ledger = latestHead(spark, dstDir)
-        .map(_.commits).getOrElse(Map.empty)
-      if (ledger.get(runKey).exists(_ >= maxV)) return // replayed window
-      val tags = Seq("_change_type", "_commit_version")
-      val apps = cached.filter(col("_change_type") === "append")
-        .drop(tags: _*)
-      val dels = cached.filter(col("_change_type") === "delete")
-        .drop(tags: _*)
-      // the window's NET effect (delete-then-restore cancels; an
-      // append deleted later in the same window never lands)
-      val netDels = dels.exceptAll(apps)
-      val netApps = apps.exceptAll(dels)
-      val delKeys = netDels.select(keyColumn).distinct()
-        .limit(MirrorMaxDeleteKeys + 1).collect().map(_.get(0)).toSeq
-      require(delKeys.size <= MirrorMaxDeleteKeys,
-        s"mirror window through version $maxV carries more than " +
-          s"$MirrorMaxDeleteKeys net delete keys — apply table-scale " +
-          "redactions to the mirror directly (deleteIn/deleteRange), " +
-          "then resume")
-      if (delKeys.nonEmpty)
-        require(latestHead(spark, dstDir).isDefined,
-          s"the mirror $dstDir saw deletes before any append — it is " +
-            "not following the feed from the beginning; bootstrap with " +
-            "exportAt and a matching `since`, or start at since = -1")
-      // ONE commit per window ([[applyDelta]]): the net deletes and net
-      // appends land atomically with the ledger entry, so the mirror is
-      // never readable in the half-applied middle and pure-delete
-      // windows advance the ledger too (their replay short-circuits at
-      // the skip rule instead of re-running the delete). A source
-      // evolve widens the feed (after the loud drift restart re-pins
-      // it): alignMerging maps the add-only drift into the mirror as
-      // its own evolve — drops/type changes stay loud (mirror them
-      // manually first).
-      applyDelta(spark, dstDir, alignMerging(spark, dstDir, netApps),
-        keyColumn, delKeys, runKey, maxV)
+      // before the batch (ONE head read, reused for the
+      // deletes-need-a-table guard below — a manifest can carry an
+      // empty commit map, so the Option itself is the existence signal)
+      val dstHead = latestHead(spark, dstDir)
+      val ledger = dstHead.map(_.commits).getOrElse(Map.empty)
+      val ledgerV = ledger.getOrElse(runKey, -1L)
+      if (ledgerV >= maxV) return // replayed window
+      // versions at or below the ledger are ALREADY APPLIED: a ledger
+      // strictly inside the window (a checkpoint written by an older
+      // per-version fold, or a future partial applier) must not re-net
+      // the applied prefix — re-appending it would duplicate the mirror
+      applyWindow(spark, dstDir, keyColumn, runKey,
+        cached.filter(col("_commit_version") > ledgerV), maxV,
+        dstHead.isDefined)
     } finally cached.unpersist()
+  }
+
+  /** Net-fold `window` (already filtered past the ledger) into the
+    * mirror as one [[applyDelta]] commit at `maxV`; when the window's
+    * NET delete-key list exceeds [[MirrorMaxDeleteKeys]], fall back to
+    * applying version by version (each version's own keys re-bounded —
+    * a deep backlog of individually-reasonable versions must not wedge
+    * on its cumulative size; a single VERSION over the bound is the
+    * genuine apply-directly case and fails loudly). */
+  private def applyWindow(spark: SparkSession, dstDir: String,
+      keyColumn: String, runKey: String, window: DataFrame, maxV: Long,
+      dstExists: Boolean): Unit = {
+    import org.apache.spark.sql.functions.col
+    val tags = Seq("_change_type", "_commit_version")
+    val apps = window.filter(col("_change_type") === "append").drop(tags: _*)
+    val dels = window.filter(col("_change_type") === "delete").drop(tags: _*)
+    // the window's NET effect (delete-then-restore cancels; an append
+    // deleted later in the same window never lands)
+    val netDels = dels.exceptAll(apps)
+    val netApps = apps.exceptAll(dels)
+    val delKeys = netDels.select(keyColumn).distinct()
+      .limit(MirrorMaxDeleteKeys + 1).collect().map(_.get(0)).toSeq
+    require(!delKeys.contains(null),
+      s"the mirror's key column '$keyColumn' is null on a deleted source " +
+        "row — a null key cannot identify its mirror row; mirror on a " +
+        "non-null unique key")
+    if (delKeys.size > MirrorMaxDeleteKeys) {
+      // cumulative net over the whole window is too wide — re-apply per
+      // source version, each its own bounded fold (ascending, each
+      // advancing the ledger, so a crash resumes at the right version).
+      // Existence is re-derived per version: an earlier version's
+      // append brings the table into being for a later version's
+      // deletes.
+      val versions = window.select("_commit_version").distinct()
+        .collect().map(_.getLong(0)).sorted
+      require(versions.length > 1,
+        s"mirror version ${versions.head} alone carries more than " +
+          s"$MirrorMaxDeleteKeys delete keys — a single commit that wide " +
+          "is not delta-shaped; apply it to the mirror directly, then " +
+          "resume the stream past it")
+      versions.foreach { v =>
+        applyWindow(spark, dstDir, keyColumn, runKey,
+          window.filter(col("_commit_version") === v), v,
+          dstExists || latestHead(spark, dstDir).isDefined)
+      }
+      return
+    }
+    if (delKeys.nonEmpty)
+      require(dstExists,
+        s"the mirror $dstDir saw deletes before any append — it is " +
+          "not following the feed from the beginning; bootstrap with " +
+          "exportAt and a matching `since`, or start at since = -1")
+    // ONE commit per window ([[applyDelta]]): the net deletes and net
+    // appends land atomically with the ledger entry, so the mirror is
+    // never readable in the half-applied middle and pure-delete
+    // windows advance the ledger too (their replay short-circuits at
+    // the skip rule instead of re-running the delete). A source
+    // evolve widens the feed (after the loud drift restart re-pins
+    // it): alignMerging maps the add-only drift into the mirror as
+    // its own evolve — drops/type changes stay loud (mirror them
+    // manually first).
+    applyDelta(spark, dstDir, alignMerging(spark, dstDir, netApps),
+      keyColumn, delKeys, runKey, maxV)
   }
 
   /** [[readTailVersions]] restricted to rows with `column` in the

@@ -105,6 +105,39 @@ class MirrorSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("a ledger strictly inside a replayed window never re-applies the prefix") {
+    val src = fresh("psrc")
+    val dst = fresh("pdst")
+    TableLog.appendBatch(rows(0 until 50, "b0"), src, "r", 0L) // v0
+    TableLog.delete(spark, src, col("id") < 10)                // v1
+    TableLog.appendBatch(rows(50 until 80, "b1"), src, "r", 1L) // v2
+    val feed = TableLog.readChanges(spark, src, -1L)._1.get
+    // an older per-version applier (or a future partial one) left the
+    // ledger MID-window: v0 applied, v1..v2 not
+    TableLog.applyChanges(spark, dst, "id", "mk",
+      feed.filter($"_commit_version" <= 0L))
+    assert(TableLog.read(spark, dst).count() == 50L)
+    // the engine replays the FULL window — the applied prefix must not
+    // be re-netted (its rows are not in the net deletes, so re-applying
+    // would duplicate them)
+    TableLog.applyChanges(spark, dst, "id", "mk", feed)
+    val got = TableLog.read(spark, dst)
+    assert(got.count() == 70L, s"prefix re-applied: ${got.count()} rows")
+    assert(got.select($"id").distinct().count() == 70L)
+    assert(canon(got) == canon(TableLog.read(spark, src)))
+  }
+
+  test("a null delete key fails the mirror loudly instead of silently skipping the row") {
+    val dst = fresh("ndst")
+    TableLog.appendBatch(rows(0 until 10, "b0"), dst, "boot", 0L)
+    val batch = Seq((Option.empty[Long], "x", "delete", 1L))
+      .toDF("id", "v", "_change_type", "_commit_version")
+    val e = intercept[IllegalArgumentException] {
+      TableLog.applyChanges(spark, dst, "id", "mk", batch)
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
+  }
+
   test("a mirror that would apply deletes before any append fails loudly") {
     val src = fresh("dsrc")
     val dst = fresh("ddst")
