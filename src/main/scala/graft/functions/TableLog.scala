@@ -1378,6 +1378,17 @@ object TableLog {
         }
       }
     }
+    // housekeeping: a long-lived driver appending to many short-lived
+    // tables (temp dirs, per-run staging) must not leak one queue+lock
+    // entry per table for the JVM's lifetime. Removing a DRAINED queue
+    // is safe: remove(key, value) never unmaps a newer entry, a thread
+    // still holding the old references drives its own intent through
+    // the old lock, and two leaders on one table (old-lock + new-lock)
+    // just CAS-contend in commitLoop exactly like cross-JVM writers.
+    if (q.isEmpty) {
+      appendQueues.remove(key, q)
+      appendLeaders.remove(key, lock)
+    }
     try intent.result.get().booleanValue()
     catch {
       case e: java.util.concurrent.ExecutionException => throw e.getCause
@@ -1425,12 +1436,21 @@ object TableLog {
     *  - stat re-harvest: a trackStats/compact(layoutBy) registration
     *    that raced in re-reads this intent's footers for the newly
     *    wanted columns, bounded by the intent's own file count.
-    * A fence/failure decided on attempt k stays valid on attempt k+1
-    * (commit maps only grow; a completed future ignores later
-    * completes), so early resolution never lies. */
+    * A fence decided against a DISK-COMMITTED entry on attempt k stays
+    * valid on attempt k+1 (commit maps only grow; a completed future
+    * ignores later completes), so those resolve early. A fence against
+    * an entry folded by an EARLIER INTENT IN THIS GROUP must NOT — that
+    * entry is not on disk yet, and resolving the replica false ("already
+    * committed") before the group's commit lands would let its
+    * checkpoint advance past a batch that never committed if the group
+    * commit then fails. Those fences are deferred (recomputed per CAS
+    * attempt) and resolved false only after commitLoop returns, so a
+    * failed group commit propagates the error to every waiter. */
   private def commitGroup(spark: SparkSession, fs: FileSystem, dir: String,
       group: Vector[AppendIntent]): Unit = {
+    var inGroupFenced = Vector.empty[AppendIntent]
     commitLoop(spark, fs, dir, "append") { prevOpt =>
+      inGroupFenced = Vector.empty
       val prev = prevOpt.getOrElse(
         Manifest(-1L, Vector.empty, 0L, Map.empty, "init"))
       var files = prev.files
@@ -1447,8 +1467,13 @@ object TableLog {
       var any = false
       group.foreach { in =>
         if (!in.result.isDone) {
-          if (commits.get(in.runKey).exists(_ >= in.batchId)) {
+          if (prev.commits.get(in.runKey).exists(_ >= in.batchId)) {
+            // disk-committed fence — valid regardless of this group's fate
             in.result.complete(false)
+          } else if (commits.get(in.runKey).exists(_ >= in.batchId)) {
+            // fenced by an earlier intent IN THIS GROUP — defer until the
+            // group's commit lands (see scaladoc)
+            inGroupFenced :+= in
           } else {
             // drift AND the stat re-harvest fail the INTENT alone
             // (NonFatal — an unreadable footer of one writer's staged
@@ -1494,8 +1519,11 @@ object TableLog {
       else Right(Manifest(prev.version + 1, files, rows, commits, "append",
         schemaJson, prev.layout, prev.statsFor, prev.dropped))
     }(_ => ())
-    // the group landed (or resolved member-by-member): every intent not
-    // already fenced/failed committed — complete is a no-op on the done
+    // the group landed (or resolved member-by-member): deferred in-group
+    // fences are now fences against a disk-committed entry — resolve
+    // them false; every other intent not already fenced/failed committed
+    // (complete is a no-op on the done)
+    inGroupFenced.foreach(_.result.complete(false))
     group.foreach(_.result.complete(true))
   }
 
@@ -1830,6 +1858,26 @@ object TableLog {
             throw new StaleDeletePlan(
               s"applyDelta in $dir raced a commit that removed the files " +
                 s"it read (${(affectedNames -- curNames).take(3).mkString(", ")}…)")
+          // write-skew guard: an append racing this upsert may have
+          // landed rows whose key is in deleteKeys AFTER the rewrite
+          // plan was built — committing over it would leave duplicate
+          // keys behind a replace-by-key primitive. Stats-prune the
+          // files added since the planning snapshot exactly like the
+          // planning pass; any that MAY hold a delete key forces a
+          // re-plan over the fresh snapshot (which then rewrites them
+          // too). Stats-blind files (no recorded min/max for the key
+          // column) conservatively count as risky.
+          if (deleteKeys.nonEmpty) {
+            val plannedNames = m.files.iterator.map(_.name).toSet
+            val newSince = cur.files.filterNot(e => plannedNames(e.name))
+            if (newSince.nonEmpty &&
+                candidatesIn(cur.copy(files = newSince, segments = Vector.empty),
+                  keyColumn, deleteKeys).nonEmpty)
+              throw new StaleDeletePlan(
+                s"applyDelta in $dir raced an append whose files may hold " +
+                  s"rows of its delete keys (${newSince.take(3).map(_.name)
+                    .mkString(", ")}…) — re-planning over them")
+          }
           // a delta that swapped NO files (keys absent from the table,
           // or a pure insert) is a plain append and commits as one: the
           // "append" op keeps O(delta) planning on every CDC surface
@@ -2475,10 +2523,20 @@ object TableLog {
     * to the mirror directly, like the takedown path does. A mirror
     * must start from the feed's beginning (`since = -1`, the default
     * here) or from a bootstrap copy ([[exportAt]]) — starting
-    * mid-history would silently miss the prefix. */
+    * mid-history would silently miss the prefix.
+    *
+    * Catch-up windows are capped at [[MirrorMaxVersionsPerWindow]]
+    * source versions per trigger BY DEFAULT: an unbounded overnight
+    * backlog would otherwise plan one union arm + one parquet relation
+    * per version in a single feed frame (driver analysis cost and key
+    * collection both grow with the window), while capped windows keep
+    * each fold's plan bounded and still amortize — one commit per
+    * window, not per version. Pass `maxVersionsPerTrigger = None`
+    * explicitly to fold an entire backlog in one window. */
   def mirror(spark: SparkSession, srcDir: String, dstDir: String,
              keyColumn: String, checkpointLocation: String,
-             maxVersionsPerTrigger: Option[Int] = None)
+             maxVersionsPerTrigger: Option[Int] =
+               Some(MirrorMaxVersionsPerWindow))
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val runKey = "mirror-" + runKeyFor(spark, checkpointLocation)
     readTailChanges(spark, srcDir, since = Some(-1L),
@@ -2494,6 +2552,13 @@ object TableLog {
   /** Driver-side bound on one version's delete-key list in [[mirror]]
     * (see its scaladoc for why a bound is the right failure mode). */
   val MirrorMaxDeleteKeys: Int = 1000000
+
+  /** Default cap on source versions folded per [[mirror]] trigger —
+    * bounds one window's feed-plan size (union arms, parquet relations,
+    * collected keys) on a deep catch-up; MirrorBench measures the
+    * one-commit-per-window amortization already saturating well below
+    * this. */
+  val MirrorMaxVersionsPerWindow: Int = 256
 
   /** One micro-batch of [[mirror]]'s fold — package-visible so the
     * spec can drive the at-least-once replay (`foreachBatch` may
@@ -2809,6 +2874,20 @@ object TableLog {
     * Returns (None, latest) when nothing changed. SQL/Python reach the
     * same feed through `format("tablelog").option("readChangeFeed",
     * "true").option("since", v)`. */
+  /** Does `dt` hold a MapType anywhere (top level or nested)? Spark's
+    * set operators (`exceptAll`) reject map-typed columns, so the
+    * change feed's delete/restore diffs cannot run over them — the
+    * guard below fails those versions loudly instead of leaking an
+    * AnalysisException from deep inside the diff plan. */
+  private def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => hasMapType(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMapType(a.elementType)
+      case _ => false
+    }
+
   def readChanges(spark: SparkSession, dir: String, sinceVersion: Long,
       untilVersion: Long = Long.MaxValue): (Option[DataFrame], Long) = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -2852,6 +2931,16 @@ object TableLog {
           if (added.isEmpty) Iterator.empty
           else Iterator.single(tag(read(added, m.schema), "append", v))
         case _ => // delete, restore — and, conservatively, any future op
+          m.schema.orElse(pinned).foreach { s =>
+            val mapCols = s.fields.filter(f => hasMapType(f.dataType))
+            require(mapCols.isEmpty,
+              s"readChanges cannot diff version $v of $dir (op '${m.op}'): " +
+                s"map-typed column(s) ${mapCols.map(_.name).mkString(", ")} — " +
+                "Spark's exceptAll rejects maps, so delete/restore diffs are " +
+                "unsupported on map-typed tables (append-only feeds work; " +
+                "store a hashable projection alongside the map if row-level " +
+                "deletes must flow through the feed)")
+          }
           val prevEntries = p.map(resolvedEntries(fs, dir, _))
             .getOrElse(Vector.empty)
           val curEntries = resolvedEntries(fs, dir, m)
@@ -2884,7 +2973,19 @@ object TableLog {
       }
     }.toVector
     if (frames.isEmpty) (None, latestV)
-    else (Some(frames.reduce(_ unionByName _)), latestV)
+    else {
+      // balanced union: a deep catch-up (an overnight backlog can span
+      // hundreds of versions) left-folded builds a left-deep plan whose
+      // eager per-union analysis cost is O(n²) in versions; pairing
+      // halves the depth per level → O(n log n) analysis, and Catalyst's
+      // CombineUnions flattens the result to one n-ary Union anyway
+      var level = frames
+      while (level.size > 1)
+        level = level.grouped(2).map { g =>
+          if (g.size == 2) g(0).unionByName(g(1)) else g(0)
+        }.toVector
+      (Some(level.head), latestV)
+    }
   }
 
   /** Adopt a pre-TableLog parquet directory: commit manifest 0

@@ -100,6 +100,39 @@ class GroupCommitSpec extends SparkSuite {
     assert(TableLog.read(spark, dir).count() == 50L)
   }
 
+  test("a failed group commit propagates the error to in-group-fenced replicas instead of resolving them 'already committed'") {
+    val dir = fresh()
+    TableLog.appendBatch(df(9, 0), dir, "warm", 0L)
+    // every CAS attempt fails: NO batch can land, so no caller may
+    // return at all — in particular a replica fenced against an
+    // EARLIER INTENT IN ITS OWN GROUP must not resolve false ("already
+    // committed") while the entry it was fenced on never reached disk;
+    // a false here would advance its checkpoint past a lost batch
+    TableLog.casHook = () => {
+      Thread.sleep(300)
+      throw new java.io.IOException("injected commit outage")
+    }
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    try {
+      val threads = (0 until 3).map { _ =>
+        new Thread(() =>
+          try {
+            val r = TableLog.appendBatch(df(1, 1), dir, "dup", 1L)
+            outcomes.add(s"returned:$r")
+          } catch {
+            case _: java.io.IOException => outcomes.add("failed")
+          })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+    } finally TableLog.casHook = () => ()
+    assert(outcomes.asScala.forall(_ == "failed"),
+      s"a replica resolved during a failed group commit: ${outcomes.asScala}")
+    // nothing landed: the table is exactly the warm batch, no ledger entry
+    assert(TableLog.rows(spark, dir) == 50L)
+    assert(!TableLog.latest(spark, dir).get.commits.contains("dup"))
+  }
+
   test("same-runKey replicas racing in one burst: exactly one commits, the rest fence") {
     val dir = fresh()
     TableLog.appendBatch(df(9, 0), dir, "warm", 0L)

@@ -131,6 +131,35 @@ class TableLogChangesSpec extends SparkSuite {
       == Seq("id", "v", "_change_type", "_commit_version"))
   }
 
+  test("map-typed tables: the append feed works; a delete version fails loudly at planning, not as a buried AnalysisException") {
+    val dir = fresh()
+    val mapped = Seq((1L, Map("a" -> 1)), (2L, Map("b" -> 2)), (3L, Map("c" -> 3)))
+      .toDF("id", "attrs").coalesce(1)
+    TableLog.appendBatch(mapped, dir, "r", 0L)
+    // append-only feeds never diff, so maps flow through
+    val (feed, v) = TableLog.readChanges(spark, dir, -1L)
+    assert(feed.get.count() == 3L)
+    // a delete version needs exceptAll, which Spark rejects on maps —
+    // the guard must name the column and the reason at PLAN time
+    TableLog.deleteIn(spark, dir, "id", Seq(1L))
+    val e = intercept[IllegalArgumentException] {
+      TableLog.readChanges(spark, dir, v)
+    }
+    assert(e.getMessage.contains("map-typed") && e.getMessage.contains("attrs"),
+      s"wrong error: ${e.getMessage}")
+  }
+
+  test("a deep catch-up (150 versions) plans and folds in one readChanges call") {
+    val dir = fresh()
+    (0 until 150).foreach { b =>
+      TableLog.appendBatch(rows(b * 10 until (b + 1) * 10, s"b$b"), dir, "r", b.toLong)
+    }
+    val (feed, v) = TableLog.readChanges(spark, dir, -1L)
+    assert(v == 149L)
+    assert(feed.get.count() == 1500L)
+    assert(feed.get.agg(countDistinct(col("_commit_version"))).head().getLong(0) == 150L)
+  }
+
   test("a table already carrying a tag-named column fails loudly") {
     val dir = fresh()
     TableLog.appendBatch(

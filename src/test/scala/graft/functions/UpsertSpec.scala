@@ -93,6 +93,32 @@ class UpsertSpec extends SparkSuite {
       "a raced upsert doubled or resurrected rows")
   }
 
+  test("an append racing an upsert with rows of its delete keys forces a re-plan — no duplicate keys survive") {
+    val dir = fresh()
+    TableLog.appendBatch(rows(0 until 100, "old"), dir, "warm", 0L)
+    // between the upsert's rewrite PLAN and its CAS, a concurrent
+    // writer appends MORE rows for key 7 — snapshot-isolation write
+    // skew: without conflict detection the upsert commits over the new
+    // file, leaving two rows behind a replace-by-key primitive
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    TableLog.casHook = () =>
+      if (fired.compareAndSet(false, true)) {
+        TableLog.appendBatch(Seq((7L, "stale-racer")).toDF("id", "v")
+          .coalesce(1), dir, "racer", 0L)
+      }
+    try {
+      assert(TableLog.upsertByKey(spark, dir,
+        Seq((7L, "new")).toDF("id", "v").coalesce(1), "id", "up", 0L))
+    } finally TableLog.casHook = () => ()
+    assert(fired.get(), "the race never fired — the test drove nothing")
+    val k7 = TableLog.read(spark, dir).filter($"id" === 7L).collect()
+    assert(k7.length == 1 && k7(0).getString(1) == "new",
+      s"replace-by-key left duplicates behind a racing append: ${k7.mkString(", ")}")
+    // nothing else lost: 100 distinct keys, the racer's ledger recorded
+    assert(TableLog.read(spark, dir).select($"id").distinct().count() == 100L)
+    assert(TableLog.latest(spark, dir).get.commits.contains("racer"))
+  }
+
   test("pure-delete and pure-insert deltas work; an empty delta is a no-op returning false") {
     val dir = fresh()
     TableLog.appendBatch(rows(0 until 30, "b0"), dir, "r", 0L)
