@@ -21,13 +21,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    appears only when the upload completes.)
   *  - '''no clobber''': a destination that exists is NEVER replaced.
   *
-  * Two implementations, selected per filesystem SCHEME (see [[forFs]]):
+  * Three implementations, selected per filesystem SCHEME (see [[forFs]]):
+  *  - [[CommitStore.AtomicLink]] — write a temp sibling, then hard-link
+  *    it to the destination: `link(2)` is one atomic kernel op that
+  *    fails on an existing target, so the CAS holds across OS
+  *    PROCESSES, not just threads (CrossProcessSpec contends real
+  *    JVMs through it). The default for `file`.
   *  - [[CommitStore.Rename]] — write a temp sibling, then
   *    exists-check + rename. Correct where rename-to-existing fails
   *    ATOMICALLY (HDFS: one namenode op) or where all committers share
-  *    one JVM (local filesystems, guarded by a per-table mutex — see
-  *    the TOCTOU note inside). The default for `file`/`hdfs` and
-  *    anything unrecognized.
+  *    one JVM (guarded by a per-table mutex — see the TOCTOU note
+  *    inside). The default for `hdfs` and anything unrecognized.
   *  - [[CommitStore.ConditionalCreate]] — create-exclusive straight at
   *    the destination, no rename anywhere. The shape S3 conditional
   *    PUT (`If-None-Match: *`) and GCS `ifGenerationMatch=0`
@@ -128,6 +132,47 @@ object CommitStore {
     }
   }
 
+  /** Hard-link publish — the PROCESS-atomic local-filesystem commit.
+    * Write the full content to a fresh temp sibling (straight through
+    * java.nio, bypassing Hadoop's checksum wrapper), then
+    * `link(2)` it to the destination name: POSIX link creation is one
+    * atomic kernel operation that FAILS with EEXIST on an existing
+    * destination — mutual exclusion and no-clobber hold across any
+    * number of OS processes, not just threads of one JVM (the classic
+    * lock-file pattern; contrast POSIX `rename(2)`, which silently
+    * REPLACES). All-or-nothing visibility holds because the temp file
+    * is fully written and closed before the link makes it visible
+    * under the destination name, and the two names alias one inode.
+    *
+    * The default for `file:` — it upgrades local tables from
+    * [[Rename]]'s same-JVM-only guarantee to true cross-process safety
+    * (CrossProcessSpec runs real contending JVMs through it). Readers
+    * go through the ordinary FileSystem API; Hadoop's checksum layer
+    * tolerates the absent .crc sibling. Requires a link-capable local
+    * filesystem (every POSIX FS; NFS included) — a store without hard
+    * links fails loudly: force `rename` there via the conf override. */
+  object AtomicLink extends CommitStore {
+    override def putIfAbsent(fs: FileSystem, dst: Path,
+                             content: Array[Byte]): Boolean = {
+      val q = fs.makeQualified(dst)
+      require(q.toUri.getScheme == "file",
+        s"atomic-link commit store needs a local path, got $q — " +
+          "force graft.tablelog.commit.store=rename for this scheme")
+      val dstNio = java.nio.file.Paths.get(q.toUri.getPath)
+      java.nio.file.Files.createDirectories(dstNio.getParent)
+      if (java.nio.file.Files.exists(dstNio)) return false // cheap fast-path
+      val tmp = dstNio.resolveSibling(
+        s".tmp-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp, content)
+      try {
+        java.nio.file.Files.createLink(dstNio, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
   /** Schemes whose stores rename by copy (non-atomic, no destination
     * precondition) but offer an atomic conditional write — the
     * object-store family where [[Rename]] is UNSOUND across processes
@@ -138,13 +183,16 @@ object CommitStore {
   private[functions] def byName(name: String): CommitStore = name match {
     case "rename" => Rename
     case "conditional-create" => ConditionalCreate
+    case "atomic-link" => AtomicLink
     case other => throw new IllegalArgumentException(
       s"unknown graft.tablelog.commit.store '$other' — " +
-        "supported: rename, conditional-create")
+        "supported: rename, conditional-create, atomic-link")
   }
 
   /** The store for `fs`: the per-scheme conf override, then the global
-    * conf override, then the scheme default. */
+    * conf override, then the scheme default (`file` → [[AtomicLink]],
+    * object stores → [[ConditionalCreate]], everything else →
+    * [[Rename]]). */
   def forFs(fs: FileSystem): CommitStore = {
     val conf = fs.getConf
     val scheme = Option(fs.getScheme).getOrElse("")
@@ -152,6 +200,7 @@ object CommitStore {
       .orElse(Option(conf.get("graft.tablelog.commit.store")))
       .getOrElse(
         if (ConditionalCreateSchemes(scheme)) "conditional-create"
+        else if (scheme == "file") "atomic-link"
         else "rename")
     byName(name)
   }

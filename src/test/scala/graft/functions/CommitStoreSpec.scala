@@ -82,8 +82,9 @@ class CommitStoreSpec extends SparkSuite {
   test("store resolution: scheme defaults, per-scheme override, loud unknown") {
     val localFs = new Path(freshStoreTable().stripPrefix("nonatomic:"))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(CommitStore.forFs(localFs) eq CommitStore.Rename,
-      "local filesystems must default to the rename store")
+    assert(CommitStore.forFs(localFs) eq CommitStore.AtomicLink,
+      "local filesystems must default to the hard-link store " +
+        "(cross-process-atomic; CrossProcessSpec proves it with real JVMs)")
     assert(CommitStore.forFs(fsOf(freshStoreTable()))
         eq CommitStore.ConditionalCreate,
       "the installed per-scheme override was not honored")
