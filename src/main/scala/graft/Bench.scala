@@ -57,7 +57,22 @@ object Bench {
     if (load1 > 4.0 || otherJvms > 0)
       System.err.println(s"[bench] WARNING: contended machine (load1=$load1, " +
         s"other JVMs=$otherJvms) — numbers will be inflated; rerun idle")
-    f"""{"load1":$load1%.2f,"other_jvms":$otherJvms,"cpu_probe_ms":${cpuProbeMs()}%.1f}"""
+    f"""{"load1":$load1%.2f,"other_jvms":$otherJvms,"cpu_probe_ms":${cpuProbeMs()}%.1f,"cpu_probe_par_ms":${cpuProbeParMs()}%.1f}"""
+  }
+
+  /** The probe's deterministic 60M-step integer-mix loop. */
+  private def spin(): Unit = {
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0
+    while (i < 60000000) {
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+      x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+      x ^= x >>> 33
+      acc += x
+      i += 1
+    }
+    if (acc == 42L) System.err.println("improbable") // keep `acc` live
   }
 
   /** Fixed single-core CPU probe: best-of-3 wall time of a deterministic
@@ -71,20 +86,37 @@ object Bench {
   private def cpuProbeMs(): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
-      var x = 0x9E3779B97F4A7C15L
-      var acc = 0L
-      var i = 0
-      while (i < 60000000) {
-        x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
-        x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
-        x ^= x >>> 33
-        acc += x
-        i += 1
-      }
-      if (acc == 42L) System.err.println("improbable") // keep `acc` live
+      spin()
       (System.nanoTime() - t0) / 1e6
     }
     once() // JIT warm-up, discarded
+    math.min(once(), math.min(once(), once()))
+  }
+
+  /** 32-thread flavor of the probe: every thread runs the SAME 60M-step
+    * loop, barrier-released together; the recorded time is the wall
+    * time of the slowest. Host-level PARALLEL throttling — cgroup CPU
+    * quotas, thermal caps, sibling-process contention — inflates wide
+    * codec/shuffle rows while load1 and the single-core probe read
+    * healthy (r14's adjudication needed a same-code worktree A/B to
+    * prove it); a reader comparing rounds divides wide-row drift by
+    * THIS number's ratio. On an uncontended 32-thread box it sits near
+    * the single-core probe; under a quota of Q cores it reads ~32/Q×. */
+  private def cpuProbeParMs(threads: Int = 32): Double = {
+    def once(): Double = {
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val done = new java.util.concurrent.CountDownLatch(threads)
+      (0 until threads).foreach { _ =>
+        val t = new Thread(() => { start.await(); spin(); done.countDown() })
+        t.setDaemon(true)
+        t.start()
+      }
+      val t0 = System.nanoTime()
+      start.countDown()
+      done.await()
+      (System.nanoTime() - t0) / 1e6
+    }
+    once() // JIT/thread warm-up, discarded
     math.min(once(), math.min(once(), once()))
   }
 
