@@ -835,13 +835,41 @@ object TableLog {
           s"${batch.schema.simpleString}\n(nullability differences are " +
           "tolerated; column names and types must match)")
     }
-    val v = prev.version + 1
     val staging = new Path(dir.stripSuffix("/"), s"_staging-${java.util.UUID.randomUUID()}")
     batch.write.parquet(staging.toString)
     val staged = fs.listStatus(staging).iterator
       .filter { f => val n = f.getPath.getName
         n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") }
       .toVector
+    val landed = commitStagedFiles(spark, dir, staged, batch.schema,
+      runKey, batchId)
+    fs.delete(staging, true)
+    landed
+  }
+
+  /** The post-staging half of [[appendBatch]], shared with the DSv2
+    * writer ([[graft.sources.TableLogV2]]) whose task-side parquet
+    * writers stage files WITHOUT a DataFrame: fence, drift-check,
+    * footer-harvest, land under `a<v>-` names and group-commit. The
+    * caller owns the staging directory (delete it after this returns
+    * or throws); a fenced replay abandons the landed `a`-files to
+    * [[vacuum]] exactly like appendBatch's fence story. */
+  private[graft] def commitStagedFiles(spark: SparkSession, dir: String,
+      staged: Seq[org.apache.hadoop.fs.FileStatus],
+      schema: org.apache.spark.sql.types.StructType,
+      runKey: String, batchId: Long): Boolean = {
+    val (fs, table) = fsFor(spark, dir)
+    val prev = latest(spark, dir)
+      .getOrElse(Manifest(-1L, Vector.empty, 0L, Map.empty, "init"))
+    if (prev.commits.get(runKey).exists(_ >= batchId)) return false
+    prev.schema.foreach { recorded =>
+      require(sameSchema(recorded, schema),
+        s"schema drift rejected for $dir: the table's committed schema is\n  " +
+          s"${recorded.simpleString}\nbut this batch has\n  " +
+          s"${schema.simpleString}\n(nullability differences are " +
+          "tolerated; column names and types must match)")
+    }
+    val v = prev.version + 1
     // row counts + stat-column min/max from the staged files' footers:
     // exact (parquet footers carry both), and a metadata read — NOT a
     // per-trigger Spark scan job over the batch just written (read
@@ -849,7 +877,7 @@ object TableLog {
     // files, and serial ~8 ms footer opens would dominate the commit)
     val conf = spark.sparkContext.hadoopConfiguration
     val metas = ParquetFooters.readAll(conf, staged.map(_.getPath),
-      statCols(prev), batch.schema)
+      statCols(prev), schema)
     val added = metas.iterator.map(_.rows).sum
     fs.mkdirs(table)
     // `a<v>-` marks APPENDED data, `c<v>-` compaction rewrites: the
@@ -857,17 +885,15 @@ object TableLog {
     // each row exactly once — appends match, rewrites never do. (After
     // a lost CAS the committed version may exceed the `v` baked into
     // the name; the prefix is a tail-visibility tag, not a version.)
-    val entries = staged.zip(metas).map { case (f, meta) =>
+    val entries = staged.toVector.zip(metas).map { case (f, meta) =>
       val name = s"a$v-${f.getPath.getName}"
       val dst = new Path(table, name)
       if (!fs.rename(f.getPath, dst))
         throw new java.io.IOException(s"could not land ${f.getPath} as $dst")
       Entry(name, f.getLen, meta.stats)
     }
-    val landed = commitAppend(spark, fs, dir, runKey, batchId, entries, added,
-      Some(batch.schema.json), harvestedCols = statCols(prev))
-    fs.delete(staging, true)
-    landed
+    commitAppend(spark, fs, dir, runKey, batchId, entries, added,
+      Some(schema.json), harvestedCols = statCols(prev))
   }
 
   /** Explicit, operator-approved ADDITIVE schema evolution: commit a

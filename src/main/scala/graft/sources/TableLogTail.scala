@@ -155,9 +155,45 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
       TableVersionOffset(capped)
     }
 
+  /** The start version the engine uses when no offset is checkpointed
+    * yet — the v2 `MicroBatchStream.initialOffset` ([[TableLogV2]]
+    * shares this source as its control plane). */
+  private[sources] def sinceVersion: Long = since
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val fromV = start.map(_.json.toLong).getOrElse(since)
     val toV = end.json.toLong
+    admitWindow(fromV, toV)
+    if (changeFeed) return changeBatch(fromV, toV)
+    val delta =
+      if (toV <= fromV) Vector.empty
+      else TableLog.appendedEntries(spark, dir, fromV, toV)
+    if (delta.isEmpty)
+      // streaming-tagged empty relation: the engine asserts isStreaming
+      // on every substituted batch plan, empty deltas included
+      graftbridge.streamingDataFrame(spark,
+        LocalRelation(DataTypeUtils.toAttributes(pinned), Nil, isStreaming = true))
+    else {
+      val m = TableLog.Manifest(version = toV, files = delta, rows = 0L,
+        commits = Map.empty, op = "tail", schemaJson = Some(pinned.json))
+      val rel = HadoopFsRelation(
+        new ManifestFileIndex(spark, dir, m),
+        partitionSchema = StructType(Nil),
+        dataSchema = pinned,
+        bucketSpec = None,
+        fileFormat = new ParquetFileFormat(),
+        options = Map.empty)(spark)
+      graftbridge.streamingDataFrame(spark,
+        LogicalRelation(rel, isStreaming = true))
+    }
+  }
+
+  /** The window admission shared by BOTH streaming faces (this v1
+    * source's [[getBatch]] and the v2 [[TableLogV2]] micro-batch
+    * stream): refresh the offered floor to cover an engine-replayed
+    * offset, then run the schema-drift guard — ONE implementation, so
+    * the two faces can never drift on either rule. */
+  private[sources] def admitWindow(fromV: Long, toV: Long): Unit = {
     if (!offeredFloor.exists(_ >= toV)) {
       // a replayed engine-logged offset above the in-memory floor means
       // the floor file is stale or lost (legacy uncapped checkpoint,
@@ -221,28 +257,6 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
             "No rows of this batch were delivered")
         }
       }
-    }
-    if (changeFeed) return changeBatch(fromV, toV)
-    val delta =
-      if (toV <= fromV) Vector.empty
-      else TableLog.appendedEntries(spark, dir, fromV, toV)
-    if (delta.isEmpty)
-      // streaming-tagged empty relation: the engine asserts isStreaming
-      // on every substituted batch plan, empty deltas included
-      graftbridge.streamingDataFrame(spark,
-        LocalRelation(DataTypeUtils.toAttributes(pinned), Nil, isStreaming = true))
-    else {
-      val m = TableLog.Manifest(version = toV, files = delta, rows = 0L,
-        commits = Map.empty, op = "tail", schemaJson = Some(pinned.json))
-      val rel = HadoopFsRelation(
-        new ManifestFileIndex(spark, dir, m),
-        partitionSchema = StructType(Nil),
-        dataSchema = pinned,
-        bucketSpec = None,
-        fileFormat = new ParquetFileFormat(),
-        options = Map.empty)(spark)
-      graftbridge.streamingDataFrame(spark,
-        LogicalRelation(rel, isStreaming = true))
     }
   }
 
