@@ -135,8 +135,14 @@ object GraftFunctions {
     functions.map { fn => (FunctionIdentifier(fn.name), info(fn.name, fn.usage), builder(fn)) }
 }
 
-/** `spark.sql.extensions` entry point (see [[GraftFunctions]] scaladoc). */
+/** `spark.sql.extensions` entry point (see [[GraftFunctions]] scaladoc).
+  * Besides the kernel functions, injects the [[TableLogSql]] parser so
+  * a pure-SQL session can run the TableLog maintenance statements
+  * (`GRAFT DELETE FROM … WHERE …`, `GRAFT RESTORE … TO VERSION n`,
+  * `GRAFT VACUUM …`) with semantics identical to the Scala calls. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(ext.injectFunction)
+    ext.injectParser((_, delegate) => TableLogSql.parser(delegate))
+  }
 }
