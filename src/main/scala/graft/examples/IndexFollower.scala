@@ -7,19 +7,31 @@ import graft.functions.{AnnIndex, DedupIndex, Lsh, Materialize, TableLog}
 
 /** The "corpus grows, indexes follow" loop: incremental maintenance of
   * the dedup signature index AND the ANN probe index, driven by the
-  * corpus table's OWN commit log — the consumer wiring for
-  * [[graft.functions.TableLog.appendsSince]] the r10 verdict called the
-  * missing last mile.
+  * corpus table's row-level CHANGE FEED
+  * ([[graft.functions.TableLog.readChanges]]) — append rows apply as
+  * keyed index inserts, and DELETE rows (takedowns, redactions) flow
+  * to the indexes generically: band-row deletes on the dedup index,
+  * tombstone marks on the ANN index. The follower pre-dates the feed
+  * and originally leaned on the tombstone registry as the ONLY way a
+  * lagging follower learned about deletes; since the r15 port the
+  * registry anti-join is belt-and-suspenders (it keeps a tombstoned
+  * id's re-ingest out and keeps cross-span takedown victims from
+  * transiting the raw tables) and the feed is the delivery path —
+  * the registry is one consumer among many. RESTORE versions remain
+  * invisible to the apply: the [[untakedown]] ceremony owns
+  * post-restore index repair (its replay keys and presence gates
+  * assume the follower never re-indexes restored rows on its own).
   *
-  * One [[catchUp]] call applies every append committed since the last
+  * One [[catchUp]] call applies every change committed since the last
   * call, exactly once, no matter how the previous call crashed:
   *
-  *  - deltas are applied ONE SOURCE VERSION at a time, and each unit
+  *  - deltas are applied in SPANS of source versions, and each unit
   *    of work is manifest-transactional: the bounded
-  *    `appendsSince(v, v+1)` returns precisely version v+1's appended
-  *    rows (compaction rewrites contribute nothing), so a replay reads
-  *    the identical delta no matter how far the source has advanced
-  *    since the crash;
+  *    `readChanges(v, v')` returns precisely those versions' change
+  *    rows (compaction rewrites contribute nothing), net-folded within
+  *    the span (appends ⊖ deletes both ways, the mirror's rule), so a
+  *    replay reads the identical delta no matter how far the source
+  *    has advanced since the crash;
   *  - the DEDUP index is itself a [[TableLog]] table, and each
   *    version's band rows are appended through `appendBatch(runKey,
   *    batchId = version)` — the index table's own commit map replays
@@ -54,7 +66,10 @@ import graft.functions.{AnnIndex, DedupIndex, Lsh, Materialize, TableLog}
   */
 object IndexFollower {
 
-  /** What one catch-up pass applied. */
+  /** What one catch-up pass applied: `rowsApplied` counts NET change
+    * rows processed — appended rows indexed plus delete rows applied
+    * (a takedown's feed rows count even when the takedown call already
+    * applied them; the replay is idempotent). */
   final case class Progress(fromVersion: Long, toVersion: Long, rowsApplied: Long)
 
   /** Apply every source append committed after the checkpointed
@@ -147,58 +162,123 @@ object IndexFollower {
           case None => more = false
           case Some((from, to)) =>
             val key = if (to == from + 1) s"v$to" else s"v$from-$to"
-            val (deltaOpt, _) =
-              try TableLog.appendsSince(spark, tableDir, from, to)
-              catch {
+            val feedOpt =
+              try {
+                val f = TableLog.readChanges(spark, tableDir, from, to)._1
+                // RESTORE versions stay invisible to the follower's
+                // apply — the [[untakedown]] ceremony owns index repair
+                // after a corpus restore (its presence gates and replay
+                // keys assume the follower never re-indexes restored
+                // rows on its own); every other op's rows flow: appends
+                // apply as before, and DELETE rows now reach the
+                // indexes generically through the change feed instead
+                // of leaning on the tombstone registry alone.
+                val restoreVs = TableLog.versionOps(spark, tableDir, from, to)
+                  .collect { case (v, "restore") => v }.toSeq
+                f.map(c => if (restoreVs.isEmpty) c
+                  else c.filter(!col("_commit_version").isin(restoreVs: _*)))
+              } catch {
                 case e: IllegalArgumentException if e.getMessage.contains("left retention") =>
                   throw new IllegalStateException(
                     s"index follower at version $from lags behind $tableDir's " +
                       s"retention (oldest readable: ${TableLog.retention(spark, tableDir)}) " +
                       "— rebuild both indexes from a full snapshot and reset the state dir", e)
               }
-            deltaOpt.foreach { delta =>
-              // taken-down ids must never (re-)enter either index — even
-              // when the takedown ran BEFORE this follower reached the
-              // docs' source version (corpus deletes are CDC-invisible, so
-              // the historical delta still carries the removed rows). The
-              // ANN tombstone sidecar IS the takedown registry: filter
-              // every delta through it (broadcast anti-join). Pin the
-              // survivors across the two consumers: one source read, and a
-              // stable row set even if maintenance commits land mid-apply.
-              val d = registry.fold(delta)(r =>
-                  delta.join(broadcast(r), Seq("doc_id"), "left_anti"))
+            feedOpt.foreach { changes =>
+              val contract = Seq(col("doc_id"), col("text"), col("embedding"))
+              val appsAll = changes
+                .filter(col("_change_type") === "append").select(contract: _*)
+              val delsAll = changes
+                .filter(col("_change_type") === "delete").select(contract: _*)
+              // net fold within the span (the mirror's rule): a row
+              // deleted and re-added inside one window cancels, and an
+              // upsert nets to (old row out, new row in) — so a takedown
+              // racing ahead of a lagging follower nets its victims OUT
+              // before any keyed append, and the raw index tables never
+              // hold them. The registry anti-join is now belt-and-
+              // suspenders, not load-bearing: the feed's delete rows
+              // converge both indexes on their own; the filter keeps a
+              // tombstoned id's re-ingest from landing raw rows (the
+              // documented id-reuse stance) and keeps CROSS-span
+              // takedown victims out of the raw tables, exactly the
+              // legacy appendsSince-era behavior. Pin both nets: one
+              // source read each, stable across the index legs.
+              val netApps = registry.fold(appsAll.exceptAll(delsAll))(r =>
+                  appsAll.exceptAll(delsAll)
+                    .join(broadcast(r), Seq("doc_id"), "left_anti"))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              val netDels = delsAll.exceptAll(appsAll)
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               try {
-                // the two index legs are independent stores keyed by the
-                // same span identity; run them CONCURRENTLY — each leg's
-                // replay contract is per-leg (dedup: the commit map; ANN:
-                // the delta markers), so a crash with either, both, or
-                // neither leg committed replays the identical span and
-                // each leg no-ops or repairs independently. Their fixed
-                // costs (staging writes, commit protocol, catalog
-                // refresh) dominate at ingest-size deltas.
-                def applyLegs(): Unit =
-                  graft.functions.Materialize.inParallel(
-                    TableLog.appendBatch(
-                      DedupIndex.indexRows(
-                        d.select(col("doc_id"), col("text")), geom),
-                      dedupIndexDir, runKey, to),
+                val nApps = netApps.count()
+                val nDels = netDels.count()
+                rows += nApps + nDels
+                // delete-side key lists are driver-collected, bounded
+                // like the mirror's: the follower consumes takedown-
+                // cadence deletes; a table-scale redaction should run
+                // against the indexes directly (IndexFollower.takedown)
+                val dedupDelIds: Seq[Any] =
+                  if (nDels == 0L) Nil
+                  else {
+                    val r = netDels.select(col("doc_id")).distinct()
+                      .limit(TableLog.MirrorMaxDeleteKeys + 1).collect()
+                    require(r.length <= TableLog.MirrorMaxDeleteKeys,
+                      s"a feed window of $tableDir carries more than " +
+                        s"${TableLog.MirrorMaxDeleteKeys} distinct deleted ids — " +
+                        "apply table-scale redactions to the indexes directly")
+                    r.map(_.get(0)).toSeq
+                  }
+                // ANN deletes are tombstone MARKS, so only ids whose net
+                // state is gone may be marked — an upserted id (old row
+                // out, new row in) must stay served
+                val annDeadIds: Seq[Long] =
+                  if (nDels == 0L) Nil
+                  else netDels.select(col("doc_id")).distinct()
+                    .join(netApps.select(col("doc_id")).distinct(),
+                      Seq("doc_id"), "left_anti")
+                    .collect().map(_.getLong(0)).toSeq // bounded by dedupDelIds
+                // the two index FAMILIES are independent stores keyed by
+                // the same span identity; run them CONCURRENTLY — each
+                // family's replay contract is its own (dedup: the commit
+                // map; ANN: marks + delta markers), so a crash with
+                // either, both, or neither committed replays the
+                // identical span and each no-ops or repairs. WITHIN the
+                // dedup family order matters: delete before append, and
+                // a span whose append already committed skips BOTH steps
+                // (re-running the delete after the committed append
+                // would remove the band rows that append just added for
+                // an upserted id).
+                def dedupLegs(): Unit = {
+                  val done = TableLog.latestHead(spark, dedupIndexDir)
+                    .exists(_.commits.get(runKey).exists(_ >= to))
+                  if (!done) {
+                    if (dedupDelIds.nonEmpty &&
+                        TableLog.latestVersion(spark, dedupIndexDir).isDefined)
+                      TableLog.deleteIn(spark, dedupIndexDir, "doc_id",
+                        dedupDelIds)
+                    if (nApps > 0L)
+                      TableLog.appendBatch(
+                        DedupIndex.indexRows(
+                          netApps.select(col("doc_id"), col("text")), geom),
+                        dedupIndexDir, runKey, to)
+                  }
+                }
+                def annLegs(): Unit = {
+                  if (annDeadIds.nonEmpty) {
+                    import spark.implicits._
+                    AnnIndex.tombstone(spark, ann, annDeadIds.toDF("vec_id"))
+                  }
+                  if (nApps > 0L)
                     AnnIndex.append(spark, ann,
-                      d.select(col("doc_id").as("vec_id"), col("embedding")),
-                      key))
-                // a pinned delta with NO rows commits nothing: an empty
-                // dedup appendBatch would still bump a manifest version
-                // and the ANN append would still pay two insert jobs —
-                // and a replay recomputes the same empty set, so
-                // skipping is exactly as idempotent. Zero-row deltas are
-                // real even without a registry filter (a zero-row
-                // source append stages a schema-preserving empty file),
-                // so the count gates BOTH branches — its job also
-                // materializes the cache both legs share.
-                val n = d.count()
-                rows += n
-                if (n > 0) applyLegs()
-              } finally d.unpersist(blocking = false)
+                      netApps.select(col("doc_id").as("vec_id"),
+                        col("embedding")), key)
+                }
+                if (nApps + nDels > 0L)
+                  graft.functions.Materialize.inParallel(dedupLegs(), annLegs())
+              } finally {
+                netApps.unpersist(blocking = false)
+                netDels.unpersist(blocking = false)
+              }
             }
             checkpointVersion(spark, stateDir, to)
             clearSpan(spark, stateDir)
@@ -335,12 +415,16 @@ object IndexFollower {
     * text), and [[graft.functions.AnnIndex.tombstone]] on the ANN index
     * (deletion without touching the bucketed tables; a LIVE probe stream
     * honors it at its next trigger — and the mark doubles as the
-    * takedown REGISTRY: [[catchUp]] anti-joins every delta against it,
-    * so a takedown landing BEFORE the follower reached the docs' source
-    * version still keeps them out of both indexes). Deletions are
-    * invisible to the CDC surface by design (`appendsSince` skips
-    * delete versions), so this is the one coordinated write;
-    * [[catchUp]]'s append legs keep working unchanged around it. Two
+    * takedown REGISTRY: [[catchUp]] anti-joins every net delta against
+    * it). A takedown landing BEFORE the follower reached the docs'
+    * source version is kept out of both indexes twice over: the change
+    * feed delivers the delete rows to the follower's own delete legs
+    * (net-folded in-span, so same-span victims never touch the raw
+    * tables), and the registry filter drops them from any append. This
+    * call is therefore the IMMEDIATE application of what the feed
+    * delivers at the next catch-up — the follower's delete legs replay
+    * it idempotently (deleteIn of absent ids no-ops, re-marks are
+    * harmless). Two
     * caveats, both resolved by this call's own at-least-once retry
     * contract: (a) the dedup-index deleteIn here and catchUp's OPTIONAL
     * compaction (`maintainTargetBytes`) are both maintenance writers on

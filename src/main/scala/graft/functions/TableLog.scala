@@ -2832,6 +2832,19 @@ object TableLog {
     (heads, latestV)
   }
 
+  /** The op of every retained version in `(since, until]` — head-line
+    * reads only (no file lists resolved). The feed-driven
+    * [[graft.examples.IndexFollower]] uses this to keep RESTORE
+    * versions CDC-invisible to its apply (the untakedown ceremony owns
+    * restores) while consuming delete versions generically. Same
+    * retention contract as [[readChanges]]: a `since` older than the
+    * oldest retained manifest fails loudly. */
+  private[graft] def versionOps(spark: SparkSession, dir: String,
+      since: Long, until: Long): Map[Long, String] = {
+    val (heads, latestV) = deltaHeads(spark, dir, since, until)
+    ((since + 1) to latestV).iterator.map(v => v -> heads(v).op).toMap
+  }
+
   /** The entries version `m` ADDED over its predecessor `p` (None only
     * for version 0 read from the beginning — nothing precedes it).
     * STRUCTURAL fast path — the steady append shape: every prior

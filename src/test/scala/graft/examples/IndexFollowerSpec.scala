@@ -283,8 +283,14 @@ class IndexFollowerSpec extends SparkSuite {
       .select($"doc_id", $"text", $"embedding".cast("array<float>"))
     TableLog.appendBatch(extra, srcDir, "src", 1L)
     val p = IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
-    assert(p.exists(_.rowsApplied == 1L),
+    // the change feed delivers the takedown's 5 delete rows (replayed
+    // idempotently into the indexes — already applied by the takedown
+    // call itself) plus the 1 new append
+    assert(p.exists(_.rowsApplied == 6L),
       s"catch-up after a takedown diverged: $p")
+    assert(TableLog.read(spark, dedupDir)
+      .filter($"doc_id".isin(victims: _*)).count() == 0L,
+      "the feed replay of the takedown resurrected band rows")
     corpus.unpersist()
   }
 
@@ -419,6 +425,58 @@ class IndexFollowerSpec extends SparkSuite {
       .select($"doc_id", $"band", $"band_hash")
       .as[(Long, Int, String)].collect().toSet == refRows,
       "fresh-key repair diverged from a from-scratch banding")
+    corpus.unpersist()
+  }
+
+  test("a corpus-level delete (no takedown call) reaches both indexes through the change feed") {
+    val corpus = corpusDf().cache()
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cd_src").toString + "/t"
+    val dedupDir = java.nio.file.Files.createTempDirectory("graft_cd_ddx").toString + "/ix"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_cd_state").toString
+    import org.apache.spark.sql.types._
+    val emptyCorpus = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val ann = AnnIndex.build(emptyCorpus, "cd_ann", planes = 8, buckets = 8)
+    TableLog.appendBatch(corpus, srcDir, "src", 0L)
+    IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
+    val ids = corpus.select($"doc_id").as[Long].collect().sorted
+    val victims = ids.take(3).toSeq
+    // a RAW corpus delete: no takedown() call, no registry mark — the
+    // legacy appendsSince follower could never learn about this; the
+    // feed-driven one must converge both indexes on its own
+    TableLog.deleteIn(spark, srcDir, "doc_id", victims)
+    val p = IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
+    assert(p.exists(_.rowsApplied == 3L), s"delete rows did not flow: $p")
+    assert(TableLog.read(spark, dedupDir)
+      .filter($"doc_id".isin(victims: _*)).count() == 0L,
+      "a corpus delete left band rows in the dedup index")
+    val live = AnnIndex.withoutTombstoned(spark, ann, AnnIndex.probeSide(spark, ann))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(victims.forall(v => !live.contains(v)),
+      "a corpus delete's ids are still in the ANN serving relation")
+    // an UPSERT (replace-by-key) flows as old-row-out + new-row-in: the
+    // dedup rows follow the NEW text; the ANN id must stay served (its
+    // net state is alive — a mark here would mask a live doc)
+    val target = ids.last
+    val newText = "completely fresh replacement text for the upsert case"
+    val emb = corpus.filter($"doc_id" === target)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    assert(TableLog.upsertByKey(spark, srcDir,
+      Seq((target, newText, emb)).toDF("doc_id", "text", "embedding")
+        .select($"doc_id", $"text", $"embedding".cast("array<float>"))
+        .coalesce(1), "doc_id", "ups", 0L))
+    IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
+    val verdict = DedupIndex.incrementalVerdicts(
+      Seq((990009L, newText)).toDF("doc_id", "text"),
+      TableLog.read(spark, dedupDir)).as[(Long, Long, Boolean)].collect()
+    assert(verdict.exists(v => v._2 == target && !v._3),
+      s"the upsert's new text is not indexed: ${verdict.toSeq}")
+    val live2 = AnnIndex.withoutTombstoned(spark, ann, AnnIndex.probeSide(spark, ann))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(live2.contains(target),
+      "an upserted (net-alive) id was tombstoned out of the ANN index")
     corpus.unpersist()
   }
 
