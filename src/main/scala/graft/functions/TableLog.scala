@@ -3027,6 +3027,56 @@ object TableLog {
     }
   }
 
+  /** [[readChanges]] with UPDATE IMAGES: rows of an `upsert` commit
+    * ([[applyDelta]]/[[upsertByKey]] — the ledger marks the op) whose
+    * `keyColumn` appears on BOTH sides of that version's diff are
+    * re-tagged `update_preimage` (the replaced rows) and
+    * `update_postimage` (their replacements), paired by key and
+    * `_commit_version`; pure inserts inside an upsert batch, plain
+    * deletes, and every other commit kind keep their
+    * {append, delete} tags — so a mirror that folds the plain tags
+    * still converges, and an update-aware consumer (a feature store
+    * diffing old vs new values) gets Delta-CDF-shaped pairs. The key
+    * column is a CALLER argument because the commit records the op,
+    * not the key (same contract as [[mirror]]: the feed's delete rows
+    * are applied as key deletes). Cost: one extra join of the feed
+    * against the upsert versions' paired keys — nothing when the
+    * range holds no upsert commit. */
+  def readChangesWithUpdates(spark: SparkSession, dir: String,
+      sinceVersion: Long, untilVersion: Long = Long.MaxValue,
+      keyColumn: String = ""): (Option[DataFrame], Long) = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    require(keyColumn.nonEmpty,
+      "readChangesWithUpdates needs the upsert key column (the same key " +
+        "upsertByKey/applyDelta replaced by)")
+    val (feedOpt, latestV) = readChanges(spark, dir, sinceVersion, untilVersion)
+    val out = feedOpt.map { feed =>
+      val upsertVs = versionOps(spark, dir, sinceVersion,
+        math.min(untilVersion, latestV))
+        .collect { case (v, "upsert") => v }.toSeq
+      if (upsertVs.isEmpty) feed
+      else {
+        val up = feed.filter(col("_commit_version").isin(upsertVs: _*))
+        val paired = up.filter(col("_change_type") === "delete")
+          .select(col("_commit_version"), col(keyColumn)).distinct()
+          .join(up.filter(col("_change_type") === "append")
+              .select(col("_commit_version"), col(keyColumn)).distinct(),
+            Seq("_commit_version", keyColumn))
+          .withColumn("_graft_upd", lit(true))
+        feed.join(paired, Seq("_commit_version", keyColumn), "left")
+          .withColumn("_change_type",
+            when(col("_graft_upd") && col("_change_type") === "delete",
+              "update_preimage")
+              .when(col("_graft_upd") && col("_change_type") === "append",
+                "update_postimage")
+              .otherwise(col("_change_type")))
+          .drop("_graft_upd")
+          .select(feed.columns.map(col).toIndexedSeq: _*)
+      }
+    }
+    (out, latestV)
+  }
+
   /** Adopt a pre-TableLog parquet directory: commit manifest 0
     * referencing every data file already present, so existing rows
     * become a committed snapshot instead of unreferenced debris. The

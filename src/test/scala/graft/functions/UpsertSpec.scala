@@ -119,6 +119,49 @@ class UpsertSpec extends SparkSuite {
     assert(TableLog.latest(spark, dir).get.commits.contains("racer"))
   }
 
+  test("readChangesWithUpdates: an upsert's replaced keys arrive as pre/post image pairs; inserts and plain deletes keep their tags") {
+    val dir = fresh()
+    TableLog.appendBatch(rows(0 until 50, "old"), dir, "r", 0L) // v0
+    // keys 40..49 updated (they exist), 50..54 inserted — ONE upsert (v1)
+    assert(TableLog.upsertByKey(spark, dir,
+      rows(40 until 55, "new"), "id", "cdc", 0L))
+    TableLog.deleteIn(spark, dir, "id", Seq(3L)) // v2: a plain delete
+    val (feed, v) = TableLog.readChangesWithUpdates(spark, dir, -1L,
+      keyColumn = "id")
+    assert(v == 2L)
+    val f = feed.get.persist()
+    try {
+      val byType = f.groupBy($"_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // v0: 50 appends; v1: 10 pre + 10 post + 5 inserts-as-appends;
+      // v2: 1 delete
+      assert(byType == Map("append" -> 55L, "update_preimage" -> 10L,
+        "update_postimage" -> 10L, "delete" -> 1L), s"got $byType")
+      val pre = f.filter($"_change_type" === "update_preimage")
+      val post = f.filter($"_change_type" === "update_postimage")
+      assert(pre.select($"id").collect().map(_.getLong(0)).sorted.toSeq ==
+        (40L until 50L).toSeq)
+      assert(pre.filter($"v" =!= "old").count() == 0L,
+        "a preimage must carry the REPLACED row's values")
+      assert(post.select($"id").collect().map(_.getLong(0)).sorted.toSeq ==
+        (40L until 50L).toSeq)
+      assert(post.filter($"v" =!= "new").count() == 0L,
+        "a postimage must carry the replacement row's values")
+      assert(pre.select($"_commit_version").distinct().head().getLong(0) == 1L)
+      // the plain-tag fold still converges when images are re-folded as
+      // delete/append — the mirror contract survives the retag view
+      val apps = f.filter($"_change_type".isin("append", "update_postimage"))
+        .select($"id", $"v")
+      val dels = f.filter($"_change_type".isin("delete", "update_preimage"))
+        .select($"id", $"v")
+      val folded = apps.exceptAll(dels).collect()
+        .map(_.toSeq.mkString("|")).sorted.toSeq
+      val snapshot = TableLog.read(spark, dir).select($"id", $"v").collect()
+        .map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(folded == snapshot, "fold-equals-snapshot broke under images")
+    } finally f.unpersist()
+  }
+
   test("pure-delete and pure-insert deltas work; an empty delta is a no-op returning false") {
     val dir = fresh()
     TableLog.appendBatch(rows(0 until 30, "b0"), dir, "r", 0L)
