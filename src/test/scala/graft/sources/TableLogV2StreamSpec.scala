@@ -172,6 +172,25 @@ class TableLogV2StreamSpec extends SparkSuite {
     assert(dels.length == 1 && dels(0).getLong(0) == 1L)
   }
 
+  test("SQL INSERT INTO a tablelogv2 table commits through the append path") {
+    val dir = fresh()
+    TableLog.appendBatch(batch(0).coalesce(1), dir, "boot", 0L)
+    spark.sql("DROP TABLE IF EXISTS dsv2_ins")
+    spark.sql(s"CREATE TABLE dsv2_ins USING tablelogv2 OPTIONS (path '$dir')")
+    try {
+      spark.sql("INSERT INTO dsv2_ins VALUES (7777, 'sql-row'), (7778, 'sql-row2')")
+      val m = TableLog.latest(spark, dir).get
+      assert(m.rows == 102L && m.op == "append",
+        s"SQL insert did not land as a committed append: $m")
+      assert(TableLog.read(spark, dir)
+        .filter($"v".startsWith("sql-row")).count() == 2L)
+      // the catalog-cached relation serves its pinned snapshot; REFRESH
+      // re-resolves — the standard external-commit contract
+      spark.sql("REFRESH TABLE dsv2_ins")
+      assert(spark.sql("SELECT count(*) FROM dsv2_ins").head().getLong(0) == 102L)
+    } finally spark.sql("DROP TABLE dsv2_ins")
+  }
+
   test("readChangeFeed on the v2 stream redirects loudly to the v1 face") {
     val dir = fresh()
     TableLog.appendBatch(batch(0).coalesce(1), dir, "r", 0L)
