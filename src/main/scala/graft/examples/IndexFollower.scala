@@ -20,7 +20,34 @@ import graft.functions.{AnnIndex, DedupIndex, Lsh, Materialize, TableLog}
   * the registry is one consumer among many. RESTORE versions remain
   * invisible to the apply: the [[untakedown]] ceremony owns
   * post-restore index repair (its replay keys and presence gates
-  * assume the follower never re-indexes restored rows on its own).
+  * assume the follower never re-indexes restored rows on its own) —
+  * though a delete a restore UNDID is never re-applied (the restore's
+  * re-added rows cancel it in the delete-side netting), so a lagging
+  * follower catching up over a takedown-then-restore span cannot
+  * destroy the repair.
+  *
+  * Two id-level limits, both inherited from the ANN index's contract
+  * (rows are identified by `vec_id` alone; its only delete is a
+  * tombstone mark) and both repairable with [[untakedown]]:
+  *  - '''re-ingesting a DELETED doc_id''': any feed delete marks the
+  *    id (the mark is also the takedown registry), and the registry
+  *    filter keeps a later re-ingest of the SAME id out of both
+  *    indexes until an explicit [[untakedown]] — the filter cannot
+  *    distinguish a legitimate re-ingest from a not-yet-applied
+  *    takedown's historical appends, and silently reviving the id
+  *    would transiently serve taken-down docs during a catch-up that
+  *    straddles the takedown. Re-ingest under a NEW id, or untakedown
+  *    first (the same stance [[takedown]] always documented, now
+  *    applying to every delete because every delete reaches the
+  *    indexes).
+  *  - '''embedding updates''': an upsert's new text re-indexes cleanly
+  *    (band rows are deleted and re-derived), but the ANN index keeps
+  *    serving the id with BOTH the old and new vectors (appends are
+  *    id-keyed inserts; the net-alive id is deliberately not
+  *    tombstoned, since the mark would mask the new vector too).
+  *    Refresh embeddings through takedown + untakedown, or rebuild —
+  *    the pre-feed follower had the same limit, less visibly (it
+  *    blind-appended the new vector too, and never deleted anything).
   *
   * One [[catchUp]] call applies every change committed since the last
   * call, exactly once, no matter how the previous call crashed:
@@ -172,11 +199,18 @@ object IndexFollower {
                 // rows on its own); every other op's rows flow: appends
                 // apply as before, and DELETE rows now reach the
                 // indexes generically through the change feed instead
-                // of leaning on the tombstone registry alone.
+                // of leaning on the tombstone registry alone. The
+                // restore versions' APPEND rows are carried alongside
+                // (second element) so the delete-side netting can
+                // cancel deletes a restore undid — see delsAll below.
                 val restoreVs = TableLog.versionOps(spark, tableDir, from, to)
                   .collect { case (v, "restore") => v }.toSeq
-                f.map(c => if (restoreVs.isEmpty) c
-                  else c.filter(!col("_commit_version").isin(restoreVs: _*)))
+                f.map { c =>
+                  if (restoreVs.isEmpty) (c, c.limit(0))
+                  else (c.filter(!col("_commit_version").isin(restoreVs: _*)),
+                    c.filter(col("_commit_version").isin(restoreVs: _*) &&
+                      col("_change_type") === "append"))
+                }
               } catch {
                 case e: IllegalArgumentException if e.getMessage.contains("left retention") =>
                   throw new IllegalStateException(
@@ -184,12 +218,22 @@ object IndexFollower {
                       s"retention (oldest readable: ${TableLog.retention(spark, tableDir)}) " +
                       "— rebuild both indexes from a full snapshot and reset the state dir", e)
               }
-            feedOpt.foreach { changes =>
+            feedOpt.foreach { case (changes, restoreAppRows) =>
               val contract = Seq(col("doc_id"), col("text"), col("embedding"))
               val appsAll = changes
                 .filter(col("_change_type") === "append").select(contract: _*)
+              // rows a RESTORE in this span re-added participate in the
+              // DELETE side's netting only: a takedown whose restore +
+              // untakedown already repaired the indexes must not have
+              // its delete rows re-applied by a lagging follower (the
+              // restore's re-add cancels them), while the re-add itself
+              // stays the untakedown ceremony's job (never indexed
+              // here). Without this, a follower catching up over a
+              // delete-then-restore span would deleteIn the band rows
+              // untakedown just re-appended and re-tombstone the ids.
               val delsAll = changes
                 .filter(col("_change_type") === "delete").select(contract: _*)
+                .exceptAll(restoreAppRows.select(contract: _*))
               // net fold within the span (the mirror's rule): a row
               // deleted and re-added inside one window cancels, and an
               // upsert nets to (old row out, new row in) — so a takedown

@@ -842,7 +842,7 @@ object TableLog {
         n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") }
       .toVector
     val landed = commitStagedFiles(spark, dir, staged, batch.schema,
-      runKey, batchId)
+      runKey, batchId, resolvedHint = Some(prev))
     fs.delete(staging, true)
     landed
   }
@@ -853,13 +853,19 @@ object TableLog {
     * footer-harvest, land under `a<v>-` names and group-commit. The
     * caller owns the staging directory (delete it after this returns
     * or throws); a fenced replay abandons the landed `a`-files to
-    * [[vacuum]] exactly like appendBatch's fence story. */
+    * [[vacuum]] exactly like appendBatch's fence story. `resolvedHint`
+    * skips the head re-resolution for a caller that just resolved it
+    * (appendBatch's pre-staging fence) — safe because this fence and
+    * drift check are ADVISORY fast-fails; the authoritative ones run
+    * inside [[commitGroup]] against the manifest actually committed
+    * over. */
   private[graft] def commitStagedFiles(spark: SparkSession, dir: String,
       staged: Seq[org.apache.hadoop.fs.FileStatus],
       schema: org.apache.spark.sql.types.StructType,
-      runKey: String, batchId: Long): Boolean = {
+      runKey: String, batchId: Long,
+      resolvedHint: Option[Manifest] = None): Boolean = {
     val (fs, table) = fsFor(spark, dir)
-    val prev = latest(spark, dir)
+    val prev = resolvedHint.orElse(latest(spark, dir))
       .getOrElse(Manifest(-1L, Vector.empty, 0L, Map.empty, "init"))
     if (prev.commits.get(runKey).exists(_ >= batchId)) return false
     prev.schema.foreach { recorded =>
@@ -2877,6 +2883,20 @@ object TableLog {
     if (m.segments.isEmpty) m.files
     else m.segments.flatMap(loadSegment(fs, dir, _)) ++ m.files
 
+  /** Does `dt` hold a MapType anywhere (top level or nested)? Spark's
+    * set operators (`exceptAll`) reject map-typed columns, so the
+    * change feed's delete/restore diffs cannot run over them — the
+    * guard below fails those versions loudly instead of leaking an
+    * AnalysisException from deep inside the diff plan. */
+  private def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => hasMapType(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMapType(a.elementType)
+      case _ => false
+    }
+
   /** Row-level CHANGE FEED: every row change committed in versions
     * `(sinceVersion, untilVersion]`, as the table's columns (pinned to
     * the newest retained schema, like [[appendsSince]]) plus
@@ -2913,20 +2933,6 @@ object TableLog {
     * Returns (None, latest) when nothing changed. SQL/Python reach the
     * same feed through `format("tablelog").option("readChangeFeed",
     * "true").option("since", v)`. */
-  /** Does `dt` hold a MapType anywhere (top level or nested)? Spark's
-    * set operators (`exceptAll`) reject map-typed columns, so the
-    * change feed's delete/restore diffs cannot run over them — the
-    * guard below fails those versions loudly instead of leaking an
-    * AnalysisException from deep inside the diff plan. */
-  private def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean =
-    dt match {
-      case _: org.apache.spark.sql.types.MapType => true
-      case s: org.apache.spark.sql.types.StructType =>
-        s.fields.exists(f => hasMapType(f.dataType))
-      case a: org.apache.spark.sql.types.ArrayType => hasMapType(a.elementType)
-      case _ => false
-    }
-
   def readChanges(spark: SparkSession, dir: String, sinceVersion: Long,
       untilVersion: Long = Long.MaxValue): (Option[DataFrame], Long) = {
     import org.apache.spark.sql.functions.{col, lit}

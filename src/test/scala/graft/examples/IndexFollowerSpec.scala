@@ -428,6 +428,47 @@ class IndexFollowerSpec extends SparkSuite {
     corpus.unpersist()
   }
 
+  test("a lagging follower catching up over takedown-then-restore does NOT destroy untakedown's repair") {
+    val corpus = corpusDf().cache()
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_tr_src").toString + "/t"
+    val dedupDir = java.nio.file.Files.createTempDirectory("graft_tr_ddx").toString + "/ix"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_tr_state").toString
+    import org.apache.spark.sql.types._
+    val emptyCorpus = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val ann = AnnIndex.build(emptyCorpus, "tr_ann", planes = 8, buckets = 8)
+    TableLog.appendBatch(corpus, srcDir, "src", 0L) // v0
+    IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
+    val ids = corpus.select($"doc_id").as[Long].collect().sorted
+    val victims = ids.take(3).toSeq
+    val preTd = TableLog.latest(spark, srcDir).get.version
+    IndexFollower.takedown(spark, srcDir, dedupDir, ann, victims) // delete v
+    TableLog.restore(spark, srcDir, preTd)                        // restore v
+    IndexFollower.untakedown(spark, srcDir, dedupDir, ann, victims, "tr-fix")
+    // the repair is in place; the follower now catches up over BOTH the
+    // takedown's delete version and the (feed-invisible) restore — the
+    // restore's re-added rows must cancel the delete in the netting, or
+    // this pass would deleteIn the repaired band rows and re-tombstone
+    IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
+    assert(TableLog.read(spark, dedupDir)
+      .filter($"doc_id".isin(victims: _*)).select($"doc_id")
+      .distinct().count() == victims.length.toLong,
+      "the lagging catch-up destroyed untakedown's band-row repair")
+    val live = AnnIndex.withoutTombstoned(spark, ann, AnnIndex.probeSide(spark, ann))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(victims.forall(live.contains),
+      "the lagging catch-up re-tombstoned repaired ids")
+    // and the takedown-without-restore path still applies deletes: a
+    // second takedown with no restore behind it removes them for good
+    IndexFollower.takedown(spark, srcDir, dedupDir, ann, victims)
+    IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
+    assert(TableLog.read(spark, dedupDir)
+      .filter($"doc_id".isin(victims: _*)).count() == 0L)
+    corpus.unpersist()
+  }
+
   test("a corpus-level delete (no takedown call) reaches both indexes through the change feed") {
     val corpus = corpusDf().cache()
     val srcDir = java.nio.file.Files.createTempDirectory("graft_cd_src").toString + "/t"
