@@ -264,13 +264,13 @@ object IndexFollower {
                 val dedupDelIds: Seq[Any] =
                   if (nDels == 0L) Nil
                   else {
-                    val r = netDels.select(col("doc_id")).distinct()
-                      .limit(TableLog.MirrorMaxDeleteKeys + 1).collect()
-                    require(r.length <= TableLog.MirrorMaxDeleteKeys,
+                    val (ids, over) = TableLog.boundedKeyList(netDels, "doc_id")
+                    require(!over,
                       s"a feed window of $tableDir carries more than " +
-                        s"${TableLog.MirrorMaxDeleteKeys} distinct deleted ids — " +
+                        s"${TableLog.MirrorMaxDeleteKeys} distinct deleted ids " +
+                        s"(or ${TableLog.MirrorMaxDeleteKeyBytes} bytes of them) — " +
                         "apply table-scale redactions to the indexes directly")
-                    r.map(_.get(0)).toSeq
+                    ids
                   }
                 // ANN deletes are tombstone MARKS, so only ids whose net
                 // state is gone may be marked — an upserted id (old row

@@ -1835,11 +1835,11 @@ object TableLog {
     * rewrite table-scale key sets with delete + append directly). */
   def upsertByKey(spark: SparkSession, dir: String, batch: DataFrame,
                   keyColumn: String, runKey: String, batchId: Long): Boolean = {
-    val keys = batch.select(keyColumn).distinct()
-      .limit(MirrorMaxDeleteKeys + 1).collect().map(_.get(0)).toSeq
-    require(keys.size <= MirrorMaxDeleteKeys,
+    val (keys, over) = boundedKeyList(batch, keyColumn)
+    require(!over,
       s"upsertByKey batch carries more than $MirrorMaxDeleteKeys distinct " +
-        "keys — apply table-scale rewrites as delete + append directly")
+        s"keys (or $MirrorMaxDeleteKeyBytes bytes of keys) — apply " +
+        "table-scale rewrites as delete + append directly")
     applyDelta(spark, dir, batch, keyColumn, keys, runKey, batchId)
   }
 
@@ -2585,6 +2585,39 @@ object TableLog {
     * (see its scaladoc for why a bound is the right failure mode). */
   val MirrorMaxDeleteKeys: Int = 1000000
 
+  /** Driver-side BYTE budget for one collected delete-key list: the
+    * count bound alone would let 1M wide string keys push hundreds of
+    * MB of driver heap (and of isin literals downstream) before any
+    * guard fired. Variable-width key columns are pre-measured with a
+    * distributed sum BEFORE the collect, so an over-budget list never
+    * reaches the driver at all. */
+  val MirrorMaxDeleteKeyBytes: Long = 64L << 20
+
+  /** The distinct values of `df.column` under BOTH driver-side bounds.
+    * Returns (keys, overBudget): overBudget = true means the list
+    * exceeds [[MirrorMaxDeleteKeys]] or [[MirrorMaxDeleteKeyBytes]]
+    * and `keys` is empty — the caller picks its failure mode (the
+    * mirror splits the window per version; upsertByKey fails loudly). */
+  private[graft] def boundedKeyList(df: DataFrame,
+      column: String): (Seq[Any], Boolean) = {
+    import org.apache.spark.sql.functions.{col, octet_length, sum}
+    val keyed = df.select(col(column)).distinct()
+      .limit(MirrorMaxDeleteKeys + 1)
+    val variableWidth = keyed.schema.fields(0).dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BinaryType => true
+      case _ => false
+    }
+    if (variableWidth) {
+      val est = keyed.agg(sum(octet_length(col(column)))).head()
+      if (!est.isNullAt(0) && est.getLong(0) > MirrorMaxDeleteKeyBytes)
+        return (Nil, true)
+    }
+    val rows = keyed.collect()
+    if (rows.length > MirrorMaxDeleteKeys) (Nil, true)
+    else (rows.map(_.get(0)).toSeq, false)
+  }
+
   /** Default cap on source versions folded per [[mirror]] trigger —
     * bounds one window's feed-plan size (union arms, parquet relations,
     * collected keys) on a deep catch-up; MirrorBench measures the
@@ -2641,25 +2674,21 @@ object TableLog {
     // deleted later in the same window never lands)
     val netDels = dels.exceptAll(apps)
     val netApps = apps.exceptAll(dels)
-    val delKeys = netDels.select(keyColumn).distinct()
-      .limit(MirrorMaxDeleteKeys + 1).collect().map(_.get(0)).toSeq
-    require(!delKeys.contains(null),
-      s"the mirror's key column '$keyColumn' is null on a deleted source " +
-        "row — a null key cannot identify its mirror row; mirror on a " +
-        "non-null unique key")
-    if (delKeys.size > MirrorMaxDeleteKeys) {
-      // cumulative net over the whole window is too wide — re-apply per
-      // source version, each its own bounded fold (ascending, each
-      // advancing the ledger, so a crash resumes at the right version).
-      // Existence is re-derived per version: an earlier version's
-      // append brings the table into being for a later version's
-      // deletes.
+    val (delKeys, overBudget) = boundedKeyList(netDels, keyColumn)
+    if (overBudget) {
+      // cumulative net over the whole window is too wide (by key COUNT
+      // or key BYTES) — re-apply per source version, each its own
+      // bounded fold (ascending, each advancing the ledger, so a crash
+      // resumes at the right version). Existence is re-derived per
+      // version: an earlier version's append brings the table into
+      // being for a later version's deletes.
       val versions = window.select("_commit_version").distinct()
         .collect().map(_.getLong(0)).sorted
       require(versions.length > 1,
         s"mirror version ${versions.head} alone carries more than " +
-          s"$MirrorMaxDeleteKeys delete keys — a single commit that wide " +
-          "is not delta-shaped; apply it to the mirror directly, then " +
+          s"$MirrorMaxDeleteKeys delete keys (or $MirrorMaxDeleteKeyBytes " +
+          "bytes of keys) — a single commit that wide is not " +
+          "delta-shaped; apply it to the mirror directly, then " +
           "resume the stream past it")
       versions.foreach { v =>
         applyWindow(spark, dstDir, keyColumn, runKey,
@@ -2668,6 +2697,10 @@ object TableLog {
       }
       return
     }
+    require(!delKeys.contains(null),
+      s"the mirror's key column '$keyColumn' is null on a deleted source " +
+        "row — a null key cannot identify its mirror row; mirror on a " +
+        "non-null unique key")
     if (delKeys.nonEmpty)
       require(dstExists,
         s"the mirror $dstDir saw deletes before any append — it is " +

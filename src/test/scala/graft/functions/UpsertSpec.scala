@@ -162,6 +162,23 @@ class UpsertSpec extends SparkSuite {
     } finally f.unpersist()
   }
 
+  test("upsertByKey rejects a key list over the BYTE budget before collecting it") {
+    val dir = fresh()
+    TableLog.appendBatch(Seq(("warm", "v")).toDF("k", "v").coalesce(1),
+      dir, "r", 0L)
+    // 100k distinct ~700-byte string keys ≈ 70 MB of keys — under the
+    // 1M count bound but over MirrorMaxDeleteKeyBytes; the distributed
+    // pre-measure must reject it loudly WITHOUT a driver collect
+    val wide = spark.range(100000).select(
+      concat(lpad($"id".cast("string"), 6, "0"), lit("x" * 694)).as("k"),
+      lit("v").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      TableLog.upsertByKey(spark, dir, wide, "k", "r", 1L)
+    }
+    assert(e.getMessage.contains("bytes of keys"), e.getMessage)
+    assert(TableLog.rows(spark, dir) == 1L, "nothing may have landed")
+  }
+
   test("pure-delete and pure-insert deltas work; an empty delta is a no-op returning false") {
     val dir = fresh()
     TableLog.appendBatch(rows(0 until 30, "b0"), dir, "r", 0L)
