@@ -2501,10 +2501,16 @@ object TableLog {
     * window's diff is deterministic while retention holds. Schema drift
     * mid-stream always fails loudly (a mirror must re-pin; the
     * `failOnSchemaDrift=false` escape is plain-tail-only). SQL face:
-    * `readStream.format("tablelog").option("readChangeFeed", "true")`. */
+    * `readStream.format("tablelog").option("readChangeFeed", "true")`.
+    * With `updateKeyColumn` (SQL: `option("updateImages", "true")` +
+    * `option("keyColumn", k)`) the windows carry
+    * [[readChangesWithUpdates]]'s `update_preimage`/`update_postimage`
+    * tags for upsert commits — same emitted schema, so a plain-tag
+    * mirror is unaffected unless it opts in. */
   def readTailChanges(spark: SparkSession, dir: String,
                       since: Option[Long] = None,
-                      maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
+                      maxVersionsPerTrigger: Option[Int] = None,
+                      updateKeyColumn: Option[String] = None): DataFrame = {
     var r = spark.readStream
       .format(classOf[graft.sources.TableLogTailProvider].getName)
       .option("dir", dir)
@@ -2512,6 +2518,8 @@ object TableLog {
     since.foreach(v => r = r.option("since", v.toString))
     maxVersionsPerTrigger.foreach(n =>
       r = r.option("maxVersionsPerTrigger", n.toString))
+    updateKeyColumn.foreach(k =>
+      r = r.option("updateImages", "true").option("keyColumn", k))
     r.load()
   }
 

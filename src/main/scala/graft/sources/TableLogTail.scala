@@ -52,7 +52,8 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
                                consumerId: String,
                                failOnSchemaDrift: Boolean,
                                pinnedExplicitly: Boolean,
-                               changeFeed: Boolean = false)
+                               changeFeed: Boolean = false,
+                               updateKey: Option[String] = None)
     extends Source {
 
   /** In change-feed mode the emitted rows carry the two tag columns on
@@ -277,7 +278,8 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
       LocalRelation(DataTypeUtils.toAttributes(emitted), Nil,
         isStreaming = true))
     if (toV <= fromV) empty
-    else TableLog.readChanges(spark, dir, fromV, toV)._1 match {
+    else updateKey.fold(TableLog.readChanges(spark, dir, fromV, toV))(k =>
+      TableLog.readChangesWithUpdates(spark, dir, fromV, toV, k))._1 match {
       case Some(df) =>
         // align to THIS stream's pinned schema: readChanges pins each
         // window to the WINDOW HEAD's era schema, so a window lying
@@ -348,6 +350,24 @@ final class TableLogTailProvider extends StreamSourceProvider {
             "explicitly to tail a table that has not been written yet"))
     }
 
+  /** `updateImages=true` (+ the mandatory `keyColumn`) upgrades the
+    * change-feed stream to [[graft.functions.TableLog
+    * .readChangesWithUpdates]]'s tags: an upsert's replaced keys arrive
+    * as `update_preimage`/`update_postimage` pairs. Same emitted
+    * schema (the tag column is a string either way), so mirrors that
+    * fold plain tags are unaffected unless they opt in. */
+  private def updateKeyOf(parameters: Map[String, String]): Option[String] = {
+    val want = parameters.get("updateImages").exists(_.trim.toBoolean)
+    if (!want) return None
+    require(parameters.get("readChangeFeed").exists(_.trim.toBoolean),
+      "updateImages is a change-feed option — set readChangeFeed=true")
+    Some(parameters.getOrElse("keyColumn",
+      throw new IllegalArgumentException(
+        "updateImages needs .option(\"keyColumn\", <col>) — the key " +
+          "upsertByKey/applyDelta replaced by (the commit records the " +
+          "op, not the key)")))
+  }
+
   private def changeFeedOf(parameters: Map[String, String]): Boolean = {
     val cf = parameters.get("readChangeFeed").exists(_.trim.toBoolean)
     // a change-feed consumer acts on every row by definition — letting
@@ -366,6 +386,7 @@ final class TableLogTailProvider extends StreamSourceProvider {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val base = resolveSchema(sqlContext.sparkSession, schema, parameters)
+    updateKeyOf(parameters) // validate the option combination at load()
     ("graft-tablelog-tail",
       if (changeFeedOf(parameters)) TableLogTailProvider.tagged(base)
       else base)
@@ -428,7 +449,7 @@ final class TableLogTailProvider extends StreamSourceProvider {
     val changeFeed = changeFeedOf(parameters) // re-validates the opt-out
     new TableLogTailSource(spark, dir, metadataPath, pinned, pinnedAt, since,
       maxV, consumerId, failOnDrift, pinnedExplicitly = schema.isDefined,
-      changeFeed = changeFeed)
+      changeFeed = changeFeed, updateKey = updateKeyOf(parameters))
   }
 }
 

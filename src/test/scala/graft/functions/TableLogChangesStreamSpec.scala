@@ -64,6 +64,35 @@ class TableLogChangesStreamSpec extends SparkSuite {
       canon(batchFeed, feed.columns.toSeq))
   }
 
+  test("the streamed feed with updateImages tags an upsert's pairs; plain streams keep plain tags") {
+    val dir = fresh()
+    val out = ckpt() + "/out"
+    val ck = ckpt()
+    TableLog.appendBatch(rows(0 until 50, "old"), dir, "r", 0L) // v0
+    TableLog.upsertByKey(spark, dir, rows(40 until 55, "new"), "id", "u", 0L) // v1
+    val q = TableLog.readTailChanges(spark, dir, since = Some(-1L),
+        updateKeyColumn = Some("id"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val feed = spark.read.parquet(out)
+    val byType = feed.groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("append" -> 55L, "update_preimage" -> 10L,
+      "update_postimage" -> 10L), s"got $byType")
+    // and the batch face agrees exactly
+    val batchFeed = TableLog.readChangesWithUpdates(spark, dir, -1L,
+      keyColumn = "id")._1.get
+    assert(canon(feed, feed.columns.toSeq) ==
+      canon(batchFeed, feed.columns.toSeq))
+    // option validation is loud at load()
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("tablelog").option("readChangeFeed", "true")
+        .option("updateImages", "true").option("since", "-1").load(dir)
+    }
+    assert(e.getMessage.contains("keyColumn"), e.getMessage)
+  }
+
   test("checkpointed restart resumes the feed exactly once — deletes included") {
     val dir = fresh()
     val out = ckpt() + "/out"
