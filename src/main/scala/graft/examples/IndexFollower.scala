@@ -21,10 +21,11 @@ import graft.functions.{AnnIndex, DedupIndex, Lsh, Materialize, TableLog}
   * invisible to the apply: the [[untakedown]] ceremony owns
   * post-restore index repair (its replay keys and presence gates
   * assume the follower never re-indexes restored rows on its own) —
-  * though a delete a restore UNDID is never re-applied (the restore's
-  * re-added rows cancel it in the delete-side netting), so a lagging
-  * follower catching up over a takedown-then-restore span cannot
-  * destroy the repair.
+  * though a delete a restore UNDID is never re-applied (an id whose
+  * latest in-window delete precedes a restore re-add is skipped by the
+  * delete legs — version-aware, so a delete committed AFTER the
+  * restore still applies), and a lagging follower catching up over a
+  * takedown-then-restore span therefore cannot destroy the repair.
   *
   * Two id-level limits, both inherited from the ANN index's contract
   * (rows are identified by `vec_id` alone; its only delete is a
@@ -222,18 +223,28 @@ object IndexFollower {
               val contract = Seq(col("doc_id"), col("text"), col("embedding"))
               val appsAll = changes
                 .filter(col("_change_type") === "append").select(contract: _*)
-              // rows a RESTORE in this span re-added participate in the
-              // DELETE side's netting only: a takedown whose restore +
-              // untakedown already repaired the indexes must not have
-              // its delete rows re-applied by a lagging follower (the
-              // restore's re-add cancels them), while the re-add itself
-              // stays the untakedown ceremony's job (never indexed
-              // here). Without this, a follower catching up over a
-              // delete-then-restore span would deleteIn the band rows
-              // untakedown just re-appended and re-tombstone the ids.
               val delsAll = changes
                 .filter(col("_change_type") === "delete").select(contract: _*)
-                .exceptAll(restoreAppRows.select(contract: _*))
+              // ids a RESTORE in this span re-added AFTER their latest
+              // feed delete are skipped by the delete legs: a takedown
+              // whose restore + untakedown already repaired the indexes
+              // must not have its delete rows re-applied by a lagging
+              // follower (the re-add itself stays the untakedown
+              // ceremony's job — never indexed here). The comparison is
+              // VERSION-AWARE per id, not content-blind: a delete
+              // committed after the restore (latest delete > latest
+              // restore re-add) still applies — cancelling it would
+              // leave a deleted doc served forever, since the feed
+              // never re-emits a version.
+              val skipRestoredIds = restoreAppRows
+                .groupBy(col("doc_id"))
+                .agg(max(col("_commit_version")).as("r_last"))
+                .join(changes.filter(col("_change_type") === "delete")
+                    .groupBy(col("doc_id"))
+                    .agg(max(col("_commit_version")).as("d_last")),
+                  Seq("doc_id"))
+                .filter(col("r_last") > col("d_last"))
+                .select(col("doc_id"))
               // net fold within the span (the mirror's rule): a row
               // deleted and re-added inside one window cancels, and an
               // upsert nets to (old row out, new row in) — so a takedown
@@ -252,6 +263,7 @@ object IndexFollower {
                     .join(broadcast(r), Seq("doc_id"), "left_anti"))
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               val netDels = delsAll.exceptAll(appsAll)
+                .join(broadcast(skipRestoredIds), Seq("doc_id"), "left_anti")
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               try {
                 val nApps = netApps.count()

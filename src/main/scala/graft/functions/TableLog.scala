@@ -2616,14 +2616,26 @@ object TableLog {
            org.apache.spark.sql.types.BinaryType => true
       case _ => false
     }
-    if (variableWidth) {
-      val est = keyed.agg(sum(octet_length(col(column)))).head()
+    if (!variableWidth) {
+      // fixed-width keys cannot bust the byte budget under the count
+      // bound — one job, no pre-measure
+      val rows = keyed.collect()
+      return if (rows.length > MirrorMaxDeleteKeys) (Nil, true)
+        else (rows.map(_.get(0)).toSeq, false)
+    }
+    // variable-width: pre-measure, then collect — pinned so the
+    // upstream distinct (and, on the mirror path, its exceptAll
+    // shuffle chain) runs once, not once per job
+    val pinned = keyed.persist(org.apache.spark.storage.StorageLevel
+      .MEMORY_AND_DISK)
+    try {
+      val est = pinned.agg(sum(octet_length(col(column)))).head()
       if (!est.isNullAt(0) && est.getLong(0) > MirrorMaxDeleteKeyBytes)
         return (Nil, true)
-    }
-    val rows = keyed.collect()
-    if (rows.length > MirrorMaxDeleteKeys) (Nil, true)
-    else (rows.map(_.get(0)).toSeq, false)
+      val rows = pinned.collect()
+      if (rows.length > MirrorMaxDeleteKeys) (Nil, true)
+      else (rows.map(_.get(0)).toSeq, false)
+    } finally pinned.unpersist(blocking = false)
   }
 
   /** Default cap on source versions folded per [[mirror]] trigger —

@@ -386,7 +386,13 @@ final class TableLogTailProvider extends StreamSourceProvider {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val base = resolveSchema(sqlContext.sparkSession, schema, parameters)
-    updateKeyOf(parameters) // validate the option combination at load()
+    // validate the option combination AND the key's existence at load():
+    // a typo'd keyColumn would otherwise run fine for days and fail only
+    // when the first upsert commit enters a window
+    updateKeyOf(parameters).foreach(k =>
+      require(base.fieldNames.contains(k),
+        s"updateImages keyColumn '$k' is not a column of the stream " +
+          s"(${base.fieldNames.mkString(", ")})"))
     ("graft-tablelog-tail",
       if (changeFeedOf(parameters)) TableLogTailProvider.tagged(base)
       else base)

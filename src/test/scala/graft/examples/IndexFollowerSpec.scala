@@ -460,12 +460,24 @@ class IndexFollowerSpec extends SparkSuite {
       .select($"vec_id").as[Long].collect().toSet
     assert(victims.forall(live.contains),
       "the lagging catch-up re-tombstoned repaired ids")
-    // and the takedown-without-restore path still applies deletes: a
-    // second takedown with no restore behind it removes them for good
-    IndexFollower.takedown(spark, srcDir, dedupDir, ann, victims)
+    // and a delete committed AFTER the restore, even inside the SAME
+    // catch-up window as an older restore, still applies — the skip is
+    // version-aware, not content-blind: cancelling a post-restore
+    // delete would leave a deleted doc served forever (the feed never
+    // re-emits a version)
+    val pre2 = TableLog.latest(spark, srcDir).get.version
+    IndexFollower.takedown(spark, srcDir, dedupDir, ann, victims) // delete v
+    TableLog.restore(spark, srcDir, pre2) // restore: victims back
+    IndexFollower.untakedown(spark, srcDir, dedupDir, ann, victims, "tr-fix2")
+    TableLog.deleteIn(spark, srcDir, "doc_id", victims) // delete AFTER restore
     IndexFollower.catchUp(spark, srcDir, stateDir, ann, dedupDir)
     assert(TableLog.read(spark, dedupDir)
-      .filter($"doc_id".isin(victims: _*)).count() == 0L)
+      .filter($"doc_id".isin(victims: _*)).count() == 0L,
+      "a delete committed after a restore was wrongly cancelled")
+    val live3 = AnnIndex.withoutTombstoned(spark, ann, AnnIndex.probeSide(spark, ann))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(victims.forall(v => !live3.contains(v)),
+      "a post-restore delete's ids are still served by the ANN relation")
     corpus.unpersist()
   }
 
