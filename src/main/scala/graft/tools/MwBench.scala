@@ -79,7 +79,11 @@ object MwBench {
       forkRun(spark, 2, 6, 1000) // JIT/classload warmup pass, unrecorded
       val f2 = forkRun(spark, 2, 12, 1000)
       val f4 = forkRun(spark, 4, 12, 1000)
-      println(f"""{"multi_writer_fork2_commits_per_sec":$f2%.1f,"multi_writer_fork4_commits_per_sec":$f4%.1f}""")
+      // 8 × 4-core children saturate the 32-thread box — this leg
+      // measures the commit protocol under full-machine contention,
+      // not headroom scaling
+      val f8 = forkRun(spark, 8, 12, 1000)
+      println(f"""{"multi_writer_fork2_commits_per_sec":$f2%.1f,"multi_writer_fork4_commits_per_sec":$f4%.1f,"multi_writer_fork8_commits_per_sec":$f8%.1f}""")
       spark.stop()
       return
     }
