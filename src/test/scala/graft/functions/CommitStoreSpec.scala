@@ -79,6 +79,49 @@ class CommitStoreSpec extends SparkSuite {
     }
   }
 
+  test("AtomicLink.putIfAbsent: one winner under thread contention, content never torn, temp files swept") {
+    val base = java.nio.file.Files.createTempDirectory("graft_al").toString
+    val fs = new Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 until 20).foreach { round =>
+      val dst = new Path(base, f"manifest-$round%020d")
+      val winners = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (0 until 8).map { w =>
+        val content = (s"writer-$w:" * 200).getBytes("UTF-8")
+        new Thread(() =>
+          if (CommitStore.AtomicLink.putIfAbsent(fs, dst, content))
+            winners.incrementAndGet())
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(winners.get() == 1,
+        s"round $round: ${winners.get()} writers won one destination")
+      val in = fs.open(dst)
+      val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val w = got.takeWhile(_ != ':')
+      assert(got == s"$w:" * 200,
+        s"round $round: destination content torn or mixed")
+    }
+    // losers' temp siblings are deleted in every outcome
+    assert(!new java.io.File(base).listFiles()
+      .exists(_.getName.startsWith(".tmp-")), "temp files leaked")
+    // a second put of a committed name loses without touching content
+    val dst0 = new Path(base, f"manifest-${0}%020d")
+    assert(!CommitStore.AtomicLink.putIfAbsent(fs, dst0, "late".getBytes))
+  }
+
+  test("the rename store remains selectable for file: via the conf override") {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("graft.tablelog.commit.store.file", "rename")
+    // newInstance, not getLocal: the FileSystem CACHE would hand back
+    // an instance built with the un-overridden conf
+    val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+      java.net.URI.create("file:///"), conf)
+    try assert(CommitStore.forFs(fs) eq CommitStore.Rename,
+      "the per-scheme override must beat the atomic-link default")
+    finally fs.close()
+  }
+
   test("store resolution: scheme defaults, per-scheme override, loud unknown") {
     val localFs = new Path(freshStoreTable().stripPrefix("nonatomic:"))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
