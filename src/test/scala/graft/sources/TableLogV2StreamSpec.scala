@@ -172,6 +172,27 @@ class TableLogV2StreamSpec extends SparkSuite {
     assert(dels.length == 1 && dels(0).getLong(0) == 1L)
   }
 
+  test("v2 tail honors maxVersionsPerTrigger — the delegated v1 control plane caps each window") {
+    val dir = fresh()
+    val ck = ckpt()
+    (0 until 10).foreach(b =>
+      TableLog.appendBatch(batch(b, 50).coalesce(1), dir, "r", b.toLong))
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("tablelogv2")
+      .option("since", "-1").option("maxVersionsPerTrigger", "2").load(dir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes.add(df.count()); ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = sizes.asScala.toVector
+    assert(got.sum == 500L, s"rows lost or doubled across windows: $got")
+    assert(got.forall(_ <= 100L),
+      s"a window exceeded the 2-version cap: $got")
+    assert(got.count(_ > 0) >= 5, s"backlog not actually windowed: $got")
+  }
+
   test("SQL INSERT INTO a tablelogv2 table commits through the append path") {
     val dir = fresh()
     TableLog.appendBatch(batch(0).coalesce(1), dir, "boot", 0L)
