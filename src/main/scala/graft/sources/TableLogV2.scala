@@ -68,12 +68,11 @@ import graft.functions.{ManifestFileIndex, TableLog}
   *    and the driver's `BatchWrite.commit` lands the staged files
   *    through [[graft.functions.TableLog.commitStagedFiles]] — the
   *    SAME fence/footer-harvest/group-commit path as
-  *    [[graft.functions.TableLog.appendBatch]]. Append mode against an
-  *    EXISTING table (Spark's v2 `AppendData` validates the query
-  *    against the table schema, so a first write cannot resolve —
-  *    bootstrap with the v1 save, a streaming write, or appendBatch);
-  *    overwrite is rejected by the engine (no `SupportsTruncate` — a
-  *    versioned log is rolled back with restore, never clobbered).
+  *    [[graft.functions.TableLog.appendBatch]]. A first save CREATES
+  *    the table (the engine passes the query's schema as external
+  *    metadata, so `AppendData` resolves against it); overwrite is
+  *    rejected by the engine (no `SupportsTruncate` — a versioned log
+  *    is rolled back with restore, never clobbered).
   *  - '''streaming write''' (`df.writeStream.format("tablelogv2")`):
   *    exactly-once per checkpoint — the writer identity comes from the
   *    `checkpointLocation` option via

@@ -47,6 +47,17 @@ class TableLogV2StreamSpec extends SparkSuite {
     assert(TableLog.rows(spark, dir) == 200L)
   }
 
+  test("v2 batch save CREATES a fresh table — the engine hands getTable the query schema") {
+    val dir = fresh()
+    batch(0).write.format("tablelogv2").mode("append").save(dir)
+    val m = TableLog.latest(spark, dir).get
+    assert(m.rows == 100L && m.op == "append")
+    assert(m.schema.get.fieldNames.toSeq == Seq("id", "v"),
+      "the first save must record the query schema")
+    assert(canon(spark.read.format("tablelogv2").load(dir)) ==
+      canon(batch(0)))
+  }
+
   test("v2 batch write: schema drift is rejected loudly, nothing lands") {
     val dir = fresh()
     TableLog.appendBatch(batch(0).coalesce(1), dir, "boot", 0L)
