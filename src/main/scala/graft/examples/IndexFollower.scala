@@ -192,25 +192,42 @@ object IndexFollower {
             val key = if (to == from + 1) s"v$to" else s"v$from-$to"
             val feedOpt =
               try {
-                val f = TableLog.readChanges(spark, tableDir, from, to)._1
-                // RESTORE versions stay invisible to the follower's
-                // apply — the [[untakedown]] ceremony owns index repair
-                // after a corpus restore (its presence gates and replay
-                // keys assume the follower never re-indexes restored
-                // rows on its own); every other op's rows flow: appends
-                // apply as before, and DELETE rows now reach the
-                // indexes generically through the change feed instead
-                // of leaning on the tombstone registry alone. The
-                // restore versions' APPEND rows are carried alongside
-                // (second element) so the delete-side netting can
-                // cancel deletes a restore undid — see delsAll below.
-                val restoreVs = TableLog.versionOps(spark, tableDir, from, to)
-                  .collect { case (v, "restore") => v }.toSeq
-                f.map { c =>
-                  if (restoreVs.isEmpty) (c, c.limit(0))
-                  else (c.filter(!col("_commit_version").isin(restoreVs: _*)),
-                    c.filter(col("_commit_version").isin(restoreVs: _*) &&
-                      col("_change_type") === "append"))
+                // version ops first (head-line reads, no file lists).
+                // APPEND-ONLY spans — no version can emit delete rows
+                // (delete, upsert, or any unknown future op,
+                // readChanges' own conservative set) — read their delta
+                // through appendsSince: ONE file relation over the
+                // span's appended files, exactly the pre-feed plan, no
+                // per-version feed frames and no netting folds. Spans
+                // that actually carry deletes pay the readChanges path:
+                // RESTORE versions stay invisible to the apply (the
+                // [[untakedown]] ceremony owns post-restore repair) with
+                // their APPEND rows carried alongside so the delete-side
+                // netting can skip deletes a restore undid; every other
+                // op's rows flow — appends as before, DELETE rows to the
+                // index delete legs.
+                val ops = TableLog.versionOps(spark, tableDir, from, to)
+                val deleteEmitting = ops.values.exists(op => !Set(
+                  "append", "adopt", "compact", "evolve", "dropcolumn",
+                  "trackstats", "restore").contains(op))
+                if (!deleteEmitting)
+                  TableLog.appendsSince(spark, tableDir, from, to)._1
+                    .map(d => (d, d.limit(0), d.limit(0), false))
+                else {
+                  val restoreVs = ops.collect { case (v, "restore") => v }.toSeq
+                  TableLog.readChanges(spark, tableDir, from, to)._1.map { c =>
+                    val live =
+                      if (restoreVs.isEmpty) c
+                      else c.filter(!col("_commit_version").isin(restoreVs: _*))
+                    val rApps =
+                      if (restoreVs.isEmpty) c.limit(0)
+                      else c.filter(
+                        col("_commit_version").isin(restoreVs: _*) &&
+                          col("_change_type") === "append")
+                    (live.filter(col("_change_type") === "append"),
+                      live.filter(col("_change_type") === "delete"),
+                      rApps, true)
+                  }
                 }
               } catch {
                 case e: IllegalArgumentException if e.getMessage.contains("left retention") =>
@@ -219,12 +236,10 @@ object IndexFollower {
                       s"retention (oldest readable: ${TableLog.retention(spark, tableDir)}) " +
                       "— rebuild both indexes from a full snapshot and reset the state dir", e)
               }
-            feedOpt.foreach { case (changes, restoreAppRows) =>
+            feedOpt.foreach { case (apps, dels, restoreAppRows, deleteEmitting) =>
               val contract = Seq(col("doc_id"), col("text"), col("embedding"))
-              val appsAll = changes
-                .filter(col("_change_type") === "append").select(contract: _*)
-              val delsAll = changes
-                .filter(col("_change_type") === "delete").select(contract: _*)
+              val appsAll = apps.select(contract: _*)
+              val delsAll = dels.select(contract: _*)
               // ids a RESTORE in this span re-added AFTER their latest
               // feed delete are skipped by the delete legs: a takedown
               // whose restore + untakedown already repaired the indexes
@@ -236,15 +251,20 @@ object IndexFollower {
               // restore re-add) still applies — cancelling it would
               // leave a deleted doc served forever, since the feed
               // never re-emits a version.
-              val skipRestoredIds = restoreAppRows
-                .groupBy(col("doc_id"))
-                .agg(max(col("_commit_version")).as("r_last"))
-                .join(changes.filter(col("_change_type") === "delete")
-                    .groupBy(col("doc_id"))
-                    .agg(max(col("_commit_version")).as("d_last")),
-                  Seq("doc_id"))
-                .filter(col("r_last") > col("d_last"))
-                .select(col("doc_id"))
+              val skipRestoredIds =
+                if (!deleteEmitting)
+                  // fast path: nothing to skip — and the appendsSince
+                  // delta carries no tag columns to group on
+                  appsAll.select(col("doc_id")).limit(0)
+                else restoreAppRows
+                  .groupBy(col("doc_id"))
+                  .agg(max(col("_commit_version")).as("r_last"))
+                  .join(dels
+                      .groupBy(col("doc_id"))
+                      .agg(max(col("_commit_version")).as("d_last")),
+                    Seq("doc_id"))
+                  .filter(col("r_last") > col("d_last"))
+                  .select(col("doc_id"))
               // net fold within the span (the mirror's rule): a row
               // deleted and re-added inside one window cancels, and an
               // upsert nets to (old row out, new row in) — so a takedown
@@ -258,6 +278,10 @@ object IndexFollower {
               // takedown victims out of the raw tables, exactly the
               // legacy appendsSince-era behavior. Pin both nets: one
               // source read each, stable across the index legs.
+              // exceptAll against a statically-empty side is pruned by
+              // Catalyst (OptimizeLimitZero + PropagateEmptyRelation),
+              // so the append-only fast path plans NO netting joins —
+              // the same plan the pre-feed appendsSince apply had
               val netApps = registry.fold(appsAll.exceptAll(delsAll))(r =>
                   appsAll.exceptAll(delsAll)
                     .join(broadcast(r), Seq("doc_id"), "left_anti"))
@@ -267,7 +291,7 @@ object IndexFollower {
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               try {
                 val nApps = netApps.count()
-                val nDels = netDels.count()
+                val nDels = if (!deleteEmitting) 0L else netDels.count()
                 rows += nApps + nDels
                 // delete-side key lists are driver-collected, bounded
                 // like the mirror's: the follower consumes takedown-
