@@ -149,8 +149,24 @@ object CommitStore {
     * (CrossProcessSpec runs real contending JVMs through it). Readers
     * go through the ordinary FileSystem API; Hadoop's checksum layer
     * tolerates the absent .crc sibling. Requires a link-capable local
-    * filesystem (every POSIX FS; NFS included) — a store without hard
-    * links fails loudly: force `rename` there via the conf override. */
+    * filesystem — a store without hard links fails loudly: force
+    * `rename` there via the conf override.
+    *
+    * On NFS specifically: `link(2)` IS atomic server-side, but NFS's
+    * classic lost-reply retransmit can report a link that actually
+    * SUCCEEDED as EEXIST (the server applied the first request, the
+    * reply was lost, the retransmit finds the destination present) —
+    * so on NFS a winner may be told it LOST the CAS. That weaker
+    * contract — "false may mean you won" — is still safe for every
+    * caller in this engine, because no caller trusts the boolean
+    * alone: a manifest CAS that returns false re-resolves the head,
+    * and an appender finds its own (runKey, batchId) already in the
+    * committed manifest's ledger and returns "already committed" —
+    * rows never double, the batch is never retried as new (the ledger
+    * fence, [[TableLog.commitAppend]]). What NFS's ambiguity can cost
+    * is only a spurious extra resolve-and-retry round, never
+    * correctness. A hypothetical caller that treated `false` as "my
+    * content is NOT at dst" would be wrong on NFS — don't write one. */
   object AtomicLink extends CommitStore {
     override def putIfAbsent(fs: FileSystem, dst: Path,
                              content: Array[Byte]): Boolean = {

@@ -989,17 +989,43 @@ object TableLog {
     * [[evolve]]. No-op when the table records no schema yet (the
     * append itself records the batch's shape). */
   private[graft] def alignMerging(spark: SparkSession, dir: String,
-      batch: DataFrame): DataFrame = {
+      batch: DataFrame): DataFrame =
+    mergeRecordedSchema(spark, dir, batch.schema) match {
+      case None => batch
+      case Some(merged) =>
+        // select by the MERGED spelling and alias it back on: under
+        // case-insensitive resolution col("TS") finds the batch's `ts`
+        // but would keep the batch's spelling, and the drift guard
+        // compares names exactly
+        batch.select(merged.fields.toIndexedSeq.map(f =>
+          org.apache.spark.sql.functions.col(f.name).as(f.name)): _*)
+    }
+
+  /** The schema-level half of [[alignMerging]], shared with the DSv2
+    * write path ([[graft.sources.TableLogV2]]) whose task-side writers
+    * stage parquet without a DataFrame to re-select: validate the
+    * batch's shape against the recorded schema, commit the [[evolve]]
+    * for add-only drift, and return the schema the commit should
+    * DECLARE — `Some(merged)` (recorded order first, added columns
+    * after, nullable) when the batch differs from the recorded schema,
+    * `None` when the batch's own schema is already right (no recorded
+    * schema yet, or an exact match). The v2 caller declares the merged
+    * schema over files physically written in the BATCH's column order —
+    * sound because parquet resolves columns by name, which is also why
+    * the v1 caller's re-select is cosmetic ordering, not correctness. */
+  private[graft] def mergeRecordedSchema(spark: SparkSession, dir: String,
+      batchSchema: org.apache.spark.sql.types.StructType)
+      : Option[org.apache.spark.sql.types.StructType] = {
     // head lines only: this runs once per micro-batch on the sink's hot
     // write path and needs just the recorded schema — materializing the
     // full segment list here would double appendBatch's resolution cost
     latestHead(spark, dir).flatMap(_.schema) match {
-      case None => batch
-      case Some(recorded) if sameSchema(recorded, batch.schema) => batch
+      case None => None
+      case Some(recorded) if sameSchema(recorded, batchSchema) => None
       case Some(recorded) =>
         import org.apache.spark.sql.types.StructType
         val key = nameKey(spark) _
-        val byKey = batch.schema.fields.map(f => key(f.name) -> f).toMap
+        val byKey = batchSchema.fields.map(f => key(f.name) -> f).toMap
         recorded.fields.foreach { f =>
           val got = byKey.getOrElse(key(f.name),
             throw new IllegalArgumentException(
@@ -1015,24 +1041,17 @@ object TableLog {
               "changes too: files already written cannot serve them)")
         }
         val recordedKeys = recorded.fields.map(f => key(f.name)).toSet
-        val added = batch.schema.fields
+        val added = batchSchema.fields
           .filterNot(f => recordedKeys(key(f.name)))
-        val merged =
-          if (added.isEmpty) recorded // order- or spelling-only mismatch
-          else {
-            // added columns are forced nullable: every file already
-            // committed lacks them, and evolve() rejects anything else
-            val m = StructType(recorded.fields ++
-              added.map(_.copy(nullable = true)))
-            evolve(spark, dir, m)
-            m
-          }
-        // select by the MERGED spelling and alias it back on: under
-        // case-insensitive resolution col("TS") finds the batch's `ts`
-        // but would keep the batch's spelling, and the drift guard
-        // compares names exactly
-        batch.select(merged.fields.toIndexedSeq.map(f =>
-          org.apache.spark.sql.functions.col(f.name).as(f.name)): _*)
+        if (added.isEmpty) Some(recorded) // order-/spelling-only mismatch
+        else {
+          // added columns are forced nullable: every file already
+          // committed lacks them, and evolve() rejects anything else
+          val m = StructType(recorded.fields ++
+            added.map(_.copy(nullable = true)))
+          evolve(spark, dir, m)
+          Some(m)
+        }
     }
   }
 

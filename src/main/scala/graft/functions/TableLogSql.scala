@@ -41,12 +41,18 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
   * general [[TableLog.delete]] over all files. */
 object TableLogSql {
 
+  // '<path>' with SQL-standard quote escaping: '' inside the literal is
+  // a single quote (a path like /data/o''brien is legal), unescaped by
+  // [[unq]] after capture
+  private val P = """'((?:[^']|'')+)'"""
   private val DeleteRe =
-    """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
+    s"""(?is)\\s*GRAFT\\s+DELETE\\s+FROM\\s+$P\\s+WHERE\\s+(.+?)\\s*;?\\s*""".r
   private val RestoreRe =
-    """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
+    s"""(?is)\\s*GRAFT\\s+RESTORE\\s+$P\\s+TO\\s+VERSION\\s+(\\d+)\\s*;?\\s*""".r
   private val VacuumRe =
-    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+MILLISECONDS)?\s*;?\s*""".r
+    s"""(?is)\\s*GRAFT\\s+VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+MILLISECONDS)?\\s*;?\\s*""".r
+
+  private def unq(path: String): String = path.replace("''", "'")
 
   /** Default vacuum grace for the SQL face when RETAIN is omitted:
     * 7 days, the conservative industry default for lake vacuums —
@@ -57,10 +63,11 @@ object TableLogSql {
   /** The graft statement, if `sqlText` is one (None falls through to
     * the delegate parser). */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case DeleteRe(dir, predicate) => Some(GraftDeleteCommand(dir, predicate))
-    case RestoreRe(dir, v) => Some(GraftRestoreCommand(dir, v.toLong))
+    case DeleteRe(dir, predicate) =>
+      Some(GraftDeleteCommand(unq(dir), predicate))
+    case RestoreRe(dir, v) => Some(GraftRestoreCommand(unq(dir), v.toLong))
     case VacuumRe(dir, retain) =>
-      Some(GraftVacuumCommand(dir,
+      Some(GraftVacuumCommand(unq(dir),
         Option(retain).map(_.toLong).getOrElse(DefaultSqlVacuumGraceMs)))
     case _ => None
   }

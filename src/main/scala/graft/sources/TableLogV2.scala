@@ -73,6 +73,8 @@ import graft.functions.{ManifestFileIndex, TableLog}
   *    metadata, so `AppendData` resolves against it); overwrite is
   *    rejected by the engine (no `SupportsTruncate` — a versioned log
   *    is rolled back with restore, never clobbered).
+  *    `option("mergeSchema", "true")` maps add-only drift to an evolve
+  *    exactly as the v1 surfaces do (both write faces honor it).
   *  - '''streaming write''' (`df.writeStream.format("tablelogv2")`):
   *    exactly-once per checkpoint — the writer identity comes from the
   *    `checkpointLocation` option via
@@ -171,7 +173,7 @@ private[sources] final class TableLogV2Table(dir: String,
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new TableLogV2BatchWrite(dir, info.schema())
+          new TableLogV2BatchWrite(dir, info.schema(), info.options())
         override def toStreaming: StreamingWrite =
           new TableLogV2StreamingWrite(dir, info.schema(), info.options())
       }
@@ -326,11 +328,23 @@ private[sources] object TableLogV2Writes {
     (f, new SerializableConfiguration(job.getConfiguration))
   }
 
+  /** `mergeSchema = true` on either v2 write surface, the v1 sink's
+    * option honored here too ([[graft.functions.TableLog.alignMerging]]
+    * documents the contract: ADD-ONLY drift evolves the table, a
+    * missing column or a type change stays a loud error). */
+  def mergeSchemaOpt(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("mergeSchema")).exists(_.trim.toBoolean)
+
   /** Land this epoch's staged files as ONE committed append (or fence a
-    * replayed epoch), then sweep the epoch's staging dir. */
+    * replayed epoch), then sweep the epoch's staging dir. With
+    * `mergeSchema`, add-only drift against the recorded schema first
+    * commits the [[graft.functions.TableLog.evolve]] and the append then
+    * DECLARES the merged schema — the staged files keep the batch's own
+    * column order, which parquet's by-name resolution serves under the
+    * merged schema exactly as the v1 sink's re-selected batches are. */
   def commitEpoch(spark: SparkSession, dir: String,
       messages: Array[WriterCommitMessage], schema: StructType,
-      runKey: String, batchId: Long): Unit = {
+      runKey: String, batchId: Long, mergeSchema: Boolean): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val files = messages.iterator.collect {
       case TableLogV2CommitMessage(Some(p)) => new Path(p)
@@ -338,9 +352,13 @@ private[sources] object TableLogV2Writes {
     val fsOpt = files.headOption.map(_.getFileSystem(conf))
     val statuses = fsOpt.fold(Vector.empty[FileStatus])(fs =>
       files.map(fs.getFileStatus))
+    val declared =
+      if (mergeSchema)
+        TableLog.mergeRecordedSchema(spark, dir, schema).getOrElse(schema)
+      else schema
     // empty epochs still commit (entries = none): the ledger entry is
     // what fences the engine's replay of this epoch after a crash
-    TableLog.commitStagedFiles(spark, dir, statuses, schema, runKey, batchId)
+    TableLog.commitStagedFiles(spark, dir, statuses, declared, runKey, batchId)
     for (fs <- fsOpt; f <- files) // committed files were renamed away;
       fs.delete(f.getParent, true) // this sweeps the epoch's staging dir
   }
@@ -417,7 +435,8 @@ private[sources] final class TableLogV2DataWriter(
   * save's semantics (fresh writer identity per call, no replay ledger
   * to honor). */
 private[sources] final class TableLogV2BatchWrite(dir: String,
-    schema: StructType) extends BatchWrite {
+    schema: StructType, options: CaseInsensitiveStringMap)
+    extends BatchWrite {
 
   private val spark = SparkSession.active
   private val stagingRoot = s"${dir.stripSuffix("/")}" +
@@ -431,7 +450,8 @@ private[sources] final class TableLogV2BatchWrite(dir: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     TableLogV2Writes.commitEpoch(spark, dir, messages, schema,
-      runKey = s"batchwrite-${java.util.UUID.randomUUID()}", batchId = 0L)
+      runKey = s"batchwrite-${java.util.UUID.randomUUID()}", batchId = 0L,
+      mergeSchema = TableLogV2Writes.mergeSchemaOpt(options))
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     TableLogV2Writes.abortEpoch(spark, messages)
@@ -476,7 +496,7 @@ private[sources] final class TableLogV2StreamingWrite(dir: String,
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     TableLogV2Writes.commitEpoch(spark, dir, messages, schema, runKey,
-      epochId)
+      epochId, mergeSchema = TableLogV2Writes.mergeSchemaOpt(options))
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =

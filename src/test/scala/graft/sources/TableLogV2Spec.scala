@@ -98,4 +98,90 @@ class TableLogV2Spec extends SparkSuite {
       new java.io.File(dir, "a9-orphan.parquet").toPath)
     assert(v2(dir).count() == 200L, "an unreferenced file leaked in")
   }
+
+  test("v2 mergeSchema batch write: add-only drift evolves, exactly the v1 save's contract") {
+    val dir = freshTable()
+    batch(0).write.format("tablelogv2").mode("append").save(dir)
+    // an added column evolves and commits; pre-evolution rows are null
+    batch(1).withColumn("extra", lit(7)).write.format("tablelogv2")
+      .option("mergeSchema", "true").mode("append").save(dir)
+    val df = TableLog.read(spark, dir)
+    assert(df.schema.fieldNames.toSeq == Seq("ts", "v", "extra"))
+    assert(df.count() == 200L)
+    assert(df.filter($"extra".isNull).count() == 100L)
+    assert(df.filter($"extra" === 7).count() == 100L)
+    // the v2 face too: the files landed in batch order, served by name
+    assert(v2(dir).filter($"extra" === 7).count() == 100L)
+    // a column-ORDER-only difference aligns without committing an evolve
+    val vBefore = TableLog.latest(spark, dir).get.version
+    batch(2).withColumn("extra", lit(8)).select($"extra", $"v", $"ts")
+      .write.format("tablelogv2").option("mergeSchema", "true")
+      .mode("append").save(dir)
+    assert(TableLog.read(spark, dir).count() == 300L)
+    assert(TableLog.latest(spark, dir).get.version == vBefore + 1,
+      "an order-only merge must not commit an evolve")
+    assert(TableLog.read(spark, dir).filter($"extra" === 8).count() == 100L,
+      "order-permuted columns must land under their own names")
+    // a batch MISSING a table column is a drop — loud even with the option
+    val d = intercept[Exception] {
+      batch(3).write.format("tablelogv2").option("mergeSchema", "true")
+        .mode("append").save(dir)
+    }
+    assert(d.getMessage.contains("missing column"), d.getMessage)
+    // a type change is a rewrite — loud even with the option
+    val t = intercept[Exception] {
+      batch(3).withColumn("extra", lit("not-an-int")).write
+        .format("tablelogv2").option("mergeSchema", "true")
+        .mode("append").save(dir)
+    }
+    assert(t.getMessage.contains("changes type"), t.getMessage)
+    // without the option, add-only drift stays the loud default
+    val s = intercept[Exception] {
+      batch(3).withColumn("extra", lit(7)).withColumn("more", lit(1L))
+        .write.format("tablelogv2").mode("append").save(dir)
+    }
+    assert(s.getMessage.contains("schema drift"), s.getMessage)
+    assert(TableLog.read(spark, dir).count() == 300L,
+      "a rejected merge must commit nothing")
+  }
+
+  test("v2 mergeSchema streaming sink: a restarted writer with an added column evolves instead of wedging") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = freshTable()
+    val ck1 = java.nio.file.Files.createTempDirectory("graft_v2ms_ck1").toString
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = in1.toDF().toDF("ts", "v")
+      .writeStream.format("tablelogv2").option("path", dir)
+      .option("checkpointLocation", ck1).outputMode("append").start()
+    try {
+      in1.addData((0L, "a")); q1.processAllAvailable()
+    } finally q1.stop()
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_v2ms_ck2").toString
+    val in2 = MemoryStream[(Long, String, Long)]
+    val q2 = in2.toDF().toDF("ts", "v", "n")
+      .writeStream.format("tablelogv2").option("path", dir)
+      .option("checkpointLocation", ck2).option("mergeSchema", "true")
+      .outputMode("append").start()
+    try {
+      in2.addData((1L, "b", 10L)); q2.processAllAvailable()
+      in2.addData((2L, "c", 20L)); q2.processAllAvailable()
+    } finally q2.stop()
+    val got = TableLog.read(spark, dir)
+    assert(got.schema.fieldNames.toSeq == Seq("ts", "v", "n"))
+    assert(got.orderBy($"ts").select($"n").as[Option[Long]]
+      .collect().toSeq == Seq(None, Some(10L), Some(20L)))
+    // and WITHOUT the option the drifted stream fails loudly, nothing lands
+    val ck3 = java.nio.file.Files.createTempDirectory("graft_v2ms_ck3").toString
+    val in3 = MemoryStream[(Long, String, Long, Long)]
+    val q3 = in3.toDF().toDF("ts", "v", "n", "m")
+      .writeStream.format("tablelogv2").option("path", dir)
+      .option("checkpointLocation", ck3).outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      in3.addData((3L, "d", 30L, 1L)); q3.processAllAvailable()
+    }
+    assert(e.getMessage.contains("schema drift"), e.getMessage)
+    q3.stop()
+    assert(TableLog.read(spark, dir).count() == 3L)
+  }
 }
