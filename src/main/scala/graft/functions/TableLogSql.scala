@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StructType}
 
 /** SQL faces for the TableLog MAINTENANCE operators — the last surface
   * that was Scala-API-only. Reads, appends, tailing, the change feed
@@ -20,10 +20,15 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
   * a pure-SQL session can run:
   *
   * {{{
-  *   GRAFT DELETE FROM '<dir>' WHERE <predicate>       -- returns deleted_rows
-  *   GRAFT RESTORE '<dir>' TO VERSION <n>              -- returns version, rows
-  *   GRAFT VACUUM '<dir>' [RETAIN <ms> MILLISECONDS]   -- returns deleted_files
+  *   GRAFT DELETE FROM <target> WHERE <predicate>       -- returns deleted_rows
+  *   GRAFT RESTORE <target> TO VERSION <n>              -- returns version, rows
+  *   GRAFT VACUUM <target> [RETAIN <ms> MILLISECONDS]   -- returns deleted_files
+  *   GRAFT UPSERT INTO <target> KEY (<col>) <query>     -- returns committed, upserted_rows
   * }}}
+  *
+  * `<target>` is a quoted table directory (`'/lake/t'`) or a bare
+  * dotted table identifier (`graft.ml.docs`) resolved through a
+  * registered [[graft.sources.GraftCatalog]].
   *
   * Semantics are EXACTLY the Scala calls' — the commands are thin
   * driver-side wrappers over [[TableLog.delete]]/[[TableLog.restore]]/
@@ -41,18 +46,60 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
   * general [[TableLog.delete]] over all files. */
 object TableLogSql {
 
-  // '<path>' with SQL-standard quote escaping: '' inside the literal is
-  // a single quote (a path like /data/o''brien is legal), unescaped by
-  // [[unq]] after capture
-  private val P = """'((?:[^']|'')+)'"""
-  private val DeleteRe =
-    s"""(?is)\\s*GRAFT\\s+DELETE\\s+FROM\\s+$P\\s+WHERE\\s+(.+?)\\s*;?\\s*""".r
-  private val RestoreRe =
-    s"""(?is)\\s*GRAFT\\s+RESTORE\\s+$P\\s+TO\\s+VERSION\\s+(\\d+)\\s*;?\\s*""".r
-  private val VacuumRe =
-    s"""(?is)\\s*GRAFT\\s+VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+MILLISECONDS)?\\s*;?\\s*""".r
+  /** A statement's table target: a quoted directory path, or a
+    * (possibly catalog-qualified) table identifier resolved through a
+    * [[graft.sources.GraftCatalog]] at run time. */
+  sealed trait GraftTarget
+  final case class PathTarget(dir: String) extends GraftTarget {
+    override def toString: String = s"'$dir'"
+  }
+  final case class IdentTarget(parts: Seq[String]) extends GraftTarget {
+    override def toString: String = parts.mkString(".")
+  }
 
-  private def unq(path: String): String = path.replace("''", "'")
+  // a target is '<path>' (SQL-standard '' quote escaping: a path like
+  // /data/o''brien is legal) or a dotted bare identifier
+  private val T = """('(?:[^']|'')+'|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)"""
+  private val DeleteRe =
+    s"""(?is)\\s*GRAFT\\s+DELETE\\s+FROM\\s+$T\\s+WHERE\\s+(.+?)\\s*;?\\s*""".r
+  private val RestoreRe =
+    s"""(?is)\\s*GRAFT\\s+RESTORE\\s+$T\\s+TO\\s+VERSION\\s+(\\d+)\\s*;?\\s*""".r
+  private val VacuumRe =
+    s"""(?is)\\s*GRAFT\\s+VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+MILLISECONDS)?\\s*;?\\s*""".r
+  private val UpsertRe =
+    s"""(?is)\\s*GRAFT\\s+UPSERT\\s+INTO\\s+$T\\s+KEY\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)\\s+(.+?)\\s*;?\\s*""".r
+
+  private def target(raw: String): GraftTarget =
+    if (raw.startsWith("'"))
+      PathTarget(raw.stripPrefix("'").stripSuffix("'").replace("''", "'"))
+    else IdentTarget(raw.split('.').toSeq)
+
+  /** The table directory a target names. Paths pass through;
+    * identifiers resolve through the session's catalogs — the leading
+    * part when it names a registered catalog, the current catalog
+    * otherwise — and must land on a [[graft.sources.GraftCatalog]]
+    * (only it can answer "which directory"), loudly otherwise. */
+  private[graft] def resolveDir(spark: SparkSession,
+      target: GraftTarget): String = target match {
+    case PathTarget(dir) => dir
+    case IdentTarget(parts) =>
+      val cm = spark.sessionState.catalogManager
+      val (cat, rest) =
+        if (parts.length > 1 && cm.isCatalogRegistered(parts.head))
+          (cm.catalog(parts.head), parts.tail)
+        else (cm.currentCatalog, parts)
+      cat match {
+        case g: graft.sources.GraftCatalog =>
+          g.tableDir(org.apache.spark.sql.connector.catalog.Identifier.of(
+            rest.init.toArray, rest.last))
+        case other => throw new IllegalArgumentException(
+          s"GRAFT statements address tables by path or through a graft " +
+            s"catalog; '${parts.mkString(".")}' resolves to catalog " +
+            s"'${other.name}' (${other.getClass.getName}) — register one " +
+            "with spark.sql.catalog.<name>=graft.sources.GraftCatalog " +
+            "or pass the table directory as '<path>'")
+      }
+  }
 
   /** Default vacuum grace for the SQL face when RETAIN is omitted:
     * 7 days, the conservative industry default for lake vacuums —
@@ -63,12 +110,14 @@ object TableLogSql {
   /** The graft statement, if `sqlText` is one (None falls through to
     * the delegate parser). */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case DeleteRe(dir, predicate) =>
-      Some(GraftDeleteCommand(unq(dir), predicate))
-    case RestoreRe(dir, v) => Some(GraftRestoreCommand(unq(dir), v.toLong))
-    case VacuumRe(dir, retain) =>
-      Some(GraftVacuumCommand(unq(dir),
+    case DeleteRe(t, predicate) =>
+      Some(GraftDeleteCommand(target(t), predicate))
+    case RestoreRe(t, v) => Some(GraftRestoreCommand(target(t), v.toLong))
+    case VacuumRe(t, retain) =>
+      Some(GraftVacuumCommand(target(t),
         Option(retain).map(_.toLong).getOrElse(DefaultSqlVacuumGraceMs)))
+    case UpsertRe(t, keyColumn, query) =>
+      Some(GraftUpsertCommand(target(t), keyColumn, query))
     case _ => None
   }
 
@@ -98,9 +147,9 @@ object TableLogSql {
     }
 }
 
-/** `GRAFT DELETE FROM '<dir>' WHERE <predicate>` — see [[TableLogSql]]. */
-final case class GraftDeleteCommand(dir: String, predicateSql: String)
-    extends LeafRunnableCommand {
+/** `GRAFT DELETE FROM <target> WHERE <predicate>` — see [[TableLogSql]]. */
+final case class GraftDeleteCommand(target: TableLogSql.GraftTarget,
+    predicateSql: String) extends LeafRunnableCommand {
 
   override val output: Seq[AttributeReference] =
     Seq(AttributeReference("deleted_rows", LongType, nullable = false)())
@@ -109,6 +158,7 @@ final case class GraftDeleteCommand(dir: String, predicateSql: String)
     CatalystTypeConverters.convertToScala(l.value, l.dataType)
 
   override def run(spark: SparkSession): Seq[Row] = {
+    val dir = TableLogSql.resolveDir(spark, target)
     val parsed =
       try spark.sessionState.sqlParser.parseExpression(predicateSql)
       catch {
@@ -140,9 +190,9 @@ final case class GraftDeleteCommand(dir: String, predicateSql: String)
   }
 }
 
-/** `GRAFT RESTORE '<dir>' TO VERSION <n>` — see [[TableLogSql]]. */
-final case class GraftRestoreCommand(dir: String, version: Long)
-    extends LeafRunnableCommand {
+/** `GRAFT RESTORE <target> TO VERSION <n>` — see [[TableLogSql]]. */
+final case class GraftRestoreCommand(target: TableLogSql.GraftTarget,
+    version: Long) extends LeafRunnableCommand {
 
   override val output: Seq[AttributeReference] = Seq(
     AttributeReference("restored_to_version", LongType, nullable = false)(),
@@ -150,19 +200,61 @@ final case class GraftRestoreCommand(dir: String, version: Long)
     AttributeReference("rows", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val m = TableLog.restore(spark, dir, version)
+    val m = TableLog.restore(spark, TableLogSql.resolveDir(spark, target),
+      version)
     Seq(Row(version, m.version, m.rows))
   }
 }
 
-/** `GRAFT VACUUM '<dir>' [RETAIN <ms> MILLISECONDS]` — see
+/** `GRAFT UPSERT INTO '<dir>' KEY (<col>) <query>` — the SQL face of
+  * [[TableLog.upsertByKey]], the CDC-apply/merge primitive that was the
+  * last writer-side surface needing a Scala operator. The query (any
+  * SELECT the session parses) is the upsert batch: every key it carries
+  * holds exactly the batch's rows afterwards, absent keys are plain
+  * inserts. Semantics are EXACTLY the Scala call's — update-image CDC
+  * tagging ([[TableLog.readChangesWithUpdates]] pairs the replaced
+  * keys), the write-skew re-plan under racing appends, and the
+  * bounded-key-list contract all come from the shared
+  * [[TableLog.applyDelta]] path, not a reimplementation. Each statement
+  * is one one-shot commit (a fresh writer identity, the batch-save
+  * posture); replay-fenced streaming upserts stay [[TableLog.mirror]] /
+  * Scala territory, where a checkpoint can carry the identity.
+  * Returns `(committed, upserted_rows)`. */
+final case class GraftUpsertCommand(target: TableLogSql.GraftTarget,
+    keyColumn: String, querySql: String) extends LeafRunnableCommand {
+
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("committed", BooleanType, nullable = false)(),
+    AttributeReference("upserted_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = TableLogSql.resolveDir(spark, target)
+    val batch =
+      try spark.sql(querySql)
+      catch {
+        case e: ParseException => throw new IllegalArgumentException(
+          s"GRAFT UPSERT: cannot parse query '$querySql': " + e.getMessage, e)
+      }
+    require(batch.schema.fieldNames.exists(
+        spark.sessionState.analyzer.resolver(_, keyColumn)),
+      s"GRAFT UPSERT: key column '$keyColumn' is not in the query's " +
+        s"columns ${batch.schema.fieldNames.mkString("(", ", ", ")")}")
+    val n = batch.count()
+    val landed = TableLog.upsertByKey(spark, dir, batch, keyColumn,
+      runKey = s"sql-upsert-${java.util.UUID.randomUUID()}", batchId = 0L)
+    Seq(Row(landed, n))
+  }
+}
+
+/** `GRAFT VACUUM <target> [RETAIN <ms> MILLISECONDS]` — see
   * [[TableLogSql]]. */
-final case class GraftVacuumCommand(dir: String, graceMs: Long)
-    extends LeafRunnableCommand {
+final case class GraftVacuumCommand(target: TableLogSql.GraftTarget,
+    graceMs: Long) extends LeafRunnableCommand {
 
   override val output: Seq[AttributeReference] =
     Seq(AttributeReference("deleted_files", IntegerType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(TableLog.vacuum(spark, dir, graceMs)))
+    Seq(Row(TableLog.vacuum(spark,
+      TableLogSql.resolveDir(spark, target), graceMs)))
 }

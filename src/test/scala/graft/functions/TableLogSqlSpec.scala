@@ -94,6 +94,88 @@ class TableLogSqlSpec extends SparkSuite {
     }
   }
 
+  test("GRAFT UPSERT == Scala upsertByKey: rows, CDC update images and ledger shape identical") {
+    val sqlDir = fresh()
+    val scalaDir = fresh()
+    // identical starting tables
+    Seq(sqlDir, scalaDir).foreach { d =>
+      TableLog.appendBatch(rows(0 until 100, "b0"), d, "r", 0L)
+    }
+    withSqlSession { s =>
+      // replace keys 5..9 and insert 100..104, via a VALUES-shaped query
+      val tuples = ((5 until 10) ++ (100 until 105))
+        .map(i => s"($i, 'up')").mkString(", ")
+      val res = s.sql(s"GRAFT UPSERT INTO '$sqlDir' KEY (id) " +
+        s"SELECT CAST(id AS BIGINT) AS id, v FROM (VALUES $tuples) AS t(id, v)")
+      assert(res.schema.fieldNames.toSeq == Seq("committed", "upserted_rows"))
+      val r = res.head()
+      assert(r.getBoolean(0) && r.getLong(1) == 10L)
+      // the Scala face on the twin table
+      val batch = ((5 until 10) ++ (100 until 105))
+        .map(i => (i.toLong, "up")).toDF("id", "v")
+      assert(TableLog.upsertByKey(s, scalaDir, batch, "id", "w", 0L))
+      // rows identical
+      def canon(d: String): Set[Seq[Any]] =
+        TableLog.read(s, d).collect().map(_.toSeq.toVector.toSeq).toSet
+      assert(canon(sqlDir) == canon(scalaDir))
+      assert(TableLog.rows(s, sqlDir) == 105L)
+      // ledger shape: the SQL face commits an upsert op like the Scala one
+      assert(TableLog.latest(s, sqlDir).get.op ==
+        TableLog.latest(s, scalaDir).get.op)
+      // CDC with update images: both faces pair the 5 replaced keys and
+      // tag the 5 fresh keys as plain appends
+      def images(d: String): Map[String, Long] =
+        TableLog.readChangesWithUpdates(s, d, 0L, keyColumn = "id")._1.get
+          .groupBy(col("_change_type")).count()
+          .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      val (si, oi) = (images(sqlDir), images(scalaDir))
+      assert(si == oi, s"SQL face CDC $si != Scala face CDC $oi")
+      assert(si == Map("update_preimage" -> 5L, "update_postimage" -> 5L,
+        "append" -> 5L), s"got $si")
+      // a missing key column is loud, and commits nothing
+      val e = intercept[IllegalArgumentException] {
+        s.sql(s"GRAFT UPSERT INTO '$sqlDir' KEY (nope) SELECT 1 AS id")
+          .collect()
+      }
+      assert(e.getMessage.contains("nope"), e.getMessage)
+      assert(TableLog.rows(s, sqlDir) == 105L)
+    }
+  }
+
+  test("GRAFT statements accept catalog identifiers: delete, upsert, restore, vacuum by name") {
+    withSqlSession { s =>
+      val warehouse = java.nio.file.Files.createTempDirectory("graft_sqlcat")
+      s.conf.set("spark.sql.catalog.sqlcat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.sqlcat.warehouse", warehouse.toString)
+      s.sql("CREATE TABLE sqlcat.ops.t (id BIGINT, v STRING) USING tablelogv2")
+      s.sql("INSERT INTO sqlcat.ops.t SELECT id, CONCAT('r', id) FROM RANGE(100)")
+      // maintenance by NAME — same commands, identifier target
+      assert(s.sql("GRAFT DELETE FROM sqlcat.ops.t WHERE id IN (3, 4)")
+        .head().getLong(0) == 2L)
+      assert(s.sql("SELECT count(*) FROM sqlcat.ops.t").head().getLong(0) == 98L)
+      val up = s.sql("GRAFT UPSERT INTO sqlcat.ops.t KEY (id) " +
+        "SELECT id, 'up' AS v FROM RANGE(5)").head()
+      assert(up.getBoolean(0) && up.getLong(1) == 5L)
+      assert(s.sql("SELECT count(*) FROM sqlcat.ops.t WHERE v = 'up'")
+        .head().getLong(0) == 5L)
+      // restore to the post-insert version (CREATE = v0, INSERT = v1)
+      s.sql("GRAFT RESTORE sqlcat.ops.t TO VERSION 1")
+      assert(s.sql("SELECT count(*) FROM sqlcat.ops.t").head().getLong(0) == 100L)
+      assert(s.sql("GRAFT VACUUM sqlcat.ops.t RETAIN 0 MILLISECONDS")
+        .head().getInt(0) >= 0)
+      assert(s.sql("SELECT count(*) FROM sqlcat.ops.t").head().getLong(0) == 100L)
+      // an identifier that resolves to a non-graft catalog is loud
+      val e = intercept[IllegalArgumentException] {
+        s.sql("GRAFT VACUUM spark_catalog.default.nope").collect()
+      }
+      assert(e.getMessage.contains("graft catalog"), e.getMessage)
+      // an unknown table under the graft catalog is loud too
+      intercept[Exception] { s.sql("GRAFT VACUUM sqlcat.ops.ghost").collect() }
+      s.sql("DROP TABLE sqlcat.ops.t")
+    }
+  }
+
   test("errors are loud: bad predicate, unknown version, malformed statement") {
     withSqlSession { s =>
       val dir = fresh()

@@ -1,0 +1,154 @@
+package graft.sources
+
+import graft.SparkSuite
+import graft.functions.TableLog
+import org.apache.spark.sql.functions._
+
+/** The named-table face ([[GraftCatalog]]): create, append, read, time
+  * travel, alter and drop through a catalog identifier must be the SAME
+  * table the path faces see — the catalog is a pointer layer over the
+  * TableLog manifest, never a second source of truth. */
+class GraftCatalogSpec extends SparkSuite {
+  import spark.implicits._
+
+  // one catalog per suite run, registered at runtime (catalog plugins
+  // are instantiated lazily on first reference, so runtime conf works)
+  private lazy val cat: String = {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft_cat")
+    spark.conf.set("spark.sql.catalog.gcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", warehouse.toString)
+    "gcat"
+  }
+
+  test("create, insert, read, saveAsTable, time travel, alter, drop — all by name") {
+    spark.sql(s"CREATE TABLE $cat.ml.docs (id BIGINT, v STRING) USING tablelogv2")
+    // the name is listed and described
+    assert(spark.sql(s"SHOW TABLES IN $cat.ml").collect()
+      .map(_.getString(1)).toSeq == Seq("docs"))
+    // insert + select by name
+    spark.sql(s"INSERT INTO $cat.ml.docs VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ml.docs").head().getLong(0) == 2L)
+    // DataFrame faces
+    Seq((3L, "c")).toDF("id", "v").write.mode("append")
+      .saveAsTable(s"$cat.ml.docs")
+    assert(spark.read.table(s"$cat.ml.docs").count() == 3L)
+    // it IS a TableLog table: the path face reads the same rows
+    val cata = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    val dir = cata.tableDir(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ml"), "docs"))
+    assert(TableLog.read(spark, dir).count() == 3L)
+    assert(spark.read.format("tablelogv2").load(dir).count() == 3L)
+    // time travel by name: version 0 is the empty CREATE commit
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ml.docs VERSION AS OF 0")
+      .head().getLong(0) == 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ml.docs VERSION AS OF 1")
+      .head().getLong(0) == 2L)
+    // ALTER TABLE ADD COLUMN -> an evolve commit; old rows read null
+    spark.sql(s"ALTER TABLE $cat.ml.docs ADD COLUMN lang STRING")
+    spark.sql(s"INSERT INTO $cat.ml.docs VALUES (4, 'd', 'en')")
+    val byLang = spark.read.table(s"$cat.ml.docs")
+      .groupBy($"lang").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byLang == Map(None -> 3L, Some("en") -> 1L))
+    // DROP COLUMN -> dropColumn commit
+    spark.sql(s"ALTER TABLE $cat.ml.docs DROP COLUMN v")
+    assert(spark.read.table(s"$cat.ml.docs").schema.fieldNames.toSeq ==
+      Seq("id", "lang"))
+    // unsupported alters are loud
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ml.docs RENAME COLUMN lang TO l")
+    }
+    assert(e.getMessage.contains("not") && e.getMessage.contains("supported"),
+      e.getMessage)
+    // DROP TABLE: managed — the name AND the data go
+    spark.sql(s"DROP TABLE $cat.ml.docs")
+    assert(!new java.io.File(dir).exists(), "managed data must die with the name")
+    intercept[Exception] { spark.read.table(s"$cat.ml.docs").count() }
+  }
+
+  test("CTAS by name; second CREATE of the same name is loud") {
+    spark.sql(s"CREATE TABLE $cat.ctas USING tablelogv2 AS " +
+      "SELECT CAST(id AS BIGINT) AS id, CONCAT('r', id) AS v FROM RANGE(10)")
+    assert(spark.read.table(s"$cat.ctas").count() == 10L)
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.ctas (id BIGINT) USING tablelogv2")
+    }
+    assert(e.getMessage.toLowerCase.contains("already exists"), e.getMessage)
+    spark.sql(s"DROP TABLE $cat.ctas")
+  }
+
+  test("external LOCATION adopts an existing TableLog dir; DROP forgets the name, keeps the data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat_ext")
+      .toString + "/t"
+    TableLog.appendBatch(
+      Seq.tabulate(50)(i => (i.toLong, s"x$i")).toDF("id", "v").coalesce(1),
+      dir, "w", 0L)
+    // adopt with no declared columns: the recorded schema is the truth
+    spark.sql(s"CREATE TABLE $cat.ext USING tablelogv2 LOCATION '$dir'")
+    assert(spark.read.table(s"$cat.ext").count() == 50L)
+    assert(spark.read.table(s"$cat.ext").schema.fieldNames.toSeq ==
+      Seq("id", "v"))
+    // writes by name land in the adopted dir through the ledger
+    spark.sql(s"INSERT INTO $cat.ext VALUES (100, 'y')")
+    assert(TableLog.rows(spark, dir) == 51L)
+    // a conflicting declared schema is loud
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.ext2 (id BIGINT, wrong DOUBLE) " +
+        s"USING tablelogv2 LOCATION '$dir'")
+    }
+    assert(e.getMessage.contains("already holds"), e.getMessage)
+    // DROP external: name forgotten, data intact
+    spark.sql(s"DROP TABLE $cat.ext")
+    assert(TableLog.rows(spark, dir) == 51L,
+      "dropping an external table must not delete its data")
+    intercept[Exception] { spark.read.table(s"$cat.ext").count() }
+  }
+
+  test("streaming by name: readStream.table tails the version log") {
+    spark.sql(s"CREATE TABLE $cat.stream_src (id BIGINT, v STRING) USING tablelogv2")
+    val cata = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    val dir = cata.tableDir(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, "stream_src"))
+    TableLog.appendBatch(Seq((1L, "a")).toDF("id", "v").coalesce(1),
+      dir, "w", 0L)
+    val out = java.nio.file.Files.createTempDirectory("graft_cat_out")
+    // reader options flow through the named face exactly as on the
+    // path face: since = -1 tails from the beginning of history
+    val q = spark.readStream.option("since", "-1").table(s"$cat.stream_src")
+      .writeStream.format("parquet").option("path", out.toString + "/p")
+      .option("checkpointLocation", out.toString + "/ck")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      TableLog.appendBatch(Seq((2L, "b")).toDF("id", "v").coalesce(1),
+        dir, "w", 1L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(out.toString + "/p")
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    spark.sql(s"DROP TABLE $cat.stream_src")
+  }
+
+  test("racing CREATEs of one name resolve to exactly one winner") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    cat // force registration before the race
+    val attempts = Future.traverse((0 until 4).toList) { i =>
+      Future {
+        try {
+          spark.sql(s"CREATE TABLE $cat.raced (id BIGINT) USING tablelogv2")
+          true
+        } catch { case _: Exception => false }
+      }
+    }
+    val wins = Await.result(attempts, 2.minutes).count(identity)
+    assert(wins == 1, s"$wins CREATEs won the race for one name")
+    assert(spark.read.table(s"$cat.raced").schema.fieldNames.toSeq == Seq("id"))
+    spark.sql(s"DROP TABLE $cat.raced")
+  }
+}
