@@ -70,6 +70,61 @@ class CrossProcessSpec extends SparkSuite {
       TableLog.readAt(spark, dir, v))
   }
 
+  test("appenders racing a maintenance process: compact/delete/vacuum rebase, no batch is lost") {
+    val root = fresh("graft_xpm")
+    val dir = root.toString + "/t"
+    val batches = 6
+    val rows = 200
+    val rounds = 5
+    // warm rows carry the schema AND the maintenance child's delete
+    // victims (ids 900000000+i — disjoint from the appenders' pid-based
+    // id space, which starts at pid * 10^9)
+    val warmRows = 100
+    TableLog.appendBatch(
+      Seq.tabulate(warmRows)(i => (900000000L + i, "warm")).toDF("id", "v")
+        .coalesce(1), dir, "warm", 0L)
+    val appenders = (0 until 2).map { w =>
+      val results = root.resolve(s"results-$w")
+      (w, results, ForkedJvm.spawn("graft.tools.MwChild",
+        Seq(dir, s"w$w", "0", batches.toString, rows.toString,
+          results.toString)))
+    }
+    val maintResults = root.resolve("results-maint")
+    val maint = ForkedJvm.spawn("graft.tools.MaintChild",
+      Seq(dir, rounds.toString, "900000000", maintResults.toString))
+    (appenders.map(_._3) :+ maint).zipWithIndex.foreach { case (p, i) =>
+      assert(p.waitFor(5, java.util.concurrent.TimeUnit.MINUTES),
+        s"process $i did not finish")
+      assert(p.exitValue() == 0, s"process $i failed")
+    }
+    // every appended batch landed exactly once despite racing rewrites
+    appenders.foreach { case (w, results, _) =>
+      val got = readResults(results)
+      assert(got == (0L until batches).map(_ -> true).toMap,
+        s"writer $w's outcomes under maintenance contention: $got")
+    }
+    // every maintenance round completed (deleteIn found exactly its 10
+    // planted victims each round — a lost row would have failed there)
+    import scala.jdk.CollectionConverters._
+    val maintLines = java.nio.file.Files.readAllLines(maintResults)
+      .asScala.filter(_.startsWith("round:"))
+    assert(maintLines.size == rounds, s"maintenance rounds: $maintLines")
+    val m = TableLog.latest(spark, dir).get
+    val expect = (warmRows - rounds * 10) + 2 * batches * rows
+    assert(m.rows == expect.toLong, s"rows ${m.rows} != $expect")
+    assert(TableLog.read(spark, dir).count() == m.rows)
+    assert(TableLog.read(spark, dir).select($"id").distinct().count() == m.rows,
+      "a batch doubled across the compact rebase")
+    (0 until 2).foreach(w => assert(m.commits(s"w$w") == (batches - 1).toLong,
+      s"w$w's ledger entry lost to a maintenance rewrite"))
+    assert(TableLog.read(spark, dir)
+      .filter($"id" >= 900000000L && $"id" < 900000000L + rounds * 10)
+      .count() == 0L, "a compact rebase resurrected deleted rows")
+    // no torn manifest at any retained version
+    TableLog.retainedVersions(spark, dir).foreach(v =>
+      TableLog.readAt(spark, dir, v))
+  }
+
   test("replica JVMs sharing one runKey: zombie fencing holds across processes") {
     val root = fresh("graft_xpz")
     val dir = root.toString + "/t"
