@@ -1,0 +1,152 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.{Bench, Sessions}
+import graft.functions.{native, AnnIndex, Bucketing}
+
+/** The ANN GEOMETRY DIAL, measured — the claim this bench turns into a
+  * number: when the corpus grows 20×, the way to keep streaming ANN
+  * queries/s is NOT to scan 20×-fatter buckets but to RE-SCALE THE
+  * GEOMETRY — more hyperplanes (so candidates per probed bucket stay
+  * ~constant) with multi-probe buying the recall back. q/s without
+  * recall is meaningless (a geometry that probes nothing would "win"),
+  * so every leg reports BOTH, through the REAL persisted-index
+  * streaming path ([[graft.streaming.Similarity.streamKnn]], float and
+  * int8 variants).
+  *
+  * Recall method — PLANTED NEIGHBORS, the SimilarityRecallSpec
+  * discipline at bench scale: the testdata embeddings are near-uniform
+  * on the sphere (measured top-1 cosine ≈ 0.41 ≈ the θ where sign-LSH
+  * collision is near-chance), so recall against their brute-force
+  * top-10 is noise at every geometry — it cannot rank geometries. A
+  * real embedding corpus has near-duplicates and semantic clusters;
+  * those are modeled by planting, for each query, one neighbor at
+  * controlled cosine 0.9 into the corpus BEFORE the index is built.
+  * recall@k = fraction of queries whose planted true NN (0.9 ≫ the
+  * ~0.45 background max, so it IS the NN) appears in the emitted
+  * top-k. Candidate cost and q/s are still driven by the full real
+  * corpus; the 500 planted rows are ≤1% of even the sf0.1 leg.
+  *
+  * `runMain graft.tools.AnnGeometryBench [legs]` over
+  * `SPARK_GRAFT_SF_DIR`'s embeddings; legs default to
+  * `8:1,12:1,12:2,12:4,12:8` (planes:nprobe). The judged comparison is
+  * sf0.1 `8:1` (the r15 baseline geometry) vs 20× `8:1` (the measured
+  * collapse: same 256 logical buckets, 20× candidates each) vs 20×
+  * `12:N` (4096 buckets; N chosen where measured recall meets or beats
+  * the sf0.1 leg's). One JSON line per leg. */
+object AnnGeometryBench {
+
+  def main(args: Array[String]): Unit = {
+    val env = Bench.contentionEnv()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val legs = args.headOption.getOrElse("8:1,12:1,12:2,12:4,12:8")
+      .split(",").toSeq.map { s =>
+        val Array(p, np) = s.split(":"); (p.trim.toInt, np.trim.toInt)
+      }
+    val spark = Sessions.local(appName = "graft-anngeom")
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    val base = spark.read.parquet(sfDir + "/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val k = 10
+    val nQueries = 500
+    val warm = 100
+    val plantedCos = 0.9
+
+    // queries (fresh unit gaussians, ids outside the corpus space) and
+    // their planted neighbors at cosine plantedCos, seeded for
+    // cross-round comparability — the SimilarityRecallSpec construction
+    val r = new scala.util.Random(421)
+    val dim = base.limit(1).as[(Long, Array[Float])].head()._2.length
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def gauss(): Array[Double] = unit(Array.fill(dim)(r.nextGaussian()))
+    val queries: Array[(Long, Array[Float])] = Array.tabulate(nQueries) { i =>
+      (10000000000L + i, gauss().map(_.toFloat))
+    }
+    val planted: Seq[(Long, Array[Float])] = queries.toSeq.map { case (qid, qf) =>
+      val q = qf.map(_.toDouble)
+      val g = gauss()
+      val dot = q.zip(g).map { case (a, b) => a * b }.sum
+      val perp = unit(g.zip(q).map { case (gi, qi) => gi - dot * qi })
+      val nb = q.zip(perp).map { case (qi, pi) =>
+        plantedCos * qi + math.sqrt(1 - plantedCos * plantedCos) * pi }
+      (20000000000L + (qid - 10000000000L), nb.map(_.toFloat))
+    }
+    val plantedIds: Map[Long, Long] = queries.iterator.map(_._1)
+      .zip(planted.iterator.map(_._1)).toMap
+    val corpus = base.unionByName(
+      planted.toDF("vec_id", "embedding")).cache()
+    val n = corpus.count()
+
+    legs.foreach { case (planes, nprobe) =>
+      val idx = AnnIndex.build(corpus, s"anngeom_p$planes",
+        planes = planes, buckets = 16)
+
+      // mean candidates/query: occupancy of each query's probed buckets
+      // under the REAL kernels (the cost the geometry dial controls)
+      val occ = corpus
+        .select(native.lsh_bucket($"embedding", planes).as("b"))
+        .groupBy($"b").count().as[(Long, Long)].collect().toMap
+      val qb = queries.toSeq.toDF("query_id", "qemb")
+        .select($"query_id",
+          native.lsh_bucket($"qemb", planes).as("b"),
+          native.rp_project($"qemb", planes).as("projs"))
+        .as[(Long, Long, Array[Double])].collect()
+      val candsPerQuery = qb.iterator.map { case (_, b, projs) =>
+        val probes =
+          if (nprobe <= 1) Array(b) else AnnIndex.multiProbe(b, projs, nprobe)
+        probes.iterator.map(pb => occ.getOrElse(pb, 0L)).sum.toDouble
+      }.sum / qb.length
+
+      // one streaming run per path: q/s over the timed tail; recall =
+      // fraction of queries whose planted NN is in the emitted top-k
+      // (and at rank 1 for the stricter recall@1)
+      def run(quantized: Boolean): (Double, Double, Double) = {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val in = MemoryStream[(Long, Array[Float])]
+        val out = s"anngeom_out_${planes}_${nprobe}_$quantized"
+        val ds =
+          if (quantized)
+            graft.streaming.Similarity.streamKnnQuantized(in.toDS(), idx, k, nprobe)
+          else graft.streaming.Similarity.streamKnn(in.toDS(), idx, k, nprobe)
+        val q = ds.toDF("query_id", "vec_id", "cos")
+          .writeStream.format("memory").queryName(out)
+          .outputMode("append").start()
+        in.addData(queries.take(warm).toSeq); q.processAllAvailable()
+        val t0 = System.nanoTime()
+        queries.drop(warm).grouped(200).foreach { c =>
+          in.addData(c.toSeq); q.processAllAvailable()
+        }
+        val qps = (queries.length - warm) / ((System.nanoTime() - t0) / 1e9)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
+        val got = spark.table(out)
+          .withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+          .select($"query_id", $"vec_id", $"rk").as[(Long, Long, Int)]
+          .collect().groupBy(_._1)
+        q.stop()
+        val hitsK = queries.count { case (qid, _) =>
+          got.getOrElse(qid, Array.empty).exists(_._2 == plantedIds(qid)) }
+        val hits1 = queries.count { case (qid, _) =>
+          got.getOrElse(qid, Array.empty)
+            .exists(x => x._2 == plantedIds(qid) && x._3 == 1) }
+        (qps, hitsK.toDouble / queries.length, hits1.toDouble / queries.length)
+      }
+      val (floatQps, floatRecall, floatR1) = run(quantized = false)
+      val (int8Qps, int8Recall, _) = run(quantized = true)
+
+      println(f"""{"ann_planes":$planes,"ann_nprobe":$nprobe,"stream_knn_indexed_q_per_sec":$floatQps%.0f,"stream_knn_indexed_int8_q_per_sec":$int8Qps%.0f,"recall_at_10_float":$floatRecall%.3f,"recall_at_1_float":$floatR1%.3f,"recall_at_10_int8":$int8Recall%.3f,"candidates_per_query":$candsPerQuery%.1f,"corpus_rows":$n,"queries":${queries.length},"planted_cos":$plantedCos,"env":$env,"sf":"$sfDir"}""")
+
+      Seq(idx.probeTable, idx.vecTable, idx.probeTable + "_tombs")
+        .foreach(Bucketing.dropTableAndLocation(spark, _))
+    }
+    corpus.unpersist()
+    spark.stop()
+  }
+}
