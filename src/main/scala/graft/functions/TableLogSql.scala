@@ -229,20 +229,35 @@ final case class GraftUpsertCommand(target: TableLogSql.GraftTarget,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = TableLogSql.resolveDir(spark, target)
-    val batch =
-      try spark.sql(querySql)
+    // parseQuery, not spark.sql: the statement tail must be a QUERY —
+    // a side-effecting statement (INSERT, another GRAFT, …) pasted here
+    // would otherwise EXECUTE during parsing and only then fail
+    // validation, its side effect already committed
+    val plan =
+      try spark.sessionState.sqlParser.parseQuery(querySql)
       catch {
         case e: ParseException => throw new IllegalArgumentException(
-          s"GRAFT UPSERT: cannot parse query '$querySql': " + e.getMessage, e)
+          s"GRAFT UPSERT: the statement tail must be a query " +
+            s"(SELECT/VALUES/TABLE); cannot parse '$querySql': " +
+            e.getMessage, e)
       }
+    val batch = org.apache.spark.sql.graftbridge.streamingDataFrame(spark, plan)
     require(batch.schema.fieldNames.exists(
         spark.sessionState.analyzer.resolver(_, keyColumn)),
       s"GRAFT UPSERT: key column '$keyColumn' is not in the query's " +
         s"columns ${batch.schema.fieldNames.mkString("(", ", ", ")")}")
-    val n = batch.count()
-    val landed = TableLog.upsertByKey(spark, dir, batch, keyColumn,
-      runKey = s"sql-upsert-${java.util.UUID.randomUUID()}", batchId = 0L)
-    Seq(Row(landed, n))
+    // pin ONE evaluation: upsertByKey reads the batch twice more (the
+    // delete-key collect and the add staging), and a nondeterministic
+    // query (LIMIT without ORDER BY, rand(), a mutating source) whose
+    // evaluations diverge would break replace-by-key — a key could land
+    // in the adds without entering the delete set
+    val pinned = Materialize.cut(batch)
+    try {
+      val n = pinned.count()
+      val landed = TableLog.upsertByKey(spark, dir, pinned, keyColumn,
+        runKey = s"sql-upsert-${java.util.UUID.randomUUID()}", batchId = 0L)
+      Seq(Row(landed, n))
+    } finally Materialize.release(pinned)
   }
 }
 

@@ -121,7 +121,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val p = nsPath(namespace)
     if (!fs.exists(p)) throw new NoSuchNamespaceException(
       name() +: namespace.toSeq)
-    fs.listStatus(p).iterator.filter(_.isFile)
+    // dot-prefixed names are the CommitStore's staging siblings
+    // (.tmp-<uuid> next to a pointer mid-CAS, or leaked by a crashed
+    // CREATE) — never tables
+    fs.listStatus(p).iterator
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
       .map(s => Identifier.of(namespace, dec(s.getPath.getName))).toArray
   }
 
@@ -147,12 +151,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       new CaseInsensitiveStringMap(Map("path" -> dir).asJava))
   }
 
+  // '_'-prefixed identifier parts are reserved: the pointer tree lives
+  // at <warehouse>/_catalog, and a managed table or namespace named
+  // '_catalog' would land its DATA among the pointers — and dropping it
+  // would recursively delete every registration in the catalog
+  private def requireUnreserved(parts: Seq[String], what: String): Unit =
+    parts.find(_.startsWith("_")).foreach { p =>
+      throw new IllegalArgumentException(
+        s"$what part '$p' is reserved: names starting with '_' collide " +
+          s"with the catalog's own metadata tree under the warehouse")
+    }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty,
       "tablelogv2 tables are unpartitioned — clustering is " +
         "compact(layoutBy)/trackStats territory")
+    requireUnreserved(ident.namespace().toSeq :+ ident.name(), "table name")
     val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
     require(provider.forall(p =>
         p.equalsIgnoreCase("tablelogv2") || p.equalsIgnoreCase("tablelog")),
@@ -180,23 +196,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // an external LOCATION over an existing TableLog dir ADOPTS it (the
     // recorded schema must match the declared one, or the declaration
     // must be empty-schema CTAS-less adoption); a fresh dir gets an
-    // empty manifest carrying the schema, so loadTable always resolves
-    TableLog.latest(spark, dir) match {
-      case Some(m) =>
-        val recorded = TableLog.schemaOf(spark, dir, m)
-        require(schema.isEmpty || TableLog.sameSchema(recorded, schema),
-          s"CREATE TABLE $ident LOCATION '$dir': the directory already " +
-            s"holds a TableLog table with schema ${recorded.simpleString}, " +
-            s"not the declared ${schema.simpleString} — declare no columns " +
-            "to adopt it as-is")
-      case None =>
-        require(schema.nonEmpty,
-          s"CREATE TABLE $ident: no columns declared and $dir holds no " +
-            "committed TableLog table to adopt")
-        TableLog.commitStagedFiles(spark, dir, Vector.empty, schema,
-          runKey = s"create-${java.util.UUID.randomUUID()}", batchId = 0L)
+    // empty manifest carrying the schema, so loadTable always resolves.
+    // A failure past the CAS un-claims the name: a "rejected" CREATE
+    // must not leave the table registered (or wedge the name so a
+    // corrected retry dies on TableAlreadyExists).
+    try {
+      TableLog.latest(spark, dir) match {
+        case Some(m) =>
+          val recorded = TableLog.schemaOf(spark, dir, m)
+          require(schema.isEmpty || TableLog.sameSchema(recorded, schema),
+            s"CREATE TABLE $ident LOCATION '$dir': the directory already " +
+              s"holds a TableLog table with schema ${recorded.simpleString}, " +
+              s"not the declared ${schema.simpleString} — declare no columns " +
+              "to adopt it as-is")
+        case None =>
+          require(schema.nonEmpty,
+            s"CREATE TABLE $ident: no columns declared and $dir holds no " +
+              "committed TableLog table to adopt")
+          TableLog.commitStagedFiles(spark, dir, Vector.empty, schema,
+            runKey = s"create-${java.util.UUID.randomUUID()}", batchId = 0L)
+      }
+      loadTable(ident)
+    } catch {
+      case t: Throwable =>
+        try fs.delete(p, false) catch { case s: Exception => t.addSuppressed(s) }
+        throw t
     }
-    loadTable(ident)
   }
 
   /** ADD COLUMN maps to [[TableLog.evolve]] (an additive, versioned
@@ -210,6 +235,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(add.fieldNames().length == 1,
           "ADD COLUMN on a nested field is a type change to the parent " +
             "— files already written cannot serve it")
+        require(add.isNullable,
+          s"ADD COLUMN ${add.fieldNames().head} NOT NULL is not " +
+            "satisfiable: files already written cannot serve the column, " +
+            "so every pre-existing row would violate the constraint — " +
+            "add it nullable")
         val m = TableLog.latest(spark, dir).get
         val recorded = TableLog.schemaOf(spark, dir, m)
         TableLog.evolve(spark, dir, StructType(recorded.fields :+
@@ -275,6 +305,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
+    requireUnreserved(namespace.toSeq, "namespace")
     val p = nsPath(namespace)
     if (fs.exists(p))
       throw new NamespaceAlreadyExistsException((name() +: namespace.toSeq).toArray)
@@ -290,11 +321,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       cascade: Boolean): Boolean = {
     val p = nsPath(namespace)
     if (!fs.exists(p)) return false
-    if (!cascade && fs.listStatus(p).nonEmpty)
+    // staging debris (.tmp-*) does not make a namespace non-empty
+    val entries = fs.listStatus(p)
+      .filterNot(_.getPath.getName.startsWith("."))
+    if (!cascade && entries.nonEmpty)
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty — " +
-          "DROP … CASCADE drops its tables' REGISTRATIONS (managed " +
-          "data dirs survive; drop tables individually to reclaim them)")
+          "drop its tables first, or DROP … CASCADE")
+    // cascade applies DROP TABLE semantics per registration (managed
+    // data dies with the name, external data survives un-registered),
+    // recursing into child namespaces — NOT a bare pointer-tree delete,
+    // which would orphan every managed table's data dir forever
+    def dropAll(dir: Path, ns: Array[String]): Unit =
+      fs.listStatus(dir).foreach { s =>
+        val leaf = s.getPath.getName
+        if (!leaf.startsWith(".")) {
+          if (s.isDirectory) dropAll(s.getPath, ns :+ dec(leaf))
+          else dropTable(Identifier.of(ns, dec(leaf)))
+        }
+      }
+    if (cascade) dropAll(p, namespace)
     fs.delete(p, true)
     true
   }

@@ -48,17 +48,39 @@ object AnnGeometryBench {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the SAME stream-parallelism posture as StreamBench's ANN rows
+    // (state-store commit cost sizes shuffle partitions down to 4):
+    // that is the configuration whose 20× collapse this bench exists
+    // to measure the geometry against — at local[32]-wide shuffle the
+    // candidate cost hides under per-trigger fixed cost at these toy
+    // corpus absolutes and every geometry reads as equal
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
 
-    val base = spark.read.parquet(sfDir + "/embeddings.parquet")
+    // SPARK_GRAFT_ANN_REPLICATE=K replicates the corpus K× (distinct
+    // ids, identical vectors — occupancy scales exactly, planted recall
+    // is untouched): the 1000× leg where per-query candidate cost
+    // finally dominates per-trigger fixed cost on this box, making the
+    // frozen geometry's q/s collapse — and the rescaled geometry's
+    // recovery — visible in wall-clock, not just in candidate counts
+    val rep = sys.env.getOrElse("SPARK_GRAFT_ANN_REPLICATE", "1").toInt
+    val base0 = spark.read.parquet(sfDir + "/embeddings.parquet")
       .select($"vec_id", $"embedding")
+    val base =
+      if (rep == 1) base0
+      else spark.range(rep).crossJoin(base0)
+        .select(($"vec_id" + $"id" * 1000000000L).as("vec_id"), $"embedding")
     val k = 10
-    val nQueries = 500
-    val warm = 100
+    val nQueries = 2000 // q/s denominator, the StreamBench envelope
+    val nPlanted = 500 // recall numerator: the first nPlanted queries
+    val warm = 200
     val plantedCos = 0.9
 
-    // queries (fresh unit gaussians, ids outside the corpus space) and
-    // their planted neighbors at cosine plantedCos, seeded for
-    // cross-round comparability — the SimilarityRecallSpec construction
+    // queries (fresh unit gaussians, ids outside the corpus space); the
+    // first nPlanted get a planted neighbor at cosine plantedCos,
+    // seeded for cross-round comparability — the SimilarityRecallSpec
+    // construction. The rest exist to make the q/s denominator large
+    // enough that per-trigger noise stops dominating the rate.
     val r = new scala.util.Random(421)
     val dim = base.limit(1).as[(Long, Array[Float])].head()._2.length
     def unit(v: Array[Double]): Array[Double] = {
@@ -66,24 +88,27 @@ object AnnGeometryBench {
     }
     def gauss(): Array[Double] = unit(Array.fill(dim)(r.nextGaussian()))
     val queries: Array[(Long, Array[Float])] = Array.tabulate(nQueries) { i =>
-      (10000000000L + i, gauss().map(_.toFloat))
+      (3000000000000L + i, gauss().map(_.toFloat)) // above any replica id
     }
-    val planted: Seq[(Long, Array[Float])] = queries.toSeq.map { case (qid, qf) =>
-      val q = qf.map(_.toDouble)
-      val g = gauss()
-      val dot = q.zip(g).map { case (a, b) => a * b }.sum
-      val perp = unit(g.zip(q).map { case (gi, qi) => gi - dot * qi })
-      val nb = q.zip(perp).map { case (qi, pi) =>
-        plantedCos * qi + math.sqrt(1 - plantedCos * plantedCos) * pi }
-      (20000000000L + (qid - 10000000000L), nb.map(_.toFloat))
-    }
+    val planted: Seq[(Long, Array[Float])] = queries.take(nPlanted).toSeq
+      .map { case (qid, qf) =>
+        val q = qf.map(_.toDouble)
+        val g = gauss()
+        val dot = q.zip(g).map { case (a, b) => a * b }.sum
+        val perp = unit(g.zip(q).map { case (gi, qi) => gi - dot * qi })
+        val nb = q.zip(perp).map { case (qi, pi) =>
+          plantedCos * qi + math.sqrt(1 - plantedCos * plantedCos) * pi }
+        (4000000000000L + (qid - 3000000000000L), nb.map(_.toFloat))
+      }
     val plantedIds: Map[Long, Long] = queries.iterator.map(_._1)
       .zip(planted.iterator.map(_._1)).toMap
     val corpus = base.unionByName(
       planted.toDF("vec_id", "embedding")).cache()
     val n = corpus.count()
 
-    legs.foreach { case (planes, nprobe) =>
+    // one index build + occupancy pass per DISTINCT planes value: the
+    // nprobe dial changes neither the index nor the bucket histogram
+    legs.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (planes, group) =>
       val idx = AnnIndex.build(corpus, s"anngeom_p$planes",
         planes = planes, buckets = 16)
 
@@ -97,6 +122,8 @@ object AnnGeometryBench {
           native.lsh_bucket($"qemb", planes).as("b"),
           native.rp_project($"qemb", planes).as("projs"))
         .as[(Long, Long, Array[Double])].collect()
+
+      group.map(_._2).foreach { nprobe =>
       val candsPerQuery = qb.iterator.map { case (_, b, projs) =>
         val probes =
           if (nprobe <= 1) Array(b) else AnnIndex.multiProbe(b, projs, nprobe)
@@ -120,7 +147,7 @@ object AnnGeometryBench {
           .outputMode("append").start()
         in.addData(queries.take(warm).toSeq); q.processAllAvailable()
         val t0 = System.nanoTime()
-        queries.drop(warm).grouped(200).foreach { c =>
+        queries.drop(warm).grouped(600).foreach { c =>
           in.addData(c.toSeq); q.processAllAvailable()
         }
         val qps = (queries.length - warm) / ((System.nanoTime() - t0) / 1e9)
@@ -131,17 +158,19 @@ object AnnGeometryBench {
           .select($"query_id", $"vec_id", $"rk").as[(Long, Long, Int)]
           .collect().groupBy(_._1)
         q.stop()
-        val hitsK = queries.count { case (qid, _) =>
+        val probed = queries.take(nPlanted)
+        val hitsK = probed.count { case (qid, _) =>
           got.getOrElse(qid, Array.empty).exists(_._2 == plantedIds(qid)) }
-        val hits1 = queries.count { case (qid, _) =>
+        val hits1 = probed.count { case (qid, _) =>
           got.getOrElse(qid, Array.empty)
             .exists(x => x._2 == plantedIds(qid) && x._3 == 1) }
-        (qps, hitsK.toDouble / queries.length, hits1.toDouble / queries.length)
+        (qps, hitsK.toDouble / nPlanted, hits1.toDouble / nPlanted)
       }
       val (floatQps, floatRecall, floatR1) = run(quantized = false)
       val (int8Qps, int8Recall, _) = run(quantized = true)
 
       println(f"""{"ann_planes":$planes,"ann_nprobe":$nprobe,"stream_knn_indexed_q_per_sec":$floatQps%.0f,"stream_knn_indexed_int8_q_per_sec":$int8Qps%.0f,"recall_at_10_float":$floatRecall%.3f,"recall_at_1_float":$floatR1%.3f,"recall_at_10_int8":$int8Recall%.3f,"candidates_per_query":$candsPerQuery%.1f,"corpus_rows":$n,"queries":${queries.length},"planted_cos":$plantedCos,"env":$env,"sf":"$sfDir"}""")
+      }
 
       Seq(idx.probeTable, idx.vecTable, idx.probeTable + "_tombs")
         .foreach(Bucketing.dropTableAndLocation(spark, _))

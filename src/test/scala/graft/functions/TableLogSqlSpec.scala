@@ -139,6 +139,18 @@ class TableLogSqlSpec extends SparkSuite {
       }
       assert(e.getMessage.contains("nope"), e.getMessage)
       assert(TableLog.rows(s, sqlDir) == 105L)
+      // a side-effecting statement as the query tail is rejected at
+      // PARSE time — it must not execute before validation fails
+      val side = fresh()
+      TableLog.appendBatch(rows(0 until 5, "s"), side, "r", 0L)
+      val e2 = intercept[IllegalArgumentException] {
+        s.sql(s"GRAFT UPSERT INTO '$sqlDir' KEY (id) " +
+          s"GRAFT DELETE FROM '$side' WHERE id = 1").collect()
+      }
+      assert(e2.getMessage.contains("must be a query"), e2.getMessage)
+      assert(TableLog.rows(s, side) == 5L,
+        "the side-effecting tail must not have executed")
+      assert(TableLog.rows(s, sqlDir) == 105L)
     }
   }
 

@@ -133,6 +133,62 @@ class GraftCatalogSpec extends SparkSuite {
     spark.sql(s"DROP TABLE $cat.stream_src")
   }
 
+  test("a rejected CREATE un-claims the name; reserved and NOT NULL shapes are loud") {
+    // a schema-mismatched adopt fails AND leaves the name free
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat_rej")
+      .toString + "/t"
+    TableLog.appendBatch(
+      Seq((1L, "a")).toDF("id", "v").coalesce(1), dir, "w", 0L)
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.rej (id BIGINT, wrong DOUBLE) " +
+        s"USING tablelogv2 LOCATION '$dir'")
+    }
+    val cata = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    assert(!cata.tableExists(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, "rej")),
+      "a rejected CREATE must not leave the table registered")
+    // ... so a corrected retry succeeds instead of TableAlreadyExists
+    spark.sql(s"CREATE TABLE $cat.rej USING tablelogv2 LOCATION '$dir'")
+    assert(spark.read.table(s"$cat.rej").count() == 1L)
+    spark.sql(s"DROP TABLE $cat.rej")
+    // '_'-prefixed names would collide with the pointer tree
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.`_catalog` (id BIGINT) USING tablelogv2")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    // NOT NULL on ADD COLUMN is unsatisfiable for already-written files
+    spark.sql(s"CREATE TABLE $cat.nn (id BIGINT) USING tablelogv2")
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.nn ADD COLUMN x INT NOT NULL")
+    }
+    assert(e2.getMessage.contains("NOT NULL"), e2.getMessage)
+    spark.sql(s"DROP TABLE $cat.nn")
+  }
+
+  test("DROP NAMESPACE CASCADE applies DROP TABLE semantics: managed data dies, external survives") {
+    spark.sql(s"CREATE TABLE $cat.casc.managed (id BIGINT) USING tablelogv2")
+    val ext = java.nio.file.Files.createTempDirectory("graft_cat_casc")
+      .toString + "/t"
+    TableLog.appendBatch(
+      Seq((1L, "a")).toDF("id", "v").coalesce(1), ext, "w", 0L)
+    spark.sql(s"CREATE TABLE $cat.casc.ext USING tablelogv2 LOCATION '$ext'")
+    val cata = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    val managedDir = cata.tableDir(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("casc"), "managed"))
+    // non-cascade refuses while tables are registered
+    intercept[Exception] { spark.sql(s"DROP NAMESPACE $cat.casc") }
+    spark.sql(s"DROP NAMESPACE $cat.casc CASCADE")
+    assert(!new java.io.File(managedDir).exists(),
+      "cascade must reclaim managed tables' data")
+    assert(TableLog.rows(spark, ext) == 1L,
+      "cascade must not delete external tables' data")
+    intercept[Exception] { spark.read.table(s"$cat.casc.ext").count() }
+  }
+
   test("racing CREATEs of one name resolve to exactly one winner") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
