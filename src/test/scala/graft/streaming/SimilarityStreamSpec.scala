@@ -417,4 +417,63 @@ class SimilarityStreamSpec extends SparkSuite {
       } finally spark.conf.set(bcKey, prevBc)
     }
   }
+
+  test("knnBatch / streamKnnServe: winners == the streaming path; the corpus scan PRUNES to the probe set") {
+    withRocksDBState {
+      import graft.functions.AnnIndex
+      val corpus = spark.read.parquet(sf() + "/embeddings.parquet")
+        .select($"vec_id", $"embedding").cache()
+      val queries = corpus.as[(Long, Array[Float])].collect().take(10).toSeq
+      // more physical buckets than probes per batch — the pruning profit
+      val h = AnnIndex.build(corpus, "simspec_serve", planes = 8, buckets = 32)
+
+      def canon(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+        df.as[(Long, Long, Double)].collect().groupBy(_._1)
+          .map { case (qid, hits) =>
+            qid -> hits.sortBy { case (_, id, cos) => (-cos, id) }
+              .map(_._2).toSeq
+          }
+
+      // batch face == streaming face, single- and multi-probe
+      Seq(1, 4).foreach { np =>
+        val streamed = runStream(s"serve_base_$np", queries,
+          ds => Similarity.streamKnn(ds, h, k = 5, nprobe = np))
+        val batch = canon(Similarity.knnBatch(queries.toDS(), h, k = 5,
+          nprobe = np))
+        assert(batch == streamed,
+          s"knnBatch diverged from streamKnn at nprobe=$np")
+      }
+
+      // the scan is bucket-pruned: the executed plan of the batch probe
+      // selects strictly fewer physical buckets than the table has
+      val served = Similarity.knnBatch(queries.toDS(), h, k = 5, nprobe = 1)
+      served.collect()
+      val plan = served.queryExecution.executedPlan.toString
+      val sel = """SelectedBucketsCount: (\d+) out of (\d+)""".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined, s"no bucket pruning in the serve plan:\n$plan")
+      val (selected, total) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+      assert(total == 32 && selected < total,
+        s"probe scan did not prune: $selected of $total buckets")
+
+      // the serving loop: per-epoch results land through consume and
+      // equal the batch face per epoch
+      import scala.collection.mutable
+      val byEpoch = mutable.Map.empty[Long, Map[Long, Seq[Long]]]
+      val in = MemoryStream[(Long, Array[Float])]
+      val q = Similarity.streamKnnServe(in.toDS(), h, k = 5, nprobe = 1) {
+        (df, epoch) => byEpoch.synchronized { byEpoch(epoch) = canon(df) }
+      }.option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("serve_ck").toString).start()
+      try {
+        in.addData(queries.take(5)); q.processAllAvailable()
+        in.addData(queries.drop(5)); q.processAllAvailable()
+      } finally q.stop()
+      val servedAll = byEpoch.values.flatten.toMap
+      assert(servedAll == canon(
+        Similarity.knnBatch(queries.toDS(), h, k = 5, nprobe = 1)),
+        "the serving loop diverged from the batch face")
+      corpus.unpersist()
+    }
+  }
 }
