@@ -345,12 +345,16 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = queries.sparkSession
     import spark.implicits._
+    // take(bound + 1), not collect(): the bound must hold BEFORE driver
+    // memory is committed — an oversized batch must raise the loud
+    // error below, not an OutOfMemoryError mid-collect. take evaluates
+    // each partition at most once, so the exactly-once contract holds.
     val probedRows = probedQueries(queries, index.planes, nprobe)
-      .as[(Long, Array[Float], Double, Long)].collect()
+      .as[(Long, Array[Float], Double, Long)].take(MaxServeProbeRows + 1)
     require(probedRows.length <= MaxServeProbeRows,
       s"knnBatch is the SERVING face: its query batch is collected " +
-        s"driver-side and this one explodes to ${probedRows.length} probe " +
-        s"rows (bound $MaxServeProbeRows) — shrink the batch or nprobe, " +
+        s"driver-side and this one explodes past $MaxServeProbeRows probe " +
+        "rows — shrink the batch or nprobe, " +
         "or run bulk top-k through streamKnn / the batch similarity ops")
     val probed = probedRows.toSeq.toDF("query_id", "qemb", "qnrm", "bucket")
     val buckets = probedRows.iterator.map(_._4).toSet

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft.{Bench, Sessions}
-import graft.functions.{native, AnnIndex, Bucketing}
+import graft.functions.{native, AnnIndex}
 
 /** The ANN GEOMETRY DIAL, measured — the claim this bench turns into a
   * number: when the corpus grows 20×, the way to keep streaming ANN
@@ -64,12 +64,7 @@ object AnnGeometryBench {
     // frozen geometry's q/s collapse — and the rescaled geometry's
     // recovery — visible in wall-clock, not just in candidate counts
     val rep = sys.env.getOrElse("SPARK_GRAFT_ANN_REPLICATE", "1").toInt
-    val base0 = spark.read.parquet(sfDir + "/embeddings.parquet")
-      .select($"vec_id", $"embedding")
-    val base =
-      if (rep == 1) base0
-      else spark.range(rep).crossJoin(base0)
-        .select(($"vec_id" + $"id" * 1000000000L).as("vec_id"), $"embedding")
+    val base = AnnBenchData.replicated(spark, sfDir, rep)
     val k = 10
     val nQueries = 2000 // q/s denominator, the StreamBench envelope
     val nPlanted = 500 // recall numerator: the first nPlanted queries
@@ -81,24 +76,20 @@ object AnnGeometryBench {
     // seeded for cross-round comparability — the SimilarityRecallSpec
     // construction. The rest exist to make the q/s denominator large
     // enough that per-trigger noise stops dominating the rate.
-    val r = new scala.util.Random(421)
+    val r = AnnBenchData.rng()
     val dim = base.limit(1).as[(Long, Array[Float])].head()._2.length
-    def unit(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
-    }
-    def gauss(): Array[Double] = unit(Array.fill(dim)(r.nextGaussian()))
-    val queries: Array[(Long, Array[Float])] = Array.tabulate(nQueries) { i =>
-      (3000000000000L + i, gauss().map(_.toFloat)) // above any replica id
-    }
+    val queries = AnnBenchData.queries(r, dim, nQueries)
     val planted: Seq[(Long, Array[Float])] = queries.take(nPlanted).toSeq
       .map { case (qid, qf) =>
         val q = qf.map(_.toDouble)
-        val g = gauss()
+        val g = AnnBenchData.gauss(r, dim)
         val dot = q.zip(g).map { case (a, b) => a * b }.sum
-        val perp = unit(g.zip(q).map { case (gi, qi) => gi - dot * qi })
+        val perp = AnnBenchData.unit(
+          g.zip(q).map { case (gi, qi) => gi - dot * qi })
         val nb = q.zip(perp).map { case (qi, pi) =>
           plantedCos * qi + math.sqrt(1 - plantedCos * plantedCos) * pi }
-        (4000000000000L + (qid - 3000000000000L), nb.map(_.toFloat))
+        (AnnBenchData.PlantedIdBase + (qid - AnnBenchData.QueryIdBase),
+          nb.map(_.toFloat))
       }
     val plantedIds: Map[Long, Long] = queries.iterator.map(_._1)
       .zip(planted.iterator.map(_._1)).toMap
@@ -172,8 +163,7 @@ object AnnGeometryBench {
       println(f"""{"ann_planes":$planes,"ann_nprobe":$nprobe,"stream_knn_indexed_q_per_sec":$floatQps%.0f,"stream_knn_indexed_int8_q_per_sec":$int8Qps%.0f,"recall_at_10_float":$floatRecall%.3f,"recall_at_1_float":$floatR1%.3f,"recall_at_10_int8":$int8Recall%.3f,"candidates_per_query":$candsPerQuery%.1f,"corpus_rows":$n,"queries":${queries.length},"planted_cos":$plantedCos,"env":$env,"sf":"$sfDir"}""")
       }
 
-      Seq(idx.probeTable, idx.vecTable, idx.probeTable + "_tombs")
-        .foreach(Bucketing.dropTableAndLocation(spark, _))
+      AnnBenchData.dropIndex(spark, idx)
     }
     corpus.unpersist()
     spark.stop()

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft.{Bench, Sessions}
-import graft.functions.{AnnIndex, Bucketing}
+import graft.functions.AnnIndex
 
 /** Measures the SERVING fix for the scan-bound ANN regime
   * (BENCH_ANN_GEOM_r16 found it: at a 2M-row corpus the streaming probe
@@ -35,22 +35,11 @@ object AnnServeBench {
     spark.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
 
-    val base0 = spark.read.parquet(sfDir + "/embeddings.parquet")
-      .select($"vec_id", $"embedding")
-    val corpus =
-      (if (rep == 1) base0
-       else spark.range(rep).crossJoin(base0)
-         .select(($"vec_id" + $"id" * 1000000000L).as("vec_id"), $"embedding"))
-        .cache()
+    val corpus = AnnBenchData.replicated(spark, sfDir, rep).cache()
     val n = corpus.count()
 
-    val r = new scala.util.Random(421)
-    val dim = base0.limit(1).as[(Long, Array[Float])].head()._2.length
-    val queries = Array.tabulate(2000) { i =>
-      val v = Array.fill(dim)(r.nextGaussian())
-      val nrm = math.sqrt(v.map(x => x * x).sum)
-      (3000000000000L + i, v.map(x => (x / nrm).toFloat))
-    }
+    val dim = corpus.limit(1).as[(Long, Array[Float])].head()._2.length
+    val queries = AnnBenchData.queries(AnnBenchData.rng(), dim, 2000)
 
     val idx = AnnIndex.build(corpus, "annserve", planes = planes,
       buckets = 256)
@@ -103,8 +92,7 @@ object AnnServeBench {
 
     println(f"""{"ann_serve_q_per_sec":$serveQps%.0f,"ann_stream_q_per_sec":$streamQps%.0f,"serve_over_stream":${serveQps / streamQps}%.2f,"selected_buckets":$selB,"total_buckets":$totB,"planes":$planes,"chunk":$chunk,"corpus_rows":$n,"env":$env,"sf":"$sfDir"}""")
 
-    Seq(idx.probeTable, idx.vecTable, idx.probeTable + "_tombs")
-      .foreach(Bucketing.dropTableAndLocation(spark, _))
+    AnnBenchData.dropIndex(spark, idx)
     spark.stop()
   }
 }
