@@ -1585,19 +1585,82 @@ object TableLog {
     * [[vacuum]]'s grace passes, so any reader holding the old manifest
     * finishes undisturbed. Returns the number of files written. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long,
-              layoutBy: Seq[String] = Nil): Int = {
+              layoutBy: Seq[String] = Nil): Int =
+    compactLaidOut(spark, dir, targetBytes, layoutBy) { (snapshot, n) =>
+      if (layoutBy.isEmpty) snapshot.repartition(n)
+      else {
+        val cols = layoutBy.map(org.apache.spark.sql.functions.col)
+        snapshot.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
+      }
+    }
+
+  /** [[compact]] re-clustered by an N-dimensional Morton (Z-order) key
+    * over `cols` instead of their lexicographic range: rows close in
+    * EVERY listed dimension land in the same files, so the harvested
+    * per-file min/max stats prune a predicate on ANY of them — the
+    * multi-dimensional layout a single-column range sort cannot give
+    * (its second column's per-file spans stay table-wide). Columns must
+    * be numeric (the Morton key needs a [0, 2^bits) grid; each is
+    * min/max-normalized here with one small agg over the snapshot —
+    * footer-stat-cheap relative to the rewrite itself). `bits` defaults
+    * to the widest grid that fits a long (63/k, capped at 16 — beyond
+    * ~65k cells per dimension the parquet row-group granularity is the
+    * binding resolution anyway). The manifest records `cols` as the
+    * layout, exactly as a range re-layout would, so [[readWhere]]
+    * pruning and [[trackStats]] harvesting follow automatically. */
+  def compactZorder(spark: SparkSession, dir: String, targetBytes: Long,
+                    cols: Seq[String], bits: Int = 0): Int = {
+    require(cols.length >= 2,
+      s"z-order needs >= 2 dimensions (got ${cols.mkString(", ")}) — one " +
+        "column's optimal layout is its plain range sort: compact(layoutBy)")
+    val b = if (bits > 0) bits else math.min(16, 63 / cols.length)
+    compactLaidOut(spark, dir, targetBytes, cols) { (snapshot, n) =>
+      import org.apache.spark.sql.functions._
+      cols.foreach { c =>
+        val f = snapshot.schema.fields.find(
+          _.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"z-order column '$c' is not in the table schema " +
+              snapshot.schema.fieldNames.mkString("(", ", ", ")")))
+        require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+            || f.dataType == org.apache.spark.sql.types.TimestampType
+            || f.dataType == org.apache.spark.sql.types.DateType,
+          s"z-order column '$c' is ${f.dataType.simpleString} — the " +
+            "Morton grid needs numeric/timestamp/date dimensions")
+      }
+      // one tiny agg for the normalization bounds (min/max per column);
+      // nulls sort first: a null dimension maps to grid cell 0
+      val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")),
+        max(col(c).cast("double"))))
+      val bounds = snapshot.agg(aggs.head, aggs.tail: _*).head()
+      val cells = (1L << b) - 1
+      val normalized = cols.zipWithIndex.map { case (c, i) =>
+        // an all-null column has null min/max — constant, like hi == lo
+        if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) lit(0L)
+        else {
+        val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+        if (hi <= lo) lit(0L) // constant column: every row in cell 0
+        else coalesce(((col(c).cast("double") - lit(lo)) / lit(hi - lo) *
+          lit(cells.toDouble)).cast("long"), lit(0L))
+        }
+      }
+      val zc = "__graft_zorder"
+      snapshot.withColumn(zc, Zorder.interleaveAll(normalized, b))
+        .repartitionByRange(n, col(zc)).sortWithinPartitions(col(zc))
+        .drop(zc)
+    }
+  }
+
+  private def compactLaidOut(spark: SparkSession, dir: String,
+      targetBytes: Long, layoutBy: Seq[String])
+      (lay: (DataFrame, Int) => DataFrame): Int = {
     val (fs, table) = fsFor(spark, dir)
     val m = latest(spark, dir).getOrElse(throw new IllegalStateException(
       s"$dir has no committed manifest — nothing to compact"))
     if (m.files.isEmpty) return 0
     val n = Compaction.targetFiles(m.bytes, targetBytes)
     val snapshot = readVersion(spark, dir, m)
-    val laidOut =
-      if (layoutBy.isEmpty) snapshot.repartition(n)
-      else {
-        val cols = layoutBy.map(org.apache.spark.sql.functions.col)
-        snapshot.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
-      }
+    val laidOut = lay(snapshot, n)
     // the layout this rewrite establishes (or, for a plain re-bin,
     // whatever layout the table already declared): the columns whose
     // per-file footer min/max become the manifest's pruning stats

@@ -24,6 +24,8 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType,
   *   GRAFT RESTORE <target> TO VERSION <n>              -- returns version, rows
   *   GRAFT VACUUM <target> [RETAIN <ms> MILLISECONDS]   -- returns deleted_files
   *   GRAFT UPSERT INTO <target> KEY (<col>) <query>     -- returns committed, upserted_rows
+  *   GRAFT COMPACT <target> [TARGET <n> BYTES]          -- returns rewritten_files
+  *   GRAFT ZORDER <target> BY (<col>, …) [TARGET <n> BYTES]
   * }}}
   *
   * `<target>` is a quoted table directory (`'/lake/t'`) or a bare
@@ -68,6 +70,10 @@ object TableLogSql {
     s"""(?is)\\s*GRAFT\\s+VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+MILLISECONDS)?\\s*;?\\s*""".r
   private val UpsertRe =
     s"""(?is)\\s*GRAFT\\s+UPSERT\\s+INTO\\s+$T\\s+KEY\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)\\s+(.+?)\\s*;?\\s*""".r
+  private val CompactRe =
+    s"""(?is)\\s*GRAFT\\s+COMPACT\\s+$T(?:\\s+TARGET\\s+(\\d+)\\s+BYTES)?\\s*;?\\s*""".r
+  private val ZorderRe =
+    s"""(?is)\\s*GRAFT\\s+ZORDER\\s+$T\\s+BY\\s*\\(\\s*([A-Za-z_]\\w*(?:\\s*,\\s*[A-Za-z_]\\w*)*)\\s*\\)(?:\\s+TARGET\\s+(\\d+)\\s+BYTES)?\\s*;?\\s*""".r
 
   private def target(raw: String): GraftTarget =
     if (raw.startsWith("'"))
@@ -84,9 +90,18 @@ object TableLogSql {
     case PathTarget(dir) => dir
     case IdentTarget(parts) =>
       val cm = spark.sessionState.catalogManager
+      // Spark's identifier resolution, matched exactly: a leading part
+      // that names a registered catalog selects it; otherwise the
+      // CURRENT catalog — and a single bare part resolves in the
+      // current NAMESPACE (after `USE cat.ns`, `GRAFT DELETE FROM t`
+      // must target cat.ns.t, not a same-named root table — a silent
+      // wrong-table destructive op otherwise). Multi-part identifiers
+      // are absolute within their catalog, as in Spark.
       val (cat, rest) =
         if (parts.length > 1 && cm.isCatalogRegistered(parts.head))
           (cm.catalog(parts.head), parts.tail)
+        else if (parts.length == 1)
+          (cm.currentCatalog, cm.currentNamespace.toSeq ++ parts)
         else (cm.currentCatalog, parts)
       cat match {
         case g: graft.sources.GraftCatalog =>
@@ -107,6 +122,13 @@ object TableLogSql {
     * lease has either finished or renewed. */
   val DefaultSqlVacuumGraceMs: Long = 7L * 24 * 60 * 60 * 1000
 
+  /** Default compaction target when `TARGET … BYTES` is omitted:
+    * 128 MiB files — one default Spark scan partition
+    * (`spark.sql.files.maxPartitionBytes`) per file, the sweet spot
+    * between per-file scheduling overhead (files too small) and losing
+    * parquet row-group parallelism (files too large). */
+  val DefaultSqlCompactTargetBytes: Long = 128L * 1024 * 1024
+
   /** The graft statement, if `sqlText` is one (None falls through to
     * the delegate parser). */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -118,6 +140,13 @@ object TableLogSql {
         Option(retain).map(_.toLong).getOrElse(DefaultSqlVacuumGraceMs)))
     case UpsertRe(t, keyColumn, query) =>
       Some(GraftUpsertCommand(target(t), keyColumn, query))
+    case CompactRe(t, bytes) =>
+      Some(GraftCompactCommand(target(t),
+        Option(bytes).map(_.toLong).getOrElse(DefaultSqlCompactTargetBytes)))
+    case ZorderRe(t, cols, bytes) =>
+      Some(GraftZorderCommand(target(t),
+        cols.split(',').iterator.map(_.trim).toSeq,
+        Option(bytes).map(_.toLong).getOrElse(DefaultSqlCompactTargetBytes)))
     case _ => None
   }
 
@@ -272,4 +301,45 @@ final case class GraftVacuumCommand(target: TableLogSql.GraftTarget,
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(TableLog.vacuum(spark,
       TableLogSql.resolveDir(spark, target), graceMs)))
+}
+
+/** `GRAFT COMPACT <target> [TARGET <n> BYTES]` — the SQL face of
+  * [[TableLog.compact]] without re-layout: re-bin the live rows into
+  * ~TARGET-byte files (small-file debt from streaming appends is the
+  * other half of the maintenance loop that DELETE/VACUUM leave behind).
+  * Semantics are EXACTLY the Scala call's: one atomic swap commit,
+  * rebase over concurrent appends, loud abort if a concurrent
+  * maintenance writer removed snapshot files, ledger and CDC untouched
+  * (a compact is a rewrite, not a row change). Returns the number of
+  * files the rewrite produced. */
+final case class GraftCompactCommand(target: TableLogSql.GraftTarget,
+    targetBytes: Long) extends LeafRunnableCommand {
+
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("rewritten_files", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TableLog.compact(spark,
+      TableLogSql.resolveDir(spark, target), targetBytes)))
+}
+
+/** `GRAFT ZORDER <target> BY (<col>, …) [TARGET <n> BYTES]` — the SQL
+  * face of re-layout: one column range-clusters
+  * ([[TableLog.compact]] with layoutBy — the optimal single-dimension
+  * layout), two or more Morton-interleave ([[TableLog.compactZorder]])
+  * so per-file min/max stats prune predicates on EVERY listed column.
+  * Returns the number of files the rewrite produced. */
+final case class GraftZorderCommand(target: TableLogSql.GraftTarget,
+    columns: Seq[String], targetBytes: Long) extends LeafRunnableCommand {
+
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("rewritten_files", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = TableLogSql.resolveDir(spark, target)
+    val n =
+      if (columns.length == 1) TableLog.compact(spark, dir, targetBytes, columns)
+      else TableLog.compactZorder(spark, dir, targetBytes, columns)
+    Seq(Row(n))
+  }
 }

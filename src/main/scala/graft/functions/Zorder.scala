@@ -33,4 +33,20 @@ object Zorder {
         shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
   }
+
+  /** N-dimensional Morton key: bit `i` of dimension `j` lands at
+    * position `i·k + j` — for k = 2 this is bit-identical to
+    * [[interleave]] (ZorderSpec pins the equality). Same input
+    * contract: each column already normalized to [0, 2^bits), and
+    * `bits · k` must fit a positive long. */
+  def interleaveAll(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.length
+    require(k >= 2, s"interleaveAll needs >= 2 dimensions, got $k")
+    require(bits >= 1 && bits * k <= 63,
+      s"bits*dims must be in [1, 63]: bits=$bits over $k dims")
+    val longs = cols.map(_.cast("long"))
+    (for { i <- 0 until bits; j <- 0 until k }
+      yield shiftleft(shiftright(longs(j), i).bitwiseAND(lit(1L)), i * k + j))
+      .reduce(_ + _)
+  }
 }

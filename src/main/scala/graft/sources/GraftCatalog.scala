@@ -92,20 +92,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def pointer(ident: Identifier): Path =
     new Path(nsPath(ident.namespace()), enc(ident.name()))
 
-  private def readPointer(ident: Identifier): Option[(Boolean, String)] = {
+  /** The pointer's file status, None when absent — and None when the
+    * path exists but is a DIRECTORY (a child namespace whose encoded
+    * name collides with the asked-for table name): reporting a
+    * namespace as a table would make `tableExists` lie and `loadTable`
+    * die mid-read with an opaque "is a directory" IOException instead
+    * of the NoSuchTableException the caller can act on. */
+  private def pointerFile(ident: Identifier): Option[Path] = {
     val p = pointer(ident)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val content =
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      content.split("\n", 2) match {
-        case Array(kind, dir) => Some((kind == "managed", dir))
-        case _ => throw new IllegalStateException(
-          s"torn catalog pointer at $p — recreate it: '$content'")
-      }
+    try { if (fs.getFileStatus(p).isFile) Some(p) else None }
+    catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  private def readPointer(ident: Identifier): Option[(Boolean, String)] = {
+    pointerFile(ident) match {
+      case None => None
+      case Some(p) =>
+        val in = fs.open(p)
+        val content =
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        content.split("\n", 2) match {
+          case Array(kind, dir) => Some((kind == "managed", dir))
+          case _ => throw new IllegalStateException(
+            s"torn catalog pointer at $p — recreate it: '$content'")
+        }
     }
   }
 
@@ -115,7 +127,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     readPointer(ident).getOrElse(throw new NoSuchTableException(ident))._2
 
   override def tableExists(ident: Identifier): Boolean =
-    fs.exists(pointer(ident))
+    pointerFile(ident).isDefined
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val p = nsPath(namespace)
@@ -145,7 +157,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * the path face. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
-    val m = TableLog.manifestAt(spark, dir, version.toLong)
+    val v = version.trim.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot time-travel $ident to version '$version': TableLog " +
+          "tables support integer VERSION AS OF only (the committed " +
+          "manifest number) — TIMESTAMP AS OF is not supported"))
+    val m = TableLog.manifestAt(spark, dir, v)
     new TableLogV2Table(dir, Some(m),
       TableLog.schemaOf(spark, dir, m),
       new CaseInsensitiveStringMap(Map("path" -> dir).asJava))
@@ -154,12 +171,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // '_'-prefixed identifier parts are reserved: the pointer tree lives
   // at <warehouse>/_catalog, and a managed table or namespace named
   // '_catalog' would land its DATA among the pointers — and dropping it
-  // would recursively delete every registration in the catalog
+  // would recursively delete every registration in the catalog.
+  // '.'-prefixed parts are reserved too: every listing (listTables,
+  // the DROP NAMESPACE emptiness check, the cascade walk) skips
+  // dot-prefixed entries as CommitStore staging debris, and URLEncoder
+  // leaves '.' unencoded — so a backtick-quoted `.t` would CREATE but
+  // never list, and a non-cascade DROP NAMESPACE would judge its
+  // namespace empty and silently orphan the managed data dir
   private def requireUnreserved(parts: Seq[String], what: String): Unit =
-    parts.find(_.startsWith("_")).foreach { p =>
+    parts.find(p => p.startsWith("_") || p.startsWith(".")).foreach { p =>
       throw new IllegalArgumentException(
         s"$what part '$p' is reserved: names starting with '_' collide " +
-          s"with the catalog's own metadata tree under the warehouse")
+          "with the catalog's own metadata tree under the warehouse, and " +
+          "names starting with '.' are indistinguishable from commit " +
+          "staging debris in every catalog listing")
     }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -203,6 +228,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     try {
       TableLog.latest(spark, dir) match {
         case Some(m) =>
+          // adoption is an EXTERNAL-create privilege: a LOCATION names a
+          // directory deliberately, so committed data there is the
+          // point. A managed create computed its path from the
+          // identifier — committed data there is leftovers (a dropTable
+          // that crashed between deletes, a name reused after manual
+          // cleanup), and silently adopting it would hand a "fresh"
+          // table stale rows whenever the schemas happen to match.
+          require(external.isDefined,
+            s"CREATE TABLE $ident: the managed location $dir already " +
+              "holds a committed TableLog table — a fresh managed table " +
+              "must start empty. Adopt it explicitly with LOCATION " +
+              s"'$dir', or remove the leftover directory first")
           val recorded = TableLog.schemaOf(spark, dir, m)
           require(schema.isEmpty || TableLog.sameSchema(recorded, schema),
             s"CREATE TABLE $ident LOCATION '$dir': the directory already " +
@@ -235,6 +272,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(add.fieldNames().length == 1,
           "ADD COLUMN on a nested field is a type change to the parent " +
             "— files already written cannot serve it")
+        // FIRST/AFTER would be silently ignored (evolve appends), and a
+        // comment silently dropped (manifests record no per-column
+        // metadata) — deviating from requested DDL must be loud, like
+        // every other unsupported change below
+        if (add.position() != null) throw new UnsupportedOperationException(
+          s"ALTER TABLE $ident ADD COLUMN ${add.fieldNames().head} " +
+            "FIRST/AFTER: TableLog schema evolution appends columns at " +
+            "the end (files already written serve them by name) — drop " +
+            "the position clause")
+        if (add.comment() != null) throw new UnsupportedOperationException(
+          s"ALTER TABLE $ident ADD COLUMN ${add.fieldNames().head} " +
+            "COMMENT: TableLog manifests carry no per-column metadata " +
+            "to store it in — drop the comment clause")
         require(add.isNullable,
           s"ADD COLUMN ${add.fieldNames().head} NOT NULL is not " +
             "satisfiable: files already written cannot serve the column, " +
@@ -261,10 +311,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     readPointer(ident) match {
       case None => false
       case Some((managed, dir)) =>
-        fs.delete(pointer(ident), false)
         // managed data dies with the name; external data is only
-        // un-registered — the path faces still read it
+        // un-registered — the path faces still read it. Data is deleted
+        // BEFORE the pointer: a crash between the two then leaves a
+        // stale pointer that loadTable rejects LOUDLY (and a retried
+        // DROP clears), where the reverse order would leave the data
+        // orphaned with no name pointing at it — invisible to any
+        // cleanup forever
         if (managed) fs.delete(new Path(dir), true)
+        fs.delete(pointer(ident), false)
         true
     }
 

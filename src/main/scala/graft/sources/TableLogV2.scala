@@ -157,6 +157,31 @@ private[sources] final class TableLogV2Table(dir: String,
   override def name(): String =
     s"tablelogv2.`$dir`" + mOpt.fold("@new")(m => s"@v${m.version}")
   override def schema(): StructType = tableSchema
+
+  /** Manifest-served metadata — what `SHOW TBLPROPERTIES` and
+    * `DESCRIBE TABLE EXTENDED` surface through a
+    * [[GraftCatalog]] identifier. Every value is read from the
+    * already-resolved manifest head this table was pinned to: zero
+    * file walks, zero extra IO, and the numbers are transactionally
+    * consistent with what a SELECT against this same snapshot reads. */
+  override def properties(): util.Map[String, String] = {
+    val base = Map("provider" -> "tablelogv2", "path" -> dir)
+    val withManifest = mOpt.fold(base) { m =>
+      base ++ Map(
+        "graft.version" -> m.version.toString,
+        "graft.rows" -> m.rows.toString,
+        "graft.bytes" -> m.bytes.toString,
+        "graft.files" -> m.files.length.toString,
+        "graft.op" -> m.op) ++
+        (if (m.layout.nonEmpty) Map("graft.layout" -> m.layout.mkString(","))
+         else Map.empty) ++
+        (if (m.statsFor.nonEmpty)
+           Map("graft.statsFor" -> m.statsFor.mkString(","))
+         else Map.empty)
+    }
+    withManifest.asJava
+  }
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,

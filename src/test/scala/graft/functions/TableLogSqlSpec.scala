@@ -188,6 +188,92 @@ class TableLogSqlSpec extends SparkSuite {
     }
   }
 
+  test("GRAFT COMPACT == Scala compact; GRAFT ZORDER records layout; ledger and rows untouched") {
+    withSqlSession { s =>
+      import s.implicits._
+      // two identical small-file tables: SQL compacts one, Scala the other
+      val (sqlDir, scalaDir) = (fresh(), fresh())
+      Seq(sqlDir, scalaDir).foreach { d =>
+        (0 until 6).foreach { b =>
+          TableLog.appendBatch(rows(b * 100 until (b + 1) * 100, s"b$b"), d, "w", b.toLong)
+        }
+      }
+      val nSql = s.sql(s"GRAFT COMPACT '$sqlDir'").head().getInt(0)
+      val nScala = TableLog.compact(s, scalaDir,
+        TableLogSql.DefaultSqlCompactTargetBytes)
+      assert(nSql == nScala, s"SQL rewrote $nSql files, Scala $nScala")
+      val (mSql, mScala) = (TableLog.latest(s, sqlDir).get,
+        TableLog.latest(s, scalaDir).get)
+      assert(mSql.op == "compact" && mSql.files.length == mScala.files.length)
+      assert(mSql.files.length < 6, "compact must shrink the file count")
+      // row set identical to pre-compact (a compact is a rewrite, not a
+      // row change), and the streaming ledger survives the rebase
+      val got = TableLog.read(s, sqlDir).as[(Long, String)].collect().sortBy(_._1)
+      assert(got.length == 600 && got.map(_._1).toSeq == (0L until 600L))
+      assert(mSql.commits == TableLog.latest(s, scalaDir).get.commits)
+      // ZORDER BY (one col) = range re-layout; BY (two) = Morton — both
+      // record the layout columns in the manifest for stats pruning
+      val zDir = fresh()
+      val r = new scala.util.Random(7)
+      (0 until 4).foreach { b =>
+        TableLog.appendBatch(
+          Seq.tabulate(500)(i => (r.nextInt(1000), r.nextInt(1000), b))
+            .toDF("x", "y", "b").coalesce(1), zDir, "w", b.toLong)
+      }
+      val before = TableLog.read(s, zDir).as[(Int, Int, Int)].collect().sorted
+      val nz = s.sql(s"GRAFT ZORDER '$zDir' BY (x, y)").head().getInt(0)
+      assert(nz >= 1)
+      val mz = TableLog.latest(s, zDir).get
+      assert(mz.layout == Seq("x", "y"), s"layout recorded: ${mz.layout}")
+      // per-file stats harvested for BOTH dims (what makes readWhere prune)
+      assert(mz.files.forall(f =>
+        f.stats.contains("x") && f.stats.contains("y")))
+      val after = TableLog.read(s, zDir).as[(Int, Int, Int)].collect().sorted
+      assert(after.toSeq == before.toSeq, "a re-layout must not change rows")
+      // >2-dim guard is TableLog.compactZorder's; 3 columns still work
+      assert(s.sql(s"GRAFT ZORDER '$zDir' BY (x, y, b)").head().getInt(0) >= 1)
+      // non-numeric z-order dimension is loud
+      val sDir = fresh()
+      TableLog.appendBatch(rows(0 until 10, "t"), sDir, "w", 0L)
+      val ez = intercept[Exception] {
+        s.sql(s"GRAFT ZORDER '$sDir' BY (id, v)").collect()
+      }
+      assert(ez.getMessage.contains("Morton grid"), ez.getMessage)
+    }
+  }
+
+  test("bare identifiers resolve in the session's current namespace after USE") {
+    withSqlSession { s =>
+      val warehouse = java.nio.file.Files.createTempDirectory("graft_sqlns")
+      s.conf.set("spark.sql.catalog.nscat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.nscat.warehouse", warehouse.toString)
+      // same-named tables at the root and inside a namespace: the GRAFT
+      // target must follow Spark's resolution (current namespace), not
+      // silently hit the root table
+      s.sql("CREATE TABLE nscat.t (id BIGINT) USING tablelogv2")
+      s.sql("INSERT INTO nscat.t SELECT id FROM RANGE(10)")
+      s.sql("CREATE TABLE nscat.ns.t (id BIGINT) USING tablelogv2")
+      s.sql("INSERT INTO nscat.ns.t SELECT id FROM RANGE(10)")
+      try {
+        s.sql("USE nscat.ns")
+        assert(s.sql("GRAFT DELETE FROM t WHERE id < 4").head().getLong(0) == 4L)
+        assert(s.sql("SELECT count(*) FROM t").head().getLong(0) == 6L,
+          "the namespaced table must be the one deleted from")
+        assert(s.sql("SELECT count(*) FROM nscat.t").head().getLong(0) == 10L,
+          "the root table must be untouched")
+        // multi-part identifiers stay absolute within the catalog
+        assert(s.sql("GRAFT DELETE FROM nscat.t WHERE id < 2").head().getLong(0) == 2L)
+        assert(s.sql("SELECT count(*) FROM nscat.t").head().getLong(0) == 8L)
+        // maintenance by bare name too
+        assert(s.sql("GRAFT COMPACT t").head().getInt(0) >= 1)
+        assert(s.sql("SELECT count(*) FROM t").head().getLong(0) == 6L)
+      } finally s.sql("USE spark_catalog.default")
+      s.sql("DROP TABLE nscat.ns.t")
+      s.sql("DROP TABLE nscat.t")
+    }
+  }
+
   test("errors are loud: bad predicate, unknown version, malformed statement") {
     withSqlSession { s =>
       val dir = fresh()

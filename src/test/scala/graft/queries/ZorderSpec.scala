@@ -24,6 +24,24 @@ class ZorderSpec extends SparkSuite {
       .agg(avg($"rx"), avg($"ry"))
       .as[(Double, Double)].head()
 
+  test("interleaveAll at 2 dims is bit-identical to interleave; N dims separate every dimension's bits") {
+    import graft.functions.Zorder
+    val df = Seq.tabulate(256)(i => (i % 16, (i / 16) % 16, i % 8))
+      .toDF("x", "y", "w")
+    val mismatch = df.select(
+      Zorder.interleave($"x", $"y", 4).as("two"),
+      Zorder.interleaveAll(Seq($"x", $"y"), 4).as("all"))
+      .filter($"two" =!= $"all").count()
+    assert(mismatch == 0L, "k=2 interleaveAll must equal interleave")
+    // 3 dims: the Morton key must be injective over the grid (every bit
+    // lands in its own position, no overlap between dimensions)
+    val keys = df.select(
+      Zorder.interleaveAll(Seq($"x", $"y", $"w"), 4).as("z"),
+      $"x", $"y", $"w").distinct()
+    assert(keys.select($"z").distinct().count() == keys.count(),
+      "the N-dim Morton key must be injective over distinct coordinates")
+  }
+
   test("z-ordered splits are narrow in BOTH dimensions; single sorts in only one") {
     val z = SparkEntry.queries("zorder_layout")(spark, sf()).cache()
     try {

@@ -189,6 +189,106 @@ class GraftCatalogSpec extends SparkSuite {
     intercept[Exception] { spark.read.table(s"$cat.casc.ext").count() }
   }
 
+  test("reserved '.' names, managed CREATE never adopts, crashed DROP leaves only the loud stale pointer") {
+    val cata = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    def ident(ns: Array[String], t: String) =
+      org.apache.spark.sql.connector.catalog.Identifier.of(ns, t)
+    // '.'-prefixed names are skipped by every listing as staging debris
+    // — a CREATE that succeeded would never list and a non-cascade DROP
+    // NAMESPACE would orphan its managed data; reserved loudly instead
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.`.t` (id BIGINT) USING tablelogv2")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    assert(!cata.tableExists(ident(Array.empty, ".t")))
+    // managed CREATE over leftover committed data is loud (adoption is
+    // a LOCATION privilege): leftovers at the computed warehouse path
+    // must not hand a "fresh" table stale rows
+    val warehouse = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val leftoverDir = s"$warehouse/leftover"
+    TableLog.appendBatch(
+      Seq((1L, "stale")).toDF("id", "v").coalesce(1), leftoverDir, "w", 0L)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.leftover (id BIGINT, v STRING) USING tablelogv2")
+    }
+    assert(e2.getMessage.contains("must start empty"), e2.getMessage)
+    assert(!cata.tableExists(ident(Array.empty, "leftover")),
+      "the rejected managed CREATE must un-claim the name")
+    // the explicit adopt path stays open
+    spark.sql(s"CREATE TABLE $cat.leftover USING tablelogv2 LOCATION '$leftoverDir'")
+    assert(spark.read.table(s"$cat.leftover").count() == 1L)
+    spark.sql(s"DROP TABLE $cat.leftover")
+    // a DROP that crashes between its two deletes (data first, pointer
+    // second) leaves a stale pointer — the LOUD failure mode, which a
+    // retried DROP clears; the reverse order would orphan data silently
+    spark.sql(s"CREATE TABLE $cat.crashd (id BIGINT) USING tablelogv2")
+    spark.sql(s"INSERT INTO $cat.crashd VALUES (1)")
+    val dirC = cata.tableDir(ident(Array.empty, "crashd"))
+    val pC = new org.apache.hadoop.fs.Path(dirC)
+    pC.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pC, true)
+    val e3 = intercept[IllegalStateException] {
+      spark.read.table(s"$cat.crashd").count()
+    }
+    assert(e3.getMessage.contains("stale") || e3.getMessage.contains("removed"),
+      e3.getMessage)
+    spark.sql(s"DROP TABLE $cat.crashd") // the retry clears the pointer
+    assert(!cata.tableExists(ident(Array.empty, "crashd")))
+  }
+
+  test("a namespace is not a table; bad VERSION AS OF and positioned ADD COLUMN are loud") {
+    val cata = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    def ident(ns: Array[String], t: String) =
+      org.apache.spark.sql.connector.catalog.Identifier.of(ns, t)
+    spark.sql(s"CREATE TABLE $cat.nst.inner (id BIGINT) USING tablelogv2")
+    // the namespace DIRECTORY under _catalog must not read as a table
+    assert(!cata.tableExists(ident(Array.empty, "nst")),
+      "a namespace directory must not report as a table")
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchTableException] {
+      cata.loadTable(ident(Array.empty, "nst"))
+    }
+    // non-integer time travel names the table and the supported mode
+    val e = intercept[IllegalArgumentException] {
+      cata.loadTable(ident(Array("nst"), "inner"), "2026-01-01")
+    }
+    assert(e.getMessage.contains("integer VERSION AS OF"), e.getMessage)
+    // FIRST/AFTER and COMMENT would be silently ignored — loud instead
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql(s"ALTER TABLE $cat.nst.inner ADD COLUMN x INT FIRST")
+    }
+    assert(e2.getMessage.contains("FIRST/AFTER"), e2.getMessage)
+    val e3 = intercept[UnsupportedOperationException] {
+      spark.sql(s"ALTER TABLE $cat.nst.inner ADD COLUMN x INT COMMENT 'c'")
+    }
+    assert(e3.getMessage.contains("COMMENT"), e3.getMessage)
+    // neither rejected ALTER committed anything
+    assert(spark.read.table(s"$cat.nst.inner").schema.fieldNames.toSeq == Seq("id"))
+    spark.sql(s"DROP NAMESPACE $cat.nst CASCADE")
+  }
+
+  test("SHOW TBLPROPERTIES serves manifest stats — no file walk, snapshot-consistent") {
+    spark.sql(s"CREATE TABLE $cat.props (id BIGINT, v STRING) USING tablelogv2")
+    spark.sql(s"INSERT INTO $cat.props SELECT id, CONCAT('r', id) FROM RANGE(7)")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val cata = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    val dir = cata.tableDir(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "props"))
+    val m = TableLog.latest(spark, dir).get
+    // 'provider'/'path' are Spark-reserved keys SHOW filters out; the
+    // raw Table.properties() face still carries them
+    assert(cata.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "props"))
+      .properties().get("provider") == "tablelogv2")
+    assert(props("graft.version") == m.version.toString)
+    assert(props("graft.rows") == "7")
+    assert(props("graft.bytes") == m.bytes.toString)
+    assert(props("graft.files") == m.files.length.toString)
+    spark.sql(s"DROP TABLE $cat.props")
+  }
+
   test("racing CREATEs of one name resolve to exactly one winner") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._

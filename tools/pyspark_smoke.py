@@ -75,12 +75,26 @@ assert by_type == {"append": 115, "delete": 5}, by_type
 assert spark.read.format("tablelogv2").option("versionAsOf", "0") \
     .load(d).count() == 100
 
+# layout maintenance from pure SQL: COMPACT re-bins the small files the
+# appends above left behind, without changing a row
+# live-file counts come from the manifest (inputFiles), not the
+# directory: a compact is copy-on-write, the superseded files stay on
+# disk until VACUUM reclaims them
+n_files_before = len(spark.read.format("tablelogv2").load(d).inputFiles())
+rewritten = spark.sql(f"GRAFT COMPACT '{d}'").head()[0]
+assert rewritten >= 1, rewritten
+n_files_after = len(spark.read.format("tablelogv2").load(d).inputFiles())
+assert n_files_after <= n_files_before, (n_files_before, n_files_after)
+assert spark.read.format("tablelogv2").load(d).count() == 110
+
 # the named-catalog face, Python-only: create, insert, GRAFT by name
 spark.sql("CREATE TABLE gpy.ops.t (id BIGINT, v STRING) USING tablelogv2")
 spark.sql("INSERT INTO gpy.ops.t SELECT id, concat('x', id) FROM RANGE(50)")
 assert spark.sql("SELECT count(*) FROM gpy.ops.t").head()[0] == 50
 assert spark.sql("GRAFT DELETE FROM gpy.ops.t WHERE id = 7").head()[0] == 1
 spark.sql("GRAFT RESTORE gpy.ops.t TO VERSION 1")
+assert spark.read.table("gpy.ops.t").count() == 50
+assert spark.sql("GRAFT COMPACT gpy.ops.t").head()[0] >= 1
 assert spark.read.table("gpy.ops.t").count() == 50
 spark.sql("DROP TABLE gpy.ops.t")
 
