@@ -53,9 +53,9 @@ object AnnIndex {
     * are excluded here once, not per query. */
   def build(corpus: DataFrame, name: String, planes: Int = 8,
             buckets: Int = 64): Handle = {
-    // planes > 12 builds a valid single-probe index; multi-probe
-    // (nprobe > 1) ranks 2^planes masks and the streaming entry points
-    // reject such geometries driver-side before any stream starts
+    // any geometry up to MaxProbePlanes multi-probes (query-directed
+    // generation — no 2^planes enumeration anywhere); 63 is the bucket
+    // id's own bit budget
     require(planes >= 1 && planes <= 63, s"planes must be in [1, 63]: $planes")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -526,47 +526,99 @@ object AnnIndex {
     emptyTombstones(spark).write.saveAsTable(tombstoneTable(h))
   }
 
-  /** Multi-probe bucket selection (Lv et al.'s multi-probe LSH, the
-    * exhaustive variant): rank EVERY sign-LSH bucket by how far the
-    * query sits from the flipped hyperplanes — the perturbation score
-    * Σ_{flipped planes h} |projection_h| — and return the `nprobe`
-    * nearest buckets (the query's own bucket is always first, score 0).
+  /** The widest probe geometry [[multiProbe]] serves: 62 hyperplanes
+    * fill a positive Long of bucket bits. Before round 17 the cap was
+    * 12 (the ranking enumerated all 2^planes masks); query-directed
+    * generation lifted it, so a production-bucket-count index (2^16
+    * buckets for a 10⁹-row corpus) gets the same recall DIAL instead of
+    * a single-probe cliff. */
+  val MaxProbePlanes: Int = 62
+
+  /** Multi-probe bucket selection (Lv et al.'s multi-probe LSH,
+    * QUERY-DIRECTED): return the `nprobe` buckets nearest the query —
+    * ranked by the perturbation score Σ_{flipped planes h}
+    * |projection_h| — WITHOUT enumerating the 2^planes mask space. The
+    * query's own bucket is always first (score 0); after it, flip sets
+    * are generated best-first from the margin-sorted planes through the
+    * standard shift/expand successor scheme (Lv et al. 2007, §4.1: the
+    * heap is seeded with {smallest |projection|}; a popped set pushes
+    * its "shift" — last flipped plane replaced by the next — and its
+    * "expand" — the next plane added — so every flip set is reachable
+    * exactly once and scores pop in non-decreasing order). Per-query
+    * work is O(nprobe · planes) — independent of 2^planes — which is
+    * what lifts the old planes ≤ 12 cap to [[MaxProbePlanes]].
+    *
+    * ORDER PARITY with the exhaustive ranking (spec-pinned at planes ≤
+    * 12, where the old variant enumerated everything): each candidate's
+    * score is recomputed in ascending-plane order — the exhaustive
+    * summation order, so identical flip sets produce bit-identical
+    * doubles — and equal-score flip sets are drained as one GROUP from
+    * the heap, then emitted in the exhaustive tiebreak order (resulting
+    * bucket id ascending). Monotone IEEE rounding makes a successor's
+    * recomputed score >= its parent's, so the drain never misses a
+    * group member. Probe sets therefore still NEST (nprobe=k is a
+    * prefix of nprobe=k+1) and nprobe = 2^planes is still exactly
+    * brute force.
+    *
     * Uses the SAME md5 hyperplanes as `lsh_bucket` (via `rp_project`,
     * whose sign-per-plane invariant NativeHashSpec pins), so probe
-    * buckets and stored buckets can never disagree.
-    *
-    * Recall is tunable per query without rebuilding the index: nprobe=1
-    * is the classic single-bucket probe; nprobe = 2^planes probes every
-    * bucket and is EXACTLY brute force (SimilarityStreamSpec pins that
-    * equality). Exhaustive ranking is 2^planes scored masks per query —
-    * trivial at the probe geometries this engine uses (planes ≤ 12
-    * enforced; 8 ⇒ 256 masks). */
+    * buckets and stored buckets can never disagree. */
   def multiProbe(bucket: Long, projs: Array[Double], nprobe: Int): Array[Long] = {
     val planes = projs.length
-    require(planes >= 1 && planes <= 12,
-      s"multiProbe ranks 2^planes masks; planes must be in [1, 12]: $planes")
-    val total = 1 << planes
-    val n = math.min(math.max(nprobe, 1), total)
+    require(planes >= 1 && planes <= MaxProbePlanes,
+      s"multiProbe supports planes in [1, $MaxProbePlanes]: $planes")
+    val total: Long = 1L << planes // planes <= 62: no overflow
+    val n: Int = math.min(math.max(nprobe, 1).toLong,
+      math.min(total, Int.MaxValue.toLong)).toInt
     if (n == 1) return Array(bucket)
-    val scored = new Array[(Double, Int, Long)](total)
-    var mask = 0
-    while (mask < total) {
+    // planes sorted by |projection| ascending — the order flip sets are
+    // grown in; ties broken on plane index for determinism
+    val order = Array.range(0, planes)
+      .sortBy(h => (math.abs(projs(h)), h))
+    // exhaustive-order score: ascending PLANE index, so a flip set's
+    // score is the same double the old 2^planes ranking computed
+    def exactScore(mask: Long): Double = {
       var s = 0.0
       var h = 0
       while (h < planes) {
-        if ((mask & (1 << h)) != 0) s += math.abs(projs(h))
+        if ((mask & (1L << h)) != 0) s += math.abs(projs(h))
         h += 1
       }
-      // mask 0 (the query's own bucket) is pinned first EXPLICITLY, not
-      // just by its zero score: a query sitting on k hyperplanes has k
-      // zero projections, so 2^k masks tie at score 0 and a bucket-id
-      // tiebreak alone could push the own bucket — the highest-recall
-      // probe — out of a small nprobe entirely
-      scored(mask) = (s, if (mask == 0) 0 else 1, (bucket ^ mask.toLong))
-      mask += 1
+      s
     }
-    // nearer flip sets first, own bucket before other ties, then bucket id
-    java.util.Arrays.sort(scored, Ordering.Tuple3[Double, Int, Long])
-    scored.iterator.take(n).map(_._3).toArray
+    // a node is a non-empty flip set over `order` indices [0, last];
+    // stored as (score, mask, members-as-sorted-order-indices)
+    final case class Node(score: Double, mask: Long, idxs: Array[Int])
+    val heap = scala.collection.mutable.PriorityQueue.empty[Node](
+      Ordering.by[Node, Double](_.score).reverse)
+    def node(idxs: Array[Int]): Node = {
+      var m = 0L
+      idxs.foreach(i => m |= (1L << order(i)))
+      Node(exactScore(m), m, idxs)
+    }
+    heap.enqueue(node(Array(0)))
+    val out = new scala.collection.mutable.ArrayBuffer[Long](n)
+    out += bucket // the own bucket (empty flip set, score 0) pins first
+    while (out.size < n && heap.nonEmpty) {
+      // drain the whole tie group at the head score (successors pushed
+      // while draining can join it), then emit in bucket-id order —
+      // the exhaustive sort's tiebreak
+      val gScore = heap.head.score
+      val group = new scala.collection.mutable.ArrayBuffer[Node]()
+      while (heap.nonEmpty && heap.head.score == gScore) {
+        val nd = heap.dequeue()
+        group += nd
+        val last = nd.idxs(nd.idxs.length - 1)
+        if (last + 1 < planes) {
+          val shifted = nd.idxs.clone()
+          shifted(shifted.length - 1) = last + 1
+          heap.enqueue(node(shifted))
+          heap.enqueue(node(nd.idxs :+ (last + 1)))
+        }
+      }
+      val buckets = group.map(nd => bucket ^ nd.mask).sorted
+      buckets.foreach { b => if (out.size < n) out += b }
+    }
+    out.toArray
   }
 }

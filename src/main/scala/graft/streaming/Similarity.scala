@@ -217,12 +217,15 @@ object Similarity {
     * nrm, q, scale, l1); `floatStatic` needs (vec_id, embedding, nrm). */
   /** Driver-side geometry check so an unsupported (planes, nprobe)
     * combination fails at plan construction with a clear message, not
-    * per-task inside [[AnnIndex.multiProbe]] on the first micro-batch —
-    * an index legally built at planes > 12 is single-probe-only. */
+    * per-task inside [[AnnIndex.multiProbe]] on the first micro-batch.
+    * Since round 17 multi-probe is query-directed (O(nprobe·planes) per
+    * query, no 2^planes enumeration), so the old planes ≤ 12 cap is
+    * gone — any geometry up to [[AnnIndex.MaxProbePlanes]] takes
+    * nprobe as a recall dial. */
   private def requireProbeGeometry(planes: Int, nprobe: Int): Unit =
-    require(nprobe <= 1 || planes <= 12,
-      s"multi-probe ranks 2^planes buckets per query and supports planes <= 12; " +
-        s"got planes=$planes with nprobe=$nprobe — probe this geometry with nprobe=1")
+    require(planes >= 1 && planes <= AnnIndex.MaxProbePlanes,
+      s"probe geometry supports planes in [1, ${AnnIndex.MaxProbePlanes}]; " +
+        s"got planes=$planes with nprobe=$nprobe")
 
   private def knnQuantizedCore(queries: Dataset[(Long, Array[Float])],
       taggedStatic: DataFrame, floatStatic: DataFrame, k: Int, planes: Int,
@@ -359,8 +362,7 @@ object Similarity {
     val probed = probedRows.toSeq.toDF("query_id", "qemb", "qnrm", "bucket")
     val buckets = probedRows.iterator.map(_._4).toSet
     val statics = AnnIndex.withoutTombstoned(spark, index,
-      AnnIndex.probeSide(spark, index)
-        .filter($"bucket".isin(buckets.toSeq: _*))
+      pruneToBuckets(AnnIndex.probeSide(spark, index), index, buckets)
         .select($"vec_id", $"embedding", $"nrm", $"bucket"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
@@ -369,10 +371,100 @@ object Similarity {
       .select($"query_id", $"vec_id", $"cos")
   }
 
+  /** The serving faces' bucket pruning, GUARDED: push the probe set as
+    * a literal `bucket IN (…)` only while it can actually prune. A
+    * probe set covering more than half the logical bucket space (a big
+    * batch, or nprobe approaching 2^planes) prunes little but still
+    * costs the planner a thousands-long IN list — the full scan is the
+    * better plan there, and the join itself still drops non-probed
+    * buckets. */
+  private def pruneToBuckets(static: DataFrame, index: AnnIndex.Handle,
+                             buckets: Set[Long]): DataFrame = {
+    val total = 1L << math.min(index.planes, 62)
+    if (buckets.size * 2L > total) static
+    else {
+      val spark = static.sparkSession
+      import spark.implicits._
+      static.filter($"bucket".isin(buckets.toSeq: _*))
+    }
+  }
+
   /** Probe-row bound for [[knnBatch]]'s driver-side collect: 256k rows
     * ≈ ≤80 MB of float payload at dim 64 — far above any real serving
     * trigger, far below anything that belongs on the cluster. */
   val MaxServeProbeRows: Int = 1 << 18
+
+  /** [[knnBatch]] over the int8 SIDECAR — the two measured serving wins
+    * composed: probe-set pruning (scan cost follows the query batch,
+    * 3.11× at a 2M-row corpus in BENCH_ANN_SERVE_r16) on the scan that
+    * is itself ~4× narrower (the int8 probe row carries d bytes + a few
+    * scalars instead of the 4d-byte float embedding — the 2.4× winner
+    * of BENCH_ANN_GEOM_r16's scan-bound regime). Candidates get the
+    * certified approx ± err cosine interval of `Ivf.searchQuantized`;
+    * the per-query survivor threshold is the k-th largest certified
+    * LOWER bound (fewer than k candidates → no threshold, all survive),
+    * so the float rerank — by id, through the bucketed-by-`vec_id` vec
+    * table — provably cannot lose a true winner. Winners are therefore
+    * exactly [[knnBatch]]'s == [[streamKnn]]'s, same (cos desc, vec_id)
+    * tie order (spec-pinned). Same driver-side collect contract and
+    * [[MaxServeProbeRows]] bound as [[knnBatch]]. */
+  def knnBatchQuantized(queries: Dataset[(Long, Array[Float])],
+                        index: AnnIndex.Handle, k: Int,
+                        nprobe: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val probedRows = probedQueries(queries, index.planes, nprobe)
+      .as[(Long, Array[Float], Double, Long)].take(MaxServeProbeRows + 1)
+    require(probedRows.length <= MaxServeProbeRows,
+      s"knnBatchQuantized is the SERVING face: its query batch is " +
+        s"collected driver-side and this one explodes past " +
+        s"$MaxServeProbeRows probe rows — shrink the batch or nprobe, " +
+        "or run bulk top-k through streamKnnQuantized")
+    val buckets = probedRows.iterator.map(_._4).toSet
+    // quantize on the driver — the batch is bounded, and the probe join
+    // then ships d-byte int8 rows instead of 4d-byte floats
+    val qz = probedRows.iterator.map { case (id, v, qnrm, b) =>
+      val (qq, qs, ql1) = graft.functions.Ivf.quantize(v)
+      (id, qnrm, b, qq, qs, ql1)
+    }.toSeq.toDF("query_id", "qnrm", "bucket", "qq", "qs", "ql1")
+    // one float row per DISTINCT query for the exact rerank
+    val qmap = probedRows.iterator
+      .map { case (id, v, qn, _) => id -> ((v, qn)) }.toMap
+    val queriesDf = qmap.iterator
+      .map { case (id, (v, qn)) => (id, v, qn) }.toSeq
+      .toDF("query_id", "qemb", "qnrm")
+    val taggedStatic = AnnIndex.withoutTombstoned(spark, index,
+      pruneToBuckets(AnnIndex.probeSide(spark, index), index, buckets)
+        .select($"vec_id", $"bucket", $"nrm", $"q", $"scale", $"l1"))
+    // int8-scored candidates with the searchQuantized certified bound
+    val d = lit(0.25) * least(length($"qq"), length($"q")).cast("double")
+    val cands = qz.join(taggedStatic, "bucket")
+      .select($"query_id", $"vec_id",
+        (($"qs" * $"scale" * native.int8_dot($"qq", $"q")) /
+          ($"qnrm" * $"nrm")).as("approx"),
+        (($"qs" * $"scale" * (($"ql1" + $"l1") / lit(2.0) + d)) /
+          ($"qnrm" * $"nrm")).as("err"))
+    // batch certified filter: threshold = k-th largest lower bound
+    val wLb = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy(($"approx" - $"err").desc)
+    val thresholds = cands
+      .withColumn("lbrk", row_number().over(wLb))
+      .filter($"lbrk" === k)
+      .select($"query_id", ($"approx" - $"err").as("thresh"))
+    val survivors = cands.join(thresholds, Seq("query_id"), "left")
+      .filter($"thresh".isNull || ($"approx" + $"err") >= $"thresh")
+      .select($"query_id", $"vec_id")
+    // exact rerank of the certified superset: floats re-enter BY ID
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
+    survivors.join(AnnIndex.vecSide(spark, index), "vec_id")
+      .join(broadcast(queriesDf), "query_id")
+      .select($"query_id", $"vec_id",
+        (native.double_dot($"qemb", $"embedding") / ($"qnrm" * $"nrm")).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+      .select($"query_id", $"vec_id", $"cos")
+  }
 
   /** The SERVING LOOP: a query stream answered per micro-batch through
     * [[knnBatch]], so every trigger's corpus scan is pruned to that
@@ -383,7 +475,8 @@ object Similarity {
     * Tombstones and keyed appends are honored per trigger exactly as on
     * the streaming path (the catalog tables re-resolve per batch). */
   def streamKnnServe(queries: Dataset[(Long, Array[Float])],
-      index: AnnIndex.Handle, k: Int, nprobe: Int)(
+      index: AnnIndex.Handle, k: Int, nprobe: Int,
+      quantized: Boolean = false)(
       consume: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[(Long, Array[Float])] = {
     // validate DRIVER-SIDE before the stream starts — the entry-point
@@ -394,7 +487,9 @@ object Similarity {
     requireProbeGeometry(index.planes, nprobe)
     queries.writeStream.foreachBatch {
       (b: Dataset[(Long, Array[Float])], epoch: Long) =>
-        consume(knnBatch(b, index, k, nprobe), epoch)
+        consume(
+          if (quantized) knnBatchQuantized(b, index, k, nprobe)
+          else knnBatch(b, index, k, nprobe), epoch)
     }
   }
 

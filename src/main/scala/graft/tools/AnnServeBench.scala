@@ -49,9 +49,9 @@ object AnnServeBench {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     // fixed-plan streaming path: the probe table scans in full per trigger
-    def runStream(): Double = {
+    def runStream(nprobe: Int): Double = {
       val in = MemoryStream[(Long, Array[Float])]
-      val q = graft.streaming.Similarity.streamKnn(in.toDS(), idx, k, nprobe = 1)
+      val q = graft.streaming.Similarity.streamKnn(in.toDS(), idx, k, nprobe)
         .toDF("query_id", "vec_id", "cos")
         .writeStream.format("noop").outputMode("append").start()
       in.addData(queries.take(200).toSeq); q.processAllAvailable() // warm
@@ -62,11 +62,12 @@ object AnnServeBench {
       val qps = (queries.length - 200) / ((System.nanoTime() - t0) / 1e9)
       q.stop(); qps
     }
-    // serving loop: per-trigger knnBatch, probe-set-pruned scan
-    def runServe(): Double = {
+    // serving loop: per-trigger knnBatch(Quantized), probe-set-pruned scan
+    def runServe(nprobe: Int, quantized: Boolean): Double = {
       val in = MemoryStream[(Long, Array[Float])]
       val q = graft.streaming.Similarity.streamKnnServe(in.toDS(), idx, k,
-        nprobe = 1) { (df, _) => df.write.mode("append").format("noop").save() }
+        nprobe, quantized) { (df, _) =>
+          df.write.mode("append").format("noop").save() }
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("annserve_ck").toString)
         .start()
@@ -78,19 +79,32 @@ object AnnServeBench {
       val qps = (queries.length - 200) / ((System.nanoTime() - t0) / 1e9)
       q.stop(); qps
     }
-    val serveQps = runServe()
-    val streamQps = runStream()
+    // the pruning witness: one serving batch's executed plan
+    def witness(nprobe: Int, quantized: Boolean): (Int, Int) = {
+      val sample =
+        if (quantized) graft.streaming.Similarity.knnBatchQuantized(
+          queries.take(chunk).toSeq.toDS(), idx, k, nprobe)
+        else graft.streaming.Similarity.knnBatch(
+          queries.take(chunk).toSeq.toDS(), idx, k, nprobe)
+      sample.collect()
+      """SelectedBucketsCount: (\d+) out of (\d+)""".r
+        .findFirstMatchIn(sample.queryExecution.executedPlan.toString)
+        .map(m => (m.group(1).toInt, m.group(2).toInt))
+        .getOrElse((-1, -1))
+    }
 
-    // the pruning witness: one serving batch's plan
-    val sample = graft.streaming.Similarity.knnBatch(
-      queries.take(chunk).toSeq.toDS(), idx, k, nprobe = 1)
-    sample.collect()
-    val sel = """SelectedBucketsCount: (\d+) out of (\d+)""".r
-      .findFirstMatchIn(sample.queryExecution.executedPlan.toString)
-    val (selB, totB) = sel.map(m => (m.group(1).toInt, m.group(2).toInt))
-      .getOrElse((-1, -1))
-
-    println(f"""{"ann_serve_q_per_sec":$serveQps%.0f,"ann_stream_q_per_sec":$streamQps%.0f,"serve_over_stream":${serveQps / streamQps}%.2f,"selected_buckets":$selB,"total_buckets":$totB,"planes":$planes,"chunk":$chunk,"corpus_rows":$n,"env":$env,"sf":"$sfDir"}""")
+    // legs: the r16 float pair re-measured, plus the two r17 asks — the
+    // int8 serving face (the composed scan win) and nprobe=4 (the claim
+    // "scan cost follows the query batch" under a 4x probe set)
+    Seq(1, 4).foreach { np =>
+      val streamQps = runStream(np)
+      Seq(false, true).foreach { quant =>
+        val qps = runServe(np, quant)
+        val (selB, totB) = witness(np, quant)
+        val mode = if (quant) "int8" else "float"
+        println(f"""{"ann_serve_q_per_sec":$qps%.0f,"ann_stream_q_per_sec":$streamQps%.0f,"serve_over_stream":${qps / streamQps}%.2f,"serve_mode":"$mode","nprobe":$np,"selected_buckets":$selB,"total_buckets":$totB,"planes":$planes,"chunk":$chunk,"corpus_rows":$n,"env":$env,"sf":"$sfDir"}""")
+      }
+    }
 
     AnnBenchData.dropIndex(spark, idx)
     spark.stop()

@@ -96,6 +96,60 @@ class SimilarityRecallSpec extends SparkSuite {
     (hits.toDouble / queryVecs.size, cands.toDouble / queryVecs.size)
   }
 
+  test("query-directed multiProbe: exhaustive-ranking parity at planes <= 12, nesting and constant work beyond") {
+    val rnd = new scala.util.Random(42)
+    // the independent oracle: the pre-r17 exhaustive variant, ranking
+    // all 2^planes masks by (float score, own-bucket pin, bucket id)
+    def exhaustive(bucket: Long, projs: Array[Double], nprobe: Int): Array[Long] = {
+      val planes = projs.length
+      val total = 1 << planes
+      val n = math.min(math.max(nprobe, 1), total)
+      if (n == 1) return Array(bucket)
+      val scored = Array.tabulate(total) { mask =>
+        var s = 0.0
+        var h = 0
+        while (h < planes) {
+          if ((mask & (1 << h)) != 0) s += math.abs(projs(h))
+          h += 1
+        }
+        (s, if (mask == 0) 0 else 1, bucket ^ mask.toLong)
+      }
+      scored.sorted.iterator.take(n).map(_._3).toArray
+    }
+    for (planes <- Seq(1, 2, 3, 5, 8, 10, 12); trial <- 0 until 12) {
+      // every 4th projection is EXACTLY zero — the query-on-hyperplane
+      // tie case the group drain exists for
+      val projs = Array.fill(planes)(
+        if (rnd.nextInt(4) == 0) 0.0 else rnd.nextGaussian())
+      val bucket = rnd.nextLong() & ((1L << planes) - 1)
+      for (nprobe <- Seq(1, 2, 3, 7, 1 << planes)) {
+        val got = AnnIndex.multiProbe(bucket, projs, nprobe)
+        val want = exhaustive(bucket, projs, nprobe)
+        assert(got.toSeq == want.toSeq,
+          s"planes=$planes nprobe=$nprobe trial=$trial: " +
+            s"got ${got.take(8).toSeq}, want ${want.take(8).toSeq}")
+      }
+    }
+    // beyond the old cap: probe sets still NEST (so recall is monotone
+    // in nprobe — a bigger probe set is a superset of candidates),
+    // stay distinct, and cost O(nprobe·planes), not 2^planes
+    val projs16 = Array.fill(16)(rnd.nextGaussian())
+    val b16 = rnd.nextLong() & 0xFFFFL
+    val sets = Seq(1, 4, 16, 64, 256).map(np =>
+      AnnIndex.multiProbe(b16, projs16, np))
+    sets.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.take(a.length).toSeq == a.toSeq, "probe sets must nest")
+    }
+    assert(sets.last.length == 256 && sets.last.distinct.length == 256)
+    assert(sets.head.head == b16, "own bucket always probes first")
+    // planes = 40 would be 2^40 masks exhaustively; query-directed is
+    // instant and returns exactly nprobe distinct buckets
+    val projs40 = Array.fill(40)(rnd.nextGaussian())
+    val b40 = rnd.nextLong() & ((1L << 40) - 1)
+    val got40 = AnnIndex.multiProbe(b40, projs40, 64)
+    assert(got40.length == 64 && got40.distinct.length == 64 && got40.head == b40)
+  }
+
   test("sign-LSH single-probe recall matches the analytic (1 - theta/pi)^planes curve") {
     // analytic prediction from each query's TRUE nearest-neighbor angle
     def analytic(planes: Int): Double =

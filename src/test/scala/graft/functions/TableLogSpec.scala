@@ -32,6 +32,56 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.bytes(spark, dir) == fsBytes && fsBytes > 0L)
   }
 
+  test("head hint: advisory only — missing, stale, garbage and ahead-of-head hints all resolve correctly, racing commits too") {
+    val dir = freshTable()
+    (0 until 5).foreach(b => TableLog.appendBatch(batchDf(b, 10), dir, "w", b.toLong))
+    // hint writes go through the Hadoop fs (as production's do) so the
+    // local fs checksum sidecar stays consistent with the content
+    val hintPath = new org.apache.hadoop.fs.Path(dir + "/_graft_log/_head")
+    val hfs = hintPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeHint(s: String): Unit = {
+      val out = hfs.create(hintPath, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    def readHint(): String = {
+      val in = hfs.open(hintPath)
+      try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    }
+    // steady state: the hint carries the last committed version
+    assert(hfs.getFileStatus(hintPath).isFile && readHint() == "4")
+    assert(TableLog.latest(spark, dir).get.version == 4L)
+    // hint MISSING (pre-hint table / deleted): listing fallback
+    assert(hfs.delete(hintPath, false))
+    assert(TableLog.latest(spark, dir).get.version == 4L)
+    // hint STALE (crash between CAS and hint write): forward probes
+    writeHint("1")
+    assert(TableLog.latest(spark, dir).get.version == 4L)
+    // hint GARBAGE (torn concurrent overwrite): listing fallback
+    writeHint("not-a-version")
+    assert(TableLog.latest(spark, dir).get.version == 4L)
+    // hint AHEAD of any manifest (corrupt): listing fallback
+    writeHint("999999")
+    assert(TableLog.latest(spark, dir).get.version == 4L)
+    // hint staler than MaxHintLag: probing gives up, listing answers
+    val savedLag = TableLog.MaxHintLag
+    TableLog.MaxHintLag = 2
+    try {
+      writeHint("0")
+      assert(TableLog.latest(spark, dir).get.version == 4L)
+    } finally TableLog.MaxHintLag = savedLag
+    // RACING commits with a hint corrupted before every CAS: resolution
+    // must never trust it — every append still lands the next version
+    val savedHook = TableLog.casHook
+    TableLog.casHook = () => writeHint("0")
+    try {
+      (5 until 8).foreach(b => TableLog.appendBatch(batchDf(b, 10), dir, "w", b.toLong))
+    } finally TableLog.casHook = savedHook
+    val m = TableLog.latest(spark, dir).get
+    assert(m.version == 7L && m.rows == 80L, s"v${m.version}, ${m.rows} rows")
+    // the last commit repaired the hint
+    assert(readHint() == "7")
+  }
+
   test("replay dedup: same runKey+batchId is a no-op; a FRESH runKey with colliding batchIds appends") {
     val dir = freshTable()
     assert(TableLog.appendBatch(batchDf(0), dir, "gen-1", 0L))

@@ -418,6 +418,95 @@ class SimilarityStreamSpec extends SparkSuite {
     }
   }
 
+  test("knnBatchQuantized: winners == the float serving face; the pruned scan is int8-narrow; oversized probe sets skip the literal") {
+    withRocksDBState {
+      import graft.functions.AnnIndex
+      val corpus = spark.read.parquet(sf() + "/embeddings.parquet")
+        .select($"vec_id", $"embedding").cache()
+      val queries = corpus.as[(Long, Array[Float])].collect().take(12).toSeq
+      val h = AnnIndex.build(corpus, "simspec_serveq", planes = 8, buckets = 32)
+
+      def canon(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+        df.as[(Long, Long, Double)].collect().groupBy(_._1)
+          .map { case (qid, hits) =>
+            qid -> hits.sortBy { case (_, id, cos) => (-cos, id) }
+              .map(_._2).toSeq
+          }
+
+      // quantized == float == streaming, single- and multi-probe — the
+      // certified filter-verify margin cannot lose a true winner
+      Seq(1, 4).foreach { np =>
+        val float = canon(Similarity.knnBatch(queries.toDS(), h, k = 5, nprobe = np))
+        val quant = canon(Similarity.knnBatchQuantized(queries.toDS(), h, k = 5, nprobe = np))
+        assert(quant == float, s"quantized serving diverged from float at nprobe=$np")
+        val streamed = runStream(s"serveq_base_$np", queries,
+          ds => Similarity.streamKnn(ds, h, k = 5, nprobe = np))
+        assert(quant == streamed, s"quantized serving diverged from streamKnn at nprobe=$np")
+      }
+
+      // the int8 probe scan is BOTH bucket-pruned AND narrow: it must
+      // select fewer physical buckets than the table has, and must not
+      // read the 4d-byte float embedding column (that is the rerank
+      // side's job, by id, for survivors only)
+      val served = Similarity.knnBatchQuantized(queries.toDS(), h, k = 5, nprobe = 1)
+      served.collect()
+      val plan = served.queryExecution.executedPlan
+      val sel = """SelectedBucketsCount: (\d+) out of (\d+)""".r
+        .findFirstMatchIn(plan.toString)
+      assert(sel.isDefined, s"no bucket pruning in the quantized serve plan:\n$plan")
+      assert(sel.get.group(2).toInt == 32 && sel.get.group(1).toInt < 32,
+        s"probe scan did not prune: ${sel.get.group(1)} of ${sel.get.group(2)}")
+      // string-level check (AQE stages hide their subtrees from
+      // collect): the probe table's FileScan line lists its output
+      // columns — the float embedding must not be among them
+      val probeScanLines = plan.toString.linesIterator
+        .filter(l => l.contains("FileScan") && l.contains("simspec_serveq_probe"))
+        .toSeq
+      assert(probeScanLines.nonEmpty, s"no probe-table scan in:\n$plan")
+      probeScanLines.foreach(l =>
+        assert(!l.contains("embedding#"),
+          s"int8 probe scan reads the float embedding:\n$l"))
+
+      // guard: a probe set covering more than half the bucket space
+      // (nprobe = 2^planes here) skips the IN literal — it would prune
+      // nothing — and winners still match brute-force streamKnn
+      val full = Similarity.knnBatch(queries.take(4).toDS(), h, k = 5, nprobe = 256)
+      full.collect()
+      val fullPlan = full.queryExecution.executedPlan.toString
+      // no IN-literal pushed anywhere, and any bucketed scan reads ALL
+      // its physical buckets (Spark prints "n out of n" for a bucketed
+      // join scan even without pruning)
+      assert(!fullPlan.contains("In(bucket"),
+        s"an unprunable probe set must skip the bucket literal:\n$fullPlan")
+      """SelectedBucketsCount: (\d+) out of (\d+)""".r
+        .findAllMatchIn(fullPlan).foreach(m =>
+          assert(m.group(1) == m.group(2),
+            s"unexpected bucket pruning without a literal: $m"))
+      val fullStream = runStream("serveq_full", queries.take(4),
+        ds => Similarity.streamKnn(ds, h, k = 5, nprobe = 256))
+      assert(canon(full) == fullStream,
+        "guarded (unpruned) knnBatch diverged from brute-force streamKnn")
+
+      // the quantized serving loop: per-epoch parity with the batch face
+      import scala.collection.mutable
+      val byEpoch = mutable.Map.empty[Long, Map[Long, Seq[Long]]]
+      val in = MemoryStream[(Long, Array[Float])]
+      val q = Similarity.streamKnnServe(in.toDS(), h, k = 5, nprobe = 1,
+        quantized = true) {
+        (df, epoch) => byEpoch.synchronized { byEpoch(epoch) = canon(df) }
+      }.option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("serveq_ck").toString).start()
+      try {
+        in.addData(queries.take(6)); q.processAllAvailable()
+        in.addData(queries.drop(6)); q.processAllAvailable()
+      } finally q.stop()
+      assert(byEpoch.values.flatten.toMap == canon(
+        Similarity.knnBatchQuantized(queries.toDS(), h, k = 5, nprobe = 1)),
+        "the quantized serving loop diverged from its batch face")
+      corpus.unpersist()
+    }
+  }
+
   test("knnBatch / streamKnnServe: winners == the streaming path; the corpus scan PRUNES to the probe set") {
     withRocksDBState {
       import graft.functions.AnnIndex
