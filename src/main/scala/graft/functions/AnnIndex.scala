@@ -53,10 +53,12 @@ object AnnIndex {
     * are excluded here once, not per query. */
   def build(corpus: DataFrame, name: String, planes: Int = 8,
             buckets: Int = 64): Handle = {
-    // any geometry up to MaxProbePlanes multi-probes (query-directed
-    // generation — no 2^planes enumeration anywhere); 63 is the bucket
-    // id's own bit budget
-    require(planes >= 1 && planes <= 63, s"planes must be in [1, 63]: $planes")
+    // capped at MaxProbePlanes so every legally-built index is also
+    // servable: the query faces validate against the same bound, and
+    // any geometry up to it multi-probes (query-directed generation —
+    // no 2^planes enumeration anywhere)
+    require(planes >= 1 && planes <= MaxProbePlanes,
+      s"planes must be in [1, $MaxProbePlanes]: $planes")
     val spark = corpus.sparkSession
     import spark.implicits._
     // pinned across the two table writes (one corpus pass for the

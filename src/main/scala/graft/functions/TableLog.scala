@@ -1685,32 +1685,49 @@ object TableLog {
     val b = if (bits > 0) bits else math.min(16, 63 / cols.length)
     compactLaidOut(spark, dir, targetBytes, cols) { (snapshot, n) =>
       import org.apache.spark.sql.functions._
-      cols.foreach { c =>
-        val f = snapshot.schema.fields.find(
-          _.name.equalsIgnoreCase(c)).getOrElse(
-          throw new IllegalArgumentException(
+      // the double rendering of each dimension — DATE has no legal
+      // double cast (ANSI or legacy), so it goes through epoch days
+      def asDouble(c: String): org.apache.spark.sql.Column =
+        snapshot.schema.fields.find(_.name.equalsIgnoreCase(c)) match {
+          case None => throw new IllegalArgumentException(
             s"z-order column '$c' is not in the table schema " +
-              snapshot.schema.fieldNames.mkString("(", ", ", ")")))
-        require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
-            || f.dataType == org.apache.spark.sql.types.TimestampType
-            || f.dataType == org.apache.spark.sql.types.DateType,
-          s"z-order column '$c' is ${f.dataType.simpleString} — the " +
-            "Morton grid needs numeric/timestamp/date dimensions")
-      }
-      // one tiny agg for the normalization bounds (min/max per column);
-      // nulls sort first: a null dimension maps to grid cell 0
-      val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")),
-        max(col(c).cast("double"))))
+              snapshot.schema.fieldNames.mkString("(", ", ", ")"))
+          case Some(f) => f.dataType match {
+            case org.apache.spark.sql.types.DateType =>
+              unix_date(col(c)).cast("double")
+            case org.apache.spark.sql.types.TimestampType =>
+              col(c).cast("double")
+            case _: org.apache.spark.sql.types.NumericType =>
+              col(c).cast("double")
+            case other => throw new IllegalArgumentException(
+              s"z-order column '$c' is ${other.simpleString} — the " +
+                "Morton grid needs numeric/timestamp/date dimensions")
+          }
+        }
+      // one tiny agg for the normalization bounds (min/max per column,
+      // over FINITE values only — an Inf bound would collapse every
+      // finite row to one cell); nulls map to grid cell 0
+      def finite(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(!isnan(c) && c =!= lit(Double.PositiveInfinity) &&
+          c =!= lit(Double.NegativeInfinity), c)
+      val aggs = cols.flatMap(c => Seq(min(finite(asDouble(c))),
+        max(finite(asDouble(c)))))
       val bounds = snapshot.agg(aggs.head, aggs.tail: _*).head()
       val cells = (1L << b) - 1
       val normalized = cols.zipWithIndex.map { case (c, i) =>
-        // an all-null column has null min/max — constant, like hi == lo
+        // an all-null/all-non-finite column has null bounds — constant
         if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) lit(0L)
         else {
         val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
         if (hi <= lo) lit(0L) // constant column: every row in cell 0
-        else coalesce(((col(c).cast("double") - lit(lo)) / lit(hi - lo) *
-          lit(cells.toDouble)).cast("long"), lit(0L))
+        else {
+          // NaN → cell 0, ±Inf → clamped to the edge cells; the clamp
+          // also keeps the long cast ANSI-safe (no overflow throw)
+          val scaled = (asDouble(c) - lit(lo)) / lit(hi - lo) *
+            lit(cells.toDouble)
+          coalesce(least(greatest(nanvl(scaled, lit(0.0)), lit(0.0)),
+            lit(cells.toDouble)).cast("long"), lit(0L))
+        }
         }
       }
       val zc = "__graft_zorder"

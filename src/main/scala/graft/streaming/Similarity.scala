@@ -227,6 +227,21 @@ object Similarity {
       s"probe geometry supports planes in [1, ${AnnIndex.MaxProbePlanes}]; " +
         s"got planes=$planes with nprobe=$nprobe")
 
+  /** The certified int8 cosine interval of `Ivf.searchQuantized`, as
+    * (approx, err) Columns over a row joining probe-side
+    * (qq, qs, ql1, qnrm) with a candidate (q, scale, l1, nrm) — ONE
+    * definition for the streaming filter-verify pipeline and the batch
+    * serving face, so a bound fix can never leave one of them with a
+    * stale (under-estimating) radius. */
+  private def certifiedInterval: (Column, Column) = {
+    val d = lit(0.25) * least(length(col("qq")), length(col("q"))).cast("double")
+    val approx = (col("qs") * col("scale") * native.int8_dot(col("qq"), col("q"))) /
+      (col("qnrm") * col("nrm"))
+    val err = (col("qs") * col("scale") * ((col("ql1") + col("l1")) / lit(2.0) + d)) /
+      (col("qnrm") * col("nrm"))
+    (approx, err)
+  }
+
   private def knnQuantizedCore(queries: Dataset[(Long, Array[Float])],
       taggedStatic: DataFrame, floatStatic: DataFrame, k: Int, planes: Int,
       nprobe: Int): Dataset[(Long, Long, Double)] = {
@@ -253,11 +268,10 @@ object Similarity {
       .toDF("query_id", "qnrm", "bucket", "qq", "qs", "ql1")
     // int8-scored candidates: approx cosine ± certified radius (the
     // searchQuantized bound), all scalars — no arrays in these rows
-    val d = lit(0.25) * least(length($"qq"), length($"q")).cast("double")
+    val (approxC, errC) = certifiedInterval
     val cands = qz.join(taggedStatic, "bucket")
       .select($"query_id", lit(false).as("is_query"), $"vec_id",
-        (($"qs" * $"scale" * native.int8_dot($"qq", $"q")) / ($"qnrm" * $"nrm")).as("approx"),
-        (($"qs" * $"scale" * (($"ql1" + $"l1") / lit(2.0) + d)) / ($"qnrm" * $"nrm")).as("err"),
+        approxC.as("approx"), errC.as("err"),
         typedlit[Array[Float]](null).as("qemb"), lit(0.0).as("qnrm"))
     // tagged union: one is_query row per query carries the float qemb
     val qrows = qbase.select($"query_id", lit(true).as("is_query"), lit(0L).as("vec_id"),
@@ -422,29 +436,32 @@ object Similarity {
         s"$MaxServeProbeRows probe rows — shrink the batch or nprobe, " +
         "or run bulk top-k through streamKnnQuantized")
     val buckets = probedRows.iterator.map(_._4).toSet
-    // quantize on the driver — the batch is bounded, and the probe join
-    // then ships d-byte int8 rows instead of 4d-byte floats
-    val qz = probedRows.iterator.map { case (id, v, qnrm, b) =>
-      val (qq, qs, ql1) = graft.functions.Ivf.quantize(v)
-      (id, qnrm, b, qq, qs, ql1)
-    }.toSeq.toDF("query_id", "qnrm", "bucket", "qq", "qs", "ql1")
-    // one float row per DISTINCT query for the exact rerank
+    // quantize each DISTINCT query once on the driver (the batch is
+    // bounded); probe rows carry only (query_id, bucket) — the int8
+    // payload joins back per query, not per probe row
     val qmap = probedRows.iterator
       .map { case (id, v, qn, _) => id -> ((v, qn)) }.toMap
+    val qz = qmap.iterator.map { case (id, (v, qn)) =>
+      val (qq, qs, ql1) = graft.functions.Ivf.quantize(v)
+      (id, qn, qq, qs, ql1)
+    }.toSeq.toDF("query_id", "qnrm", "qq", "qs", "ql1")
+    val probePairs = probedRows.iterator
+      .map { case (id, _, _, b) => (id, b) }.toSeq
+      .toDF("query_id", "bucket")
+    // one float row per DISTINCT query for the exact rerank
     val queriesDf = qmap.iterator
       .map { case (id, (v, qn)) => (id, v, qn) }.toSeq
       .toDF("query_id", "qemb", "qnrm")
     val taggedStatic = AnnIndex.withoutTombstoned(spark, index,
       pruneToBuckets(AnnIndex.probeSide(spark, index), index, buckets)
         .select($"vec_id", $"bucket", $"nrm", $"q", $"scale", $"l1"))
-    // int8-scored candidates with the searchQuantized certified bound
-    val d = lit(0.25) * least(length($"qq"), length($"q")).cast("double")
-    val cands = qz.join(taggedStatic, "bucket")
+    // int8-scored candidates with the searchQuantized certified bound —
+    // the SAME shared interval definition the streaming pipeline uses
+    val (approxC, errC) = certifiedInterval
+    val cands = probePairs.join(taggedStatic, "bucket")
+      .join(broadcast(qz), "query_id")
       .select($"query_id", $"vec_id",
-        (($"qs" * $"scale" * native.int8_dot($"qq", $"q")) /
-          ($"qnrm" * $"nrm")).as("approx"),
-        (($"qs" * $"scale" * (($"ql1" + $"l1") / lit(2.0) + d)) /
-          ($"qnrm" * $"nrm")).as("err"))
+        approxC.as("approx"), errC.as("err"))
     // batch certified filter: threshold = k-th largest lower bound
     val wLb = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy(($"approx" - $"err").desc)

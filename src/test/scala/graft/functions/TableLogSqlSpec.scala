@@ -239,6 +239,20 @@ class TableLogSqlSpec extends SparkSuite {
         s.sql(s"GRAFT ZORDER '$sDir' BY (id, v)").collect()
       }
       assert(ez.getMessage.contains("Morton grid"), ez.getMessage)
+      // DATE dimensions normalize via epoch days (no legal double cast
+      // under ANSI), and NaN/Inf rows clamp to edge cells instead of
+      // blowing up the ANSI long cast — the rewrite keeps every row
+      val dDir = fresh()
+      val weird = s.sql(
+        "SELECT DATE'2026-01-01' + CAST(id AS INT) AS d, " +
+          "CASE WHEN id = 0 THEN double('NaN') " +
+          "WHEN id = 1 THEN double('Infinity') " +
+          "WHEN id = 2 THEN double('-Infinity') " +
+          "ELSE CAST(id AS DOUBLE) END AS x, id FROM RANGE(100)")
+      TableLog.appendBatch(weird.coalesce(1), dDir, "w", 0L)
+      assert(s.sql(s"GRAFT ZORDER '$dDir' BY (d, x)").head().getInt(0) >= 1)
+      assert(TableLog.read(s, dDir).count() == 100)
+      assert(TableLog.latest(s, dDir).get.layout == Seq("d", "x"))
     }
   }
 
