@@ -72,7 +72,15 @@ object MirrorBench {
           (v - 2) * 1000000L, (v - 2) * 1000000L + rowsPerV / 4)
     }
 
-    (0 until backlogVersions).foreach(commitRound)
+    // production posture for a takedown-bearing table: track per-file
+    // id stats from the first commit (ingest is id-monotone here, so
+    // every deleteRange prunes to the one file holding its span).
+    // Without this the build loop's every-4th-round delete scans ALL
+    // live files to locate victims — an O(history²) bench-harness
+    // artifact that swamps the head-resolution cost this leg measures.
+    commitRound(0)
+    TableLog.trackStats(spark, src, Seq("id"))
+    (1 until backlogVersions).foreach(commitRound)
     val srcVersions = TableLog.latest(spark, src).get.version + 1
 
     // heap before/after the catch-up (post-GC), the "memory flat in
