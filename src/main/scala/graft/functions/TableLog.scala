@@ -640,6 +640,123 @@ object TableLog {
     }.toSeq.sortBy(_.version)
   }
 
+  /** Retained `(version, commitTimeMillis)` pairs, oldest version
+    * first. Commit time is the manifest FILE's modification time — the
+    * same source Delta Lake reads — because the manifest format
+    * deliberately carries no clock line (adding one would bump the
+    * format version for every new table, breaking older readers for a
+    * convenience). Two caveats, both shared with Delta, both absorbed
+    * here rather than surfaced: (a) the time is stamped when the
+    * winning attempt RENDERED its temp file, a moment before the CAS
+    * published it — "commit time" is early by the publish latency;
+    * (b) raw mtimes across racing writers, a stepped clock, or a
+    * restored backup need not be monotone in version, so times are
+    * adjusted forward (`max(raw, prev + 1)`) — a later version never
+    * maps to an earlier instant, and [[versionAt]] stays a
+    * well-defined step function. Cost: one log-dir listing, zero
+    * manifest reads. */
+  def retainedCommitTimes(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
+    val (fs, _) = fsFor(spark, dir)
+    val log = logDir(dir)
+    if (!fs.exists(log)) return Nil
+    val raw = fs.listStatus(log).iterator.flatMap { f =>
+      f.getPath.getName match {
+        case ManifestRe(v) =>
+          Iterator.single((v.toLong, f.getModificationTime))
+        case _ => Iterator.empty
+      }
+    }.toSeq.sortBy(_._1)
+    var prev = Long.MinValue
+    raw.map { case (v, t) =>
+      val adj = if (prev == Long.MinValue) t else math.max(t, prev + 1)
+      prev = adj
+      (v, adj)
+    }
+  }
+
+  /** Time travel by clock: the newest retained version whose commit
+    * time ([[retainedCommitTimes]]) is at or before `tsMillis`.
+    *
+    * Loud at both edges, deliberately: a timestamp BEFORE the oldest
+    * retained commit names pruned history (the travel window is the
+    * manifest retention window — [[KeepManifests]] back, minus what
+    * vacuum's grace already released), and a timestamp AFTER the
+    * newest commit names a table state that is not final yet — an
+    * in-flight writer could still land a commit stamped before it, so
+    * answering would make the query non-reproducible (Delta errors
+    * here for the same reason). Both errors name the usable range. */
+  def versionAt(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val times = retainedCommitTimes(spark, dir)
+    if (times.isEmpty) throw new IllegalStateException(
+      s"$dir has no committed manifest — not a TableLog table (or never written)")
+    def inst(ms: Long) = java.time.Instant.ofEpochMilli(ms).toString
+    if (tsMillis < times.head._2) throw new IllegalStateException(
+      s"$dir has no retained commit at or before ${inst(tsMillis)} — " +
+        s"the oldest retained commit is version ${times.head._1} at " +
+        s"${inst(times.head._2)}; earlier history has been pruned " +
+        "(manifest retention is the travel window)")
+    if (tsMillis > times.last._2) throw new IllegalStateException(
+      s"the requested timestamp ${inst(tsMillis)} is after $dir's newest " +
+        s"commit (version ${times.last._1} at ${inst(times.last._2)}) — " +
+        "that state is not final (a racing writer could still commit " +
+        s"before it); use VERSION AS OF ${times.last._1} or a timestamp " +
+        s"at or before ${inst(times.last._2)} for a reproducible read")
+    times.takeWhile(_._2 <= tsMillis).last._1
+  }
+
+  /** Time travel by clock: the table as it stood at `tsMillis` —
+    * [[readAt]] of [[versionAt]]. */
+  def readAtTimestamp(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    readAt(spark, dir, versionAt(spark, dir, tsMillis))
+
+  /** A user-supplied travel timestamp, parsed to epoch millis. Accepts
+    * the forms the SQL and option faces advertise: an all-digit epoch
+    * millis, an ISO-8601 instant (`2026-08-16T12:00:00Z`), or a local
+    * `yyyy-MM-dd[ HH:mm:ss[.SSS]]` interpreted in `zone` (the
+    * session's `spark.sql.session.timeZone`, matching how Spark reads
+    * the same literal elsewhere). Anything else is a loud error
+    * listing the accepted forms. */
+  private[graft] def parseTravelTimestamp(s: String,
+      zone: java.time.ZoneId): Long = {
+    val t = s.trim
+    t.toLongOption.getOrElse {
+      try java.time.Instant.parse(t).toEpochMilli
+      catch { case _: java.time.format.DateTimeParseException =>
+        val fmt = java.time.format.DateTimeFormatter.ofPattern(
+          "yyyy-MM-dd[ HH:mm:ss[.SSS]]")
+        try {
+          val parsed = fmt.parseBest(t,
+            java.time.LocalDateTime.from(_), java.time.LocalDate.from(_))
+          val local = parsed match {
+            case d: java.time.LocalDate => d.atStartOfDay()
+            case dt: java.time.LocalDateTime => dt
+          }
+          local.atZone(zone).toInstant.toEpochMilli
+        } catch { case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"cannot parse travel timestamp '$s' — use epoch millis, an " +
+              "ISO-8601 instant (2026-08-16T12:00:00Z), or " +
+              "'yyyy-MM-dd[ HH:mm:ss[.SSS]]' in the session time zone")
+        }
+      }
+    }
+  }
+
+  /** Retained history from manifest HEADS: `(head, commitTimeMillis)`
+    * oldest version first, the commit time adjusted as in
+    * [[retainedCommitTimes]]. Heads are parsed but NOT resolved —
+    * segment refs stay refs (their entry COUNTS are head lines), so
+    * the cost is [[KeepManifests]] small file reads regardless of
+    * table size. A head pruned by a racing vacuum between the listing
+    * and its read is skipped, as in [[history]]. */
+  def historyHeads(spark: SparkSession, dir: String): Seq[(Manifest, Long)] = {
+    val (fs, _) = fsFor(spark, dir)
+    retainedCommitTimes(spark, dir).flatMap { case (v, t) =>
+      tryReadFully(fs, new Path(logDir(dir), manifestName(v)))
+        .map(text => (parse(text), t))
+    }
+  }
+
   /** [[read]] pinned to a specific resolved manifest — the handle a
     * reader holds to keep one snapshot across multiple actions.
     *

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType, TimestampType}
 
 /** SQL faces for the TableLog MAINTENANCE operators — the last surface
   * that was Scala-API-only. Reads, appends, tailing, the change feed
@@ -22,6 +22,8 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType,
   * {{{
   *   GRAFT DELETE FROM <target> WHERE <predicate>       -- returns deleted_rows
   *   GRAFT RESTORE <target> TO VERSION <n>              -- returns version, rows
+  *   GRAFT RESTORE <target> TO TIMESTAMP '<ts>'         -- clock-resolved restore
+  *   GRAFT HISTORY <target>                             -- version, committed_at, op, rows, files
   *   GRAFT VACUUM <target> [RETAIN <ms> MILLISECONDS]   -- returns deleted_files
   *   GRAFT UPSERT INTO <target> KEY (<col>) <query>     -- returns committed, upserted_rows
   *   GRAFT COMPACT <target> [TARGET <n> BYTES]          -- returns rewritten_files
@@ -66,6 +68,10 @@ object TableLogSql {
     s"""(?is)\\s*GRAFT\\s+DELETE\\s+FROM\\s+$T\\s+WHERE\\s+(.+?)\\s*;?\\s*""".r
   private val RestoreRe =
     s"""(?is)\\s*GRAFT\\s+RESTORE\\s+$T\\s+TO\\s+VERSION\\s+(\\d+)\\s*;?\\s*""".r
+  private val RestoreTsRe =
+    s"""(?is)\\s*GRAFT\\s+RESTORE\\s+$T\\s+TO\\s+TIMESTAMP\\s+'((?:[^']|'')+)'\\s*;?\\s*""".r
+  private val HistoryRe =
+    s"""(?is)\\s*GRAFT\\s+HISTORY\\s+$T\\s*;?\\s*""".r
   private val VacuumRe =
     s"""(?is)\\s*GRAFT\\s+VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+MILLISECONDS)?\\s*;?\\s*""".r
   private val UpsertRe =
@@ -135,6 +141,9 @@ object TableLogSql {
     case DeleteRe(t, predicate) =>
       Some(GraftDeleteCommand(target(t), predicate))
     case RestoreRe(t, v) => Some(GraftRestoreCommand(target(t), v.toLong))
+    case RestoreTsRe(t, ts) =>
+      Some(GraftRestoreTimestampCommand(target(t), ts.replace("''", "'")))
+    case HistoryRe(t) => Some(GraftHistoryCommand(target(t)))
     case VacuumRe(t, retain) =>
       Some(GraftVacuumCommand(target(t),
         Option(retain).map(_.toLong).getOrElse(DefaultSqlVacuumGraceMs)))
@@ -232,6 +241,60 @@ final case class GraftRestoreCommand(target: TableLogSql.GraftTarget,
     val m = TableLog.restore(spark, TableLogSql.resolveDir(spark, target),
       version)
     Seq(Row(version, m.version, m.rows))
+  }
+}
+
+/** `GRAFT RESTORE <target> TO TIMESTAMP '<ts>'` — [[GraftRestoreCommand]]
+  * with the version resolved by clock: [[TableLog.versionAt]] maps the
+  * timestamp (epoch millis, an ISO-8601 instant, or a session-zone
+  * `yyyy-MM-dd[ HH:mm:ss[.SSS]]` — [[TableLog.parseTravelTimestamp]])
+  * to the newest retained commit at or before it, with the same loud
+  * edge errors as every other travel face. The restore itself is the
+  * shared [[TableLog.restore]] — CDC rows, retention rules, CAS
+  * semantics identical to the VERSION form. */
+final case class GraftRestoreTimestampCommand(target: TableLogSql.GraftTarget,
+    timestamp: String) extends LeafRunnableCommand {
+
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("restored_to_version", LongType, nullable = false)(),
+    AttributeReference("committed_version", LongType, nullable = false)(),
+    AttributeReference("rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = TableLogSql.resolveDir(spark, target)
+    val ms = TableLog.parseTravelTimestamp(timestamp,
+      java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+    val v = TableLog.versionAt(spark, dir, ms)
+    val m = TableLog.restore(spark, dir, v)
+    Seq(Row(v, m.version, m.rows))
+  }
+}
+
+/** `GRAFT HISTORY <target>` — the retained commit history as rows:
+  * `(version, committed_at, op, rows, files)`, oldest first.
+  * `committed_at` is the manifest file's (forward-adjusted)
+  * modification time — the exact timeline `TIMESTAMP AS OF` resolves
+  * against, so a user can read this table's output straight back into
+  * a travel clause. Served from manifest HEADS
+  * ([[TableLog.historyHeads]]): [[TableLog.KeepManifests]] small file
+  * reads, no segment materialization, regardless of table size. */
+final case class GraftHistoryCommand(target: TableLogSql.GraftTarget)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("committed_at", TimestampType, nullable = false)(),
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("rows", LongType, nullable = false)(),
+    AttributeReference("files", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = TableLogSql.resolveDir(spark, target)
+    TableLog.historyHeads(spark, dir).map { case (h, ts) =>
+      val files = h.files.length.toLong +
+        h.segments.iterator.map(_.count.toLong).sum
+      Row(h.version, new java.sql.Timestamp(ts), h.op, h.rows, files)
+    }
   }
 }
 

@@ -159,9 +159,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     val v = version.trim.toLongOption.getOrElse(
       throw new IllegalArgumentException(
-        s"cannot time-travel $ident to version '$version': TableLog " +
-          "tables support integer VERSION AS OF only (the committed " +
-          "manifest number) — TIMESTAMP AS OF is not supported"))
+        s"cannot time-travel $ident to version '$version': VERSION AS OF " +
+          "takes the integer committed manifest number (for clock-based " +
+          "travel use TIMESTAMP AS OF)"))
+    pinned(ident, dir, v)
+  }
+
+  /** Time travel by clock: `SELECT … FROM <t> TIMESTAMP AS OF <ts>`.
+    * Spark hands the evaluated literal here in MICROseconds; the
+    * resolution (manifest-file mtime, forward-adjusted to be monotone
+    * in version) and both loud edge errors are
+    * [[graft.functions.TableLog.versionAt]]'s — the travel window is
+    * the manifest retention window. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    pinned(ident, dir,
+      TableLog.versionAt(spark, dir, math.floorDiv(timestamp, 1000L)))
+  }
+
+  private def pinned(ident: Identifier, dir: String, v: Long): Table = {
     val m = TableLog.manifestAt(spark, dir, v)
     new TableLogV2Table(dir, Some(m),
       TableLog.schemaOf(spark, dir, m),

@@ -80,12 +80,22 @@ final class TableLogProvider extends RelationProvider
     val dir = dirOf(parameters)
     if (parameters.get("readChangeFeed").exists(_.trim.toBoolean))
       return changeFeedRelation(sqlContext, dir, parameters)
+    require(!(parameters.contains("versionAsOf") &&
+        parameters.contains("timestampAsOf")),
+      "versionAsOf and timestampAsOf are mutually exclusive — a read " +
+        "pins ONE snapshot")
     val m = parameters.get("versionAsOf") match {
       case Some(v) => TableLog.manifestAt(spark, dir, v.toLong)
-      case None => TableLog.latest(spark, dir).getOrElse(
-        throw new IllegalStateException(
-          s"$dir has no committed manifest — not a TableLog table (or " +
-            "never written)"))
+      case None => parameters.get("timestampAsOf") match {
+        case Some(ts) =>
+          val ms = TableLog.parseTravelTimestamp(ts, java.time.ZoneId.of(
+            spark.sessionState.conf.sessionLocalTimeZone))
+          TableLog.manifestAt(spark, dir, TableLog.versionAt(spark, dir, ms))
+        case None => TableLog.latest(spark, dir).getOrElse(
+          throw new IllegalStateException(
+            s"$dir has no committed manifest — not a TableLog table (or " +
+              "never written)"))
+      }
     }
     // pre-schema v1 manifests fall back to single-file footer inference
     // (shared with readTail); those files carry no recorded stats, so

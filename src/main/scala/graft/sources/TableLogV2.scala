@@ -120,9 +120,24 @@ final class TableLogV2 extends TableProvider with DataSourceRegister {
     val spark = SparkSession.active
     val dir = dirOf(options)
     val ci = new CaseInsensitiveStringMap(options)
-    val asOf = Option(ci.get("versionAsOf"))
-    resolved.computeIfAbsent((dir, asOf), _ => asOf match {
-      case Some(v) => Some(TableLog.manifestAt(spark, dir, v.toLong))
+    val vAsOf = Option(ci.get("versionAsOf"))
+    val tAsOf = Option(ci.get("timestampAsOf"))
+    require(vAsOf.isEmpty || tAsOf.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive — a read " +
+        "pins ONE snapshot")
+    // the cache key carries the RAW option (prefixed to keep the two
+    // forms distinct); the timestamp->version resolution happens inside
+    // computeIfAbsent so inferSchema and getTable — called separately
+    // by the engine — can never resolve the same option to two
+    // different versions across a racing commit or vacuum
+    val key = vAsOf.map("v" + _).orElse(tAsOf.map("t" + _))
+    resolved.computeIfAbsent((dir, key), _ => key match {
+      case Some(k) if k.startsWith("v") =>
+        Some(TableLog.manifestAt(spark, dir, k.drop(1).toLong))
+      case Some(k) =>
+        val ms = TableLog.parseTravelTimestamp(k.drop(1),
+          java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+        Some(TableLog.manifestAt(spark, dir, TableLog.versionAt(spark, dir, ms)))
       case None => TableLog.latest(spark, dir)
     })
   }

@@ -1245,6 +1245,90 @@ class TableLogSpec extends SparkSuite {
   // O(live files) — the r11 verdict's #1 storage ceiling.
 
   /** Log-dir files (name → size) — the write-cost probe. */
+  test("timestamp travel: versionAt resolves the mtime timeline, monotone-adjusted, loud at both edges") {
+    val dir = freshTable()
+    (0 until 3).foreach(b => TableLog.appendBatch(batchDf(b, 10), dir, "w", b.toLong))
+    // pin explicit, well-separated commit times (the resolution source
+    // is the manifest file's mtime — setTimes makes the test
+    // deterministic at any commit cadence)
+    val log = new org.apache.hadoop.fs.Path(dir + "/_graft_log")
+    val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = 1700000000000L
+    (0 to 2).foreach { v =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(log, f"manifest-$v%020d"),
+        base + v * 60000L, -1L)
+    }
+    val times = TableLog.retainedCommitTimes(spark, dir)
+    assert(times == Seq((0L, base), (1L, base + 60000L), (2L, base + 120000L)))
+    // exact commit instants resolve to that commit; instants between
+    // commits resolve to the one before
+    assert(TableLog.versionAt(spark, dir, base) == 0L)
+    assert(TableLog.versionAt(spark, dir, base + 1) == 0L)
+    assert(TableLog.versionAt(spark, dir, base + 60000L) == 1L)
+    assert(TableLog.versionAt(spark, dir, base + 119999L) == 1L)
+    assert(TableLog.versionAt(spark, dir, base + 120000L) == 2L)
+    assert(TableLog.readAtTimestamp(spark, dir, base + 60001L).count() == 20L)
+    // BEFORE the oldest retained commit: loud, names the range
+    val early = intercept[IllegalStateException] {
+      TableLog.versionAt(spark, dir, base - 1)
+    }
+    assert(early.getMessage.contains("oldest retained"), early.getMessage)
+    // AFTER the newest commit: loud (the state is not final), offers
+    // the usable alternatives
+    val late = intercept[IllegalStateException] {
+      TableLog.versionAt(spark, dir, base + 120001L)
+    }
+    assert(late.getMessage.contains("VERSION AS OF 2"), late.getMessage)
+    // non-monotone raw mtimes (stepped clock, racing writers, restored
+    // backup): adjusted forward so a later version never maps earlier
+    fs.setTimes(new org.apache.hadoop.fs.Path(log, f"manifest-${1L}%020d"),
+      base + 130000L, -1L)
+    val adjusted = TableLog.retainedCommitTimes(spark, dir)
+    assert(adjusted.map(_._1) == Seq(0L, 1L, 2L))
+    assert(adjusted(1)._2 == base + 130000L &&
+      adjusted(2)._2 == base + 130001L, adjusted.toString)
+    assert(TableLog.versionAt(spark, dir, base + 130000L) == 1L)
+    assert(TableLog.versionAt(spark, dir, base + 130001L) == 2L)
+  }
+
+  test("timestamp travel: the path faces take timestampAsOf; forms parse; both-options is loud") {
+    val dir = freshTable()
+    (0 until 2).foreach(b => TableLog.appendBatch(batchDf(b, 10), dir, "w", b.toLong))
+    val log = new org.apache.hadoop.fs.Path(dir + "/_graft_log")
+    val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = 1700000000000L
+    fs.setTimes(new org.apache.hadoop.fs.Path(log, f"manifest-${0L}%020d"), t0, -1L)
+    fs.setTimes(new org.apache.hadoop.fs.Path(log, f"manifest-${1L}%020d"), t0 + 60000L, -1L)
+    // epoch-millis form on both provider faces
+    assert(spark.read.format("tablelogv2").option("timestampAsOf", s"$t0")
+      .load(dir).count() == 10L)
+    assert(spark.read.format("tablelog").option("timestampAsOf", s"${t0 + 60000L}")
+      .load(dir).count() == 20L)
+    // ISO-instant form (t0 = 2023-11-14T22:13:20Z)
+    assert(spark.read.format("tablelogv2")
+      .option("timestampAsOf", java.time.Instant.ofEpochMilli(t0).toString)
+      .load(dir).count() == 10L)
+    // session-zone local datetime form
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val local = java.time.Instant.ofEpochMilli(t0).atZone(zone).toLocalDateTime
+    val localStr = local.toLocalDate.toString + " " + local.toLocalTime.toString
+    assert(TableLog.parseTravelTimestamp(localStr, zone) == t0)
+    // garbage is loud and names the accepted forms
+    val bad = intercept[IllegalArgumentException] {
+      TableLog.parseTravelTimestamp("next tuesday", zone)
+    }
+    assert(bad.getMessage.contains("ISO-8601"), bad.getMessage)
+    // pinning two snapshots in one read is loud on both faces
+    intercept[IllegalArgumentException] {
+      spark.read.format("tablelogv2").option("timestampAsOf", s"$t0")
+        .option("versionAsOf", "1").load(dir).count()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("tablelog").option("timestampAsOf", s"$t0")
+        .option("versionAsOf", "1").load(dir).count()
+    }
+  }
+
   private def logFiles(dir: String): Map[String, Long] =
     new java.io.File(dir + "/_graft_log").listFiles()
       .map(f => f.getName -> f.length()).toMap

@@ -306,4 +306,46 @@ class TableLogSqlSpec extends SparkSuite {
       assert(TableLog.rows(s, dir) == 10L)
     }
   }
+
+  test("GRAFT HISTORY lists the retained timeline; GRAFT RESTORE TO TIMESTAMP resolves through it") {
+    withSqlSession { s =>
+      val dir = fresh()
+      TableLog.appendBatch(rows(0 until 10, "b0"), dir, "r", 0L)  // v0
+      TableLog.appendBatch(rows(10 until 30, "b1"), dir, "r", 1L) // v1
+      TableLog.deleteIn(s, dir, "id", Seq(5L))                    // v2
+      // pin deterministic commit times
+      val log = new org.apache.hadoop.fs.Path(dir + "/_graft_log")
+      val fs = log.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val base = 1700000000000L
+      (0 to 2).foreach { v =>
+        fs.setTimes(new org.apache.hadoop.fs.Path(log, f"manifest-$v%020d"),
+          base + v * 60000L, -1L)
+      }
+      val hist = s.sql(s"GRAFT HISTORY '$dir'")
+      assert(hist.schema.fieldNames.toSeq ==
+        Seq("version", "committed_at", "op", "rows", "files"))
+      val got = hist.collect().map(r => (r.getLong(0),
+        r.getTimestamp(1).getTime, r.getString(2), r.getLong(3))).toSeq
+      assert(got == Seq(
+        (0L, base, "append", 10L),
+        (1L, base + 60000L, "append", 30L),
+        (2L, base + 120000L, "delete", 29L)), got.toString)
+      // committed_at reads straight back into a travel clause: restore
+      // to the instant of v1 (the ISO form; '' path quoting unaffected)
+      val iso = java.time.Instant.ofEpochMilli(base + 60000L).toString
+      val res = s.sql(s"GRAFT RESTORE '$dir' TO TIMESTAMP '$iso'")
+      assert(res.schema.fieldNames.toSeq ==
+        Seq("restored_to_version", "committed_version", "rows"))
+      val r0 = res.head()
+      assert(r0.getLong(0) == 1L && r0.getLong(1) == 3L && r0.getLong(2) == 30L)
+      assert(TableLog.read(s, dir).count() == 30L)
+      // a timestamp after the newest commit (the restore itself, whose
+      // manifest carries a real current mtime) is the loud versionAt edge
+      val late = intercept[IllegalStateException] {
+        s.sql(s"GRAFT RESTORE '$dir' TO TIMESTAMP '9999-01-01T00:00:00Z'")
+          .collect()
+      }
+      assert(late.getMessage.contains("VERSION AS OF"), late.getMessage)
+    }
+  }
 }

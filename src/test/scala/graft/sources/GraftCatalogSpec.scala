@@ -248,11 +248,12 @@ class GraftCatalogSpec extends SparkSuite {
     intercept[org.apache.spark.sql.catalyst.analysis.NoSuchTableException] {
       cata.loadTable(ident(Array.empty, "nst"))
     }
-    // non-integer time travel names the table and the supported mode
+    // non-integer time travel names the table and points at the right mode
     val e = intercept[IllegalArgumentException] {
       cata.loadTable(ident(Array("nst"), "inner"), "2026-01-01")
     }
-    assert(e.getMessage.contains("integer VERSION AS OF"), e.getMessage)
+    assert(e.getMessage.contains("integer") &&
+      e.getMessage.contains("TIMESTAMP AS OF"), e.getMessage)
     // FIRST/AFTER and COMMENT would be silently ignored — loud instead
     val e2 = intercept[UnsupportedOperationException] {
       spark.sql(s"ALTER TABLE $cat.nst.inner ADD COLUMN x INT FIRST")
@@ -287,6 +288,45 @@ class GraftCatalogSpec extends SparkSuite {
     assert(props("graft.bytes") == m.bytes.toString)
     assert(props("graft.files") == m.files.length.toString)
     spark.sql(s"DROP TABLE $cat.props")
+  }
+
+  test("TIMESTAMP AS OF by name: clock travel through the catalog, loud at both edges") {
+    spark.sql(s"CREATE TABLE $cat.tt.ev (id BIGINT) USING tablelogv2") // v0
+    spark.sql(s"INSERT INTO $cat.tt.ev SELECT id FROM RANGE(5)")       // v1
+    spark.sql(s"INSERT INTO $cat.tt.ev SELECT id FROM RANGE(5, 12)")   // v2
+    val cata = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    val dir = cata.tableDir(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("tt"), "ev"))
+    val log = new org.apache.hadoop.fs.Path(dir + "/_graft_log")
+    val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = 1700000000000L
+    (0 to 2).foreach { v =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(log, f"manifest-$v%020d"),
+        base + v * 60000L, -1L)
+    }
+    def at(ms: Long): Long =
+      spark.sql(s"SELECT count(*) FROM $cat.tt.ev TIMESTAMP AS OF " +
+        s"timestamp_millis(${ms}L)").head().getLong(0)
+    assert(at(base) == 0L)              // the empty CREATE commit
+    assert(at(base + 60000L) == 5L)     // v1, exactly at its commit
+    assert(at(base + 119999L) == 5L)    // between commits -> the earlier
+    assert(at(base + 120000L) == 12L)   // v2
+    // the timeline TIMESTAMP AS OF resolves against IS what GRAFT
+    // HISTORY prints — by catalog name, same resolution path (the
+    // command invoked directly: this suite's session has no GRAFT
+    // parser; the SQL-text route is TableLogSqlSpec's)
+    val hist = graft.functions.GraftHistoryCommand(
+        graft.functions.TableLogSql.IdentTarget(Seq(cat, "tt", "ev")))
+      .run(spark)
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSeq
+    assert(hist == Seq((0L, base), (1L, base + 60000L), (2L, base + 120000L)),
+      hist.toString)
+    val early = intercept[Exception] { at(base - 1) }
+    assert(early.getMessage.contains("oldest retained"), early.getMessage)
+    val late = intercept[Exception] { at(base + 120001L) }
+    assert(late.getMessage.contains("VERSION AS OF 2"), late.getMessage)
+    spark.sql(s"DROP NAMESPACE $cat.tt CASCADE")
   }
 
   test("racing CREATEs of one name resolve to exactly one winner") {

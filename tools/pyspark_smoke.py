@@ -71,8 +71,15 @@ by_type = {r[0]: r[1] for r in
 # appends: 100 + 10 + 5 upsert rows; deletes: 3 deleted + 2 replaced
 assert by_type == {"append": 115, "delete": 5}, by_type
 
-# time travel
+# time travel — by version, and by clock through GRAFT HISTORY's own
+# committed_at column (the exact timeline timestampAsOf resolves on)
 assert spark.read.format("tablelogv2").option("versionAsOf", "0") \
+    .load(d).count() == 100
+hist = spark.sql(f"GRAFT HISTORY '{d}'").collect()
+assert [r["version"] for r in hist] == list(range(len(hist))), hist
+t0 = hist[0]["committed_at"]  # v0's commit instant, a datetime
+assert spark.read.format("tablelogv2") \
+    .option("timestampAsOf", str(int(t0.timestamp() * 1000))) \
     .load(d).count() == 100
 
 # layout maintenance from pure SQL: COMPACT re-bins the small files the
