@@ -106,7 +106,8 @@ object TableLog {
                             layout: Seq[String] = Nil,
                             statsFor: Seq[String] = Nil,
                             dropped: Seq[String] = Nil,
-                            segments: Vector[SegmentRef] = Vector.empty) {
+                            segments: Vector[SegmentRef] = Vector.empty,
+                            bloomFor: Seq[String] = Nil) {
     def bytes: Long = files.iterator.map(_.bytes).sum
     /** The recorded table schema, if this manifest (or its line of
       * ancestry) was written by a schema-recording version. */
@@ -149,8 +150,11 @@ object TableLog {
     // feature keep parsing under older readers (a v2 writer beside a v3
     // one is fine until someone registers stats). v4 adds segment lines:
     // the head then carries NO inline file/stats lines at all — every
-    // entry lives in an immutable segment file.
-    sb ++= (if (segments.nonEmpty || m.dropped.nonEmpty) "graft-manifest-v4\n"
+    // entry lives in an immutable segment file. v5 adds the optional
+    // bloomfor line ([[trackBloom]]) — only tables that REGISTER blooms
+    // pay the reader-upgrade requirement.
+    sb ++= (if (m.bloomFor.nonEmpty) "graft-manifest-v5\n"
+            else if (segments.nonEmpty || m.dropped.nonEmpty) "graft-manifest-v4\n"
             else if (m.statsFor.nonEmpty) "graft-manifest-v3\n"
             else "graft-manifest-v2\n")
     sb ++= s"version\t${m.version}\n"
@@ -163,6 +167,8 @@ object TableLog {
       sb ++= s"statsfor\t${m.statsFor.map(ParquetFooters.render).mkString(",")}\n"
     if (m.dropped.nonEmpty)
       sb ++= s"dropped\t${m.dropped.map(ParquetFooters.render).mkString(",")}\n"
+    if (m.bloomFor.nonEmpty)
+      sb ++= s"bloomfor\t${m.bloomFor.map(ParquetFooters.render).mkString(",")}\n"
     m.commits.toSeq.sorted.foreach { case (k, b) => sb ++= s"commit\t$k\t$b\n" }
     segments.foreach { s => sb ++= s"segment\t${s.count}\t${s.name}\n" }
     if (segments.isEmpty) renderEntries(sb, m.files)
@@ -206,13 +212,15 @@ object TableLog {
     var layout: Seq[String] = Nil
     var statsFor: Seq[String] = Nil
     var dropped: Seq[String] = Nil
+    var bloomFor: Seq[String] = Nil
     val segments = Vector.newBuilder[SegmentRef]
     val inline = new StringBuilder
     val commits = Map.newBuilder[String, Long]
     val lines = text.split("\n")
     require(lines.headOption.exists(h =>
         h == "graft-manifest-v1" || h == "graft-manifest-v2" ||
-        h == "graft-manifest-v3" || h == "graft-manifest-v4"),
+        h == "graft-manifest-v3" || h == "graft-manifest-v4" ||
+        h == "graft-manifest-v5"),
       s"not a graft manifest: ${lines.headOption.getOrElse("<empty>")}")
     lines.iterator.drop(1).filter(_.nonEmpty).foreach { line =>
       line.split("\t", -1) match {
@@ -223,6 +231,7 @@ object TableLog {
         case Array("layout", cs) => layout = cs.split(",").toSeq.map(decodeName)
         case Array("statsfor", cs) => statsFor = cs.split(",").toSeq.map(decodeName)
         case Array("dropped", cs) => dropped = cs.split(",").toSeq.map(decodeName)
+        case Array("bloomfor", cs) => bloomFor = cs.split(",").toSeq.map(decodeName)
         case Array("commit", k, b) => commits += (k -> b.toLong)
         case Array("segment", c, n) => segments += SegmentRef(n, c.toInt)
         case Array("file", _, _) | Array("stats", _, _, _, _) =>
@@ -234,7 +243,7 @@ object TableLog {
     require(version >= 0, "manifest missing version")
     Manifest(version, parseEntryLines(inline.result().linesIterator, "manifest"),
       rows, commits.result(), op, schemaJson, layout, statsFor, dropped,
-      segments.result())
+      segments.result(), bloomFor)
   }
 
   // ---- segment files: immutable `segment-<uuid>` blobs in the log dir
@@ -1022,7 +1031,7 @@ object TableLog {
           "tolerated; column names and types must match)")
     }
     val staging = new Path(dir.stripSuffix("/"), s"_staging-${java.util.UUID.randomUUID()}")
-    batch.write.parquet(staging.toString)
+    batch.write.options(bloomWriteOptions(prev)).parquet(staging.toString)
     val staged = fs.listStatus(staging).iterator
       .filter { f => val n = f.getPath.getName
         n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") }
@@ -1154,7 +1163,7 @@ object TableLog {
       }
       Right(Manifest(prev.version + 1, prev.files, prev.rows, prev.commits,
         "evolve", Some(newSchema.json), prev.layout, prev.statsFor,
-        prev.dropped))
+        prev.dropped, bloomFor = prev.bloomFor))
     }(identity)
   }
 
@@ -1292,7 +1301,8 @@ object TableLog {
         "dropcolumn", Some(newSchema.json),
         prev.layout.filterNot(c => key(c) == key(canonical)),
         prev.statsFor.filterNot(c => key(c) == key(canonical)),
-        (prev.dropped :+ canonical).distinct))
+        (prev.dropped :+ canonical).distinct,
+        bloomFor = prev.bloomFor.filterNot(c => key(c) == key(canonical))))
     }(identity)
   }
 
@@ -1356,7 +1366,79 @@ object TableLog {
       if (merged == prev.statsFor) Left(prev) // idempotent re-registration
       else Right(Manifest(prev.version + 1, prev.files, prev.rows,
         prev.commits, "trackstats", prev.schemaJson, prev.layout, merged,
-        prev.dropped))
+        prev.dropped, bloomFor = prev.bloomFor))
+    }(identity)
+  }
+
+  /** Register per-file parquet BLOOM FILTER columns: from the next
+    * commit on, every file any append/compact/delete/upsert stages
+    * carries an adaptive bloom filter for `cols` in its parquet
+    * footer, and every equality/IN predicate Spark pushes into a scan
+    * skips whole row groups whose bloom excludes the key — executors
+    * read the footer and the bloom (KiBs), not the data pages.
+    *
+    * This is the pruning primitive for the shape [[trackStats]] can't
+    * serve: a point lookup on a column the write order does NOT
+    * cluster (the canonical case: takedown-by-id on an ingest-ordered
+    * corpus — min/max spans everything, so stats keep every file, but
+    * the bloom dismisses ~99% of row groups for the price of their
+    * footers). This accelerates both direct reads and [[deleteIn]]'s
+    * locate pass, whose scan pushes exactly such a predicate. Blooms
+    * are ROW-GROUP-level and distributed (each executor consults the
+    * blooms of the files it was assigned) — nothing is collected to
+    * the driver and no manifest bytes grow with file count, which is
+    * what keeps the mechanism flat at any table size.
+    *
+    * Files committed BEFORE the registration carry no bloom and are
+    * simply read normally until a [[compact]] rewrites them. The
+    * registration bumps the manifest format to v5 — readers older
+    * than it reject the table loudly; tables that never register pay
+    * nothing. Spark pushes an IN list as bloom-servable equality up to
+    * `spark.sql.parquet.pushdown.inFilterThreshold` values (default
+    * 10); chunk takedown lists accordingly ([[deleteIn]] already
+    * probes per value). Columns must be top-level atomic types with a
+    * parquet bloom encoding (boolean has none; nested paths are not
+    * addressable by the per-column write options). */
+  def trackBloom(spark: SparkSession, dir: String,
+                 cols: Seq[String]): Manifest = {
+    require(cols.nonEmpty, "trackBloom needs at least one column")
+    val (fs, _) = fsFor(spark, dir)
+    commitLoop(spark, fs, dir, "trackbloom") { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalStateException(
+        s"$dir has no committed manifest — create the table first"))
+      prev.schema.foreach { s =>
+        val missing = cols.filterNot(s.fieldNames.contains)
+        require(missing.isEmpty,
+          s"trackBloom rejected for $dir: column(s) ${missing.mkString(", ")} " +
+            s"not in the table schema ${s.simpleString}")
+        val unusable = cols.flatMap(c => s.fields.find(_.name == c))
+          .filterNot(f => f.dataType match {
+            case org.apache.spark.sql.types.ByteType |
+                 org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.FloatType |
+                 org.apache.spark.sql.types.DoubleType |
+                 org.apache.spark.sql.types.StringType |
+                 org.apache.spark.sql.types.BinaryType |
+                 org.apache.spark.sql.types.DateType |
+                 org.apache.spark.sql.types.TimestampType => true
+            case _: org.apache.spark.sql.types.DecimalType => true
+            case _ => false
+          })
+        require(unusable.isEmpty,
+          s"trackBloom rejected for $dir: column(s) " +
+            unusable.map(f => s"${f.name} (${f.dataType.simpleString})")
+              .mkString(", ") +
+            " have no parquet bloom encoding — supported types are " +
+            "byte/short/int/long/float/double/string/binary/date/" +
+            "timestamp/decimal (top-level)")
+      }
+      val merged = (prev.bloomFor ++ cols).distinct
+      if (merged == prev.bloomFor) Left(prev) // idempotent re-registration
+      else Right(Manifest(prev.version + 1, prev.files, prev.rows,
+        prev.commits, "trackbloom", prev.schemaJson, prev.layout,
+        prev.statsFor, prev.dropped, bloomFor = merged))
     }(identity)
   }
 
@@ -1504,7 +1586,7 @@ object TableLog {
       Right(Manifest(cur.version + 1, target.files ++ keptSince,
         target.rows + keptRows, cur.commits,
         "restore", cur.schemaJson, cur.layout, cur.statsFor,
-        (cur.dropped ++ reDropped).distinct))
+        (cur.dropped ++ reDropped).distinct, bloomFor = cur.bloomFor))
     }(identity)
   }
 
@@ -1512,6 +1594,22 @@ object TableLog {
     * clustering layout plus any [[trackStats]] registrations. */
   private def statCols(m: Manifest): Set[String] =
     (m.layout ++ m.statsFor).toSet
+
+  /** Per-write parquet options for the table's [[trackBloom]]
+    * registration: an adaptive bloom filter on each registered column
+    * of every file this write stages. The options land in the write
+    * job's hadoop configuration — `DataFrameWriter.options` via
+    * `newHadoopConfWithOptions` on the v1 path, an explicit conf copy
+    * in [[graft.sources.TableLogV2Writes.outputFactory]] on the DSv2
+    * path — where parquet-mr's file writer reads them. Adaptive sizing
+    * (parquet 1.14+) watches the column's ACTUAL distinct count as the
+    * file is written and keeps the smallest candidate bloom that still
+    * meets the target FPP — no NDV guess to mis-set, bounded by
+    * parquet's 1 MiB default cap. */
+  private[graft] def bloomWriteOptions(m: Manifest): Map[String, String] =
+    if (m.bloomFor.isEmpty) Map.empty
+    else Map("parquet.bloom.filter.adaptive.enabled" -> "true") ++
+      m.bloomFor.map(c => s"parquet.bloom.filter.enabled#$c" -> "true")
 
   /** Materialize retained `version` as a NEW TableLog table at
     * `destDir` — the escape hatch [[restore]]'s retention-floor
@@ -1754,7 +1852,8 @@ object TableLog {
       }
       if (!any) Left(()) // every intent fenced or failed — nothing to commit
       else Right(Manifest(prev.version + 1, files, rows, commits, "append",
-        schemaJson, prev.layout, prev.statsFor, prev.dropped))
+        schemaJson, prev.layout, prev.statsFor, prev.dropped,
+        bloomFor = prev.bloomFor))
     }(_ => ())
     // the group landed (or resolved member-by-member): deferred in-group
     // fences are now fences against a disk-committed entry — resolve
@@ -1871,7 +1970,7 @@ object TableLog {
     val schemaJson = m.schemaJson.orElse(Some(snapshot.schema.json))
     val v = m.version + 1
     val staging = new Path(dir.stripSuffix("/"), s"_staging-${java.util.UUID.randomUUID()}")
-    laidOut.write.parquet(staging.toString)
+    laidOut.write.options(bloomWriteOptions(m)).parquet(staging.toString)
     val conf = spark.sparkContext.hadoopConfiguration
     val stagedC = fs.listStatus(staging).iterator
       .filter { f => val nm = f.getPath.getName
@@ -1911,7 +2010,8 @@ object TableLog {
       // may be reused; drops that raced in since the snapshot stay
       Right(Manifest(cur.version + 1, entries ++ addedSince, cur.rows,
         cur.commits, "compact", cur.schemaJson.orElse(schemaJson), layout,
-        cur.statsFor, cur.dropped.filterNot(m.dropped.contains)))
+        cur.statsFor, cur.dropped.filterNot(m.dropped.contains),
+        bloomFor = cur.bloomFor))
     }(_ => ())
     fs.delete(staging, true)
     entries.length
@@ -2067,7 +2167,7 @@ object TableLog {
     val v = prev.version + 1
     val staging = new Path(dir.stripSuffix("/"),
       s"_staging-${java.util.UUID.randomUUID()}")
-    adds.write.parquet(staging.toString)
+    adds.write.options(bloomWriteOptions(prev)).parquet(staging.toString)
     val conf = spark.sparkContext.hadoopConfiguration
     val staged = fs.listStatus(staging).iterator
       .filter { f => val n = f.getPath.getName
@@ -2208,7 +2308,7 @@ object TableLog {
             cur.rows - deleted + addedRows,
             cur.commits + (runKey -> batchId), op,
             cur.schemaJson.orElse(addSchemaJson), cur.layout, cur.statsFor,
-            cur.dropped))
+            cur.dropped, bloomFor = cur.bloomFor))
         }
       }(_ => true)
       rewrite.foreach { case (_, _, _, staging) => fs.delete(staging, true) }
@@ -2304,7 +2404,7 @@ object TableLog {
       }
     val v = m.version + 1
     val staging = new Path(base, s"_staging-${java.util.UUID.randomUUID()}")
-    laidOut.write.parquet(staging.toString)
+    laidOut.write.options(bloomWriteOptions(m)).parquet(staging.toString)
     val statSchema = m.schema.getOrElse(
       org.apache.spark.sql.types.StructType(kept.schema.fields))
     var newRows = 0L
@@ -2352,7 +2452,7 @@ object TableLog {
         Right(Manifest(cur.version + 1,
           cur.files.filterNot(e => affectedNames.contains(e.name)) ++ entries,
           cur.rows - deleted, cur.commits, "delete", cur.schemaJson, cur.layout,
-          cur.statsFor, cur.dropped))
+          cur.statsFor, cur.dropped, bloomFor = cur.bloomFor))
       }(_ => ())
     } catch {
       case e: StaleDeletePlan =>

@@ -28,6 +28,8 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType,
   *   GRAFT UPSERT INTO <target> KEY (<col>) <query>     -- returns committed, upserted_rows
   *   GRAFT COMPACT <target> [TARGET <n> BYTES]          -- returns rewritten_files
   *   GRAFT ZORDER <target> BY (<col>, …) [TARGET <n> BYTES]
+  *   GRAFT TRACK STATS <target> ON (<col>, …)           -- footer min/max registration
+  *   GRAFT TRACK BLOOM <target> ON (<col>, …)           -- parquet bloom registration
   * }}}
   *
   * `<target>` is a quoted table directory (`'/lake/t'`) or a bare
@@ -80,6 +82,8 @@ object TableLogSql {
     s"""(?is)\\s*GRAFT\\s+COMPACT\\s+$T(?:\\s+TARGET\\s+(\\d+)\\s+BYTES)?\\s*;?\\s*""".r
   private val ZorderRe =
     s"""(?is)\\s*GRAFT\\s+ZORDER\\s+$T\\s+BY\\s*\\(\\s*([A-Za-z_]\\w*(?:\\s*,\\s*[A-Za-z_]\\w*)*)\\s*\\)(?:\\s+TARGET\\s+(\\d+)\\s+BYTES)?\\s*;?\\s*""".r
+  private val TrackRe =
+    s"""(?is)\\s*GRAFT\\s+TRACK\\s+(STATS|BLOOM)\\s+$T\\s+ON\\s*\\(\\s*([A-Za-z_]\\w*(?:\\s*,\\s*[A-Za-z_]\\w*)*)\\s*\\)\\s*;?\\s*""".r
 
   private def target(raw: String): GraftTarget =
     if (raw.startsWith("'"))
@@ -156,6 +160,9 @@ object TableLogSql {
       Some(GraftZorderCommand(target(t),
         cols.split(',').iterator.map(_.trim).toSeq,
         Option(bytes).map(_.toLong).getOrElse(DefaultSqlCompactTargetBytes)))
+    case TrackRe(kind, t, cols) =>
+      Some(GraftTrackCommand(target(t), kind.toLowerCase == "bloom",
+        cols.split(',').iterator.map(_.trim).toSeq))
     case _ => None
   }
 
@@ -384,6 +391,28 @@ final case class GraftCompactCommand(target: TableLogSql.GraftTarget,
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(TableLog.compact(spark,
       TableLogSql.resolveDir(spark, target), targetBytes)))
+}
+
+/** `GRAFT TRACK STATS|BLOOM <target> ON (<col>, …)` — the SQL faces of
+  * the pruning registrations: STATS wraps [[TableLog.trackStats]]
+  * (per-file footer min/max for write-order-clustered columns), BLOOM
+  * wraps [[TableLog.trackBloom]] (adaptive parquet bloom filters for
+  * point lookups on UNclustered columns). Validation (schema presence,
+  * usable types) is the Scala calls' — shared, not reimplemented.
+  * Returns the committed registration version. */
+final case class GraftTrackCommand(target: TableLogSql.GraftTarget,
+    bloom: Boolean, columns: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = TableLogSql.resolveDir(spark, target)
+    val m =
+      if (bloom) TableLog.trackBloom(spark, dir, columns)
+      else TableLog.trackStats(spark, dir, columns)
+    Seq(Row(m.version))
+  }
 }
 
 /** `GRAFT ZORDER <target> BY (<col>, …) [TARGET <n> BYTES]` — the SQL

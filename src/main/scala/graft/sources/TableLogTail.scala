@@ -325,6 +325,10 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
   * `since` (start version: emit appends of versions AFTER this one;
   * default = the head version at source creation, i.e. live appends
   * only; `-1` = from the beginning while version 0 is retained);
+  * `sinceTimestamp` (clock form of the same: resolved ONCE through
+  * [[graft.functions.TableLog.versionAt]]'s travel timeline to the
+  * newest version at-or-before the instant, then persisted exactly
+  * like `since`; mutually exclusive with it);
   * `maxVersionsPerTrigger` (bound each micro-batch to at most this many
   * source versions — without it, a consumer starting deep in the
   * backlog plans the ENTIRE history as one batch, the
@@ -433,8 +437,26 @@ final class TableLogTailProvider extends StreamSourceProvider {
           java.nio.charset.StandardCharsets.UTF_8).trim.toLong
         finally in.close()
       } else {
-        val v = parameters.get("since").map(_.toLong).getOrElse(
-          TableLog.latestVersion(spark, dir).getOrElse(-1L))
+        // `sinceTimestamp` is clock sugar over the same contract:
+        // resolve through the travel timeline (TableLog.versionAt — the
+        // manifest-mtime step function every TIMESTAMP AS OF face
+        // reads) to the newest version at-or-before the instant, then
+        // "versions AFTER since" delivers exactly the commits after it.
+        // Resolved ONCE here and persisted like `since` — the timeline
+        // is mtime-derived, so only the first-start resolution consults
+        // it. Outside the retained window it is versionAt's loud error:
+        // a consumer asking for more history than retention holds must
+        // hear that, not silently start later.
+        require(!(parameters.contains("since") &&
+            parameters.contains("sinceTimestamp")),
+          "since and sinceTimestamp are mutually exclusive — one start point")
+        val v = parameters.get("since").map(_.toLong)
+          .orElse(parameters.get("sinceTimestamp").map { ts =>
+            TableLog.versionAt(spark, dir, TableLog.parseTravelTimestamp(ts,
+              java.time.ZoneId.of(
+                spark.sessionState.conf.sessionLocalTimeZone)))
+          })
+          .getOrElse(TableLog.latestVersion(spark, dir).getOrElse(-1L))
         TableLog.atomicWriteSmall(fs, sincePath, v.toString)
         v
       }

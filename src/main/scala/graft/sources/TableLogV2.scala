@@ -192,6 +192,9 @@ private[sources] final class TableLogV2Table(dir: String,
          else Map.empty) ++
         (if (m.statsFor.nonEmpty)
            Map("graft.statsFor" -> m.statsFor.mkString(","))
+         else Map.empty) ++
+        (if (m.bloomFor.nonEmpty)
+           Map("graft.bloomFor" -> m.bloomFor.mkString(","))
          else Map.empty)
     }
     withManifest.asJava
@@ -361,10 +364,21 @@ private[sources] final case class TableLogV2CommitMessage(
   * the staged-files commit through the appendBatch path. */
 private[sources] object TableLogV2Writes {
 
-  def outputFactory(spark: SparkSession,
-      schema: StructType): (OutputWriterFactory, SerializableConfiguration) = {
+  def outputFactory(spark: SparkSession, schema: StructType,
+      dir: String): (OutputWriterFactory, SerializableConfiguration) = {
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
     val f = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
+    // the table's trackBloom registration, copied onto the write job's
+    // conf explicitly (the DataFrameWriter path gets the same keys via
+    // newHadoopConfWithOptions; prepareWrite copies nothing arbitrary).
+    // Resolved at factory-creation time: a registration committed while
+    // a stream runs applies from the stream's next factory, not
+    // mid-epoch.
+    graft.functions.TableLog.latest(spark, dir).foreach { m =>
+      graft.functions.TableLog.bloomWriteOptions(m).foreach {
+        case (k, v) => job.getConfiguration.set(k, v)
+      }
+    }
     (f, new SerializableConfiguration(job.getConfiguration))
   }
 
@@ -484,7 +498,7 @@ private[sources] final class TableLogV2BatchWrite(dir: String,
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
-    val (f, conf) = TableLogV2Writes.outputFactory(spark, schema)
+    val (f, conf) = TableLogV2Writes.outputFactory(spark, schema, dir)
     new TableLogV2WriterFactory(f, stagingRoot, schema, conf)
   }
 
@@ -529,7 +543,7 @@ private[sources] final class TableLogV2StreamingWrite(dir: String,
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
-    val (f, conf) = TableLogV2Writes.outputFactory(spark, schema)
+    val (f, conf) = TableLogV2Writes.outputFactory(spark, schema, dir)
     new TableLogV2WriterFactory(f, stagingRoot, schema, conf)
   }
 

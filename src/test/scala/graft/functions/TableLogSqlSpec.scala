@@ -307,6 +307,23 @@ class TableLogSqlSpec extends SparkSuite {
     }
   }
 
+  test("GRAFT TRACK STATS / BLOOM register the pruning columns, semantics the Scala calls'") {
+    val dir = fresh()
+    TableLog.appendBatch(rows(0 until 10, "x"), dir, "r", 0L)
+    withSqlSession { s =>
+      val v1 = s.sql(s"GRAFT TRACK STATS '$dir' ON (id)").head().getLong(0)
+      assert(TableLog.latest(s, dir).get.statsFor == Seq("id"))
+      val v2 = s.sql(s"GRAFT TRACK BLOOM '$dir' ON (id, v)").head().getLong(0)
+      assert(v2 == v1 + 1)
+      assert(TableLog.latest(s, dir).get.bloomFor == Seq("id", "v"))
+      // the Scala validation is shared: a bogus column is the same loud error
+      val e = intercept[IllegalArgumentException] {
+        s.sql(s"GRAFT TRACK BLOOM '$dir' ON (nope)").collect()
+      }
+      assert(e.getMessage.contains("not in the table schema"), e.getMessage)
+    }
+  }
+
   test("GRAFT HISTORY lists the retained timeline; GRAFT RESTORE TO TIMESTAMP resolves through it") {
     withSqlSession { s =>
       val dir = fresh()

@@ -278,6 +278,42 @@ class TableLogProviderSpec extends SparkSuite {
     } finally { w.stop(); r.stop() }
   }
 
+  test("sinceTimestamp starts the tail from the travel timeline; both start options together are loud") {
+    val dir = freshTable()
+    (0 to 2).foreach(b => TableLog.appendBatch(batch(b), dir, "r", b.toLong))
+    // pin the commit instants (same setTimes technique as the travel specs)
+    val log = new org.apache.hadoop.fs.Path(dir + "/_graft_log")
+    val hfs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = 1700000000000L
+    (0 to 2).foreach { v =>
+      hfs.setTimes(new org.apache.hadoop.fs.Path(log, f"manifest-$v%020d"),
+        base + v * 60000L, -1L)
+    }
+    // "from v1's instant" resolves to since=1 -> versions AFTER 1 only
+    val q = spark.readStream.format("tablelog")
+      .option("sinceTimestamp", (base + 60000L).toString)
+      .load(dir)
+      .writeStream.format("memory").queryName("ts_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ts_tail").select($"ts").as[Long]
+        .collect().sorted.toSeq
+      assert(got == (200L until 300L).toSeq,
+        s"sinceTimestamp at v1's instant must deliver exactly v2: $got")
+    } finally q.stop()
+    val e = intercept[Exception] {
+      spark.readStream.format("tablelog")
+        .option("since", "-1").option("sinceTimestamp", base.toString)
+        .load(dir)
+        .writeStream.format("noop").start().processAllAvailable()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("mutually exclusive") ||
+        Option(e.getCause).exists(_.getMessage.contains("mutually exclusive"))),
+      s"${e.getMessage} / ${Option(e.getCause).map(_.getMessage)}")
+  }
+
   test("the same short name streams: readStream.format(\"tablelog\") is the version tail") {
     val dir = freshTable()
     TableLog.appendBatch(batch(0), dir, "r", 0L)

@@ -75,6 +75,7 @@ assert by_type == {"append": 115, "delete": 5}, by_type
 # committed_at column (the exact timeline timestampAsOf resolves on)
 assert spark.read.format("tablelogv2").option("versionAsOf", "0") \
     .load(d).count() == 100
+assert spark.sql(f"GRAFT TRACK BLOOM '{d}' ON (id)").head()[0] > 0
 hist = spark.sql(f"GRAFT HISTORY '{d}'").collect()
 assert [r["version"] for r in hist] == list(range(len(hist))), hist
 t0 = hist[0]["committed_at"]  # v0's commit instant, a datetime
