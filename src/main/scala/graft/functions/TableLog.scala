@@ -725,6 +725,11 @@ object TableLog {
     * session's `spark.sql.session.timeZone`, matching how Spark reads
     * the same literal elsewhere). Anything else is a loud error
     * listing the accepted forms. */
+  private[graft] def parseTravelTimestamp(spark: SparkSession,
+      s: String): Long =
+    parseTravelTimestamp(s, java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone))
+
   private[graft] def parseTravelTimestamp(s: String,
       zone: java.time.ZoneId): Long = {
     val t = s.trim
@@ -1327,15 +1332,16 @@ object TableLog {
     commitLoop(spark, fs, dir, "trackStats") { prevOpt =>
       val prev = prevOpt.getOrElse(throw new IllegalStateException(
         s"$dir has no committed manifest — create the table first"))
+      // resolve the asked-for names to the schema's CANONICAL spellings
+      // under the session's resolution rules ([[nameKey]]) — what every
+      // other column-addressing face (dropColumn, SQL itself) does, and
+      // what the footer harvest needs exactly
+      val canonical = resolveColumns(spark, prev, cols, "trackStats", dir)
       prev.schema.foreach { s =>
-        val missing = cols.filterNot(s.fieldNames.contains)
-        require(missing.isEmpty,
-          s"trackStats rejected for $dir: column(s) ${missing.mkString(", ")} " +
-            s"not in the table schema ${s.simpleString}")
         // a type the footer harvest cannot serialize would commit a
         // registration that silently never prunes — reject it loudly,
         // same posture as unknown columns
-        val unusable = cols.flatMap(c => s.fields.find(_.name == c))
+        val unusable = canonical.flatMap(c => s.fields.find(_.name == c))
           .filterNot(f => ParquetFooters.comparable(f.dataType))
         require(unusable.isEmpty,
           s"trackStats rejected for $dir: column(s) " +
@@ -1343,31 +1349,57 @@ object TableLog {
               .mkString(", ") +
             " have no comparable footer stats — supported types are " +
             "byte/short/int/long/float/double/string/timestamp/date")
-        // same silent-never-prunes hazard for timestamps specifically: a
-        // session still writing the legacy INT96 physical type produces
-        // files with NO usable parquet statistics, so the registration
-        // would never prune anything this writer appends
-        val tsCols = cols.flatMap(c => s.fields.find(_.name == c))
-          .filter(f =>
-            f.dataType == org.apache.spark.sql.types.TimestampType)
-        if (tsCols.nonEmpty) {
-          val out = spark.conf.get(
-            "spark.sql.parquet.outputTimestampType", "INT96")
-          require(out != "INT96",
-            s"trackStats rejected for $dir: column(s) " +
-              tsCols.map(_.name).mkString(", ") +
-              " are timestamps but this session writes parquet INT96 " +
-              "(the legacy default), which records no usable statistics " +
-              "— set spark.sql.parquet.outputTimestampType=" +
-              "TIMESTAMP_MICROS (a runtime conf) and retry")
-        }
+        requireStatTimestampsUsable(spark, s, canonical, "trackStats", dir)
       }
-      val merged = (prev.statsFor ++ cols).distinct
+      val merged = (prev.statsFor ++ canonical).distinct
       if (merged == prev.statsFor) Left(prev) // idempotent re-registration
       else Right(Manifest(prev.version + 1, prev.files, prev.rows,
         prev.commits, "trackstats", prev.schemaJson, prev.layout, merged,
         prev.dropped, bloomFor = prev.bloomFor))
     }(identity)
+  }
+
+  /** The asked-for column names resolved to the recorded schema's
+    * canonical spellings under the session's resolution rules
+    * ([[nameKey]]) — unknown names are the shared loud error. A
+    * pre-schema v1 table passes the names through unchanged (nothing
+    * to resolve against). */
+  private def resolveColumns(spark: SparkSession, m: Manifest,
+      cols: Seq[String], what: String, dir: String): Seq[String] =
+    m.schema match {
+      case None => cols
+      case Some(s) =>
+        val key = nameKey(spark) _
+        cols.map { c =>
+          s.fields.find(f => key(f.name) == key(c)).map(_.name).getOrElse(
+            throw new IllegalArgumentException(
+              s"$what rejected for $dir: column '$c' not in the table " +
+                s"schema ${s.simpleString}"))
+        }
+    }
+
+  /** The silent-never-prunes hazard for timestamp columns, shared by
+    * both pruning registrations: a session still writing the legacy
+    * INT96 physical type produces files with NO usable parquet
+    * statistics and NO pushable predicates — the registration would
+    * commit and then never prune anything this writer appends. */
+  private def requireStatTimestampsUsable(spark: SparkSession,
+      s: org.apache.spark.sql.types.StructType, cols: Seq[String],
+      what: String, dir: String): Unit = {
+    val tsCols = cols.flatMap(c => s.fields.find(_.name == c))
+      .filter(_.dataType == org.apache.spark.sql.types.TimestampType)
+    if (tsCols.nonEmpty) {
+      val out = spark.conf.get(
+        "spark.sql.parquet.outputTimestampType", "INT96")
+      require(out != "INT96",
+        s"$what rejected for $dir: column(s) " +
+          tsCols.map(_.name).mkString(", ") +
+          " are timestamps but this session writes parquet INT96 " +
+          "(the legacy default), which records no usable statistics " +
+          "and no pushable predicates — set " +
+          "spark.sql.parquet.outputTimestampType=" +
+          "TIMESTAMP_MICROS (a runtime conf) and retry")
+    }
   }
 
   /** Register per-file parquet BLOOM FILTER columns: from the next
@@ -1406,12 +1438,9 @@ object TableLog {
     commitLoop(spark, fs, dir, "trackbloom") { prevOpt =>
       val prev = prevOpt.getOrElse(throw new IllegalStateException(
         s"$dir has no committed manifest — create the table first"))
+      val canonical = resolveColumns(spark, prev, cols, "trackBloom", dir)
       prev.schema.foreach { s =>
-        val missing = cols.filterNot(s.fieldNames.contains)
-        require(missing.isEmpty,
-          s"trackBloom rejected for $dir: column(s) ${missing.mkString(", ")} " +
-            s"not in the table schema ${s.simpleString}")
-        val unusable = cols.flatMap(c => s.fields.find(_.name == c))
+        val unusable = canonical.flatMap(c => s.fields.find(_.name == c))
           .filterNot(f => f.dataType match {
             case org.apache.spark.sql.types.ByteType |
                  org.apache.spark.sql.types.ShortType |
@@ -1433,8 +1462,11 @@ object TableLog {
             " have no parquet bloom encoding — supported types are " +
             "byte/short/int/long/float/double/string/binary/date/" +
             "timestamp/decimal (top-level)")
+        // an INT96 timestamp writes no pushable predicate either — a
+        // bloom on it would exist in the footer but never be consulted
+        requireStatTimestampsUsable(spark, s, canonical, "trackBloom", dir)
       }
-      val merged = (prev.bloomFor ++ cols).distinct
+      val merged = (prev.bloomFor ++ canonical).distinct
       if (merged == prev.bloomFor) Left(prev) // idempotent re-registration
       else Right(Manifest(prev.version + 1, prev.files, prev.rows,
         prev.commits, "trackbloom", prev.schemaJson, prev.layout,

@@ -269,8 +269,7 @@ final case class GraftRestoreTimestampCommand(target: TableLogSql.GraftTarget,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = TableLogSql.resolveDir(spark, target)
-    val ms = TableLog.parseTravelTimestamp(timestamp,
-      java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+    val ms = TableLog.parseTravelTimestamp(spark, timestamp)
     val v = TableLog.versionAt(spark, dir, ms)
     val m = TableLog.restore(spark, dir, v)
     Seq(Row(v, m.version, m.rows))
@@ -297,7 +296,13 @@ final case class GraftHistoryCommand(target: TableLogSql.GraftTarget)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = TableLogSql.resolveDir(spark, target)
-    TableLog.historyHeads(spark, dir).map { case (h, ts) =>
+    val heads = TableLog.historyHeads(spark, dir)
+    // an empty result here can only mean "not a table" (the newest
+    // head is never pruned while the table exists) — the shared loud
+    // error, not a zero-row answer a typo'd path would masquerade as
+    if (heads.isEmpty) throw new IllegalStateException(
+      s"$dir has no committed manifest — not a TableLog table (or never written)")
+    heads.map { case (h, ts) =>
       val files = h.files.length.toLong +
         h.segments.iterator.map(_.count.toLong).sum
       Row(h.version, new java.sql.Timestamp(ts), h.op, h.rows, files)

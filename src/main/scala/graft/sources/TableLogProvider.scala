@@ -88,8 +88,7 @@ final class TableLogProvider extends RelationProvider
       case Some(v) => TableLog.manifestAt(spark, dir, v.toLong)
       case None => parameters.get("timestampAsOf") match {
         case Some(ts) =>
-          val ms = TableLog.parseTravelTimestamp(ts, java.time.ZoneId.of(
-            spark.sessionState.conf.sessionLocalTimeZone))
+          val ms = TableLog.parseTravelTimestamp(spark, ts)
           TableLog.manifestAt(spark, dir, TableLog.versionAt(spark, dir, ms))
         case None => TableLog.latest(spark, dir).getOrElse(
           throw new IllegalStateException(

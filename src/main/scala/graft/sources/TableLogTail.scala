@@ -326,9 +326,10 @@ final class TableLogTailSource(spark: SparkSession, dir: String,
   * default = the head version at source creation, i.e. live appends
   * only; `-1` = from the beginning while version 0 is retained);
   * `sinceTimestamp` (clock form of the same: resolved ONCE through
-  * [[graft.functions.TableLog.versionAt]]'s travel timeline to the
-  * newest version at-or-before the instant, then persisted exactly
-  * like `since`; mutually exclusive with it);
+  * the travel timeline to the newest version at-or-before the
+  * instant — an instant after the newest commit means "from now on",
+  * before the retained window is a loud error — then persisted
+  * exactly like `since`; mutually exclusive with it);
   * `maxVersionsPerTrigger` (bound each micro-batch to at most this many
   * source versions — without it, a consumer starting deep in the
   * backlog plans the ENTIRE history as one batch, the
@@ -438,23 +439,30 @@ final class TableLogTailProvider extends StreamSourceProvider {
         finally in.close()
       } else {
         // `sinceTimestamp` is clock sugar over the same contract:
-        // resolve through the travel timeline (TableLog.versionAt — the
-        // manifest-mtime step function every TIMESTAMP AS OF face
-        // reads) to the newest version at-or-before the instant, then
-        // "versions AFTER since" delivers exactly the commits after it.
-        // Resolved ONCE here and persisted like `since` — the timeline
-        // is mtime-derived, so only the first-start resolution consults
-        // it. Outside the retained window it is versionAt's loud error:
-        // a consumer asking for more history than retention holds must
-        // hear that, not silently start later.
+        // resolve through the travel timeline
+        // (TableLog.retainedCommitTimes — the manifest-mtime step
+        // function every TIMESTAMP AS OF face reads) to the newest
+        // version at-or-before the instant, then "versions AFTER
+        // since" delivers exactly the commits after it. Resolved ONCE
+        // here and persisted like `since`. Unlike a snapshot read, an
+        // instant AFTER the newest commit is a fine stream start —
+        // "from now on" = the head, live appends only (versionAt's
+        // reproducibility error is about answering what a table WAS;
+        // a tail only promises what comes after) — and an instant on
+        // an uncommitted table starts from the beginning. Only an
+        // instant BEFORE the retained window keeps versionAt's loud
+        // error: a consumer asking for more history than retention
+        // holds must hear that, not silently start later.
         require(!(parameters.contains("since") &&
             parameters.contains("sinceTimestamp")),
           "since and sinceTimestamp are mutually exclusive — one start point")
         val v = parameters.get("since").map(_.toLong)
           .orElse(parameters.get("sinceTimestamp").map { ts =>
-            TableLog.versionAt(spark, dir, TableLog.parseTravelTimestamp(ts,
-              java.time.ZoneId.of(
-                spark.sessionState.conf.sessionLocalTimeZone)))
+            val ms = TableLog.parseTravelTimestamp(spark, ts)
+            val times = TableLog.retainedCommitTimes(spark, dir)
+            if (times.isEmpty) -1L
+            else if (ms >= times.last._2) times.last._1
+            else TableLog.versionAt(spark, dir, ms)
           })
           .getOrElse(TableLog.latestVersion(spark, dir).getOrElse(-1L))
         TableLog.atomicWriteSmall(fs, sincePath, v.toString)

@@ -135,8 +135,7 @@ final class TableLogV2 extends TableProvider with DataSourceRegister {
       case Some(k) if k.startsWith("v") =>
         Some(TableLog.manifestAt(spark, dir, k.drop(1).toLong))
       case Some(k) =>
-        val ms = TableLog.parseTravelTimestamp(k.drop(1),
-          java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+        val ms = TableLog.parseTravelTimestamp(spark, k.drop(1))
         Some(TableLog.manifestAt(spark, dir, TableLog.versionAt(spark, dir, ms)))
       case None => TableLog.latest(spark, dir)
     })

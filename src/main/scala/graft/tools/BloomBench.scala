@@ -73,22 +73,22 @@ object BloomBench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val plainCount = timeProbes(plainDir, "count")
-    val bloomCount = timeProbes(bloomDir, "count")
-    val plainSelect = timeProbes(plainDir, "select")
-    val bloomSelect = timeProbes(bloomDir, "select")
+    try {
+      val plainCount = timeProbes(plainDir, "count")
+      val bloomCount = timeProbes(bloomDir, "count")
+      val plainSelect = timeProbes(plainDir, "select")
+      val bloomSelect = timeProbes(bloomDir, "select")
 
-    def f(d: Double) = f"$d%.3f"
-    println(s"""{"bloom_count_probe_s":${f(bloomCount / probes)}""" +
-      s""","plain_count_probe_s":${f(plainCount / probes)}""" +
-      s""","count_speedup":${f(plainCount / bloomCount)}""" +
-      s""","bloom_select_probe_s":${f(bloomSelect / probes)}""" +
-      s""","plain_select_probe_s":${f(plainSelect / probes)}""" +
-      s""","select_speedup":${f(plainSelect / bloomSelect)}""" +
-      s""","rows":$n,"files":$files,"probes":$probes""" +
-      s""","env":$env,"sf":"synthetic"}""")
-
-    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      def f(d: Double) = f"$d%.3f"
+      println(s"""{"bloom_count_probe_s":${f(bloomCount / probes)}""" +
+        s""","plain_count_probe_s":${f(plainCount / probes)}""" +
+        s""","count_speedup":${f(plainCount / bloomCount)}""" +
+        s""","bloom_select_probe_s":${f(bloomSelect / probes)}""" +
+        s""","plain_select_probe_s":${f(plainSelect / probes)}""" +
+        s""","select_speedup":${f(plainSelect / bloomSelect)}""" +
+        s""","rows":$n,"files":$files,"probes":$probes""" +
+        s""","env":$env,"sf":"synthetic"}""")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
     spark.stop()
   }
 }

@@ -122,9 +122,10 @@ class TableLogBloomSpec extends SparkSuite {
     assert(TableLog.read(spark, dir).where($"id" === 2002L).count() == 1L)
   }
 
-  test("trackBloom rejections are loud: unknown column, bloomless type; dropColumn clears the registration") {
+  test("trackBloom rejections are loud: unknown column, bloomless type, INT96 timestamp; dropColumn clears the registration") {
     val dir = freshTable()
-    Seq((1L, true)).toDF("id", "flag").write.format("tablelogv2")
+    Seq((1L, true, new java.sql.Timestamp(1L)))
+      .toDF("id", "flag", "ts").write.format("tablelogv2")
       .mode("append").save(dir)
     val e1 = intercept[IllegalArgumentException] {
       TableLog.trackBloom(spark, dir, Seq("nope"))
@@ -134,7 +135,23 @@ class TableLogBloomSpec extends SparkSuite {
       TableLog.trackBloom(spark, dir, Seq("flag"))
     }
     assert(e2.getMessage.contains("no parquet bloom encoding"), e2.getMessage)
-    TableLog.trackBloom(spark, dir, Seq("id"))
+    // an INT96-writing session would put a bloom in the footer that no
+    // pushed predicate ever consults — same loud posture as trackStats
+    val key = "spark.sql.parquet.outputTimestampType"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "INT96")
+    try {
+      val e3 = intercept[IllegalArgumentException] {
+        TableLog.trackBloom(spark, dir, Seq("ts"))
+      }
+      assert(e3.getMessage.contains("INT96"), e3.getMessage)
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    // names resolve like every other column-addressing face: the
+    // session default is case-insensitive, and the CANONICAL spelling
+    // is what lands in the manifest (= what the parquet write option
+    // must name)
+    TableLog.trackBloom(spark, dir, Seq("ID"))
+    assert(TableLog.latest(spark, dir).get.bloomFor == Seq("id"))
     TableLog.dropColumn(spark, dir, "id")
     assert(TableLog.latest(spark, dir).get.bloomFor.isEmpty,
       "a dropped column must leave the bloom registration")

@@ -304,6 +304,12 @@ class TableLogSqlSpec extends SparkSuite {
       // to the delegate parser, whose error names the bogus syntax
       intercept[Exception] { s.sql(s"GRAFT FROBNICATE '$dir'") }
       assert(TableLog.rows(s, dir) == 10L)
+      // HISTORY of a typo'd path is the shared loud error, not an
+      // empty (and thus misleading) zero-row answer
+      val e3 = intercept[IllegalStateException] {
+        s.sql(s"GRAFT HISTORY '/no/such/table'").collect()
+      }
+      assert(e3.getMessage.contains("no committed manifest"), e3.getMessage)
     }
   }
 

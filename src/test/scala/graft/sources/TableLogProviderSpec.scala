@@ -312,6 +312,23 @@ class TableLogProviderSpec extends SparkSuite {
       (e.getMessage.contains("mutually exclusive") ||
         Option(e.getCause).exists(_.getMessage.contains("mutually exclusive"))),
       s"${e.getMessage} / ${Option(e.getCause).map(_.getMessage)}")
+    // an instant AFTER the newest commit is "from now on", not the
+    // snapshot faces' reproducibility error: live appends only
+    val q2 = spark.readStream.format("tablelog")
+      .option("sinceTimestamp", "9999-01-01T00:00:00Z")
+      .load(dir)
+      .writeStream.format("memory").queryName("ts_tail_now")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("ts_tail_now").isEmpty, "nothing before the start")
+      TableLog.appendBatch(batch(3), dir, "r", 3L)
+      q2.processAllAvailable()
+      val live = spark.table("ts_tail_now").select($"ts").as[Long]
+        .collect().sorted.toSeq
+      assert(live == (300L until 400L).toSeq,
+        s"'from now' must deliver exactly the live appends: $live")
+    } finally q2.stop()
   }
 
   test("the same short name streams: readStream.format(\"tablelog\") is the version tail") {
