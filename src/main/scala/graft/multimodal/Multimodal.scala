@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // In-memory ImageIO stream cache: the default (useCache=true) backs every
+  // ImageInputStream/ImageOutputStream with a TEMP FILE on disk — one file
+  // create+write+delete per encode and per decode, paid per row (and per
+  // FRAME on the MJPEG paths). All blobs here are in-memory byte arrays, so
+  // the disk cache buys nothing; MemoryCache keeps the whole codec path
+  // heap-only. JVM-global, idempotent, pixel-identical output.
+  ImageIO.setUseCache(false)
+
   /** Typed metadata carried alongside a media blob. */
   case class MediaMeta(docId: Long, nBytes: Long, width: Int, height: Int, frames: Int)
 

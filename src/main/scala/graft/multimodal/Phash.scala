@@ -33,6 +33,11 @@ import javax.imageio.ImageIO
   */
 object Phash {
 
+  // Heap-only ImageIO streams (see Multimodal's initializer — duplicated
+  // here because dhashBlob callers may touch Phash without ever loading
+  // Multimodal, and object initializers only run on first reference).
+  ImageIO.setUseCache(false)
+
   /** Grid shape: 9 columns × 8 rows of block means → 8×8 comparison bits. */
   val GridCols = 9
   val GridRows = 8
