@@ -75,7 +75,7 @@ object CurationOps extends QueryGroup {
     // IP are never double-counted. Narrow plan: zero shuffles.
     "text_pii_redact" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
+      spread(t(s, dir, "documents"))
         .withColumn("rawtext", concat(
           $"text", lit(" contact user"), $"doc_id".cast("string"),
           lit("@mail-"), $"source", lit(".com or 192.168."),
@@ -167,9 +167,13 @@ object CurationOps extends QueryGroup {
           lit("#sec"), ($"doc_id" % 7).cast("string")).as("url"))
       val canon = urls.select($"doc_id",
         graft.functions.Curation.canonicalizeUrl($"url").as("canon_url"))
-      canon.join(
-          canon.groupBy($"canon_url").agg(count(lit(1)).as("url_dups")),
-          "canon_url")
+      // group count as an unordered window over the canonical key: ONE
+      // shuffle and ONE evaluation of the canonicalize kernel, where the
+      // groupBy+self-join spelling paid two of each (guide §2.4 — two
+      // operations keyed the same way share one exchange)
+      canon
+        .withColumn("url_dups",
+          count(lit(1)).over(Window.partitionBy($"canon_url")))
         .select($"doc_id", $"canon_url", $"url_dups")
     }),
 

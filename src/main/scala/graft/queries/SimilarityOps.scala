@@ -107,8 +107,13 @@ object SimilarityOps extends QueryGroup {
       .filter($"kth_dcos".isNull || $"dcos" >= $"kth_dcos" - Margin)
       .select($"qid", $"vec_id")
     val we = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
-    survivors
-      .join(corpus.select($"vec_id", $"embedding", $"nrm"), Seq("vec_id"))
+    // join-back BY ID with the SURVIVORS broadcast, corpus probing: the
+    // survivor set is ≈ nqueries · (k + margin ties) — bounded at ANY
+    // corpus size — while the corpus side grows; without the hint the
+    // local-mode size estimate broadcast the CORPUS rows (embedding
+    // arrays included), a serial driver build this plan never needs.
+    corpus.select($"vec_id", $"embedding", $"nrm")
+      .join(broadcast(survivors), Seq("vec_id"))
       .join(broadcast(q), Seq("qid"))
       .withColumn("cosine",
         round(dotDec($"embedding", $"qemb").cast("double") / ($"qn" * $"nrm"), 9))

@@ -100,12 +100,22 @@ object SketchOps extends QueryGroup {
       import s.implicits._
       val toks = spread(t(s, dir, "documents"))
         .select($"lang", explode(graft.functions.native.tokens($"text")).as("tok"))
-      val sks = toks.groupBy($"lang")
+      // ONE tokenize+explode pass: reduce to the distinct (lang, tok)
+      // relation first (partial-agg collapsible), then derive every
+      // consumer from it — HLL registers are max-per-bucket so duplicate
+      // tokens never change a sketch, per-lang exact vocab is a plain
+      // count of the distinct pairs, and the ALL exact vocab is a
+      // countDistinct over the pairs' tok. The previous spelling ran the
+      // tokenize+explode scan FOUR times (sketches, per-lang exacts,
+      // ALL exact, plus the countDistinct expansions).
+      val pairs = toks.select($"lang", $"tok").distinct()
+        .transform(graft.functions.Materialize.cut) // feeds 3 consumers
+      val sks = pairs.groupBy($"lang")
         .agg(graft.functions.native.hll_sketch($"tok").as("sk"))
-      val exacts = toks.groupBy($"lang").agg(countDistinct($"tok").as("exact_vocab"))
+      val exacts = pairs.groupBy($"lang").agg(count(lit(1)).as("exact_vocab"))
       val perLang = sks.join(exacts, "lang").select($"lang", $"exact_vocab", $"sk")
       val all = sks.agg(graft.functions.native.hll_merge($"sk").as("sk"))
-        .crossJoin(broadcast(toks.agg(countDistinct($"tok").as("exact_vocab"))))
+        .crossJoin(broadcast(pairs.agg(countDistinct($"tok").as("exact_vocab"))))
         .select(lit("ALL").as("lang"), $"exact_vocab", $"sk")
       perLang.unionByName(all)
         .select($"lang", $"exact_vocab",

@@ -122,8 +122,13 @@ object TextOps extends QueryGroup {
       val terms = t(s, dir, "documents")
         .select($"doc_id", explode(TF.tokens($"text")).as("term"))
       val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val df = terms.groupBy($"term")
-        .agg(countDistinct($"doc_id").as("df"))
+        .transform(graft.functions.Materialize.cut) // feeds df AND the join below
+      // df DERIVED from tf: tf has exactly one row per (doc, term), so
+      // count(*) per term ≡ countDistinct(doc_id) over the raw terms —
+      // the second full tokenize+explode+distinct pass of the corpus is
+      // replaced by a count over the already-aggregated (and much
+      // smaller) tf relation (guide §2.3/§2.4: aggregate once, derive).
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy($"doc_id")
         .orderBy($"tfidf".desc, $"term".asc)
@@ -155,7 +160,12 @@ object TextOps extends QueryGroup {
             " i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("b"))
         .select($"doc_id", $"b.w1", $"b.w2")
       val bigCounts = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
-      val uniCounts = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
+        .transform(graft.functions.Materialize.cut) // feeds c1 AND the join
+      // c1 DERIVED from bigCounts: count of bigrams starting at w1 is the
+      // sum over w2 of c12 — replaces a second full tokenize+explode+
+      // aggregate pass of the corpus with a sum over the (small) model
+      // relation. Exact integer arithmetic, value-identical.
+      val uniCounts = bigCounts.groupBy($"w1").agg(sum($"c12").as("c1"))
       big.join(bigCounts, Seq("w1", "w2")).join(uniCounts, Seq("w1"))
         .withColumn("inv_p", $"c1".cast("double") / $"c12")
         .groupBy($"doc_id")
