@@ -91,4 +91,41 @@ class AfpSpec extends SparkSuite {
       .as[(Long, Long, Int)].collect().map(t => (t._1, t._2, t._3)).toSet
     assert(got == expected, s"banded=${got.size} brute=${expected.size}; diff=${got.diff(expected) ++ expected.diff(got)}")
   }
+
+  test("SPI-direct WAV encode/decode is byte-identical to the AudioSystem entry points") {
+    // the hot path resolves the JDK's WAVE reader/writer ONCE and calls
+    // them directly (the AudioSystem facade takes a global synchronized
+    // provider lock per call — measured 73 s of lock wait on a 32-thread
+    // stage); this pins the direct path to the facade bit-for-bit
+    val base = signal(seed = 42, n = 1300)
+    val blob = wav(base) // SPI-direct writer
+    val viaFacade = {
+      val data = new Array[Byte](base.length * 2)
+      base.indices.foreach { i =>
+        data(2 * i) = (base(i) & 0xff).toByte
+        data(2 * i + 1) = ((base(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, base.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    assert(java.util.Arrays.equals(blob, viaFacade),
+      "SPI-direct WAVE writer bytes diverge from AudioSystem.write")
+    // decode side: the SPI-direct reader recovers the same samples the
+    // facade does, and a non-audio blob still raises Unsupported
+    val direct = Multimodal.Codec.decodeAudioSamples(blob).get
+    val facadeIn = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new java.io.ByteArrayInputStream(blob))
+    val facadeBytes = facadeIn.readAllBytes()
+    val facadeSamples = Array.tabulate(facadeBytes.length / 2)(i =>
+      ((facadeBytes(2 * i) & 0xff) | (facadeBytes(2 * i + 1) << 8)).toShort.toInt)
+    assert(direct.sameElements(facadeSamples),
+      "SPI-direct decode samples diverge from AudioSystem.getAudioInputStream")
+    assert(Multimodal.Codec.decodeAudio(1L, "RIFFxxxxWAVEjunk".getBytes("US-ASCII")).isEmpty,
+      "undecodable RIFF/WAVE-sniffed blob must return None, not throw")
+  }
 }
