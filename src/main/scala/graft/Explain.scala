@@ -16,7 +16,15 @@ object Explain {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = Sessions.local(appName = s"graft-explain-$name")
+    // A/B hook for plan experiments: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
+    // applies runtime-settable confs to THIS tool's session only (the
+    // bench/verify surfaces never read it, so measurements stay honest)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     val stages = ArrayBuffer.empty[(Int, String, Int, Long, Long, Long, Long)]
+    val details = ArrayBuffer.empty[(Int, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
         val si = ev.stageInfo
@@ -24,6 +32,7 @@ object Explain {
         val tm = si.taskMetrics
         stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(60), si.numTasks, ms,
           tm.executorRunTime, tm.executorCpuTime / 1000000, tm.jvmGCTime))
+        if (si.numTasks == 1) details += ((si.stageId, si.details))
       }
     })
     val df = SparkEntry.queries(name)(spark, sfDir)
@@ -38,6 +47,13 @@ object Explain {
     stages.sortBy(_._1).foreach { case (id, nm, tasks, ms, run, cpu, gc) =>
       println(f"$id%5d  $tasks%5d  $ms%7d  $run%7d  $cpu%7d  $gc%7d  $nm")
     }
+    // SPARK_GRAFT_STAGE_DETAILS=1: full callsite stack of each 1-task
+    // stage — serial stages are where local-mode walls hide, and the
+    // one-line name often truncates the interesting frame
+    if (sys.env.get("SPARK_GRAFT_STAGE_DETAILS").contains("1"))
+      details.foreach { case (id, d) =>
+        println(s"--- stage $id details ---"); println(d)
+      }
     spark.stop()
   }
 }

@@ -58,6 +58,14 @@ object Sessions {
       // runtime conf — settable right before the ingest writes).
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // Deployment/experiment hook: SPARK_GRAFT_SESSION_CONF="k=v;k=v"
+    // applies runtime-settable confs on top of the defaults above — the
+    // parameterization point for scale-dependent tuning (shuffle sizing,
+    // AQE thresholds) without code edits; unset, behavior is unchanged.
+    sys.env.get("SPARK_GRAFT_SESSION_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     spark.sparkContext.setLogLevel("WARN")
     // The only unpartitioned window in the engine is GlobalOrder's 1-split
     // fallback, where "moving all data to a single partition" is exactly

@@ -138,8 +138,14 @@ object DedupOps extends QueryGroup {
         .select($"doc_id", explode(expr(
           s"transform(sequence(1, size(toks)-${SpanLen - 1}), " +
             s"i -> md5(concat_ws(' ', slice(toks, i, $SpanLen))))")).as("h"))
-      val cnt = spans.groupBy($"h").agg(count(lit(1)).as("c"))
-      spans.join(cnt, "h")
+      // corpus-wide occurrence count as an unordered window over the span
+      // hash: ONE exchange on h and ONE evaluation of the window-md5
+      // explode, where the groupBy+join-back spelling re-tokenized and
+      // re-hashed the corpus for each side and paid a second exchange
+      // (the url_canonicalize rewrite; guide §2.4)
+      spans
+        .withColumn("c", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"h")))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_spans"),
           sum(when($"c" >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
@@ -168,8 +174,11 @@ object DedupOps extends QueryGroup {
             s"struct(i AS chunk_id, concat_ws(' ', slice(toks, i*$ChunkLen+1, $ChunkLen)) AS chunk))"))
           .as("ch"))
         .select($"doc_id", $"ch.chunk_id", $"ch.chunk", md5($"ch.chunk").as("h"))
-      val cnt = chunks.groupBy($"h").agg(count(lit(1)).as("c"))
-      chunks.join(cnt, "h")
+      // same window-count rewrite as dedup_substring: one exchange on h,
+      // one evaluation of the chunking explode
+      chunks
+        .withColumn("c", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"h")))
         .groupBy($"doc_id")
         .agg(
           expr("array_join(transform(array_sort(collect_list(" +

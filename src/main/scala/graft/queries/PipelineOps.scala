@@ -108,7 +108,12 @@ object PipelineOps extends QueryGroup {
       val docs = t(s, dir, "documents")
         .withColumn("mix_src",
           floor(sqrt(($"doc_id" % 100L).cast("double"))).cast("long"))
+      // ≤ 10 rows by construction, but feeding FOUR downstream aggregate/
+      // broadcast jobs (tot, z, mx, and the final join's build side) — cut
+      // so each derives from the in-memory rows instead of re-running the
+      // corpus scan + count per job
       val counts = docs.groupBy($"mix_src").agg(count(lit(1)).as("n_s"))
+        .transform(graft.functions.Materialize.cut)
       val tot = counts.agg(sum($"n_s").as("n_total"))
       val w = counts.crossJoin(broadcast(tot))
         .withColumn("w_s", sqrt($"n_s".cast("double") / $"n_total"))

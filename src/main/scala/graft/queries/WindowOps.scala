@@ -49,14 +49,21 @@ object WindowOps extends QueryGroup {
       // (l_orderkey, l_linenumber) is not unique in the synthetic data; the
       // extra l_tax key makes the frame order deterministic (remaining ties
       // have equal factors, so the products are order-invariant).
-      val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber", $"l_tax")
-        .rowsBetween(-6, Window.currentRow)
+      val wo = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber", $"l_tax")
+      val w = wo.rowsBetween(-6, Window.currentRow)
+      // product of ≤ 7 window factors as 6 lag()s × the current row —
+      // whole-stage-codegen expressions end to end, where the previous
+      // collect_list + interpreted aggregate() lambda built a per-row
+      // array and left codegen for every row (guide §4: prefer built-in
+      // expressions in the hot path). Missing leading rows lag to NULL
+      // → factor 1, exactly the shorter frame's product.
+      val prod = (1 to 6)
+        .map(i => coalesce(lag($"tax_scaled", i).over(wo), lit(1L)))
+        .foldLeft($"tax_scaled".cast("long"))(_ * _)
       t(s, dir, "lineitem")
         .withColumn("tax_scaled", round($"l_tax" * 100.0, 0).cast("long") + 100L)
-        .withColumn("factors", collect_list($"tax_scaled").over(w))
         .withColumn("k", count(lit(1)).over(w))
-        .withColumn("prod_scaled",
-          aggregate($"factors", lit(1L), (acc, x) => acc * x))
+        .withColumn("prod_scaled", prod)
         .select($"l_orderkey", $"l_linenumber", $"prod_scaled",
           ($"prod_scaled".cast("double") / pow(lit(100.0), $"k")).as("cumprod_tax"))
     }),
