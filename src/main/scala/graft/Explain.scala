@@ -25,6 +25,17 @@ object Explain {
     })
     val stages = ArrayBuffer.empty[(Int, String, Int, Long, Long, Long, Long)]
     val details = ArrayBuffer.empty[(Int, String)]
+    val jobs = ArrayBuffer.empty[(Int, Seq[Int], String)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(ev: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(ev.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(ev.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("?")
+        jobs += ((ev.jobId, ev.stageIds.map(_.toInt), desc.take(160)))
+      }
+    })
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
         val si = ev.stageInfo
@@ -50,10 +61,13 @@ object Explain {
     // SPARK_GRAFT_STAGE_DETAILS=1: full callsite stack of each 1-task
     // stage — serial stages are where local-mode walls hide, and the
     // one-line name often truncates the interesting frame
-    if (sys.env.get("SPARK_GRAFT_STAGE_DETAILS").contains("1"))
+    if (sys.env.get("SPARK_GRAFT_STAGE_DETAILS").contains("1")) {
+      println("jobs (id, stages, description/callsite):")
+      jobs.foreach { case (id, ss, d) => println(f"  job $id%3d  stages ${ss.mkString(",")}%-12s  $d") }
       details.foreach { case (id, d) =>
         println(s"--- stage $id details ---"); println(d)
       }
+    }
     spark.stop()
   }
 }

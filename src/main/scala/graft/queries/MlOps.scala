@@ -76,17 +76,22 @@ object MlOps extends QueryGroup {
     // fixed doc sample (similarity_ivf's deterministic-quantizer
     // convention; a production run trains it with functions.Kmeans).
     //
-    // Plan: one feature build (keyed count), one broadcast join on
-    // feature_idx for the sparse dots, one per-doc argmin over ≤ ncent+t
-    // candidate rows. The argmin deliberately does NOT densify: a doc's
-    // candidates are its dots rows (score = c2 − 2·dot) plus the GLOBAL
-    // min-(c2, cid) centroid rows standing in for every zero-overlap
-    // centroid — sufficient because a dot only LOWERS a score, so any
-    // zero-overlap centroid that could win must itself be a min-c2 row
-    // (ties included: all min-c2 rows are kept, so the (dist2, cid)
-    // tie-break is exact). A dense corpus×ncent outer join here — the
-    // obvious formulation, and the DuckDB oracle's — would sort-merge
-    // ncent copies of the corpus at scale.
+    // Plan: one feature build (keyed count), then the model — ≤ ncent
+    // dense 64-long centroid vectors, bounded by CONSTRUCTION, never by
+    // data — collects driver-side (the semanticDedup centroid pattern)
+    // and the argmin evaluates as ONE narrow expression per document:
+    // array_min over ncent (score, cid) structs, score = c2 − 2·⟨fv,c⟩
+    // with the dot folded over the doc's sparse features against the
+    // dense centroid literal (element_at on an array literal is O(1)).
+    // Struct ordering is lexicographic, so array_min IS the (dist2, cid)
+    // tie-break. This replaces the r16 shape — a broadcast sparse-dot
+    // join + per-doc argmin window + a zero-overlap union leg — whose
+    // TWELVE sequential jobs (aggregates, broadcasts, window) dominated
+    // the wall at small scale and whose idx-join expanded |doc features|
+    // × ncent rows through a hash aggregate at any scale. Zero-overlap
+    // centroids need no special leg here: the dense fold yields dot = 0
+    // exactly like the oracle's COALESCE. Exact integer arithmetic
+    // throughout, identical output.
     "cluster_docs_hashed" -> ((s, dir) => {
       import s.implicits._
       val feats = spread(t(s, dir, "documents"))
@@ -96,28 +101,42 @@ object MlOps extends QueryGroup {
           (conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long") % HashDim)
             .as("idx"))
         .groupBy($"doc_id", $"idx").agg(count(lit(1)).as("cnt"))
-        .transform(graft.functions.Materialize.cut) // feeds centroids, norms, and dots once
-      val cent = feats.filter(expr(CentPred))
-        .select($"doc_id".as("cid"), $"idx", $"cnt".as("ccnt"))
-      val cnorm = cent.groupBy($"cid").agg(sum($"ccnt" * $"ccnt").as("c2"))
+        // explicit width BEFORE the cut: the checkpoint freezes whatever
+        // layout AQE's byte-based coalescing left (one partition for this
+        // few-MB relation), which would serialize every consumer's first
+        // stage; REPARTITION_BY_NUM is exempt from AQE re-coalescing
+        .repartition(s.sparkContext.defaultParallelism)
+        .transform(graft.functions.Materialize.cut) // feeds model + docs once
+      val centRows = feats.filter(expr(CentPred))
+        .select($"doc_id".as("cid"), $"idx", $"cnt")
+        .as[(Long, Long, Long)].collect()
+      require(centRows.length <= NCent * HashDim, // bounded by construction
+        s"centroid model outgrew its bound: ${centRows.length}")
+      val cents: Seq[(Long, Array[Long], Long)] =
+        centRows.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, rows) =>
+          val dense = new Array[Long](HashDim)
+          rows.foreach { case (_, idx, c) => dense(idx.toInt) = c }
+          (cid, dense, dense.map(x => x * x).sum)
+        }
+      // explicit width for the argmin stage: per-doc rows are a few hundred
+      // bytes, so AQE's byte-based coalescing would run the ncent-fold
+      // argmin on one task — but each row costs ncent × |fv| fold steps,
+      // so hold the compute at full parallelism (the dedup_embed_cosine
+      // candidate-repartition precedent)
       val docs = feats.filter(not(expr(CentPred)))
-      val dnorm = docs.groupBy($"doc_id").agg(sum($"cnt" * $"cnt").as("x2"))
-      val scored = docs.join(broadcast(cent), Seq("idx"))
-        .groupBy($"doc_id", $"cid").agg(sum($"cnt" * $"ccnt").as("dot"))
-        .join(broadcast(cnorm), Seq("cid"))
-        .select($"doc_id", $"cid", ($"c2" - lit(2L) * $"dot").as("score"))
-      val gmin = cnorm.agg(min($"c2").as("c2min"))
-      val gbest = cnorm.crossJoin(broadcast(gmin))
-        .filter($"c2" === $"c2min")
-        .select($"cid", $"c2".as("score"))
-      val cand = scored.unionByName(
-        dnorm.select($"doc_id").crossJoin(broadcast(gbest)))
-      val w = Window.partitionBy($"doc_id").orderBy($"score", $"cid")
-      cand.withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .join(dnorm, Seq("doc_id"))
-        .select($"doc_id", $"cid".as("cluster_id"),
-          ($"x2" + $"score").as("dist2"))
+        .groupBy($"doc_id").agg(
+          collect_list(struct($"idx", $"cnt")).as("fv"),
+          sum($"cnt" * $"cnt").as("x2"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val scoreStructs = cents.map { case (cid, dense, c2) =>
+        val dot = aggregate($"fv", lit(0L), (acc, e) =>
+          acc + e.getField("cnt") *
+            element_at(typedlit(dense.toSeq), (e.getField("idx") + 1L).cast("int")))
+        struct((lit(c2) - lit(2L) * dot).as("score"), lit(cid).as("cid"))
+      }
+      docs.withColumn("best", array_min(array(scoreStructs: _*)))
+        .select($"doc_id", $"best.cid".as("cluster_id"),
+          ($"x2" + $"best.score").as("dist2"))
     })
   )
 

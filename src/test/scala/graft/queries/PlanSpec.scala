@@ -158,12 +158,15 @@ class PlanSpec extends SparkSuite {
       s"corpus side grew a wide join:\n$p")
   }
 
-  test("hashed clustering: sparse dots broadcast the centroid side, corpus never self-joins") {
+  test("hashed clustering: the argmin is one narrow pass, corpus never joins at all") {
+    // r17 shape: the bounded centroid model folds into the projection as
+    // dense literals (the semanticDedup pattern) — no join of any kind;
+    // the only exchanges are the feature count and the per-doc fold
     val p = plan("cluster_docs_hashed")
-    assert(p.contains("BroadcastHashJoin"),
-      s"feature-idx dot join lost its broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      s"corpus side grew a wide join:\n$p")
+    assert(!p.contains("Join"),
+      s"cluster_docs_hashed grew a join the literal model made unnecessary:\n$p")
+    assert(!p.contains("Window"),
+      s"the argmin must be array_min, not a rank window:\n$p")
   }
 
   test("mix_temperature: the corpus path is broadcast-joined, never shuffled wide") {
