@@ -818,6 +818,11 @@ object native {
   def cms_sketch(c: Column): Column =
     col(CmsSketchAgg(expr(c)).toAggregateExpression())
 
+  /** Weighted CMS build over a pre-grouped (value, count) relation —
+    * bit-identical to [[cms_sketch]] over every occurrence. */
+  def cms_sketch_weighted(c: Column, w: Column): Column =
+    col(CmsSketchWeightedAgg(expr(c), expr(w)).toAggregateExpression())
+
   /** Count-Min point-frequency estimate of `v` in `sketch`. */
   def cms_query(sketch: Column, v: Column): Column =
     col(CmsQuery(expr(sketch), expr(v)))

@@ -151,6 +151,19 @@ object Sketches {
     }
   }
 
+  /** Weighted [[cmsUpdate]]: add `w` occurrences of `value` in one
+    * insert — counters are pure sums, so inserting a pre-aggregated
+    * (value, count) row is bit-identical to `count` unit inserts. This
+    * is what lets a CMS build run over a grouped relation (one hash per
+    * DISTINCT value) instead of re-scanning every occurrence. */
+  def cmsUpdateWeighted(grid: Array[Long], value: UTF8String, w: Long): Unit = {
+    var r = 0
+    while (r < CmDepth) {
+      grid(r * CmWidth + cmsCell(r, value)) += w
+      r += 1
+    }
+  }
+
   /** [[cmsQuery]] over the serialized grid — the scalar-expression entry
     * point, with the size check before any index arithmetic. */
   def cmsQueryBytes(sk: Array[Byte], value: UTF8String): Long = {
@@ -336,6 +349,49 @@ case class CmsSketchAgg(child: Expression,
     copy(inputAggBufferOffset = n)
   override protected def withNewChildInternal(newChild: Expression): CmsSketchAgg =
     copy(child = newChild)
+}
+
+/** `cms_sketch_weighted(x, w)` — [[CmsSketchAgg]] with a per-row weight:
+  * adds `w` occurrences of `x` in one insert. Counters are pure sums, so
+  * building over a pre-grouped (value, count) relation is bit-identical
+  * to unit inserts over every occurrence (SketchSpec pins it) while
+  * hashing each DISTINCT value once. Null value or null weight skips the
+  * row, like the unary sketches. */
+case class CmsSketchWeightedAgg(left: Expression, right: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression]
+    with ExpectsInputTypes {
+  override def prettyName: String = "cms_sketch_weighted"
+  override def inputTypes = Seq(StringType, LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](Sketches.CmDepth * Sketches.CmWidth)
+  override def update(grid: Array[Long], input: InternalRow): Array[Long] = {
+    val v = left.eval(input)
+    val w = right.eval(input)
+    if (v != null && w != null)
+      Sketches.cmsUpdateWeighted(grid, v.asInstanceOf[UTF8String],
+        w.asInstanceOf[Long])
+    grid
+  }
+  override def merge(grid: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < grid.length) { grid(i) += other(i); i += 1 }
+    grid
+  }
+  override def eval(grid: Array[Long]): Any = Sketches.longsToBytes(grid)
+  override def serialize(grid: Array[Long]): Array[Byte] = Sketches.longsToBytes(grid)
+  override def deserialize(storage: Array[Byte]): Array[Long] =
+    Sketches.bytesToLongs(storage)
+  override def withNewMutableAggBufferOffset(n: Int): CmsSketchWeightedAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): CmsSketchWeightedAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsSketchWeightedAgg =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `bloom_sketch(x)` — 2 KiB Bloom bitset of the values of `x`;

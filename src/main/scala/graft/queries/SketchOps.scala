@@ -126,9 +126,16 @@ object SketchOps extends QueryGroup {
       import s.implicits._
       val toks = spread(t(s, dir, "documents"))
         .select(explode(graft.functions.native.tokens($"text")).as("tok"))
-      val grid = toks.agg(graft.functions.native.cms_sketch($"tok").as("sk"))
-      val top = toks.groupBy($"tok").agg(count(lit(1)).as("exact_cnt"))
-        .orderBy($"exact_cnt".desc, $"tok").limit(10)
+      val grouped = toks.groupBy($"tok").agg(count(lit(1)).as("exact_cnt"))
+        .transform(graft.functions.Materialize.cut) // feeds grid AND top-10
+      // ONE tokenize pass: the grid builds from the grouped counts via the
+      // weighted insert (counters are sums, so (value, count) inserts are
+      // bit-identical to unit inserts — SketchSpec pins it) and hashes
+      // each DISTINCT token once; the old spelling re-tokenized the
+      // corpus for the grid and again for the exact top-10 control.
+      val grid = grouped
+        .agg(graft.functions.native.cms_sketch_weighted($"tok", $"exact_cnt").as("sk"))
+      val top = grouped.orderBy($"exact_cnt".desc, $"tok").limit(10)
       top.crossJoin(broadcast(grid))
         .select($"tok".as("token"), $"exact_cnt",
           graft.functions.native.cms_query($"sk", $"tok").as("cm_est"))

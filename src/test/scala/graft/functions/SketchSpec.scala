@@ -142,6 +142,21 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("weighted cms over grouped counts is bit-identical to unit inserts over occurrences") {
+    // counters are pure sums: inserting (value, count) once must produce
+    // the SAME serialized grid as count unit inserts — the contract that
+    // lets sketch_countmin_topk build its grid from the grouped relation
+    val plain = words.toDF("v").repartition(5)
+      .agg(native.cms_sketch($"v").as("sk"))
+      .as[Array[Byte]].head()
+    val weighted = words.toDF("v").repartition(5)
+      .groupBy($"v").agg(count(lit(1)).as("c"))
+      .agg(native.cms_sketch_weighted($"v", $"c").as("sk"))
+      .as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(plain, weighted),
+      "weighted grouped build diverged from the unit-insert grid")
+  }
+
   // ---- Bloom ----
 
   test("bloom kernel bitset equals the hex-formulation model; no false negatives") {
