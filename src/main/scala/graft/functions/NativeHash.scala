@@ -471,18 +471,37 @@ object ExprKernels {
     val md = MessageDigest.getInstance("MD5")
     val mins = new Array[Array[Byte]](k)
     val n = shingles.numElements()
+    // hoisted per call, not per (shingle, h): the "h|" prefixes are k
+    // fixed byte strings, and the digest lands in ONE reusable buffer —
+    // the previous per-hash String.valueOf(h).getBytes + md.digest()
+    // pair allocated three short-lived objects per MD5 (k·|shingles| of
+    // them per document), real GC pressure at production k = 128. The
+    // digest bytes are copied only when they become a new minimum.
+    val prefixes = new Array[Array[Byte]](k)
+    var hp = 0
+    while (hp < k) {
+      val sv = String.valueOf(hp + 1)
+      val b = new Array[Byte](sv.length + 1)
+      var j = 0
+      while (j < sv.length) { b(j) = sv.charAt(j).toByte; j += 1 }
+      b(sv.length) = '|'.toByte
+      prefixes(hp) = b
+      hp += 1
+    }
+    val buf = new Array[Byte](16)
     var i = 0
     while (i < n) {
       val sh = shingles.getUTF8String(i)
       if (sh != null) {
         val shBytes = sh.getBytes
-        var h = 1
-        while (h <= k) {
-          md.update(String.valueOf(h).getBytes)
-          md.update('|'.toByte)
+        var h = 0
+        while (h < k) {
+          md.update(prefixes(h))
           md.update(shBytes)
-          val dig = md.digest()
-          if (mins(h - 1) == null || unsignedLess(dig, mins(h - 1))) mins(h - 1) = dig
+          md.digest(buf, 0, 16)
+          if (mins(h) == null) mins(h) = java.util.Arrays.copyOf(buf, 16)
+          else if (unsignedLess(buf, mins(h)))
+            System.arraycopy(buf, 0, mins(h), 0, 16)
           h += 1
         }
       }

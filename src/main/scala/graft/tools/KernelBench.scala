@@ -22,6 +22,14 @@ object KernelBench {
       println(f"$label%-24s $perCall%10.1f us/call")
     }
     time("decimalDot(64)", 2000)(i => ExprKernels.decimalDot(vecs(i % 1000), vecs((i + 1) % 1000)))
+    // the execution-path representation: UnsafeArrayData getFloat is a
+    // primitive read, where GenericArrayData (above) unboxes per element —
+    // time both so kernel numbers aren't inflated by a harness artifact
+    val uvecs = Array.fill(1000)(
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.fill(64)(rnd.nextFloat())))
+    time("decimalDot(64, unsafe)", 2000)(i => ExprKernels.decimalDot(uvecs(i % 1000), uvecs((i + 1) % 1000)))
+    time("doubleDot(64, unsafe)", 20000)(i => ExprKernels.doubleDot(uvecs(i % 1000), uvecs((i + 1) % 1000)))
     time("lshBucket(8)", 1000)(i => ExprKernels.lshBucket(vecs(i % 1000), 8))
     time("lshBucket(32)", 1000)(i => ExprKernels.lshBucket(vecs(i % 1000), 32))
 
