@@ -43,7 +43,9 @@ object Explain {
         val tm = si.taskMetrics
         stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(60), si.numTasks, ms,
           tm.executorRunTime, tm.executorCpuTime / 1000000, tm.jvmGCTime))
-        if (si.numTasks == 1) details += ((si.stageId, si.details))
+        if (si.numTasks == 1) details += ((si.stageId,
+          si.rddInfos.map(r => s"rdd ${r.id} ${r.name} @ ${r.callSite}")
+            .mkString("\n")))
       }
     })
     val df = SparkEntry.queries(name)(spark, sfDir)
