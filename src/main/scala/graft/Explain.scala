@@ -20,8 +20,13 @@ object Explain {
     // applies runtime-settable confs to THIS tool's session only (the
     // bench/verify surfaces never read it, so measurements stay honest)
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
+      // same validation as Sessions' SPARK_GRAFT_SESSION_CONF (ADVICE r17):
+      // a malformed token must say which token, not die in a MatchError
+      if (kv.trim.nonEmpty) kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_EXTRA_CONF: malformed token '$kv' (expected key=value)")
+      }
     })
     val stages = ArrayBuffer.empty[(Int, String, Int, Long, Long, Long, Long)]
     val details = ArrayBuffer.empty[(Int, String)]

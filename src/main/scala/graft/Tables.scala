@@ -63,8 +63,15 @@ object Sessions {
     // parameterization point for scale-dependent tuning (shuffle sizing,
     // AQE thresholds) without code edits; unset, behavior is unchanged.
     sys.env.get("SPARK_GRAFT_SESSION_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
+      // validate rather than destructure: a malformed token (no '=', or an
+      // empty segment from a double ';') must name itself in the error —
+      // the bare `val Array(k, v) = ...` MatchError killed every session,
+      // including bench/verify (ADVICE r17)
+      if (kv.trim.nonEmpty) kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_SESSION_CONF: malformed token '$kv' (expected key=value)")
+      }
     })
     spark.sparkContext.setLogLevel("WARN")
     // The only unpartitioned window in the engine is GlobalOrder's 1-split

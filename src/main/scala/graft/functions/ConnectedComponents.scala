@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Distributed connected components over an edge list, via alternating
   * large-star / small-star rounds (Kiveris et al., "Connected Components in
@@ -20,13 +19,13 @@ import org.apache.spark.sql.types.DecimalType
   * the component diameter d (the star operations square path lengths), so
   * even a pathological 10⁹-node chain finishes in ~30 rounds; real dedup
   * graphs (small clusters of near-duplicates) converge in 2-3. Each round
-  * is materialized through [[Materialize.cut]] — the standard lineage
-  * discipline for iterative DataFrame algorithms, with the storage choice
-  * (reliable checkpoint / replicated disk / local) made per-session so an
-  * executor loss on a real cluster degrades instead of failing the query.
-  * The per-round convergence probe is a
-  * 2-aggregate action (count + order-independent checksum), never a
-  * collect of edges.
+  * is materialized through [[Materialize.cutWithProbe]] — the standard
+  * lineage discipline for iterative DataFrame algorithms, with the storage
+  * choice (reliable checkpoint / replicated disk / local) made per-session
+  * so an executor loss on a real cluster degrades instead of failing the
+  * query. The convergence probe (count + order-independent checksum,
+  * never a collect of edges) is computed INSIDE the materialization
+  * action, so steady state is one job per round.
   */
 object ConnectedComponents {
 
@@ -50,27 +49,30 @@ object ConnectedComponents {
   def labelsAndRounds(edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
     val c = edges.columns
     // canonical undirected edge set, oriented large→small, self-loops out
-    var e = edges
+    val canonical = edges
       .select(col(c(0)).as("src"), col(c(1)).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .filter(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .distinct()
-    e = Materialize.cut(e)
+    var (e, prev) = cutWithFingerprint(canonical)
 
-    var prev = fingerprint(e)
     var rounds = 0
     var converged = prev._1 == 0L // no edges → nothing to iterate
     while (!converged && rounds < maxRounds) {
-      val next = Materialize.cut(smallStar(largeStar(e)))
-      val fp = fingerprint(next)
+      // ONE action per round: Materialize.cutWithProbe computes the
+      // (count, Σ xxhash64) fingerprint inside the same job that
+      // materializes the round's edge set (was cut + a separate
+      // 2-aggregate job — VERDICT r17 #4; semantics identical, the probe
+      // is the same hash summed exactly).
+      val (next, fp) = cutWithFingerprint(smallStar(largeStar(e)))
       // the fingerprint is probabilistic (count + hash checksum): a 2^-64
       // collision would declare a false fixpoint and silently emit wrong
       // labels. On a fingerprint match, confirm with ONE exact set check —
       // equal counts (from the fingerprint) + empty difference ⇔ set
       // equality, since both sides are distinct. Runs once, at the final
-      // round only, so the steady-state cost stays two aggregates/round.
+      // round only, so the steady-state cost stays one action/round.
       converged = fp == prev && next.except(e).isEmpty
       Materialize.release(e) // superseded round: blocks or checkpoint files freed NOW
       prev = fp
@@ -118,15 +120,14 @@ object ConnectedComponents {
       .distinct()
   }
 
-  /** Order-independent edge-set fingerprint: (count, Σ xxhash64(src,dst)).
-    * The checksum sums as DECIMAL(38,0) so it cannot overflow under ANSI
-    * mode at any edge count a cluster could hold.
-    */
-  private def fingerprint(e: DataFrame): (Long, BigDecimal) = {
-    val r = e.agg(
-      count(lit(1)),
-      coalesce(sum(xxhash64(col("src"), col("dst")).cast(DecimalType(38, 0))),
-        lit(BigDecimal(0)))).head()
-    (r.getLong(0), BigDecimal(r.getDecimal(1)))
+  /** Materialize an edge frame and compute its order-independent
+    * fingerprint (count, Σ xxhash64(src,dst)) in the SAME action — the
+    * probe column rides the materialized rows and is projected away from
+    * the returned frame. The checksum sums as BigInt (exact at any edge
+    * count), matching the DECIMAL(38,0) sum the unfused shape computed. */
+  private def cutWithFingerprint(e: DataFrame): (DataFrame, (Long, BigInt)) = {
+    val (cut, n, s) = Materialize.cutWithProbe(
+      e.select(col("src"), col("dst"), xxhash64(col("src"), col("dst")).as("__fp")))
+    (cut, (n, s))
   }
 }

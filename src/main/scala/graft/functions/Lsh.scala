@@ -101,7 +101,16 @@ object Lsh {
     * constant (a frozen quantizer is small by definition). */
   def nearestCentroid(embedding: Column, centroids: Seq[(Long, Array[Float])]): Column = {
     require(centroids.nonEmpty, "nearestCentroid: need at least one centroid")
-    val scored = centroids.map { case (cid, cemb) =>
+    (if (centroids.size == 1) exactScoreStructs(embedding, centroids).head
+     else least(exactScoreStructs(embedding, centroids): _*)).getField("c")
+  }
+
+  /** The exact-decimal (score, cid) structs [[nearestCentroid]] argmins
+    * over — score_j = ‖c_j‖² − 2·v·c_j with the decimal-dot arithmetic
+    * the DuckDB oracles replay. */
+  private def exactScoreStructs(embedding: Column,
+      centroids: Seq[(Long, Array[Float])]): Seq[Column] =
+    centroids.map { case (cid, cemb) =>
       val nrm = math.sqrt(ExprKernels.decimalDot(
         org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(cemb),
         org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(cemb)))
@@ -110,7 +119,67 @@ object Lsh {
           .cast("double")).as("s"),
         lit(cid).as("c"))
     }
-    (if (scored.size == 1) scored.head else least(scored: _*)).getField("c")
+
+  /** [[nearestCentroid]] with the filter-verify margin gate (guide §3/§4,
+    * the SimilarityOps pattern applied to the quantizer): the argmin is
+    * ranked on cheap IEEE-double scores (ExprKernels.doubleDot, ~0.2 µs)
+    * and the exact-decimal scores (~80 µs each) are evaluated ONLY when
+    * the two double-best centroids sit within a provable error margin —
+    * so the corpus-scale assignment pass drops the decimal kernel from
+    * its hot path while returning the BIT-IDENTICAL cid for every row.
+    *
+    * Margin proof. Per-dimension float×float products are exact in
+    * double, so |doubleDot − decimalDot_as_double| ≤ 1.4e-14·‖v‖·‖c_j‖
+    * (ExprKernels.doubleDot scaladoc; Cauchy-Schwarz). The score
+    * arithmetic (×2, subtract from ‖c‖²) adds ≤ a few ulps of the same
+    * magnitude, so |dscore_j − score_j| ≤ B with B = 2e-14·‖v‖·maxC
+    * (maxC = max centroid norm). With eps = 1e-12·(1 + ‖v‖·maxC) ≥ 50·B:
+    * if the double runner-up trails the double winner w by MORE than eps,
+    * then for every j ≠ w, score_j ≥ dscore_j − B > dscore_w + eps − B ≥
+    * score_w + eps − 2B > score_w — w is the strict exact argmin and no
+    * exact (score, cid) tie is possible. Otherwise the exact argmin
+    * expression runs for that row (CaseWhen evaluates the else branch
+    * lazily), which is [[nearestCentroid]] itself. ‖v‖ is bounded
+    * in-row by sqrt(doubleDot(v,v))·(1+1e-10) — the self-dot relative
+    * error is ≤ 64 ulps, far inside that slack. NearestCentroidSpec pins
+    * gated ≡ exact on natural vectors AND on planted exact-tie rows. */
+  def nearestCentroidGated(embedding: Column,
+      centroids: Seq[(Long, Array[Float])]): Column = {
+    require(centroids.nonEmpty, "nearestCentroidGated: need at least one centroid")
+    if (centroids.size == 1) return lit(centroids.head._1)
+    val withNorms = centroids.map { case (cid, cemb) =>
+      val nrm = math.sqrt(ExprKernels.decimalDot(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(cemb),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(cemb)))
+      (cid, cemb, nrm)
+    }
+    val dstructs = withNorms.map { case (cid, cemb, nrm) =>
+      struct(
+        (lit(nrm * nrm) - lit(2.0) * native.double_dot(embedding, typedlit(cemb)))
+          .as("s"),
+        lit(cid).as("c"))
+    }
+    val sorted = array_sort(array(dstructs: _*))
+    val best = element_at(sorted, 1)
+    val runnerUp = element_at(sorted, 2)
+    val maxC = withNorms.map(_._3).max
+    val vNorm = sqrt(native.double_dot(embedding, embedding)) * lit(1 + 1e-10)
+    val eps = lit(1e-12) * (lit(1.0) + vNorm * lit(maxC))
+    when(runnerUp.getField("s") - best.getField("s") > eps, best.getField("c"))
+      .otherwise(nearestCentroid(embedding, centroids))
+  }
+
+  /** The exact top-`n` centroid ids by (score, cid) as an in-row array —
+    * the probe-selection twin of [[nearestCentroid]] (a query probes its
+    * n nearest cells). Always exact-decimal: callers use it on the
+    * bounded QUERY set, never the corpus. */
+  def nearestCentroids(embedding: Column,
+      centroids: Seq[(Long, Array[Float])], n: Int): Column = {
+    require(centroids.nonEmpty, "nearestCentroids: need at least one centroid")
+    require(n >= 1, s"nearestCentroids: n must be >= 1, got $n")
+    transform(
+      slice(array_sort(array(exactScoreStructs(embedding, centroids): _*)), 1, n),
+      s => s.getField("c"))
   }
 
   /** Loud guard for the unsigned-32-bit-half fingerprint contract

@@ -73,7 +73,7 @@ object Multimodal {
       * Iterating the same SPI providers directly (the identical decoder
       * classes JavaSound itself dispatches to, in ServiceLoader order)
       * is lock-free after this one materialization. */
-    @volatile private var audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    private val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
       val it = java.util.ServiceLoader
         .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
       val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
@@ -81,34 +81,59 @@ object Multimodal {
       b.result()
     }
 
+    private def hasMagic(b: Array[Byte], off: Int, magic: String): Boolean =
+      b.length >= off + magic.length &&
+        magic.indices.forall(i => b(off + i) == magic.charAt(i).toByte)
+
+    /** Per-KNOWN-JDK-reader magic gates: each predicate is a SUPERSET of
+      * that reader's accept domain (every one of these readers begins by
+      * reading exactly this magic and throwing
+      * UnsupportedAudioFileException on mismatch), so skipping a reader
+      * whose gate fails can never change which provider accepts — it only
+      * skips a guaranteed reject. Two rejects are worth skipping: the
+      * MIDI-synthesizer-backed reader's reject path re-resolves MIDI
+      * providers through the uncached globally synchronized JDK13Services
+      * registry (thread-dump-verified: 6.6k blocked samples on that
+      * monitor in a 32-thread stage — and it sits BEFORE the WAVE readers
+      * in ServiceLoader order), and every reject costs an exception
+      * construction on the per-document hot path. Unknown (third-party)
+      * readers have no gate and are always consulted, in order. */
+    private val KnownMagicGates: Map[String, Array[Byte] => Boolean] = Map(
+      "com.sun.media.sound.AiffFileReader" ->
+        ((b: Array[Byte]) => hasMagic(b, 0, "FORM")),
+      "com.sun.media.sound.AuFileReader" ->
+        ((b: Array[Byte]) => hasMagic(b, 0, ".snd") || hasMagic(b, 0, "dns.")),
+      "com.sun.media.sound.SoftMidiAudioFileReader" ->
+        ((b: Array[Byte]) => hasMagic(b, 0, "MThd") ||
+          (hasMagic(b, 0, "RIFF") && hasMagic(b, 8, "RMID"))),
+      "com.sun.media.sound.WaveFileReader" ->
+        ((b: Array[Byte]) => hasMagic(b, 0, "RIFF")),
+      "com.sun.media.sound.WaveFloatFileReader" ->
+        ((b: Array[Byte]) => hasMagic(b, 0, "RIFF")),
+      "com.sun.media.sound.WaveExtensibleFileReader" ->
+        ((b: Array[Byte]) => hasMagic(b, 0, "RIFF")))
+
     /** [[javax.sound.sampled.AudioSystem.getAudioInputStream]] semantics —
       * first provider that does not reject the stream wins — minus the
-      * per-call global registry lock (see [[audioReaders]]), and
-      * SELF-ORDERING: the reader that last accepted a stream moves to the
-      * front of the list. The JDK ships a MIDI-backed AudioFileReader
-      * whose REJECT path re-resolves MIDI providers through the uncached
-      * globally-synchronized JDK13Services registry (thread-dump-verified:
-      * 6.6k blocked samples on that monitor in a 32-thread stage); once
-      * the WAVE reader is at the head, a WAV-only workload never touches
-      * it again. Provider choice is unchanged for any given stream — only
-      * the trial ORDER adapts, and order among rejecting readers cannot
-      * change which reader accepts (a reader's accept/reject is a pure
-      * function of the bytes). */
+      * per-call global registry lock (see [[audioReaders]]). The trial
+      * order is the FIXED ServiceLoader order (exactly AudioSystem's), so
+      * the provider choice matches AudioSystem even if third-party SPI
+      * jars register overlapping readers (the r17 move-to-front reorder
+      * could not guarantee that — ADVICE r17). Known JDK readers whose
+      * magic gate fails are skipped — a provable no-op per
+      * [[KnownMagicGates]]. */
     private[multimodal] def audioInputStream(
         bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
-      val readers = audioReaders
       val in = new ByteArrayInputStream(bytes)
-      var rest = readers
+      var rest = audioReaders
       while (rest.nonEmpty) {
         val r = rest.head
-        try {
-          val ais = r.getAudioInputStream(in)
-          if (r ne readers.head) // move-to-front; benign race, idempotent
-            audioReaders = r :: readers.filterNot(_ eq r)
-          return ais
-        } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException =>
-            in.reset() // the contract: a rejecting reader restores position
+        if (KnownMagicGates.get(r.getClass.getName).forall(_(bytes))) {
+          try return r.getAudioInputStream(in)
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException =>
+              in.reset() // the contract: a rejecting reader restores position
+          }
         }
         rest = rest.tail
       }

@@ -649,9 +649,11 @@ object DedupOps extends QueryGroup {
     //  1. assignment: nearest of [[SemClusters]] fixed-sample centroids by
     //     exact-decimal L2 score (argmin ‖v−c‖² ≡ argmin ‖c‖² − 2·v·c, the
     //     similarity_ivf quantizer — decimal dots make DuckDB assign
-    //     identically); Lsh.nearestCentroid evaluates all centroid scores
-    //     as ONE narrow per-row least() over the driver-side centroid
-    //     constants — genuinely zero shuffle, no aggregation, the same
+    //     identically); Lsh.nearestCentroidGated evaluates the argmin as
+    //     ONE narrow per-row expression over the driver-side centroid
+    //     constants — double-dot ranking, exact-decimal rescore only
+    //     inside the provable margin (bit-identical cid; proof in the
+    //     scaladoc) — genuinely zero shuffle, no aggregation, the same
     //     construction the streaming twin uses.
     //  2. candidates: within a cluster, pairs are blocked by the 32-plane
     //     sign-LSH bands (the dedup_embed_cosine construction) — the join
@@ -727,7 +729,11 @@ object DedupOps extends QueryGroup {
         .select($"vec_id", $"embedding")
         .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
       val assigned = emb
-        .withColumn("cid", graft.functions.Lsh.nearestCentroid($"embedding", centroids))
+        // margin-gated quantizer (guide §3/§4): double-dot argmin with an
+        // exact-decimal rescore only inside the provable error margin —
+        // bit-identical cid per row, ~400× cheaper kernel on the corpus
+        // scan (Lsh.nearestCentroidGated scaladoc has the proof)
+        .withColumn("cid", graft.functions.Lsh.nearestCentroidGated($"embedding", centroids))
       val banded = assigned
         .select($"vec_id", $"cid",
           posexplode(graft.functions.Lsh.embedBandBuckets($"sig", EmbedBands, EmbedBandBits)))

@@ -112,6 +112,11 @@ object MlOps extends QueryGroup {
         .as[(Long, Long, Long)].collect()
       require(centRows.length <= NCent * HashDim, // bounded by construction
         s"centroid model outgrew its bound: ${centRows.length}")
+      // empty model would silently flip semantics: array_min over zero
+      // structs is NULL, so every doc would emit with a null cluster_id
+      // where the join shape emitted no rows (ADVICE r17) — fail loudly
+      require(centRows.nonEmpty,
+        s"cluster_docs_hashed: centroid predicate [$CentPred] matched no documents")
       val cents: Seq[(Long, Array[Long], Long)] =
         centRows.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, rows) =>
           val dense = new Array[Long](HashDim)

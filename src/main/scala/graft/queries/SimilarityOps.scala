@@ -217,31 +217,35 @@ object SimilarityOps extends QueryGroup {
     // IVF scale path: inverted-file index with a deterministic coarse
     // quantizer. Centroids = a fixed corpus sample (vec_id 100..115 — any
     // fixed quantizer is a valid IVF; k-means training refines recall but
-    // adds nothing structural); every vector is assigned to its nearest
-    // centroid by exact-decimal L2 score (argmin ‖v−c‖² ≡ argmin
-    // ‖c‖²−2·v·c, ‖v‖² constant per v — decimal dots keep the score
-    // order-independent so DuckDB assigns identically); a query probes its
-    // `NProbe` nearest cells and ranks only those cells' members via
-    // [[exactTopK]]. At 100 TB, cell id becomes the partition key: a query
-    // reads NProbe partitions instead of the corpus, and the assignment
-    // pass is one narrow broadcast-join scan.
+    // adds nothing structural), ≤ NList rows by CONSTRUCTION, collected
+    // driver-side (the semanticDedup / cluster_docs_hashed bounded-model
+    // pattern — this query now executes that tiny collect at plan
+    // construction). Assignment is the margin-gated in-row argmin
+    // (Lsh.nearestCentroidGated: rank on ~0.2 µs double dots, rescore
+    // with the ~80 µs exact-decimal kernel only inside the provable
+    // error margin — bit-identical cid per row, proof in the scaladoc);
+    // probe selection stays exact-decimal over the BOUNDED query set
+    // (Lsh.nearestCentroids — the same (score, cid) order the oracle
+    // replays). vs the r17 shape (corpus × NList crossJoin + per-vector
+    // rank window): the decimal kernel leaves the corpus hot path, and
+    // the NList-fold row explosion + two window exchanges disappear —
+    // the assignment pass is ONE narrow scan. A query probes its NProbe
+    // nearest cells and ranks only those cells' members via
+    // [[exactTopK]]. At 100 TB, cell id becomes the partition key: a
+    // query reads NProbe partitions instead of the corpus.
     "similarity_ivf" -> ((s, dir) => {
       import s.implicits._
       val emb = withNorm(s, dir).transform(graft.functions.Materialize.cut) // feeds assign + cand + queries
-      val cent = emb.filter($"vec_id" >= 100 && $"vec_id" < 100 + NList)
-        .select($"vec_id".as("cid"), $"embedding".as("cemb"),
-          ($"nrm" * $"nrm").as("c2"))
-      val scored = emb.crossJoin(broadcast(cent))
-        .withColumn("score",
-          $"c2" - lit(2.0) * dotDec($"embedding", $"cemb").cast("double"))
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"score", $"cid")
-      val assign = scored.withColumn("rn", row_number().over(wAssign))
-        .filter($"rn" === 1).select($"vec_id", $"cid")
-      val probes = scored.filter($"vec_id" < 100)
-        .withColumn("rn", row_number().over(wAssign))
-        .filter($"rn" <= NProbe).select($"vec_id".as("qid"), $"cid")
+      val centroids = emb.filter($"vec_id" >= 100 && $"vec_id" < 100 + NList)
+        .select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+      val assign = emb.select($"vec_id",
+        graft.functions.Lsh.nearestCentroidGated($"embedding", centroids).as("cid"))
       val q = emb.filter($"vec_id" < 100)
         .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"nrm".as("qn"))
+      val probes = q.select($"qid",
+        explode(graft.functions.Lsh.nearestCentroids($"qemb", centroids, NProbe))
+          .as("cid"))
       val candScored = assign.join(broadcast(probes), Seq("cid"))
         .filter($"vec_id" =!= $"qid")
         .select($"qid", $"vec_id")

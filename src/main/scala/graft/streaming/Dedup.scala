@@ -432,15 +432,16 @@ object Dedup {
     val spark = ds.sparkSession
     import spark.implicits._
     // geometry and assignment SHARED with the batch query (one constant,
-    // one construction — Lsh.nearestCentroid reproduces the batch plan's
-    // column arithmetic including the nrm² sqrt-square roundtrip, so a
-    // near-tied assignment cannot fork between batch and stream)
+    // one construction — Lsh.nearestCentroidGated reproduces the batch
+    // plan's column arithmetic including the nrm² sqrt-square roundtrip
+    // and the margin-gated exact rescore, so a near-tied assignment
+    // cannot fork between batch and stream)
     val bands = Lsh.EmbedBands
     val bandBits = Lsh.EmbedBandBits
     val keyed = ds.toDF("vec_id", "embedding", "seq")
       .withColumn("nrm",
         sqrt(native.decimal_dot($"embedding", $"embedding").cast("double")))
-      .withColumn("cid", Lsh.nearestCentroid($"embedding", centroids))
+      .withColumn("cid", Lsh.nearestCentroidGated($"embedding", centroids))
       .withColumn("sig", native.lsh_bucket($"embedding", Lsh.EmbedPlanes))
       .select($"vec_id", $"seq", $"embedding", $"nrm", $"cid",
         posexplode(Lsh.embedBandBuckets($"sig", bands, bandBits)))

@@ -106,6 +106,35 @@ class MaterializeSpec extends SparkSuite {
     }
   }
 
+  test("cutWithProbe: fused probe equals a separate aggregate in every mode") {
+    val df = (1L to 1000L).toDF("v")
+      .select($"v" % 7 as "src", $"v" % 5 as "dst")
+      .withColumn("__p", org.apache.spark.sql.functions.xxhash64($"src", $"dst"))
+    val wantSum = df.select(org.apache.spark.sql.functions.sum(
+      $"__p".cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head().getDecimal(0)
+    for (m <- Seq("local", "disk", "reliable")) {
+      val ckpt =
+        if (m == "reliable") {
+          val d = java.nio.file.Files.createTempDirectory("graft_ckpt_probe").toString
+          spark.sparkContext.setCheckpointDir(d); Some(d)
+        } else None
+      try withConf(Materialize.ConfKey, m) {
+        val (cut, n, s) = Materialize.cutWithProbe(df)
+        assert(n == 1000L, s"mode $m: count")
+        assert(s == BigInt(wantSum.toBigInteger), s"mode $m: probe sum")
+        assert(cut.columns.toSeq == Seq("src", "dst"), s"mode $m: probe column dropped")
+        assert(cut.count() == 1000L, s"mode $m: cut readable")
+        Materialize.release(cut)
+      } finally ckpt.foreach { _ =>
+        // restore the no-checkpoint-dir default (the CC checkpoint test's
+        // teardown pattern)
+        classOf[org.apache.spark.SparkContext]
+          .getMethod("checkpointDir_$eq", classOf[Option[_]])
+          .invoke(spark.sparkContext, None)
+      }
+    }
+  }
+
   test("CC rounds still converge under the disk policy, cleaning up rounds") {
     withConf(Materialize.ConfKey, "disk") {
       val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 5L)).toDF("a", "b")
