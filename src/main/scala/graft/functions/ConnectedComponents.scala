@@ -99,10 +99,16 @@ object ConnectedComponents {
       .union(e.select(col("dst").as("u"), col("src").as("v")))
     val m = nb.groupBy(col("u")).agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("u"), col("mv")).as("m"))
+    // NO trailing distinct (r18): smallStar's own final distinct yields
+    // the identical edge set whether its input carries duplicates or not
+    // (its groupBy-min ignores multiplicity; its join-back duplicates are
+    // collapsed by that distinct), so the per-round dedup exchange here
+    // was pure overhead — the dup-weighted rows now cross ONE exchange
+    // (smallStar's groupBy) instead of two. Each round saves an exchange
+    // at every scale; the loop is stage-latency-bound locally.
     nb.join(m, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("src"), col("m").as("dst"))
-      .distinct()
   }
 
   /** Small-star: with edges oriented large→small, every node u links all

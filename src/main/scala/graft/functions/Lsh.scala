@@ -73,8 +73,18 @@ object Lsh {
   /** Array of `numBands` band-hash strings over a MinHash signature
     * array: band b = md5 of its ordered "h:sig" components (h the 1-based
     * signature index, so bands of equal sig values in different positions
-    * cannot collide). */
+    * cannot collide). Evaluated by the codegen kernel
+    * [[ExprKernels.bandHashes]] — the original nested-HOF spelling
+    * (kept below in [[bandHashesHof]] as the LshGeometrySpec parity
+    * reference) is interpreted per row and at production k = 128 cost
+    * more CPU than the MinHash signatures themselves. */
   def bandHashes(sigs: Column, numBands: Int, bandSize: Int): Column =
+    native.band_hashes(sigs, numBands, bandSize)
+
+  /** The pre-r18 HOF spelling of [[bandHashes]] — semantics of record
+    * for the kernel; LshGeometrySpec pins kernel ≡ HOF on random and
+    * null-bearing signatures. Not used by any query path. */
+  private[graft] def bandHashesHof(sigs: Column, numBands: Int, bandSize: Int): Column =
     transform(sequence(lit(0), lit(numBands - 1)), b =>
       md5(array_join(array_sort(
         transform(sequence(lit(1), lit(bandSize)), j =>
@@ -146,27 +156,13 @@ object Lsh {
   def nearestCentroidGated(embedding: Column,
       centroids: Seq[(Long, Array[Float])]): Column = {
     require(centroids.nonEmpty, "nearestCentroidGated: need at least one centroid")
-    if (centroids.size == 1) return lit(centroids.head._1)
-    val withNorms = centroids.map { case (cid, cemb) =>
-      val nrm = math.sqrt(ExprKernels.decimalDot(
-        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(cemb),
-        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(cemb)))
-      (cid, cemb, nrm)
-    }
-    val dstructs = withNorms.map { case (cid, cemb, nrm) =>
-      struct(
-        (lit(nrm * nrm) - lit(2.0) * native.double_dot(embedding, typedlit(cemb)))
-          .as("s"),
-        lit(cid).as("c"))
-    }
-    val sorted = array_sort(array(dstructs: _*))
-    val best = element_at(sorted, 1)
-    val runnerUp = element_at(sorted, 2)
-    val maxC = withNorms.map(_._3).max
-    val vNorm = sqrt(native.double_dot(embedding, embedding)) * lit(1 + 1e-10)
-    val eps = lit(1e-12) * (lit(1.0) + vNorm * lit(maxC))
-    when(runnerUp.getField("s") - best.getField("s") > eps, best.getField("c"))
-      .otherwise(nearestCentroid(embedding, centroids))
+    if (centroids.size == 1) lit(centroids.head._1)
+    else native.nearest_centroid_gated(embedding, CentroidModel(centroids))
+    // (a column spelling of the same gate — double-score struct sort +
+    // CaseWhen over the exact argmin — was measured and replaced: its
+    // 2·ncent inline dot subtrees cost ~0.3–0.5 s of codegen per query
+    // at sf0.1 for the same runtime semantics; NearestCentroidSpec pins
+    // kernel ≡ exact column argmin including planted exact ties)
   }
 
   /** The exact top-`n` centroid ids by (score, cid) as an in-row array —

@@ -172,6 +172,66 @@ object ExprKernels {
     s
   }
 
+  /** Margin-gated nearest-centroid assignment over a frozen centroid
+    * model — the whole quantizer argmin as ONE kernel call. The column
+    * spelling (double-score struct sort + CaseWhen over the full
+    * exact-decimal argmin tree) is semantically identical but compiles
+    * 2 × ncent dot subtrees with inline vector literals per query — the
+    * generated-code size cost showed up as a fixed ~0.3–0.5 s per query
+    * at sf0.1 while the kernel win only shows at scale. Semantics
+    * (pinned by NearestCentroidSpec against the exact column argmin):
+    * rank by ds_j = ‖c_j‖² − 2·doubleDot(v, c_j) (same left-to-right
+    * summation as [[doubleDot]], ‖c_j‖² precomputed by the model with
+    * the column path's sqrt-then-square roundtrip); if the runner-up
+    * value trails the winner by MORE than eps = 1e-12·(1 + ‖v‖·maxC)
+    * (≥ 50× the provable |ds − s| ≤ 2·1.4e-14·‖v‖·‖c‖ bound — see
+    * Lsh.nearestCentroidGated's proof), the double winner IS the exact
+    * argmin and no exact tie is possible; otherwise every centroid is
+    * rescored with [[decimalDot]] and the (score, cid) minimum wins —
+    * exactly the `least()` struct order of the exact spelling. */
+  def nearestCentroidGated(v: ArrayData, m: CentroidModel): Long = {
+    val k = m.cids.length
+    var bestJ = 0
+    var bestS = Double.PositiveInfinity
+    var secondS = Double.PositiveInfinity
+    var selfDot = 0.0
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      selfDot += x * x
+      i += 1
+    }
+    var j = 0
+    while (j < k) {
+      val c = m.embs(j)
+      val len = math.min(n, c.length)
+      var d = 0.0
+      var t = 0
+      while (t < len) { d += v.getFloat(t).toDouble * c(t).toDouble; t += 1 }
+      val s = m.nrm2(j) - 2.0 * d
+      if (s < bestS) { secondS = bestS; bestS = s; bestJ = j }
+      else if (s < secondS) secondS = s
+      j += 1
+    }
+    val eps = 1e-12 * (1.0 + math.sqrt(selfDot) * (1 + 1e-10) * m.maxNorm)
+    if (secondS - bestS > eps) m.cids(bestJ)
+    else {
+      // exact rescore of every centroid; (score, cid) lexicographic min
+      var exJ = -1
+      var exS = 0.0
+      j = 0
+      while (j < k) {
+        val s = m.nrm2(j) - 2.0 * decimalDot(v, ArrayData.toArrayData(m.embs(j)))
+        if (exJ < 0 || s < exS || (s == exS && m.cids(j) < m.cids(exJ))) {
+          exJ = j; exS = s
+        }
+        j += 1
+      }
+      m.cids(exJ)
+    }
+  }
+
   /** Integer dot product of two int8 vectors stored as binary columns —
     * the candidate-ranking kernel of the quantized IVF path (Ivf
     * scaladoc): 64 products of two bytes fit a long with ~2^45 headroom,
@@ -468,6 +528,12 @@ object ExprKernels {
     * order == lowercase-hex lexicographic order).
     */
   def minHashSigs(shingles: ArrayData, k: Int): ArrayData = {
+    // NOTE (r18 negative result): a hand-rolled allocation-free MD5
+    // (scratch-buffer "h|shingle" layout, direct compression calls) was
+    // implemented, property-verified, and measured SLOWER — KernelBench
+    // 300 vs 221 µs/call, dedup_minhash_production 10.9 → 14.1 s at 20× —
+    // because HotSpot intrinsifies MessageDigest's MD5 compression
+    // (JDK 16+ implMD5). MessageDigest stays; don't re-try a JVM MD5.
     val md = MessageDigest.getInstance("MD5")
     val mins = new Array[Array[Byte]](k)
     val n = shingles.numElements()
@@ -512,6 +578,62 @@ object ExprKernels {
     while (h < k) {
       out(h) = if (mins(h) == null) null else toHex(mins(h))
       h += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** LSH band hashes over a MinHash signature array — the codegen twin
+    * of the HOF spelling `transform(sequence(0, bands-1), b =>
+    * md5(array_join(array_sort(transform(sequence(1, rows), j =>
+    * concat((b·rows+j)::string, ':', sigs[b·rows+j]))), ',')))`, which is
+    * INTERPRETED per row (nested HOFs never enter whole-stage codegen —
+    * the text_langid lesson) and at production k = 128 burned more CPU
+    * than the MinHash kernel itself (r18 20× stage tables: ~190 s CPU
+    * across the self-join's two band sides + the estimate stage).
+    * Semantics replicated exactly, pinned by LshGeometrySpec: 1-based
+    * component index prefix, `array_sort` string order (binary unsigned,
+    * nulls LAST), `array_join` null-element skipping (no separator), and
+    * a null component wherever the signature element is null (concat
+    * null-propagation). Output element = lowercase-hex md5 of the joined
+    * band string — byte-identical to the expression and to the DuckDB
+    * oracle's spelling. */
+  def bandHashes(sigs: ArrayData, numBands: Int, bandSize: Int): ArrayData = {
+    val n = sigs.numElements()
+    require(n >= numBands * bandSize,
+      s"band_hashes: signature array has $n elements, need ${numBands * bandSize}")
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[AnyRef](numBands)
+    val comps = new Array[UTF8String](bandSize)
+    var b = 0
+    while (b < numBands) {
+      var j = 0
+      while (j < bandSize) {
+        val idx = b * bandSize + j + 1 // 1-based signature index
+        val sig = sigs.getUTF8String(idx - 1)
+        comps(j) =
+          if (sig == null) null
+          else UTF8String.concat(
+            UTF8String.fromString(idx.toString + ":"), sig)
+        j += 1
+      }
+      java.util.Arrays.sort(comps, (a: UTF8String, c: UTF8String) =>
+        if (a == null && c == null) 0
+        else if (a == null) 1
+        else if (c == null) -1
+        else a.compareTo(c))
+      var first = true
+      var j2 = 0
+      while (j2 < bandSize) {
+        val c = comps(j2)
+        if (c != null) {
+          if (!first) md.update(','.toByte)
+          md.update(c.getBytes)
+          first = false
+        }
+        j2 += 1
+      }
+      out(b) = toHex(md.digest())
+      b += 1
     }
     new GenericArrayData(out)
   }
@@ -604,6 +726,65 @@ case class Int8Dot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Int8Dot =
     copy(left = newLeft, right = newRight)
+}
+
+/** Frozen centroid model for [[ExprKernels.nearestCentroidGated]]:
+  * parallel arrays of centroid id, embedding, and ‖c‖² — the latter
+  * computed as (sqrt of the exact decimal self-dot)², EXACTLY the column
+  * arithmetic (`nrm` column squared) the batch plans and DuckDB oracles
+  * use, ulp for ulp. `maxNorm` feeds the per-row error margin. */
+final case class CentroidModel(cids: Array[Long], embs: Array[Array[Float]],
+    nrm2: Array[Double], maxNorm: Double)
+
+object CentroidModel {
+  def apply(centroids: Seq[(Long, Array[Float])]): CentroidModel = {
+    require(centroids.nonEmpty, "CentroidModel: need at least one centroid")
+    val norms = centroids.map { case (_, c) =>
+      math.sqrt(ExprKernels.decimalDot(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(c),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(c)))
+    }
+    CentroidModel(
+      centroids.map(_._1).toArray,
+      centroids.map(_._2).toArray,
+      norms.map(n => n * n).toArray,
+      norms.max)
+  }
+}
+
+/** Margin-gated nearest-centroid id over a frozen [[CentroidModel]]
+  * (see [[ExprKernels.nearestCentroidGated]]). */
+case class NearestCentroidGated(child: Expression, model: CentroidModel)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    ExprKernels.nearestCentroidGated(v.asInstanceOf[ArrayData], model)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidModel", model,
+      "graft.functions.CentroidModel")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExprKernels.nearestCentroidGated($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidGated =
+    copy(child = newChild)
+}
+
+/** LSH band hashes over a MinHash signature array (see
+  * [[ExprKernels.bandHashes]]). */
+case class BandHashes(child: Expression, numBands: Int, bandSize: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numBands >= 1 && bandSize >= 1,
+    s"band_hashes: numBands($numBands) and bandSize($bandSize) must be >= 1")
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(sigs: Any): Any =
+    ExprKernels.bandHashes(sigs.asInstanceOf[ArrayData], numBands, bandSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExprKernels.bandHashes($c, $numBands, $bandSize)")
+  override protected def withNewChildInternal(newChild: Expression): BandHashes =
+    copy(child = newChild)
 }
 
 /** SimHash over a token array (see [[ExprKernels.simHash]]). */
@@ -779,6 +960,14 @@ object native {
   /** k MinHash signatures of a shingle-array column. */
   def minhash_sigs(shingles: Column, k: Int): Column =
     col(MinHashSigs(expr(shingles), k))
+
+  /** LSH band hashes of a MinHash-signature-array column. */
+  def band_hashes(sigs: Column, numBands: Int, bandSize: Int): Column =
+    col(BandHashes(expr(sigs), numBands, bandSize))
+
+  /** Margin-gated nearest-centroid id over a frozen centroid model. */
+  def nearest_centroid_gated(vec: Column, model: CentroidModel): Column =
+    col(NearestCentroidGated(expr(vec), model))
 
   /** Sign-random-projection LSH bucket of a float-vector column. */
   def lsh_bucket(vec: Column, numPlanes: Int): Column =

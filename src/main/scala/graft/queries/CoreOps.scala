@@ -59,7 +59,9 @@ object CoreOps extends QueryGroup {
     // pluck on nested/dict payloads (core.py:1884-1887) — JSON field access.
     "pluck_json" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "events").select(
+      // spreadHeavy: the per-row JSON parse ran on the 1-task events scan
+      // at 20× (4.5 s serial); sf0.1 (2 MB) stays unspread
+      spreadHeavy(t(s, dir, "events"), SpreadRowKernel).select(
         $"event_id",
         get_json_object($"props", "$.k").cast("int").as("k"))
     }),
@@ -206,7 +208,8 @@ object CoreOps extends QueryGroup {
     // (verified against DuckDB at sf0.1, not just the sf0.01 gate).
     "global_aggs" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "lineitem")
+      // spreadHeavy: 2-task scans on the 20× fixture; sf0.1 stays unspread
+      spreadHeavy(t(s, dir, "lineitem"), SpreadAggScan)
         .agg(
           dsum($"l_extendedprice", 4).as("sum_price"),
           dsum($"l_extendedprice" * $"l_extendedprice", 8).as("sum_price2"),
@@ -229,7 +232,8 @@ object CoreOps extends QueryGroup {
     // groupby aggregations (dataframe/core.py:789-881) — flagship query.
     "q1_agg" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "lineitem").groupBy($"l_returnflag", $"l_linestatus").agg(
+      spreadHeavy(t(s, dir, "lineitem"), SpreadAggScan)
+        .groupBy($"l_returnflag", $"l_linestatus").agg(
         dsum($"l_quantity", 4).as("sum_qty"),
         dsum($"l_extendedprice", 4).as("sum_base_price"),
         dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("sum_disc_price"),

@@ -240,7 +240,9 @@ object CurationOps extends QueryGroup {
     // shuffles.
     "text_html_extract" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
+      // spreadHeavy: the regex-heavy extract ran on the 1-task scan at
+      // 20× (4.5 s serial); sf0.1 stays unspread (byte gate)
+      spreadHeavy(t(s, dir, "documents"), SpreadDocKernel)
         .withColumn("html", concat(
           lit("<html ><body class=\"c"), ($"doc_id" % 5).cast("string"),
           lit("\"><h1>T&amp;T "), $"source", lit("</h1>\n<p>"), $"text",

@@ -77,7 +77,14 @@ object DedupOps extends QueryGroup {
   /** (doc_id, sharr): distinct 3-token shingles per document, in-row. */
   private def shingleArrays(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    spread(t(s, dir, "documents"))
+    // spreadCut, not spread: Catalyst pushes the shingles3 projection
+    // below a bare repartition's exchange, so every consumer subtree
+    // re-ran the kernel serially in the 1-task scan stage (r17 finding;
+    // the r18 20× stage tables measured two ~6 s single-task stages on
+    // dedup_ngram_jaccard and one ~2.9 s on the minhash family). The cut
+    // pins the RAW repartitioned rows — pre-kernel bytes only — and is a
+    // no-op whenever the scan is already wide (any real corpus).
+    spreadCut(t(s, dir, "documents"))
       .select($"doc_id", TF.shingles3($"text").as("sharr"))
       .filter(size($"sharr") >= 1)
   }
@@ -543,6 +550,14 @@ object DedupOps extends QueryGroup {
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
+        // explicit width after the dedup: candidate rows are 2 longs, so
+        // AQE's byte-based coalescing collapses the downstream join-backs
+        // + k-element signature zips onto a few tasks (8 of 32 in the r18
+        // 20× stage table) — but each row costs a k-wide zip compare, so
+        // hold the compute at full parallelism (the dedup_embed_cosine
+        // candidate-repartition precedent; REPARTITION_BY_NUM is exempt
+        // from AQE re-coalescing)
+        .repartition(s.sparkContext.defaultParallelism)
       // sigs is corpus-sized — equi-join, don't force a broadcast (see
       // the sizes join above); the bucket-blocked cand side is the small one
       cand

@@ -114,7 +114,9 @@ object MiscOps extends QueryGroup {
     // payload with an explicit schema into typed columns.
     "json_struct_parse" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "events")
+      // spreadHeavy: per-row JSON parse on a 1-task scan at 20× (4.9 s
+      // serial); sf0.1 stays unspread (byte gate)
+      spreadHeavy(t(s, dir, "events"), SpreadRowKernel)
         .withColumn("parsed", from_json($"props", StructType(Seq(
           StructField("k", LongType)))))
         .select($"event_id", $"parsed.k".as("k"),

@@ -37,7 +37,7 @@ object MlOps extends QueryGroup {
     // y = l_extendedprice regressed on x = l_quantity
     "river_ols" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "lineitem")
+      spreadHeavy(t(s, dir, "lineitem"), SpreadAggScan)
         .agg(
           count(lit(1)).as("n"),
           dsum($"l_quantity").as("sx"),

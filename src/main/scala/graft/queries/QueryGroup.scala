@@ -39,6 +39,59 @@ trait QueryGroup {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** [[spread]] gated on bytes per split — for scans whose downstream
+    * work is heavy ENOUGH per byte to amortize one round-robin exchange,
+    * but only once the split carries real data. Three-way behavior, all
+    * from the same rule (guide §2: scale-adaptive, never a constant):
+    *  - real cluster / many splits: no-op (the partition-count gate);
+    *  - tiny local inputs (the driver's sf0.1 files): no-op — r17
+    *    measured a blanket spread() SLOWER on 9 of 10 text queries at
+    *    that size because the exchange outweighed sub-second kernels,
+    *    and this keeps the driver's bench rows byte-identical to r17;
+    *  - the 20×+ scaling fixtures (single-row-group files, multi-second
+    *    kernels): repartition — the r18 scaling runs measured every
+    *    heavy text/agg query serialized on a 1-task scan without it
+    *    (e.g. text_lm_surprisal 17.7 s with an 11.4 s single-task stage).
+    * `minBytesPerSplit` is a property of the KERNEL CLASS (how much work
+    * one byte of input generates), not of any scale factor — callers
+    * pass ~1 MB for regex/hash-heavy document kernels, more for cheap
+    * columnar aggregates. Size comes from the optimizer's scan stats
+    * (file bytes), available without running a job. */
+  protected def spreadHeavy(df: DataFrame, minBytesPerSplit: Long): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.rdd.getNumPartitions
+    if (parts >= target) df
+    else if (df.queryExecution.optimizedPlan.stats.sizeInBytes >
+        BigInt(minBytesPerSplit) * math.max(parts, 1)) df.repartition(target)
+    else df
+  }
+
+  /** [[spread]] + an eager [[graft.functions.Materialize.cut]] of the
+    * repartitioned RAW rows, applied ONLY when the repartition actually
+    * widened a narrow scan. Why the cut: Catalyst pushes deterministic
+    * projections below a repartition's exchange, so a heavy kernel
+    * projection (shingles3, minhash prep) otherwise evaluates inside the
+    * 1-task scan stage — once per consumer subtree (r17 measured two
+    * ~1.2 s single-task stages at sf0.1 growing to two ~6 s stages at
+    * 20×, RDD-lineage-verified). Cutting the raw rows pins them wide so
+    * every consumer's kernel runs at full width, and costs only the raw
+    * bytes (pre-kernel, no arrays). At real scale the scan is already
+    * wide and NOTHING is materialized — the no-op branch. */
+  protected def spreadCut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else graft.functions.Materialize.cut(df.repartition(target))
+  }
+
+  /** [[spreadHeavy]] thresholds by kernel class — how many bytes one
+    * split must carry before the downstream work dwarfs the exchange.
+    * Chosen from the r18 20× stage tables (multi-second kernels at a few
+    * MB per split) against r17's sf0.1 negative results (sub-second
+    * kernels at ≤ 2 MB lost to the exchange). */
+  protected val SpreadDocKernel: Long = 1L << 20 // regex/hash/explode doc kernels
+  protected val SpreadRowKernel: Long = 8L << 20 // per-row JSON/struct parses
+  protected val SpreadAggScan: Long = 48L << 20 // cheap columnar partial aggregates
+
   /** Exact-arithmetic (order-independent) sum of a double column. */
   protected def dec(c: Column, scale: Int): Column =
     c.cast(DecimalType(38, scale))

@@ -72,7 +72,9 @@ object SketchOps extends QueryGroup {
     // independent Scala model).
     "sketch_hll_distinct" -> ((s, dir) => {
       import s.implicits._
-      val li = t(s, dir, "lineitem")
+      // spreadHeavy: the 20× lineitem fixture is 2 row groups → 2-task
+      // scans; the byte gate keeps sf0.1 (11 MB) unspread (guide §2)
+      val li = spreadHeavy(t(s, dir, "lineitem"), SpreadAggScan)
       val sketch = li
         .agg(graft.functions.native.hll_sketch($"l_orderkey".cast("string")).as("sk"))
         .select(graft.functions.native.hll_nonzero($"sk").as("nonzero_registers"),
@@ -159,7 +161,7 @@ object SketchOps extends QueryGroup {
     // query would have been paced by the control, not the sketch).
     "sketch_quantile_hist" -> ((s, dir) => {
       import s.implicits._
-      val li = t(s, dir, "lineitem")
+      val li = spreadHeavy(t(s, dir, "lineitem"), SpreadAggScan)
         .select(round($"l_extendedprice" * 100).cast("long").as("v"))
       // bucket: v<32 exact; else 32 + 16·(bitlen-6) + (top-5-bits - 16)
       // — the shared functions.Sketches.logBucket binning (streaming

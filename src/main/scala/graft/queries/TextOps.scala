@@ -87,7 +87,8 @@ object TextOps extends QueryGroup {
     // bytes). A doc whose best score is < 3 has essentially no latin
     // trigrams and is classified zh (the CJK member of the corpus).
     "text_langid_ngram" -> ((s, dir) =>
-      classifyLangNgram(t(s, dir, "documents"))),
+      // spreadHeavy: 7.6 s single-task ngram_hits stage at 20× without it
+      classifyLangNgram(spreadHeavy(t(s, dir, "documents"), SpreadDocKernel))),
 
     // TRUE merge-table BPE (greedy lowest-rank merges over the learned
     // embedded vocab — graft.functions.Bpe): per doc, word count, BPE
@@ -119,7 +120,7 @@ object TextOps extends QueryGroup {
     // broadcast, one per-doc top-k window — every shuffle key-true.
     "text_tfidf_terms" -> ((s, dir) => {
       import s.implicits._
-      val terms = t(s, dir, "documents")
+      val terms = spreadHeavy(t(s, dir, "documents"), SpreadDocKernel)
         .select($"doc_id", explode(TF.tokens($"text")).as("term"))
       val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
         .transform(graft.functions.Materialize.cut) // feeds df AND the join below
@@ -152,7 +153,11 @@ object TextOps extends QueryGroup {
     // corpus scale it is an ordinary key join), one fold per doc.
     "text_lm_surprisal" -> ((s, dir) => {
       import s.implicits._
-      val big = t(s, dir, "documents")
+      // spreadHeavy: the r18 20× stage table showed this query fully
+      // serial on the 1-task scan (6.5 s model build + 11.4 s scoring,
+      // both single-task); the byte gate keeps sf0.1 plans identical
+      // (r17 measured plain spread() slower there)
+      val big = spreadHeavy(t(s, dir, "documents"), SpreadDocKernel)
         .withColumn("toks", TF.tokens($"text"))
         .filter(size($"toks") >= 2)
         .select($"doc_id", explode(expr(

@@ -19,6 +19,26 @@ import org.apache.spark.sql.functions._
 class LshGeometrySpec extends SparkSuite {
   import spark.implicits._
 
+  test("band_hashes kernel ≡ the HOF spelling (random, null-bearing, production-width sigs)") {
+    val rnd = new scala.util.Random(5)
+    def sig(k: Int, withNulls: Boolean): Seq[String] =
+      Seq.fill(k)(
+        if (withNulls && rnd.nextInt(7) == 0) null
+        else rnd.alphanumeric.take(6 + rnd.nextInt(10)).mkString)
+    for ((bands, rows) <- Seq((4, 2), (2, 4), (8, 1), (16, 8));
+         withNulls <- Seq(false, true)) {
+      val k = bands * rows
+      val df = (1 to 40).map(i => (i.toLong, sig(k, withNulls)))
+        .toDF("id", "sigs")
+      val bad = df.select(
+          native.band_hashes(col("sigs"), bands, rows).as("kernel"),
+          Lsh.bandHashesHof(col("sigs"), bands, rows).as("hof"))
+        .filter(col("kernel") =!= col("hof"))
+      assert(bad.count() == 0L,
+        s"kernel diverges from HOF at bands=$bands rows=$rows nulls=$withNulls")
+    }
+  }
+
   test("chooseGeometry lands on the divisor pair nearest the target threshold") {
     assert(Lsh.chooseGeometry(128, 0.7) == Lsh.Geometry(128, 16, 8))
     assert(Lsh.chooseGeometry(8, 0.5) == Lsh.Geometry(8, 4, 2))
