@@ -153,7 +153,13 @@ object CurationOps extends QueryGroup {
     // the canonical key.
     "url_canonicalize" -> ((s, dir) => {
       import s.implicits._
-      val urls = t(s, dir, "documents").select($"doc_id",
+      // byte-gated spreadCut: a bare spread() lost here at sf0.1 in r17
+      // (the regex kernel projection pushes below the repartition
+      // exchange and re-runs serially — and at that size the exchange
+      // cost more than the serial kernel: 0.43 → 0.72 s paired), so
+      // below the gate this is a NO-OP; at 20× the cut pins the raw rows
+      // wide (2.0 → 1.1 s paired). No-op on any multi-split scan.
+      val urls = spreadCut(t(s, dir, "documents"), SpreadDocKernel).select($"doc_id",
         concat(
           when($"doc_id" % 4 === 0, "HTTP://WWW.Site").otherwise("http://www.site"),
           expr("doc_id DIV 4").cast("string"),

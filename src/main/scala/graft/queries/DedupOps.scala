@@ -139,7 +139,10 @@ object DedupOps extends QueryGroup {
     // blowup. Docs under 20 tokens carry no window and are excluded.
     "dedup_substring" -> ((s, dir) => {
       import s.implicits._
-      val spans = spread(t(s, dir, "documents"))
+      // spreadCut (not spread): the tokens() projection pushes below the
+      // exchange and ran serially in the 1-task scan stage at 20× — the
+      // shingleArrays fix, same reasoning
+      val spans = spreadCut(t(s, dir, "documents"))
         .withColumn("toks", TF.tokens($"text"))
         .filter(size($"toks") >= SpanLen)
         .select($"doc_id", explode(expr(
@@ -173,7 +176,7 @@ object DedupOps extends QueryGroup {
     // the aligned-chunk trick keeps it 1× instead of SpanLen×.
     "dedup_span_removal" -> ((s, dir) => {
       import s.implicits._
-      val chunks = spread(t(s, dir, "documents"))
+      val chunks = spreadCut(t(s, dir, "documents")) // see dedup_substring
         .withColumn("toks", TF.tokens($"text"))
         .filter(size($"toks") >= 1)
         .select($"doc_id", explode(expr(
@@ -625,6 +628,13 @@ object DedupOps extends QueryGroup {
       val wOcc = org.apache.spark.sql.expressions.Window
         .partitionBy($"band", $"bucket").orderBy($"vec_id")
       val banded = banded0
+        // explicit width for the occupancy window: its rows are 3 ints,
+        // so AQE byte-coalesces the (band, bucket) exchange onto one
+        // task (r18 20× stage table: a 2 s serial stage) — hold it wide;
+        // REPARTITION_BY_NUM is exempt from re-coalescing and the window
+        // needs exactly this hash partitioning, so it is still ONE
+        // exchange, just at fixed width
+        .repartition(s.sparkContext.defaultParallelism, $"band", $"bucket")
         .withColumn("rno", row_number().over(wOcc))
         .filter($"rno" <= MaxBucketMembers)
         .drop("rno")

@@ -77,10 +77,15 @@ trait QueryGroup {
     * every consumer's kernel runs at full width, and costs only the raw
     * bytes (pre-kernel, no arrays). At real scale the scan is already
     * wide and NOTHING is materialized — the no-op branch. */
-  protected def spreadCut(df: DataFrame): DataFrame = {
+  protected def spreadCut(df: DataFrame, minBytesPerSplit: Long = 0L): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
-    else graft.functions.Materialize.cut(df.repartition(target))
+    val parts = df.rdd.getNumPartitions
+    if (parts >= target) df
+    else if (minBytesPerSplit == 0L ||
+        df.queryExecution.optimizedPlan.stats.sizeInBytes >
+          BigInt(minBytesPerSplit) * math.max(parts, 1))
+      graft.functions.Materialize.cut(df.repartition(target))
+    else df // below the byte gate: the exchange+cut would outweigh the kernel
   }
 
   /** [[spreadHeavy]] thresholds by kernel class — how many bytes one

@@ -121,7 +121,7 @@ object ScaleOps extends QueryGroup {
     // (unix_micros / epoch_us), so gaps hash-compare bit-for-bit.
     "join_range_band" -> ((s, dir) => {
       import s.implicits._
-      val e = t(s, dir, "events")
+      val e = spreadHeavy(t(s, dir, "events"), SpreadRowKernel)
         .select($"event_id", $"event_type", unix_micros($"ts").as("us"))
       val a = e.select($"event_type", $"event_id".as("event_a"), $"us".as("us_a"))
         .withColumn("bin", expr(s"us_a DIV $BandUs"))
@@ -129,7 +129,16 @@ object ScaleOps extends QueryGroup {
         .withColumn("bin", explode(array(
           expr(s"us_b DIV $BandUs - 1"), expr(s"us_b DIV $BandUs"),
           expr(s"us_b DIV $BandUs + 1"))))
-      a.join(b, Seq("event_type", "bin"))
+      // explicit-width co-partitioned join: the shuffle rows are a few
+      // longs, so AQE's byte-based coalescing collapsed the probe stage
+      // to 4 tasks at 20× (r18 stage table: 6.6 s wall ≈ 6.3 s cpu,
+      // parallelism ~1) — but each (type, bin) cell pays the quadratic
+      // candidate filter, so hold the join at full width. Equal explicit
+      // counts on both sides keep it ONE exchange per side (co-
+      // partitioned, REPARTITION_BY_NUM exempt from re-coalescing).
+      val dp = s.sparkContext.defaultParallelism
+      a.repartition(dp, $"event_type", $"bin")
+        .join(b.repartition(dp, $"event_type", $"bin"), Seq("event_type", "bin"))
         .filter($"event_a" < $"event_b" && abs($"us_a" - $"us_b") <= BandUs)
         .select($"event_type", $"event_a", $"event_b",
           abs($"us_a" - $"us_b").as("gap_us"))

@@ -164,14 +164,20 @@ object TextOps extends QueryGroup {
           "transform(sequence(0, size(toks)-2)," +
             " i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("b"))
         .select($"doc_id", $"b.w1", $"b.w2")
-      val bigCounts = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
-        .transform(graft.functions.Materialize.cut) // feeds c1 AND the join
-      // c1 DERIVED from bigCounts: count of bigrams starting at w1 is the
-      // sum over w2 of c12 — replaces a second full tokenize+explode+
-      // aggregate pass of the corpus with a sum over the (small) model
-      // relation. Exact integer arithmetic, value-identical.
-      val uniCounts = bigCounts.groupBy($"w1").agg(sum($"c12").as("c1"))
-      big.join(bigCounts, Seq("w1", "w2")).join(uniCounts, Seq("w1"))
+      // ONE model subtree carrying both counts: c1 (bigrams starting at
+      // w1) = sum over w2 of c12, attached as an unordered window over
+      // the aggregated model rows (exact integer arithmetic,
+      // value-identical to a separate groupBy(w1) pass). vs r17's shape
+      // (bigCounts Materialize.cut feeding a derived-c1 aggregate + TWO
+      // joins): the cut barrier cost a fixed ~0.45 s at sf0.1 — the one
+      // driver-measured regression of r17 — while WITHOUT a cut the c1
+      // branch re-exploded the corpus (no exchange reuse, verified in
+      // plans/r18/explain_lm_nocut_sf2.txt: 3 scans). The window keeps
+      // the model single-subtree (2 corpus passes total at any scale),
+      // needs no barrier, and replaces two model joins with one.
+      val model = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+        .withColumn("c1", sum($"c12").over(Window.partitionBy($"w1")))
+      big.join(model, Seq("w1", "w2"))
         .withColumn("inv_p", $"c1".cast("double") / $"c12")
         .groupBy($"doc_id")
         // dsumWide, not dsum: inv_p = c1/c12 is count-derived and grows
