@@ -52,17 +52,18 @@ trait QueryGroup {
     *    kernels): repartition — the r18 scaling runs measured every
     *    heavy text/agg query serialized on a 1-task scan without it
     *    (e.g. text_lm_surprisal 17.7 s with an 11.4 s single-task stage).
-    * `minBytesPerSplit` is a property of the KERNEL CLASS (how much work
+    * `minTotalBytes` is a property of the KERNEL CLASS (how much work
     * one byte of input generates), not of any scale factor — callers
     * pass ~1 MB for regex/hash-heavy document kernels, more for cheap
-    * columnar aggregates. Size comes from the optimizer's scan stats
-    * (file bytes), available without running a job. */
-  protected def spreadHeavy(df: DataFrame, minBytesPerSplit: Long): DataFrame = {
+    * columnar aggregates. TOTAL scan bytes, not per split: a 4-split
+    * scan of a heavy kernel is still 8× short of the core count, and
+    * the exchange cost the gate weighs scales with total bytes. Size
+    * comes from the optimizer's scan stats (file bytes), no job runs. */
+  protected def spreadHeavy(df: DataFrame, minTotalBytes: Long): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val parts = df.rdd.getNumPartitions
-    if (parts >= target) df
+    if (df.rdd.getNumPartitions >= target) df
     else if (df.queryExecution.optimizedPlan.stats.sizeInBytes >
-        BigInt(minBytesPerSplit) * math.max(parts, 1)) df.repartition(target)
+        BigInt(minTotalBytes)) df.repartition(target)
     else df
   }
 
@@ -77,19 +78,29 @@ trait QueryGroup {
     * every consumer's kernel runs at full width, and costs only the raw
     * bytes (pre-kernel, no arrays). At real scale the scan is already
     * wide and NOTHING is materialized — the no-op branch. */
-  protected def spreadCut(df: DataFrame, minBytesPerSplit: Long = 0L): DataFrame = {
+  protected def spreadCut(df: DataFrame, minTotalBytes: Long = 0L): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val parts = df.rdd.getNumPartitions
-    if (parts >= target) df
-    else if (minBytesPerSplit == 0L ||
-        df.queryExecution.optimizedPlan.stats.sizeInBytes >
-          BigInt(minBytesPerSplit) * math.max(parts, 1))
+    if (df.rdd.getNumPartitions >= target) df
+    else if (minTotalBytes == 0L ||
+        df.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(minTotalBytes))
       graft.functions.Materialize.cut(df.repartition(target))
     else df // below the byte gate: the exchange+cut would outweigh the kernel
   }
 
-  /** [[spreadHeavy]] thresholds by kernel class — how many bytes one
-    * split must carry before the downstream work dwarfs the exchange.
+  /** Does `df` scan narrow (fewer splits than cores) AND heavy (more
+    * than `minBytesPerSplit` per split)? The [[spreadHeavy]] predicate,
+    * exposed for queries that must pick a PLAN SHAPE from it (e.g. an
+    * explicit-width co-partitioned join that is pure overhead at tiny
+    * scale) — results are identical either way, only the physical width
+    * changes. False on any multi-split scan (real clusters). */
+  protected def narrowHeavyScan(df: DataFrame, minTotalBytes: Long): Boolean = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    df.rdd.getNumPartitions < target &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(minTotalBytes)
+  }
+
+  /** [[spreadHeavy]] thresholds by kernel class — how many TOTAL scan
+    * bytes before the downstream work dwarfs one exchange of them.
     * Chosen from the r18 20× stage tables (multi-second kernels at a few
     * MB per split) against r17's sf0.1 negative results (sub-second
     * kernels at ≤ 2 MB lost to the exchange). */

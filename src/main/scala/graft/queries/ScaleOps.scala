@@ -129,16 +129,24 @@ object ScaleOps extends QueryGroup {
         .withColumn("bin", explode(array(
           expr(s"us_b DIV $BandUs - 1"), expr(s"us_b DIV $BandUs"),
           expr(s"us_b DIV $BandUs + 1"))))
-      // explicit-width co-partitioned join: the shuffle rows are a few
-      // longs, so AQE's byte-based coalescing collapsed the probe stage
-      // to 4 tasks at 20× (r18 stage table: 6.6 s wall ≈ 6.3 s cpu,
-      // parallelism ~1) — but each (type, bin) cell pays the quadratic
-      // candidate filter, so hold the join at full width. Equal explicit
-      // counts on both sides keep it ONE exchange per side (co-
-      // partitioned, REPARTITION_BY_NUM exempt from re-coalescing).
-      val dp = s.sparkContext.defaultParallelism
-      a.repartition(dp, $"event_type", $"bin")
-        .join(b.repartition(dp, $"event_type", $"bin"), Seq("event_type", "bin"))
+      // explicit-width co-partitioned join, gated on scan weight: the
+      // shuffle rows are a few longs, so AQE's byte-based coalescing
+      // collapsed the probe stage to 4 tasks at 20× (r18 stage table:
+      // 6.6 s wall ≈ 6.3 s cpu, parallelism ~1) — but each (type, bin)
+      // cell pays the quadratic candidate filter, so hold the join at
+      // full width when the input is heavy (7.8 → 2.8 s paired at 20×).
+      // At tiny scale the fixed width is pure task overhead (+0.17 s at
+      // sf0.1 measured), so below the gate AQE keeps choosing. Results
+      // identical either way; equal explicit counts on both sides keep
+      // it ONE exchange per side (co-partitioned, REPARTITION_BY_NUM
+      // exempt from re-coalescing).
+      val joined =
+        if (narrowHeavyScan(t(s, dir, "events"), SpreadRowKernel)) {
+          val dp = s.sparkContext.defaultParallelism
+          a.repartition(dp, $"event_type", $"bin")
+            .join(b.repartition(dp, $"event_type", $"bin"), Seq("event_type", "bin"))
+        } else a.join(b, Seq("event_type", "bin"))
+      joined
         .filter($"event_a" < $"event_b" && abs($"us_a" - $"us_b") <= BandUs)
         .select($"event_type", $"event_a", $"event_b",
           abs($"us_a" - $"us_b").as("gap_us"))
